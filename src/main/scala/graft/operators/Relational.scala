@@ -1,0 +1,385 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+
+/** The relational operator surface (SURVEY.md §2B) exercised as declarative
+  * DataFrame plans over the driver corpus, each paired with DuckDB oracle SQL
+  * in [[graft.SparkEntry.oracleSql]].
+  *
+  * Mirrors the query shapes of the reference's corpus
+  * (`/root/reference/use-cases.sql:1-42`, `/root/reference/README.md:77-196`):
+  * scan/project/filter (B1-B3), equi-joins incl. derived tables (B4-B5), CTEs
+  * (B6), group-by aggregates (B7), `ntile` and other window functions (B8),
+  * sort (B9), top-k limit (B10), scalar arithmetic (B11), built-in function
+  * surface (B14) — plus the relational extensions a complete engine needs
+  * (outer/semi joins, set ops, rollup, distinct agg, conditional agg).
+  *
+  * Scale notes (100 TB design intent, verified via `.explain` in tests):
+  *  - dimension tables (region/nation/customer at TPC-H ratios) are broadcast
+  *    explicitly so fact-side scans never shuffle for them;
+  *  - every aggregate is a hash aggregate with map-side partial agg (free from
+  *    Catalyst once the plan is declarative — nothing here blocks it);
+  *  - filters/projections sit directly on the scan so parquet gets
+  *    PushedFilters + pruned ReadSchema;
+  *  - top-k is `orderBy(...).limit(k)` which Catalyst plans as
+  *    TakeOrderedAndProject (no global sort).
+  *
+  * Every query ends in a deterministic total ORDER BY (mirrored in the oracle
+  * SQL) so result comparison is stable, and every computed column is aliased
+  * identically on both sides. Doubles are rounded to fixed decimals to absorb
+  * summation-order differences between engines.
+  */
+object Relational {
+
+  /** B7: pricing summary aggregate (shape of TPC-H Q1; cf. the reference's
+    * GROUP BY corpus `use-cases.sql:30-34`). */
+  def q01PricingSummary(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    lineitem(s, d)
+      .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        round(sum($"l_quantity"), 2).as("sum_qty"),
+        round(sum($"l_extendedprice"), 2).as("sum_base_price"),
+        round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("sum_disc_price"),
+        round(avg($"l_quantity"), 4).as("avg_qty"),
+        round(avg($"l_extendedprice"), 2).as("avg_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  /** B4/B5: multi-way equi-join with broadcast dims (shape of TPC-H Q5). */
+  def q02RevenueByNation(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val c = customer(s, d); val o = orders(s, d); val l = lineitem(s, d)
+    val n = nation(s, d); val r = region(s, d)
+    l.join(o, $"l_orderkey" === $"o_orderkey")
+      .join(c, $"o_custkey" === $"c_custkey")
+      .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
+      .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+              $"o_orderdate" <  lit("1998-01-01").cast("timestamp"))
+      .groupBy($"n_name")
+      .agg(round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("revenue"),
+           count(lit(1)).as("n_items"))
+      .orderBy($"revenue".desc, $"n_name")
+  }
+
+  /** B9/B10: top-k with sort → TakeOrderedAndProject (reference Q3 top-15
+    * miners, `use-cases.sql:37-42`, re-expressed over the corpus). */
+  def q03TopCustomers(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    orders(s, d)
+      .join(customer(s, d), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_custkey", $"c_name")
+      .agg(round(sum($"o_totalprice"), 2).as("total_spent"),
+           count(lit(1)).as("n_orders"))
+      .orderBy($"total_spent".desc, $"c_custkey")
+      .limit(15)
+  }
+
+  /** Semi-join (EXISTS) + agg (shape of TPC-H Q4). */
+  def q04OrderPriority(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val l = lineitem(s, d).filter($"l_discount" > 0.05).select($"l_orderkey")
+    orders(s, d)
+      .join(l, $"o_orderkey" === $"l_orderkey", "left_semi")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy($"o_orderpriority")
+  }
+
+  /** B6/B8: CTE + ntile bucketing (reference Q2, `use-cases.sql:18-34`). */
+  def q05NtileBuckets(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.orderBy($"o_totalprice", $"o_orderkey")
+    orders(s, d)
+      .select($"o_orderkey", $"o_totalprice", ntile(4).over(w).as("bucket"))
+      .groupBy($"bucket")
+      .agg(round(avg($"o_totalprice"), 2).as("avg_price"),
+           round(min($"o_totalprice"), 2).as("min_price"),
+           round(max($"o_totalprice"), 2).as("max_price"),
+           count(lit(1)).as("n"))
+      .orderBy($"bucket")
+      .withColumn("bucket", $"bucket".cast("long"))
+      .select($"bucket", $"avg_price", $"min_price", $"max_price", $"n")
+  }
+
+  /** B8: window function battery — row_number / rank / lag / lead / running
+    * sum, partitioned per customer (scales: state is per-partition). */
+  def q06WindowFuncs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+    orders(s, d)
+      .select(
+        $"o_orderkey", $"o_custkey",
+        row_number().over(w).cast("long").as("rn"),
+        rank().over(w).cast("long").as("rnk"),
+        round(lag($"o_totalprice", 1).over(w), 2).as("prev_price"),
+        round(lead($"o_totalprice", 1).over(w), 2).as("next_price"),
+        round(sum($"o_totalprice").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2)
+          .as("running_total"))
+      .orderBy($"o_orderkey")
+  }
+
+  /** B11: event-to-event time deltas via lag (re-expression of the
+    * reference's block-time-delta self-join, `use-cases.sql:5-15` — same
+    * semantics, one window instead of a join: no shuffle of the fact table
+    * twice at scale). */
+  def q07EventDeltas(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    events(s, d)
+      .select($"user_id", $"event_type",
+              (unix_millis($"ts") - lag(unix_millis($"ts"), 1).over(w)).as("delta_ms"))
+      .filter($"delta_ms".isNotNull)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+           round(avg($"delta_ms"), 2).as("avg_delta_ms"),
+           max($"delta_ms").as("max_delta_ms"))
+      .orderBy($"event_type")
+  }
+
+  /** Set operations: UNION / EXCEPT / INTERSECT (distinct semantics). */
+  def q08SetOps(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val c = customer(s, d)
+    val building  = c.filter($"c_mktsegment" === "BUILDING").select($"c_custkey")
+    val rich      = c.filter($"c_acctbal" > 5000).select($"c_custkey")
+    val machinery = c.filter($"c_mktsegment" === "MACHINERY").select($"c_custkey")
+    val positive  = c.filter($"c_acctbal" > 0).select($"c_custkey")
+    building.union(rich).distinct()
+      .except(machinery)
+      .intersect(positive)
+      .withColumnRenamed("c_custkey", "custkey")
+      .orderBy($"custkey")
+  }
+
+  /** B14: scalar built-in function surface — string, math, date, JSON. */
+  def q09ScalarFuncs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    events(s, d)
+      .filter($"event_id" < 200)
+      .select(
+        $"event_id",
+        upper($"event_type").as("etype_upper"),
+        substring($"event_type", 1, 3).as("etype_pre"),
+        length($"event_type").cast("long").as("etype_len"),
+        concat($"event_type", lit("_"), $"user_id".cast("string")).as("tagged"),
+        round(abs($"value" - 100.0), 2).as("dist100"),
+        round(sqrt($"value"), 4).as("sqrt_val"),
+        floor($"value").as("floor_val"),
+        year($"ts").cast("long").as("y"),
+        month($"ts").cast("long").as("m"),
+        dayofmonth($"ts").cast("long").as("dom"),
+        get_json_object($"props", "$.k").cast("long").as("prop_k"))
+      .orderBy($"event_id")
+  }
+
+  /** Exact distinct aggregation (expand + two-phase agg under the hood). */
+  def q10DistinctAgg(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    lineitem(s, d)
+      .groupBy($"l_returnflag")
+      .agg(countDistinct($"l_suppkey").as("n_supp"),
+           countDistinct($"l_partkey").as("n_part"),
+           count(lit(1)).as("n_rows"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** GROUP BY + HAVING. */
+  def q11Having(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    part(s, d)
+      .groupBy($"p_brand")
+      .agg(count(lit(1)).as("n_parts"),
+           round(avg($"p_retailprice"), 2).as("avg_price"))
+      .filter($"n_parts" > 10)
+      .orderBy($"p_brand")
+  }
+
+  /** Conditional aggregation over a join (shape of TPC-H Q12). */
+  def q12ConditionalAgg(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val hi = $"o_orderpriority".isin("1-URGENT", "2-HIGH")
+    lineitem(s, d)
+      .join(orders(s, d), $"l_orderkey" === $"o_orderkey")
+      .groupBy($"l_linestatus")
+      .agg(sum(when(hi, 1L).otherwise(0L)).as("high_count"),
+           sum(when(!hi, 1L).otherwise(0L)).as("low_count"))
+      .orderBy($"l_linestatus")
+  }
+
+  /** Left outer join + two-level aggregation (shape of TPC-H Q13). */
+  def q13OuterJoinDist(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    customer(s, d)
+      .join(orders(s, d), $"c_custkey" === $"o_custkey", "left_outer")
+      .groupBy($"c_custkey")
+      .agg(count($"o_orderkey").as("c_count"))
+      .groupBy($"c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy($"custdist".desc, $"c_count".desc)
+  }
+
+  /** ROLLUP grouping sets over broadcast-joined dims. */
+  def q14Rollup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    customer(s, d)
+      .join(broadcast(nation(s, d)), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(region(s, d)), $"n_regionkey" === $"r_regionkey")
+      .rollup($"r_name", $"n_name")
+      .agg(round(sum($"c_acctbal"), 2).as("total_bal"),
+           count(lit(1)).as("n_cust"))
+      .orderBy($"r_name".asc_nulls_first, $"n_name".asc_nulls_first)
+  }
+
+  /** Oracle SQL (DuckDB dialect = ANSI here) for each query above. */
+  val oracle: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+         round(sum(l_quantity), 2) AS sum_qty,
+         round(sum(l_extendedprice), 2) AS sum_base_price,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+         round(avg(l_quantity), 4) AS avg_qty,
+         round(avg(l_extendedprice), 2) AS avg_price,
+         count(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "q02_revenue_by_nation" ->
+      """SELECT n_name,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+         count(*) AS n_items
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate <  TIMESTAMP '1998-01-01'
+         GROUP BY n_name
+         ORDER BY revenue DESC, n_name""",
+    "q03_top_customers" ->
+      """SELECT c_custkey, c_name,
+         round(sum(o_totalprice), 2) AS total_spent, count(*) AS n_orders
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_custkey, c_name
+         ORDER BY total_spent DESC, c_custkey LIMIT 15""",
+    "q04_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+         FROM orders
+         WHERE EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_orderkey = o_orderkey AND l_discount > 0.05)
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q05_ntile_buckets" ->
+      """WITH b AS (
+           SELECT o_orderkey, o_totalprice,
+                  ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+           FROM orders)
+         SELECT CAST(bucket AS BIGINT) AS bucket,
+                round(avg(o_totalprice), 2) AS avg_price,
+                round(min(o_totalprice), 2) AS min_price,
+                round(max(o_totalprice), 2) AS max_price,
+                count(*) AS n
+         FROM b GROUP BY bucket ORDER BY bucket""",
+    "q06_window_funcs" ->
+      """SELECT o_orderkey, o_custkey,
+         CAST(row_number() OVER w AS BIGINT) AS rn,
+         CAST(rank() OVER w AS BIGINT) AS rnk,
+         round(lag(o_totalprice, 1) OVER w, 2) AS prev_price,
+         round(lead(o_totalprice, 1) OVER w, 2) AS next_price,
+         round(sum(o_totalprice) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+         ORDER BY o_orderkey""",
+    "q07_event_deltas" ->
+      """WITH d AS (
+           SELECT user_id, event_type,
+                  epoch_ms(ts) - lag(epoch_ms(ts), 1)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta_ms
+           FROM events)
+         SELECT event_type, count(*) AS n,
+                round(avg(delta_ms), 2) AS avg_delta_ms,
+                max(delta_ms) AS max_delta_ms
+         FROM d WHERE delta_ms IS NOT NULL
+         GROUP BY event_type ORDER BY event_type""",
+    "q08_set_ops" ->
+      """SELECT custkey FROM (
+           SELECT * FROM (
+             (SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+              UNION
+              SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+             EXCEPT
+             SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY')
+           INTERSECT
+           SELECT c_custkey FROM customer WHERE c_acctbal > 0)
+         ORDER BY custkey""",
+    "q09_scalar_funcs" ->
+      """SELECT event_id,
+         upper(event_type) AS etype_upper,
+         substring(event_type, 1, 3) AS etype_pre,
+         CAST(length(event_type) AS BIGINT) AS etype_len,
+         concat(event_type, '_', CAST(user_id AS VARCHAR)) AS tagged,
+         round(abs("value" - 100.0), 2) AS dist100,
+         round(sqrt("value"), 4) AS sqrt_val,
+         CAST(floor("value") AS BIGINT) AS floor_val,
+         CAST(year(ts) AS BIGINT) AS y,
+         CAST(month(ts) AS BIGINT) AS m,
+         CAST(day(ts) AS BIGINT) AS dom,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
+         FROM events WHERE event_id < 200 ORDER BY event_id""",
+    "q10_distinct_agg" ->
+      """SELECT l_returnflag,
+         count(DISTINCT l_suppkey) AS n_supp,
+         count(DISTINCT l_partkey) AS n_part,
+         count(*) AS n_rows
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q11_having" ->
+      """SELECT p_brand, count(*) AS n_parts,
+         round(avg(p_retailprice), 2) AS avg_price
+         FROM part GROUP BY p_brand HAVING count(*) > 10 ORDER BY p_brand""",
+    "q12_conditional_agg" ->
+      """SELECT l_linestatus,
+         CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_count,
+         CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_count
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY l_linestatus ORDER BY l_linestatus""",
+    "q13_outer_join_dist" ->
+      """WITH c_orders AS (
+           SELECT c_custkey, count(o_orderkey) AS c_count
+           FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+           GROUP BY c_custkey)
+         SELECT c_count, count(*) AS custdist
+         FROM c_orders GROUP BY c_count
+         ORDER BY custdist DESC, c_count DESC""",
+    "q14_rollup" ->
+      """SELECT r_name, n_name,
+         round(sum(c_acctbal), 2) AS total_bal, count(*) AS n_cust
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY ROLLUP (r_name, n_name)
+         ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST"""
+  )
+
+  /** Query registry: name → (session, sfDir) → DataFrame. */
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> q01PricingSummary _,
+    "q02_revenue_by_nation" -> q02RevenueByNation _,
+    "q03_top_customers" -> q03TopCustomers _,
+    "q04_order_priority" -> q04OrderPriority _,
+    "q05_ntile_buckets" -> q05NtileBuckets _,
+    "q06_window_funcs" -> q06WindowFuncs _,
+    "q07_event_deltas" -> q07EventDeltas _,
+    "q08_set_ops" -> q08SetOps _,
+    "q09_scalar_funcs" -> q09ScalarFuncs _,
+    "q10_distinct_agg" -> q10DistinctAgg _,
+    "q11_having" -> q11Having _,
+    "q12_conditional_agg" -> q12ConditionalAgg _,
+    "q13_outer_join_dist" -> q13OuterJoinDist _,
+    "q14_rollup" -> q14Rollup _
+  )
+}
