@@ -1,0 +1,214 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Web3Functions
+import graft.sources.eth.EthFixtures
+
+/** The reference's declared query corpus (SURVEY.md §2C, from
+  * `/root/reference/use-cases.sql:1-42` + `README.md:77-196`) run through the
+  * `ethereum` DataSource V2 source against the deterministic fixture chain.
+  *
+  * Differential setup: the engine path reads the raw JSONL chain through the
+  * DSv2 source (scan + pushdown + ERC-20 decode); the oracle SQL reads the
+  * *expected* parquet tables the fixture generator derived independently from
+  * the generation parameters. A hash match therefore checks the whole scan
+  * and decode pipeline, not just the relational tail.
+  */
+object EthQueries {
+  private def eth(s: SparkSession, table: String): DataFrame = {
+    val dir = EthFixtures.ensure(s)
+    s.read.format("ethereum").option("table", table).option("chain", dir).load()
+  }
+
+  private val exp = s"${EthFixtures.DefaultDir}/expected"
+  private def withEthTables(sql: String): String =
+    s"""WITH block AS (SELECT * FROM read_parquet('$exp/block/*.parquet')),
+        transaction AS (SELECT * FROM read_parquet('$exp/transaction/*.parquet')),
+        erc20 AS (SELECT * FROM read_parquet('$exp/erc20/*.parquet'))
+        $sql"""
+
+  /** Q1: block-time deltas via consecutive-block self-join
+    * (`use-cases.sql:5-15`), bucketed per 1000 blocks. */
+  def q1BlockTime(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val b = eth(s, "block").select($"block_number", $"block_timestamp")
+    b.as("a").join(b.as("b"), col("b.block_number") === col("a.block_number") + 1)
+      .select(expr("a.block_number div 1000").as("blk_k"),
+              (col("b.block_timestamp") - col("a.block_timestamp")).as("delta"))
+      .groupBy($"blk_k")
+      .agg(count(lit(1)).as("n"),
+           round(avg($"delta"), 4).as("avg_delta"),
+           min($"delta").as("min_delta"),
+           max($"delta").as("max_delta"))
+      .orderBy($"blk_k")
+  }
+
+  /** Q2: CTE + ntile bucketing (`use-cases.sql:18-34`) over gas usage. */
+  def q2NtileGas(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.orderBy($"block_number")
+    eth(s, "block")
+      .select($"block_number", $"block_gasUsed", ntile(10).over(w).cast("long").as("nt"))
+      .groupBy($"nt")
+      .agg(round(avg($"block_gasUsed"), 4).as("avg_gas"),
+           round(max($"block_gasUsed"), 2).as("max_gas"),
+           count(lit(1)).as("n"))
+      .orderBy($"nt")
+  }
+
+  /** Q3: top-15 miners under a block-range predicate
+    * (`use-cases.sql:37-42`) — the pushdown narrows the scan. */
+  def q3TopMiners(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    eth(s, "block")
+      .filter($"block_number" <= 5000)
+      .groupBy($"block_miner")
+      .agg(count(lit(1)).as("num"))
+      .orderBy($"num".desc, $"block_miner")
+      .limit(15)
+  }
+
+  /** Q4: ERC-20 movement sum by token over a block range
+    * (`README.md:124-127`) — drives the decode scan + range pushdown. */
+  def q4Erc20Movement(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    eth(s, "erc20")
+      .filter($"erc20_blockNumber".between(2000, 4000))
+      .groupBy($"erc20_token")
+      .agg(round(sum($"erc20_value"), 2).as("total_moved"),
+           count(lit(1)).as("n_transfers"))
+      .orderBy($"erc20_token")
+  }
+
+  /** Q5: `fromWei` unit-conversion projection (`README.md:189-196`). */
+  def q5FromWei(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Web3Functions.register(s, EthFixtures.ensure(s))
+    eth(s, "transaction")
+      .filter($"tx_blockNumber".between(100, 200))
+      .select($"tx_hash",
+              round(callUDF("fromWei", $"tx_value", lit("ether")), 6).as("eth_value"),
+              round(callUDF("fromWei", $"tx_gasPrice", lit("gwei")), 4).as("gwei_price"))
+      .orderBy($"tx_hash")
+  }
+
+  /** Timestamp-range scan — exercises the timestamp→block binary-search
+    * pushdown (A9, `EthereumMetadata.java:215-229`). */
+  def q6TsRange(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    eth(s, "block")
+      .filter($"block_timestamp".between(1438282988L, 1438295988L))
+      .agg(count(lit(1)).as("n_blocks"),
+           min($"block_number").as("min_bn"), max($"block_number").as("max_bn"),
+           min($"block_timestamp").as("min_ts"), max($"block_timestamp").as("max_ts"))
+  }
+
+  /** Block-hash point lookup — exercises the hash→number rewrite (A8). */
+  def q7HashLookup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    eth(s, "block")
+      .filter($"block_hash" === EthFixtures.blockHash(1234))
+      .select($"block_number", $"block_miner", $"block_size", $"block_timestamp")
+  }
+
+  /** FK join transaction→block (SURVEY §1.1 relationships). */
+  def q8TxPerMiner(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    eth(s, "transaction")
+      .join(eth(s, "block"), $"tx_blockNumber" === $"block_number")
+      .filter($"tx_blockNumber" <= 3000)
+      .groupBy($"block_miner")
+      .agg(count(lit(1)).as("n_tx"), round(avg($"tx_gas"), 4).as("avg_gas"))
+      .orderBy($"block_miner")
+  }
+
+  /** Array-typed column surface: `block_transactions`/`block_uncles`. */
+  def q9ArrayCols(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    eth(s, "block")
+      .filter($"block_number" <= 500)
+      .select($"block_number",
+              size($"block_transactions").cast("long").as("n_tx"),
+              size($"block_uncles").cast("long").as("n_uncles"),
+              try_element_at($"block_transactions", lit(1)).as("first_tx"))
+      .orderBy($"block_number")
+  }
+
+  /** Web3 UDF battery — nondeterministic RPC-backed functions; fixture
+    * client makes them stable, but there is no SQL oracle (rows-only). */
+  def qUdfs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Web3Functions.register(s, EthFixtures.ensure(s))
+    eth(s, "transaction")
+      .filter($"tx_blockNumber" <= 50 && $"tx_to".isNotNull)
+      .select($"tx_hash", $"tx_from", $"tx_to",
+              callUDF("eth_getBalance", $"tx_from").as("from_balance"),
+              callUDF("eth_getBalance_at", $"tx_from", $"tx_blockNumber").as("from_balance_at"),
+              callUDF("eth_getTransactionCount", $"tx_from").as("from_nonce"),
+              callUDF("isContract", $"tx_to").as("to_is_contract"),
+              callUDF("toWei", callUDF("fromWei", $"tx_value", lit("ether")), lit("ether")).as("roundtrip"),
+              callUDF("eth_blockNumber").as("tip"),
+              callUDF("eth_gasPrice").as("gas_price"))
+      .orderBy($"tx_hash")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "eth_q1_blocktime" -> q1BlockTime _,
+    "eth_q2_ntile_gas" -> q2NtileGas _,
+    "eth_q3_top_miners" -> q3TopMiners _,
+    "eth_q4_erc20_movement" -> q4Erc20Movement _,
+    "eth_q5_fromwei" -> q5FromWei _,
+    "eth_q6_ts_range" -> q6TsRange _,
+    "eth_q7_hash_lookup" -> q7HashLookup _,
+    "eth_q8_tx_per_miner" -> q8TxPerMiner _,
+    "eth_q9_array_cols" -> q9ArrayCols _,
+    "eth_udfs" -> qUdfs _)
+
+  val oracle: Map[String, String] = Map(
+    "eth_q1_blocktime" -> withEthTables(
+      """SELECT a.block_number // 1000 AS blk_k, count(*) AS n,
+         round(avg(b.block_timestamp - a.block_timestamp), 4) AS avg_delta,
+         min(b.block_timestamp - a.block_timestamp) AS min_delta,
+         max(b.block_timestamp - a.block_timestamp) AS max_delta
+         FROM block a JOIN block b ON b.block_number = a.block_number + 1
+         GROUP BY blk_k ORDER BY blk_k"""),
+    "eth_q2_ntile_gas" -> withEthTables(
+      """SELECT CAST(nt AS BIGINT) AS nt, round(avg(block_gasUsed), 4) AS avg_gas,
+         round(max(block_gasUsed), 2) AS max_gas, count(*) AS n
+         FROM (SELECT block_gasUsed, ntile(10) OVER (ORDER BY block_number) AS nt FROM block)
+         GROUP BY nt ORDER BY nt"""),
+    "eth_q3_top_miners" -> withEthTables(
+      """SELECT block_miner, count(*) AS num FROM block WHERE block_number <= 5000
+         GROUP BY block_miner ORDER BY num DESC, block_miner LIMIT 15"""),
+    "eth_q4_erc20_movement" -> withEthTables(
+      """SELECT erc20_token, round(sum(erc20_value), 2) AS total_moved,
+         count(*) AS n_transfers
+         FROM erc20 WHERE erc20_blockNumber BETWEEN 2000 AND 4000
+         GROUP BY erc20_token ORDER BY erc20_token"""),
+    "eth_q5_fromwei" -> withEthTables(
+      """SELECT tx_hash, round(tx_value / 1e18, 6) AS eth_value,
+         round(tx_gasPrice / 1e9, 4) AS gwei_price
+         FROM transaction WHERE tx_blockNumber BETWEEN 100 AND 200
+         ORDER BY tx_hash"""),
+    "eth_q6_ts_range" -> withEthTables(
+      """SELECT count(*) AS n_blocks, min(block_number) AS min_bn,
+         max(block_number) AS max_bn, min(block_timestamp) AS min_ts,
+         max(block_timestamp) AS max_ts
+         FROM block WHERE block_timestamp BETWEEN 1438282988 AND 1438295988"""),
+    "eth_q7_hash_lookup" -> withEthTables(
+      s"""SELECT block_number, block_miner, block_size, block_timestamp
+          FROM block WHERE block_hash = '${EthFixtures.blockHash(1234)}'"""),
+    "eth_q8_tx_per_miner" -> withEthTables(
+      """SELECT block_miner, count(*) AS n_tx, round(avg(tx_gas), 4) AS avg_gas
+         FROM transaction JOIN block ON tx_blockNumber = block_number
+         WHERE tx_blockNumber <= 3000
+         GROUP BY block_miner ORDER BY block_miner"""),
+    "eth_q9_array_cols" -> withEthTables(
+      """SELECT block_number, CAST(len(block_transactions) AS BIGINT) AS n_tx,
+         CAST(len(block_uncles) AS BIGINT) AS n_uncles,
+         block_transactions[1] AS first_tx
+         FROM block WHERE block_number <= 500 ORDER BY block_number"""))
+}

@@ -1,0 +1,297 @@
+package graft.sources.eth
+
+import java.util.OptionalLong
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 `ethereum` source — the Spark-native analogue of the whole
+  * reference connector (SURVEY.md §2A): catalog + schemas (A1/A2), per-range
+  * scans (A3/A4), ERC-20 decode scan (A5), split planning (A6), block-range /
+  * hash / timestamp predicate pushdown (A7-A9), column pruning (A10), and row
+  * serialization (A11). Registered as `spark.read.format("ethereum")` via
+  * META-INF/services (the analogue of the reference's Presto `Plugin` SPI
+  * registration, A20).
+  *
+  * Usage:
+  * {{{
+  *   spark.read.format("ethereum")
+  *     .option("table", "block|transaction|erc20")
+  *     .option("chain", "/path/to/fixture/chain")
+  *     .option("blocksPerPartition", "512")    // optional
+  *     .load()
+  * }}}
+  *
+  * Scale design (vs the reference, BASELINE.md):
+  *  - partitions cover K contiguous blocks (default 512) instead of the
+  *    reference's 1 split = 1 block (`EthereumSplitManager.java:55-68`) —
+  *    a full-chain scan plans ~40k tasks at mainnet scale, not 20M;
+  *  - receipts/logs ride with their block fetch instead of one extra RPC per
+  *    transaction (`EthereumLogLazyIterator.java:39-42`);
+  *  - row-count/size statistics are reported per-scan (the reference reports
+  *    none), so Catalyst can pick broadcast joins over shuffles;
+  *  - pushed block ranges compose (conjuncts intersect, IN/OR unions) before
+  *    splitting, so the scan touches exactly the selected ranges.
+  */
+class EthereumSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "ethereum"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    EthSchemas.schemaFor(EthSchemas.kindOf(options.get("table")))
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    new EthereumTable(
+      EthSchemas.kindOf(opts.get("table")),
+      Option(opts.get("chain")).getOrElse(s"${EthFixtures.DefaultDir}"),
+      Option(opts.get("blocksPerPartition")).map(_.toInt).getOrElse(512))
+  }
+}
+
+class EthereumTable(kind: EthSchemas.TableKind, chainDir: String, blocksPerPartition: Int)
+    extends Table with SupportsRead {
+  override def name(): String = s"ethereum.${kind.name}"
+  override def schema(): StructType = EthSchemas.schemaFor(kind)
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new EthereumScanBuilder(kind, chainDir, blocksPerPartition)
+}
+
+/** Algebra over inclusive block-range unions used by the pushdown. */
+object BlockRanges {
+  /** Intersect two unions-of-ranges (conjunctive filters). */
+  def intersect(a: Seq[(Long, Long)], b: Seq[(Long, Long)]): Seq[(Long, Long)] =
+    for { (s1, e1) <- a; (s2, e2) <- b; lo = math.max(s1, s2); hi = math.min(e1, e2)
+          if lo <= hi } yield (lo, hi)
+
+  /** Merge overlapping/adjacent ranges. */
+  def normalize(rs: Seq[(Long, Long)]): Seq[(Long, Long)] = {
+    val sorted = rs.filter(r => r._1 <= r._2).sortBy(_._1)
+    val out = mutable.ArrayBuffer.empty[(Long, Long)]
+    sorted.foreach { r =>
+      if (out.nonEmpty && r._1 <= out.last._2 + 1)
+        out(out.size - 1) = (out.last._1, math.max(out.last._2, r._2))
+      else out += r
+    }
+    out.toSeq
+  }
+}
+
+class EthereumScanBuilder(kind: EthSchemas.TableKind, chainDir: String, blocksPerPartition: Int)
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private val numberCol = EthSchemas.blockNumberColumn(kind)
+  private val hashCol = EthSchemas.blockHashColumn(kind)
+  private val fullSchema = EthSchemas.schemaFor(kind)
+
+  private var requiredSchema: StructType = fullSchema
+  private var pushed: Array[Filter] = Array.empty
+  /** Conjunction of per-filter range unions; None = unconstrained. */
+  private var ranges: Option[Seq[(Long, Long)]] = None
+
+  @transient private lazy val client = EthClient.forChain(chainDir)
+
+  private def addConjunct(rs: Seq[(Long, Long)]): Unit =
+    ranges = Some(BlockRanges.normalize(
+      ranges.map(BlockRanges.intersect(_, rs)).getOrElse(rs)))
+
+  /** Translate one filter into a union of block ranges, if it constrains the
+    * scan (mirrors `EthereumMetadata.java:190-229`). */
+  private def toRanges(f: Filter): Option[Seq[(Long, Long)]] = f match {
+    case EqualTo(c, v: Number) if c == numberCol => Some(Seq((v.longValue, v.longValue)))
+    case GreaterThan(c, v: Number) if c == numberCol => Some(Seq((v.longValue + 1, Long.MaxValue)))
+    case GreaterThanOrEqual(c, v: Number) if c == numberCol => Some(Seq((v.longValue, Long.MaxValue)))
+    case LessThan(c, v: Number) if c == numberCol => Some(Seq((Long.MinValue, v.longValue - 1)))
+    case LessThanOrEqual(c, v: Number) if c == numberCol => Some(Seq((Long.MinValue, v.longValue)))
+    case In(c, vs) if c == numberCol =>
+      Some(vs.toSeq.collect { case v: Number => (v.longValue, v.longValue) })
+    case Or(l, r) =>
+      for { lr <- toRanges(l); rr <- toRanges(r) } yield lr ++ rr
+    case And(l, r) =>
+      (toRanges(l), toRanges(r)) match {
+        case (Some(a), Some(b)) => Some(BlockRanges.intersect(a, b))
+        case (a, b) => a.orElse(b)
+      }
+    case EqualTo(c, v: String) if hashCol.contains(c) =>
+      // hash point lookup -> single-block range via the client
+      // (`EthereumMetadata.java:200-214`); unknown hash -> empty scan.
+      Some(client.blockNumberByHash(v).map(n => (n, n)).toSeq)
+    // timestamp range -> block range via binary search over the chain
+    // (`EthereumMetadata.java:215-229, 293-318`); block table only.
+    case GreaterThan(c, v: Number) if kind == EthSchemas.Block && c == "block_timestamp" =>
+      Some(Seq((findBlockByTimestamp(v.longValue, -1L), Long.MaxValue)))
+    case GreaterThanOrEqual(c, v: Number) if kind == EthSchemas.Block && c == "block_timestamp" =>
+      Some(Seq((findBlockByTimestamp(v.longValue, -1L), Long.MaxValue)))
+    case LessThan(c, v: Number) if kind == EthSchemas.Block && c == "block_timestamp" =>
+      Some(Seq((Long.MinValue, findBlockByTimestamp(v.longValue, 1L))))
+    case LessThanOrEqual(c, v: Number) if kind == EthSchemas.Block && c == "block_timestamp" =>
+      Some(Seq((Long.MinValue, findBlockByTimestamp(v.longValue, 1L))))
+    case _ => None
+  }
+
+  /** Binary search chain timestamps (monotone) for the block at/near `ts`
+    * (mirrors `EthereumMetadata.java:293-318`; `offset` keeps the result a
+    * conservative bound, the residual filter re-checks exact rows). */
+  private def findBlockByTimestamp(ts: Long, offset: Long): Long = {
+    val tip = client.blockNumber()
+    if (tip <= 1) return tip
+    var low = 1L; var high = tip; var middle = low + (high - low) / 2
+    while (low <= high) {
+      middle = low + (high - low) / 2
+      val t = client.timestampOf(middle)
+      if (t < ts) low = middle + 1
+      else if (t > ts) high = middle - 1
+      else return middle
+    }
+    middle + offset
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (supported, _) = filters.partition(f => toRanges(f).isDefined)
+    supported.foreach(f => addConjunct(toRanges(f).get))
+    pushed = supported
+    // Precise block-number predicates are fully honored by the range scan;
+    // hash/timestamp rewrites only narrow it, so those (and everything
+    // unsupported) stay residual for Spark to re-evaluate.
+    filters.filterNot {
+      case f @ (EqualTo(_, _: Number) | GreaterThan(_, _: Number) |
+                GreaterThanOrEqual(_, _: Number) | LessThan(_, _: Number) |
+                LessThanOrEqual(_, _: Number) | In(_, _)) =>
+        f.references.sameElements(Array(numberCol))
+      case _ => false
+    }
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(schema: StructType): Unit = requiredSchema = schema
+
+  override def build(): Scan =
+    new EthereumScan(kind, chainDir, requiredSchema, ranges, blocksPerPartition)
+}
+
+case class EthereumInputPartition(start: Long, end: Long) extends InputPartition
+
+class EthereumScan(kind: EthSchemas.TableKind, chainDir: String,
+    requiredSchema: StructType, ranges: Option[Seq[(Long, Long)]],
+    blocksPerPartition: Int) extends Scan with Batch with SupportsReportStatistics {
+
+  override def readSchema(): StructType = requiredSchema
+  override def toBatch: Batch = this
+  override def description(): String = {
+    val r = ranges.map(_.map { case (s, e) => s"[$s,$e]" }.mkString(",")).getOrElse("full-chain")
+    s"ethereum.${kind.name} ranges=$r"
+  }
+
+  private lazy val resolvedRanges: Seq[(Long, Long)] = {
+    val tip = EthClient.forChain(chainDir).blockNumber()
+    val rs = ranges.getOrElse(Seq((1L, tip)))
+    BlockRanges.normalize(rs.map { case (s, e) =>
+      (math.max(1L, s), math.min(tip, e))
+    })
+  }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    resolvedRanges.flatMap { case (s, e) =>
+      Iterator.range(s, e + 1, blocksPerPartition.toLong)
+        .map(p => EthereumInputPartition(p, math.min(e, p + blocksPerPartition - 1)))
+    }.toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new EthereumReaderFactory(kind, chainDir, requiredSchema)
+
+  /** Rows≈blocks×fan-out, size≈rows×row-width — coarse but enough for
+    * Catalyst to choose broadcast joins (the reference reports nothing). */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val blocks = resolvedRanges.map { case (s, e) => e - s + 1 }.sum
+    private val rows = kind match {
+      case EthSchemas.Block => blocks
+      case EthSchemas.Transaction => (blocks * 2.5).toLong
+      case EthSchemas.Erc20 => (blocks * 1.5).toLong
+    }
+    override def sizeInBytes(): OptionalLong =
+      OptionalLong.of(rows * requiredSchema.map(_.dataType.defaultSize + 40L).sum)
+    override def numRows(): OptionalLong = OptionalLong.of(rows)
+  }
+}
+
+class EthereumReaderFactory(kind: EthSchemas.TableKind, chainDir: String,
+    schema: StructType) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[EthereumInputPartition]
+    new EthereumPartitionReader(kind, chainDir, schema, p.start, p.end)
+  }
+}
+
+/** Streams one block range and emits pruned `InternalRow`s. Fan-out per
+  * table kind mirrors the reference's cursor branches
+  * (`EthereumRecordCursor.java:109-189`): block→1 row, block→N tx rows,
+  * block→decoded transfer rows. */
+class EthereumPartitionReader(kind: EthSchemas.TableKind, chainDir: String,
+    schema: StructType, start: Long, end: Long) extends PartitionReader[InternalRow] {
+
+  private val client = EthClient.forChain(chainDir)
+
+  private def utf8(s: String): UTF8String = if (s == null) null else UTF8String.fromString(s)
+  private def arr(v: Seq[String]): GenericArrayData =
+    new GenericArrayData(v.map(utf8).toArray[Any])
+
+  private val blockExtractors: Map[String, EthBlockData => Any] = Map(
+    "block_number" -> (_.number), "block_hash" -> (b => utf8(b.hash)),
+    "block_parentHash" -> (b => utf8(b.parentHash)), "block_nonce" -> (b => utf8(b.nonce)),
+    "block_sha3Uncles" -> (b => utf8(b.sha3Uncles)), "block_logsBloom" -> (b => utf8(b.logsBloom)),
+    "block_transactionsRoot" -> (b => utf8(b.transactionsRoot)),
+    "block_stateRoot" -> (b => utf8(b.stateRoot)), "block_miner" -> (b => utf8(b.miner)),
+    "block_difficulty" -> (_.difficulty), "block_totalDifficulty" -> (_.totalDifficulty),
+    "block_size" -> (_.size), "block_extraData" -> (b => utf8(b.extraData)),
+    "block_gasLimit" -> (_.gasLimit), "block_gasUsed" -> (_.gasUsed),
+    "block_timestamp" -> (_.timestamp),
+    "block_transactions" -> (b => arr(b.transactions.map(_.hash))),
+    "block_uncles" -> (b => arr(b.uncles)))
+
+  private val txExtractors: Map[String, EthTx => Any] = Map(
+    "tx_hash" -> (t => utf8(t.hash)), "tx_nonce" -> (_.nonce),
+    "tx_blockHash" -> (t => utf8(t.blockHash)), "tx_blockNumber" -> (_.blockNumber),
+    "tx_transactionIndex" -> (_.transactionIndex), "tx_from" -> (t => utf8(t.from)),
+    "tx_to" -> (t => t.to.map(utf8).orNull), "tx_value" -> (_.value),
+    "tx_gas" -> (_.gas), "tx_gasPrice" -> (_.gasPrice), "tx_input" -> (t => utf8(t.input)))
+
+  private val ercExtractors: Map[String, Erc20Decoder.Erc20Transfer => Any] = Map(
+    "erc20_token" -> (e => utf8(e.token)), "erc20_from" -> (e => utf8(e.from)),
+    "erc20_to" -> (e => utf8(e.to)), "erc20_value" -> (_.value),
+    "erc20_txHash" -> (e => utf8(e.txHash)), "erc20_blockNumber" -> (_.blockNumber))
+
+  private val rows: Iterator[InternalRow] = {
+    val blocks = client.blocks(start, end)
+    kind match {
+      case EthSchemas.Block =>
+        val fs = schema.fieldNames.map(blockExtractors)
+        blocks.map(b => new GenericInternalRow(fs.map(_.apply(b)).toArray[Any]))
+      case EthSchemas.Transaction =>
+        val fs = schema.fieldNames.map(txExtractors)
+        blocks.flatMap(_.transactions.iterator)
+          .map(t => new GenericInternalRow(fs.map(_.apply(t)).toArray[Any]))
+      case EthSchemas.Erc20 =>
+        val fs = schema.fieldNames.map(ercExtractors)
+        blocks.flatMap(Erc20Decoder.decodeBlock)
+          .map(e => new GenericInternalRow(fs.map(_.apply(e)).toArray[Any]))
+    }
+  }
+
+  private var current: InternalRow = _
+  override def next(): Boolean = { val h = rows.hasNext; if (h) current = rows.next(); h }
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
+}

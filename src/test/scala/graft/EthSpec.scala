@@ -1,0 +1,192 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.Web3Functions
+import graft.sources.eth._
+
+object TestSpark {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
+
+/** Unit semantics of the ERC-20 decode (reference branches at
+  * `EthereumRecordCursor.java:151-189`). */
+class Erc20DecoderSpec extends AnyFunSuite {
+  import Erc20Decoder._
+  private val bat = "0x0d8775f648430679a709e98d2b0cb6250d2887ef" // BAT
+  private def w(hex40: String) = "0x" + "0" * 24 + hex40.drop(2)
+  private val from = "0x" + "a" * 40
+  private val to = "0x" + "b" * 40
+  private val vWord = "0x" + "0" * 56 + "000f4240" // 1,000,000
+
+  test("indexed 3-topic transfer decodes") {
+    val log = EthLog(bat, Vector(TransferTopic, w(from), w(to)), vWord, "0xt", 7L)
+    val r = decode(log).get
+    assert(r == Erc20Transfer("BAT", from, to, 1000000.0, "0xt", 7L))
+  }
+  test("transfer topic matches case-insensitively") {
+    val log = EthLog(bat, Vector(TransferTopic.toUpperCase.replace("0X", "0x"), w(from), w(to)), vWord, "0xt", 7L)
+    assert(decode(log).isDefined)
+  }
+  test("unindexed 1-topic transfer fills fields from data") {
+    val data = "0x" + w(from).drop(2) + w(to).drop(2) + vWord.drop(2)
+    val r = decode(EthLog(bat, Vector(TransferTopic), data, "0xt", 7L)).get
+    assert(r.from == from && r.to == to && r.value == 1000000.0)
+  }
+  test("partially-indexed 2-topic transfer fills rest from data") {
+    val data = "0x" + w(to).drop(2) + vWord.drop(2)
+    val r = decode(EthLog(bat, Vector(TransferTopic, w(from)), data, "0xt", 7L)).get
+    assert(r.from == from && r.to == to && r.value == 1000000.0)
+  }
+  test("malformed unindexed arity is dropped") {
+    val data = "0x" + w(from).drop(2) + w(to).drop(2) // only 2 words: 1+2 != 4
+    assert(decode(EthLog(bat, Vector(TransferTopic), data, "0xt", 7L)).isEmpty)
+  }
+  test("ERC-721-style empty data coerces value to 0.0") {
+    val r = decode(EthLog(bat, Vector(TransferTopic, w(from), w(to), vWord), "0x", "0xt", 7L)).get
+    assert(r.value == 0.0)
+  }
+  test("non-Transfer topic is dropped") {
+    assert(decode(EthLog(bat, Vector("0x" + "1" * 64, w(from), w(to)), vWord, "0xt", 7L)).isEmpty)
+  }
+  test("unknown contract formats as ERC20(addr), preserving case") {
+    val addr = "0xAbC" + "0" * 37
+    assert(tokenName(addr) == s"ERC20($addr)")
+  }
+  test("known contract resolves regardless of case") {
+    assert(tokenName(bat.toUpperCase.replace("0X", "0x")) == "BAT")
+  }
+  test("h32ToH20 keeps low 20 bytes") {
+    assert(h32ToH20(w(from)) == from)
+  }
+  test("hexToDouble narrows BigInteger like the reference") {
+    assert(hexToDouble("0x" + "f" * 64) == BigInt("f" * 64, 16).toDouble)
+    assert(hexToDouble("0x") == 0.0)
+  }
+}
+
+/** Unit table parity with `udfs/EthereumUnit.java:3-27`. */
+class Web3UnitsSpec extends AnyFunSuite {
+  test("all 16 unit names, aliases included") {
+    val expect = Map("WEI" -> 1.0, "KWEI" -> 1e3, "ADA" -> 1e3, "MWEI" -> 1e6,
+      "BABBAGE" -> 1e6, "GWEI" -> 1e9, "SHANNON" -> 1e9, "SZABO" -> 1e12,
+      "FINNEY" -> 1e15, "ETHER" -> 1e18, "KETHER" -> 1e21, "GRAND" -> 1e21,
+      "EINSTEIN" -> 1e21, "METHER" -> 1e24, "GETHER" -> 1e27, "TETHER" -> 1e30)
+    assert(Web3Functions.unitsToWei == expect)
+  }
+  test("fromWei/toWei roundtrip and case-insensitivity") {
+    for (u <- Web3Functions.unitsToWei.keys) {
+      val x = 123456.789
+      val rt = Web3Functions.toWei(Web3Functions.fromWei(x, u.toLowerCase), u)
+      assert(math.abs(rt - x) <= 1e-9 * x, s"unit $u roundtrip: $rt != $x")
+    }
+    assert(Web3Functions.fromWei(1e18, "ether") == 1.0)
+    assert(Web3Functions.toWei(2.0, "gwei") == 2e9)
+  }
+}
+
+/** Range algebra used by the pushdown. */
+class BlockRangesSpec extends AnyFunSuite {
+  test("normalize merges overlapping and adjacent") {
+    assert(BlockRanges.normalize(Seq((5L, 10L), (1L, 3L), (4L, 6L))) == Seq((1L, 10L)))
+    assert(BlockRanges.normalize(Seq((1L, 2L), (9L, 9L))) == Seq((1L, 2L), (9L, 9L)))
+    assert(BlockRanges.normalize(Seq((5L, 3L))) == Seq.empty)
+  }
+  test("intersect composes conjuncts") {
+    assert(BlockRanges.intersect(Seq((1L, 100L)), Seq((50L, 200L))) == Seq((50L, 100L)))
+    assert(BlockRanges.intersect(Seq((1L, 10L), (20L, 30L)), Seq((5L, 25L))) ==
+      Seq((5L, 10L), (20L, 25L)))
+    assert(BlockRanges.intersect(Seq((1L, 10L)), Seq((20L, 30L))) == Seq.empty)
+  }
+}
+
+/** DSv2 source end-to-end vs the independently generated expected tables. */
+class EthereumSourceSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private lazy val dir = EthFixtures.ensure(spark)
+  private def eth(table: String) =
+    spark.read.format("ethereum").option("table", table).option("chain", dir).load()
+  private def expected(table: String) = spark.read.parquet(s"$dir/expected/$table")
+
+  test("block scan matches expected table exactly") {
+    assert(eth("block").except(expected("block")).isEmpty)
+    assert(expected("block").except(eth("block")).isEmpty)
+    assert(eth("block").count() == EthFixtures.Blocks)
+  }
+  test("transaction scan matches expected table exactly") {
+    assert(eth("transaction").except(expected("transaction")).isEmpty)
+    assert(expected("transaction").except(eth("transaction")).isEmpty)
+  }
+  test("erc20 decode scan matches expected table exactly") {
+    // collect-and-compare (not except) because legitimate duplicate transfer
+    // rows exist; sort order fixed by all columns
+    val got = eth("erc20").collect().map(_.toSeq).sortBy(_.mkString("|"))
+    val exp = expected("erc20").collect().map(_.toSeq).sortBy(_.mkString("|"))
+    assert(got.length == exp.length)
+    assert(got.sameElements(exp))
+  }
+  test("block-number range pushdown narrows partitions and rows") {
+    import org.apache.spark.sql.functions.col
+    val df = eth("block").filter(col("block_number").between(1000, 1999))
+    assert(df.count() == 1000)
+    assert(df.rdd.getNumPartitions == 2) // 1000 blocks / 512 per partition
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ranges=[1000,1999]"), s"plan missed range: $plan")
+  }
+  test("hash point lookup plans a single-block scan") {
+    import org.apache.spark.sql.functions.col
+    val df = eth("block").filter(col("block_hash") === EthFixtures.blockHash(42))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ranges=[42,42]"), s"plan missed hash rewrite: $plan")
+    val rows = df.collect()
+    assert(rows.length == 1 && rows(0).getAs[Long]("block_number") == 42L)
+  }
+  test("unknown hash scans nothing") {
+    import org.apache.spark.sql.functions.col
+    val df = eth("block").filter(col("block_hash") === ("0x" + "0" * 64))
+    assert(df.rdd.getNumPartitions == 0 && df.count() == 0)
+  }
+  test("timestamp range pushdown narrows the scan but keeps exact rows") {
+    import org.apache.spark.sql.functions.col
+    val lo = 1438269988L + 13 * 1000; val hi = 1438269988L + 13 * 1100
+    val df = eth("block").filter(col("block_timestamp").between(lo, hi))
+    val n = df.count()
+    assert(n > 0 && n < 300) // ~100 blocks +- jitter
+    val parts = df.rdd.getNumPartitions
+    assert(parts <= 2, s"timestamp pushdown did not narrow: $parts partitions")
+    // exactness: every row within bounds (residual filter applied)
+    assert(df.collect().forall { r =>
+      val t = r.getAs[Long]("block_timestamp"); t >= lo && t <= hi })
+  }
+  test("column pruning reaches the reader") {
+    import org.apache.spark.sql.functions.col
+    val df = eth("block").select(col("block_miner"))
+    val scan = df.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("block_miner") && !scan.contains("block_logsBloom"),
+      s"pruning missing: $scan")
+  }
+  test("IN and OR predicates become multi-range scans") {
+    import org.apache.spark.sql.functions.col
+    val df = eth("block").filter(col("block_number").isin(5, 1000, 4999))
+    assert(df.count() == 3)
+    assert(df.rdd.getNumPartitions == 3)
+  }
+  test("source reports statistics for join planning") {
+    import org.apache.spark.sql.functions.col
+    val df = eth("block").filter(col("block_number") <= 100)
+    val scan = df.queryExecution.optimizedPlan.collectLeaves().head
+    val stats = scan.stats
+    assert(stats.rowCount.isEmpty || stats.rowCount.get > 0 || stats.sizeInBytes > 0)
+  }
+}
