@@ -1,0 +1,210 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+import graft.functions.Expressions
+import graft.operators.TextAnalysis.{canonical, wsTokens}
+
+/** Deduplication operators over the `documents` table — the core of a
+  * training-data pipeline at 100 TB.
+  *
+  * Scale design:
+  *  - **exact**: one hash-aggregate on a 16-byte digest of the canonical
+  *    text (never group on the raw text — the shuffle would carry full
+  *    documents; the digest shuffle carries ~50 bytes/row).
+  *  - **MinHash+LSH**: per-doc signature (map-only, codegen'd HOFs over
+  *    shingles) → explode K bands → group by (band, band-hash) — candidate
+  *    generation is a single shuffle of K small rows per doc, no O(n²)
+  *    compare. Verification joins only the candidate pairs back to their
+  *    shingle sets.
+  *  - **SimHash**: 64-bit sketch (native expression) → self-join on a
+  *    16-bit band key, Hamming-distance filter — 4 band keys per doc.
+  *  - **embedding near-dup**: cosine over an LSH bucket join (random
+  *    hyperplane signs), brute force only within buckets.
+  */
+object Dedup {
+
+  /** Exact dedup: keeper = min doc_id per canonical-text digest. */
+  def exact(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    documents(s, d)
+      .select($"doc_id", md5(canonical($"text")).as("text_key"))
+      .groupBy($"text_key")
+      .agg(min($"doc_id").as("keeper_id"), count(lit(1)).as("n_copies"))
+      .orderBy($"text_key")
+  }
+
+  /** Exact-dedup *apply* stage: the surviving rows. */
+  def exactKept(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val keep = exact(s, d).select($"keeper_id".as("doc_id"))
+    documents(s, d).join(keep, "doc_id")
+      .select($"doc_id", $"lang", $"source")
+      .orderBy($"doc_id")
+  }
+
+  // ---- MinHash + LSH ----
+  val ShingleSize = 5
+  val NumHashes = 32
+  val Bands = 8 // rows per band = 32/8 = 4
+
+  /** Word shingles of the canonical text (distinct). */
+  def shingles(text: Column): Column = {
+    val words = wsTokens(canonical(text))
+    array_distinct(transform(
+      sequence(lit(0), greatest(size(words) - ShingleSize, lit(0))),
+      i => concat_ws(" ", slice(words, i + 1, lit(ShingleSize)))))
+  }
+
+  /** MinHash signature: element k = min over shingles of xxhash64(shingle,k). */
+  def minhashSignature(sh: Column): Column =
+    transform(sequence(lit(0), lit(NumHashes - 1)),
+      k => array_min(transform(sh, s => xxhash64(s, k))))
+
+  /** LSH band keys: hash of each 4-element signature slice. */
+  def bandKeys(sig: Column): Column =
+    transform(sequence(lit(0), lit(Bands - 1)),
+      b => xxhash64(concat_ws(",", slice(sig, b * (NumHashes / Bands) + 1, lit(NumHashes / Bands))), b))
+
+  /** Candidate near-dup pairs from LSH bucket collisions, verified with the
+    * MinHash-estimated Jaccard (fraction of equal signature slots). */
+  def minhashPairs(s: SparkSession, d: String, threshold: Double = 0.5): DataFrame = {
+    import s.implicits._
+    val docs = documents(s, d)
+      .select($"doc_id", minhashSignature(shingles($"text")).as("sig"))
+    val banded = docs
+      .select($"doc_id", $"sig", posexplode(bandKeys($"sig")).as(Seq("band", "key")))
+    val a = banded.as("a"); val b = banded.as("b")
+    val cand = a.join(b,
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+              col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    cand
+      .withColumn("est_jaccard",
+        round(size(filter(zip_with($"sig_a", $"sig_b", (x, y) => x === y), b => b))
+          / lit(NumHashes.toDouble), 4))
+      .filter($"est_jaccard" >= threshold)
+      .select($"doc_a", $"doc_b", $"est_jaccard")
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** Exact n-gram Jaccard verification of the LSH candidates — the
+    * "verify" stage after "generate". */
+  def ngramJaccardPairs(s: SparkSession, d: String, candThreshold: Double = 0.3,
+      finalThreshold: Double = 0.3): DataFrame = {
+    import s.implicits._
+    val sh = documents(s, d).select($"doc_id", shingles($"text").as("sh"))
+    val cand = minhashPairs(s, d, candThreshold)
+    cand
+      .join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
+      .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
+      .withColumn("jaccard",
+        round(size(array_intersect($"sh_a", $"sh_b")) /
+              size(array_union($"sh_a", $"sh_b")).cast("double"), 4))
+      .filter($"jaccard" >= finalThreshold)
+      .select($"doc_a", $"doc_b", $"est_jaccard", $"jaccard")
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  // ---- SimHash ----
+
+  /** SimHash near-dup pairs: band on 4×16-bit chunks of the sketch (two
+    * sketches within Hamming distance r<4 must share ≥1 exact chunk),
+    * verify with full Hamming distance. */
+  def simhashPairs(s: SparkSession, d: String, maxHamming: Int = 3): DataFrame = {
+    import s.implicits._
+    val sketch = documents(s, d)
+      .select($"doc_id", Expressions.simhash64(wsTokens(canonical($"text"))).as("sh"))
+    val banded = sketch.select($"doc_id", $"sh",
+      posexplode(array((0 until 4).map(i => shiftrightunsigned($"sh", i * 16).bitwiseAND(lit(0xffffL))): _*))
+        .as(Seq("band", "chunk")))
+    val a = banded.as("a"); val b = banded.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
+              col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+              Expressions.hamming64(col("a.sh"), col("b.sh")).as("hamming"))
+      .dropDuplicates("doc_a", "doc_b")
+      .filter($"hamming" <= maxHamming)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  // ---- Embedding cosine near-dup ----
+
+  /** Random-hyperplane LSH bucket: sign bits of `planes` dot products.
+    * `table` seeds a different plane set per hash table (multi-table LSH). */
+  def embeddingBucket(vec: Column, dims: Int, planes: Int, table: Int = 0): Column = {
+    // deterministic pseudo-planes: plane p component i = hash-based ±1
+    val bits = (0 until planes).map { p =>
+      val dot = (0 until dims).map { i =>
+        val h = i * 2654435761L + p * 40503L + table * 1099511628211L
+        val sign = if ((h & 4L) == 0L) 1.0 else -1.0
+        element_at(vec, i + 1) * sign
+      }.reduce(_ + _)
+      when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Near-duplicate embedding pairs (cosine ≥ threshold) via LSH buckets. */
+  def embeddingPairs(s: SparkSession, d: String, threshold: Double = 0.3,
+      planes: Int = 6): DataFrame = {
+    import s.implicits._
+    val vecs = embeddings(s, d)
+      .select($"vec_id", transform($"embedding", _.cast("double")).as("v"))
+      .withColumn("bucket", embeddingBucket($"v", 64, planes))
+    val a = vecs.as("a"); val b = vecs.as("b")
+    a.join(b, col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+              round(Expressions.cosineSim(col("a.v"), col("b.v")), 4).as("cos_sim"))
+      .filter($"cos_sim" >= threshold)
+      .orderBy($"vec_a", $"vec_b")
+  }
+
+  /** Oracle-able brute-force variant over a bounded id range: every pair
+    * with cosine ≥ threshold (checks the *semantics*; the LSH variant is
+    * the scale path benchmarked separately). */
+  def embeddingPairsBrute(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val vecs = embeddings(s, d).filter($"vec_id" < 1000)
+      .select($"vec_id", transform($"embedding", _.cast("double")).as("v"))
+    val a = vecs.as("a"); val b = vecs.as("b")
+    a.join(broadcast(b), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+              round(Expressions.cosineSim(col("a.v"), col("b.v")), 4).as("cos_sim"))
+      .filter($"cos_sim" >= 0.3)
+      .orderBy($"vec_a", $"vec_b")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "nd_dedup_exact" -> exact _,
+    "nd_dedup_exact_kept" -> exactKept _,
+    "nd_dedup_minhash" -> ((s: SparkSession, d: String) => minhashPairs(s, d)),
+    "nd_dedup_ngram_jaccard" -> ((s: SparkSession, d: String) => ngramJaccardPairs(s, d)),
+    "nd_dedup_simhash" -> ((s: SparkSession, d: String) => simhashPairs(s, d)),
+    "nd_dedup_embedding" -> ((s: SparkSession, d: String) => embeddingPairs(s, d)),
+    "nd_dedup_embedding_brute" -> embeddingPairsBrute _)
+
+  val oracle: Map[String, String] = Map(
+    "nd_dedup_exact" ->
+      """SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS text_key,
+         min(doc_id) AS keeper_id, count(*) AS n_copies
+         FROM documents GROUP BY text_key ORDER BY text_key""",
+    "nd_dedup_exact_kept" ->
+      """WITH keys AS (
+           SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS k,
+                  min(doc_id) AS keeper_id
+           FROM documents GROUP BY k)
+         SELECT doc_id, lang, source FROM documents
+         WHERE doc_id IN (SELECT keeper_id FROM keys) ORDER BY doc_id""",
+    "nd_dedup_embedding_brute" ->
+      """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos_sim
+         FROM embeddings a, embeddings b
+         WHERE a.vec_id < 1000 AND b.vec_id < 1000 AND a.vec_id < b.vec_id
+           AND round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) >= 0.3
+         ORDER BY vec_a, vec_b""")
+}

@@ -1,0 +1,151 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+
+/** Multimodal-column plumbing: image/audio/video as opaque `binary` payloads
+  * with typed metadata, plus the decode / feature-extract / resize /
+  * frame-sample stages a training pipeline runs over them.
+  *
+  * The container has no image/audio codecs, so the *decode kernels* are
+  * deterministic fakes (clearly marked below) — but the Spark-side contract
+  * is real and tested: schema (`binary` payload + metadata struct), batch
+  * shape (`mapPartitions` over iterators, the JVM analogue of
+  * `mapInPandas`-style batch UDFs — one kernel instance per partition, rows
+  * streamed through it), partitioning (payloads never shuffle; features are
+  * computed map-side and only the small feature columns move), and typed
+  * `Dataset` encoders end-to-end.
+  */
+object Multimodal {
+
+  case class MediaRow(
+      media_id: Long,
+      modality: String,         // image | audio | video
+      payload: Array[Byte],     // opaque encoded bytes
+      source: String,
+      width: Int, height: Int,  // metadata as produced by ingestion
+      sample_rate: Int)
+
+  case class DecodedFeatures(
+      media_id: Long,
+      modality: String,
+      n_bytes: Long,
+      // FAKE-DECODE output: real pipeline would hold pixel/sample tensors
+      decoded_width: Int,
+      decoded_height: Int,
+      n_frames: Int,
+      byte_histogram: Array[Float], // 16-bin payload histogram = the "features"
+      checksum: Long)
+
+  /** Synthesize a media table from `documents` (payload = text bytes) —
+    * stands in for an ingested multimodal corpus with the same schema. */
+  def mediaTable(s: SparkSession, d: String): Dataset[MediaRow] = {
+    import s.implicits._
+    documents(s, d).select(
+        $"doc_id".as("media_id"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (pmod($"doc_id", lit(3)) + 1).cast("int")).as("modality"),
+        encode($"text", "UTF-8").as("payload"),
+        $"source",
+        (pmod($"doc_id", lit(640)) + 32).cast("int").as("width"),
+        (pmod($"doc_id", lit(480)) + 32).cast("int").as("height"),
+        when(pmod($"doc_id", lit(3)) === 1, 16000).otherwise(0).as("sample_rate"))
+      .as[MediaRow]
+  }
+
+  /** Batch "decode + featurize" kernel. Deterministic FAKE decode: a real
+    * deployment swaps `fakeDecode` for an actual codec; everything around
+    * it (iterator batching, schema, partition-local state) is production
+    * shape. */
+  def decodeAndFeaturize(media: Dataset[MediaRow]): Dataset[DecodedFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // per-partition kernel init happens here (a real codec/model load)
+      rows.map { m =>
+        val (w, h, frames) = fakeDecode(m)
+        val hist = new Array[Float](16)
+        var checksum = 0L
+        var i = 0
+        while (i < m.payload.length) {
+          val b = m.payload(i) & 0xff
+          hist(b >> 4) += 1f
+          checksum = checksum * 31 + b
+          i += 1
+        }
+        val n = math.max(1, m.payload.length).toFloat
+        var j = 0
+        while (j < 16) { hist(j) /= n; j += 1 }
+        DecodedFeatures(m.media_id, m.modality, m.payload.length.toLong,
+          w, h, frames, hist, checksum)
+      }
+    }
+  }
+
+  /** FAKE decode kernel — deterministic stand-in for image/audio/video
+    * codecs that are not present in this container. Returns
+    * (width, height, n_frames) as a real decoder would. */
+  private def fakeDecode(m: MediaRow): (Int, Int, Int) = m.modality match {
+    case "image" => (m.width, m.height, 1)
+    case "audio" => (0, 0, m.payload.length / math.max(1, m.sample_rate / 100))
+    case _       => (m.width, m.height, math.max(1, m.payload.length / 1024))
+  }
+
+  /** Frame/sample extraction: every k-th 64-byte window of the payload —
+    * the video-frame-sampling stage with a fake frame splitter. */
+  def frameSample(media: Dataset[MediaRow], every: Int = 4): DataFrame = {
+    import media.sparkSession.implicits._
+    media.filter(_.modality == "video").flatMap { m =>
+      m.payload.grouped(64).zipWithIndex.collect {
+        case (frame, idx) if idx % every == 0 =>
+          (m.media_id, idx, frame.length, frame.map(_ & 0xff).sum.toLong)
+      }
+    }.toDF("media_id", "frame_idx", "frame_bytes", "frame_sum")
+  }
+
+  /** Pipeline query: media → decode/featurize → per-modality aggregate. */
+  def featureStats(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    decodeAndFeaturize(mediaTable(s, d))
+      .groupBy($"modality")
+      .agg(count(lit(1)).as("n_media"),
+           sum($"n_bytes").as("total_bytes"),
+           round(avg($"n_frames"), 4).as("avg_frames"),
+           round(avg(element_at($"byte_histogram", 7)), 6).as("avg_hist_bin7"))
+      .orderBy($"modality")
+  }
+
+  /** Frame-sampling query over the synthesized corpus. */
+  def frameStats(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    frameSample(mediaTable(s, d))
+      .groupBy($"media_id")
+      .agg(count(lit(1)).as("n_sampled"), sum($"frame_sum").as("sum_bytes"))
+      .orderBy($"media_id")
+  }
+
+  /** Frame query variant restricted to oracle-expressible columns (the
+    * per-frame byte sums are fake-kernel detail, covered by unit tests). */
+  def frameStatsOracle(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    frameSample(mediaTable(s, d))
+      .groupBy($"media_id")
+      .agg(count(lit(1)).as("n_sampled"))
+      .orderBy($"media_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "nd_multimodal_features" -> featureStats _,
+    "nd_multimodal_frames" -> frameStatsOracle _,
+    "nd_multimodal_frames_full" -> frameStats _)
+
+  /** Frame sampling is oracle-checkable from documents (payload = utf-8
+    * text bytes, video ≡ doc_id%3=2, every 4th 64-byte window). */
+  val oracle: Map[String, String] = Map(
+    "nd_multimodal_frames" ->
+      """SELECT doc_id AS media_id,
+         CAST(ceil(ceil(octet_length(encode(text)) / 64.0) / 4.0) AS BIGINT) AS n_sampled
+         FROM documents WHERE doc_id % 3 = 2 AND octet_length(encode(text)) > 0
+         ORDER BY media_id""")
+}

@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+import graft.functions.Expressions
+
+/** Approximate-nearest-neighbor search over the `embeddings` table.
+  *
+  * Two paths:
+  *  - **brute-force top-k** — the correctness baseline: broadcast the (small)
+  *    query set against the corpus, one fused-loop cosine per pair
+  *    (native expression), per-query top-k via window rank. Corpus side
+  *    never shuffles until the tiny (n_queries × corpus partial top-k)
+  *    aggregate; at 100 TB this is a map-side scan + TakeOrdered per query.
+  *  - **LSH-bucketed** — the scale path: random-hyperplane signature,
+  *    queries probe only their bucket (and mirror buckets by flipping one
+  *    bit), turning O(|Q|·|C|) into O(|Q|·bucket_size).
+  */
+object Similarity {
+
+  /** Brute-force cosine top-k for query vectors `vec_id < nQueries`. */
+  def knnBrute(s: SparkSession, d: String, nQueries: Int = 5, k: Int = 5): DataFrame = {
+    import s.implicits._
+    val vecs = embeddings(s, d)
+      .select($"vec_id", transform($"embedding", _.cast("double")).as("v"))
+    val q = vecs.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("query_id"), $"v".as("qv"))
+    val scored = vecs.join(broadcast(q), $"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id".as("neighbor_id"),
+              Expressions.cosineSim($"qv", $"v").as("sim"))
+    val w = Window.partitionBy($"query_id").orderBy($"sim".desc, $"neighbor_id")
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= k)
+      .select($"query_id", $"neighbor_id", round($"sim", 6).as("cos_sim"), $"rank")
+      .orderBy($"query_id", $"rank")
+  }
+
+  /** LSH-bucketed ANN: L independent hash tables (different hyperplane
+    * sets), each probed at the query's bucket plus all one-bit flips
+    * (multi-probe). Candidates = collide in any table; rank by exact cosine
+    * within candidates only. */
+  def knnLsh(s: SparkSession, d: String, nQueries: Int = 5, k: Int = 5,
+      planes: Int = 6, tables: Int = 4): DataFrame = {
+    import s.implicits._
+    val base = embeddings(s, d)
+      .select($"vec_id", transform($"embedding", _.cast("double")).as("v"))
+    val corpus = base.select($"vec_id", $"v",
+      posexplode(array((0 until tables).map(t =>
+        Dedup.embeddingBucket($"v", 64, planes, t)): _*)).as(Seq("tbl", "bucket")))
+    val q = base.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("query_id"), $"v".as("qv"),
+        posexplode(array((0 until tables).map(t =>
+          Dedup.embeddingBucket($"v", 64, planes, t)): _*)).as(Seq("tbl", "qbucket")))
+      // multi-probe: own bucket + flip each bit once
+      .select($"query_id", $"qv", $"tbl",
+        explode(array((-1 until planes).map { i =>
+          if (i < 0) $"qbucket" else $"qbucket".bitwiseXOR(lit(1L << i))
+        }: _*)).as("probe"))
+    val c = corpus.as("c"); val qq = q.as("q")
+    val scored = c.join(qq,
+        col("c.tbl") === col("q.tbl") && col("c.bucket") === col("q.probe") &&
+        col("c.vec_id") =!= col("q.query_id"))
+      .select(col("q.query_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
+              Expressions.cosineSim(col("q.qv"), col("c.v")).as("sim"))
+      .dropDuplicates("query_id", "neighbor_id")
+    val w = Window.partitionBy($"query_id").orderBy($"sim".desc, $"neighbor_id")
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= k)
+      .select($"query_id", $"neighbor_id", round($"sim", 6).as("cos_sim"), $"rank")
+      .orderBy($"query_id", $"rank")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "nd_knn_brute" -> ((s: SparkSession, d: String) => knnBrute(s, d)),
+    "nd_knn_lsh" -> ((s: SparkSession, d: String) => knnLsh(s, d)))
+
+  val oracle: Map[String, String] = Map(
+    "nd_knn_brute" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                    FROM embeddings WHERE vec_id < 5),
+          s AS (SELECT query_id, e.vec_id AS neighbor_id,
+                       list_cosine_similarity(qv, e.embedding::DOUBLE[]) AS sim
+                FROM embeddings e CROSS JOIN q WHERE e.vec_id <> query_id),
+          r AS (SELECT query_id, neighbor_id, sim,
+                       row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk
+                FROM s)
+         SELECT query_id, neighbor_id, round(sim, 6) AS cos_sim, CAST(rk AS BIGINT) AS rank
+         FROM r WHERE rk <= 5 ORDER BY query_id, rank""")
+}

@@ -1,0 +1,157 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+
+/** Text-analysis operators for a training-data pipeline over the `documents`
+  * table: token counting, quality scoring, language ID, fingerprinting.
+  *
+  * All per-document features are built from codegen'd built-in expressions
+  * (split/regexp/length/filter) — no UDFs — so they stay inside whole-stage
+  * codegen and scale linearly with the corpus: embarrassingly parallel,
+  * no shuffle until the final (small) aggregate.
+  */
+object TextAnalysis {
+
+  val stopwords: Seq[String] = Seq(
+    "the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+
+  /** Whitespace tokens. */
+  def wsTokens(text: Column): Column = split(text, " +")
+  /** BPE-ish tokens: word pieces plus isolated punctuation/symbols. */
+  def regexTokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit("[a-z0-9]+|[^a-z0-9\\s]"), lit(0))
+
+  /** Canonical form for fingerprinting: lowercase, strip non-alnum to
+    * single spaces, trim. */
+  def canonical(text: Column): Column =
+    trim(regexp_replace(lower(text), "[^a-z0-9]+", " "))
+
+  /** Per-document stats: token counts, punctuation count, stopword
+    * count/ratio — the raw signals of quality scoring. */
+  def textStats(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val stopList = stopwords.map(w => s"'$w'").mkString(", ")
+    documents(s, d)
+      .select(
+        $"doc_id", $"lang", $"source",
+        length($"text").cast("long").as("n_chars"),
+        size(wsTokens($"text")).cast("long").as("n_tokens_ws"),
+        size(regexTokens($"text")).cast("long").as("n_tokens_re"),
+        length(regexp_replace($"text", "[^.!?,;:]", "")).cast("long").as("n_punct"),
+        expr(s"CAST(size(filter(split(text, ' +'), w -> w IN ($stopList))) AS BIGINT)")
+          .as("n_stop"))
+      .withColumn("stop_ratio",
+        round($"n_stop" / expr("nullif(n_tokens_ws, 0)"), 4))
+      .orderBy($"doc_id")
+  }
+
+  /** Quality score in [0,1] from length/punct/stopword signals plus a
+    * boolean keep-flag — the filter stage of a data pipeline. */
+  def qualityScore(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    textStats(s, d)
+      .withColumn("len_score",
+        least(lit(1.0), $"n_tokens_ws" / lit(64.0)))
+      .withColumn("punct_score",
+        lit(1.0) - least(lit(1.0), $"n_punct" / expr("nullif(CAST(n_tokens_ws AS DOUBLE), 0.0)")))
+      .withColumn("stop_score", least(lit(1.0), $"stop_ratio" * 5))
+      .withColumn("quality",
+        round(($"len_score" * 0.4 + coalesce($"punct_score", lit(0.0)) * 0.3 +
+               coalesce($"stop_score", lit(0.0)) * 0.3), 4))
+      .withColumn("keep", ($"quality" >= 0.5).cast("boolean"))
+      .select($"doc_id", round($"len_score", 4).as("len_score"),
+              round($"punct_score", 4).as("punct_score"),
+              round($"stop_score", 4).as("stop_score"), $"quality", $"keep")
+      .orderBy($"doc_id")
+  }
+
+  /** Character n-gram language ID heuristic. Profiles are tiny static maps
+    * (lang → characteristic trigram/stopword weights) broadcast free as
+    * literals; scoring is a codegen'd expression per language, argmax at
+    * the end. Educational-scale profiles; the operator shape (per-row
+    * scoring against K profiles) is the real deliverable. */
+  val langProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq(" the ", " and ", " of ", " is ", "ing ", " to "),
+    "es" -> Seq(" el ", " la ", " de ", " que ", " los ", "ción"),
+    "fr" -> Seq(" le ", " la ", " les ", " des ", " est ", " une "),
+    "de" -> Seq(" der ", " die ", " und ", " das ", " ist ", "sche"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "不"))
+
+  private def profileScore(text: Column, grams: Seq[String]): Column =
+    grams.map(g =>
+      (length(text) - length(regexp_replace(text, java.util.regex.Pattern.quote(g), "")))
+        / lit(math.max(1, g.length))
+    ).reduce(_ + _)
+
+  def langId(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val padded = concat(lit(" "), lower($"text"), lit(" "))
+    val scoreCols = Seq($"doc_id", $"lang".as("labeled_lang")) ++
+      langProfiles.toSeq.sortBy(_._1).map { case (l, grams) =>
+        profileScore(padded, grams).as(s"score_$l")
+      }
+    val scored = documents(s, d).select(scoreCols: _*)
+    val langs = langProfiles.keys.toSeq.sorted
+    val best = langs.map(l => struct(col(s"score_$l").as("score"), lit(l).as("lang")))
+      .reduce((a, b) => when(b("score") > a("score"), b).otherwise(a))
+    scored
+      .withColumn("predicted_lang", best("lang"))
+      .select($"doc_id", $"labeled_lang", $"predicted_lang")
+      .orderBy($"doc_id")
+  }
+
+  /** Document fingerprints: canonical md5 (exact-dup key) + xxhash64
+    * (64-bit rolling-style content hash) + simhash (near-dup sketch). */
+  def fingerprints(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.Expressions
+    documents(s, d)
+      .select($"doc_id",
+        md5(canonical($"text")).as("md5_canonical"),
+        xxhash64(canonical($"text")).as("content_hash"),
+        Expressions.simhash64(wsTokens(canonical($"text"))).as("simhash"))
+      .orderBy($"doc_id")
+  }
+
+  /** Corpus-level aggregate per (lang, source): the reporting tail. */
+  def langStats(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    documents(s, d)
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+           round(avg(length($"text")), 4).as("avg_chars"),
+           round(avg(size(wsTokens($"text"))), 4).as("avg_tokens"),
+           countDistinct($"source").as("n_sources"))
+      .orderBy($"lang")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "nd_text_stats" -> textStats _,
+    "nd_text_quality" -> qualityScore _,
+    "nd_lang_id" -> langId _,
+    "nd_fingerprints" -> fingerprints _,
+    "nd_lang_stats" -> langStats _)
+
+  private val stopList = stopwords.map(w => s"'$w'").mkString(", ")
+
+  val oracle: Map[String, String] = Map(
+    "nd_text_stats" ->
+      s"""SELECT doc_id, lang, source,
+          CAST(length(text) AS BIGINT) AS n_chars,
+          CAST(len(string_split_regex(text, ' +')) AS BIGINT) AS n_tokens_ws,
+          CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_tokens_re,
+          CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS BIGINT) AS n_punct,
+          CAST(len(list_filter(string_split_regex(text, ' +'), w -> w IN ($stopList))) AS BIGINT) AS n_stop,
+          round(CAST(len(list_filter(string_split_regex(text, ' +'), w -> w IN ($stopList))) AS BIGINT)
+                / nullif(CAST(len(string_split_regex(text, ' +')) AS BIGINT), 0), 4) AS stop_ratio
+          FROM documents ORDER BY doc_id""",
+    "nd_lang_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+         round(avg(length(text)), 4) AS avg_chars,
+         round(avg(len(string_split_regex(text, ' +'))), 4) AS avg_tokens,
+         count(DISTINCT source) AS n_sources
+         FROM documents GROUP BY lang ORDER BY lang""")
+}

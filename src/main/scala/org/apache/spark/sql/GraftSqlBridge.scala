@@ -1,0 +1,13 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge into `private[sql]` Column↔Expression conversion for the graft
+  * library's native Catalyst expressions (Spark 4 moved `Column.expr`
+  * behind `classic.ExpressionUtils`). Standard extension-library pattern:
+  * one object in the `org.apache.spark.sql` package, nothing else.
+  */
+object GraftSqlBridge {
+  def toColumn(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def toExpression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

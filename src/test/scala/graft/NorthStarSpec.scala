@@ -1,0 +1,227 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.Expressions
+import graft.operators._
+
+/** Unit + behavioral tests for the LLM-data-pipeline operators. */
+class ExpressionsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("simhash: identical token arrays give identical sketches") {
+    val df = Seq(
+      (1L, Seq("a", "b", "c", "d")),
+      (2L, Seq("a", "b", "c", "d")),
+      (3L, Seq("x", "y", "z", "w"))).toDF("id", "toks")
+      .select($"id", Expressions.simhash64($"toks").as("sh"))
+    val m = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(1L) == m(2L))
+    assert(m(1L) != m(3L))
+  }
+
+  test("simhash: near-identical docs land within small hamming distance") {
+    val base = (1 to 60).map(i => s"tok$i")
+    val similar = base.updated(5, "CHANGED").updated(40, "ALSO")
+    val other = (1 to 60).map(i => s"other$i")
+    val df = Seq((1L, base), (2L, similar), (3L, other)).toDF("id", "toks")
+      .select($"id", Expressions.simhash64($"toks").as("sh"))
+    val m = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(m(1L), m(2L)) <= 12, s"near-dup hamming ${ham(m(1L), m(2L))}")
+    assert(ham(m(1L), m(3L)) >= 16, s"unrelated hamming ${ham(m(1L), m(3L))}")
+  }
+
+  test("cosine_sim matches hand computation, handles zero norm") {
+    val df = Seq(
+      (Seq(1.0, 0.0), Seq(1.0, 0.0), Some(1.0)),
+      (Seq(1.0, 0.0), Seq(0.0, 1.0), Some(0.0)),
+      (Seq(1.0, 2.0), Seq(2.0, 4.0), Some(1.0)),
+      (Seq(0.0, 0.0), Seq(1.0, 1.0), None))
+      .toDF("a", "b", "want")
+      .select(Expressions.cosineSim($"a", $"b").as("got"), $"want")
+    df.collect().foreach { r =>
+      val want = if (r.isNullAt(1)) null else r.getDouble(1)
+      if (want == null) assert(r.isNullAt(0))
+      else assert(math.abs(r.getDouble(0) - want.asInstanceOf[Double]) < 1e-12)
+    }
+  }
+
+  test("expressions registered for SQL use") {
+    Expressions.register(spark)
+    val r = spark.sql(
+      "SELECT hamming64(simhash64(array('a','b')), simhash64(array('a','b'))) h, " +
+      "cosine_sim(array(1.0d, 0.0d), array(1.0d, 0.0d)) c").head()
+    assert(r.getInt(0) == 0 && math.abs(r.getDouble(1) - 1.0) < 1e-12)
+  }
+}
+
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+  private val sf = "/root/testdata/sf0.001"
+
+  test("minhash LSH finds planted near-duplicates with high estimated jaccard") {
+    // plant: doc 2000 = doc 8's text with one word changed
+    val base = Tables.documents(spark, sf)
+    val planted = base.limit(1).select(
+      lit(99999L).as("doc_id"),
+      concat($"text", lit(" tailword")).as("text"),
+      $"lang", $"source", $"n_chars")
+    val docs = base.unionByName(planted)
+    docs.createOrReplaceTempView("planted_docs")
+    // run the same pipeline over the in-memory union
+    val sh = docs.select($"doc_id", Dedup.minhashSignature(Dedup.shingles($"text")).as("sig"))
+    val banded = sh.select($"doc_id", $"sig",
+      posexplode(Dedup.bandKeys($"sig")).as(Seq("band", "key")))
+    val a = banded.as("a"); val b = banded.as("b")
+    val pairs = a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .dropDuplicates().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val first = base.orderBy($"doc_id").first().getAs[Long]("doc_id")
+    assert(pairs.contains((first, 99999L)), s"planted pair missing from ${pairs.take(20).toSeq}")
+  }
+
+  test("exact dedup keeps one copy per canonical text") {
+    val out = Dedup.exact(spark, sf).collect()
+    assert(out.map(_.getAs[Long]("n_copies")).sum == Tables.documents(spark, sf).count())
+    assert(out.forall(_.getAs[Long]("n_copies") >= 1))
+  }
+
+  test("simhash pairs agree with minhash pairs on strong duplicates") {
+    val mh = Dedup.minhashPairs(spark, sf, threshold = 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sh = Dedup.simhashPairs(spark, sf, maxHamming = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // strong minhash dups should overwhelmingly be simhash dups too
+    if (mh.nonEmpty) {
+      val overlap = mh.intersect(sh).size.toDouble / mh.size
+      assert(overlap >= 0.5, s"simhash found ${sh.size}, minhash ${mh.size}, overlap $overlap")
+    }
+  }
+}
+
+class SimilaritySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("LSH ANN achieves reasonable recall@5 vs brute force") {
+    val brute = Similarity.knnBrute(spark, sf, nQueries = 5, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.knnLsh(spark, sf, nQueries = 5, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = brute.intersect(lsh).size.toDouble / brute.size
+    // the sf corpus is iid-random vectors, so even true top-5 neighbors sit
+    // at noise level (cos≈0.4) — LSH recall is bounded by physics here; the
+    // planted-neighbor test below covers the actual near-dup use case
+    assert(recall >= 0.2, s"recall@5 = $recall")
+  }
+
+  test("LSH ANN finds planted true near-neighbors at rank 1") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // plant: vector 90000+q = query q scaled by 0.9 (cosine 1.0)
+    val base = Tables.embeddings(spark, sf)
+    val planted = base.filter($"vec_id" < 5).select(
+      ($"vec_id" + 90000L).as("vec_id"),
+      transform($"embedding", x => x * 0.9f).as("embedding"),
+      $"label")
+    val dir = java.nio.file.Files.createTempDirectory("emb").toString
+    base.unionByName(planted).coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/embeddings.parquet")
+    val lsh = Similarity.knnLsh(spark, dir, nQueries = 5, k = 5).collect()
+    val rank1 = lsh.filter(_.getLong(3) == 1L)
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0 until 5).foreach { q =>
+      assert(rank1.get(q.toLong).contains(90000L + q),
+        s"query $q: rank-1 neighbor ${rank1.get(q.toLong)} != ${90000 + q}")
+    }
+  }
+
+  test("brute-force knn is exact: sims descend, no self-matches") {
+    val rows = Similarity.knnBrute(spark, sf, nQueries = 3, k = 5).collect()
+    assert(rows.length == 15)
+    rows.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      val sims = rs.sortBy(_.getLong(3)).map(_.getDouble(2))
+      assert(sims.zip(sims.tail).forall { case (x, y) => x >= y }, s"not sorted for $q")
+      assert(rs.forall(_.getLong(1) != q))
+    }
+  }
+}
+
+class MultimodalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("media table has binary payload + metadata schema") {
+    val df = Multimodal.mediaTable(spark, sf).toDF()
+    val types = df.schema.fields.map(f => f.name -> f.dataType.simpleString).toMap
+    assert(types("payload") == "binary")
+    assert(types("modality") == "string" && types("width") == "int")
+    assert(df.select("modality").distinct().count() == 3)
+  }
+
+  test("decode kernel is deterministic and batch-shaped") {
+    val feats = Multimodal.decodeAndFeaturize(Multimodal.mediaTable(spark, sf))
+    val one = feats.filter(_.media_id == 0L).collect().head
+    val again = Multimodal.decodeAndFeaturize(Multimodal.mediaTable(spark, sf))
+      .filter(_.media_id == 0L).collect().head
+    assert(one.checksum == again.checksum)
+    assert(one.byte_histogram.length == 16)
+    assert(math.abs(one.byte_histogram.sum - 1.0f) < 1e-3)
+  }
+
+  test("frame sampling takes every 4th 64-byte window of video payloads") {
+    val media = Multimodal.mediaTable(spark, sf).filter(_.modality == "video").collect()
+    val frames = Multimodal.frameSample(Multimodal.mediaTable(spark, sf)).collect()
+      .groupBy(_.getLong(0))
+    media.foreach { m =>
+      val nWindows = math.ceil(m.payload.length / 64.0).toInt
+      val expect = (0 until nWindows).count(_ % 4 == 0)
+      val got = frames.get(m.media_id).map(_.length).getOrElse(0)
+      assert(got == expect, s"media ${m.media_id}: $got != $expect")
+    }
+  }
+}
+
+class TextAnalysisSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("langid heuristic identifies hand-written sentences") {
+    val samples = Seq(
+      (1L, "the cat is on the mat and the dog is in the house", "en"),
+      (2L, "el perro está en la casa de los niños que juegan", "es"),
+      (3L, "le chat est dans la maison avec les enfants et une pomme", "fr"),
+      (4L, "der Hund ist in das Haus und die Katze ist auch da", "de"),
+      (5L, "我是一个学生，他不在家里，我的朋友是老师", "zh"))
+    val df = samples.toDF("doc_id", "text", "lang")
+    df.createOrReplaceTempView("documents_tmp")
+    // reuse the scoring internals via a temp table read
+    val padded = concat(lit(" "), lower($"text"), lit(" "))
+    val scoreCols = Seq($"doc_id", $"lang") ++
+      TextAnalysis.langProfiles.toSeq.sortBy(_._1).map { case (l, grams) =>
+        grams.map(g => (length(padded) - length(regexp_replace(padded,
+          java.util.regex.Pattern.quote(g), ""))) / lit(math.max(1, g.length)))
+          .reduce(_ + _).as(s"score_$l")
+      }
+    val scored = df.select(scoreCols: _*).collect()
+    scored.foreach { r =>
+      val want = r.getAs[String]("lang")
+      val scores = TextAnalysis.langProfiles.keys.toSeq.sorted
+        .map(l => l -> r.getAs[Number](s"score_$l").doubleValue())
+      val best = scores.maxBy(_._2)._1
+      assert(best == want, s"doc ${r.getLong(0)}: predicted $best, want $want ($scores)")
+    }
+  }
+
+  test("canonicalization collapses case/punct/whitespace") {
+    val df = Seq(("Hello,  WORLD! 42x")).toDF("text")
+      .select(TextAnalysis.canonical($"text").as("c"))
+    assert(df.head().getString(0) == "hello world 42x")
+  }
+}
