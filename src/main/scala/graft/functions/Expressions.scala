@@ -90,7 +90,152 @@ object Expressions {
     override def prettyName: String = "cosine_sim"
   }
 
+  import org.apache.spark.sql.catalyst.expressions.XXH64
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+  /** Hash of one word-shingle window `[from, from+size)`: chained xxhash64
+    * over the words' bytes (word boundaries preserved by chaining the seed). */
+  private def windowHash(arr: ArrayData, from: Int, size: Int): Long = {
+    var h = 0x9e3779b97f4a7c15L
+    var j = 0
+    while (j < size) {
+      val s = arr.getUTF8String(from + j)
+      h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, h)
+      j += 1
+    }
+    h
+  }
+
+  /** MinHash signature computed straight from the word array: shingle
+    * windows are hashed in place (no shingle strings, slices or distinct
+    * pass ever materialize) and the K per-hash minima are derived from each
+    * window hash with one cheap long-mix per k.
+    *
+    * The `Column`-composed equivalent (slice+concat_ws per window,
+    * array_distinct, then K array traversals) allocates O(W·shingleSize)
+    * strings per document — it profiled 100× slower at bench scale. At
+    * 100 TB the signature step is the dominant map-side cost of MinHash
+    * dedup, so this is the operator to make native.
+    */
+  case class MinHashSigFromWords(child: Expression, shingleSize: Int, numHashes: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val mins = new Array[Long](numHashes)
+      java.util.Arrays.fill(mins, Long.MaxValue)
+      val n = arr.numElements()
+      val windows = math.max(1, n - shingleSize + 1)
+      var i = 0
+      while (i < windows) {
+        val h = windowHash(arr, i, math.min(shingleSize, n - i))
+        var k = 0
+        while (k < numHashes) {
+          val hk = XXH64.hashLong(h, k.toLong)
+          if (hk < mins(k)) mins(k) = hk
+          k += 1
+        }
+        i += 1
+      }
+      new GenericArrayData(mins)
+    }
+    override protected def withNewChildInternal(newChild: Expression): MinHashSigFromWords =
+      copy(child = newChild)
+    override def prettyName: String = "minhash_sig_words"
+  }
+
+  /** Sorted distinct hashes of all word-shingle windows — the document's
+    * shingle *set* represented as longs, for exact-Jaccard verification
+    * without materializing shingle strings. */
+  case class ShingleHashes(child: Expression, shingleSize: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val windows = math.max(1, n - shingleSize + 1)
+      val hs = new Array[Long](windows)
+      var i = 0
+      while (i < windows) {
+        hs(i) = windowHash(arr, i, math.min(shingleSize, n - i))
+        i += 1
+      }
+      java.util.Arrays.sort(hs)
+      var uniq = 0
+      var j = 0
+      while (j < windows) {
+        if (j == 0 || hs(j) != hs(j - 1)) { hs(uniq) = hs(j); uniq += 1 }
+        j += 1
+      }
+      new GenericArrayData(java.util.Arrays.copyOf(hs, uniq))
+    }
+    override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+      copy(child = newChild)
+    override def prettyName: String = "shingle_hashes"
+  }
+
+  /** Exact Jaccard similarity of two SORTED distinct long arrays (as
+    * produced by [[ShingleHashes]]): one merge pass, no set allocation. */
+  case class JaccardSorted(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
+      val na = a.numElements(); val nb = b.numElements()
+      var i = 0; var j = 0; var inter = 0
+      while (i < na && j < nb) {
+        val x = a.getLong(i); val y = b.getLong(j)
+        if (x == y) { inter += 1; i += 1; j += 1 }
+        else if (x < y) i += 1
+        else j += 1
+      }
+      val union = na + nb - inter
+      if (union == 0) 0.0 else inter.toDouble / union
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+    override def prettyName: String = "jaccard_sorted"
+  }
+
+  /** Random-hyperplane LSH bucket id for a double vector: bit p of the
+    * result is the sign of `planes(p) · vec`, with pseudo-plane components
+    * ±1 derived from a per-(i,p,table) hash. One fused loop per row —
+    * the `Column`-composed equivalent builds planes×dims `element_at`
+    * nodes per row (≈1500 for 6 planes × 4 tables over 64 dims). */
+  case class LshBucket(child: Expression, planes: Int, table: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(input: Any): Any = {
+      val v = input.asInstanceOf[ArrayData]
+      val n = v.numElements()
+      var bucket = 0L
+      var p = 0
+      while (p < planes) {
+        var dot = 0.0
+        var i = 0
+        while (i < n) {
+          val h = i * 2654435761L + p * 40503L + table * 1099511628211L
+          if ((h & 4L) == 0L) dot += v.getDouble(i) else dot -= v.getDouble(i)
+          i += 1
+        }
+        if (dot >= 0) bucket |= (1L << p)
+        p += 1
+      }
+      bucket
+    }
+    override protected def withNewChildInternal(newChild: Expression): LshBucket =
+      copy(child = newChild)
+    override def prettyName: String = "lsh_bucket"
+  }
+
   def simhash64(tokens: Column): Column = column(SimHash64(expression(tokens)))
+  def minhashSigFromWords(words: Column, shingleSize: Int, numHashes: Int): Column =
+    column(MinHashSigFromWords(expression(words), shingleSize, numHashes))
+  def shingleHashes(words: Column, shingleSize: Int): Column =
+    column(ShingleHashes(expression(words), shingleSize))
+  def jaccardSorted(a: Column, b: Column): Column =
+    column(JaccardSorted(expression(a), expression(b)))
+  def lshBucket(vec: Column, planes: Int, table: Int): Column =
+    column(LshBucket(expression(vec), planes, table))
   def hamming64(a: Column, b: Column): Column = column(HammingDist64(expression(a), expression(b)))
   def cosineSim(a: Column, b: Column): Column = column(CosineSim(expression(a), expression(b)))
 

@@ -50,18 +50,16 @@ object Dedup {
   val NumHashes = 32
   val Bands = 8 // rows per band = 32/8 = 4
 
-  /** Word shingles of the canonical text (distinct). */
-  def shingles(text: Column): Column = {
-    val words = wsTokens(canonical(text))
-    array_distinct(transform(
-      sequence(lit(0), greatest(size(words) - ShingleSize, lit(0))),
-      i => concat_ws(" ", slice(words, i + 1, lit(ShingleSize)))))
-  }
+  /** Sorted distinct hashes of the document's word shingles — the shingle
+    * set as longs (native one-pass expression; shingle strings never
+    * materialize). */
+  def shingleHashes(text: Column): Column =
+    Expressions.shingleHashes(wsTokens(canonical(text)), ShingleSize)
 
-  /** MinHash signature: element k = min over shingles of xxhash64(shingle,k). */
-  def minhashSignature(sh: Column): Column =
-    transform(sequence(lit(0), lit(NumHashes - 1)),
-      k => array_min(transform(sh, s => xxhash64(s, k))))
+  /** MinHash signature straight from the canonical word array
+    * ([[Expressions.MinHashSigFromWords]]). */
+  def minhashSignature(text: Column): Column =
+    Expressions.minhashSigFromWords(wsTokens(canonical(text)), ShingleSize, NumHashes)
 
   /** LSH band keys: hash of each 4-element signature slice. */
   def bandKeys(sig: Column): Column =
@@ -73,7 +71,7 @@ object Dedup {
   def minhashPairs(s: SparkSession, d: String, threshold: Double = 0.5): DataFrame = {
     import s.implicits._
     val docs = documents(s, d)
-      .select($"doc_id", minhashSignature(shingles($"text")).as("sig"))
+      .select($"doc_id", minhashSignature($"text").as("sig"))
     val banded = docs
       .select($"doc_id", $"sig", posexplode(bandKeys($"sig")).as(Seq("band", "key")))
     val a = banded.as("a"); val b = banded.as("b")
@@ -93,18 +91,17 @@ object Dedup {
   }
 
   /** Exact n-gram Jaccard verification of the LSH candidates — the
-    * "verify" stage after "generate". */
+    * "verify" stage after "generate". Jaccard runs as one merge pass over
+    * the sorted shingle-hash sets ([[Expressions.JaccardSorted]]). */
   def ngramJaccardPairs(s: SparkSession, d: String, candThreshold: Double = 0.3,
       finalThreshold: Double = 0.3): DataFrame = {
     import s.implicits._
-    val sh = documents(s, d).select($"doc_id", shingles($"text").as("sh"))
+    val sh = documents(s, d).select($"doc_id", shingleHashes($"text").as("sh"))
     val cand = minhashPairs(s, d, candThreshold)
     cand
       .join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
       .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
-      .withColumn("jaccard",
-        round(size(array_intersect($"sh_a", $"sh_b")) /
-              size(array_union($"sh_a", $"sh_b")).cast("double"), 4))
+      .withColumn("jaccard", round(Expressions.jaccardSorted($"sh_a", $"sh_b"), 4))
       .filter($"jaccard" >= finalThreshold)
       .select($"doc_a", $"doc_b", $"est_jaccard", $"jaccard")
       .orderBy($"doc_a", $"doc_b")
@@ -135,19 +132,12 @@ object Dedup {
   // ---- Embedding cosine near-dup ----
 
   /** Random-hyperplane LSH bucket: sign bits of `planes` dot products.
-    * `table` seeds a different plane set per hash table (multi-table LSH). */
-  def embeddingBucket(vec: Column, dims: Int, planes: Int, table: Int = 0): Column = {
-    // deterministic pseudo-planes: plane p component i = hash-based ±1
-    val bits = (0 until planes).map { p =>
-      val dot = (0 until dims).map { i =>
-        val h = i * 2654435761L + p * 40503L + table * 1099511628211L
-        val sign = if ((h & 4L) == 0L) 1.0 else -1.0
-        element_at(vec, i + 1) * sign
-      }.reduce(_ + _)
-      when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
-    }
-    bits.reduce((a, b) => a.bitwiseOR(b))
-  }
+    * `table` seeds a different plane set per hash table (multi-table LSH).
+    * Native fused-loop expression ([[Expressions.LshBucket]]); `dims` is
+    * kept in the signature for call-site clarity but the expression uses
+    * the actual array length. */
+  def embeddingBucket(vec: Column, dims: Int, planes: Int, table: Int = 0): Column =
+    Expressions.lshBucket(vec, planes, table)
 
   /** Near-duplicate embedding pairs (cosine ≥ threshold) via LSH buckets. */
   def embeddingPairs(s: SparkSession, d: String, threshold: Double = 0.3,

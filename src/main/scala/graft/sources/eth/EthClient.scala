@@ -23,8 +23,10 @@ import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 trait EthClient extends Serializable {
   /** Current chain tip (`EthereumSplitManager.java:51`). */
   def blockNumber(): Long
-  /** Stream blocks `start..end` inclusive, with embedded txs and logs. */
-  def blocks(start: Long, end: Long): Iterator[EthBlockData]
+  /** Stream blocks `start..end` inclusive; `fullTx=false` skips
+    * materializing transactions/logs (the `ethGetBlockByNumber`
+    * full-transaction-objects flag) for pruned block-only scans. */
+  def blocks(start: Long, end: Long, fullTx: Boolean = true): Iterator[EthBlockData]
   /** Resolve a block hash to its number; None if unknown. */
   def blockNumberByHash(hash: String): Option[Long]
   /** Timestamp of one block (used by the timestamp→range binary search). */
@@ -85,7 +87,7 @@ final class FixtureChainClient(chainDir: String) extends EthClient {
 
   override def blockNumber(): Long = tip
 
-  override def blocks(start: Long, end: Long): Iterator[EthBlockData] = {
+  override def blocks(start: Long, end: Long, fullTx: Boolean = true): Iterator[EthBlockData] = {
     val lo = math.max(1L, start)
     val hi = math.min(tip, end)
     if (lo > hi) return Iterator.empty
@@ -102,7 +104,7 @@ final class FixtureChainClient(chainDir: String) extends EthClient {
           if (nextLine == null) reader.close()
           l
         }
-      }.map(parseBlock).filter(b => b.number >= lo && b.number <= hi)
+      }.map(parseBlock(_, fullTx)).filter(b => b.number >= lo && b.number <= hi)
     }
   }
 
@@ -146,13 +148,13 @@ object FixtureChainClient {
     b.result()
   }
 
-  def parseBlock(line: String): EthBlockData = {
+  def parseBlock(line: String, fullTx: Boolean = true): EthBlockData = {
     val j = mapper.readTree(line)
     val number = j.get("number").asLong()
     val hash = j.get("hash").asText()
     val txs = Vector.newBuilder[EthTx]
     var idx = 0
-    j.get("transactions").forEach { t =>
+    if (fullTx) j.get("transactions").forEach { t =>
       val txHash = t.get("hash").asText()
       val logs = Vector.newBuilder[EthLog]
       t.get("logs").forEach { l =>

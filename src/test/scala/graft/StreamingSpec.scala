@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.eth.EthFixtures
+import graft.streaming.EventStreams
+
+/** Streaming surface: tip-following ethereum micro-batch source + event
+  * windowing/sessionization, each checked against its batch equivalent. */
+class EthStreamSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("ethereum micro-batch stream delivers the whole chain in rate-limited batches") {
+    val dir = EthFixtures.ensure(spark)
+    val stream = spark.readStream.format("ethereum")
+      .option("table", "block").option("chain", dir)
+      .option("maxBlocksPerBatch", 2048)
+      .load()
+      .select("block_number", "block_miner")
+    val q = stream.writeStream.format("memory").queryName("eth_stream")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("eth_stream")
+    assert(got.count() == EthFixtures.Blocks)
+    assert(got.select("block_number").distinct().count() == EthFixtures.Blocks)
+    // rate limit respected: ceil(6000/2048) = 3 non-empty batches
+    val batches = q.recentProgress.filter(_.numInputRows > 0)
+    assert(batches.length >= 3, s"expected >=3 rate-limited batches, got ${batches.length}")
+    assert(batches.forall(_.numInputRows <= 2048 * 1.0))
+    q.stop()
+  }
+
+  test("lagBlocks holds the stream back from the tip (finality model)") {
+    val dir = EthFixtures.ensure(spark)
+    val stream = spark.readStream.format("ethereum")
+      .option("table", "block").option("chain", dir)
+      .option("lagBlocks", 100)
+      .load()
+    val q = stream.writeStream.format("memory").queryName("eth_stream_lag")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val mx = spark.table("eth_stream_lag").agg(max("block_number")).head().getLong(0)
+    assert(mx == EthFixtures.Blocks - 100, s"max block $mx")
+    q.stop()
+  }
+}
+
+class EventStreamSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("windowed streaming aggregation matches the batch computation") {
+    val agg = EventStreams.windowedStats(EventStreams.readEvents(spark, sf))
+    val q = agg.writeStream.format("memory").queryName("win_stream")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("win_stream")
+
+    val batch = Tables.events(spark, sf)
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .select(col("window.start").as("win_start"), col("event_type"), col("n"),
+              col("total_value"))
+    assert(streamed.count() == batch.count())
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
+    q.stop()
+  }
+
+  test("sessionization emits exactly the closed sessions of the batch fold") {
+    val gapMs = 30 * 60 * 1000L
+    val out = EventStreams.sessionize(EventStreams.readEvents(spark, sf), gapMs)
+    val q = out.writeStream.format("memory").queryName("sess_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("sess_stream")
+      .select("user_id", "session_start", "n_events").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+
+    // batch oracle: fold per user in the driver; all but the last session
+    // per user are closed
+    val events = Tables.events(spark, sf)
+      .select(col("user_id"), unix_millis(col("ts")).as("ms"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val expected = events.flatMap { case (user, ts) =>
+      val sessions = ts.foldLeft(List.empty[(Long, Long, Int)]) {
+        case ((s, last, n) :: rest, t) if t - last <= gapMs => (s, t, n + 1) :: rest
+        case (acc, t) => (t, t, 1) :: acc
+      }.reverse
+      sessions.dropRight(1).map { case (s, _, n) => (user, s, n) }
+    }.toSet
+    assert(streamed == expected,
+      s"streamed ${streamed.size} sessions vs expected ${expected.size}")
+    q.stop()
+  }
+}
