@@ -238,6 +238,34 @@ object Relational {
       .orderBy($"r_name".asc_nulls_first, $"n_name".asc_nulls_first)
   }
 
+  /** B14 breadth: date-trunc, formatting, pad/reverse/replace, math
+    * (pow/log/exp/sign/mod), conditionals, array sort/join/contains. */
+  def q15FunctionBreadth(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    events(s, d)
+      .filter($"event_id" < 100)
+      .select(
+        $"event_id",
+        date_trunc("month", $"ts").as("month_ts"),
+        from_unixtime(unix_timestamp($"ts")).as("ts_str"),
+        lpad($"event_type", 10, "_").as("padded"),
+        reverse($"event_type").as("rev"),
+        regexp_replace($"event_type", "c", "k").as("replaced"),
+        round(pow(lit(2.0), ($"event_id" % 5).cast("double")), 1).as("pow2"),
+        round(log1p($"value"), 6).as("log_v"),
+        round(exp(-$"value" / 100.0), 8).as("exp_v"),
+        round(greatest($"value", lit(50.0)), 2).as("hi"),
+        round(least($"value", lit(50.0)), 2).as("lo"),
+        signum($"value" - 100.0).cast("long").as("sgn"),
+        ($"event_id" % 7).as("m7"),
+        coalesce(when($"event_type" === "click", null).otherwise($"event_type"),
+                 lit("CLICKED")).as("cond"),
+        array_join(sort_array(split(concat($"event_type", lit("_"), $"event_type"), "_")), "|")
+          .as("arr_joined"),
+        array_contains(split($"event_type", ""), "c").as("has_c"))
+      .orderBy($"event_id")
+  }
+
   /** Oracle SQL (DuckDB dialect = ANSI here) for each query above. */
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -362,7 +390,25 @@ object Relational {
          FROM customer JOIN nation ON c_nationkey = n_nationkey
          JOIN region ON n_regionkey = r_regionkey
          GROUP BY ROLLUP (r_name, n_name)
-         ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST"""
+         ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""",
+    "q15_function_breadth" ->
+      """SELECT event_id,
+         date_trunc('month', ts) AS month_ts,
+         strftime(date_trunc('second', ts), '%Y-%m-%d %H:%M:%S') AS ts_str,
+         lpad(event_type, 10, '_') AS padded,
+         reverse(event_type) AS rev,
+         regexp_replace(event_type, 'c', 'k', 'g') AS replaced,
+         round(pow(2.0, CAST(event_id % 5 AS DOUBLE)), 1) AS pow2,
+         round(ln(1 + "value"), 6) AS log_v,
+         round(exp(-"value" / 100.0), 8) AS exp_v,
+         round(greatest("value", 50.0), 2) AS hi,
+         round(least("value", 50.0), 2) AS lo,
+         CAST(sign("value" - 100.0) AS BIGINT) AS sgn,
+         event_id % 7 AS m7,
+         coalesce(nullif(event_type, 'click'), 'CLICKED') AS cond,
+         array_to_string(list_sort(string_split(concat(event_type, '_', event_type), '_')), '|') AS arr_joined,
+         list_contains(string_split(event_type, ''), 'c') AS has_c
+         FROM events WHERE event_id < 100 ORDER BY event_id"""
   )
 
   /** Query registry: name → (session, sfDir) → DataFrame. */
@@ -380,6 +426,7 @@ object Relational {
     "q11_having" -> q11Having _,
     "q12_conditional_agg" -> q12ConditionalAgg _,
     "q13_outer_join_dist" -> q13OuterJoinDist _,
-    "q14_rollup" -> q14Rollup _
+    "q14_rollup" -> q14Rollup _,
+    "q15_function_breadth" -> q15FunctionBreadth _
   )
 }

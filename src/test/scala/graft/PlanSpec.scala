@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Relational
+
+/** Physical-plan quality gates — the 100 TB design checks: broadcasts where
+  * a dim is small, pushed filters + pruned schemas at the parquet scan,
+  * partial aggregation before shuffles, top-k without global sort. These
+  * assert the *shape* stays right as queries evolve.
+  */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def executed(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect() // materialize so AQE finalizes the plan
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+      case p: SparkPlan => p.toString
+    }
+  }
+
+  test("q02 broadcasts the dimension tables (no shuffle for nation/region)") {
+    val plan = executed(Relational.q02RevenueByNation(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
+  }
+
+  test("q01 pushes the shipdate filter and prunes columns at the parquet scan") {
+    val df = Relational.q01PricingSummary(spark, sf)
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"filter not pushed:\n$scan")
+    assert(!scan.contains("l_orderkey"), "scan reads unprojected columns")
+  }
+
+  test("q03 top-k plans TakeOrderedAndProject, not a global sort") {
+    val plan = Relational.q03TopCustomers(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"top-k missing:\n$plan")
+  }
+
+  test("aggregates run partial (map-side) before the shuffle") {
+    val plan = Relational.q01PricingSummary(spark, sf).queryExecution.executedPlan.toString
+    val firstAgg = plan.indexOf("HashAggregate")
+    assert(firstAgg >= 0 && plan.indexOf("HashAggregate", firstAgg + 1) > 0,
+      s"expected two-phase hash aggregate:\n$plan")
+  }
+
+  test("ethereum erc20 range scan plans only the selected block ranges") {
+    import org.apache.spark.sql.functions.col
+    val dir = graft.sources.eth.EthFixtures.ensure(spark)
+    val df = spark.read.format("ethereum")
+      .option("table", "erc20").option("chain", dir).load()
+      .filter(col("erc20_blockNumber").between(2000, 2999))
+    assert(df.rdd.getNumPartitions == 2, // 1000 blocks / 512
+      s"range not narrowed: ${df.rdd.getNumPartitions} partitions")
+  }
+
+  test("catalog mount exposes SHOW TABLES and DESCRIBE like the reference") {
+    Catalog.mount(spark, sf)
+    val tables = spark.sql("SHOW TABLES").collect().map(_.getString(1)).toSet
+    assert((Catalog.corpusTables ++ Catalog.ethTables).forall(tables.contains),
+      s"missing tables in $tables")
+    // golden schema check vs /root/reference/README.md:139-186
+    val desc = spark.sql("DESCRIBE block").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(desc.size == 18)
+    assert(desc("block_number") == "bigint" && desc("block_size") == "int" &&
+      desc("block_gasUsed") == "double" &&
+      desc("block_transactions") == "array<string>")
+    val descTx = spark.sql("DESCRIBE transaction").collect().map(_.getString(0))
+    assert(descTx.length == 11)
+    val descErc = spark.sql("DESCRIBE erc20").collect().map(_.getString(0))
+    assert(descErc.length == 6)
+    // inline SQL over mounted views + UDFs (README.md:189-196 shape)
+    val r = spark.sql(
+      "SELECT fromWei(tx_value, 'ether') AS v FROM transaction WHERE tx_blockNumber <= 3").collect()
+    assert(r.nonEmpty)
+  }
+
+  test("GraftExtensions injects functions via withExtensions") {
+    import org.apache.spark.sql.SparkSession
+    val prev = TestSpark.spark // ensure context exists
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[2]").appName("ext-test")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      val r = s2.sql(
+        "SELECT hamming64(simhash64(array('x','y')), simhash64(array('x','y'))) h").head()
+      assert(r.getInt(0) == 0)
+    } finally {
+      SparkSession.setDefaultSession(prev)
+      SparkSession.setActiveSession(prev)
+    }
+  }
+}
