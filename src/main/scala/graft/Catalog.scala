@@ -16,16 +16,20 @@ object Catalog {
     "part", "orders", "lineitem", "events", "documents", "embeddings")
   val ethTables: Seq[String] = Seq("block", "transaction", "erc20")
 
-  /** Register the driver corpus (testdata dir) + the three ethereum tables
-    * + all scalar functions against one session. */
-  def mount(spark: SparkSession, sfDir: String,
-      chainDir: String = EthFixtures.DefaultDir): Unit = {
+  /** Register just the driver corpus tables as temp views. */
+  def mountCorpus(spark: SparkSession, sfDir: String): Unit =
     corpusTables.foreach { t =>
       // events needs the nanos-timestamp normalization in its loader
       val df = if (t == "events") Tables.events(spark, sfDir)
                else Tables.t(spark, sfDir, t)
       df.createOrReplaceTempView(t)
     }
+
+  /** Register the driver corpus (testdata dir) + the three ethereum tables
+    * + all scalar functions against one session. */
+  def mount(spark: SparkSession, sfDir: String,
+      chainDir: String = EthFixtures.DefaultDir): Unit = {
+    mountCorpus(spark, sfDir)
     ethTables.foreach { t =>
       spark.read.format("ethereum")
         .option("table", t).option("chain", chainDir).load()

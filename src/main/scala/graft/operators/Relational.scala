@@ -266,6 +266,33 @@ object Relational {
       .orderBy($"event_id")
   }
 
+  /** Approximate aggregation surface: HLL distinct + quantile sketches —
+    * the constant-memory scale path (exact distinct is q10). No SQL oracle
+    * (sketches are engine-specific); accuracy is asserted vs exact results
+    * in `ApproxSpec`. */
+  def q21ApproxAgg(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    lineitem(s, d)
+      .groupBy($"l_returnflag")
+      .agg(approx_count_distinct($"l_partkey").as("approx_parts"),
+           approx_count_distinct($"l_suppkey").as("approx_supps"),
+           percentile_approx($"l_extendedprice", lit(0.5), lit(10000)).as("median_price"),
+           percentile_approx($"l_extendedprice", lit(0.95), lit(10000)).as("p95_price"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** Sampling surface: seeded bernoulli sample → aggregate. Deterministic
+    * for a fixed input layout + seed; no cross-engine oracle. */
+  def q22Sample(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    lineitem(s, d)
+      .sample(withReplacement = false, fraction = 0.1, seed = 42L)
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n_sampled"),
+           round(sum($"l_quantity"), 2).as("sum_qty"))
+      .orderBy($"l_returnflag")
+  }
+
   /** Oracle SQL (DuckDB dialect = ANSI here) for each query above. */
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -427,6 +454,8 @@ object Relational {
     "q12_conditional_agg" -> q12ConditionalAgg _,
     "q13_outer_join_dist" -> q13OuterJoinDist _,
     "q14_rollup" -> q14Rollup _,
-    "q15_function_breadth" -> q15FunctionBreadth _
+    "q15_function_breadth" -> q15FunctionBreadth _,
+    "q21_approx_agg" -> q21ApproxAgg _,
+    "q22_sample" -> q22Sample _
   )
 }
