@@ -75,9 +75,63 @@ object Similarity {
       .orderBy($"query_id", $"rank")
   }
 
+  /** IVF-style ANN: a coarse quantizer (nLists centroids = deterministic
+    * seed vectors refined by one Lloyd step, all as DataFrame ops) assigns
+    * every vector to an inverted list; queries probe their nProbe nearest
+    * lists and rank exactly within those lists only. The scan cost drops
+    * from O(|Q|·|corpus|) to O(|Q|·(nProbe/nLists)·|corpus|); at 100 TB the
+    * assignment is one map-side pass (centroids broadcast) and each probe
+    * touches only its list partitions. */
+  def knnIvf(s: SparkSession, d: String, nQueries: Int = 5, k: Int = 5,
+      nLists: Int = 16, nProbe: Int = 4): DataFrame = {
+    import s.implicits._
+    val vecs = embeddings(s, d)
+      .select($"vec_id", transform($"embedding", _.cast("double")).as("v"))
+
+    // coarse quantizer: seeds = first nLists vectors, one Lloyd refinement
+    val seeds = vecs.filter($"vec_id" < nLists)
+      .select($"vec_id".as("list_id"), $"v".as("cv"))
+    def assignTo(cent: DataFrame): DataFrame = {
+      val scored = vecs.join(broadcast(cent))
+        .select($"vec_id", $"v", $"list_id",
+                Expressions.cosineSim($"v", $"cv").as("sim"))
+      val w = Window.partitionBy($"vec_id").orderBy($"sim".desc, $"list_id")
+      scored.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+        .select($"vec_id", $"v", $"list_id")
+    }
+    val centroids = assignTo(seeds)
+      .select($"list_id", posexplode($"v").as(Seq("pos", "x")))
+      .groupBy($"list_id", $"pos").agg(avg($"x").as("m"))
+      .groupBy($"list_id")
+      .agg(transform(array_sort(collect_list(struct($"pos", $"m"))),
+        e => e.getField("m")).as("cv"))
+    val lists = assignTo(centroids)
+
+    // queries probe their nProbe nearest lists
+    val qScored = vecs.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("query_id"), $"v".as("qv"))
+      .join(broadcast(centroids))
+      .select($"query_id", $"qv", $"list_id",
+              Expressions.cosineSim($"qv", $"cv").as("csim"))
+    val wq = Window.partitionBy($"query_id").orderBy($"csim".desc, $"list_id")
+    val probes = qScored.withColumn("rn", row_number().over(wq))
+      .filter($"rn" <= nProbe).select($"query_id", $"qv", $"list_id")
+
+    val cand = lists.join(probes, Seq("list_id"))
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id".as("neighbor_id"),
+              Expressions.cosineSim($"qv", $"v").as("sim"))
+    val w = Window.partitionBy($"query_id").orderBy($"sim".desc, $"neighbor_id")
+    cand.withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= k)
+      .select($"query_id", $"neighbor_id", round($"sim", 6).as("cos_sim"), $"rank")
+      .orderBy($"query_id", $"rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "nd_knn_brute" -> ((s: SparkSession, d: String) => knnBrute(s, d)),
-    "nd_knn_lsh" -> ((s: SparkSession, d: String) => knnLsh(s, d)))
+    "nd_knn_lsh" -> ((s: SparkSession, d: String) => knnLsh(s, d)),
+    "nd_knn_ivf" -> ((s: SparkSession, d: String) => knnIvf(s, d)))
 
   val oracle: Map[String, String] = Map(
     "nd_knn_brute" ->

@@ -142,6 +142,26 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("IVF ANN finds planted true near-neighbors at rank 1") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val base = Tables.embeddings(spark, sf)
+    val planted = base.filter($"vec_id" < 5).select(
+      ($"vec_id" + 90000L).as("vec_id"),
+      transform($"embedding", x => x * 0.9f).as("embedding"),
+      $"label")
+    val dir = java.nio.file.Files.createTempDirectory("embivf").toString
+    base.unionByName(planted).coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/embeddings.parquet")
+    val ivf = Similarity.knnIvf(spark, dir, nQueries = 5, k = 5).collect()
+    val rank1 = ivf.filter(_.getLong(3) == 1L)
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0 until 5).foreach { q =>
+      assert(rank1.get(q.toLong).contains(90000L + q),
+        s"query $q: rank-1 neighbor ${rank1.get(q.toLong)} != ${90000 + q}")
+    }
+  }
+
   test("brute-force knn is exact: sims descend, no self-matches") {
     val rows = Similarity.knnBrute(spark, sf, nQueries = 3, k = 5).collect()
     assert(rows.length == 15)
