@@ -26,9 +26,14 @@ object Erc20Decoder {
     * topic (`EthereumERC20Utils.java:6`). */
   val TransferTopic = "0xddf252ad1be2c89b69c2b068fc378daa952ba7f163c4a11628f55a4df523b3ef"
 
+  /** `value` is the reference-faithful double narrowing
+    * (`EthereumERC20Utils.java:8-14`); `valueExact` preserves the full
+    * uint256 for the `weiDecimal` quality mode (SURVEY.md §1.2 documented
+    * deviation — doubles silently lose precision above 2^53 wei). */
   final case class Erc20Transfer(
       token: String, from: String, to: String, value: Double,
-      txHash: String, blockNumber: Long)
+      txHash: String, blockNumber: Long,
+      valueExact: BigInteger = BigInteger.ZERO)
 
   /** Well-known token contract → symbol table (public contract addresses;
     * `EthereumERC20Token.java:10-59`), keyed by lowercased address. */
@@ -88,9 +93,12 @@ object Erc20Decoder {
 
   /** Hex word → BigInteger → double; 0.0 on malformed/empty
     * (`EthereumERC20Utils.java:8-14`). */
-  def hexToDouble(hex: String): Double =
-    try new BigInteger(hex.substring(2), 16).doubleValue
-    catch { case _: NumberFormatException => 0.0 }
+  def hexToDouble(hex: String): Double = hexToBigInt(hex).doubleValue
+
+  /** Hex word → exact BigInteger; ZERO on malformed/empty. */
+  def hexToBigInt(hex: String): BigInteger =
+    try new BigInteger(hex.substring(2), 16)
+    catch { case _: NumberFormatException => BigInteger.ZERO }
 
   def decode(log: EthLog): Option[Erc20Transfer] = {
     if (log.topics.isEmpty || !log.topics.head.equalsIgnoreCase(TransferTopic)) return None
@@ -104,13 +112,15 @@ object Erc20Decoder {
       while (topics.size < 3) { topics = topics :+ ("0x" + words(wi)); wi += 1 }
       data = "0x" + words(wi)
     }
+    val exact = hexToBigInt(data)
     Some(Erc20Transfer(
       token = tokenName(log.address),
       from = h32ToH20(topics(1)),
       to = h32ToH20(topics(2)),
-      value = hexToDouble(data),
+      value = exact.doubleValue,
       txHash = log.transactionHash,
-      blockNumber = log.blockNumber))
+      blockNumber = log.blockNumber,
+      valueExact = exact))
   }
 
   /** All transfers of a block, in tx order then log order — the flatMap the

@@ -70,6 +70,20 @@ object EthSchemas {
     case Erc20       => erc20Schema
   }
 
+  /** Wei-valued columns that the reference lossily narrows to double
+    * (`EthereumRecordCursor.java:204-211`, `EthereumERC20Utils.java:8-14`).
+    * In `weiDecimal` quality mode they surface as DECIMAL(38,0) instead —
+    * exact uint256 wei (documented deviation, SURVEY.md §1.2/§7). */
+  val weiColumns: Set[String] = Set("tx_value", "tx_gasPrice", "erc20_value")
+
+  def schemaFor(kind: TableKind, weiDecimal: Boolean): StructType = {
+    val base = schemaFor(kind)
+    if (!weiDecimal) base
+    else StructType(base.map { f =>
+      if (weiColumns.contains(f.name)) f.copy(dataType = DecimalType(38, 0)) else f
+    })
+  }
+
   /** The block-number column that range predicates push down on, per table
     * (`EthereumMetadata.java:190-199`). */
   def blockNumberColumn(kind: TableKind): String = kind match {

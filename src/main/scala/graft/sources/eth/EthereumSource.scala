@@ -47,7 +47,8 @@ class EthereumSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "ethereum"
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    EthSchemas.schemaFor(EthSchemas.kindOf(options.get("table")))
+    EthSchemas.schemaFor(EthSchemas.kindOf(options.get("table")),
+      options.getBoolean("weiDecimal", false))
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: java.util.Map[String, String]): Table = {
@@ -55,18 +56,20 @@ class EthereumSource extends TableProvider with DataSourceRegister {
     new EthereumTable(
       EthSchemas.kindOf(opts.get("table")),
       Option(opts.get("chain")).getOrElse(s"${EthFixtures.DefaultDir}"),
-      Option(opts.get("blocksPerPartition")).map(_.toInt).getOrElse(512))
+      Option(opts.get("blocksPerPartition")).map(_.toInt).getOrElse(512),
+      opts.getBoolean("weiDecimal", false))
   }
 }
 
-class EthereumTable(kind: EthSchemas.TableKind, chainDir: String, blocksPerPartition: Int)
+class EthereumTable(kind: EthSchemas.TableKind, chainDir: String,
+    blocksPerPartition: Int, weiDecimal: Boolean = false)
     extends Table with SupportsRead {
   override def name(): String = s"ethereum.${kind.name}"
-  override def schema(): StructType = EthSchemas.schemaFor(kind)
+  override def schema(): StructType = EthSchemas.schemaFor(kind, weiDecimal)
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new EthereumScanBuilder(kind, chainDir, blocksPerPartition, options)
+    new EthereumScanBuilder(kind, chainDir, blocksPerPartition, options, weiDecimal)
 }
 
 /** Algebra over inclusive block-range unions used by the pushdown. */
@@ -91,12 +94,13 @@ object BlockRanges {
 
 class EthereumScanBuilder(kind: EthSchemas.TableKind, chainDir: String,
     blocksPerPartition: Int,
-    options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
+    options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty(),
+    weiDecimal: Boolean = false)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private val numberCol = EthSchemas.blockNumberColumn(kind)
   private val hashCol = EthSchemas.blockHashColumn(kind)
-  private val fullSchema = EthSchemas.schemaFor(kind)
+  private val fullSchema = EthSchemas.schemaFor(kind, weiDecimal)
 
   private var requiredSchema: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
@@ -287,6 +291,33 @@ class EthereumPartitionReader(kind: EthSchemas.TableKind, chainDir: String,
     "erc20_to" -> (e => utf8(e.to)), "erc20_value" -> (_.value),
     "erc20_txHash" -> (e => utf8(e.txHash)), "erc20_blockNumber" -> (_.blockNumber))
 
+  /** Exact-decimal conversion for `weiDecimal` mode. */
+  private def dec(bd: java.math.BigDecimal): org.apache.spark.sql.types.Decimal = {
+    val d = org.apache.spark.sql.types.Decimal(BigDecimal(bd))
+    d.changePrecision(38, 0)
+    d
+  }
+
+  /** Wei columns surface as DECIMAL(38,0) when the field type asks for it
+    * (the `weiDecimal` option); erc20 uses the exact uint256 from the log,
+    * tx fields convert their (integral) doubles. */
+  private def txExtractor(f: org.apache.spark.sql.types.StructField): EthTx => Any =
+    f.dataType match {
+      case _: org.apache.spark.sql.types.DecimalType if f.name == "tx_value" =>
+        t => dec(new java.math.BigDecimal(t.value))
+      case _: org.apache.spark.sql.types.DecimalType if f.name == "tx_gasPrice" =>
+        t => dec(new java.math.BigDecimal(t.gasPrice))
+      case _ => txExtractors(f.name)
+    }
+
+  private def ercExtractor(f: org.apache.spark.sql.types.StructField)
+      : Erc20Decoder.Erc20Transfer => Any =
+    f.dataType match {
+      case _: org.apache.spark.sql.types.DecimalType if f.name == "erc20_value" =>
+        e => dec(new java.math.BigDecimal(e.valueExact))
+      case _ => ercExtractors(f.name)
+    }
+
   private val rows: Iterator[InternalRow] = {
     // pruned block-only scans skip transaction materialization entirely
     val needTx = kind != EthSchemas.Block ||
@@ -297,11 +328,11 @@ class EthereumPartitionReader(kind: EthSchemas.TableKind, chainDir: String,
         val fs = schema.fieldNames.map(blockExtractors)
         blocks.map(b => new GenericInternalRow(fs.map(_.apply(b)).toArray[Any]))
       case EthSchemas.Transaction =>
-        val fs = schema.fieldNames.map(txExtractors)
+        val fs = schema.fields.map(txExtractor)
         blocks.flatMap(_.transactions.iterator)
           .map(t => new GenericInternalRow(fs.map(_.apply(t)).toArray[Any]))
       case EthSchemas.Erc20 =>
-        val fs = schema.fieldNames.map(ercExtractors)
+        val fs = schema.fields.map(ercExtractor)
         blocks.flatMap(Erc20Decoder.decodeBlock)
           .map(e => new GenericInternalRow(fs.map(_.apply(e)).toArray[Any]))
     }

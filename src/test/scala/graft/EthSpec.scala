@@ -34,7 +34,8 @@ class Erc20DecoderSpec extends AnyFunSuite {
   test("indexed 3-topic transfer decodes") {
     val log = EthLog(bat, Vector(TransferTopic, w(from), w(to)), vWord, "0xt", 7L)
     val r = decode(log).get
-    assert(r == Erc20Transfer("BAT", from, to, 1000000.0, "0xt", 7L))
+    assert(r == Erc20Transfer("BAT", from, to, 1000000.0, "0xt", 7L,
+      java.math.BigInteger.valueOf(1000000L)))
   }
   test("transfer topic matches case-insensitively") {
     val log = EthLog(bat, Vector(TransferTopic.toUpperCase.replace("0X", "0x"), w(from), w(to)), vWord, "0xt", 7L)
@@ -183,6 +184,22 @@ class EthereumSourceSpec extends AnyFunSuite {
     assert(df.count() == 3)
     assert(df.rdd.getNumPartitions == 3)
   }
+  test("weiDecimal mode surfaces exact DECIMAL(38,0) wei values") {
+    import org.apache.spark.sql.functions.col
+    val df = spark.read.format("ethereum")
+      .option("table", "erc20").option("chain", dir)
+      .option("weiDecimal", "true").load()
+      .filter(col("erc20_blockNumber") <= 200)
+    val t = df.schema("erc20_value").dataType
+    assert(t == org.apache.spark.sql.types.DecimalType(38, 0), s"got $t")
+    val vals = df.select("erc20_value").collect().map(_.getDecimal(0))
+    assert(vals.nonEmpty && vals.forall(_.scale == 0))
+    // decoder keeps the full uint256 where double loses precision
+    val huge = "0x" + "f" * 64
+    assert(Erc20Decoder.hexToBigInt(huge) == BigInt(("f" * 64), 16).bigInteger)
+    assert(Erc20Decoder.hexToBigInt("0x") == java.math.BigInteger.ZERO)
+  }
+
   test("source reports statistics for join planning") {
     import org.apache.spark.sql.functions.col
     val df = eth("block").filter(col("block_number") <= 100)

@@ -1,0 +1,44 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, Pipeline, TextAnalysis}
+
+/** End-to-end curation pipeline: filtering semantics + partitioned write
+  * layout. */
+class PipelineSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("curated corpus = quality ∩ keepers ∖ near-dup losers") {
+    import spark.implicits._
+    val total = Tables.documents(spark, sf).count()
+    val curated = Pipeline.curated(spark, sf).cache()
+    val n = curated.count()
+    assert(n > 0 && n <= total)
+    // no surviving doc is a near-dup loser
+    val losers = Dedup.minhashPairs(spark, sf, 0.8)
+      .select($"doc_b").distinct().collect().map(_.getLong(0)).toSet
+    val survivors = curated.select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors.intersect(losers).isEmpty)
+    // every survivor passes the quality bar
+    val below = TextAnalysis.qualityScore(spark, sf)
+      .filter($"quality" < 0.4).collect().map(_.getLong(0)).toSet
+    assert(survivors.intersect(below).isEmpty)
+    curated.unpersist()
+  }
+
+  test("partitioned write produces lang=* directories and round-trips") {
+    val out = java.nio.file.Files.createTempDirectory("curated").toString
+    val stats = Pipeline.curateAndWrite(spark, sf, out).collect()
+    assert(stats.nonEmpty)
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(dirs.forall(_.startsWith("lang=")), s"unexpected layout: ${dirs.toSeq}")
+    assert(dirs.length == stats.length)
+    // partition pruning: reading one language touches only its directory
+    val one = stats.head.getString(0)
+    val pruned = spark.read.parquet(out).filter(org.apache.spark.sql.functions.col("lang") === one)
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(pruned.count() == stats.head.getLong(1))
+  }
+}
