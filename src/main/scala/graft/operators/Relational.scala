@@ -293,6 +293,74 @@ object Relational {
       .orderBy($"l_returnflag")
   }
 
+  /** CUBE grouping sets over two independent dimensions. */
+  def q23Cube(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    customer(s, d)
+      .join(broadcast(nation(s, d)), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(region(s, d)), $"n_regionkey" === $"r_regionkey")
+      .cube($"r_name", $"c_mktsegment")
+      .agg(round(sum($"c_acctbal"), 2).as("total_bal"), count(lit(1)).as("n"))
+      .orderBy($"r_name".asc_nulls_first, $"c_mktsegment".asc_nulls_first)
+  }
+
+  /** PIVOT: returnflag × linestatus matrix of quantity sums. */
+  def q24Pivot(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    lineitem(s, d)
+      .groupBy($"l_returnflag")
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(round(sum($"l_quantity"), 2))
+      .orderBy($"l_returnflag")
+  }
+
+  /** Nested types: struct field access + map construction/extraction. */
+  def q25StructMap(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    events(s, d)
+      .filter($"event_id" < 100)
+      .select(
+        $"event_id",
+        struct($"event_type".as("t"), $"user_id".as("u")).getField("t").as("st_t"),
+        struct($"event_type".as("t"), $"user_id".as("u")).getField("u").as("st_u"),
+        element_at(map_from_arrays(array(lit("uid")), array($"user_id")), "uid").as("m_uid"))
+      .orderBy($"event_id")
+  }
+
+  /** As-of join (purchases ← most recent prior click per user) via the
+    * union-sort-carry composition in [[graft.plans.TemporalJoins]].
+    * Right side deduped per (user, ts) so tie-breaks are deterministic in
+    * both engines. */
+  def q26AsofJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = events(s, d)
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", unix_millis($"ts").as("tms"), $"value")
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id", unix_millis($"ts").as("tms"), $"event_id".as("click_id"))
+      .groupBy($"user_id", $"tms").agg(max($"click_id").as("click_id"))
+    graft.plans.TemporalJoins.asofJoin(purchases, clicks, "user_id", "tms", Seq("click_id"))
+      .select($"event_id", $"user_id", $"tms", round($"value", 2).as("value"),
+              $"asof_click_id")
+      .orderBy($"event_id")
+  }
+
+  /** Bounded range join (errors × clicks within ±5 min per user) via the
+    * binned composition — no per-key cross product. */
+  def q27RangeJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = events(s, d)
+    val errors = ev.filter($"event_type" === "error")
+      .select($"event_id".as("err_id"), $"user_id", unix_millis($"ts").as("etms"))
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id", unix_millis($"ts").as("ctms"))
+    graft.plans.TemporalJoins.rangeJoinBinned(
+        errors, clicks, "user_id", col("etms"), col("ctms"), 300000L)
+      .groupBy($"err_id")
+      .agg(count(lit(1)).as("n_nearby_clicks"))
+      .orderBy($"err_id")
+  }
+
   /** Oracle SQL (DuckDB dialect = ANSI here) for each query above. */
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -435,7 +503,42 @@ object Relational {
          coalesce(nullif(event_type, 'click'), 'CLICKED') AS cond,
          array_to_string(list_sort(string_split(concat(event_type, '_', event_type), '_')), '|') AS arr_joined,
          list_contains(string_split(event_type, ''), 'c') AS has_c
-         FROM events WHERE event_id < 100 ORDER BY event_id"""
+         FROM events WHERE event_id < 100 ORDER BY event_id""",
+    "q23_cube" ->
+      """SELECT r_name, c_mktsegment,
+         round(sum(c_acctbal), 2) AS total_bal, count(*) AS n
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY CUBE (r_name, c_mktsegment)
+         ORDER BY r_name ASC NULLS FIRST, c_mktsegment ASC NULLS FIRST""",
+    "q24_pivot" ->
+      """SELECT l_returnflag,
+         round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS "F",
+         round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS "O"
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q25_struct_map" ->
+      """SELECT event_id,
+         struct_pack(t := event_type, u := user_id).t AS st_t,
+         struct_pack(t := event_type, u := user_id).u AS st_u,
+         map([ 'uid' ], [ user_id ])['uid'][1] AS m_uid
+         FROM events WHERE event_id < 100 ORDER BY event_id""",
+    "q26_asof_join" ->
+      """WITH p AS (SELECT event_id, user_id, epoch_ms(ts) AS tms, "value"
+                    FROM events WHERE event_type = 'purchase'),
+          c AS (SELECT user_id, epoch_ms(ts) AS tms, max(event_id) AS click_id
+                FROM events WHERE event_type = 'click' GROUP BY user_id, epoch_ms(ts))
+         SELECT p.event_id, p.user_id, p.tms, round(p."value", 2) AS "value",
+                c.click_id AS asof_click_id
+         FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.tms >= c.tms
+         ORDER BY p.event_id""",
+    "q27_range_join" ->
+      """WITH e AS (SELECT event_id AS err_id, user_id, epoch_ms(ts) AS etms
+                    FROM events WHERE event_type = 'error'),
+          c AS (SELECT user_id, epoch_ms(ts) AS ctms
+                FROM events WHERE event_type = 'click')
+         SELECT err_id, count(*) AS n_nearby_clicks
+         FROM e JOIN c ON e.user_id = c.user_id AND abs(e.etms - c.ctms) <= 300000
+         GROUP BY err_id ORDER BY err_id"""
   )
 
   /** Query registry: name → (session, sfDir) → DataFrame. */
@@ -456,6 +559,11 @@ object Relational {
     "q14_rollup" -> q14Rollup _,
     "q15_function_breadth" -> q15FunctionBreadth _,
     "q21_approx_agg" -> q21ApproxAgg _,
-    "q22_sample" -> q22Sample _
+    "q22_sample" -> q22Sample _,
+    "q23_cube" -> q23Cube _,
+    "q24_pivot" -> q24Pivot _,
+    "q25_struct_map" -> q25StructMap _,
+    "q26_asof_join" -> q26AsofJoin _,
+    "q27_range_join" -> q27RangeJoin _
   )
 }
