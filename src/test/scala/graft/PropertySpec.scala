@@ -1,0 +1,89 @@
+package graft
+
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+
+import graft.functions.Web3Functions
+import graft.sources.eth.{BlockRanges, Erc20Decoder, EthLog}
+
+/** Property-based invariants (SURVEY.md §5): unit-conversion roundtrips,
+  * decode on generated logs, range-algebra laws. */
+object UnitRoundtripProps extends Properties("Web3Units") {
+  private val units = Gen.oneOf(Web3Functions.unitsToWei.keys.toSeq)
+  private val amounts = Gen.choose(1e-6, 1e12)
+
+  property("fromWei∘toWei ≈ id") = forAll(units, amounts) { (u, x) =>
+    val rt = Web3Functions.fromWei(Web3Functions.toWei(x, u), u)
+    math.abs(rt - x) <= 1e-9 * math.abs(x)
+  }
+  property("fromWei monotone in amount") = forAll(units, amounts, amounts) { (u, a, b) =>
+    val (lo, hi) = if (a < b) (a, b) else (b, a)
+    Web3Functions.fromWei(lo, u) <= Web3Functions.fromWei(hi, u)
+  }
+}
+
+object DecodeProps extends Properties("Erc20Decoder") {
+  private val hex40 = Gen.listOfN(40, Gen.oneOf("0123456789abcdef".toSeq)).map(_.mkString)
+  private val addr = hex40.map("0x" + _)
+  private def word(a: String) = "0x" + "0" * 24 + a.drop(2)
+  private val value = Gen.choose(0L, Long.MaxValue)
+  private def valueWord(v: Long) = {
+    val h = java.lang.Long.toHexString(v)
+    "0x" + "0" * (64 - h.length) + h
+  }
+
+  property("indexed transfer always decodes with exact value") =
+    forAll(addr, addr, addr, value) { (contract, from, to, v) =>
+      val log = EthLog(contract,
+        Vector(Erc20Decoder.TransferTopic, word(from), word(to)), valueWord(v), "0xt", 1L)
+      Erc20Decoder.decode(log).exists { t =>
+        t.from == from && t.to == to &&
+        t.valueExact == java.math.BigInteger.valueOf(v) &&
+        t.value == java.math.BigInteger.valueOf(v).doubleValue
+      }
+    }
+
+  property("unindexed variants agree with the indexed decode") =
+    forAll(addr, addr, addr, value) { (contract, from, to, v) =>
+      val indexed = EthLog(contract,
+        Vector(Erc20Decoder.TransferTopic, word(from), word(to)), valueWord(v), "0xt", 1L)
+      val un1 = EthLog(contract, Vector(Erc20Decoder.TransferTopic),
+        "0x" + word(from).drop(2) + word(to).drop(2) + valueWord(v).drop(2), "0xt", 1L)
+      val un2 = EthLog(contract, Vector(Erc20Decoder.TransferTopic, word(from)),
+        "0x" + word(to).drop(2) + valueWord(v).drop(2), "0xt", 1L)
+      val d = Erc20Decoder.decode _
+      d(indexed) == d(un1) && d(indexed) == d(un2)
+    }
+
+  property("non-Transfer topics never decode") =
+    forAll(addr, Gen.listOfN(64, Gen.oneOf("0123456789abcdef".toSeq)).map(_.mkString), value) {
+      (contract, topic, v) =>
+        val t0 = "0x" + topic
+        t0.equalsIgnoreCase(Erc20Decoder.TransferTopic) ||
+          Erc20Decoder.decode(EthLog(contract, Vector(t0), valueWord(v), "0xt", 1L)).isEmpty
+    }
+}
+
+object RangeProps extends Properties("BlockRanges") {
+  private val range = for {
+    a <- Gen.choose(0L, 10000L); b <- Gen.choose(0L, 10000L)
+  } yield (math.min(a, b), math.max(a, b))
+  private val ranges = Gen.listOf(range)
+  private def covers(rs: Seq[(Long, Long)], x: Long) = rs.exists(r => x >= r._1 && x <= r._2)
+  private val point = Gen.choose(0L, 10000L)
+
+  property("normalize preserves membership") = forAll(ranges, point) { (rs, x) =>
+    covers(BlockRanges.normalize(rs), x) == covers(rs, x)
+  }
+  property("normalize yields disjoint sorted ranges") = forAll(ranges) { rs =>
+    val n = BlockRanges.normalize(rs)
+    n.sliding(2).forall {
+      case Seq((_, e1), (s2, _)) => s2 > e1 + 1
+      case _ => true
+    }
+  }
+  property("intersect = set intersection of memberships") =
+    forAll(ranges, ranges, point) { (a, b, x) =>
+      covers(BlockRanges.intersect(a, b), x) == (covers(a, x) && covers(b, x))
+    }
+}
