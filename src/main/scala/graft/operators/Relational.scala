@@ -361,6 +361,21 @@ object Relational {
       .orderBy($"err_id")
   }
 
+  /** Custom typed aggregate: deterministic bottom-k-by-hash group sample
+    * ([[graft.functions.BottomKByHash]]) — one-pass mergeable sampling,
+    * oracle-checkable because md5 order is engine-independent. */
+  def q28GroupSample(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sampler = udaf(new graft.functions.BottomKByHash(5))
+    documents(s, d)
+      .select($"lang", md5($"doc_id".cast("string").cast("binary")).as("h"), $"doc_id")
+      .groupBy($"lang")
+      .agg(sampler($"h", $"doc_id").as("ids"))
+      .select($"lang", posexplode($"ids").as(Seq("pos", "doc_id")))
+      .select($"lang", ($"pos" + 1).cast("long").as("rank"), $"doc_id")
+      .orderBy($"lang", $"rank")
+  }
+
   /** Oracle SQL (DuckDB dialect = ANSI here) for each query above. */
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -538,7 +553,14 @@ object Relational {
                 FROM events WHERE event_type = 'click')
          SELECT err_id, count(*) AS n_nearby_clicks
          FROM e JOIN c ON e.user_id = c.user_id AND abs(e.etms - c.ctms) <= 300000
-         GROUP BY err_id ORDER BY err_id"""
+         GROUP BY err_id ORDER BY err_id""",
+    "q28_group_sample" ->
+      """WITH h AS (SELECT lang, doc_id, md5(CAST(doc_id AS VARCHAR)) AS hh FROM documents),
+          r AS (SELECT lang, doc_id,
+                       row_number() OVER (PARTITION BY lang ORDER BY hh, doc_id) AS rk
+                FROM h)
+         SELECT lang, CAST(rk AS BIGINT) AS rank, doc_id
+         FROM r WHERE rk <= 5 ORDER BY lang, rank"""
   )
 
   /** Query registry: name → (session, sfDir) → DataFrame. */
@@ -564,6 +586,7 @@ object Relational {
     "q24_pivot" -> q24Pivot _,
     "q25_struct_map" -> q25StructMap _,
     "q26_asof_join" -> q26AsofJoin _,
-    "q27_range_join" -> q27RangeJoin _
+    "q27_range_join" -> q27RangeJoin _,
+    "q28_group_sample" -> q28GroupSample _
   )
 }
