@@ -20,6 +20,14 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.sources.eth.EthFixtures.ensure(spark) // untimed setup
+    // untimed warmup: exercise codegen/JIT + one scan of each source kind
+    // so the first timed query doesn't absorb cold-start cost
+    try {
+      SparkEntry.queries("q11_having")(spark, sfDir).write
+        .format("noop").mode("overwrite").save()
+      SparkEntry.queries("eth_q3_top_miners")(spark, sfDir).write
+        .format("noop").mode("overwrite").save()
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
