@@ -196,6 +196,31 @@ object Expressions {
     override def prettyName: String = "jaccard_sorted"
   }
 
+  /** Character n-grams of a string — one pass, char-indexed (UTF8-safe),
+    * empty array when the text is shorter than n. The HOF equivalent
+    * (`transform(sequence(...), i -> substring(...))`) both allocates an
+    * index array per row and mis-handles the short-string edge (Spark's
+    * `sequence(0,-1)` descends instead of yielding empty). */
+  case class CharNgrams(child: Expression, n: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val s = input.asInstanceOf[UTF8String]
+      val len = s.numChars()
+      if (len < n) return new GenericArrayData(Array.empty[Any])
+      val out = new Array[Any](len - n + 1)
+      var i = 0
+      while (i <= len - n) {
+        out(i) = s.substring(i, i + n)
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(newChild: Expression): CharNgrams =
+      copy(child = newChild)
+    override def prettyName: String = "char_ngrams"
+  }
+
   /** Random-hyperplane LSH bucket id for a double vector: bit p of the
     * result is the sign of `planes(p) · vec`, with pseudo-plane components
     * ±1 derived from a per-(i,p,table) hash. One fused loop per row —
@@ -236,6 +261,8 @@ object Expressions {
     column(JaccardSorted(expression(a), expression(b)))
   def lshBucket(vec: Column, planes: Int, table: Int): Column =
     column(LshBucket(expression(vec), planes, table))
+  def charNgrams(text: Column, n: Int): Column =
+    column(CharNgrams(expression(text), n))
   def hamming64(a: Column, b: Column): Column = column(HammingDist64(expression(a), expression(b)))
   def cosineSim(a: Column, b: Column): Column = column(CosineSim(expression(a), expression(b)))
 

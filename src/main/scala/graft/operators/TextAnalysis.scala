@@ -128,7 +128,36 @@ object TextAnalysis {
       .orderBy($"lang")
   }
 
+  /** Corpus-trained trigram language-model score — the two-pass
+    * train/score shape of model-based quality filtering:
+    *
+    *  1. **train** (one aggregate pass): char-trigram counts over the whole
+    *     corpus, keep the top-V as the model with log-frequency weights;
+    *  2. **score** (one map pass): explode each doc's trigrams, broadcast-
+    *     join the model (a broadcast join IS the "model lookup" — no UDF
+    *     closure, no driver-side table), average the log-frequencies.
+    *
+    * At 100 TB the model is a few MB (V rows) broadcast to executors while
+    * the corpus streams through map-side; the only wide shuffle is the
+    * trigram count, which combines partially before moving.
+    */
+  def trigramLmScore(s: SparkSession, d: String, vocab: Int = 5000): DataFrame = {
+    import s.implicits._
+    import graft.functions.Expressions
+    val grams = documents(s, d)
+      .select($"doc_id", explode(Expressions.charNgrams($"text", 3)).as("g"))
+    val model = grams.groupBy($"g").agg(count(lit(1)).as("c"))
+      .orderBy($"c".desc, $"g").limit(vocab)
+      .select($"g", log($"c".cast("double")).as("lf"))
+    grams.join(broadcast(model), Seq("g"), "left_outer")
+      .groupBy($"doc_id")
+      .agg(round(avg(coalesce($"lf", lit(0.0))), 4).as("lm_score"),
+           count(lit(1)).as("n_grams"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "nd_text_lm_score" -> ((s: SparkSession, d: String) => trigramLmScore(s, d)),
     "nd_text_stats" -> textStats _,
     "nd_text_quality" -> qualityScore _,
     "nd_lang_id" -> langId _,
@@ -138,6 +167,18 @@ object TextAnalysis {
   private val stopList = stopwords.map(w => s"'$w'").mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    "nd_text_lm_score" ->
+      """WITH grams AS (
+           SELECT doc_id, substr(text, CAST(i AS INTEGER), 3) AS g
+           FROM documents JOIN range(1, 100000) t(i)
+             ON i <= length(text) - 2),
+         model AS (
+           SELECT g, ln(CAST(count(*) AS DOUBLE)) AS lf
+           FROM grams GROUP BY g ORDER BY count(*) DESC, g LIMIT 5000)
+         SELECT doc_id, round(avg(coalesce(lf, 0.0)), 4) AS lm_score,
+                count(*) AS n_grams
+         FROM grams LEFT JOIN model USING (g)
+         GROUP BY doc_id ORDER BY doc_id""",
     "nd_text_stats" ->
       s"""SELECT doc_id, lang, source,
           CAST(length(text) AS BIGINT) AS n_chars,
