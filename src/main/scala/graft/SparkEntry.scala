@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Dedup, EthQueries, Multimodal, Pipeline, Relational, Similarity, Subqueries, TextAnalysis}
+import graft.operators.{Dedup, EthQueries, Multimodal, Pipeline, Relational, Similarity, Subqueries, TextAnalysis, TpchShapes}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -17,14 +17,16 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ Subqueries.queries ++ EthQueries.queries ++
+    Relational.queries ++ Subqueries.queries ++ TpchShapes.queries ++
+      EthQueries.queries ++
       TextAnalysis.queries ++ Dedup.queries ++ Similarity.queries ++
       Multimodal.queries ++ Pipeline.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Relational.oracle ++ Subqueries.oracle ++ EthQueries.oracle ++
+    Relational.oracle ++ Subqueries.oracle ++ TpchShapes.oracle ++
+      EthQueries.oracle ++
       TextAnalysis.oracle ++ Dedup.oracle ++ Similarity.oracle ++
       Multimodal.oracle
 }

@@ -1,0 +1,143 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+
+/** Additional classic TPC-H-shaped analytics adapted to the corpus schema
+  * (no partsupp/commitdate/phone columns — the operator shapes are what
+  * matter: multi-dim joins with year extracts, profit expressions,
+  * returned-item ranking, promo share, disjunctive predicate groups,
+  * NOT-EXISTS + scalar-average combination).
+  */
+object TpchShapes {
+
+  /** Q7/Q9 shape: revenue by (supplier nation, order year). */
+  def q29NationVolume(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    lineitem(s, d)
+      .join(orders(s, d), $"l_orderkey" === $"o_orderkey")
+      .join(supplier(s, d), $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(nation(s, d)), $"s_nationkey" === $"n_nationkey")
+      .groupBy($"n_name", year($"o_orderdate").cast("long").as("o_year"))
+      .agg(round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("revenue"),
+           count(lit(1)).as("n_items"))
+      .orderBy($"n_name", $"o_year")
+  }
+
+  /** Q10 shape: top returned-item revenue per customer. */
+  def q30ReturnedItems(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    lineitem(s, d).filter($"l_returnflag" === "R")
+      .join(orders(s, d), $"l_orderkey" === $"o_orderkey")
+      .join(customer(s, d), $"o_custkey" === $"c_custkey")
+      .join(broadcast(nation(s, d)), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"c_custkey", $"c_name", $"n_name")
+      .agg(round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("revenue"))
+      .orderBy($"revenue".desc, $"c_custkey")
+      .limit(20)
+  }
+
+  /** Q14 shape: promo revenue share (single-row percentage). */
+  def q31PromoShare(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    lineitem(s, d)
+      .join(part(s, d), $"l_partkey" === $"p_partkey")
+      .agg(round(
+        sum(when($"p_type" === "PROMO", $"l_extendedprice" * (lit(1) - $"l_discount"))
+          .otherwise(0.0)) * 100.0 /
+        sum($"l_extendedprice" * (lit(1) - $"l_discount")), 4).as("promo_pct"))
+  }
+
+  /** Q19 shape: disjunctive predicate groups over a join. */
+  def q32DisjunctivePredicates(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val p1 = $"p_brand" === "Brand#13" && $"p_size".between(1, 10) && $"l_quantity" >= 10
+    val p2 = $"p_brand" === "Brand#19" && $"p_size".between(5, 25) && $"l_quantity" >= 20
+    val p3 = $"p_type" === "ECONOMY" && $"p_size".between(1, 15) && $"l_quantity" < 15
+    lineitem(s, d)
+      .join(part(s, d), $"l_partkey" === $"p_partkey")
+      .filter(p1 || p2 || p3)
+      .agg(round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("revenue"),
+           count(lit(1)).as("n_items"))
+  }
+
+  /** Q22 shape: group code via modulo, scalar-average filter, NOT EXISTS. */
+  def q33IdleCustomers(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.Catalog.mountCorpus(s, d)
+    s.sql(
+      """SELECT CAST(c_custkey % 10 AS BIGINT) AS code, count(*) AS numcust,
+         round(sum(c_acctbal), 2) AS totacctbal
+         FROM customer c
+         WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+           AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+         GROUP BY c_custkey % 10 ORDER BY code""")
+  }
+
+  /** Q16 shape: distinct supplier breadth per part attribute, with an
+    * excluded brand (lineitem as the part↔supplier bridge). */
+  def q34SupplierBreadth(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    lineitem(s, d)
+      .join(part(s, d), $"l_partkey" === $"p_partkey")
+      .filter($"p_brand" =!= "Brand#13")
+      .groupBy($"p_brand", $"p_type")
+      .agg(countDistinct($"l_suppkey").as("supplier_cnt"))
+      .orderBy($"supplier_cnt".desc, $"p_brand", $"p_type")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q29_nation_volume" -> q29NationVolume _,
+    "q30_returned_items" -> q30ReturnedItems _,
+    "q31_promo_share" -> q31PromoShare _,
+    "q32_disjunctive_preds" -> q32DisjunctivePredicates _,
+    "q33_idle_customers" -> q33IdleCustomers _,
+    "q34_supplier_breadth" -> q34SupplierBreadth _)
+
+  val oracle: Map[String, String] = Map(
+    "q29_nation_volume" ->
+      """SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+         count(*) AS n_items
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         GROUP BY n_name, year(o_orderdate) ORDER BY n_name, o_year""",
+    "q30_returned_items" ->
+      """SELECT c_custkey, c_name, n_name,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         WHERE l_returnflag = 'R'
+         GROUP BY c_custkey, c_name, n_name
+         ORDER BY revenue DESC, c_custkey LIMIT 20""",
+    "q31_promo_share" ->
+      """SELECT round(
+           sum(CASE WHEN p_type = 'PROMO'
+               THEN l_extendedprice * (1 - l_discount) ELSE 0 END) * 100.0 /
+           sum(l_extendedprice * (1 - l_discount)), 4) AS promo_pct
+         FROM lineitem JOIN part ON l_partkey = p_partkey""",
+    "q32_disjunctive_preds" ->
+      """SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+         count(*) AS n_items
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 10 AND l_quantity >= 10)
+            OR (p_brand = 'Brand#19' AND p_size BETWEEN 5 AND 25 AND l_quantity >= 20)
+            OR (p_type = 'ECONOMY' AND p_size BETWEEN 1 AND 15 AND l_quantity < 15)""",
+    "q33_idle_customers" ->
+      """SELECT CAST(c_custkey % 10 AS BIGINT) AS code, count(*) AS numcust,
+         round(sum(c_acctbal), 2) AS totacctbal
+         FROM customer c
+         WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+           AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+         GROUP BY c_custkey % 10 ORDER BY code""",
+    "q34_supplier_breadth" ->
+      """SELECT p_brand, p_type, count(DISTINCT l_suppkey) AS supplier_cnt
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE p_brand <> 'Brand#13'
+         GROUP BY p_brand, p_type
+         ORDER BY supplier_cnt DESC, p_brand, p_type""")
+}
