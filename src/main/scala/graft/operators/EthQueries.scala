@@ -90,8 +90,8 @@ object EthQueries {
     eth(s, "transaction")
       .filter($"tx_blockNumber".between(100, 200))
       .select($"tx_hash",
-              round(callUDF("fromWei", $"tx_value", lit("ether")), 6).as("eth_value"),
-              round(callUDF("fromWei", $"tx_gasPrice", lit("gwei")), 4).as("gwei_price"))
+              round(call_udf("fromWei", $"tx_value", lit("ether")), 6).as("eth_value"),
+              round(call_udf("fromWei", $"tx_gasPrice", lit("gwei")), 4).as("gwei_price"))
       .orderBy($"tx_hash")
   }
 
@@ -145,13 +145,13 @@ object EthQueries {
     eth(s, "transaction")
       .filter($"tx_blockNumber" <= 50 && $"tx_to".isNotNull)
       .select($"tx_hash", $"tx_from", $"tx_to",
-              callUDF("eth_getBalance", $"tx_from").as("from_balance"),
-              callUDF("eth_getBalance_at", $"tx_from", $"tx_blockNumber").as("from_balance_at"),
-              callUDF("eth_getTransactionCount", $"tx_from").as("from_nonce"),
-              callUDF("isContract", $"tx_to").as("to_is_contract"),
-              callUDF("toWei", callUDF("fromWei", $"tx_value", lit("ether")), lit("ether")).as("roundtrip"),
-              callUDF("eth_blockNumber").as("tip"),
-              callUDF("eth_gasPrice").as("gas_price"))
+              call_udf("eth_getBalance", $"tx_from").as("from_balance"),
+              call_udf("eth_getBalance_at", $"tx_from", $"tx_blockNumber").as("from_balance_at"),
+              call_udf("eth_getTransactionCount", $"tx_from").as("from_nonce"),
+              call_udf("isContract", $"tx_to").as("to_is_contract"),
+              call_udf("toWei", call_udf("fromWei", $"tx_value", lit("ether")), lit("ether")).as("roundtrip"),
+              call_udf("eth_blockNumber").as("tip"),
+              call_udf("eth_gasPrice").as("gas_price"))
       .orderBy($"tx_hash")
   }
 
