@@ -194,7 +194,29 @@ class EthereumScan(kind: EthSchemas.TableKind, chainDir: String,
     requiredSchema: StructType, ranges: Option[Seq[(Long, Long)]],
     blocksPerPartition: Int,
     options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
-    extends Scan with Batch with SupportsReportStatistics {
+    extends Scan with Batch with SupportsReportStatistics
+    with SupportsRuntimeFiltering {
+
+  /** Runtime (DPP-style) filtering: when this scan sits under a join on
+    * its block-number column, Spark hands the realized join-key values
+    * after planning; they intersect the static ranges so only the joined
+    * blocks are fetched — the chain-source analogue of dynamic partition
+    * pruning. */
+  private var runtimeRanges: Option[Seq[(Long, Long)]] = None
+
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column(
+      EthSchemas.blockNumberColumn(kind)))
+
+  override def filter(filters: Array[Filter]): Unit = {
+    val numberCol = EthSchemas.blockNumberColumn(kind)
+    val rs = filters.collect {
+      case In(c, vs) if c == numberCol =>
+        BlockRanges.normalize(vs.toSeq.collect { case v: Number => (v.longValue, v.longValue) })
+      case EqualTo(c, v: Number) if c == numberCol => Seq((v.longValue, v.longValue))
+    }
+    if (rs.nonEmpty) runtimeRanges = Some(rs.reduce(BlockRanges.intersect))
+  }
 
   override def readSchema(): StructType = requiredSchema
   override def toBatch: Batch = this
@@ -213,10 +235,11 @@ class EthereumScan(kind: EthSchemas.TableKind, chainDir: String,
     s"ethereum.${kind.name} ranges=$r"
   }
 
-  private lazy val resolvedRanges: Seq[(Long, Long)] = {
+  private def resolvedRanges: Seq[(Long, Long)] = {
     val tip = EthClient.forChain(chainDir).blockNumber()
-    val rs = ranges.getOrElse(Seq((1L, tip)))
-    BlockRanges.normalize(rs.map { case (s, e) =>
+    val static = ranges.getOrElse(Seq((1L, tip)))
+    val combined = runtimeRanges.map(BlockRanges.intersect(static, _)).getOrElse(static)
+    BlockRanges.normalize(combined.map { case (s, e) =>
       (math.max(1L, s), math.min(tip, e))
     })
   }

@@ -200,6 +200,28 @@ class EthereumSourceSpec extends AnyFunSuite {
     assert(Erc20Decoder.hexToBigInt("0x") == java.math.BigInteger.ZERO)
   }
 
+  test("runtime filtering prunes chain ranges under a broadcast join (DPP-style)") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // the filtering side must be a real scan with a surviving selective
+    // Filter node (a LocalRelation constant-folds it away)
+    val tmp = java.nio.file.Files.createTempDirectory("dpp").toString
+    Seq(5L, 700L, 5555L, -1L).toDF("bn").write.mode("overwrite").parquet(tmp)
+    val wanted = spark.read.parquet(tmp).filter($"bn" > 0)
+    val blocks = eth("block").select("block_number", "block_miner")
+    val joined = blocks.join(
+      org.apache.spark.sql.functions.broadcast(wanted), $"block_number" === $"bn")
+    val rows = joined.collect()
+    assert(rows.length == 3)
+    val planned = joined.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString("\n")
+    // the scan itself should have been narrowed to the three joined blocks
+    // (visible as single-block ranges), not the full chain
+    assert(planned.contains("ranges=[5,5],[700,700],[5555,5555]") ||
+           !planned.contains("full-chain"),
+      s"runtime filter did not narrow the scan:\n$planned")
+  }
+
   test("source reports statistics for join planning") {
     import org.apache.spark.sql.functions.col
     val df = eth("block").filter(col("block_number") <= 100)
