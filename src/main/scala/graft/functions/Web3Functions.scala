@@ -48,19 +48,25 @@ object Web3Functions {
     spark.udf.register("fromWei", (num: Double, unit: String) => fromWei(num, unit))
     spark.udf.register("toWei", (num: Double, unit: String) => toWei(num, unit))
 
-    // RPC-backed — lazy per-JVM client, nondeterministic like live chain state
+    // RPC-backed — lazy per-JVM client, nondeterministic like live chain
+    // state. Build the UDF first and register the nondeterministic copy:
+    // `register(...).asNondeterministic()` modifies a throwaway copy and
+    // leaves the registered function deterministic (foldable/reorderable).
     @transient lazy val client: EthClient = EthClient.forChain(chainDir)
-    spark.udf.register("eth_gasPrice", () => client.gasPrice()).asNondeterministic()
-    spark.udf.register("eth_blockNumber", () => client.blockNumber()).asNondeterministic()
+    import org.apache.spark.sql.functions.udf
+    spark.udf.register("eth_gasPrice",
+      udf(() => client.gasPrice()).asNondeterministic())
+    spark.udf.register("eth_blockNumber",
+      udf(() => client.blockNumber()).asNondeterministic())
     spark.udf.register("eth_getBalance",
-      (addr: String) => client.getBalance(addr, None)).asNondeterministic()
+      udf((addr: String) => client.getBalance(addr, None)).asNondeterministic())
     spark.udf.register("eth_getBalance_at",
-      (addr: String, block: Long) => client.getBalance(addr, Some(block))).asNondeterministic()
+      udf((addr: String, block: Long) => client.getBalance(addr, Some(block))).asNondeterministic())
     spark.udf.register("eth_getTransactionCount",
-      (addr: String) => client.getTransactionCount(addr, None)).asNondeterministic()
+      udf((addr: String) => client.getTransactionCount(addr, None)).asNondeterministic())
     spark.udf.register("eth_getTransactionCount_at",
-      (addr: String, block: Long) => client.getTransactionCount(addr, Some(block))).asNondeterministic()
+      udf((addr: String, block: Long) => client.getTransactionCount(addr, Some(block))).asNondeterministic())
     spark.udf.register("isContract",
-      (addr: String) => client.getCode(addr) != "0x").asNondeterministic()
+      udf((addr: String) => client.getCode(addr) != "0x").asNondeterministic())
   }
 }

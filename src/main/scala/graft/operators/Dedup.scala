@@ -66,12 +66,11 @@ object Dedup {
     transform(sequence(lit(0), lit(Bands - 1)),
       b => xxhash64(concat_ws(",", slice(sig, b * (NumHashes / Bands) + 1, lit(NumHashes / Bands))), b))
 
-  /** Candidate near-dup pairs from LSH bucket collisions, verified with the
-    * MinHash-estimated Jaccard (fraction of equal signature slots). */
-  def minhashPairs(s: SparkSession, d: String, threshold: Double = 0.5): DataFrame = {
-    import s.implicits._
-    val docs = documents(s, d)
-      .select($"doc_id", minhashSignature($"text").as("sig"))
+  /** LSH candidate pairs + MinHash-estimated Jaccard from a prepared
+    * `(doc_id, sig)` frame — shared by [[minhashPairs]] and
+    * [[ngramJaccardPairs]] so the signature scan is built exactly once. */
+  private def minhashPairsFrom(docs: DataFrame, threshold: Double): DataFrame = {
+    import docs.sparkSession.implicits._
     val banded = docs
       .select($"doc_id", $"sig", posexplode(bandKeys($"sig")).as(Seq("band", "key")))
     val a = banded.as("a"); val b = banded.as("b")
@@ -90,14 +89,30 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** Candidate near-dup pairs from LSH bucket collisions, verified with the
+    * MinHash-estimated Jaccard (fraction of equal signature slots). */
+  def minhashPairs(s: SparkSession, d: String, threshold: Double = 0.5): DataFrame = {
+    import s.implicits._
+    minhashPairsFrom(
+      documents(s, d).select($"doc_id", minhashSignature($"text").as("sig")), threshold)
+  }
+
   /** Exact n-gram Jaccard verification of the LSH candidates — the
     * "verify" stage after "generate". Jaccard runs as one merge pass over
-    * the sorted shingle-hash sets ([[Expressions.JaccardSorted]]). */
+    * the sorted shingle-hash sets ([[Expressions.JaccardSorted]]).
+    *
+    * The `(doc_id, sig, sh)` base is computed in ONE documents scan and
+    * persisted (memory-and-disk): candidate generation and the verify
+    * join-back both read the cached sketch (~1-10% of corpus bytes), not
+    * the corpus, so the text is tokenized/shingled exactly once. */
   def ngramJaccardPairs(s: SparkSession, d: String, candThreshold: Double = 0.3,
       finalThreshold: Double = 0.3): DataFrame = {
     import s.implicits._
-    val sh = documents(s, d).select($"doc_id", shingleHashes($"text").as("sh"))
-    val cand = minhashPairs(s, d, candThreshold)
+    val base = documents(s, d)
+      .select($"doc_id", minhashSignature($"text").as("sig"), shingleHashes($"text").as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = base.select($"doc_id", $"sh")
+    val cand = minhashPairsFrom(base.select($"doc_id", $"sig"), candThreshold)
     cand
       .join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
       .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")

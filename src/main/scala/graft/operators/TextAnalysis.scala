@@ -144,8 +144,11 @@ object TextAnalysis {
   def trigramLmScore(s: SparkSession, d: String, vocab: Int = 5000): DataFrame = {
     import s.implicits._
     import graft.functions.Expressions
+    // train and score both consume the exploded grams; persist so the
+    // corpus streams through CharNgrams once, not twice
     val grams = documents(s, d)
       .select($"doc_id", explode(Expressions.charNgrams($"text", 3)).as("g"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val model = grams.groupBy($"g").agg(count(lit(1)).as("c"))
       .orderBy($"c".desc, $"g").limit(vocab)
       .select($"g", log($"c".cast("double")).as("lf"))

@@ -93,27 +93,47 @@ final class FixtureChainClient(chainDir: String) extends EthClient {
     if (lo > hi) return Iterator.empty
     val firstChunk = ((lo - 1) / BlocksPerFile) * BlocksPerFile + 1
     Iterator.range(firstChunk, hi + 1, BlocksPerFile).flatMap { chunkStart =>
-      val path = Paths.get(chainDir, "chain", f"blocks-$chunkStart%07d.jsonl")
-      if (!Files.exists(path)) Iterator.empty
-      else new Iterator[String] {
-        private val reader = new BufferedReader(new FileReader(path.toFile))
-        private var nextLine = reader.readLine()
-        def hasNext: Boolean = nextLine != null
-        def next(): String = {
-          val l = nextLine; nextLine = reader.readLine()
-          if (nextLine == null) reader.close()
-          l
-        }
-      }.map(parseBlock(_, fullTx)).filter(b => b.number >= lo && b.number <= hi)
+      // Eager per-chunk read (≤1024 lines) so the handle closes here even
+      // when the consumer stops early (LIMIT / nextOption) — a lazily
+      // draining reader leaked one descriptor per abandoned iterator.
+      chunkLines(chunkStart).iterator
+        .map(parseBlock(_, fullTx)).filter(b => b.number >= lo && b.number <= hi)
+    }
+  }
+
+  /** All JSONL lines of one chunk file; empty when the chunk is absent. */
+  private def chunkLines(chunkStart: Long): IndexedSeq[String] = {
+    val path = Paths.get(chainDir, "chain", f"blocks-$chunkStart%07d.jsonl")
+    if (!Files.exists(path)) Vector.empty
+    else {
+      val reader = new BufferedReader(new FileReader(path.toFile))
+      try {
+        val b = Vector.newBuilder[String]
+        var l = reader.readLine()
+        while (l != null) { b += l; l = reader.readLine() }
+        b.result()
+      } finally reader.close()
     }
   }
 
   override def blockNumberByHash(hash: String): Option[Long] = hashIndex.get(hash)
 
-  override def timestampOf(blockNumber: Long): Long =
-    blocks(blockNumber, blockNumber).nextOption()
-      .map(_.timestamp)
+  override def timestampOf(blockNumber: Long): Long = {
+    // Planning-time point probe (timestamp binary search): blocks are laid
+    // out sequentially, one per line, so parse exactly the one line needed
+    // instead of all 1024 blocks of the chunk per probe.
+    if (blockNumber < 1 || blockNumber > tip)
+      throw new IllegalStateException(s"no block $blockNumber")
+    val chunkStart = ((blockNumber - 1) / BlocksPerFile) * BlocksPerFile + 1
+    val lines = chunkLines(chunkStart)
+    val idx = (blockNumber - chunkStart).toInt
+    if (idx >= lines.size) throw new IllegalStateException(s"no block $blockNumber")
+    val b = parseBlock(lines(idx), fullTx = false)
+    if (b.number == blockNumber) b.timestamp
+    else lines.iterator.map(parseBlock(_, fullTx = false))
+      .collectFirst { case blk if blk.number == blockNumber => blk.timestamp }
       .getOrElse(throw new IllegalStateException(s"no block $blockNumber"))
+  }
 
   override def gasPrice(): Double = 21.0e9
 

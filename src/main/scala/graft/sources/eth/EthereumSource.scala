@@ -165,9 +165,12 @@ class EthereumScanBuilder(kind: EthSchemas.TableKind, chainDir: String,
   }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    val (supported, _) = filters.partition(f => toRanges(f).isDefined)
-    supported.foreach(f => addConjunct(toRanges(f).get))
-    pushed = supported
+    // Translate each filter once: timestamp predicates binary-search the
+    // chain (log(tip) point fetches on the driver), so a second toRanges
+    // pass would double the planning-time I/O.
+    val translated = filters.flatMap(f => toRanges(f).map(f -> _))
+    translated.foreach { case (_, rs) => addConjunct(rs) }
+    pushed = translated.map(_._1)
     // Precise block-number predicates are fully honored by the range scan;
     // hash/timestamp rewrites only narrow it, so those (and everything
     // unsupported) stay residual for Spark to re-evaluate.
@@ -314,10 +317,15 @@ class EthereumPartitionReader(kind: EthSchemas.TableKind, chainDir: String,
     "erc20_to" -> (e => utf8(e.to)), "erc20_value" -> (_.value),
     "erc20_txHash" -> (e => utf8(e.txHash)), "erc20_blockNumber" -> (_.blockNumber))
 
-  /** Exact-decimal conversion for `weiDecimal` mode. */
+  /** Exact-decimal conversion for `weiDecimal` mode. A real uint256 can
+    * exceed DECIMAL(38,0) (max ~1.16e77 vs 1e38); surfacing a silently
+    * truncated value would break the "exact wei" contract, so overflow
+    * fails loudly (ANSI-style) instead. */
   private def dec(bd: java.math.BigDecimal): org.apache.spark.sql.types.Decimal = {
     val d = org.apache.spark.sql.types.Decimal(BigDecimal(bd))
-    d.changePrecision(38, 0)
+    if (!d.changePrecision(38, 0))
+      throw new ArithmeticException(
+        s"wei value $bd overflows DECIMAL(38,0); unset weiDecimal or pre-scale")
     d
   }
 
