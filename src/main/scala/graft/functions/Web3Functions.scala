@@ -1,6 +1,9 @@
 package graft.functions
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{GraftSqlBridge, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.expressions.UserDefinedFunction
+import org.apache.spark.sql.types.StringType
 
 import graft.sources.eth.{EthClient, EthFixtures}
 
@@ -42,6 +45,19 @@ object Web3Functions {
   def fromWei(num: Double, unit: String): Double = num / factor(unit)
   def toWei(num: Double, unit: String): Double = num * factor(unit)
 
+  /** Resolve a block-parameter tag the way the reference's
+    * `DefaultBlockParameter.valueOf` does (`udfs/EthereumUDFs.java:83-94`):
+    * named tags, hex-quantity strings, or plain decimal heights. `None`
+    * means "chain tip" (latest/pending). */
+  private[graft] def blockFromTag(tag: String): Option[Long] =
+    tag.toLowerCase match {
+      case "latest" | "pending" => None
+      case "earliest"           => Some(1L)
+      case h if h.startsWith("0x") => Some(java.lang.Long.parseLong(h.drop(2), 16))
+      case n if n.nonEmpty && n.forall(_.isDigit) => Some(n.toLong)
+      case other => throw new IllegalArgumentException(s"unknown block tag '$other'")
+    }
+
   /** Register all UDFs against a chain backend. Call once per session. */
   def register(spark: SparkSession, chainDir: String = EthFixtures.DefaultDir): Unit = {
     // pure conversions — deterministic, foldable
@@ -58,15 +74,43 @@ object Web3Functions {
       udf(() => client.gasPrice()).asNondeterministic())
     spark.udf.register("eth_blockNumber",
       udf(() => client.blockNumber()).asNondeterministic())
-    spark.udf.register("eth_getBalance",
-      udf((addr: String) => client.getBalance(addr, None)).asNondeterministic())
     spark.udf.register("eth_getBalance_at",
       udf((addr: String, block: Long) => client.getBalance(addr, Some(block))).asNondeterministic())
-    spark.udf.register("eth_getTransactionCount",
-      udf((addr: String) => client.getTransactionCount(addr, None)).asNondeterministic())
     spark.udf.register("eth_getTransactionCount_at",
       udf((addr: String, block: Long) => client.getTransactionCount(addr, Some(block))).asNondeterministic())
     spark.udf.register("isContract",
       udf((addr: String) => client.getCode(addr) != "0x").asNondeterministic())
+
+    // The reference overloads these by signature (`udfs/EthereumUDFs.java:
+    // 61-114`): eth_getBalance(addr), eth_getBalance(addr, height),
+    // eth_getBalance(addr, 'latest'|'earliest'|'pending'|'0x..'). Spark's
+    // registry is name-keyed with no overloading, so install a dispatching
+    // builder that picks the variant from the resolved argument types.
+    overloaded(spark, "eth_getBalance",
+      udf((addr: String) => client.getBalance(addr, None)),
+      udf((addr: String, block: Long) => client.getBalance(addr, Some(block))),
+      udf((addr: String, tag: String) => client.getBalance(addr, blockFromTag(tag))))
+    overloaded(spark, "eth_getTransactionCount",
+      udf((addr: String) => client.getTransactionCount(addr, None)),
+      udf((addr: String, block: Long) => client.getTransactionCount(addr, Some(block))),
+      udf((addr: String, tag: String) => client.getTransactionCount(addr, blockFromTag(tag))))
+  }
+
+  /** Register `name` with arity/type dispatch: 1 arg → `f0`; 2 args →
+    * `fTag` when the second argument is a string (block tag), else `fAt`
+    * (block height). All variants are RPC-backed → nondeterministic. */
+  private def overloaded(spark: SparkSession, name: String,
+      f0: UserDefinedFunction, fAt: UserDefinedFunction,
+      fTag: UserDefinedFunction): Unit = {
+    import GraftSqlBridge.{convert, toColumn}
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, {
+      case Seq(a) => convert(f0.asNondeterministic()(toColumn(a)))
+      case Seq(a, t) if t.resolved && t.dataType == StringType =>
+        convert(fTag.asNondeterministic()(toColumn(a), toColumn(t)))
+      case Seq(a, b) =>
+        convert(fAt.asNondeterministic()(toColumn(a), toColumn(b).cast("long")))
+      case es: Seq[Expression] => throw new IllegalArgumentException(
+        s"$name expects (addr) or (addr, height|tag), got ${es.length} args")
+    }, "built-in")
   }
 }

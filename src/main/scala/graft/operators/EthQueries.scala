@@ -137,8 +137,13 @@ object EthQueries {
       .orderBy($"block_number")
   }
 
-  /** Web3 UDF battery — nondeterministic RPC-backed functions; fixture
-    * client makes them stable, but there is no SQL oracle (rows-only). */
+  /** Web3 UDF battery — nondeterministic RPC-backed functions. The fixture
+    * backend derives balance/nonce/code deterministically from
+    * sha256(address) ([[graft.sources.eth.FixtureChainClient]]), which
+    * DuckDB can replay exactly (`sha256` + hex-digit folding) — so even the
+    * "live chain state" UDFs get a differential oracle. Exercises all
+    * three `eth_getBalance` shapes the reference overloads
+    * (`udfs/EthereumUDFs.java:61-114`): bare, numeric height, block tag. */
   def qUdfs(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Web3Functions.register(s, EthFixtures.ensure(s))
@@ -147,7 +152,10 @@ object EthQueries {
       .select($"tx_hash", $"tx_from", $"tx_to",
               call_udf("eth_getBalance", $"tx_from").as("from_balance"),
               call_udf("eth_getBalance_at", $"tx_from", $"tx_blockNumber").as("from_balance_at"),
+              call_udf("eth_getBalance", $"tx_from", $"tx_blockNumber").as("from_balance_ovl"),
+              call_udf("eth_getBalance", $"tx_from", lit("earliest")).as("from_balance_earliest"),
               call_udf("eth_getTransactionCount", $"tx_from").as("from_nonce"),
+              call_udf("eth_getTransactionCount", $"tx_from", lit("latest")).as("from_nonce_latest"),
               call_udf("isContract", $"tx_to").as("to_is_contract"),
               call_udf("toWei", call_udf("fromWei", $"tx_value", lit("ether")), lit("ether")).as("roundtrip"),
               call_udf("eth_blockNumber").as("tip"),
@@ -166,6 +174,16 @@ object EthQueries {
     "eth_q8_tx_per_miner" -> q8TxPerMiner _,
     "eth_q9_array_cols" -> q9ArrayCols _,
     "eth_udfs" -> qUdfs _)
+
+  /** DuckDB replica of [[graft.sources.eth.FixtureChainClient.addrSeed]]:
+    * first 15 hex chars of sha256(lower(addr)) folded to a BIGINT. */
+  private def addrSeedSql(col: String): String =
+    s"""CAST(list_sum(list_transform(range(1,16),
+        i -> (strpos('0123456789abcdef', substr(sha256(lower($col)), i, 1)) - 1)::BIGINT << (4*(15-i)))) AS BIGINT)"""
+
+  private def tokenAddrList: String =
+    graft.sources.eth.Erc20Decoder.tokenBySymbolAddr.values
+      .map(_.toLowerCase).toSeq.sorted.mkString("'", "','", "'")
 
   val oracle: Map[String, String] = Map(
     "eth_q1_blocktime" -> withEthTables(
@@ -210,5 +228,22 @@ object EthQueries {
       """SELECT block_number, CAST(len(block_transactions) AS BIGINT) AS n_tx,
          CAST(len(block_uncles) AS BIGINT) AS n_uncles,
          block_transactions[1] AS first_tx
-         FROM block WHERE block_number <= 500 ORDER BY block_number"""))
+         FROM block WHERE block_number <= 500 ORDER BY block_number"""),
+    "eth_udfs" -> withEthTables(
+      s"""SELECT tx_hash, tx_from, tx_to,
+          (hf % 1000000) * 1e15 + ${EthFixtures.Blocks} * 1e9 AS from_balance,
+          (hf % 1000000) * 1e15 + tx_blockNumber * 1e9 AS from_balance_at,
+          (hf % 1000000) * 1e15 + tx_blockNumber * 1e9 AS from_balance_ovl,
+          (hf % 1000000) * 1e15 + 1e9 AS from_balance_earliest,
+          CAST(hf % 497 + ${EthFixtures.Blocks / 1024} AS BIGINT) AS from_nonce,
+          CAST(hf % 497 + ${EthFixtures.Blocks / 1024} AS BIGINT) AS from_nonce_latest,
+          (lower(tx_to) IN ($tokenAddrList) OR ht % 5 = 0) AS to_is_contract,
+          tx_value / 1e18 * 1e18 AS roundtrip,
+          CAST(${EthFixtures.Blocks} AS BIGINT) AS tip,
+          21e9 AS gas_price
+          FROM (SELECT tx_hash, tx_from, tx_to, tx_blockNumber, tx_value,
+                ${addrSeedSql("tx_from")} AS hf, ${addrSeedSql("tx_to")} AS ht
+                FROM transaction
+                WHERE tx_blockNumber <= 50 AND tx_to IS NOT NULL)
+          ORDER BY tx_hash"""))
 }

@@ -10,4 +10,13 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftSqlBridge {
   def toColumn(e: Expression): Column = classic.ExpressionUtils.column(e)
   def toExpression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Eagerly convert a Column's node tree to a Catalyst expression.
+    * `toExpression` merely wraps the node (`ColumnNodeExpression`), which
+    * the analyzer converts only on plans built through the classic
+    * Dataset API — a FunctionRegistry builder must hand the analyzer a
+    * real expression tree (e.g. `ScalaUDF` for a UDF-applied column), so
+    * run the standalone converter here. */
+  def convert(c: Column): Expression =
+    classic.ColumnNodeToExpressionConverter(c.node)
 }

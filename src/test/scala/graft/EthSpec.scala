@@ -96,6 +96,14 @@ class Web3UnitsSpec extends AnyFunSuite {
     assert(Web3Functions.fromWei(1e18, "ether") == 1.0)
     assert(Web3Functions.toWei(2.0, "gwei") == 2e9)
   }
+  test("blockFromTag resolves named tags, hex quantities, decimal heights") {
+    assert(Web3Functions.blockFromTag("latest").isEmpty)
+    assert(Web3Functions.blockFromTag("PENDING").isEmpty)
+    assert(Web3Functions.blockFromTag("earliest").contains(1L))
+    assert(Web3Functions.blockFromTag("0x10").contains(16L))
+    assert(Web3Functions.blockFromTag("42").contains(42L))
+    intercept[IllegalArgumentException](Web3Functions.blockFromTag("nonsense"))
+  }
 }
 
 /** Range algebra used by the pushdown. */
