@@ -18,9 +18,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "built-in")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((FunctionIdentifier("simhash64"),
-      info("simhash64", "simhash64(tokens) - 64-bit SimHash of a token array"),
-      (es: Seq[Expression]) => SimHash64(es.head)))
+    ext.injectFunction((FunctionIdentifier("simhash60"),
+      info("simhash60", "simhash60(tokens) - 60-bit SimHash of a token array"),
+      (es: Seq[Expression]) => SimHash60(es.head)))
     ext.injectFunction((FunctionIdentifier("hamming64"),
       info("hamming64", "hamming64(a, b) - Hamming distance of two 64-bit sketches"),
       (es: Seq[Expression]) => HammingDist64(es(0), es(1))))

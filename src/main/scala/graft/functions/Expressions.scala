@@ -6,7 +6,6 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, 
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.GraftSqlBridge.{toColumn => column, toExpression => expression}
 import org.apache.spark.sql.types._
-import org.apache.spark.unsafe.hash.Murmur3_x86_32
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for the hot loops of the LLM-data-pipeline
@@ -18,29 +17,91 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object Expressions {
 
-  /** 64-bit SimHash over an array of token strings.
+  /** Hash scheme shared by the dedup sketches.
     *
-    * Classic Charikar sketch: each token hashes to 64 bits (two murmur3
-    * passes with different seeds); bit i of the result is the sign of the
-    * sum over tokens of ±1 per bit. Near-duplicate documents land within a
-    * small Hamming distance, so a 100 TB corpus dedups via grouping on
-    * rotated prefixes instead of O(n²) comparison.
+    * Every sketch (MinHash signatures, shingle sets, SimHash) derives from
+    * **md5 of the shingle/token string**, folded big-endian to 28 or 60
+    * bits, with MinHash as an affine family `(A_k·x + B_k) mod (2^31-1)`
+    * over the 28-bit fold. The point of this construction — versus an
+    * opaque xxhash64 chain — is *differential testability*: md5, hex
+    * folding and affine-mod arithmetic are exactly replayable in ANSI SQL
+    * (DuckDB list functions), so the real LSH scale-path queries get true
+    * value-level oracles instead of rows-only checks. Sketch quality is
+    * equivalent (md5 mixes at least as well), and hashing stays a linear
+    * map-side cost.
     */
-  case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
+  object Sketch {
+    /** Modulus of the affine MinHash family: the Mersenne prime 2^31-1.
+      * With 28-bit bases and A,B < P every product fits in 59 bits — no
+      * overflow in either Spark Longs or SQL BIGINTs. */
+    val MinHashP = 2147483647L
+    val MaxHashes = 32
+
+    private def lcg(seed: Long): Iterator[Long] =
+      Iterator.iterate(seed)(s => s * 6364136223846793005L + 1442695040888963407L).drop(1)
+    /** Multipliers in [1, P-1] and offsets in [0, P-1], from a fixed LCG so
+      * Scala and interpolated SQL literals agree by construction. */
+    val MinHashA: Array[Long] =
+      lcg(0x243f6a8885a308dL).map(x => (x & Long.MaxValue) % (MinHashP - 1) + 1).take(MaxHashes).toArray
+    val MinHashB: Array[Long] =
+      lcg(0x13198a2e03707344L).map(x => (x & Long.MaxValue) % MinHashP).take(MaxHashes).toArray
+
+    private val mdLocal: ThreadLocal[java.security.MessageDigest] =
+      ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+
+    /** md5 of the words `[from, from+size)` joined by a single space —
+      * digest updates only, the shingle string never materializes. */
+    def windowDigest(arr: ArrayData, from: Int, size: Int): Array[Byte] = {
+      val d = mdLocal.get(); d.reset()
+      var j = 0
+      while (j < size) {
+        if (j > 0) d.update(' '.toByte)
+        val s = arr.getUTF8String(from + j)
+        d.update(s.getBytes)
+        j += 1
+      }
+      d.digest()
+    }
+    /** First 7 hex chars of the digest as a 28-bit value. */
+    def fold28(d: Array[Byte]): Long =
+      ((d(0) & 0xffL) << 20) | ((d(1) & 0xffL) << 12) | ((d(2) & 0xffL) << 4) | ((d(3) & 0xffL) >>> 4)
+    /** First 15 hex chars of the digest as a 60-bit value (always ≥ 0). */
+    def fold60(d: Array[Byte]): Long = {
+      var v = 0L; var i = 0
+      while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+      v >>> 4
+    }
+
+    /** SQL fragment computing the same `nHex`-char big-endian md5 fold of
+      * string expression `e` (DuckDB list dialect, for the oracles). */
+    def foldSql(nHex: Int, e: String): String =
+      s"CAST(list_sum(list_transform(range(1,${nHex + 1}), " +
+        s"fi -> (strpos('0123456789abcdef', substr(md5($e), fi, 1)) - 1)::BIGINT << (4*($nHex-fi)))) AS BIGINT)"
+  }
+
+  /** 60-bit SimHash over an array of token strings.
+    *
+    * Classic Charikar sketch: each token hashes to 60 bits
+    * ([[Sketch.fold60]] of its md5); bit i of the result is the sign of
+    * the sum over tokens of ±1 per bit. Near-duplicate documents land
+    * within a small Hamming distance, so a 100 TB corpus dedups via
+    * grouping on sketch chunks instead of O(n²) comparison. 60 bits (not
+    * 64) keeps the sketch positive in a signed BIGINT on both sides of
+    * the differential oracle; 4×15-bit chunk banding retains the
+    * pigeonhole guarantee for Hamming distance ≤ 3.
+    */
+  case class SimHash60(child: Expression) extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = LongType
     override def nullSafeEval(input: Any): Any = {
       val arr = input.asInstanceOf[ArrayData]
-      val counts = new Array[Int](64)
+      val counts = new Array[Int](60)
       var i = 0
       val n = arr.numElements()
       while (i < n) {
         if (!arr.isNullAt(i)) {
-          val s = arr.getUTF8String(i)
-          val h1 = Murmur3_x86_32.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 0x9747b28c)
-          val h2 = Murmur3_x86_32.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 0x85ebca6b)
-          val h = (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
+          val h = Sketch.fold60(Sketch.windowDigest(arr, i, 1))
           var b = 0
-          while (b < 64) {
+          while (b < 60) {
             if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
             b += 1
           }
@@ -49,11 +110,11 @@ object Expressions {
       }
       var out = 0L
       var b = 0
-      while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
+      while (b < 60) { if (counts(b) > 0) out |= (1L << b); b += 1 }
       out
     }
-    override protected def withNewChildInternal(newChild: Expression): SimHash64 = copy(newChild)
-    override def prettyName: String = "simhash64"
+    override protected def withNewChildInternal(newChild: Expression): SimHash60 = copy(newChild)
+    override def prettyName: String = "simhash60"
   }
 
   /** Hamming distance between two 64-bit sketches. */
@@ -90,26 +151,12 @@ object Expressions {
     override def prettyName: String = "cosine_sim"
   }
 
-  import org.apache.spark.sql.catalyst.expressions.XXH64
   import org.apache.spark.sql.catalyst.util.GenericArrayData
 
-  /** Hash of one word-shingle window `[from, from+size)`: chained xxhash64
-    * over the words' bytes (word boundaries preserved by chaining the seed). */
-  private def windowHash(arr: ArrayData, from: Int, size: Int): Long = {
-    var h = 0x9e3779b97f4a7c15L
-    var j = 0
-    while (j < size) {
-      val s = arr.getUTF8String(from + j)
-      h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, h)
-      j += 1
-    }
-    h
-  }
-
-  /** MinHash signature computed straight from the word array: shingle
-    * windows are hashed in place (no shingle strings, slices or distinct
-    * pass ever materialize) and the K per-hash minima are derived from each
-    * window hash with one cheap long-mix per k.
+  /** MinHash signature computed straight from the word array: each shingle
+    * window is md5-digested in place (no shingle strings, slices or
+    * distinct pass ever materialize — see [[Sketch.windowDigest]]) and the
+    * K per-hash minima are updated with one affine mod per k.
     *
     * The `Column`-composed equivalent (slice+concat_ws per window,
     * array_distinct, then K array traversals) allocates O(W·shingleSize)
@@ -119,6 +166,7 @@ object Expressions {
     */
   case class MinHashSigFromWords(child: Expression, shingleSize: Int, numHashes: Int)
       extends UnaryExpression with CodegenFallback {
+    require(numHashes <= Sketch.MaxHashes, s"at most ${Sketch.MaxHashes} hash functions")
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullSafeEval(input: Any): Any = {
       val arr = input.asInstanceOf[ArrayData]
@@ -128,10 +176,10 @@ object Expressions {
       val windows = math.max(1, n - shingleSize + 1)
       var i = 0
       while (i < windows) {
-        val h = windowHash(arr, i, math.min(shingleSize, n - i))
+        val base = Sketch.fold28(Sketch.windowDigest(arr, i, math.min(shingleSize, n - i)))
         var k = 0
         while (k < numHashes) {
-          val hk = XXH64.hashLong(h, k.toLong)
+          val hk = (Sketch.MinHashA(k) * base + Sketch.MinHashB(k)) % Sketch.MinHashP
           if (hk < mins(k)) mins(k) = hk
           k += 1
         }
@@ -144,9 +192,11 @@ object Expressions {
     override def prettyName: String = "minhash_sig_words"
   }
 
-  /** Sorted distinct hashes of all word-shingle windows — the document's
-    * shingle *set* represented as longs, for exact-Jaccard verification
-    * without materializing shingle strings. */
+  /** Sorted distinct 60-bit hashes of all word-shingle windows — the
+    * document's shingle *set* represented as longs, for exact-Jaccard
+    * verification without materializing shingle strings. Same-hash-both-
+    * sides makes Jaccard over these sets identical to the oracle's even
+    * under (negligible) 60-bit collisions. */
   case class ShingleHashes(child: Expression, shingleSize: Int)
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -157,7 +207,7 @@ object Expressions {
       val hs = new Array[Long](windows)
       var i = 0
       while (i < windows) {
-        hs(i) = windowHash(arr, i, math.min(shingleSize, n - i))
+        hs(i) = Sketch.fold60(Sketch.windowDigest(arr, i, math.min(shingleSize, n - i)))
         i += 1
       }
       java.util.Arrays.sort(hs)
@@ -252,7 +302,7 @@ object Expressions {
     override def prettyName: String = "lsh_bucket"
   }
 
-  def simhash64(tokens: Column): Column = column(SimHash64(expression(tokens)))
+  def simhash60(tokens: Column): Column = column(SimHash60(expression(tokens)))
   def minhashSigFromWords(words: Column, shingleSize: Int, numHashes: Int): Column =
     column(MinHashSigFromWords(expression(words), shingleSize, numHashes))
   def shingleHashes(words: Column, shingleSize: Int): Column =
@@ -266,10 +316,10 @@ object Expressions {
   def hamming64(a: Column, b: Column): Column = column(HammingDist64(expression(a), expression(b)))
   def cosineSim(a: Column, b: Column): Column = column(CosineSim(expression(a), expression(b)))
 
-  /** SQL registration: `simhash64(tokens)`, `hamming64(a,b)`, `cosine_sim(a,b)`. */
+  /** SQL registration: `simhash60(tokens)`, `hamming64(a,b)`, `cosine_sim(a,b)`. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("simhash64", es => SimHash64(es.head), "built-in")
+    reg.createOrReplaceTempFunction("simhash60", es => SimHash60(es.head), "built-in")
     reg.createOrReplaceTempFunction("hamming64", es => HammingDist64(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("cosine_sim", es => CosineSim(es(0), es(1)), "built-in")
   }

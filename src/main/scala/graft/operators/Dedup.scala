@@ -124,15 +124,15 @@ object Dedup {
 
   // ---- SimHash ----
 
-  /** SimHash near-dup pairs: band on 4×16-bit chunks of the sketch (two
-    * sketches within Hamming distance r<4 must share ≥1 exact chunk),
+  /** SimHash near-dup pairs: band on 4×15-bit chunks of the 60-bit sketch
+    * (two sketches within Hamming distance r<4 must share ≥1 exact chunk),
     * verify with full Hamming distance. */
   def simhashPairs(s: SparkSession, d: String, maxHamming: Int = 3): DataFrame = {
     import s.implicits._
     val sketch = documents(s, d)
-      .select($"doc_id", Expressions.simhash64(wsTokens(canonical($"text"))).as("sh"))
+      .select($"doc_id", Expressions.simhash60(wsTokens(canonical($"text"))).as("sh"))
     val banded = sketch.select($"doc_id", $"sh",
-      posexplode(array((0 until 4).map(i => shiftrightunsigned($"sh", i * 16).bitwiseAND(lit(0xffffL))): _*))
+      posexplode(array((0 until 4).map(i => shiftrightunsigned($"sh", i * 15).bitwiseAND(lit(0x7fffL))): _*))
         .as(Seq("band", "chunk")))
     val a = banded.as("a"); val b = banded.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
@@ -193,7 +193,109 @@ object Dedup {
     "nd_dedup_embedding" -> ((s: SparkSession, d: String) => embeddingPairs(s, d)),
     "nd_dedup_embedding_brute" -> embeddingPairsBrute _)
 
+  // ---- DuckDB replicas of the sketch pipeline (see Expressions.Sketch:
+  // the hash scheme is md5-fold + affine-mod precisely so these oracles
+  // can replay the real LSH scale-path queries value-for-value). ----
+
+  import graft.functions.Expressions.Sketch
+
+  /** Tokenization + shingling CTEs shared by the sketch oracles — mirrors
+    * [[TextAnalysis.canonical]]/[[TextAnalysis.wsTokens]] and the
+    * one-truncated-window rule of [[Expressions.MinHashSigFromWords]] for
+    * docs shorter than the shingle size. */
+  private val shingleCtes =
+    s"""docs AS (
+          SELECT doc_id,
+                 string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS words
+          FROM documents),
+        shing AS (
+          SELECT doc_id,
+                 CASE WHEN len(words) >= $ShingleSize
+                      THEN list_transform(range(1, len(words) - ${ShingleSize - 2}),
+                                          i -> array_to_string(words[i:i+${ShingleSize - 1}], ' '))
+                      ELSE [array_to_string(words, ' ')] END AS shings
+          FROM docs) """
+
+  /** `[sig_0, ..., sig_31]` — the affine MinHash family over the 28-bit
+    * md5 folds in column `hs`, constants interpolated from [[Sketch]]. */
+  private def sigSql: String =
+    (0 until NumHashes).map { k =>
+      s"list_min(list_transform(hs, h -> (${Sketch.MinHashA(k)}*h + ${Sketch.MinHashB(k)}) % ${Sketch.MinHashP}))"
+    }.mkString("[", ",\n             ", "]")
+
+  private val rowsPerBand = NumHashes / Bands
+
+  /** CTEs from shingles to LSH candidate pairs `(doc_a, doc_b, sa, sb)`:
+    * signature, band explode, slice-equality self-join. The Spark side
+    * joins on xxhash64 of the slice — equal slices collide identically,
+    * unequal slices collide with prob 2^-64, so the outputs agree. */
+  private def candCtes: String =
+    s"""mb AS (SELECT doc_id, list_transform(shings, s -> ${Sketch.foldSql(7, "s")}) AS hs FROM shing),
+        sigs AS (SELECT doc_id, $sigSql AS sig FROM mb),
+        banded AS (
+          SELECT doc_id, sig, t.b AS band, sig[$rowsPerBand*t.b+1 : $rowsPerBand*t.b+$rowsPerBand] AS slice
+          FROM sigs CROSS JOIN range(0, $Bands) t(b)),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sig AS sa, b.sig AS sb
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.slice = b.slice AND a.doc_id < b.doc_id),
+        est AS (
+          SELECT doc_a, doc_b,
+                 round(len(list_filter(range(1, ${NumHashes + 1}), i -> sa[i] = sb[i])) / ${NumHashes}.0, 4) AS est_jaccard
+          FROM cand)"""
+
   val oracle: Map[String, String] = Map(
+    "nd_dedup_minhash" ->
+      s"""WITH $shingleCtes, $candCtes
+         SELECT doc_a, doc_b, est_jaccard FROM est
+         WHERE est_jaccard >= 0.5
+         ORDER BY doc_a, doc_b""",
+    "nd_dedup_ngram_jaccard" ->
+      s"""WITH $shingleCtes, $candCtes,
+         sh60 AS (SELECT doc_id, list_distinct(list_transform(shings, s -> ${Sketch.foldSql(15, "s")})) AS sh
+                  FROM shing)
+         SELECT doc_a, doc_b, est_jaccard, jaccard FROM (
+           SELECT doc_a, doc_b, est_jaccard,
+                  round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+                        / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))), 4) AS jaccard
+           FROM est JOIN sh60 x ON est.doc_a = x.doc_id
+                    JOIN sh60 y ON est.doc_b = y.doc_id
+           WHERE est_jaccard >= 0.3)
+         WHERE jaccard >= 0.3
+         ORDER BY doc_a, doc_b""",
+    "nd_dedup_simhash" ->
+      s"""WITH $shingleCtes,
+         toks AS (SELECT doc_id, list_transform(words, t -> ${Sketch.foldSql(15, "t")}) AS hts FROM docs),
+         sk AS (
+           SELECT doc_id,
+                  CAST(list_sum(list_transform(range(0, 60), j ->
+                    CASE WHEN list_sum(list_transform(hts, h -> CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+                         THEN (1::BIGINT << j) ELSE 0 END)) AS BIGINT) AS sh
+           FROM toks),
+         sbanded AS (
+           SELECT doc_id, sh, t.c AS band, (sh >> (15*t.c)) & 32767 AS chunk
+           FROM sk CROSS JOIN range(0, 4) t(c))
+         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+         FROM sbanded a JOIN sbanded b
+           ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.sh, b.sh)) <= 3
+         ORDER BY doc_a, doc_b""",
+    "nd_dedup_embedding" ->
+      s"""WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         bkt AS (
+           SELECT vec_id, v,
+                  CAST(list_sum(list_transform(range(0, 6), p ->
+                    CASE WHEN list_sum(list_transform(range(1, len(v) + 1), i ->
+                           CASE WHEN ((i-1)*2654435761 + p*40503) & 4 = 0 THEN v[i] ELSE -v[i] END)) >= 0
+                         THEN (1::BIGINT << p) ELSE 0 END)) AS BIGINT) AS bucket
+           FROM vecs)
+         SELECT vec_a, vec_b, cos_sim FROM (
+           SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                  round(list_cosine_similarity(a.v, b.v), 4) AS cos_sim
+           FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+         WHERE cos_sim >= 0.3
+         ORDER BY vec_a, vec_b""",
     "nd_dedup_exact" ->
       """SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS text_key,
          min(doc_id) AS keeper_id, count(*) AS n_copies

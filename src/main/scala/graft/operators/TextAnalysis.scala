@@ -112,7 +112,7 @@ object TextAnalysis {
       .select($"doc_id",
         md5(canonical($"text")).as("md5_canonical"),
         xxhash64(canonical($"text")).as("content_hash"),
-        Expressions.simhash64(wsTokens(canonical($"text"))).as("simhash"))
+        Expressions.simhash60(wsTokens(canonical($"text"))).as("simhash"))
       .orderBy($"doc_id")
   }
 

@@ -17,7 +17,7 @@ class ExpressionsSpec extends AnyFunSuite {
       (1L, Seq("a", "b", "c", "d")),
       (2L, Seq("a", "b", "c", "d")),
       (3L, Seq("x", "y", "z", "w"))).toDF("id", "toks")
-      .select($"id", Expressions.simhash64($"toks").as("sh"))
+      .select($"id", Expressions.simhash60($"toks").as("sh"))
     val m = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(m(1L) == m(2L))
     assert(m(1L) != m(3L))
@@ -28,7 +28,7 @@ class ExpressionsSpec extends AnyFunSuite {
     val similar = base.updated(5, "CHANGED").updated(40, "ALSO")
     val other = (1 to 60).map(i => s"other$i")
     val df = Seq((1L, base), (2L, similar), (3L, other)).toDF("id", "toks")
-      .select($"id", Expressions.simhash64($"toks").as("sh"))
+      .select($"id", Expressions.simhash60($"toks").as("sh"))
     val m = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
     assert(ham(m(1L), m(2L)) <= 12, s"near-dup hamming ${ham(m(1L), m(2L))}")
@@ -53,7 +53,7 @@ class ExpressionsSpec extends AnyFunSuite {
   test("expressions registered for SQL use") {
     Expressions.register(spark)
     val r = spark.sql(
-      "SELECT hamming64(simhash64(array('a','b')), simhash64(array('a','b'))) h, " +
+      "SELECT hamming64(simhash60(array('a','b')), simhash60(array('a','b'))) h, " +
       "cosine_sim(array(1.0d, 0.0d), array(1.0d, 0.0d)) c").head()
     assert(r.getInt(0) == 0 && math.abs(r.getDouble(1) - 1.0) < 1e-12)
   }

@@ -92,7 +92,7 @@ class PlanSpec extends AnyFunSuite {
         .withExtensions(new GraftExtensions)
         .getOrCreate()
       val r = s2.sql(
-        "SELECT hamming64(simhash64(array('x','y')), simhash64(array('x','y'))) h").head()
+        "SELECT hamming64(simhash60(array('x','y')), simhash60(array('x','y'))) h").head()
       assert(r.getInt(0) == 0)
     } finally {
       SparkSession.setDefaultSession(prev)
