@@ -28,5 +28,5 @@ object SparkEntry {
     Relational.oracle ++ Subqueries.oracle ++ TpchShapes.oracle ++
       EthQueries.oracle ++
       TextAnalysis.oracle ++ Dedup.oracle ++ Similarity.oracle ++
-      Multimodal.oracle
+      Multimodal.oracle ++ Pipeline.oracle
 }

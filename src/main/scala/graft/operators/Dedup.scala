@@ -203,7 +203,7 @@ object Dedup {
     * [[TextAnalysis.canonical]]/[[TextAnalysis.wsTokens]] and the
     * one-truncated-window rule of [[Expressions.MinHashSigFromWords]] for
     * docs shorter than the shingle size. */
-  private val shingleCtes =
+  private[operators] val shingleCtesSql: String =
     s"""docs AS (
           SELECT doc_id,
                  string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS words
@@ -229,7 +229,7 @@ object Dedup {
     * signature, band explode, slice-equality self-join. The Spark side
     * joins on xxhash64 of the slice — equal slices collide identically,
     * unequal slices collide with prob 2^-64, so the outputs agree. */
-  private def candCtes: String =
+  private[operators] val candCtesSql: String =
     s"""mb AS (SELECT doc_id, list_transform(shings, s -> ${Sketch.foldSql(7, "s")}) AS hs FROM shing),
         sigs AS (SELECT doc_id, $sigSql AS sig FROM mb),
         banded AS (
@@ -241,17 +241,17 @@ object Dedup {
             ON a.band = b.band AND a.slice = b.slice AND a.doc_id < b.doc_id),
         est AS (
           SELECT doc_a, doc_b,
-                 round(len(list_filter(range(1, ${NumHashes + 1}), i -> sa[i] = sb[i])) / ${NumHashes}.0, 4) AS est_jaccard
+                 round(CAST(len(list_filter(range(1, ${NumHashes + 1}), i -> sa[i] = sb[i])) AS DOUBLE) / $NumHashes, 4) AS est_jaccard
           FROM cand)"""
 
   val oracle: Map[String, String] = Map(
     "nd_dedup_minhash" ->
-      s"""WITH $shingleCtes, $candCtes
+      s"""WITH $shingleCtesSql, $candCtesSql
          SELECT doc_a, doc_b, est_jaccard FROM est
          WHERE est_jaccard >= 0.5
          ORDER BY doc_a, doc_b""",
     "nd_dedup_ngram_jaccard" ->
-      s"""WITH $shingleCtes, $candCtes,
+      s"""WITH $shingleCtesSql, $candCtesSql,
          sh60 AS (SELECT doc_id, list_distinct(list_transform(shings, s -> ${Sketch.foldSql(15, "s")})) AS sh
                   FROM shing)
          SELECT doc_a, doc_b, est_jaccard, jaccard FROM (
@@ -264,7 +264,7 @@ object Dedup {
          WHERE jaccard >= 0.3
          ORDER BY doc_a, doc_b""",
     "nd_dedup_simhash" ->
-      s"""WITH $shingleCtes,
+      s"""WITH $shingleCtesSql,
          toks AS (SELECT doc_id, list_transform(words, t -> ${Sketch.foldSql(15, "t")}) AS hts FROM docs),
          sk AS (
            SELECT doc_id,

@@ -140,12 +140,42 @@ object Multimodal {
     "nd_multimodal_frames" -> frameStatsOracle _,
     "nd_multimodal_frames_full" -> frameStats _)
 
-  /** Frame sampling is oracle-checkable from documents (payload = utf-8
-    * text bytes, video ≡ doc_id%3=2, every 4th 64-byte window). */
+  /** All three queries are oracle-checkable from documents: the payload is
+    * the utf-8 text bytes (ASCII in the fixture corpus, so byte == char),
+    * the fake decode is deterministic integer arithmetic, and the
+    * histogram/frame sums reduce to character-class counts the SQL can
+    * replay (modality: doc_id%3 → image/audio/video; video frames = every
+    * 4th 64-byte window). */
   val oracle: Map[String, String] = Map(
     "nd_multimodal_frames" ->
       """SELECT doc_id AS media_id,
          CAST(ceil(ceil(octet_length(encode(text)) / 64.0) / 4.0) AS BIGINT) AS n_sampled
          FROM documents WHERE doc_id % 3 = 2 AND octet_length(encode(text)) > 0
-         ORDER BY media_id""")
+         ORDER BY media_id""",
+    "nd_multimodal_frames_full" ->
+      """SELECT doc_id AS media_id,
+         CAST(ceil(ceil(octet_length(encode(text)) / 64.0) / 4.0) AS BIGINT) AS n_sampled,
+         CAST(list_sum(list_transform(range(1, length(text) + 1),
+           i -> CASE WHEN ((i-1) // 64) % 4 = 0 THEN ascii(substr(text, CAST(i AS INTEGER), 1)) ELSE 0 END)) AS BIGINT) AS sum_bytes
+         FROM documents WHERE doc_id % 3 = 2 AND octet_length(encode(text)) > 0
+         ORDER BY media_id""",
+    "nd_multimodal_features" ->
+      """WITH media AS (
+           SELECT doc_id AS media_id,
+                  ['image', 'audio', 'video'][CAST(doc_id % 3 AS INTEGER) + 1] AS modality,
+                  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                  len(regexp_extract_all(text, '[`a-o]')) AS bin7_count
+           FROM documents),
+         feat AS (
+           SELECT media_id, modality, n_bytes,
+                  CASE modality WHEN 'image' THEN 1
+                                WHEN 'audio' THEN n_bytes // 160
+                                ELSE greatest(1, n_bytes // 1024) END AS n_frames,
+                  (bin7_count::REAL / greatest(1, n_bytes)::REAL) AS hist_bin7
+           FROM media)
+         SELECT modality, count(*) AS n_media,
+                CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+                round(avg(n_frames), 4) AS avg_frames,
+                round(avg(hist_bin7), 6) AS avg_hist_bin7
+         FROM feat GROUP BY modality ORDER BY modality""")
 }

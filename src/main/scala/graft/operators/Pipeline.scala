@@ -63,4 +63,37 @@ object Pipeline {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "nd_pipeline_curation" -> curationStats _)
+
+  /** DuckDB replica of the whole curation pipeline — quality filter,
+    * exact-dedup keepers and the ≥0.8-estimate minhash losers all reuse
+    * the same replayable constructions as the [[TextAnalysis]] /
+    * [[Dedup]] oracles. */
+  val oracle: Map[String, String] = Map(
+    "nd_pipeline_curation" ->
+      s"""WITH ${Dedup.shingleCtesSql}, ${Dedup.candCtesSql},
+          quality AS (
+            SELECT doc_id FROM (
+              SELECT doc_id,
+                least(1.0::DOUBLE, n_tokens_ws / 64.0::DOUBLE) * 0.4::DOUBLE
+                      + coalesce(1.0::DOUBLE - least(1.0::DOUBLE, n_punct / nullif(CAST(n_tokens_ws AS DOUBLE), 0.0::DOUBLE)), 0.0::DOUBLE) * 0.3::DOUBLE
+                      + coalesce(least(1.0::DOUBLE, round(n_stop / nullif(n_tokens_ws, 0), 4) * 5), 0.0::DOUBLE) * 0.3::DOUBLE AS quality
+              FROM (
+                SELECT doc_id,
+                  CAST(len(string_split_regex(text, ' +')) AS BIGINT) AS n_tokens_ws,
+                  CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS BIGINT) AS n_punct,
+                  CAST(len(list_filter(string_split_regex(text, ' +'), w -> w IN (${TextAnalysis.stopListSql}))) AS BIGINT) AS n_stop
+                FROM documents))
+            WHERE quality >= 0.4::DOUBLE),
+          keepers AS (
+            SELECT min(doc_id) AS doc_id
+            FROM (SELECT doc_id, md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS k
+                  FROM documents)
+            GROUP BY k),
+          losers AS (SELECT DISTINCT doc_b AS doc_id FROM est WHERE est_jaccard >= 0.8)
+          SELECT lang, count(*) AS n_docs, CAST(sum(length(text)) AS BIGINT) AS total_chars
+          FROM documents
+          WHERE doc_id IN (SELECT doc_id FROM quality)
+            AND doc_id IN (SELECT doc_id FROM keepers)
+            AND doc_id NOT IN (SELECT doc_id FROM losers)
+          GROUP BY lang ORDER BY lang""")
 }

@@ -133,7 +133,79 @@ object Similarity {
     "nd_knn_lsh" -> ((s: SparkSession, d: String) => knnLsh(s, d)),
     "nd_knn_ivf" -> ((s: SparkSession, d: String) => knnIvf(s, d)))
 
+  /** DuckDB replica of [[Dedup.embeddingBucket]] ([[graft.functions.Expressions.LshBucket]])
+    * for hash table `t`: bit p of the bucket is the sign of the pseudo-
+    * hyperplane dot product, plane components ±1 from the same integer
+    * hash. `v` must be a DOUBLE[] column reference. */
+  private def bucketSql(v: String, planes: Int, t: String): String =
+    s"""CAST(list_sum(list_transform(range(0, $planes), p ->
+        CASE WHEN list_sum(list_transform(range(1, len($v) + 1), i ->
+               CASE WHEN ((i-1)*2654435761 + p*40503 + $t*1099511628211) & 4 = 0
+                    THEN $v[i] ELSE -$v[i] END)) >= 0
+             THEN (1::BIGINT << p) ELSE 0 END)) AS BIGINT)"""
+
   val oracle: Map[String, String] = Map(
+    "nd_knn_lsh" ->
+      s"""WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          corpus AS (
+            SELECT vec_id, v, t.t AS tbl, ${bucketSql("v", 6, "t.t")} AS bucket
+            FROM vecs CROSS JOIN range(0, 4) t(t)),
+          qb AS (
+            SELECT vec_id AS query_id, v AS qv, t.t AS tbl, ${bucketSql("v", 6, "t.t")} AS qbucket
+            FROM vecs CROSS JOIN range(0, 4) t(t) WHERE vec_id < 5),
+          probes AS (
+            SELECT query_id, qv, tbl, unnest(list_prepend(qbucket,
+                     list_transform(range(0, 6), i -> xor(qbucket, 1::BIGINT << i)))) AS probe
+            FROM qb),
+          cand AS (
+            SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id
+            FROM corpus c JOIN probes q
+              ON c.tbl = q.tbl AND c.bucket = q.probe AND c.vec_id <> q.query_id),
+          scored AS (
+            SELECT query_id, neighbor_id, list_cosine_similarity(a.v, b.v) AS sim
+            FROM cand JOIN vecs a ON cand.query_id = a.vec_id
+                      JOIN vecs b ON cand.neighbor_id = b.vec_id),
+          r AS (
+            SELECT query_id, neighbor_id, sim,
+                   row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk
+            FROM scored)
+          SELECT query_id, neighbor_id, round(sim, 6) AS cos_sim, CAST(rk AS BIGINT) AS rank
+          FROM r WHERE rk <= 5 ORDER BY query_id, rank""",
+    "nd_knn_ivf" ->
+      """WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          seeds AS (SELECT vec_id AS list_id, v AS cv FROM vecs WHERE vec_id < 16),
+          a1 AS (
+            SELECT vec_id, v, list_id,
+                   row_number() OVER (PARTITION BY vec_id
+                     ORDER BY list_cosine_similarity(v, cv) DESC, list_id) AS rn
+            FROM vecs CROSS JOIN seeds),
+          asg1 AS (SELECT vec_id, v, list_id FROM a1 WHERE rn = 1),
+          cent AS (
+            SELECT list_id, t.pos AS pos, avg(v[t.pos]) AS m
+            FROM asg1 CROSS JOIN range(1, 65) t(pos)
+            GROUP BY list_id, t.pos),
+          cvecs AS (SELECT list_id, list(m ORDER BY pos) AS cv FROM cent GROUP BY list_id),
+          a2 AS (
+            SELECT vec_id, v, list_id,
+                   row_number() OVER (PARTITION BY vec_id
+                     ORDER BY list_cosine_similarity(v, cv) DESC, list_id) AS rn
+            FROM vecs CROSS JOIN cvecs),
+          lists AS (SELECT vec_id, v, list_id FROM a2 WHERE rn = 1),
+          qs AS (
+            SELECT q.vec_id AS query_id, q.v AS qv, c.list_id,
+                   row_number() OVER (PARTITION BY q.vec_id
+                     ORDER BY list_cosine_similarity(q.v, c.cv) DESC, c.list_id) AS rn
+            FROM vecs q CROSS JOIN cvecs c WHERE q.vec_id < 5),
+          probes AS (SELECT query_id, qv, list_id FROM qs WHERE rn <= 4),
+          cand AS (
+            SELECT query_id, vec_id AS neighbor_id, list_cosine_similarity(qv, v) AS sim
+            FROM lists JOIN probes USING (list_id) WHERE vec_id <> query_id),
+          r AS (
+            SELECT query_id, neighbor_id, sim,
+                   row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk
+            FROM cand)
+          SELECT query_id, neighbor_id, round(sim, 6) AS cos_sim, CAST(rk AS BIGINT) AS rank
+          FROM r WHERE rk <= 5 ORDER BY query_id, rank""",
     "nd_knn_brute" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
                     FROM embeddings WHERE vec_id < 5),

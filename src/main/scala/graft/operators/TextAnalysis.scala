@@ -33,7 +33,6 @@ object TextAnalysis {
     * count/ratio — the raw signals of quality scoring. */
   def textStats(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val stopList = stopwords.map(w => s"'$w'").mkString(", ")
     documents(s, d)
       .select(
         $"doc_id", $"lang", $"source",
@@ -41,7 +40,7 @@ object TextAnalysis {
         size(wsTokens($"text")).cast("long").as("n_tokens_ws"),
         size(regexTokens($"text")).cast("long").as("n_tokens_re"),
         length(regexp_replace($"text", "[^.!?,;:]", "")).cast("long").as("n_punct"),
-        expr(s"CAST(size(filter(split(text, ' +'), w -> w IN ($stopList))) AS BIGINT)")
+        expr(s"CAST(size(filter(split(text, ' +'), w -> w IN ($stopListSql))) AS BIGINT)")
           .as("n_stop"))
       .withColumn("stop_ratio",
         round($"n_stop" / expr("nullif(n_tokens_ws, 0)"), 4))
@@ -49,7 +48,14 @@ object TextAnalysis {
   }
 
   /** Quality score in [0,1] from length/punct/stopword signals plus a
-    * boolean keep-flag — the filter stage of a data pipeline. */
+    * boolean keep-flag — the filter stage of a data pipeline.
+    *
+    * Scores are emitted unrounded: per-row double arithmetic with a fixed
+    * operation order is bit-identical across engines, whereas a final
+    * `round(x, 4)` is NOT oracle-safe — Spark rounds the shortest decimal
+    * repr of the double (BigDecimal.valueOf) while standard engines round
+    * the binary value, and the two disagree on repr-half ties like
+    * 0.76255. */
   def qualityScore(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     textStats(s, d)
@@ -59,12 +65,10 @@ object TextAnalysis {
         lit(1.0) - least(lit(1.0), $"n_punct" / expr("nullif(CAST(n_tokens_ws AS DOUBLE), 0.0)")))
       .withColumn("stop_score", least(lit(1.0), $"stop_ratio" * 5))
       .withColumn("quality",
-        round(($"len_score" * 0.4 + coalesce($"punct_score", lit(0.0)) * 0.3 +
-               coalesce($"stop_score", lit(0.0)) * 0.3), 4))
+        $"len_score" * 0.4 + coalesce($"punct_score", lit(0.0)) * 0.3 +
+          coalesce($"stop_score", lit(0.0)) * 0.3)
       .withColumn("keep", ($"quality" >= 0.5).cast("boolean"))
-      .select($"doc_id", round($"len_score", 4).as("len_score"),
-              round($"punct_score", 4).as("punct_score"),
-              round($"stop_score", 4).as("stop_score"), $"quality", $"keep")
+      .select($"doc_id", $"len_score", $"punct_score", $"stop_score", $"quality", $"keep")
       .orderBy($"doc_id")
   }
 
@@ -103,15 +107,17 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
-  /** Document fingerprints: canonical md5 (exact-dup key) + xxhash64
-    * (64-bit rolling-style content hash) + simhash (near-dup sketch). */
+  /** Document fingerprints: canonical md5 (exact-dup key) + a 60-bit
+    * content hash (md5 fold — same construction as
+    * [[graft.functions.Expressions.Sketch.fold60]], via `conv`, so the
+    * oracle can replay it) + simhash (near-dup sketch). */
   def fingerprints(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import graft.functions.Expressions
     documents(s, d)
       .select($"doc_id",
         md5(canonical($"text")).as("md5_canonical"),
-        xxhash64(canonical($"text")).as("content_hash"),
+        conv(substring(md5(canonical($"text")), 1, 15), 16, 10).cast("long").as("content_hash"),
         Expressions.simhash60(wsTokens(canonical($"text"))).as("simhash"))
       .orderBy($"doc_id")
   }
@@ -167,9 +173,73 @@ object TextAnalysis {
     "nd_fingerprints" -> fingerprints _,
     "nd_lang_stats" -> langStats _)
 
-  private val stopList = stopwords.map(w => s"'$w'").mkString(", ")
+  private[operators] val stopListSql = stopwords.map(w => s"'$w'").mkString(", ")
+
+  /** Per-language profile score in DuckDB — mirrors [[profileScore]]:
+    * sum over grams of (chars removed by deleting the gram) / gram length,
+    * left-associated so double summation order matches Spark's. */
+  private def profileScoreSql(grams: Seq[String]): String =
+    grams.map { g =>
+      val lit = g.replace("'", "''")
+      s"(length(p) - length(replace(p, '$lit', ''))) / ${math.max(1, g.length)}"
+    }.mkString(" + ")
+
+  private def langScoresUnion: String =
+    langProfiles.toSeq.sortBy(_._1).map { case (l, _) =>
+      s"SELECT doc_id, labeled_lang, '$l' AS l, score_$l AS s FROM sc"
+    }.mkString("\n           UNION ALL ")
 
   val oracle: Map[String, String] = Map(
+    "nd_text_quality" ->
+      s"""WITH stats AS (
+            SELECT doc_id,
+              CAST(len(string_split_regex(text, ' +')) AS BIGINT) AS n_tokens_ws,
+              CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS BIGINT) AS n_punct,
+              CAST(len(list_filter(string_split_regex(text, ' +'), w -> w IN ($stopListSql))) AS BIGINT) AS n_stop
+            FROM documents),
+          scored AS (
+            SELECT doc_id,
+              least(1.0::DOUBLE, n_tokens_ws / 64.0::DOUBLE) AS len_score,
+              1.0::DOUBLE - least(1.0::DOUBLE, n_punct / nullif(CAST(n_tokens_ws AS DOUBLE), 0.0::DOUBLE)) AS punct_score,
+              least(1.0::DOUBLE, round(n_stop / nullif(n_tokens_ws, 0), 4) * 5) AS stop_score
+            FROM stats),
+          q AS (
+            SELECT doc_id, len_score, punct_score, stop_score,
+              len_score * 0.4::DOUBLE + coalesce(punct_score, 0.0::DOUBLE) * 0.3::DOUBLE
+                + coalesce(stop_score, 0.0::DOUBLE) * 0.3::DOUBLE AS quality
+            FROM scored)
+          SELECT doc_id, len_score, punct_score, stop_score, quality,
+                 quality >= 0.5::DOUBLE AS keep
+          FROM q ORDER BY doc_id""",
+    "nd_lang_id" ->
+      s"""WITH sc AS (
+            SELECT doc_id, lang AS labeled_lang,
+              ${langProfiles.toSeq.sortBy(_._1).map { case (l, grams) =>
+                 s"${profileScoreSql(grams)} AS score_$l" }.mkString(",\n              ")}
+            FROM (SELECT doc_id, lang, ' ' || lower(text) || ' ' AS p FROM documents)),
+          scores AS (
+            $langScoresUnion),
+          r AS (
+            SELECT doc_id, labeled_lang, l,
+                   row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, l ASC) AS rn
+            FROM scores)
+          SELECT doc_id, labeled_lang, l AS predicted_lang
+          FROM r WHERE rn = 1 ORDER BY doc_id""",
+    "nd_fingerprints" ->
+      s"""WITH c AS (
+            SELECT doc_id,
+                   trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS canon,
+                   string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS words
+            FROM documents),
+          ht AS (SELECT doc_id, canon,
+                        list_transform(words, t -> ${graft.functions.Expressions.Sketch.foldSql(15, "t")}) AS hts
+                 FROM c)
+          SELECT doc_id, md5(canon) AS md5_canonical,
+                 ${graft.functions.Expressions.Sketch.foldSql(15, "canon")} AS content_hash,
+                 CAST(list_sum(list_transform(range(0, 60), j ->
+                   CASE WHEN list_sum(list_transform(hts, h -> CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+                        THEN (1::BIGINT << j) ELSE 0 END)) AS BIGINT) AS simhash
+          FROM ht ORDER BY doc_id""",
     "nd_text_lm_score" ->
       """WITH grams AS (
            SELECT doc_id, substr(text, CAST(i AS INTEGER), 3) AS g
@@ -188,8 +258,8 @@ object TextAnalysis {
           CAST(len(string_split_regex(text, ' +')) AS BIGINT) AS n_tokens_ws,
           CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_tokens_re,
           CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS BIGINT) AS n_punct,
-          CAST(len(list_filter(string_split_regex(text, ' +'), w -> w IN ($stopList))) AS BIGINT) AS n_stop,
-          round(CAST(len(list_filter(string_split_regex(text, ' +'), w -> w IN ($stopList))) AS BIGINT)
+          CAST(len(list_filter(string_split_regex(text, ' +'), w -> w IN ($stopListSql))) AS BIGINT) AS n_stop,
+          round(CAST(len(list_filter(string_split_regex(text, ' +'), w -> w IN ($stopListSql))) AS BIGINT)
                 / nullif(CAST(len(string_split_regex(text, ' +')) AS BIGINT), 0), 4) AS stop_ratio
           FROM documents ORDER BY doc_id""",
     "nd_lang_stats" ->
