@@ -39,10 +39,14 @@ trait EthClient extends Serializable {
 }
 
 object EthClient {
-  /** Construct the client for a chain directory. Fixture-backed in this
-    * offline harness; a live deployment would dispatch on a URI scheme here.
-    */
-  def forChain(chainDir: String): EthClient = new FixtureChainClient(chainDir)
+  /** Construct the client for a chain location — URI-scheme dispatch, the
+    * analogue of the reference's endpoint config
+    * (`EthereumConnectorConfig.java:11-39`): an http(s) endpoint gets the
+    * live JSON-RPC backend, anything else is a fixture directory. */
+  def forChain(chain: String): EthClient =
+    if (chain.startsWith("http://") || chain.startsWith("https://"))
+      new JsonRpcChainClient(chain)
+    else new FixtureChainClient(chain)
 
   def sha256Hex(s: String): String =
     MessageDigest.getInstance("SHA-256")

@@ -1,0 +1,199 @@
+package graft
+
+import java.math.BigInteger
+import java.net.InetSocketAddress
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.eth._
+
+/** In-process JSON-RPC stub server: standard Ethereum RPC (hex quantities,
+  * receipt objects, batch requests) answered from the deterministic fixture
+  * chain — no egress. Lets the live [[JsonRpcChainClient]] be exercised
+  * end-to-end against known data. */
+object RpcStubServer {
+  private val mapper = new ObjectMapper()
+
+  def hex(n: Long): String = "0x" + java.lang.Long.toHexString(n)
+  /** Exact double→hex for the fixture's integer-valued doubles. */
+  def hex(d: Double): String =
+    "0x" + java.math.BigDecimal.valueOf(d).toBigInteger.toString(16)
+
+  /** Serve fixture blocks `1..maxBlock` (tx/receipt index is built for that
+    * range only); account/gas RPCs delegate to the fixture client. */
+  def start(chainDir: String, maxBlock: Long): HttpServer = {
+    val fixture = EthClient.forChain(chainDir)
+    val blocks: Map[Long, EthBlockData] =
+      fixture.blocks(1, maxBlock).map(b => b.number -> b).toMap
+    val byHash: Map[String, EthBlockData] = blocks.values.map(b => b.hash -> b).toMap
+    val txLogs: Map[String, (Long, Vector[EthLog])] =
+      blocks.values.flatMap(b => b.transactions.map(t => t.hash -> (b.number, t.logs))).toMap
+
+    def renderTx(t: EthTx): ObjectNode = {
+      val o = mapper.createObjectNode()
+      o.put("hash", t.hash); o.put("nonce", hex(t.nonce))
+      o.put("blockHash", t.blockHash); o.put("blockNumber", hex(t.blockNumber))
+      o.put("transactionIndex", hex(t.transactionIndex.toLong))
+      o.put("from", t.from)
+      t.to match { case Some(a) => o.put("to", a); case None => o.putNull("to") }
+      o.put("value", hex(t.value)); o.put("gas", hex(t.gas)); o.put("gasPrice", hex(t.gasPrice))
+      o.put("input", t.input)
+      o
+    }
+    def renderBlock(b: EthBlockData, fullTx: Boolean): ObjectNode = {
+      val o = mapper.createObjectNode()
+      o.put("number", hex(b.number)); o.put("hash", b.hash); o.put("parentHash", b.parentHash)
+      o.put("nonce", b.nonce); o.put("sha3Uncles", b.sha3Uncles); o.put("logsBloom", b.logsBloom)
+      o.put("transactionsRoot", b.transactionsRoot); o.put("stateRoot", b.stateRoot)
+      o.put("miner", b.miner); o.put("difficulty", hex(b.difficulty))
+      o.put("totalDifficulty", hex(b.totalDifficulty)); o.put("size", hex(b.size.toLong))
+      o.put("extraData", b.extraData); o.put("gasLimit", hex(b.gasLimit))
+      o.put("gasUsed", hex(b.gasUsed)); o.put("timestamp", hex(b.timestamp))
+      val us = mapper.createArrayNode(); b.uncles.foreach(us.add); o.set[JsonNode]("uncles", us)
+      val ts = mapper.createArrayNode()
+      if (fullTx) b.transactions.foreach(t => ts.add(renderTx(t)))
+      else b.transactions.foreach(t => ts.add(t.hash))
+      o.set[JsonNode]("transactions", ts)
+      o
+    }
+    def renderReceipt(txHash: String): JsonNode = txLogs.get(txHash) match {
+      case None => mapper.nullNode()
+      case Some((blockNum, logs)) =>
+        val o = mapper.createObjectNode()
+        o.put("transactionHash", txHash)
+        val ls = mapper.createArrayNode()
+        logs.foreach { l =>
+          val lo = mapper.createObjectNode()
+          lo.put("address", l.address); lo.put("data", l.data)
+          lo.put("transactionHash", txHash); lo.put("blockNumber", hex(blockNum))
+          val tops = mapper.createArrayNode(); l.topics.foreach(tops.add)
+          lo.set[JsonNode]("topics", tops)
+          ls.add(lo)
+        }
+        o.set[JsonNode]("logs", ls)
+        o
+    }
+    def qty(n: JsonNode): Long = new BigInteger(n.asText().drop(2), 16).longValue()
+    def blockParam(n: JsonNode): Option[Long] = n.asText() match {
+      case "latest" | "pending" => None
+      case "earliest"           => Some(1L)
+      case h                    => Some(new BigInteger(h.drop(2), 16).longValue())
+    }
+
+    def answer(req: JsonNode): JsonNode = {
+      val ps = req.get("params")
+      val result: JsonNode = req.get("method").asText() match {
+        case "eth_blockNumber" => mapper.getNodeFactory.textNode(hex(fixture.blockNumber()))
+        case "eth_getBlockByNumber" =>
+          blocks.get(qty(ps.get(0))).map(renderBlock(_, ps.get(1).asBoolean()))
+            .getOrElse(mapper.nullNode()): JsonNode
+        case "eth_getBlockByHash" =>
+          byHash.get(ps.get(0).asText()).map(renderBlock(_, ps.get(1).asBoolean()))
+            .getOrElse(mapper.nullNode()): JsonNode
+        case "eth_getTransactionReceipt" => renderReceipt(ps.get(0).asText())
+        case "eth_gasPrice" => mapper.getNodeFactory.textNode(hex(fixture.gasPrice()))
+        case "eth_getBalance" =>
+          mapper.getNodeFactory.textNode(hex(fixture.getBalance(ps.get(0).asText(), blockParam(ps.get(1)))))
+        case "eth_getTransactionCount" =>
+          mapper.getNodeFactory.textNode(hex(fixture.getTransactionCount(ps.get(0).asText(), blockParam(ps.get(1)))))
+        case "eth_getCode" => mapper.getNodeFactory.textNode(fixture.getCode(ps.get(0).asText()))
+        case m => throw new IllegalArgumentException(s"unsupported method $m")
+      }
+      val resp = mapper.createObjectNode()
+      resp.put("jsonrpc", "2.0")
+      resp.set[JsonNode]("id", req.get("id"))
+      resp.set[JsonNode]("result", result)
+      resp
+    }
+
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", (ex: HttpExchange) => {
+      try {
+        val body = mapper.readTree(ex.getRequestBody)
+        val out: JsonNode =
+          if (body.isArray) {
+            val arr = mapper.createArrayNode()
+            body.forEach(r => arr.add(answer(r)))
+            arr
+          } else answer(body)
+        val bytes = mapper.writeValueAsBytes(out)
+        ex.getResponseHeaders.add("Content-Type", "application/json")
+        ex.sendResponseHeaders(200, bytes.length)
+        ex.getResponseBody.write(bytes)
+      } finally ex.close()
+    })
+    server.start()
+    server
+  }
+}
+
+/** The live JSON-RPC backend must produce byte-identical scan results to
+  * the fixture backend when the RPC endpoint replays the same chain. */
+class JsonRpcSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private lazy val dir = EthFixtures.ensure(spark)
+
+  private def withServer[A](maxBlock: Long)(f: String => A): A = {
+    val server = RpcStubServer.start(dir, maxBlock)
+    try f(s"http://127.0.0.1:${server.getAddress.getPort}/")
+    finally server.stop(0)
+  }
+
+  test("forChain dispatches on URI scheme") {
+    assert(EthClient.forChain("http://example.invalid/").isInstanceOf[JsonRpcChainClient])
+    assert(EthClient.forChain(dir).isInstanceOf[FixtureChainClient])
+  }
+
+  test("block scan over JSON-RPC equals the fixture scan (full tx + logs)") {
+    withServer(48) { url =>
+      val rpc = EthClient.forChain(url)
+      val fx = EthClient.forChain(dir)
+      val a = rpc.blocks(1, 48, fullTx = true).toVector
+      val b = fx.blocks(1, 48, fullTx = true).toVector
+      assert(a.size == b.size && a.nonEmpty)
+      assert(a == b)
+      // pruned variant skips transactions
+      val pruned = rpc.blocks(5, 9, fullTx = false).toVector
+      assert(pruned.map(_.number) == (5L to 9L).toVector)
+      assert(pruned.forall(_.transactions.isEmpty))
+    }
+  }
+
+  test("point lookups and account RPCs match the fixture backend") {
+    withServer(16) { url =>
+      val rpc = EthClient.forChain(url)
+      val fx = EthClient.forChain(dir)
+      assert(rpc.blockNumber() == fx.blockNumber())
+      assert(rpc.gasPrice() == fx.gasPrice())
+      assert(rpc.timestampOf(7L) == fx.timestampOf(7L))
+      val h = fx.blocks(3, 3, fullTx = false).next().hash
+      assert(rpc.blockNumberByHash(h).contains(3L))
+      assert(rpc.blockNumberByHash("0x" + "0" * 64).isEmpty)
+      val addr = fx.blocks(2, 2).next().transactions.head.from
+      assert(rpc.getBalance(addr, None) == fx.getBalance(addr, None))
+      assert(rpc.getBalance(addr, Some(4L)) == fx.getBalance(addr, Some(4L)))
+      assert(rpc.getTransactionCount(addr, None) == fx.getTransactionCount(addr, None))
+      assert(rpc.getCode(addr) == fx.getCode(addr))
+    }
+  }
+
+  test("DSv2 ethereum source reads through the live client") {
+    withServer(32) { url =>
+      import spark.implicits._
+      val viaRpc = spark.read.format("ethereum")
+        .option("table", "block").option("chain", url).load()
+        .filter($"block_number" <= 20)
+        .select($"block_number", $"block_hash", $"block_timestamp", $"block_miner")
+        .orderBy($"block_number").collect()
+      val viaFixture = spark.read.format("ethereum")
+        .option("table", "block").option("chain", dir).load()
+        .filter($"block_number" <= 20)
+        .select($"block_number", $"block_hash", $"block_timestamp", $"block_miner")
+        .orderBy($"block_number").collect()
+      assert(viaRpc.sameElements(viaFixture) && viaRpc.length == 20)
+    }
+  }
+}
