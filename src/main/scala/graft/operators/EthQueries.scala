@@ -163,6 +163,20 @@ object EthQueries {
       .orderBy($"tx_hash")
   }
 
+  /** Q2's gas bucketing via the scale path ([[graft.plans.ScalableNtile]]):
+    * same output as eth_q2, no single-partition sort. */
+  def q10NtileScalable(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.plans.ScalableNtile.ntile(
+        eth(s, "block").select($"block_number", $"block_gasUsed"),
+        10, Seq($"block_number"), bucketCol = "nt")
+      .groupBy($"nt")
+      .agg(round(avg($"block_gasUsed"), 4).as("avg_gas"),
+           round(max($"block_gasUsed"), 2).as("max_gas"),
+           count(lit(1)).as("n"))
+      .orderBy($"nt")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "eth_q1_blocktime" -> q1BlockTime _,
     "eth_q2_ntile_gas" -> q2NtileGas _,
@@ -173,7 +187,8 @@ object EthQueries {
     "eth_q7_hash_lookup" -> q7HashLookup _,
     "eth_q8_tx_per_miner" -> q8TxPerMiner _,
     "eth_q9_array_cols" -> q9ArrayCols _,
-    "eth_udfs" -> qUdfs _)
+    "eth_udfs" -> qUdfs _,
+    "eth_q10_ntile_scalable" -> q10NtileScalable _)
 
   /** DuckDB replica of [[graft.sources.eth.FixtureChainClient.addrSeed]]:
     * first 15 hex chars of sha256(lower(addr)) folded to a BIGINT. */
@@ -194,6 +209,11 @@ object EthQueries {
          FROM block a JOIN block b ON b.block_number = a.block_number + 1
          GROUP BY blk_k ORDER BY blk_k"""),
     "eth_q2_ntile_gas" -> withEthTables(
+      """SELECT CAST(nt AS BIGINT) AS nt, round(avg(block_gasUsed), 4) AS avg_gas,
+         round(max(block_gasUsed), 2) AS max_gas, count(*) AS n
+         FROM (SELECT block_gasUsed, ntile(10) OVER (ORDER BY block_number) AS nt FROM block)
+         GROUP BY nt ORDER BY nt"""),
+    "eth_q10_ntile_scalable" -> withEthTables(
       """SELECT CAST(nt AS BIGINT) AS nt, round(avg(block_gasUsed), 4) AS avg_gas,
          round(max(block_gasUsed), 2) AS max_gas, count(*) AS n
          FROM (SELECT block_gasUsed, ntile(10) OVER (ORDER BY block_number) AS nt FROM block)

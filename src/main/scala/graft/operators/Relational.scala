@@ -109,6 +109,24 @@ object Relational {
       .select($"bucket", $"avg_price", $"min_price", $"max_price", $"n")
   }
 
+  /** B8 at 100 TB: q05's bucketing via [[graft.plans.ScalableNtile]] —
+    * identical ntile semantics, but range-partitioned two-phase ranking
+    * instead of a single-partition global sort (plan-asserted in
+    * PlanSpec). This is the documented scale path for global ntile; q05
+    * keeps the literal window form for reference parity. */
+  def q35NtileScalable(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.plans.ScalableNtile.ntile(
+        orders(s, d).select($"o_orderkey", $"o_totalprice"),
+        4, Seq($"o_totalprice", $"o_orderkey"))
+      .groupBy($"bucket")
+      .agg(round(avg($"o_totalprice"), 2).as("avg_price"),
+           round(min($"o_totalprice"), 2).as("min_price"),
+           round(max($"o_totalprice"), 2).as("max_price"),
+           count(lit(1)).as("n"))
+      .orderBy($"bucket")
+  }
+
   /** B8: window function battery — row_number / rank / lag / lead / running
     * sum, partitioned per customer (scales: state is per-partition). */
   def q06WindowFuncs(s: SparkSession, d: String): DataFrame = {
@@ -424,6 +442,17 @@ object Relational {
                 round(max(o_totalprice), 2) AS max_price,
                 count(*) AS n
          FROM b GROUP BY bucket ORDER BY bucket""",
+    "q35_ntile_scalable" ->
+      """WITH b AS (
+           SELECT o_orderkey, o_totalprice,
+                  ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+           FROM orders)
+         SELECT CAST(bucket AS BIGINT) AS bucket,
+                round(avg(o_totalprice), 2) AS avg_price,
+                round(min(o_totalprice), 2) AS min_price,
+                round(max(o_totalprice), 2) AS max_price,
+                count(*) AS n
+         FROM b GROUP BY bucket ORDER BY bucket""",
     "q06_window_funcs" ->
       """SELECT o_orderkey, o_custkey,
          CAST(row_number() OVER w AS BIGINT) AS rn,
@@ -570,6 +599,7 @@ object Relational {
     "q03_top_customers" -> q03TopCustomers _,
     "q04_order_priority" -> q04OrderPriority _,
     "q05_ntile_buckets" -> q05NtileBuckets _,
+    "q35_ntile_scalable" -> q35NtileScalable _,
     "q06_window_funcs" -> q06WindowFuncs _,
     "q07_event_deltas" -> q07EventDeltas _,
     "q08_set_ops" -> q08SetOps _,

@@ -36,6 +36,24 @@ class PlanSpec extends AnyFunSuite {
     assert(!scan.contains("l_orderkey"), "scan reads unprojected columns")
   }
 
+  test("scalable ntile ranks via range partitions, not a single-partition data sort") {
+    import spark.implicits._
+    val df = graft.plans.ScalableNtile.ntile(
+      graft.Tables.orders(spark, sf), 4, Seq($"o_totalprice", $"o_orderkey"))
+    val plan = executed(df)
+    assert(plan.contains("rangepartitioning"), s"no range partitioning:\n$plan")
+    // the data-scale window must be partitioned by the range-partition id;
+    // the only SinglePartition exchange allowed is the P-row metadata agg
+    val dataWindow = plan.linesIterator.find(l => l.contains("row_number()"))
+    assert(dataWindow.exists(_.contains("__pid")), s"row_number not per-partition:\n$plan")
+    // and it matches the literal single-partition window form exactly
+    val w = org.apache.spark.sql.expressions.Window.orderBy($"o_totalprice", $"o_orderkey")
+    val expected = graft.Tables.orders(spark, sf)
+      .select($"o_orderkey", org.apache.spark.sql.functions.ntile(4).over(w).cast("long").as("bucket"))
+    val got = df.select($"o_orderkey", $"bucket")
+    assert(got.except(expected).isEmpty && expected.except(got).isEmpty)
+  }
+
   test("q03 top-k plans TakeOrderedAndProject, not a global sort") {
     val plan = Relational.q03TopCustomers(spark, sf).queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), s"top-k missing:\n$plan")
