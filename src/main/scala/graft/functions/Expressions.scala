@@ -1,21 +1,154 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.GraftSqlBridge.{toColumn => column, toExpression => expression}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
+/** Fused-loop kernels behind the native expressions — a top-level object so
+  * Scala emits static forwarders that whole-stage-generated Java can call
+  * directly (`graft.functions.SketchKernels.minhashSig(...)`): one static
+  * call per row, no boxing, no `InternalRow` wrapping, no virtual `eval`
+  * dispatch. `eval` (interpreted path) and `doGenCode` (codegen path) both
+  * run exactly this code, so the two paths cannot drift.
+  */
+object SketchKernels {
+
+  /** Cosine similarity; NaN signals zero-norm (mapped to SQL NULL by the
+    * expression on both eval and codegen paths). */
+  def cosineSim(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getDouble(i); val y = b.getDouble(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) Double.NaN else dot / math.sqrt(na * nb)
+  }
+
+  def minhashSig(words: ArrayData, shingleSize: Int, numHashes: Int): ArrayData = {
+    import Expressions.Sketch
+    val mins = new Array[Long](numHashes)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    val n = words.numElements()
+    val windows = math.max(1, n - shingleSize + 1)
+    var i = 0
+    while (i < windows) {
+      val base = Sketch.fold28(Sketch.windowDigest(words, i, math.min(shingleSize, n - i)))
+      var k = 0
+      while (k < numHashes) {
+        val hk = (Sketch.MinHashA(k) * base + Sketch.MinHashB(k)) % Sketch.MinHashP
+        if (hk < mins(k)) mins(k) = hk
+        k += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  def shingleHashes(words: ArrayData, shingleSize: Int): ArrayData = {
+    import Expressions.Sketch
+    val n = words.numElements()
+    val windows = math.max(1, n - shingleSize + 1)
+    val hs = new Array[Long](windows)
+    var i = 0
+    while (i < windows) {
+      hs(i) = Sketch.fold60(Sketch.windowDigest(words, i, math.min(shingleSize, n - i)))
+      i += 1
+    }
+    java.util.Arrays.sort(hs)
+    var uniq = 0
+    var j = 0
+    while (j < windows) {
+      if (j == 0 || hs(j) != hs(j - 1)) { hs(uniq) = hs(j); uniq += 1 }
+      j += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(hs, uniq))
+  }
+
+  def simhash60(tokens: ArrayData): Long = {
+    import Expressions.Sketch
+    val counts = new Array[Int](60)
+    var i = 0
+    val n = tokens.numElements()
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        val h = Sketch.fold60(Sketch.windowDigest(tokens, i, 1))
+        var b = 0
+        while (b < 60) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 60) { if (counts(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  def jaccardSorted(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var inter = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    val union = na + nb - inter
+    if (union == 0) 0.0 else inter.toDouble / union
+  }
+
+  def charNgrams(s: UTF8String, n: Int): ArrayData = {
+    val len = s.numChars()
+    if (len < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](len - n + 1)
+    var i = 0
+    while (i <= len - n) {
+      out(i) = s.substring(i, i + n)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def lshBucket(v: ArrayData, planes: Int, table: Int): Long = {
+    val n = v.numElements()
+    var bucket = 0L
+    var p = 0
+    while (p < planes) {
+      var dot = 0.0
+      var i = 0
+      while (i < n) {
+        val h = i * 2654435761L + p * 40503L + table * 1099511628211L
+        if ((h & 4L) == 0L) dot += v.getDouble(i) else dot -= v.getDouble(i)
+        i += 1
+      }
+      if (dot >= 0) bucket |= (1L << p)
+      p += 1
+    }
+    bucket
+  }
+}
+
 /** Native Catalyst expressions for the hot loops of the LLM-data-pipeline
   * operators (dedup / similarity). Preference order per the build rules:
-  * built-ins first, then a native `Expression` (these), UDF last. These are
-  * tight-loop `eval` implementations with `CodegenFallback` — no
-  * serialization boundary, no boxing per element, usable from SQL and
-  * `Column` alike.
+  * built-ins first, then a native `Expression` (these), UDF last. Each
+  * implements `doGenCode` as a direct static call into [[SketchKernels]],
+  * so the dedup/ANN projections stay inside whole-stage codegen with no
+  * per-row boxing (the earlier `CodegenFallback` versions paid an
+  * `InternalRow` wrap + virtual `eval` per row — the first profile cost at
+  * 100× scale).
   */
 object Expressions {
+
+  private val K = "graft.functions.SketchKernels"
 
   /** Hash scheme shared by the dedup sketches.
     *
@@ -90,39 +223,23 @@ object Expressions {
     * the differential oracle; 4×15-bit chunk banding retains the
     * pigeonhole guarantee for Hamming distance ≤ 3.
     */
-  case class SimHash60(child: Expression) extends UnaryExpression with CodegenFallback {
+  case class SimHash60(child: Expression) extends UnaryExpression {
     override def dataType: DataType = LongType
-    override def nullSafeEval(input: Any): Any = {
-      val arr = input.asInstanceOf[ArrayData]
-      val counts = new Array[Int](60)
-      var i = 0
-      val n = arr.numElements()
-      while (i < n) {
-        if (!arr.isNullAt(i)) {
-          val h = Sketch.fold60(Sketch.windowDigest(arr, i, 1))
-          var b = 0
-          while (b < 60) {
-            if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
-            b += 1
-          }
-        }
-        i += 1
-      }
-      var out = 0L
-      var b = 0
-      while (b < 60) { if (counts(b) > 0) out |= (1L << b); b += 1 }
-      out
-    }
+    override def nullSafeEval(input: Any): Any =
+      SketchKernels.simhash60(input.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $K.simhash60($c);")
     override protected def withNewChildInternal(newChild: Expression): SimHash60 = copy(newChild)
     override def prettyName: String = "simhash60"
   }
 
   /** Hamming distance between two 64-bit sketches. */
-  case class HammingDist64(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+  case class HammingDist64(left: Expression, right: Expression) extends BinaryExpression {
     override def dataType: DataType = IntegerType
     override def nullSafeEval(l: Any, r: Any): Any =
       java.lang.Long.bitCount(l.asInstanceOf[Long] ^ r.asInstanceOf[Long])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"java.lang.Long.bitCount($a ^ $b)")
     override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
     override def prettyName: String = "hamming64"
   }
@@ -130,28 +247,20 @@ object Expressions {
   /** Cosine similarity of two double arrays — one fused loop instead of the
     * zip_with/aggregate expression-tree equivalent (≈3 array traversals and
     * per-element lambda dispatch). Null/zero-norm yields null. */
-  case class CosineSim(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+  case class CosineSim(left: Expression, right: Expression) extends BinaryExpression {
     override def dataType: DataType = DoubleType
     override def nullable: Boolean = true
     override def nullSafeEval(l: Any, r: Any): Any = {
-      val a = l.asInstanceOf[ArrayData]
-      val b = r.asInstanceOf[ArrayData]
-      val n = math.min(a.numElements(), b.numElements())
-      var dot = 0.0; var na = 0.0; var nb = 0.0
-      var i = 0
-      while (i < n) {
-        val x = a.getDouble(i); val y = b.getDouble(i)
-        dot += x * y; na += x * x; nb += y * y
-        i += 1
-      }
-      if (na == 0.0 || nb == 0.0) null else dot / math.sqrt(na * nb)
+      val v = SketchKernels.cosineSim(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+      if (java.lang.Double.isNaN(v)) null else v
     }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"""${ev.value} = $K.cosineSim($a, $b);
+           |if (java.lang.Double.isNaN(${ev.value})) { ${ev.isNull} = true; }""".stripMargin)
     override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
     override def prettyName: String = "cosine_sim"
   }
-
-  import org.apache.spark.sql.catalyst.util.GenericArrayData
 
   /** MinHash signature computed straight from the word array: each shingle
     * window is md5-digested in place (no shingle strings, slices or
@@ -165,28 +274,14 @@ object Expressions {
     * dedup, so this is the operator to make native.
     */
   case class MinHashSigFromWords(child: Expression, shingleSize: Int, numHashes: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     require(numHashes <= Sketch.MaxHashes, s"at most ${Sketch.MaxHashes} hash functions")
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
-    override def nullSafeEval(input: Any): Any = {
-      val arr = input.asInstanceOf[ArrayData]
-      val mins = new Array[Long](numHashes)
-      java.util.Arrays.fill(mins, Long.MaxValue)
-      val n = arr.numElements()
-      val windows = math.max(1, n - shingleSize + 1)
-      var i = 0
-      while (i < windows) {
-        val base = Sketch.fold28(Sketch.windowDigest(arr, i, math.min(shingleSize, n - i)))
-        var k = 0
-        while (k < numHashes) {
-          val hk = (Sketch.MinHashA(k) * base + Sketch.MinHashB(k)) % Sketch.MinHashP
-          if (hk < mins(k)) mins(k) = hk
-          k += 1
-        }
-        i += 1
-      }
-      new GenericArrayData(mins)
-    }
+    override def nullSafeEval(input: Any): Any =
+      SketchKernels.minhashSig(input.asInstanceOf[ArrayData], shingleSize, numHashes)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = $K.minhashSig($c, $shingleSize, $numHashes);")
     override protected def withNewChildInternal(newChild: Expression): MinHashSigFromWords =
       copy(child = newChild)
     override def prettyName: String = "minhash_sig_words"
@@ -197,28 +292,12 @@ object Expressions {
     * verification without materializing shingle strings. Same-hash-both-
     * sides makes Jaccard over these sets identical to the oracle's even
     * under (negligible) 60-bit collisions. */
-  case class ShingleHashes(child: Expression, shingleSize: Int)
-      extends UnaryExpression with CodegenFallback {
+  case class ShingleHashes(child: Expression, shingleSize: Int) extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
-    override def nullSafeEval(input: Any): Any = {
-      val arr = input.asInstanceOf[ArrayData]
-      val n = arr.numElements()
-      val windows = math.max(1, n - shingleSize + 1)
-      val hs = new Array[Long](windows)
-      var i = 0
-      while (i < windows) {
-        hs(i) = Sketch.fold60(Sketch.windowDigest(arr, i, math.min(shingleSize, n - i)))
-        i += 1
-      }
-      java.util.Arrays.sort(hs)
-      var uniq = 0
-      var j = 0
-      while (j < windows) {
-        if (j == 0 || hs(j) != hs(j - 1)) { hs(uniq) = hs(j); uniq += 1 }
-        j += 1
-      }
-      new GenericArrayData(java.util.Arrays.copyOf(hs, uniq))
-    }
+    override def nullSafeEval(input: Any): Any =
+      SketchKernels.shingleHashes(input.asInstanceOf[ArrayData], shingleSize)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $K.shingleHashes($c, $shingleSize);")
     override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
       copy(child = newChild)
     override def prettyName: String = "shingle_hashes"
@@ -226,22 +305,12 @@ object Expressions {
 
   /** Exact Jaccard similarity of two SORTED distinct long arrays (as
     * produced by [[ShingleHashes]]): one merge pass, no set allocation. */
-  case class JaccardSorted(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+  case class JaccardSorted(left: Expression, right: Expression) extends BinaryExpression {
     override def dataType: DataType = DoubleType
-    override def nullSafeEval(l: Any, r: Any): Any = {
-      val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
-      val na = a.numElements(); val nb = b.numElements()
-      var i = 0; var j = 0; var inter = 0
-      while (i < na && j < nb) {
-        val x = a.getLong(i); val y = b.getLong(j)
-        if (x == y) { inter += 1; i += 1; j += 1 }
-        else if (x < y) i += 1
-        else j += 1
-      }
-      val union = na + nb - inter
-      if (union == 0) 0.0 else inter.toDouble / union
-    }
+    override def nullSafeEval(l: Any, r: Any): Any =
+      SketchKernels.jaccardSorted(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"$K.jaccardSorted($a, $b)")
     override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
     override def prettyName: String = "jaccard_sorted"
   }
@@ -251,21 +320,12 @@ object Expressions {
     * (`transform(sequence(...), i -> substring(...))`) both allocates an
     * index array per row and mis-handles the short-string edge (Spark's
     * `sequence(0,-1)` descends instead of yielding empty). */
-  case class CharNgrams(child: Expression, n: Int)
-      extends UnaryExpression with CodegenFallback {
+  case class CharNgrams(child: Expression, n: Int) extends UnaryExpression {
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
-    override def nullSafeEval(input: Any): Any = {
-      val s = input.asInstanceOf[UTF8String]
-      val len = s.numChars()
-      if (len < n) return new GenericArrayData(Array.empty[Any])
-      val out = new Array[Any](len - n + 1)
-      var i = 0
-      while (i <= len - n) {
-        out(i) = s.substring(i, i + n)
-        i += 1
-      }
-      new GenericArrayData(out)
-    }
+    override def nullSafeEval(input: Any): Any =
+      SketchKernels.charNgrams(input.asInstanceOf[UTF8String], n)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $K.charNgrams($c, $n);")
     override protected def withNewChildInternal(newChild: Expression): CharNgrams =
       copy(child = newChild)
     override def prettyName: String = "char_ngrams"
@@ -276,27 +336,12 @@ object Expressions {
     * ±1 derived from a per-(i,p,table) hash. One fused loop per row —
     * the `Column`-composed equivalent builds planes×dims `element_at`
     * nodes per row (≈1500 for 6 planes × 4 tables over 64 dims). */
-  case class LshBucket(child: Expression, planes: Int, table: Int)
-      extends UnaryExpression with CodegenFallback {
+  case class LshBucket(child: Expression, planes: Int, table: Int) extends UnaryExpression {
     override def dataType: DataType = LongType
-    override def nullSafeEval(input: Any): Any = {
-      val v = input.asInstanceOf[ArrayData]
-      val n = v.numElements()
-      var bucket = 0L
-      var p = 0
-      while (p < planes) {
-        var dot = 0.0
-        var i = 0
-        while (i < n) {
-          val h = i * 2654435761L + p * 40503L + table * 1099511628211L
-          if ((h & 4L) == 0L) dot += v.getDouble(i) else dot -= v.getDouble(i)
-          i += 1
-        }
-        if (dot >= 0) bucket |= (1L << p)
-        p += 1
-      }
-      bucket
-    }
+    override def nullSafeEval(input: Any): Any =
+      SketchKernels.lshBucket(input.asInstanceOf[ArrayData], planes, table)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $K.lshBucket($c, $planes, $table);")
     override protected def withNewChildInternal(newChild: Expression): LshBucket =
       copy(child = newChild)
     override def prettyName: String = "lsh_bucket"

@@ -244,4 +244,36 @@ class TextAnalysisSpec extends AnyFunSuite {
       .select(TextAnalysis.canonical($"text").as("c"))
     assert(df.head().getString(0) == "hello world 42x")
   }
+
+  test("native expressions run through whole-stage codegen (no fallback)") {
+    // fallback=false makes janino compile errors fatal instead of silently
+    // reverting to interpreted eval
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      // parquet-backed input so the projection really plans a codegen stage
+      // (a literal Seq constant-folds to a LocalRelation with no codegen)
+      val toks = TextAnalysis.wsTokens(TextAnalysis.canonical($"text"))
+      val df = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+        .filter($"doc_id" <= 4)
+        .select(
+          Expressions.simhash60(toks).as("sh"),
+          Expressions.minhashSigFromWords(toks, 5, 32).as("sig"),
+          Expressions.shingleHashes(toks, 5).as("shs"),
+          Expressions.charNgrams($"text", 3).as("grams"),
+          Expressions.cosineSim(typedLit(Seq(1.0, 2.0)), typedLit(Seq(2.0, 1.0))).as("cos"),
+          Expressions.cosineSim(typedLit(Seq(1.0, 2.0)), typedLit(Seq(0.0, 0.0))).as("cos_null"),
+          Expressions.lshBucket(typedLit(Seq(1.0, 2.0)), 6, 0).as("bkt"),
+          Expressions.hamming64(Expressions.simhash60(toks), Expressions.simhash60(toks)).as("ham"))
+      val r = df.head()
+      assert(r.getAs[scala.collection.Seq[Long]]("sig").length == 32)
+      assert(r.getAs[scala.collection.Seq[Long]]("shs").nonEmpty)
+      assert(math.abs(r.getAs[Double]("cos") - 0.8) < 1e-12)
+      assert(r.isNullAt(r.fieldIndex("cos_null")))
+      assert(r.getAs[scala.collection.Seq[String]]("grams").nonEmpty)
+      assert(r.getAs[Int]("ham") == 0)
+      // the generated code calls the static kernels directly
+      val gen = org.apache.spark.sql.execution.debug.codegenString(df.queryExecution.executedPlan)
+      assert(gen.contains("SketchKernels"), s"kernels not in generated code:\n${gen.take(2000)}")
+    } finally spark.conf.unset("spark.sql.codegen.fallback")
+  }
 }
