@@ -37,5 +37,9 @@ object Catalog {
     }
     Web3Functions.register(spark, chainDir)
     Expressions.register(spark)
+    // the DSv2 catalog surface: SHOW TABLES IN ethereum / DESCRIBE
+    // ethereum.default.block (bounded-varchar widths) / qualified SELECTs
+    spark.conf.set("spark.sql.catalog.ethereum", classOf[graft.sources.eth.EthereumCatalog].getName)
+    spark.conf.set("spark.sql.catalog.ethereum.chain", chainDir)
   }
 }

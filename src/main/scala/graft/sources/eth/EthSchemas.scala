@@ -6,10 +6,29 @@ import org.apache.spark.sql.types._
   *
   * Column names, order and types mirror the reference's hard-coded catalog
   * (`EthereumMetadata.java:98-147`, golden `DESCRIBE` at `README.md:138-186`).
-  * Presto bounded `varchar(n)` maps to Spark `StringType` (length bounds are
-  * metadata-only in Spark); Presto BIGINT/INTEGER/DOUBLE map 1:1.
+  * Presto bounded `varchar(n)` maps to Spark `StringType` carrying the
+  * char/varchar DDL metadata key, so `DESCRIBE` restores the reference's
+  * exact widths (18/42/66/514, `EthereumMetadata.java:48-51`) while runtime
+  * semantics stay plain string; Presto BIGINT/INTEGER/DOUBLE map 1:1.
   */
 object EthSchemas {
+  // Reference hash-string widths (EthereumMetadata.java:48-51): 0x + 2 hex
+  // chars per byte for 8/20/32/256-byte values.
+  val H8 = 18; val H20 = 42; val H32 = 66; val H256 = 514
+
+  private def varcharMeta(ddl: String): Metadata =
+    new MetadataBuilder()
+      .putString(CharVarcharUtilsKey, ddl).build()
+  /** Spark's char/varchar DDL restoration key (CharVarcharUtils). */
+  private val CharVarcharUtilsKey = "__CHAR_VARCHAR_TYPE_STRING"
+  /** Bounded varchar column: StringType + restorable `varchar(n)` DDL. */
+  private def vc(name: String, n: Int, nullable: Boolean = true): StructField =
+    StructField(name, StringType, nullable, varcharMeta(s"varchar($n)"))
+  private def vcArray(name: String, n: Int): StructField =
+    StructField(name, ArrayType(StringType), nullable = true, varcharMeta(s"array<varchar($n)>"))
+
+  val allTables: Seq[String] = Seq("block", "transaction", "erc20")
+
   sealed abstract class TableKind(val name: String)
   case object Block extends TableKind("block")
   case object Transaction extends TableKind("transaction")
@@ -25,14 +44,14 @@ object EthSchemas {
 
   val blockSchema: StructType = StructType(Seq(
     StructField("block_number", LongType, nullable = false),
-    StructField("block_hash", StringType, nullable = false),
-    StructField("block_parentHash", StringType),
-    StructField("block_nonce", StringType),
-    StructField("block_sha3Uncles", StringType),
-    StructField("block_logsBloom", StringType),
-    StructField("block_transactionsRoot", StringType),
-    StructField("block_stateRoot", StringType),
-    StructField("block_miner", StringType),
+    vc("block_hash", H32, nullable = false),
+    vc("block_parentHash", H32),
+    vc("block_nonce", H8),
+    vc("block_sha3Uncles", H32),
+    vc("block_logsBloom", H256),
+    vc("block_transactionsRoot", H32),
+    vc("block_stateRoot", H32),
+    vc("block_miner", H20),
     StructField("block_difficulty", LongType),
     StructField("block_totalDifficulty", LongType),
     StructField("block_size", IntegerType),
@@ -40,17 +59,17 @@ object EthSchemas {
     StructField("block_gasLimit", DoubleType),
     StructField("block_gasUsed", DoubleType),
     StructField("block_timestamp", LongType),
-    StructField("block_transactions", ArrayType(StringType)),
-    StructField("block_uncles", ArrayType(StringType))))
+    vcArray("block_transactions", H32),
+    vcArray("block_uncles", H32)))
 
   val transactionSchema: StructType = StructType(Seq(
-    StructField("tx_hash", StringType, nullable = false),
+    vc("tx_hash", H32, nullable = false),
     StructField("tx_nonce", LongType),
-    StructField("tx_blockHash", StringType),
+    vc("tx_blockHash", H32),
     StructField("tx_blockNumber", LongType),
     StructField("tx_transactionIndex", IntegerType),
-    StructField("tx_from", StringType),
-    StructField("tx_to", StringType, nullable = true),
+    vc("tx_from", H20),
+    vc("tx_to", H20),
     StructField("tx_value", DoubleType),
     StructField("tx_gas", DoubleType),
     StructField("tx_gasPrice", DoubleType),
@@ -58,10 +77,10 @@ object EthSchemas {
 
   val erc20Schema: StructType = StructType(Seq(
     StructField("erc20_token", StringType),
-    StructField("erc20_from", StringType),
-    StructField("erc20_to", StringType),
+    vc("erc20_from", H20),
+    vc("erc20_to", H20),
     StructField("erc20_value", DoubleType),
-    StructField("erc20_txHash", StringType),
+    vc("erc20_txHash", H32),
     StructField("erc20_blockNumber", LongType)))
 
   def schemaFor(kind: TableKind): StructType = kind match {
@@ -83,6 +102,13 @@ object EthSchemas {
       if (weiColumns.contains(f.name)) f.copy(dataType = DecimalType(38, 0)) else f
     })
   }
+
+  /** Schema with the bounded-varchar DDL *restored to real types*
+    * (`varchar(66)` etc) — what the [[EthereumCatalog]] exposes so
+    * `DESCRIBE` prints the reference's widths; Spark stringifies it again
+    * at scan time. */
+  def rawSchemaFor(kind: TableKind): StructType =
+    org.apache.spark.sql.catalyst.util.CharVarcharUtils.getRawSchema(schemaFor(kind))
 
   /** The block-number column that range predicates push down on, per table
     * (`EthereumMetadata.java:190-199`). */

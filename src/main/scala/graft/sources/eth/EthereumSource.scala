@@ -62,10 +62,13 @@ class EthereumSource extends TableProvider with DataSourceRegister {
 }
 
 class EthereumTable(kind: EthSchemas.TableKind, chainDir: String,
-    blocksPerPartition: Int, weiDecimal: Boolean = false)
+    blocksPerPartition: Int, weiDecimal: Boolean = false,
+    rawVarchar: Boolean = false)
     extends Table with SupportsRead {
   override def name(): String = s"ethereum.${kind.name}"
-  override def schema(): StructType = EthSchemas.schemaFor(kind, weiDecimal)
+  override def schema(): StructType =
+    if (rawVarchar) EthSchemas.rawSchemaFor(kind)
+    else EthSchemas.schemaFor(kind, weiDecimal)
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =

@@ -86,12 +86,34 @@ class PlanSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getString(1)).toMap
     assert(desc.size == 18)
     assert(desc("block_number") == "bigint" && desc("block_size") == "int" &&
-      desc("block_gasUsed") == "double" &&
-      desc("block_transactions") == "array<string>")
+      desc("block_gasUsed") == "double")
     val descTx = spark.sql("DESCRIBE transaction").collect().map(_.getString(0))
     assert(descTx.length == 11)
     val descErc = spark.sql("DESCRIBE erc20").collect().map(_.getString(0))
     assert(descErc.length == 6)
+    // DSv2 catalog surface: golden DESCRIBE with the reference's bounded
+    // varchar widths (EthereumMetadata.java:48-51, README.md:139-186)
+    val ethTables = spark.sql("SHOW TABLES IN ethereum").collect().map(_.getString(1)).toSet
+    assert(ethTables == Set("block", "transaction", "erc20"))
+    val cdesc = spark.sql("DESCRIBE ethereum.default.block").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(cdesc("block_hash") == "varchar(66)", s"block_hash: ${cdesc("block_hash")}")
+    assert(cdesc("block_nonce") == "varchar(18)")
+    assert(cdesc("block_logsBloom") == "varchar(514)")
+    assert(cdesc("block_miner") == "varchar(42)")
+    assert(cdesc("block_extraData") == "string") // unbounded varchar
+    assert(cdesc("block_transactions") == "array<varchar(66)>")
+    val ctx = spark.sql("DESCRIBE ethereum.default.transaction").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(ctx("tx_hash") == "varchar(66)" && ctx("tx_from") == "varchar(42)" &&
+      ctx("tx_input") == "string")
+    val cerc = spark.sql("DESCRIBE ethereum.default.erc20").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(cerc("erc20_to") == "varchar(42)" && cerc("erc20_txHash") == "varchar(66)")
+    // qualified reads through the catalog produce the same rows
+    val viaCat = spark.sql(
+      "SELECT block_number, block_miner FROM ethereum.default.block WHERE block_number <= 5")
+    assert(viaCat.collect().length == 5)
     // inline SQL over mounted views + UDFs (README.md:189-196 shape)
     val r = spark.sql(
       "SELECT fromWei(tx_value, 'ether') AS v FROM transaction WHERE tx_blockNumber <= 3").collect()
