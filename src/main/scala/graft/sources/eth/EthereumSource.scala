@@ -280,6 +280,85 @@ class EthereumReaderFactory(kind: EthSchemas.TableKind, chainDir: String,
     val p = partition.asInstanceOf[EthereumInputPartition]
     new EthereumPartitionReader(kind, chainDir, schema, p.start, p.end)
   }
+
+  /** The block table reads columnar: fixed-width scalars land directly in
+    * `OnHeapColumnVector`s, so downstream whole-stage codegen consumes
+    * vectors like a parquet scan instead of one `GenericInternalRow` per
+    * block (the same reason Spark's own file sources are columnar).
+    * Transaction/erc20 keep row readers — their block→N fan-out produces
+    * rows, not batches. */
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    kind == EthSchemas.Block
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val p = partition.asInstanceOf[EthereumInputPartition]
+    new EthereumBlockColumnarReader(chainDir, schema, p.start, p.end)
+  }
+}
+
+/** Columnar reader for the block table: decodes each block straight into
+  * on-heap column vectors (`batchRows` blocks per `ColumnarBatch`). */
+class EthereumBlockColumnarReader(chainDir: String, schema: StructType,
+    start: Long, end: Long, batchRows: Int = 256)
+    extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+  import org.apache.spark.sql.execution.vectorized.{OnHeapColumnVector, WritableColumnVector}
+  import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
+  import java.nio.charset.StandardCharsets.UTF_8
+
+  private val client = EthClient.forChain(chainDir)
+  private val needTx = schema.fieldNames.contains("block_transactions")
+  private val chunks: Iterator[Seq[EthBlockData]] =
+    client.blocks(start, end, fullTx = needTx).grouped(batchRows)
+  private var batch: ColumnarBatch = _
+
+  private def putStr(v: WritableColumnVector, r: Int, s: String): Unit =
+    if (s == null) v.putNull(r) else v.putByteArray(r, s.getBytes(UTF_8))
+  private def putStrArray(v: WritableColumnVector, r: Int, vs: Seq[String]): Unit = {
+    val child = v.arrayData()
+    val offset = child.getElementsAppended
+    vs.foreach { s => val b = s.getBytes(UTF_8); child.appendByteArray(b, 0, b.length) }
+    v.putArray(r, offset, vs.length)
+  }
+
+  private def fill(v: WritableColumnVector, name: String, r: Int, b: EthBlockData): Unit =
+    name match {
+      case "block_number" => v.putLong(r, b.number)
+      case "block_hash" => putStr(v, r, b.hash)
+      case "block_parentHash" => putStr(v, r, b.parentHash)
+      case "block_nonce" => putStr(v, r, b.nonce)
+      case "block_sha3Uncles" => putStr(v, r, b.sha3Uncles)
+      case "block_logsBloom" => putStr(v, r, b.logsBloom)
+      case "block_transactionsRoot" => putStr(v, r, b.transactionsRoot)
+      case "block_stateRoot" => putStr(v, r, b.stateRoot)
+      case "block_miner" => putStr(v, r, b.miner)
+      case "block_difficulty" => v.putLong(r, b.difficulty)
+      case "block_totalDifficulty" => v.putLong(r, b.totalDifficulty)
+      case "block_size" => v.putInt(r, b.size)
+      case "block_extraData" => putStr(v, r, b.extraData)
+      case "block_gasLimit" => v.putDouble(r, b.gasLimit)
+      case "block_gasUsed" => v.putDouble(r, b.gasUsed)
+      case "block_timestamp" => v.putLong(r, b.timestamp)
+      case "block_transactions" => putStrArray(v, r, b.transactions.map(_.hash))
+      case "block_uncles" => putStrArray(v, r, b.uncles)
+      case other => throw new IllegalArgumentException(s"unknown block column $other")
+    }
+
+  override def next(): Boolean = {
+    if (!chunks.hasNext) return false
+    val blocks = chunks.next()
+    val vectors = OnHeapColumnVector.allocateColumns(blocks.length, schema)
+    var r = 0
+    blocks.foreach { b =>
+      var c = 0
+      while (c < schema.length) { fill(vectors(c), schema(c).name, r, b); c += 1 }
+      r += 1
+    }
+    if (batch != null) batch.close()
+    batch = new ColumnarBatch(vectors.toArray[ColumnVector], blocks.length)
+    true
+  }
+  override def get(): ColumnarBatch = batch
+  override def close(): Unit = if (batch != null) batch.close()
 }
 
 /** Streams one block range and emits pruned `InternalRow`s. Fan-out per

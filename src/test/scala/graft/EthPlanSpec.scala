@@ -20,4 +20,22 @@ class EthPlanSpec extends AnyFunSuite {
     }
     assert(plan.contains("BroadcastHashJoin"), s"fk join shuffled both sides:\n$plan")
   }
+
+  test("block table scans columnar (vectors + ColumnarToRow, like a file source)") {
+    import org.apache.spark.sql.functions.col
+    val dir = graft.sources.eth.EthFixtures.ensure(spark)
+    val df = spark.read.format("ethereum")
+      .option("table", "block").option("chain", dir).load()
+      .filter(col("block_number") <= 600)
+      .select("block_number", "block_miner", "block_gasUsed", "block_transactions")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ColumnarToRow"), s"block scan not columnar:\n$plan")
+    assert(df.count() == 600)
+    // transaction keeps the row reader (block->N fan-out)
+    val txPlan = spark.read.format("ethereum")
+      .option("table", "transaction").option("chain", dir).load()
+      .filter(col("tx_blockNumber") <= 10)
+      .queryExecution.executedPlan.toString
+    assert(!txPlan.contains("ColumnarToRow"), s"tx scan unexpectedly columnar:\n$txPlan")
+  }
 }
