@@ -196,6 +196,22 @@ class EthereumScanBuilder(kind: EthSchemas.TableKind, chainDir: String,
 
 case class EthereumInputPartition(start: Long, end: Long) extends InputPartition
 
+/** DSv2 custom metrics surfaced in the SQL UI per scan — fetch/emit
+  * observability a chain source needs at cluster scale (blocks fetched ≠
+  * rows emitted for the fan-out tables). */
+object EthMetrics {
+  class BlocksFetched extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+    override def name(): String = "blocksFetched"
+    override def description(): String = "blocks fetched from the chain backend"
+  }
+  class RowsEmitted extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+    override def name(): String = "rowsEmitted"
+    override def description(): String = "rows emitted after decode/fan-out"
+  }
+  case class Value(name: String, value: Long)
+      extends org.apache.spark.sql.connector.metric.CustomTaskMetric
+}
+
 class EthereumScan(kind: EthSchemas.TableKind, chainDir: String,
     requiredSchema: StructType, ranges: Option[Seq[(Long, Long)]],
     blocksPerPartition: Int,
@@ -259,6 +275,9 @@ class EthereumScan(kind: EthSchemas.TableKind, chainDir: String,
   override def createReaderFactory(): PartitionReaderFactory =
     new EthereumReaderFactory(kind, chainDir, requiredSchema)
 
+  override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    Array(new EthMetrics.BlocksFetched, new EthMetrics.RowsEmitted)
+
   /** Rows≈blocks×fan-out, size≈rows×row-width — coarse but enough for
     * Catalyst to choose broadcast joins (the reference reports nothing). */
   override def estimateStatistics(): Statistics = new Statistics {
@@ -310,6 +329,7 @@ class EthereumBlockColumnarReader(chainDir: String, schema: StructType,
   private val chunks: Iterator[Seq[EthBlockData]] =
     client.blocks(start, end, fullTx = needTx).grouped(batchRows)
   private var batch: ColumnarBatch = _
+  private var blocksFetched = 0L
 
   private def putStr(v: WritableColumnVector, r: Int, s: String): Unit =
     if (s == null) v.putNull(r) else v.putByteArray(r, s.getBytes(UTF_8))
@@ -355,10 +375,14 @@ class EthereumBlockColumnarReader(chainDir: String, schema: StructType,
     }
     if (batch != null) batch.close()
     batch = new ColumnarBatch(vectors.toArray[ColumnVector], blocks.length)
+    blocksFetched += blocks.length
     true
   }
   override def get(): ColumnarBatch = batch
   override def close(): Unit = if (batch != null) batch.close()
+  override def currentMetricsValues(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    Array(EthMetrics.Value("blocksFetched", blocksFetched),
+          EthMetrics.Value("rowsEmitted", blocksFetched))
 }
 
 /** Streams one block range and emits pruned `InternalRow`s. Fan-out per
@@ -369,6 +393,8 @@ class EthereumPartitionReader(kind: EthSchemas.TableKind, chainDir: String,
     schema: StructType, start: Long, end: Long) extends PartitionReader[InternalRow] {
 
   private val client = EthClient.forChain(chainDir)
+  private var blocksFetched = 0L
+  private var rowsEmitted = 0L
 
   private def utf8(s: String): UTF8String = if (s == null) null else UTF8String.fromString(s)
   private def arr(v: Seq[String]): GenericArrayData =
@@ -436,6 +462,7 @@ class EthereumPartitionReader(kind: EthSchemas.TableKind, chainDir: String,
     val needTx = kind != EthSchemas.Block ||
       schema.fieldNames.contains("block_transactions")
     val blocks = client.blocks(start, end, fullTx = needTx)
+      .map { b => blocksFetched += 1; b }
     kind match {
       case EthSchemas.Block =>
         val fs = schema.fieldNames.map(blockExtractors)
@@ -452,7 +479,14 @@ class EthereumPartitionReader(kind: EthSchemas.TableKind, chainDir: String,
   }
 
   private var current: InternalRow = _
-  override def next(): Boolean = { val h = rows.hasNext; if (h) current = rows.next(); h }
+  override def next(): Boolean = {
+    val h = rows.hasNext
+    if (h) { current = rows.next(); rowsEmitted += 1 }
+    h
+  }
   override def get(): InternalRow = current
   override def close(): Unit = ()
+  override def currentMetricsValues(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    Array(EthMetrics.Value("blocksFetched", blocksFetched),
+          EthMetrics.Value("rowsEmitted", rowsEmitted))
 }

@@ -106,6 +106,32 @@ class Web3UnitsSpec extends AnyFunSuite {
   }
 }
 
+/** DSv2 custom-metric reporting of the scan + readers. */
+class EthMetricsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  test("scan declares metrics and readers report fetch/emit counts") {
+    import graft.sources.eth._
+    val dir = EthFixtures.ensure(spark)
+    val scan = new EthereumScan(EthSchemas.Transaction, dir,
+      EthSchemas.transactionSchema, Some(Seq((1L, 10L))), 512)
+    assert(scan.supportedCustomMetrics().map(_.name).toSet ==
+      Set("blocksFetched", "rowsEmitted"))
+    val reader = new EthereumPartitionReader(EthSchemas.Transaction, dir,
+      EthSchemas.transactionSchema, 1L, 10L)
+    var rows = 0
+    while (reader.next()) rows += 1
+    val m = reader.currentMetricsValues().map(v => v.name -> v.value).toMap
+    assert(m("blocksFetched") == 10L, s"blocksFetched=${m("blocksFetched")}")
+    assert(m("rowsEmitted") == rows.toLong && rows > 0)
+    val colReader = new EthereumBlockColumnarReader(dir, EthSchemas.blockSchema, 1L, 7L)
+    var batches = 0
+    while (colReader.next()) batches += 1
+    val cm = colReader.currentMetricsValues().map(v => v.name -> v.value).toMap
+    assert(cm("blocksFetched") == 7L && batches >= 1)
+    colReader.close()
+  }
+}
+
 /** Range algebra used by the pushdown. */
 class BlockRangesSpec extends AnyFunSuite {
   test("normalize merges overlapping and adjacent") {
