@@ -311,6 +311,40 @@ object Relational {
       .orderBy($"l_returnflag")
   }
 
+  /** Reproducible sampling — the q22 `sample()` RNG is engine/partition
+    * specific, so production training-data pipelines sample by KEY HASH
+    * instead: stable across engines, re-runs and cluster layouts, and
+    * exactly replayable by the oracle (md5-fold, as the dedup sketches). */
+  def q36HashSample(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    lineitem(s, d)
+      .filter(conv(substring(md5(concat_ws("|", $"l_orderkey", $"l_linenumber")), 1, 7), 16, 10)
+        .cast("long") % 100 < 10)
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n_sampled"),
+           round(sum($"l_quantity"), 2).as("sum_qty"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** B14 breadth: JSON round-trip (to_json/get_json_object) and map
+    * construction/access — the oracle checks the extracted VALUES, which
+    * must equal the source columns if the machinery is correct. */
+  def q37MapJson(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    nation(s, d)
+      .select($"n_nationkey", $"n_name", $"n_regionkey",
+        to_json(struct($"n_name".as("name"), $"n_regionkey".as("rk"))).as("js"),
+        map_from_arrays(array(lit("name"), lit("key")),
+          array($"n_name", $"n_nationkey".cast("string"))).as("m"))
+      .select($"n_nationkey",
+        get_json_object($"js", "$.name").as("j_name"),
+        get_json_object($"js", "$.rk").cast("long").as("j_rk"),
+        element_at($"m", "name").as("m_name"),
+        element_at($"m", "key").as("m_key"),
+        size(map_keys($"m")).cast("long").as("m_nkeys"))
+      .orderBy($"n_nationkey")
+  }
+
   /** CUBE grouping sets over two independent dimensions. */
   def q23Cube(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -548,6 +582,15 @@ object Relational {
          array_to_string(list_sort(string_split(concat(event_type, '_', event_type), '_')), '|') AS arr_joined,
          list_contains(string_split(event_type, ''), 'c') AS has_c
          FROM events WHERE event_id < 100 ORDER BY event_id""",
+    "q36_hash_sample" ->
+      """SELECT l_returnflag, count(*) AS n_sampled, round(sum(l_quantity), 2) AS sum_qty
+         FROM lineitem
+         WHERE CAST(list_sum(list_transform(range(1,8), fi -> (strpos('0123456789abcdef', substr(md5(concat_ws('|', l_orderkey, l_linenumber)), fi, 1)) - 1)::BIGINT << (4*(7-fi)))) AS BIGINT) % 100 < 10
+         GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q37_map_json" ->
+      """SELECT n_nationkey, n_name AS j_name, CAST(n_regionkey AS BIGINT) AS j_rk,
+         n_name AS m_name, CAST(n_nationkey AS VARCHAR) AS m_key, CAST(2 AS BIGINT) AS m_nkeys
+         FROM nation ORDER BY n_nationkey""",
     "q23_cube" ->
       """SELECT r_name, c_mktsegment,
          round(sum(c_acctbal), 2) AS total_bal, count(*) AS n
@@ -612,6 +655,8 @@ object Relational {
     "q15_function_breadth" -> q15FunctionBreadth _,
     "q21_approx_agg" -> q21ApproxAgg _,
     "q22_sample" -> q22Sample _,
+    "q36_hash_sample" -> q36HashSample _,
+    "q37_map_json" -> q37MapJson _,
     "q23_cube" -> q23Cube _,
     "q24_pivot" -> q24Pivot _,
     "q25_struct_map" -> q25StructMap _,
