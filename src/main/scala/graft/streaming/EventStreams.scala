@@ -37,6 +37,21 @@ object EventStreams {
       .select(col("window.start").as("win_start"), col("event_type"), col("n"),
               col("total_value"))
 
+  /** Streaming exact dedup — the streaming face of the batch
+    * [[graft.operators.Dedup.exact]] stage: dedup on a content digest
+    * within the watermark horizon. The digest (not the payload) is the
+    * dedup key, so the state store holds ~48 bytes/doc, and
+    * `dropDuplicatesWithinWatermark` lets the store EVICT keys older than
+    * the watermark — the only way streaming dedup state stays bounded on
+    * an unbounded corpus. Exactly-once output with checkpointing. */
+  def streamingDedup(docs: DataFrame, tsCol: String = "ts",
+      textCol: String = "text", horizon: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("text_key",
+        md5(trim(regexp_replace(lower(col(textCol)), "[^a-z0-9]+", " "))))
+      .withWatermark(tsCol, horizon)
+      .dropDuplicatesWithinWatermark("text_key")
+
   case class SessionInput(user_id: Long, tsMs: Long, value: Double)
   case class SessionState(start: Long, last: Long, n: Int, total: Double)
   case class SessionOut(user_id: Long, session_start: Long, session_end: Long,

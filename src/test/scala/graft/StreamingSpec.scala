@@ -109,6 +109,40 @@ class EventStreamSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("streaming dedup keeps one row per canonical digest across micro-batches") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("dedupstream").toString
+    // two files -> two micro-batches; duplicates within and ACROSS batches
+    Seq(
+      (1L, 1000L, "Hello, World!"), (2L, 2000L, "hello   world"),
+      (3L, 3000L, "unique one"), (4L, 4000L, "Another doc.")
+    ).toDF("doc_id", "ms", "text").coalesce(1)
+      .write.parquet(s"$dir/f1.parquet")
+    Seq(
+      (5L, 5000L, "HELLO WORLD"), (6L, 6000L, "another DOC"),
+      (7L, 7000L, "fresh content")
+    ).toDF("doc_id", "ms", "text").coalesce(1)
+      .write.parquet(s"$dir/f2.parquet")
+
+    val in = spark.readStream
+      .schema("doc_id LONG, ms LONG, text STRING")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/f*.parquet")
+      .withColumn("ts", timestamp_millis(col("ms")))
+    val deduped = EventStreams.streamingDedup(in, horizon = "1 hour")
+    val q = deduped.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val kept = spark.table("dedup_stream").select("doc_id", "text_key").collect()
+    // 4 canonical classes: hello-world, unique-one, another-doc, fresh-content
+    assert(kept.length == 4, s"kept ${kept.map(_.getLong(0)).mkString(",")}")
+    assert(kept.map(_.getString(1)).distinct.length == 4)
+    // cross-batch duplicates (5, 6) must be dropped by state, not batch-local dedup
+    val ids = kept.map(_.getLong(0)).toSet
+    assert(!ids.contains(5L) && !ids.contains(6L), s"cross-batch dup survived: $ids")
+    q.stop()
+  }
+
   test("sessionization emits exactly the closed sessions of the batch fold") {
     val gapMs = 30 * 60 * 1000L
     val out = EventStreams.sessionize(EventStreams.readEvents(spark, sf), gapMs)
