@@ -106,6 +106,40 @@ class Web3UnitsSpec extends AnyFunSuite {
   }
 }
 
+/** Randomized differential check of the pushdown: any combination of
+  * block-number / timestamp / hash predicates must produce exactly the rows
+  * a plain filter over the independently generated expected table produces
+  * — i.e. range narrowing never drops or duplicates rows. */
+class PushdownFuzzSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private lazy val dir = EthFixtures.ensure(spark)
+  private def eth = spark.read.format("ethereum")
+    .option("table", "block").option("chain", dir).load()
+  private lazy val expected = spark.read.parquet(s"$dir/expected/block")
+
+  test("random block-number/timestamp range predicates match the expected table") {
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(20260812L)
+    val tsBase = expected.agg(org.apache.spark.sql.functions.min(col("block_timestamp")))
+      .head().getLong(0)
+    for (i <- 1 to 8) {
+      val a = 1L + rnd.nextInt(6000)
+      val b = 1L + rnd.nextInt(6000)
+      val (lo, hi) = (math.min(a, b), math.max(a, b))
+      val pred = i % 4 match {
+        case 0 => col("block_number").between(lo, hi)
+        case 1 => col("block_number") >= lo && col("block_number") < hi
+        case 2 => (col("block_number") === lo) || col("block_number").between(hi, hi + 10)
+        case _ => col("block_timestamp").between(tsBase + lo * 13, tsBase + hi * 13)
+      }
+      val got = eth.filter(pred).select("block_number").collect().map(_.getLong(0)).sorted
+      val want = expected.filter(pred).select("block_number").collect().map(_.getLong(0)).sorted
+      assert(got.sameElements(want),
+        s"case $i pred=$pred: got ${got.length} rows, want ${want.length}")
+    }
+  }
+}
+
 /** DSv2 custom-metric reporting of the scan + readers. */
 class EthMetricsSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
