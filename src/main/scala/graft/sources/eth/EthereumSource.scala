@@ -300,36 +300,50 @@ class EthereumReaderFactory(kind: EthSchemas.TableKind, chainDir: String,
     new EthereumPartitionReader(kind, chainDir, schema, p.start, p.end)
   }
 
-  /** The block table reads columnar: fixed-width scalars land directly in
+  /** All three tables read columnar: decoded values land directly in
     * `OnHeapColumnVector`s, so downstream whole-stage codegen consumes
     * vectors like a parquet scan instead of one `GenericInternalRow` per
-    * block (the same reason Spark's own file sources are columnar).
-    * Transaction/erc20 keep row readers — their block→N fan-out produces
-    * rows, not batches. */
-  override def supportColumnarReads(partition: InputPartition): Boolean =
-    kind == EthSchemas.Block
+    * row (the same reason Spark's own file sources are columnar). The
+    * fan-out tables flatten block→transactions / block→transfers into the
+    * batch stream. */
+  override def supportColumnarReads(partition: InputPartition): Boolean = true
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val p = partition.asInstanceOf[EthereumInputPartition]
-    new EthereumBlockColumnarReader(chainDir, schema, p.start, p.end)
+    new EthereumColumnarReader(kind, chainDir, schema, p.start, p.end)
   }
 }
 
-/** Columnar reader for the block table: decodes each block straight into
-  * on-heap column vectors (`batchRows` blocks per `ColumnarBatch`). */
-class EthereumBlockColumnarReader(chainDir: String, schema: StructType,
-    start: Long, end: Long, batchRows: Int = 256)
+/** Columnar reader: decodes rows of any of the three tables straight into
+  * on-heap column vectors (`batchRows` rows per `ColumnarBatch`). */
+class EthereumColumnarReader(kind: EthSchemas.TableKind, chainDir: String,
+    schema: StructType, start: Long, end: Long, batchRows: Int = 256)
     extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
   import org.apache.spark.sql.execution.vectorized.{OnHeapColumnVector, WritableColumnVector}
   import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
   import java.nio.charset.StandardCharsets.UTF_8
 
   private val client = EthClient.forChain(chainDir)
-  private val needTx = schema.fieldNames.contains("block_transactions")
-  private val chunks: Iterator[Seq[EthBlockData]] =
-    client.blocks(start, end, fullTx = needTx).grouped(batchRows)
-  private var batch: ColumnarBatch = _
+  private val needTx = kind != EthSchemas.Block ||
+    schema.fieldNames.contains("block_transactions")
   private var blocksFetched = 0L
+  private var rowsEmitted = 0L
+  private val blocks: Iterator[EthBlockData] =
+    client.blocks(start, end, fullTx = needTx).map { b => blocksFetched += 1; b }
+  private val chunks: Iterator[Seq[AnyRef]] = (kind match {
+    case EthSchemas.Block => blocks
+    case EthSchemas.Transaction => blocks.flatMap(_.transactions.iterator)
+    case EthSchemas.Erc20 => blocks.flatMap(Erc20Decoder.decodeBlock)
+  }).asInstanceOf[Iterator[AnyRef]].grouped(batchRows)
+  private var batch: ColumnarBatch = _
+
+  private def putDec(v: WritableColumnVector, r: Int, bd: java.math.BigDecimal): Unit = {
+    val d = org.apache.spark.sql.types.Decimal(BigDecimal(bd))
+    if (!d.changePrecision(38, 0))
+      throw new ArithmeticException(
+        s"wei value $bd overflows DECIMAL(38,0); unset weiDecimal or pre-scale")
+    v.putDecimal(r, d, 38)
+  }
 
   private def putStr(v: WritableColumnVector, r: Int, s: String): Unit =
     if (s == null) v.putNull(r) else v.putByteArray(r, s.getBytes(UTF_8))
@@ -340,7 +354,7 @@ class EthereumBlockColumnarReader(chainDir: String, schema: StructType,
     v.putArray(r, offset, vs.length)
   }
 
-  private def fill(v: WritableColumnVector, name: String, r: Int, b: EthBlockData): Unit =
+  private def fillBlock(v: WritableColumnVector, name: String, r: Int, b: EthBlockData): Unit =
     name match {
       case "block_number" => v.putLong(r, b.number)
       case "block_hash" => putStr(v, r, b.hash)
@@ -363,26 +377,68 @@ class EthereumBlockColumnarReader(chainDir: String, schema: StructType,
       case other => throw new IllegalArgumentException(s"unknown block column $other")
     }
 
+  private def fillTx(v: WritableColumnVector, f: org.apache.spark.sql.types.StructField,
+      r: Int, t: EthTx): Unit = f.name match {
+    case "tx_hash" => putStr(v, r, t.hash)
+    case "tx_nonce" => v.putLong(r, t.nonce)
+    case "tx_blockHash" => putStr(v, r, t.blockHash)
+    case "tx_blockNumber" => v.putLong(r, t.blockNumber)
+    case "tx_transactionIndex" => v.putInt(r, t.transactionIndex)
+    case "tx_from" => putStr(v, r, t.from)
+    case "tx_to" => putStr(v, r, t.to.orNull)
+    case "tx_value" =>
+      if (f.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType])
+        putDec(v, r, new java.math.BigDecimal(t.value))
+      else v.putDouble(r, t.value)
+    case "tx_gas" => v.putDouble(r, t.gas)
+    case "tx_gasPrice" =>
+      if (f.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType])
+        putDec(v, r, new java.math.BigDecimal(t.gasPrice))
+      else v.putDouble(r, t.gasPrice)
+    case "tx_input" => putStr(v, r, t.input)
+    case other => throw new IllegalArgumentException(s"unknown tx column $other")
+  }
+
+  private def fillErc(v: WritableColumnVector, f: org.apache.spark.sql.types.StructField,
+      r: Int, e: Erc20Decoder.Erc20Transfer): Unit = f.name match {
+    case "erc20_token" => putStr(v, r, e.token)
+    case "erc20_from" => putStr(v, r, e.from)
+    case "erc20_to" => putStr(v, r, e.to)
+    case "erc20_value" =>
+      if (f.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType])
+        putDec(v, r, new java.math.BigDecimal(e.valueExact))
+      else v.putDouble(r, e.value)
+    case "erc20_txHash" => putStr(v, r, e.txHash)
+    case "erc20_blockNumber" => v.putLong(r, e.blockNumber)
+    case other => throw new IllegalArgumentException(s"unknown erc20 column $other")
+  }
+
+  private def fill(v: WritableColumnVector, c: Int, r: Int, row: AnyRef): Unit = kind match {
+    case EthSchemas.Block => fillBlock(v, schema(c).name, r, row.asInstanceOf[EthBlockData])
+    case EthSchemas.Transaction => fillTx(v, schema(c), r, row.asInstanceOf[EthTx])
+    case EthSchemas.Erc20 => fillErc(v, schema(c), r, row.asInstanceOf[Erc20Decoder.Erc20Transfer])
+  }
+
   override def next(): Boolean = {
     if (!chunks.hasNext) return false
-    val blocks = chunks.next()
-    val vectors = OnHeapColumnVector.allocateColumns(blocks.length, schema)
+    val rows = chunks.next()
+    val vectors = OnHeapColumnVector.allocateColumns(rows.length, schema)
     var r = 0
-    blocks.foreach { b =>
+    rows.foreach { row =>
       var c = 0
-      while (c < schema.length) { fill(vectors(c), schema(c).name, r, b); c += 1 }
+      while (c < schema.length) { fill(vectors(c), c, r, row); c += 1 }
       r += 1
     }
     if (batch != null) batch.close()
-    batch = new ColumnarBatch(vectors.toArray[ColumnVector], blocks.length)
-    blocksFetched += blocks.length
+    batch = new ColumnarBatch(vectors.toArray[ColumnVector], rows.length)
+    rowsEmitted += rows.length
     true
   }
   override def get(): ColumnarBatch = batch
   override def close(): Unit = if (batch != null) batch.close()
   override def currentMetricsValues(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
     Array(EthMetrics.Value("blocksFetched", blocksFetched),
-          EthMetrics.Value("rowsEmitted", blocksFetched))
+          EthMetrics.Value("rowsEmitted", rowsEmitted))
 }
 
 /** Streams one block range and emits pruned `InternalRow`s. Fan-out per

@@ -21,7 +21,7 @@ class EthPlanSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), s"fk join shuffled both sides:\n$plan")
   }
 
-  test("block table scans columnar (vectors + ColumnarToRow, like a file source)") {
+  test("all eth tables scan columnar (vectors + ColumnarToRow, like a file source)") {
     import org.apache.spark.sql.functions.col
     val dir = graft.sources.eth.EthFixtures.ensure(spark)
     val df = spark.read.format("ethereum")
@@ -31,11 +31,11 @@ class EthPlanSpec extends AnyFunSuite {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("ColumnarToRow"), s"block scan not columnar:\n$plan")
     assert(df.count() == 600)
-    // transaction keeps the row reader (block->N fan-out)
+    // the fan-out tables batch too: flattened block->N rows land in vectors
     val txPlan = spark.read.format("ethereum")
       .option("table", "transaction").option("chain", dir).load()
       .filter(col("tx_blockNumber") <= 10)
       .queryExecution.executedPlan.toString
-    assert(!txPlan.contains("ColumnarToRow"), s"tx scan unexpectedly columnar:\n$txPlan")
+    assert(txPlan.contains("ColumnarToRow"), s"tx scan not columnar:\n$txPlan")
   }
 }

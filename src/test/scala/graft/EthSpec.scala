@@ -157,7 +157,7 @@ class EthMetricsSpec extends AnyFunSuite {
     val m = reader.currentMetricsValues().map(v => v.name -> v.value).toMap
     assert(m("blocksFetched") == 10L, s"blocksFetched=${m("blocksFetched")}")
     assert(m("rowsEmitted") == rows.toLong && rows > 0)
-    val colReader = new EthereumBlockColumnarReader(dir, EthSchemas.blockSchema, 1L, 7L)
+    val colReader = new EthereumColumnarReader(EthSchemas.Block, dir, EthSchemas.blockSchema, 1L, 7L)
     var batches = 0
     while (colReader.next()) batches += 1
     val cm = colReader.currentMetricsValues().map(v => v.name -> v.value).toMap
