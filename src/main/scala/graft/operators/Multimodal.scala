@@ -104,6 +104,42 @@ object Multimodal {
     }.toDF("media_id", "frame_idx", "frame_bytes", "frame_sum")
   }
 
+  case class ResizedMeta(media_id: Long, width: Int, height: Int,
+      new_width: Int, new_height: Int, scale_pct: Long, resized_bytes: Long)
+
+  /** Resize stage: scale every image so its longest side is `maxSide`,
+    * preserving aspect ratio (never upscale). The geometry/metadata
+    * arithmetic is the real operator contract; the pixel resample kernel
+    * is the container-forced stub (a real deployment swaps the payload
+    * transform in the same mapPartitions batch). `resized_bytes` stands in
+    * for the output payload size (w*h*3 for the fake RGB buffer). */
+  def resizeMeta(media: Dataset[MediaRow], maxSide: Int = 224): Dataset[ResizedMeta] = {
+    import media.sparkSession.implicits._
+    media.filter(_.modality == "image").mapPartitions { rows =>
+      // per-partition kernel init would happen here (a real resampler)
+      rows.map { m =>
+        val long = math.max(m.width, m.height)
+        // integer percentage keeps the arithmetic exactly replayable
+        val pct = if (long <= maxSide) 100L else maxSide * 100L / long
+        val nw = (m.width * pct / 100L).toInt
+        val nh = (m.height * pct / 100L).toInt
+        ResizedMeta(m.media_id, m.width, m.height, nw, nh, pct, nw.toLong * nh * 3)
+      }
+    }
+  }
+
+  /** Resize query: per-bucket output-size accounting of the resize stage. */
+  def resizeStats(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    resizeMeta(mediaTable(s, d))
+      .groupBy(($"scale_pct" / 10).cast("long").as("scale_decile"))
+      .agg(count(lit(1)).as("n_images"),
+           sum($"resized_bytes").as("total_bytes"),
+           max($"new_width").cast("long").as("max_w"),
+           max($"new_height").cast("long").as("max_h"))
+      .orderBy($"scale_decile")
+  }
+
   /** Pipeline query: media → decode/featurize → per-modality aggregate. */
   def featureStats(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -138,7 +174,8 @@ object Multimodal {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "nd_multimodal_features" -> featureStats _,
     "nd_multimodal_frames" -> frameStatsOracle _,
-    "nd_multimodal_frames_full" -> frameStats _)
+    "nd_multimodal_frames_full" -> frameStats _,
+    "nd_multimodal_resize" -> resizeStats _)
 
   /** All three queries are oracle-checkable from documents: the payload is
     * the utf-8 text bytes (ASCII in the fixture corpus, so byte == char),
@@ -147,6 +184,22 @@ object Multimodal {
     * replay (modality: doc_id%3 → image/audio/video; video frames = every
     * 4th 64-byte window). */
   val oracle: Map[String, String] = Map(
+    "nd_multimodal_resize" ->
+      """WITH img AS (
+           SELECT doc_id AS media_id,
+                  CAST(doc_id % 640 + 32 AS BIGINT) AS w,
+                  CAST(doc_id % 480 + 32 AS BIGINT) AS h
+           FROM documents WHERE doc_id % 3 = 0),
+         r AS (
+           SELECT media_id, w, h,
+                  CASE WHEN greatest(w, h) <= 224 THEN 100 ELSE 224 * 100 // greatest(w, h) END AS pct
+           FROM img),
+         m AS (
+           SELECT media_id, (w * pct // 100) AS nw, (h * pct // 100) AS nh, pct FROM r)
+         SELECT pct // 10 AS scale_decile, count(*) AS n_images,
+                CAST(sum(nw * nh * 3) AS BIGINT) AS total_bytes,
+                max(nw) AS max_w, max(nh) AS max_h
+         FROM m GROUP BY scale_decile ORDER BY scale_decile""",
     "nd_multimodal_frames" ->
       """SELECT doc_id AS media_id,
          CAST(ceil(ceil(octet_length(encode(text)) / 64.0) / 4.0) AS BIGINT) AS n_sampled
