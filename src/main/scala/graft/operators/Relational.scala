@@ -44,10 +44,17 @@ object Relational {
       .groupBy($"l_returnflag", $"l_linestatus")
       .agg(
         round(sum($"l_quantity"), 2).as("sum_qty"),
-        round(sum($"l_extendedprice"), 2).as("sum_base_price"),
-        round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("sum_disc_price"),
+        // price sums in exact decimal: double sums of 2-decimal money values
+        // land on repr-half rounding ties disproportionately often (see the
+        // q29 sf0.001 catch) and are summation-order sensitive besides
+        round(sum($"l_extendedprice".cast("decimal(18,6)")), 2).cast("double")
+          .as("sum_base_price"),
+        round(sum($"l_extendedprice".cast("decimal(18,6)")
+          * (lit(1) - $"l_discount".cast("decimal(18,6)"))), 2).cast("double")
+          .as("sum_disc_price"),
         round(avg($"l_quantity"), 4).as("avg_qty"),
-        round(avg($"l_extendedprice"), 2).as("avg_price"),
+        round(sum($"l_extendedprice".cast("decimal(18,6)")).cast("double")
+          / count(lit(1)), 2).as("avg_price"),
         count(lit(1)).as("count_order"))
       .orderBy($"l_returnflag", $"l_linestatus")
   }
@@ -64,7 +71,9 @@ object Relational {
       .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
               $"o_orderdate" <  lit("1998-01-01").cast("timestamp"))
       .groupBy($"n_name")
-      .agg(round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("revenue"),
+      .agg(round(sum($"l_extendedprice".cast("decimal(18,6)")
+             * (lit(1) - $"l_discount".cast("decimal(18,6)"))), 2).cast("double")
+             .as("revenue"),
            count(lit(1)).as("n_items"))
       .orderBy($"revenue".desc, $"n_name")
   }
@@ -76,7 +85,7 @@ object Relational {
     orders(s, d)
       .join(customer(s, d), $"o_custkey" === $"c_custkey")
       .groupBy($"c_custkey", $"c_name")
-      .agg(round(sum($"o_totalprice"), 2).as("total_spent"),
+      .agg(round(sum($"o_totalprice".cast("decimal(18,6)")), 2).cast("double").as("total_spent"),
            count(lit(1)).as("n_orders"))
       .orderBy($"total_spent".desc, $"c_custkey")
       .limit(15)
@@ -100,7 +109,8 @@ object Relational {
     orders(s, d)
       .select($"o_orderkey", $"o_totalprice", ntile(4).over(w).as("bucket"))
       .groupBy($"bucket")
-      .agg(round(avg($"o_totalprice"), 2).as("avg_price"),
+      .agg(round(sum($"o_totalprice".cast("decimal(18,6)")).cast("double")
+             / count(lit(1)), 2).as("avg_price"),
            round(min($"o_totalprice"), 2).as("min_price"),
            round(max($"o_totalprice"), 2).as("max_price"),
            count(lit(1)).as("n"))
@@ -120,7 +130,8 @@ object Relational {
         orders(s, d).select($"o_orderkey", $"o_totalprice"),
         4, Seq($"o_totalprice", $"o_orderkey"))
       .groupBy($"bucket")
-      .agg(round(avg($"o_totalprice"), 2).as("avg_price"),
+      .agg(round(sum($"o_totalprice".cast("decimal(18,6)")).cast("double")
+             / count(lit(1)), 2).as("avg_price"),
            round(min($"o_totalprice"), 2).as("min_price"),
            round(max($"o_totalprice"), 2).as("max_price"),
            count(lit(1)).as("n"))
@@ -139,7 +150,8 @@ object Relational {
         rank().over(w).cast("long").as("rnk"),
         round(lag($"o_totalprice", 1).over(w), 2).as("prev_price"),
         round(lead($"o_totalprice", 1).over(w), 2).as("next_price"),
-        round(sum($"o_totalprice").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2)
+        round(sum($"o_totalprice".cast("decimal(18,6)"))
+            .over(w.rowsBetween(Window.unboundedPreceding, 0)), 2).cast("double")
           .as("running_total"))
       .orderBy($"o_orderkey")
   }
@@ -433,17 +445,19 @@ object Relational {
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
          round(sum(l_quantity), 2) AS sum_qty,
-         round(sum(l_extendedprice), 2) AS sum_base_price,
-         round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+         CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_base_price,
+         CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+                        * (1 - CAST(l_discount AS DECIMAL(18,6)))), 2) AS DOUBLE) AS sum_disc_price,
          round(avg(l_quantity), 4) AS avg_qty,
-         round(avg(l_extendedprice), 2) AS avg_price,
+         round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / count(*), 2) AS avg_price,
          count(*) AS count_order
          FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
          GROUP BY l_returnflag, l_linestatus
          ORDER BY l_returnflag, l_linestatus""",
     "q02_revenue_by_nation" ->
       """SELECT n_name,
-         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+         CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+                        * (1 - CAST(l_discount AS DECIMAL(18,6)))), 2) AS DOUBLE) AS revenue,
          count(*) AS n_items
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          JOIN customer ON o_custkey = c_custkey
@@ -455,7 +469,7 @@ object Relational {
          ORDER BY revenue DESC, n_name""",
     "q03_top_customers" ->
       """SELECT c_custkey, c_name,
-         round(sum(o_totalprice), 2) AS total_spent, count(*) AS n_orders
+         CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_spent, count(*) AS n_orders
          FROM orders JOIN customer ON o_custkey = c_custkey
          GROUP BY c_custkey, c_name
          ORDER BY total_spent DESC, c_custkey LIMIT 15""",
@@ -471,7 +485,7 @@ object Relational {
                   ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
            FROM orders)
          SELECT CAST(bucket AS BIGINT) AS bucket,
-                round(avg(o_totalprice), 2) AS avg_price,
+                round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) / count(*), 2) AS avg_price,
                 round(min(o_totalprice), 2) AS min_price,
                 round(max(o_totalprice), 2) AS max_price,
                 count(*) AS n
@@ -482,7 +496,7 @@ object Relational {
                   ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
            FROM orders)
          SELECT CAST(bucket AS BIGINT) AS bucket,
-                round(avg(o_totalprice), 2) AS avg_price,
+                round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) / count(*), 2) AS avg_price,
                 round(min(o_totalprice), 2) AS min_price,
                 round(max(o_totalprice), 2) AS max_price,
                 count(*) AS n
@@ -493,7 +507,7 @@ object Relational {
          CAST(rank() OVER w AS BIGINT) AS rnk,
          round(lag(o_totalprice, 1) OVER w, 2) AS prev_price,
          round(lead(o_totalprice, 1) OVER w, 2) AS next_price,
-         round(sum(o_totalprice) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+         CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS running_total
          FROM orders
          WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
          ORDER BY o_orderkey""",

@@ -51,7 +51,7 @@ object Subqueries {
 
   /** Correlated scalar subquery (TPC-H Q17 shape): per-group threshold. */
   def q20CorrScalar(s: SparkSession, d: String): DataFrame = sql(s, d,
-    """SELECT round(sum(l_extendedprice), 2) AS total_below, count(*) AS n_items
+    """SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_below, count(*) AS n_items
        FROM lineitem l1
        WHERE l_quantity < (SELECT 0.5 * avg(l_quantity) FROM lineitem l2
                            WHERE l2.l_partkey = l1.l_partkey)""")
@@ -83,7 +83,7 @@ object Subqueries {
          WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
          GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     "q20_corr_scalar" ->
-      """SELECT round(sum(l_extendedprice), 2) AS total_below, count(*) AS n_items
+      """SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_below, count(*) AS n_items
          FROM lineitem l1
          WHERE l_quantity < (SELECT 0.5 * avg(l_quantity) FROM lineitem l2
                              WHERE l2.l_partkey = l1.l_partkey)""")

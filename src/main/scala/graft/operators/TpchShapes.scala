@@ -21,7 +21,13 @@ object TpchShapes {
       .join(supplier(s, d), $"l_suppkey" === $"s_suppkey")
       .join(broadcast(nation(s, d)), $"s_nationkey" === $"n_nationkey")
       .groupBy($"n_name", year($"o_orderdate").cast("long").as("o_year"))
-      .agg(round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("revenue"),
+      // revenue in exact decimal: a double sum is summation-order sensitive
+      // and Spark/DuckDB round repr-half ties differently (caught at
+      // sf0.001: 3918590.075 rounded .08 vs .07). DECIMAL(18,6) casts make
+      // the sum and its rounding bit-identical across engines at any SF.
+      .agg(round(sum($"l_extendedprice".cast("decimal(18,6)")
+             * (lit(1) - $"l_discount".cast("decimal(18,6)"))), 2)
+             .cast("double").as("revenue"),
            count(lit(1)).as("n_items"))
       .orderBy($"n_name", $"o_year")
   }
@@ -34,7 +40,9 @@ object TpchShapes {
       .join(customer(s, d), $"o_custkey" === $"c_custkey")
       .join(broadcast(nation(s, d)), $"c_nationkey" === $"n_nationkey")
       .groupBy($"c_custkey", $"c_name", $"n_name")
-      .agg(round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("revenue"))
+      .agg(round(sum($"l_extendedprice".cast("decimal(18,6)")
+             * (lit(1) - $"l_discount".cast("decimal(18,6)"))), 2).cast("double")
+             .as("revenue"))
       .orderBy($"revenue".desc, $"c_custkey")
       .limit(20)
   }
@@ -45,9 +53,11 @@ object TpchShapes {
     lineitem(s, d)
       .join(part(s, d), $"l_partkey" === $"p_partkey")
       .agg(round(
-        sum(when($"p_type" === "PROMO", $"l_extendedprice" * (lit(1) - $"l_discount"))
-          .otherwise(0.0)) * 100.0 /
-        sum($"l_extendedprice" * (lit(1) - $"l_discount")), 4).as("promo_pct"))
+        sum(when($"p_type" === "PROMO",
+            $"l_extendedprice".cast("decimal(18,6)") * (lit(1) - $"l_discount".cast("decimal(18,6)")))
+          .otherwise(lit(0).cast("decimal(38,12)"))).cast("double") * 100.0 /
+        sum($"l_extendedprice".cast("decimal(18,6)")
+          * (lit(1) - $"l_discount".cast("decimal(18,6)"))).cast("double"), 4).as("promo_pct"))
   }
 
   /** Q19 shape: disjunctive predicate groups over a join. */
@@ -59,7 +69,8 @@ object TpchShapes {
     lineitem(s, d)
       .join(part(s, d), $"l_partkey" === $"p_partkey")
       .filter(p1 || p2 || p3)
-      .agg(round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("revenue"),
+      .agg(round(sum($"l_extendedprice".cast("decimal(18,6)")
+             * (lit(1) - $"l_discount".cast("decimal(18,6)"))), 2).cast("double").as("revenue"),
            count(lit(1)).as("n_items"))
   }
 
@@ -99,7 +110,8 @@ object TpchShapes {
   val oracle: Map[String, String] = Map(
     "q29_nation_volume" ->
       """SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
-         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+         CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+                        * (1 - CAST(l_discount AS DECIMAL(18,6)))), 2) AS DOUBLE) AS revenue,
          count(*) AS n_items
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          JOIN supplier ON l_suppkey = s_suppkey
@@ -107,7 +119,8 @@ object TpchShapes {
          GROUP BY n_name, year(o_orderdate) ORDER BY n_name, o_year""",
     "q30_returned_items" ->
       """SELECT c_custkey, c_name, n_name,
-         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+         CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+                        * (1 - CAST(l_discount AS DECIMAL(18,6)))), 2) AS DOUBLE) AS revenue
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          JOIN customer ON o_custkey = c_custkey
          JOIN nation ON c_nationkey = n_nationkey
@@ -116,12 +129,12 @@ object TpchShapes {
          ORDER BY revenue DESC, c_custkey LIMIT 20""",
     "q31_promo_share" ->
       """SELECT round(
-           sum(CASE WHEN p_type = 'PROMO'
-               THEN l_extendedprice * (1 - l_discount) ELSE 0 END) * 100.0 /
-           sum(l_extendedprice * (1 - l_discount)), 4) AS promo_pct
+           CAST(sum(CASE WHEN p_type = 'PROMO'
+               THEN CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6))) ELSE 0 END) AS DOUBLE) * 100.0 /
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE), 4) AS promo_pct
          FROM lineitem JOIN part ON l_partkey = p_partkey""",
     "q32_disjunctive_preds" ->
-      """SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      """SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6)))), 2) AS DOUBLE) AS revenue,
          count(*) AS n_items
          FROM lineitem JOIN part ON l_partkey = p_partkey
          WHERE (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 10 AND l_quantity >= 10)
