@@ -4,6 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
+import graft.functions.Erc20TransfersGenerator
 import graft.functions.Expressions._
 
 /** `SparkSessionExtensions` entry point: injects the graft native functions
@@ -27,5 +28,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("cosine_sim"),
       info("cosine_sim", "cosine_sim(a, b) - cosine similarity of two double arrays"),
       (es: Seq[Expression]) => CosineSim(es(0), es(1))))
+    ext.injectFunction((FunctionIdentifier("erc20_transfers"),
+      info("erc20_transfers",
+        "erc20_transfers(address, topics, data, tx_hash, block_number) - decode ERC-20 Transfer logs"),
+      (es: Seq[Expression]) => Erc20TransfersGenerator(es)))
   }
 }

@@ -367,5 +367,6 @@ object Expressions {
     reg.createOrReplaceTempFunction("simhash60", es => SimHash60(es.head), "built-in")
     reg.createOrReplaceTempFunction("hamming64", es => HammingDist64(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("cosine_sim", es => CosineSim(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("erc20_transfers", es => Erc20TransfersGenerator(es), "built-in")
   }
 }

@@ -177,6 +177,26 @@ object EthQueries {
       .orderBy($"nt")
   }
 
+  /** Q11 (extension surface): the same ERC-20 movement aggregate as Q4,
+    * but computed from the raw `log` table through the standalone
+    * [[graft.functions.Erc20TransfersGenerator]] SQL generator — for users
+    * holding exported receipt logs instead of reading the fused `erc20`
+    * scan. Shares Q4's oracle (the expected erc20 parquet), so the two
+    * decode paths are proven identical. */
+  def q11LogDecode(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.functions.Expressions.register(s)
+    eth(s, "log").createOrReplaceTempView("eth_raw_logs")
+    s.sql(
+      """SELECT t.erc20_token, round(sum(t.erc20_value), 2) AS total_moved,
+                count(*) AS n_transfers
+         FROM eth_raw_logs
+         LATERAL VIEW erc20_transfers(log_address, log_topics, log_data,
+                                      log_txHash, log_blockNumber) t
+         WHERE log_blockNumber BETWEEN 2000 AND 4000
+         GROUP BY t.erc20_token ORDER BY t.erc20_token""")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "eth_q1_blocktime" -> q1BlockTime _,
     "eth_q2_ntile_gas" -> q2NtileGas _,
@@ -188,7 +208,8 @@ object EthQueries {
     "eth_q8_tx_per_miner" -> q8TxPerMiner _,
     "eth_q9_array_cols" -> q9ArrayCols _,
     "eth_udfs" -> qUdfs _,
-    "eth_q10_ntile_scalable" -> q10NtileScalable _)
+    "eth_q10_ntile_scalable" -> q10NtileScalable _,
+    "eth_q11_log_decode" -> q11LogDecode _)
 
   /** DuckDB replica of [[graft.sources.eth.FixtureChainClient.addrSeed]]:
     * first 15 hex chars of sha256(lower(addr)) folded to a BIGINT. */
@@ -222,6 +243,11 @@ object EthQueries {
       """SELECT block_miner, count(*) AS num FROM block WHERE block_number <= 5000
          GROUP BY block_miner ORDER BY num DESC, block_miner LIMIT 15"""),
     "eth_q4_erc20_movement" -> withEthTables(
+      """SELECT erc20_token, round(sum(erc20_value), 2) AS total_moved,
+         count(*) AS n_transfers
+         FROM erc20 WHERE erc20_blockNumber BETWEEN 2000 AND 4000
+         GROUP BY erc20_token ORDER BY erc20_token"""),
+    "eth_q11_log_decode" -> withEthTables(
       """SELECT erc20_token, round(sum(erc20_value), 2) AS total_moved,
          count(*) AS n_transfers
          FROM erc20 WHERE erc20_blockNumber BETWEEN 2000 AND 4000

@@ -33,13 +33,19 @@ object EthSchemas {
   case object Block extends TableKind("block")
   case object Transaction extends TableKind("transaction")
   case object Erc20 extends TableKind("erc20")
+  /** Extension beyond the reference's 3 tables: the raw receipt-log stream
+    * (block→logs fan-out) for users who decode with [[graft.functions.Erc20TransfersGenerator]]
+    * or their own ABI logic. Reachable via `format("ethereum")` only — the
+    * catalog lists exactly the reference's tables. */
+  case object Log extends TableKind("log")
 
   def kindOf(name: String): TableKind = name.toLowerCase match {
     case "block"       => Block
     case "transaction" => Transaction
     case "erc20"       => Erc20
+    case "log"         => Log
     case other => throw new IllegalArgumentException(
-      s"unknown ethereum table '$other' (expected block|transaction|erc20)")
+      s"unknown ethereum table '$other' (expected block|transaction|erc20|log)")
   }
 
   val blockSchema: StructType = StructType(Seq(
@@ -83,10 +89,18 @@ object EthSchemas {
     vc("erc20_txHash", H32),
     StructField("erc20_blockNumber", LongType)))
 
+  val logSchema: StructType = StructType(Seq(
+    vc("log_address", H20),
+    StructField("log_topics", ArrayType(StringType)),
+    StructField("log_data", StringType),
+    vc("log_txHash", H32),
+    StructField("log_blockNumber", LongType, nullable = false)))
+
   def schemaFor(kind: TableKind): StructType = kind match {
     case Block       => blockSchema
     case Transaction => transactionSchema
     case Erc20       => erc20Schema
+    case Log         => logSchema
   }
 
   /** Wei-valued columns that the reference lossily narrows to double
@@ -116,6 +130,7 @@ object EthSchemas {
     case Block       => "block_number"
     case Transaction => "tx_blockNumber"
     case Erc20       => "erc20_blockNumber"
+    case Log         => "log_blockNumber"
   }
 
   /** The block-hash column whose point lookups rewrite to a single-block
@@ -124,5 +139,6 @@ object EthSchemas {
     case Block       => Some("block_hash")
     case Transaction => Some("tx_blockHash")
     case Erc20       => None
+    case Log         => None
   }
 }

@@ -286,6 +286,7 @@ class EthereumScan(kind: EthSchemas.TableKind, chainDir: String,
       case EthSchemas.Block => blocks
       case EthSchemas.Transaction => (blocks * 2.5).toLong
       case EthSchemas.Erc20 => (blocks * 1.5).toLong
+      case EthSchemas.Log => (blocks * 2.0).toLong
     }
     override def sizeInBytes(): OptionalLong =
       OptionalLong.of(rows * requiredSchema.map(_.dataType.defaultSize + 40L).sum)
@@ -334,6 +335,7 @@ class EthereumColumnarReader(kind: EthSchemas.TableKind, chainDir: String,
     case EthSchemas.Block => blocks
     case EthSchemas.Transaction => blocks.flatMap(_.transactions.iterator)
     case EthSchemas.Erc20 => blocks.flatMap(Erc20Decoder.decodeBlock)
+    case EthSchemas.Log => blocks.flatMap(_.transactions.iterator.flatMap(_.logs))
   }).asInstanceOf[Iterator[AnyRef]].grouped(batchRows)
   private var batch: ColumnarBatch = _
 
@@ -413,10 +415,21 @@ class EthereumColumnarReader(kind: EthSchemas.TableKind, chainDir: String,
     case other => throw new IllegalArgumentException(s"unknown erc20 column $other")
   }
 
+  private def fillLog(v: WritableColumnVector, name: String, r: Int, l: EthLog): Unit =
+    name match {
+      case "log_address" => putStr(v, r, l.address)
+      case "log_topics" => putStrArray(v, r, l.topics)
+      case "log_data" => putStr(v, r, l.data)
+      case "log_txHash" => putStr(v, r, l.transactionHash)
+      case "log_blockNumber" => v.putLong(r, l.blockNumber)
+      case other => throw new IllegalArgumentException(s"unknown log column $other")
+    }
+
   private def fill(v: WritableColumnVector, c: Int, r: Int, row: AnyRef): Unit = kind match {
     case EthSchemas.Block => fillBlock(v, schema(c).name, r, row.asInstanceOf[EthBlockData])
     case EthSchemas.Transaction => fillTx(v, schema(c), r, row.asInstanceOf[EthTx])
     case EthSchemas.Erc20 => fillErc(v, schema(c), r, row.asInstanceOf[Erc20Decoder.Erc20Transfer])
+    case EthSchemas.Log => fillLog(v, schema(c).name, r, row.asInstanceOf[EthLog])
   }
 
   override def next(): Boolean = {
@@ -531,6 +544,16 @@ class EthereumPartitionReader(kind: EthSchemas.TableKind, chainDir: String,
         val fs = schema.fields.map(ercExtractor)
         blocks.flatMap(Erc20Decoder.decodeBlock)
           .map(e => new GenericInternalRow(fs.map(_.apply(e)).toArray[Any]))
+      case EthSchemas.Log =>
+        val logExtractors: Map[String, EthLog => Any] = Map(
+          "log_address" -> (l => utf8(l.address)),
+          "log_topics" -> (l => arr(l.topics)),
+          "log_data" -> (l => utf8(l.data)),
+          "log_txHash" -> (l => utf8(l.transactionHash)),
+          "log_blockNumber" -> (_.blockNumber))
+        val fs = schema.fieldNames.map(logExtractors)
+        blocks.flatMap(_.transactions.iterator.flatMap(_.logs))
+          .map(l => new GenericInternalRow(fs.map(_.apply(l)).toArray[Any]))
     }
   }
 

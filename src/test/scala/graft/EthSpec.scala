@@ -140,6 +140,28 @@ class PushdownFuzzSpec extends AnyFunSuite {
   }
 }
 
+/** The standalone SQL decode generator must reproduce the fused erc20
+  * scan exactly — two code paths, one decode function, zero drift. */
+class Erc20GeneratorSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  test("erc20_transfers over the raw log table equals the erc20 scan") {
+    val dir = EthFixtures.ensure(spark)
+    graft.functions.Expressions.register(spark)
+    spark.read.format("ethereum").option("table", "log").option("chain", dir).load()
+      .createOrReplaceTempView("gen_logs")
+    val viaGen = spark.sql(
+      """SELECT t.* FROM gen_logs
+         LATERAL VIEW erc20_transfers(log_address, log_topics, log_data,
+                                      log_txHash, log_blockNumber) t""")
+      .collect().map(_.toSeq).sortBy(_.mkString("|"))
+    val viaScan = spark.read.format("ethereum")
+      .option("table", "erc20").option("chain", dir).load()
+      .collect().map(_.toSeq).sortBy(_.mkString("|"))
+    assert(viaGen.length == viaScan.length && viaGen.nonEmpty)
+    assert(viaGen.zip(viaScan).forall { case (a, b) => a == b })
+  }
+}
+
 /** DSv2 custom-metric reporting of the scan + readers. */
 class EthMetricsSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
