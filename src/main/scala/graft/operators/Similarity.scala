@@ -128,7 +128,31 @@ object Similarity {
       .orderBy($"query_id", $"rank")
   }
 
+  /** Metadata-filtered ANN — the retrieval-pipeline shape "top-k among
+    * vectors satisfying a predicate". The filter lands on the corpus scan
+    * (PushedFilters on `label`), so candidates shrink BEFORE any distance
+    * is computed; at 100 TB a selective filter turns a full-corpus sweep
+    * into a fraction of it, independent of the index strategy. */
+  def knnFiltered(s: SparkSession, d: String, nQueries: Int = 5, k: Int = 5,
+      label: Int = 1): DataFrame = {
+    import s.implicits._
+    val corpus = embeddings(s, d).filter($"label" === label)
+      .select($"vec_id", transform($"embedding", _.cast("double")).as("v"))
+    val q = embeddings(s, d).filter($"vec_id" < nQueries)
+      .select($"vec_id".as("query_id"), transform($"embedding", _.cast("double")).as("qv"))
+    val scored = corpus.join(broadcast(q), $"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id".as("neighbor_id"),
+              Expressions.cosineSim($"qv", $"v").as("sim"))
+    val w = Window.partitionBy($"query_id").orderBy($"sim".desc, $"neighbor_id")
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= k)
+      .select($"query_id", $"neighbor_id", round($"sim", 6).as("cos_sim"), $"rank")
+      .orderBy($"query_id", $"rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "nd_knn_filtered" -> ((s: SparkSession, d: String) => knnFiltered(s, d)),
     "nd_knn_brute" -> ((s: SparkSession, d: String) => knnBrute(s, d)),
     "nd_knn_lsh" -> ((s: SparkSession, d: String) => knnLsh(s, d)),
     "nd_knn_ivf" -> ((s: SparkSession, d: String) => knnIvf(s, d)))
@@ -145,6 +169,18 @@ object Similarity {
              THEN (1::BIGINT << p) ELSE 0 END)) AS BIGINT)"""
 
   val oracle: Map[String, String] = Map(
+    "nd_knn_filtered" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                    FROM embeddings WHERE vec_id < 5),
+          s AS (SELECT query_id, e.vec_id AS neighbor_id,
+                       list_cosine_similarity(qv, e.embedding::DOUBLE[]) AS sim
+                FROM embeddings e CROSS JOIN q
+                WHERE e.label = 1 AND e.vec_id <> query_id),
+          r AS (SELECT query_id, neighbor_id, sim,
+                       row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk
+                FROM s)
+         SELECT query_id, neighbor_id, round(sim, 6) AS cos_sim, CAST(rk AS BIGINT) AS rank
+         FROM r WHERE rk <= 5 ORDER BY query_id, rank""",
     "nd_knn_lsh" ->
       s"""WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
           corpus AS (

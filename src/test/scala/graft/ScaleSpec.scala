@@ -46,6 +46,36 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("AQE splits a skewed join partition at runtime (skew=true in the plan)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    // 90% of the fact rows share one key -> one shuffle partition dwarfs the
+    // rest; with aggressive thresholds AQE must mark the SMJ as skew-handled
+    val fact = spark.range(0, 60000)
+      .select(when($"id" % 10 =!= 0, lit(7L)).otherwise($"id" % 500).as("k"), $"id".as("v"))
+    val dim = spark.range(0, 500).select($"id".as("k"), ($"id" * 2).as("w"))
+    val confs = Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "20KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "20KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val prev = confs.keys.map(k => k -> scala.util.Try(spark.conf.get(k)).toOption).toMap
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val joined = fact.join(dim, "k")
+      assert(joined.collect().length == 60000) // materialize THIS plan so AQE finalizes it
+      val plan = joined.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+        case p => p.toString
+      }
+      assert(plan.contains("skew=true"), s"AQE did not split the skewed partition:\n$plan")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("salted join equals the direct join") {
     val l = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
     val o = Tables.orders(spark, sf).select("o_orderkey", "o_totalprice")
