@@ -22,6 +22,23 @@ object UnitRoundtripProps extends Properties("Web3Units") {
   }
 }
 
+object JsonRpcHexProps extends Properties("JsonRpcHex") {
+  import com.fasterxml.jackson.databind.ObjectMapper
+  import graft.sources.eth.JsonRpcChainClient._
+  private val mapper = new ObjectMapper()
+  private def node(s: String) = mapper.getNodeFactory.textNode(s)
+
+  property("hexQty/hexToLong roundtrip") = forAll(Gen.choose(0L, Long.MaxValue)) { n =>
+    hexToLong(node(hexQty(n))) == n
+  }
+  property("hexToDouble matches BigInteger on wide quantities") =
+    forAll(Gen.listOfN(20, Gen.oneOf("0123456789abcdef".toSeq)).map(_.mkString)) { h =>
+      hexToDouble(node("0x" + h)) == new java.math.BigInteger(h, 16).doubleValue()
+    }
+  property("empty and 0x parse to zero") =
+    Gen.const(()).map(_ => hexToLong(node("0x")) == 0L && hexToDouble(node("")) == 0.0).sample.get
+}
+
 object DecodeProps extends Properties("Erc20Decoder") {
   private val hex40 = Gen.listOfN(40, Gen.oneOf("0123456789abcdef".toSeq)).map(_.mkString)
   private val addr = hex40.map("0x" + _)

@@ -86,6 +86,27 @@ class EthStreamSpec extends AnyFunSuite {
     assert(mx == EthFixtures.Blocks - 100, s"max block $mx")
     q.stop()
   }
+  test("windowed erc20 token volume over the chain stream matches batch") {
+    import org.apache.spark.sql.functions._
+    val dir = EthFixtures.ensure(spark)
+    val stream = spark.readStream.format("ethereum")
+      .option("table", "erc20").option("chain", dir)
+      .option("maxBlocksPerBatch", 2048).load()
+      .groupBy((col("erc20_blockNumber") / 1000).cast("long").as("blk_k"), col("erc20_token"))
+      .agg(count(lit(1)).as("n"), round(sum(col("erc20_value")), 2).as("vol"))
+    val q = stream.writeStream.format("memory").queryName("erc20_win")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("erc20_win")
+    val batch = spark.read.format("ethereum")
+      .option("table", "erc20").option("chain", dir).load()
+      .groupBy((col("erc20_blockNumber") / 1000).cast("long").as("blk_k"), col("erc20_token"))
+      .agg(count(lit(1)).as("n"), round(sum(col("erc20_value")), 2).as("vol"))
+    assert(streamed.count() == batch.count() && streamed.count() > 0)
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
+    q.stop()
+  }
+
 }
 
 class EventStreamSpec extends AnyFunSuite {
@@ -107,6 +128,35 @@ class EventStreamSpec extends AnyFunSuite {
     assert(streamed.count() == batch.count())
     assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
     q.stop()
+  }
+
+  test("streaming dedup state survives a checkpoint restart (no re-emission)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("dedupckpt-in").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("dedupckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("dedupckpt-out").toString
+    def runOnce(): Unit = {
+      val in = spark.readStream
+        .schema("doc_id LONG, ms LONG, text STRING")
+        .parquet(s"$dir/f*.parquet")
+        .withColumn("ts", timestamp_millis(col("ms")))
+      val q = EventStreams.streamingDedup(in, horizon = "1 hour")
+        .select("doc_id", "text_key")
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000); q.stop()
+    }
+    Seq((1L, 1000L, "alpha doc"), (2L, 2000L, "beta doc"))
+      .toDF("doc_id", "ms", "text").coalesce(1).write.parquet(s"$dir/f1.parquet")
+    runOnce()
+    // second run: one duplicate of a PREVIOUS batch + one new doc; the
+    // restored state store must drop the duplicate
+    Seq((3L, 3000L, "ALPHA doc"), (4L, 4000L, "gamma doc"))
+      .toDF("doc_id", "ms", "text").coalesce(1).write.parquet(s"$dir/f2.parquet")
+    runOnce()
+    val got = spark.read.parquet(out).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 2L, 4L), s"state not restored across restart: $got")
   }
 
   test("streaming dedup keeps one row per canonical digest across micro-batches") {
