@@ -165,13 +165,29 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** Corpus vocabulary: top-k tokens by frequency — the BPE-precursor
+    * statistic every tokenizer-training pipeline computes. One explode +
+    * count shuffle with map-side partial aggregation; top-k via
+    * TakeOrderedAndProject (no global sort). */
+  def vocabTopK(s: SparkSession, d: String, k: Int = 50): DataFrame = {
+    import s.implicits._
+    documents(s, d)
+      .select(explode(wsTokens(canonical($"text"))).as("token"))
+      .filter($"token" =!= "")
+      .groupBy($"token")
+      .agg(count(lit(1)).as("freq"))
+      .orderBy($"freq".desc, $"token")
+      .limit(k)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "nd_text_lm_score" -> ((s: SparkSession, d: String) => trigramLmScore(s, d)),
     "nd_text_stats" -> textStats _,
     "nd_text_quality" -> qualityScore _,
     "nd_lang_id" -> langId _,
     "nd_fingerprints" -> fingerprints _,
-    "nd_lang_stats" -> langStats _)
+    "nd_lang_stats" -> langStats _,
+    "nd_vocab_topk" -> ((s: SparkSession, d: String) => vocabTopK(s, d)))
 
   private[operators] val stopListSql = stopwords.map(w => s"'$w'").mkString(", ")
 
@@ -190,6 +206,12 @@ object TextAnalysis {
     }.mkString("\n           UNION ALL ")
 
   val oracle: Map[String, String] = Map(
+    "nd_vocab_topk" ->
+      """SELECT token, count(*) AS freq
+         FROM (SELECT unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS token
+               FROM documents)
+         WHERE token <> ''
+         GROUP BY token ORDER BY freq DESC, token LIMIT 50""",
     "nd_text_quality" ->
       s"""WITH stats AS (
             SELECT doc_id,
