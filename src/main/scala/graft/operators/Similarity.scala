@@ -82,50 +82,69 @@ object Similarity {
     * from O(|Q|·|corpus|) to O(|Q|·(nProbe/nLists)·|corpus|); at 100 TB the
     * assignment is one map-side pass (centroids broadcast) and each probe
     * touches only its list partitions. */
-  def knnIvf(s: SparkSession, d: String, nQueries: Int = 5, k: Int = 5,
-      nLists: Int = 16, nProbe: Int = 4): DataFrame = {
-    import s.implicits._
-    val vecs = embeddings(s, d)
-      .select($"vec_id", transform($"embedding", _.cast("double")).as("v"))
+  /** Assign every vector of `vecs` to its nearest centroid (broadcast
+    * centroids; tie-break by list_id). */
+  private[operators] def coarseAssign(vecs: DataFrame, cent: DataFrame): DataFrame = {
+    import vecs.sparkSession.implicits._
+    val scored = vecs.join(broadcast(cent))
+      .select($"vec_id", $"v", $"list_id",
+              Expressions.cosineSim($"v", $"cv").as("sim"))
+    val w = Window.partitionBy($"vec_id").orderBy($"sim".desc, $"list_id")
+    scored.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .select($"vec_id", $"v", $"list_id")
+  }
 
-    // coarse quantizer: seeds = first nLists vectors, one Lloyd refinement
+  /** Coarse quantizer: seeds = first nLists vectors, one Lloyd step. */
+  private[operators] def lloydCentroids(vecs: DataFrame, nLists: Int): DataFrame = {
+    import vecs.sparkSession.implicits._
     val seeds = vecs.filter($"vec_id" < nLists)
       .select($"vec_id".as("list_id"), $"v".as("cv"))
-    def assignTo(cent: DataFrame): DataFrame = {
-      val scored = vecs.join(broadcast(cent))
-        .select($"vec_id", $"v", $"list_id",
-                Expressions.cosineSim($"v", $"cv").as("sim"))
-      val w = Window.partitionBy($"vec_id").orderBy($"sim".desc, $"list_id")
-      scored.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
-        .select($"vec_id", $"v", $"list_id")
-    }
-    val centroids = assignTo(seeds)
+    coarseAssign(vecs, seeds)
       .select($"list_id", posexplode($"v").as(Seq("pos", "x")))
       .groupBy($"list_id", $"pos").agg(avg($"x").as("m"))
       .groupBy($"list_id")
       .agg(transform(array_sort(collect_list(struct($"pos", $"m"))),
         e => e.getField("m")).as("cv"))
-    val lists = assignTo(centroids)
+  }
 
-    // queries probe their nProbe nearest lists
-    val qScored = vecs.filter($"vec_id" < nQueries)
-      .select($"vec_id".as("query_id"), $"v".as("qv"))
+  /** Top-`nProbe` nearest centroid lists per query vector. */
+  private[operators] def probeLists(queries: DataFrame, centroids: DataFrame,
+      nProbe: Int): DataFrame = {
+    import queries.sparkSession.implicits._
+    val qScored = queries
       .join(broadcast(centroids))
       .select($"query_id", $"qv", $"list_id",
               Expressions.cosineSim($"qv", $"cv").as("csim"))
     val wq = Window.partitionBy($"query_id").orderBy($"csim".desc, $"list_id")
-    val probes = qScored.withColumn("rn", row_number().over(wq))
+    qScored.withColumn("rn", row_number().over(wq))
       .filter($"rn" <= nProbe).select($"query_id", $"qv", $"list_id")
+  }
 
-    val cand = lists.join(probes, Seq("list_id"))
-      .filter($"vec_id" =!= $"query_id")
-      .select($"query_id", $"vec_id".as("neighbor_id"),
-              Expressions.cosineSim($"qv", $"v").as("sim"))
+  /** Exact rank within candidate lists → top-k per query. */
+  private[operators] def rankWithin(cand: DataFrame, k: Int): DataFrame = {
+    import cand.sparkSession.implicits._
     val w = Window.partitionBy($"query_id").orderBy($"sim".desc, $"neighbor_id")
     cand.withColumn("rank", row_number().over(w).cast("long"))
       .filter($"rank" <= k)
       .select($"query_id", $"neighbor_id", round($"sim", 6).as("cos_sim"), $"rank")
       .orderBy($"query_id", $"rank")
+  }
+
+  def knnIvf(s: SparkSession, d: String, nQueries: Int = 5, k: Int = 5,
+      nLists: Int = 16, nProbe: Int = 4): DataFrame = {
+    import s.implicits._
+    val vecs = embeddings(s, d)
+      .select($"vec_id", transform($"embedding", _.cast("double")).as("v"))
+    val centroids = lloydCentroids(vecs, nLists)
+    val lists = coarseAssign(vecs, centroids)
+    val probes = probeLists(
+      vecs.filter($"vec_id" < nQueries).select($"vec_id".as("query_id"), $"v".as("qv")),
+      centroids, nProbe)
+    val cand = lists.join(probes, Seq("list_id"))
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id".as("neighbor_id"),
+              Expressions.cosineSim($"qv", $"v").as("sim"))
+    rankWithin(cand, k)
   }
 
   /** Metadata-filtered ANN — the retrieval-pipeline shape "top-k among

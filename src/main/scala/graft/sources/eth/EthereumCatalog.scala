@@ -42,6 +42,8 @@ class EthereumCatalog extends TableCatalog with SupportsNamespaces {
     Option(options.get("chain")).getOrElse(EthFixtures.DefaultDir)
   private def blocksPerPartition: Int =
     Option(options.get("blocksPerPartition")).map(_.toInt).getOrElse(512)
+  private def weiDecimal: Boolean =
+    Option(options.get("weiDecimal")).exists(_.toBoolean)
 
   override def defaultNamespace(): Array[String] = Array("default")
 
@@ -70,7 +72,7 @@ class EthereumCatalog extends TableCatalog with SupportsNamespaces {
   override def loadTable(ident: Identifier): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     new EthereumTable(EthSchemas.kindOf(ident.name), chain, blocksPerPartition,
-      weiDecimal = false, rawVarchar = true)
+      weiDecimal = weiDecimal, rawVarchar = !weiDecimal)
   }
 
   override def createTable(ident: Identifier, schema: StructType,

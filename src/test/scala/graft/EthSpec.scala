@@ -140,6 +140,29 @@ class PushdownFuzzSpec extends AnyFunSuite {
   }
 }
 
+/** Catalog contract: reference's fixed namespace/tables, read-only DDL. */
+class EthereumCatalogSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  test("catalog is read-only and rejects unknown tables") {
+    import org.apache.spark.sql.connector.catalog.Identifier
+    val dir = EthFixtures.ensure(spark)
+    val cat = new EthereumCatalog
+    cat.initialize("ethereum",
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Map.of("chain", dir)))
+    assert(cat.listNamespaces().map(_.toSeq).toSeq == Seq(Seq("default")))
+    assert(cat.listTables(Array("default")).map(_.name).toSet ==
+      Set("block", "transaction", "erc20"))
+    assert(!cat.tableExists(Identifier.of(Array("default"), "nope")))
+    intercept[org.apache.spark.sql.catalyst.analysis.NoSuchTableException](
+      cat.loadTable(Identifier.of(Array("default"), "nope")))
+    intercept[UnsupportedOperationException](
+      cat.dropTable(Identifier.of(Array("default"), "block")))
+    intercept[UnsupportedOperationException](
+      cat.createNamespace(Array("x"), java.util.Map.of()))
+  }
+}
+
 /** The standalone SQL decode generator must reproduce the fused erc20
   * scan exactly — two code paths, one decode function, zero drift. */
 class Erc20GeneratorSpec extends AnyFunSuite {

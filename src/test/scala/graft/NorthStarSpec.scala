@@ -173,6 +173,35 @@ class SimilaritySpec extends AnyFunSuite {
   }
 }
 
+/** Persisted IVF index: build-once layout, partition-pruned queries,
+  * results identical to the inline IVF pipeline. */
+class IvfIndexSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.01"
+
+  test("index layout, pruning, and parity with inline knnIvf") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ivfidx").toString
+    operators.IvfIndex.build(spark, sf, dir, nLists = 16)
+    // layout: one directory per inverted list
+    val listDirs = new java.io.File(s"$dir/lists").listFiles()
+      .filter(_.getName.startsWith("list_id=")).map(_.getName)
+    assert(listDirs.nonEmpty && listDirs.length <= 16)
+
+    val queries = graft.Tables.embeddings(spark, sf).filter($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), transform($"embedding", _.cast("double")).as("qv"))
+    val viaIndex = operators.IvfIndex.query(spark, dir, queries, k = 5, nProbe = 4)
+    // the list scan must carry a partition filter (directory pruning)
+    assert(viaIndex.queryExecution.executedPlan.toString.contains("PartitionFilters: [list_id"),
+      s"no partition pruning: ${viaIndex.queryExecution.executedPlan}")
+    val a = viaIndex.collect().map(_.toSeq)
+    val b = operators.Similarity.knnIvf(spark, sf, nQueries = 5, k = 5).collect().map(_.toSeq)
+    assert(a.length == b.length && a.nonEmpty)
+    assert(a.zip(b).forall { case (x, y) => x == y },
+      s"index query diverges from inline IVF")
+  }
+}
+
 class MultimodalSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val sf = "/root/testdata/sf0.001"
