@@ -45,6 +45,33 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  /** Incremental exact dedup — the production ingest shape: dedup a NEW
+    * batch against the digest set of everything already kept, without
+    * touching the historical corpus bytes. Survivors are batch rows whose
+    * canonical digest is unseen, first-doc_id-wins within the batch. The
+    * seen side is digests only (~16 bytes/doc), so at 100 TB the
+    * historical state a daily ingest carries is GBs, not the corpus; the
+    * anti-join shuffles digests, never text.
+    *
+    * Invariant (proven in DedupSpec): for any id-ordered split old/new,
+    * `exact(all).keepers == exact(old).keepers ∪ exactIncremental(new,
+    * digests(old))`. */
+  def exactIncremental(newDocs: DataFrame, seenDigests: DataFrame): DataFrame = {
+    import newDocs.sparkSession.implicits._
+    val keyed = newDocs.select($"doc_id", md5(canonical($"text")).as("text_key"))
+    val batchKeepers = keyed.groupBy($"text_key").agg(min($"doc_id").as("doc_id"))
+    batchKeepers
+      .join(seenDigests.select($"text_key").distinct(), Seq("text_key"), "left_anti")
+      .select($"doc_id", $"text_key")
+      .orderBy($"doc_id")
+  }
+
+  /** The digest set of a corpus, for [[exactIncremental]] state handoff. */
+  def digests(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(md5(canonical($"text")).as("text_key")).distinct()
+  }
+
   // ---- MinHash + LSH ----
   val ShingleSize = 5
   val NumHashes = 32

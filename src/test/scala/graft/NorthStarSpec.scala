@@ -105,6 +105,34 @@ class DedupSpec extends AnyFunSuite {
   }
 }
 
+/** Incremental-ingest dedup invariant: splitting the corpus and deduping
+  * the second half against the first half's digests reproduces the batch
+  * result exactly. */
+class IncrementalDedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.01"
+
+  test("exactIncremental(new, digests(old)) completes exact(all)") {
+    import spark.implicits._
+    val all = graft.Tables.documents(spark, sf)
+    val cut = 250L
+    val old = all.filter($"doc_id" < cut)
+    val fresh = all.filter($"doc_id" >= cut)
+    val fullKeepers = Dedup.exact(spark, sf)
+      .select($"keeper_id").collect().map(_.getLong(0)).toSet
+    val oldKeepers = old
+      .select($"doc_id", org.apache.spark.sql.functions.md5(
+        graft.operators.TextAnalysis.canonical($"text")).as("k"))
+      .groupBy($"k").agg(org.apache.spark.sql.functions.min($"doc_id").as("doc_id"))
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    val incremental = Dedup.exactIncremental(fresh, Dedup.digests(old))
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert((oldKeepers ++ incremental) == fullKeepers,
+      s"old=${oldKeepers.size} inc=${incremental.size} full=${fullKeepers.size}")
+    assert(incremental.forall(_ >= cut))
+  }
+}
+
 class SimilaritySpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val sf = "/root/testdata/sf0.001"
