@@ -211,7 +211,16 @@ object Dedup {
       .orderBy($"vec_a", $"vec_b")
   }
 
+  /** Oracle-paired incremental run: batch = doc_id ≥ 250 deduped against
+    * the digests of doc_id < 250. */
+  def exactIncrementalQuery(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val all = documents(s, d)
+    exactIncremental(all.filter($"doc_id" >= 250), digests(all.filter($"doc_id" < 250)))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "nd_dedup_incremental" -> exactIncrementalQuery _,
     "nd_dedup_exact" -> exact _,
     "nd_dedup_exact_kept" -> exactKept _,
     "nd_dedup_minhash" -> ((s: SparkSession, d: String) => minhashPairs(s, d)),
@@ -272,6 +281,15 @@ object Dedup {
           FROM cand)"""
 
   val oracle: Map[String, String] = Map(
+    "nd_dedup_incremental" ->
+      """WITH keyed AS (
+           SELECT doc_id, md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS k
+           FROM documents),
+         seen AS (SELECT DISTINCT k FROM keyed WHERE doc_id < 250),
+         batch AS (SELECT k, min(doc_id) AS doc_id FROM keyed WHERE doc_id >= 250 GROUP BY k)
+         SELECT doc_id, k AS text_key FROM batch
+         WHERE k NOT IN (SELECT k FROM seen)
+         ORDER BY doc_id""",
     "nd_dedup_minhash" ->
       s"""WITH $shingleCtesSql, $candCtesSql
          SELECT doc_a, doc_b, est_jaccard FROM est
