@@ -26,7 +26,8 @@ import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
   * 512-block partition costs ~4 block batches + 1 receipt batch per block
   * with transactions, not 512·(1+n_tx) round trips.
   */
-final class JsonRpcChainClient(endpoint: String, batchSize: Int = 128) extends EthClient {
+final class JsonRpcChainClient(endpoint: String, batchSize: Int = 128,
+    maxRetries: Int = 3, retryBackoffMs: Long = 250) extends EthClient {
   import JsonRpcChainClient._
 
   override def blockNumber(): Long =
@@ -119,7 +120,9 @@ final class JsonRpcChainClient(endpoint: String, batchSize: Int = 128) extends E
   private def result(resp: JsonNode, ctx: String): JsonNode = {
     val err = resp.get("error")
     if (err != null && !err.isNull)
-      throw new java.io.IOException(s"JSON-RPC error in $ctx: ${err.toString}")
+      // deliberately NOT IOException: protocol errors are deterministic
+      // and must not be retried by the transport loop
+      throw new IllegalStateException(s"JSON-RPC error in $ctx: ${err.toString}")
     resp.get("result")
   }
 
@@ -133,7 +136,23 @@ final class JsonRpcChainClient(endpoint: String, batchSize: Int = 128) extends E
     a
   }
 
+  /** All RPC reads are idempotent, so transient transport failures retry
+    * with linear backoff; JSON-RPC *protocol* errors (error objects in a
+    * 200 response) do not — they are deterministic. */
   private def post(body: Array[Byte]): JsonNode = {
+    var attempt = 0
+    while (true) {
+      try return postOnce(body)
+      catch {
+        case e: java.io.IOException if attempt < maxRetries =>
+          attempt += 1
+          Thread.sleep(retryBackoffMs * attempt)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private def postOnce(body: Array[Byte]): JsonNode = {
     val conn = URI.create(endpoint).toURL.openConnection().asInstanceOf[HttpURLConnection]
     conn.setRequestMethod("POST")
     conn.setRequestProperty("Content-Type", "application/json")

@@ -140,6 +140,31 @@ class PushdownFuzzSpec extends AnyFunSuite {
   }
 }
 
+/** Export path: chain → chunk-partitioned parquet, content-identical. */
+class EthExportSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  test("exported table equals the live scan and prunes by chunk directory") {
+    import org.apache.spark.sql.functions.col
+    val dir = EthFixtures.ensure(spark)
+    val out = java.nio.file.Files.createTempDirectory("ethexport").toString
+    val reread = graft.operators.EthExport.exportTable(
+      spark, dir, "block", out, startBlock = 1, endBlock = 2000, chunkSize = 500)
+    val direct = spark.read.format("ethereum")
+      .option("table", "block").option("chain", dir).load()
+      .filter(col("block_number").between(1, 2000))
+    assert(reread.count() == 2000 && direct.count() == 2000)
+    assert(reread.drop("block_chunk").except(direct).isEmpty)
+    // chunk layout: blocks 1..2000 at 500/chunk -> chunks 0..4 (2000 div 500 = 4)
+    val chunkDirs = new java.io.File(s"$out/block").listFiles()
+      .filter(_.getName.startsWith("block_chunk=")).map(_.getName).sorted
+    assert(chunkDirs.length == 5, chunkDirs.mkString(","))
+    val pruned = reread.filter(col("block_chunk") === 2)
+    assert(pruned.queryExecution.executedPlan.toString.contains("PartitionFilters: [isnotnull(block_chunk"),
+      "chunk filter not pruned")
+    assert(pruned.count() == 500)
+  }
+}
+
 /** Catalog contract: reference's fixed namespace/tables, read-only DDL. */
 class EthereumCatalogSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark

@@ -180,6 +180,39 @@ class JsonRpcSpec extends AnyFunSuite {
     }
   }
 
+  test("transient HTTP failures retry; protocol errors do not") {
+    import com.sun.net.httpserver.HttpServer
+    import java.net.InetSocketAddress
+    val failures = new java.util.concurrent.atomic.AtomicInteger(2)
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", (ex: com.sun.net.httpserver.HttpExchange) => {
+      try {
+        val body = new String(ex.getRequestBody.readAllBytes())
+        if (failures.getAndDecrement() > 0) {
+          ex.sendResponseHeaders(503, -1) // transient -> client must retry
+        } else {
+          val resp =
+            if (body.contains("eth_gasPrice"))
+              """{"jsonrpc":"2.0","id":1,"result":"0x4e3b29200"}"""
+            else """{"jsonrpc":"2.0","id":1,"error":{"code":-32601,"message":"nope"}}"""
+          val bytes = resp.getBytes("UTF-8")
+          ex.sendResponseHeaders(200, bytes.length)
+          ex.getResponseBody.write(bytes)
+        }
+      } finally ex.close()
+    })
+    server.start()
+    try {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}/"
+      val client = new JsonRpcChainClient(url, retryBackoffMs = 10)
+      // two 503s then success: retries absorb them
+      assert(client.gasPrice() == 21e9)
+      // protocol error: fails fast, no retry loop
+      failures.set(0)
+      intercept[IllegalStateException](client.blockNumber())
+    } finally server.stop(0)
+  }
+
   test("DSv2 ethereum source reads through the live client") {
     withServer(32) { url =>
       import spark.implicits._
