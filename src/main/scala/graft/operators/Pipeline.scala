@@ -61,14 +61,55 @@ object Pipeline {
       .orderBy($"lang")
   }
 
+  /** Stratified sampling by quality decile — the data-mixing stage of a
+    * training pipeline: rank the corpus by quality (scale-safe global
+    * ntile, no single-partition sort), then keep a per-decile fraction via
+    * reproducible key-hash sampling (decile d keeps d·10%, so higher
+    * quality is over-represented). Every stage is deterministic and
+    * oracle-replayable: quality formula, two-phase ntile, md5-fold
+    * sampling. */
+  def stratifiedByQuality(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val quality = TextAnalysis.qualityScore(s, d).select($"doc_id", $"quality")
+    val binned = graft.plans.ScalableNtile.ntile(
+      quality, 10, Seq($"quality", $"doc_id"), bucketCol = "decile")
+    val kept = binned.withColumn("keep",
+      conv(substring(md5(concat_ws("|", lit("strat"), $"doc_id")), 1, 7), 16, 10)
+        .cast("long") % 100 < $"decile" * 10)
+    kept.groupBy($"decile")
+      .agg(count(lit(1)).as("n_total"),
+           sum(when($"keep", 1L).otherwise(0L)).as("n_kept"))
+      .orderBy($"decile")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "nd_pipeline_curation" -> curationStats _)
+    "nd_pipeline_curation" -> curationStats _,
+    "nd_pipeline_stratified" -> stratifiedByQuality _)
 
   /** DuckDB replica of the whole curation pipeline — quality filter,
     * exact-dedup keepers and the ≥0.8-estimate minhash losers all reuse
     * the same replayable constructions as the [[TextAnalysis]] /
     * [[Dedup]] oracles. */
   val oracle: Map[String, String] = Map(
+    "nd_pipeline_stratified" ->
+      s"""WITH q AS (
+            SELECT doc_id,
+              least(1.0::DOUBLE, n_tokens_ws / 64.0::DOUBLE) * 0.4::DOUBLE
+              + coalesce(1.0::DOUBLE - least(1.0::DOUBLE, n_punct / nullif(CAST(n_tokens_ws AS DOUBLE), 0.0::DOUBLE)), 0.0::DOUBLE) * 0.3::DOUBLE
+              + coalesce(least(1.0::DOUBLE, round(n_stop / nullif(n_tokens_ws, 0), 4) * 5), 0.0::DOUBLE) * 0.3::DOUBLE AS quality
+            FROM (
+              SELECT doc_id,
+                CAST(len(string_split_regex(text, ' +')) AS BIGINT) AS n_tokens_ws,
+                CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS BIGINT) AS n_punct,
+                CAST(len(list_filter(string_split_regex(text, ' +'), w -> w IN (${TextAnalysis.stopListSql}))) AS BIGINT) AS n_stop
+              FROM documents)),
+          b AS (
+            SELECT doc_id,
+              CAST(ntile(10) OVER (ORDER BY quality, doc_id) AS BIGINT) AS decile
+            FROM q)
+          SELECT decile, count(*) AS n_total,
+                 CAST(sum(CASE WHEN FOLD7 % 100 < decile * 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+          FROM b GROUP BY decile ORDER BY decile""".replace("FOLD7", "CAST(list_sum(list_transform(range(1,8), fi -> (strpos('0123456789abcdef', substr(md5(concat_ws('|', 'strat', doc_id)), fi, 1)) - 1)::BIGINT << (4*(7-fi)))) AS BIGINT)"),
     "nd_pipeline_curation" ->
       s"""WITH ${Dedup.shingleCtesSql}, ${Dedup.candCtesSql},
           quality AS (
