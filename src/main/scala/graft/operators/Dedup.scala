@@ -149,6 +149,51 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** Transitive near-duplicate CLUSTERS — the stage after pair generation:
+    * near-dup similarity is not transitive, but dedup policy must be (keep
+    * one document per connected component of the pair graph). Iterative
+    * min-label propagation: every node starts labeled with its own id and
+    * repeatedly takes the minimum label over its neighbors until fixpoint.
+    * Iterations = graph diameter (near-dup clusters are shallow — single
+    * digits even at corpus scale); each round is one join + one aggregate
+    * over the EDGE set (pairs only, never the corpus), so at 100 TB this
+    * runs on the candidate graph, not the data.
+    *
+    * Output: (doc_id, cluster_id = min doc_id of the component) for every
+    * document that appears in at least one near-dup pair. */
+  def nearDupClusters(s: SparkSession, d: String, threshold: Double = 0.5): DataFrame = {
+    import s.implicits._
+    connectedComponents(minhashPairs(s, d, threshold).select($"doc_a", $"doc_b"))
+  }
+
+  /** Min-label propagation over an undirected pair graph `(doc_a, doc_b)`
+    * to fixpoint; returns `(doc_id, cluster_id)`. */
+  def connectedComponents(pairsIn: DataFrame): DataFrame = {
+    import pairsIn.sparkSession.implicits._
+    val pairs = pairsIn
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val edges = pairs.union(pairs.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select($"doc_a".as("node")).distinct()
+      .withColumn("lbl", $"node")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var changed = 1L
+    while (changed > 0) {
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("node", "doc_b").withColumnRenamed("lbl", "nlbl"), "doc_b")
+        .select($"doc_a".as("node"), $"nlbl".as("cand"))
+      val next = labels.join(viaNeighbors, Seq("node"), "left_outer")
+        .groupBy($"node")
+        .agg(least(min($"lbl"), coalesce(min($"cand"), min($"lbl"))).as("lbl"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      changed = next.join(labels.withColumnRenamed("lbl", "old"), "node")
+        .filter($"lbl" =!= $"old").count()
+      labels.unpersist()
+      labels = next
+    }
+    labels.select($"node".as("doc_id"), $"lbl".as("cluster_id")).orderBy($"doc_id")
+  }
+
   // ---- SimHash ----
 
   /** SimHash near-dup pairs: band on 4×15-bit chunks of the 60-bit sketch
@@ -221,6 +266,7 @@ object Dedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "nd_dedup_incremental" -> exactIncrementalQuery _,
+    "nd_dedup_clusters" -> ((s: SparkSession, d: String) => nearDupClusters(s, d)),
     "nd_dedup_exact" -> exact _,
     "nd_dedup_exact_kept" -> exactKept _,
     "nd_dedup_minhash" -> ((s: SparkSession, d: String) => minhashPairs(s, d)),
@@ -281,6 +327,17 @@ object Dedup {
           FROM cand)"""
 
   val oracle: Map[String, String] = Map(
+    "nd_dedup_clusters" ->
+      s"""WITH RECURSIVE $shingleCtesSql, $candCtesSql,
+         pairs AS (SELECT doc_a, doc_b FROM est WHERE est_jaccard >= 0.5),
+         edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                   UNION SELECT doc_b, doc_a FROM pairs),
+         reach AS (
+           SELECT a, b FROM edges
+           UNION
+           SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+         SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+         FROM reach GROUP BY a ORDER BY doc_id""",
     "nd_dedup_incremental" ->
       """WITH keyed AS (
            SELECT doc_id, md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS k

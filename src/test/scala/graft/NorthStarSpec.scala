@@ -105,6 +105,21 @@ class DedupSpec extends AnyFunSuite {
   }
 }
 
+/** Near-dup clustering is transitive even though similarity is not. */
+class ClusterSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  test("min-label propagation finds connected components of a chain + islands") {
+    import spark.implicits._
+    // chain 1-2-3-4, pair 10-11, singleton edges 20-21; 3 components
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (21L, 20L))
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+                      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+}
+
 /** Incremental-ingest dedup invariant: splitting the corpus and deduping
   * the second half against the first half's digests reproduces the batch
   * result exactly. */
