@@ -166,19 +166,51 @@ object Dedup {
     connectedComponents(minhashPairs(s, d, threshold).select($"doc_a", $"doc_b"))
   }
 
-  /** Min-label propagation over an undirected pair graph `(doc_a, doc_b)`
-    * to fixpoint; returns `(doc_id, cluster_id)`. */
-  def connectedComponents(pairsIn: DataFrame): DataFrame = {
+  /** Connected components of an undirected pair graph `(doc_a, doc_b)`;
+    * returns `(doc_id, cluster_id = min doc_id of the component)`.
+    *
+    * Hybrid execution, same spirit as a broadcast-join threshold: the
+    * candidate graph is usually orders of magnitude smaller than the
+    * corpus, so below `driverThreshold` edges it collects and runs
+    * union-find in milliseconds (metadata-scale, like AQE stats); above
+    * it, distributed min-label propagation over the edge set. Both paths
+    * produce identical labels (spec-checked). */
+  def connectedComponents(pairsIn: DataFrame,
+      driverThreshold: Long = 1000000L): DataFrame = {
     import pairsIn.sparkSession.implicits._
     val pairs = pairsIn
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    if (pairs.count() <= driverThreshold) {
+      val edges = pairs.select($"doc_a", $"doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      edges.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { val (lo, hi) = (math.min(ra, rb), math.max(ra, rb)); parent(hi) = lo }
+      }
+      val out = parent.keys.toSeq.map(n => (n, find(n))).sortBy(_._1)
+      return pairsIn.sparkSession.createDataFrame(out).toDF("doc_id", "cluster_id")
+        .orderBy($"doc_id")
+    }
     val edges = pairs.union(pairs.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = edges.select($"doc_a".as("node")).distinct()
       .withColumn("lbl", $"node")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var changed = 1L
-    while (changed > 0) {
+    // labels only ever decrease, so the label sum strictly decreases iff
+    // any node changed — a one-job convergence check instead of a
+    // join-and-compare pass per iteration
+    var prevSum = labels.agg(sum($"lbl")).head().getLong(0)
+    var converged = false
+    while (!converged) {
       val viaNeighbors = edges
         .join(labels.withColumnRenamed("node", "doc_b").withColumnRenamed("lbl", "nlbl"), "doc_b")
         .select($"doc_a".as("node"), $"nlbl".as("cand"))
@@ -186,8 +218,9 @@ object Dedup {
         .groupBy($"node")
         .agg(least(min($"lbl"), coalesce(min($"cand"), min($"lbl"))).as("lbl"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      changed = next.join(labels.withColumnRenamed("lbl", "old"), "node")
-        .filter($"lbl" =!= $"old").count()
+      val newSum = next.agg(sum($"lbl")).head().getLong(0)
+      converged = newSum == prevSum
+      prevSum = newSum
       labels.unpersist()
       labels = next
     }

@@ -113,10 +113,16 @@ class ClusterSpec extends AnyFunSuite {
     // chain 1-2-3-4, pair 10-11, singleton edges 20-21; 3 components
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (21L, 20L))
       .toDF("doc_a", "doc_b")
-    val got = Dedup.connectedComponents(pairs).collect()
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+                       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L)
+    // driver union-find path (default threshold)
+    val viaDriver = Dedup.connectedComponents(pairs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
-                      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
+    assert(viaDriver == expected)
+    // distributed min-label path (threshold forced to 0)
+    val viaCluster = Dedup.connectedComponents(pairs, driverThreshold = 0L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaCluster == expected)
   }
 }
 
