@@ -180,6 +180,25 @@ class JsonRpcSpec extends AnyFunSuite {
     }
   }
 
+  test("micro-batch streaming follows the chain through the live RPC client") {
+    import org.apache.spark.sql.streaming.Trigger
+    withServer(32) { url =>
+      val q = spark.readStream.format("ethereum")
+        .option("table", "block").option("chain", url)
+        .option("maxBlocksPerBatch", 16)
+        .load()
+        .select("block_number", "block_miner")
+        .writeStream.format("memory").queryName("rpc_stream")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      // the stub serves blocks 1..32 but reports the fixture tip; the
+      // stream must deliver exactly the blocks the server knows
+      val got = spark.table("rpc_stream").collect().map(_.getLong(0)).sorted
+      assert(got.take(32).toSeq == (1L to 32L), s"got ${got.length} blocks")
+      q.stop()
+    }
+  }
+
   test("transient HTTP failures retry; protocol errors do not") {
     import com.sun.net.httpserver.HttpServer
     import java.net.InetSocketAddress
