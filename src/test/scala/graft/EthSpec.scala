@@ -186,6 +186,19 @@ class EthereumCatalogSpec extends AnyFunSuite {
     intercept[UnsupportedOperationException](
       cat.createNamespace(Array("x"), java.util.Map.of()))
   }
+  test("weiDecimal catalog option surfaces DECIMAL(38,0) wei columns") {
+    import org.apache.spark.sql.connector.catalog.Identifier
+    import org.apache.spark.sql.types.DecimalType
+    val dir = EthFixtures.ensure(spark)
+    val cat = new EthereumCatalog
+    cat.initialize("ethdec",
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Map.of("chain", dir, "weiDecimal", "true")))
+    val t = cat.loadTable(Identifier.of(Array("default"), "transaction"))
+    val byName = t.schema().fields.map(f => f.name -> f.dataType).toMap
+    assert(byName("tx_value") == DecimalType(38, 0))
+    assert(byName("tx_gasPrice") == DecimalType(38, 0))
+  }
 }
 
 /** The standalone SQL decode generator must reproduce the fused erc20
