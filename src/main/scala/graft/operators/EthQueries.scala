@@ -197,7 +197,42 @@ object EthQueries {
          GROUP BY t.erc20_token ORDER BY t.erc20_token""")
   }
 
+  /** B12: the catalog's DESCRIBE surface *as data*. The reference pins the
+    * exact `DESCRIBE block/transaction/erc20` output in its docs
+    * (`README.md:139-186`; widths `EthereumMetadata.java:48-51`), so this
+    * query materializes `DESCRIBE ethereum.default.*` into rows
+    * `(tbl, pos, col_name, data_type)` with Presto's type spellings
+    * (`int`→`integer`, unbounded `string`→`varchar`,
+    * `array<…>`→`array(…)`) and lower-cased identifiers, exactly as the
+    * README prints them. The oracle is a hand-pinned VALUES literal of that
+    * README table — a value-level golden check of A1/A2/B12, including
+    * column order (`pos`) and every bounded-varchar width. Collecting the
+    * DESCRIBE output driver-side is metadata-scale (35 rows). */
+  def qDescribe(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dir = EthFixtures.ensure(s)
+    s.conf.set("spark.sql.catalog.ethereum",
+      classOf[graft.sources.eth.EthereumCatalog].getName)
+    s.conf.set("spark.sql.catalog.ethereum.chain", dir)
+    val rows = Seq("block", "transaction", "erc20").flatMap { t =>
+      s.sql(s"DESCRIBE ethereum.default.$t").collect()
+        .filter(r => r.getString(0).nonEmpty && !r.getString(0).startsWith("#"))
+        .zipWithIndex.map { case (r, i) =>
+          val presto = r.getString(1) match {
+            case "int"    => "integer"
+            case "string" => "varchar"
+            case a if a.startsWith("array<") =>
+              s"array(${a.stripPrefix("array<").stripSuffix(">")})"
+            case other => other
+          }
+          (t, (i + 1).toLong, r.getString(0).toLowerCase, presto)
+        }
+    }
+    rows.toDF("tbl", "pos", "col_name", "data_type").orderBy($"tbl", $"pos")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "eth_describe" -> qDescribe _,
     "eth_q1_blocktime" -> q1BlockTime _,
     "eth_q2_ntile_gas" -> q2NtileGas _,
     "eth_q3_top_miners" -> q3TopMiners _,
@@ -222,6 +257,48 @@ object EthQueries {
       .map(_.toLowerCase).toSeq.sorted.mkString("'", "','", "'")
 
   val oracle: Map[String, String] = Map(
+    // Reference's pinned DESCRIBE output, transcribed verbatim from
+    // /root/reference/README.md:139-186 (Presto lower-cases identifiers).
+    "eth_describe" ->
+      """SELECT tbl, CAST(pos AS BIGINT) AS pos, col_name, data_type
+         FROM (VALUES
+           ('block',  1, 'block_number',           'bigint'),
+           ('block',  2, 'block_hash',             'varchar(66)'),
+           ('block',  3, 'block_parenthash',       'varchar(66)'),
+           ('block',  4, 'block_nonce',            'varchar(18)'),
+           ('block',  5, 'block_sha3uncles',       'varchar(66)'),
+           ('block',  6, 'block_logsbloom',        'varchar(514)'),
+           ('block',  7, 'block_transactionsroot', 'varchar(66)'),
+           ('block',  8, 'block_stateroot',        'varchar(66)'),
+           ('block',  9, 'block_miner',            'varchar(42)'),
+           ('block', 10, 'block_difficulty',       'bigint'),
+           ('block', 11, 'block_totaldifficulty',  'bigint'),
+           ('block', 12, 'block_size',             'integer'),
+           ('block', 13, 'block_extradata',        'varchar'),
+           ('block', 14, 'block_gaslimit',         'double'),
+           ('block', 15, 'block_gasused',          'double'),
+           ('block', 16, 'block_timestamp',        'bigint'),
+           ('block', 17, 'block_transactions',     'array(varchar(66))'),
+           ('block', 18, 'block_uncles',           'array(varchar(66))'),
+           ('transaction',  1, 'tx_hash',             'varchar(66)'),
+           ('transaction',  2, 'tx_nonce',            'bigint'),
+           ('transaction',  3, 'tx_blockhash',        'varchar(66)'),
+           ('transaction',  4, 'tx_blocknumber',      'bigint'),
+           ('transaction',  5, 'tx_transactionindex', 'integer'),
+           ('transaction',  6, 'tx_from',             'varchar(42)'),
+           ('transaction',  7, 'tx_to',               'varchar(42)'),
+           ('transaction',  8, 'tx_value',            'double'),
+           ('transaction',  9, 'tx_gas',              'double'),
+           ('transaction', 10, 'tx_gasprice',         'double'),
+           ('transaction', 11, 'tx_input',            'varchar'),
+           ('erc20', 1, 'erc20_token',       'varchar'),
+           ('erc20', 2, 'erc20_from',        'varchar(42)'),
+           ('erc20', 3, 'erc20_to',          'varchar(42)'),
+           ('erc20', 4, 'erc20_value',       'double'),
+           ('erc20', 5, 'erc20_txhash',      'varchar(66)'),
+           ('erc20', 6, 'erc20_blocknumber', 'bigint')
+         ) AS t(tbl, pos, col_name, data_type)
+         ORDER BY tbl, pos""",
     "eth_q1_blocktime" -> withEthTables(
       """SELECT a.block_number // 1000 AS blk_k, count(*) AS n,
          round(avg(b.block_timestamp - a.block_timestamp), 4) AS avg_delta,
