@@ -140,13 +140,16 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sh = base.select($"doc_id", $"sh")
     val cand = minhashPairsFrom(base.select($"doc_id", $"sig"), candThreshold)
-    cand
+    val verified = cand
       .join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
       .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
       .withColumn("jaccard", round(Expressions.jaccardSorted($"sh_a", $"sh_b"), 4))
       .filter($"jaccard" >= finalThreshold)
       .select($"doc_a", $"doc_b", $"est_jaccard", $"jaccard")
       .orderBy($"doc_a", $"doc_b")
+    // materialize the (small, thresholded) pair list, then free the
+    // corpus-scale sketch cache — nothing corpus-sized stays pinned
+    graft.plans.Caching.detach(verified, () => { base.unpersist(blocking = false); () })
   }
 
   /** Transitive near-duplicate CLUSTERS — the stage after pair generation:
@@ -174,7 +177,13 @@ object Dedup {
     * corpus, so below `driverThreshold` edges it collects and runs
     * union-find in milliseconds (metadata-scale, like AQE stats); above
     * it, distributed min-label propagation over the edge set. Both paths
-    * produce identical labels (spec-checked). */
+    * produce identical labels (spec-checked).
+    *
+    * Storage lifecycle: the driver path releases its one persisted frame
+    * before returning (the result is driver-local); the distributed path
+    * frees `pairs`/`edges` at convergence and detaches the final labels
+    * via [[graft.plans.Caching.detach]] — after the call nothing
+    * corpus-scale stays pinned (spec-asserted in ClusterSpec). */
   def connectedComponents(pairsIn: DataFrame,
       driverThreshold: Long = 1000000L): DataFrame = {
     import pairsIn.sparkSession.implicits._
@@ -183,6 +192,7 @@ object Dedup {
     if (pairs.count() <= driverThreshold) {
       val edges = pairs.select($"doc_a", $"doc_b").collect()
         .map(r => (r.getLong(0), r.getLong(1)))
+      pairs.unpersist(blocking = false)
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
       def find(x: Long): Long = {
         var r = x
@@ -224,7 +234,15 @@ object Dedup {
       labels.unpersist()
       labels = next
     }
-    labels.select($"node".as("doc_id"), $"lbl".as("cluster_id")).orderBy($"doc_id")
+    val finalLabels = labels
+    val out = finalLabels.select($"node".as("doc_id"), $"lbl".as("cluster_id"))
+      .orderBy($"doc_id")
+    graft.plans.Caching.detach(out, () => {
+      finalLabels.unpersist(blocking = false)
+      edges.unpersist(blocking = false)
+      pairs.unpersist(blocking = false)
+      ()
+    })
   }
 
   // ---- SimHash ----

@@ -167,14 +167,16 @@ object EthQueries {
     * same output as eth_q2, no single-partition sort. */
   def q10NtileScalable(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    graft.plans.ScalableNtile.ntile(
-        eth(s, "block").select($"block_number", $"block_gasUsed"),
-        10, Seq($"block_number"), bucketCol = "nt")
+    val (binned, freeNtile) = graft.plans.ScalableNtile.ntileDetachable(
+      eth(s, "block").select($"block_number", $"block_gasUsed"),
+      10, Seq($"block_number"), bucketCol = "nt")
+    val agg = binned
       .groupBy($"nt")
       .agg(round(avg($"block_gasUsed"), 4).as("avg_gas"),
            round(max($"block_gasUsed"), 2).as("max_gas"),
            count(lit(1)).as("n"))
       .orderBy($"nt")
+    graft.plans.Caching.detach(agg, freeNtile)
   }
 
   /** Q11 (extension surface): the same ERC-20 movement aggregate as Q4,

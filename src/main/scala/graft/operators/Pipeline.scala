@@ -71,15 +71,16 @@ object Pipeline {
   def stratifiedByQuality(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val quality = TextAnalysis.qualityScore(s, d).select($"doc_id", $"quality")
-    val binned = graft.plans.ScalableNtile.ntile(
+    val (binned, freeNtile) = graft.plans.ScalableNtile.ntileDetachable(
       quality, 10, Seq($"quality", $"doc_id"), bucketCol = "decile")
     val kept = binned.withColumn("keep",
       conv(substring(md5(concat_ws("|", lit("strat"), $"doc_id")), 1, 7), 16, 10)
         .cast("long") % 100 < $"decile" * 10)
-    kept.groupBy($"decile")
+    val agg = kept.groupBy($"decile")
       .agg(count(lit(1)).as("n_total"),
            sum(when($"keep", 1L).otherwise(0L)).as("n_kept"))
       .orderBy($"decile")
+    graft.plans.Caching.detach(agg, freeNtile)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

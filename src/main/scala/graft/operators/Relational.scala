@@ -126,9 +126,10 @@ object Relational {
     * keeps the literal window form for reference parity. */
   def q35NtileScalable(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    graft.plans.ScalableNtile.ntile(
-        orders(s, d).select($"o_orderkey", $"o_totalprice"),
-        4, Seq($"o_totalprice", $"o_orderkey"))
+    val (binned, freeNtile) = graft.plans.ScalableNtile.ntileDetachable(
+      orders(s, d).select($"o_orderkey", $"o_totalprice"),
+      4, Seq($"o_totalprice", $"o_orderkey"))
+    val agg = binned
       .groupBy($"bucket")
       .agg(round(sum($"o_totalprice".cast("decimal(18,6)")).cast("double")
              / count(lit(1)), 2).as("avg_price"),
@@ -136,6 +137,7 @@ object Relational {
            round(max($"o_totalprice"), 2).as("max_price"),
            count(lit(1)).as("n"))
       .orderBy($"bucket")
+    graft.plans.Caching.detach(agg, freeNtile)
   }
 
   /** B8: window function battery — row_number / rank / lag / lead / running

@@ -158,11 +158,15 @@ object TextAnalysis {
     val model = grams.groupBy($"g").agg(count(lit(1)).as("c"))
       .orderBy($"c".desc, $"g").limit(vocab)
       .select($"g", log($"c".cast("double")).as("lf"))
-    grams.join(broadcast(model), Seq("g"), "left_outer")
+    val scored = grams.join(broadcast(model), Seq("g"), "left_outer")
       .groupBy($"doc_id")
       .agg(round(avg(coalesce($"lf", lit(0.0))), 4).as("lm_score"),
            count(lit(1)).as("n_grams"))
       .orderBy($"doc_id")
+    // per-doc scores materialized, then the exploded-gram cache (≫ corpus
+    // bytes) is freed — the residual is at most one row per document
+    graft.plans.Caching.detach(scored, () => { grams.unpersist(blocking = false); () },
+      maxLocalRows = 10000L)
   }
 
   /** Corpus vocabulary: top-k tokens by frequency — the BPE-precursor

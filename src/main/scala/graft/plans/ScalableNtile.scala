@@ -30,8 +30,10 @@ import org.apache.spark.sql.functions._
   */
 object ScalableNtile {
 
-  /** Input rows + `__grank` (1-based global rank by `order`) + `__total`. */
-  private def withGlobalRank(df: DataFrame, order: Seq[Column], partitions: Int): DataFrame = {
+  /** Input rows + `__grank` (1-based global rank by `order`) + `__total`,
+    * plus the persisted range-partitioned frame for lifecycle control. */
+  private def withGlobalRank(df: DataFrame, order: Seq[Column],
+      partitions: Int): (DataFrame, DataFrame) = {
     val spark = df.sparkSession
     import spark.implicits._
     val parts =
@@ -56,17 +58,33 @@ object ScalableNtile {
         sum($"__cnt").over(wMeta.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
       .select($"__pid", $"__offset", $"__total")
     val wRank = Window.partitionBy($"__pid").orderBy(order: _*)
-    ranged
+    val ranked = ranged
       .withColumn("__rn", row_number().over(wRank).cast("long"))
       .join(broadcast(offsets), "__pid")
       .withColumn("__grank", $"__offset" + $"__rn")
       .drop("__pid", "__rn", "__offset")
+    (ranked, ranged)
   }
 
   /** The input with an extra long `bucketCol` = `ntile(n) OVER (ORDER BY
-    * order)`, computed without a single-partition sort. */
+    * order)`, computed without a single-partition sort.
+    *
+    * The internal range-partitioned frame stays persisted for the life of
+    * the returned frame (it is what keeps the two passes consistent — see
+    * [[withGlobalRank]]). Callers that aggregate the result and want the
+    * cache released should use [[ntileDetachable]] and free it once the
+    * downstream result is materialized (see [[Caching.detach]]).
+    */
   def ntile(df: DataFrame, n: Int, order: Seq[Column], bucketCol: String = "bucket",
-      partitions: Int = 0): DataFrame = {
+      partitions: Int = 0): DataFrame =
+    ntileDetachable(df, n, order, bucketCol, partitions)._1
+
+  /** [[ntile]] plus a cleanup that unpersists the internal
+    * range-partitioned frame. Only call the cleanup after the downstream
+    * query has materialized — the bucket assignment is only stable while
+    * the sampled range partitioning is pinned. */
+  def ntileDetachable(df: DataFrame, n: Int, order: Seq[Column],
+      bucketCol: String = "bucket", partitions: Int = 0): (DataFrame, () => Unit) = {
     // N = q*n + r: first r buckets take q+1 rows, the rest q (CASE keeps
     // the q-division unevaluated when q = 0, i.e. N < n).
     val bucket = expr(
@@ -75,8 +93,10 @@ object ScalableNtile {
             THEN (__grank - 1) div ((__total div $n) + 1)
             ELSE (__total % $n) + (__grank - (__total % $n) * ((__total div $n) + 1) - 1) div (__total div $n)
           END + 1 AS BIGINT)""")
-    withGlobalRank(df, order, partitions)
+    val (ranked, ranged) = withGlobalRank(df, order, partitions)
+    val out = ranked
       .withColumn(bucketCol, bucket)
       .drop("__grank", "__total")
+    (out, () => { ranged.unpersist(blocking = false); () })
   }
 }

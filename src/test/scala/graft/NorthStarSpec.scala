@@ -124,6 +124,35 @@ class ClusterSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(viaCluster == expected)
   }
+
+  test("clustering leaves no pinned storage behind (both paths)") {
+    import spark.implicits._
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    Dedup.connectedComponents(pairs).collect()
+    Dedup.connectedComponents(pairs, driverThreshold = 0L).collect()
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"leaked cached RDDs: $leaked")
+  }
+}
+
+/** Round-2 review follow-up: within-query caches (LSH sketch base,
+  * exploded trigram frame, ntile range partitioning) must be released once
+  * the query's result materializes — a long-lived session running these
+  * repeatedly must not accumulate storage ([[graft.plans.Caching.detach]]). */
+class CacheHygieneSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.01"
+
+  test("sketch-base, trigram, and ntile caches are freed after the result") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    assert(Dedup.ngramJaccardPairs(spark, sf).collect().nonEmpty)
+    assert(TextAnalysis.trigramLmScore(spark, sf).collect().nonEmpty)
+    assert(Relational.q35NtileScalable(spark, sf).collect().nonEmpty)
+    assert(Pipeline.stratifiedByQuality(spark, sf).collect().nonEmpty)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"leaked cached RDDs: $leaked")
+  }
 }
 
 /** Incremental-ingest dedup invariant: splitting the corpus and deduping
