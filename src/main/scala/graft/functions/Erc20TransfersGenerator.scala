@@ -30,6 +30,35 @@ case class Erc20TransfersGenerator(children: Seq[Expression])
   require(children.length == 5,
     "erc20_transfers(address, topics, data, tx_hash, block_number)")
 
+  /** Analysis-time signature check — eval casts its inputs, so a
+    * wrong-typed call must fail during analysis with the expected
+    * signature, not at runtime with a ClassCastException. */
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    val expected = Seq(
+      "address" -> StringType,
+      "topics" -> ArrayType(StringType),
+      "data" -> StringType,
+      "tx_hash" -> StringType,
+      "block_number" -> LongType)
+    // exact types (ignoring nullability): eval casts directly, and a
+    // Generator gets no implicit coercion, so an INT block number must be
+    // cast by the caller rather than crash an executor
+    def matches(got: DataType, want: DataType): Boolean = (got, want) match {
+      case (ArrayType(g, _), ArrayType(w, _)) => matches(g, w)
+      case _                                  => got == want
+    }
+    expected.zip(children).zipWithIndex.collectFirst {
+      case (((name, want), child), i) if !matches(child.dataType, want) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"erc20_transfers argument ${i + 1} ($name) requires ${want.sql}, " +
+            s"got ${child.dataType.sql}; signature: erc20_transfers(" +
+            "address STRING, topics ARRAY<STRING>, data STRING, " +
+            "tx_hash STRING, block_number BIGINT)")
+    }.getOrElse(TypeCheckResult.TypeCheckSuccess)
+  }
+
   override def elementSchema: StructType = StructType(Seq(
     StructField("erc20_token", StringType),
     StructField("erc20_from", StringType),

@@ -25,8 +25,13 @@ trait EthClient extends Serializable {
   def blockNumber(): Long
   /** Stream blocks `start..end` inclusive; `fullTx=false` skips
     * materializing transactions/logs (the `ethGetBlockByNumber`
-    * full-transaction-objects flag) for pruned block-only scans. */
-  def blocks(start: Long, end: Long, fullTx: Boolean = true): Iterator[EthBlockData]
+    * full-transaction-objects flag) for pruned block-only scans, and
+    * `needLogs=false` skips receipt/log retrieval for transaction scans
+    * that never read logs — the analogue of the reference fetching
+    * receipts only on the erc20 cursor branch
+    * (`EthereumLogLazyIterator.java:39`). */
+  def blocks(start: Long, end: Long, fullTx: Boolean = true,
+      needLogs: Boolean = true): Iterator[EthBlockData]
   /** Resolve a block hash to its number; None if unknown. */
   def blockNumberByHash(hash: String): Option[Long]
   /** Timestamp of one block (used by the timestamp→range binary search). */
@@ -91,7 +96,8 @@ final class FixtureChainClient(chainDir: String) extends EthClient {
 
   override def blockNumber(): Long = tip
 
-  override def blocks(start: Long, end: Long, fullTx: Boolean = true): Iterator[EthBlockData] = {
+  override def blocks(start: Long, end: Long, fullTx: Boolean = true,
+      needLogs: Boolean = true): Iterator[EthBlockData] = {
     val lo = math.max(1L, start)
     val hi = math.min(tip, end)
     if (lo > hi) return Iterator.empty
@@ -101,7 +107,8 @@ final class FixtureChainClient(chainDir: String) extends EthClient {
       // when the consumer stops early (LIMIT / nextOption) — a lazily
       // draining reader leaked one descriptor per abandoned iterator.
       chunkLines(chunkStart).iterator
-        .map(parseBlock(_, fullTx)).filter(b => b.number >= lo && b.number <= hi)
+        .map(parseBlock(_, fullTx, needLogs))
+        .filter(b => b.number >= lo && b.number <= hi)
     }
   }
 
@@ -172,7 +179,8 @@ object FixtureChainClient {
     b.result()
   }
 
-  def parseBlock(line: String, fullTx: Boolean = true): EthBlockData = {
+  def parseBlock(line: String, fullTx: Boolean = true,
+      needLogs: Boolean = true): EthBlockData = {
     val j = mapper.readTree(line)
     val number = j.get("number").asLong()
     val hash = j.get("hash").asText()
@@ -181,7 +189,7 @@ object FixtureChainClient {
     if (fullTx) j.get("transactions").forEach { t =>
       val txHash = t.get("hash").asText()
       val logs = Vector.newBuilder[EthLog]
-      t.get("logs").forEach { l =>
+      if (needLogs) t.get("logs").forEach { l =>
         logs += EthLog(
           address = l.get("address").asText(),
           topics = strs(l.get("topics")),

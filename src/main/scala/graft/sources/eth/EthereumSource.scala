@@ -327,10 +327,15 @@ class EthereumColumnarReader(kind: EthSchemas.TableKind, chainDir: String,
   private val client = EthClient.forChain(chainDir)
   private val needTx = kind != EthSchemas.Block ||
     schema.fieldNames.contains("block_transactions")
+  // only the log-consuming kinds pay for receipt fetches (live backend:
+  // one extra RPC batch per block) — mirrors the reference's lazy receipt
+  // iterator running only on the erc20 branch
+  private val needLogs = kind == EthSchemas.Erc20 || kind == EthSchemas.Log
   private var blocksFetched = 0L
   private var rowsEmitted = 0L
   private val blocks: Iterator[EthBlockData] =
-    client.blocks(start, end, fullTx = needTx).map { b => blocksFetched += 1; b }
+    client.blocks(start, end, fullTx = needTx, needLogs = needLogs)
+      .map { b => blocksFetched += 1; b }
   private val chunks: Iterator[Seq[AnyRef]] = (kind match {
     case EthSchemas.Block => blocks
     case EthSchemas.Transaction => blocks.flatMap(_.transactions.iterator)
@@ -527,10 +532,12 @@ class EthereumPartitionReader(kind: EthSchemas.TableKind, chainDir: String,
     }
 
   private val rows: Iterator[InternalRow] = {
-    // pruned block-only scans skip transaction materialization entirely
+    // pruned block-only scans skip transaction materialization entirely;
+    // receipts are fetched only for the log-consuming kinds
     val needTx = kind != EthSchemas.Block ||
       schema.fieldNames.contains("block_transactions")
-    val blocks = client.blocks(start, end, fullTx = needTx)
+    val needLogs = kind == EthSchemas.Erc20 || kind == EthSchemas.Log
+    val blocks = client.blocks(start, end, fullTx = needTx, needLogs = needLogs)
       .map { b => blocksFetched += 1; b }
     kind match {
       case EthSchemas.Block =>

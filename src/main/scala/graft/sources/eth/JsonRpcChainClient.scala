@@ -33,14 +33,18 @@ final class JsonRpcChainClient(endpoint: String, batchSize: Int = 128,
   override def blockNumber(): Long =
     hexToLong(call("eth_blockNumber"))
 
-  override def blocks(start: Long, end: Long, fullTx: Boolean = true): Iterator[EthBlockData] = {
+  override def blocks(start: Long, end: Long, fullTx: Boolean = true,
+      needLogs: Boolean = true): Iterator[EthBlockData] = {
     if (start > end) return Iterator.empty
     Iterator.range(start, end + 1, batchSize.toLong).flatMap { lo =>
       val hi = math.min(end, lo + batchSize - 1)
       val reqs = (lo to hi).map(n => ("eth_getBlockByNumber", params(hexQty(n), fullTx)))
       batchCall(reqs).iterator
         .filter(r => !r.isNull)
-        .map(b => parseRpcBlock(b, if (fullTx) receiptLogs(b) else Map.empty, fullTx))
+        // receipts cost one extra RPC batch per block — fetch them only
+        // when the scan actually reads logs (erc20/log table kinds)
+        .map(b => parseRpcBlock(b,
+          if (fullTx && needLogs) receiptLogs(b) else Map.empty, fullTx))
     }
   }
 
@@ -98,7 +102,11 @@ final class JsonRpcChainClient(endpoint: String, batchSize: Int = 128,
   }
 
   /** One HTTP round trip for N requests; results returned in request order
-    * (JSON-RPC batch responses may arrive in any order — re-sort by id). */
+    * (JSON-RPC batch responses may arrive in any order — re-sort by id).
+    * Responses with an unmatchable id — `"id": null` (spec-allowed for
+    * requests the server could not parse) or out of [0, N) — fail with a
+    * descriptive error instead of an NPE/index crash; requests the server
+    * silently dropped come back as JSON null (callers already filter). */
   private def batchCall(reqs: Seq[(String, ArrayNode)]): Vector[JsonNode] = {
     val arr = mapper.createArrayNode()
     reqs.zipWithIndex.foreach { case ((m, ps), i) => arr.add(rpcRequest(m, ps, i)) }
@@ -106,8 +114,16 @@ final class JsonRpcChainClient(endpoint: String, batchSize: Int = 128,
     if (!resp.isArray)
       throw new java.io.IOException(s"expected batch array from $endpoint, got: ${resp.getNodeType}")
     val byId = new Array[JsonNode](reqs.size)
-    resp.forEach { r => byId(r.get("id").asInt()) = result(r, "batch") }
-    byId.toVector
+    resp.forEach { r =>
+      val idNode = r.get("id")
+      if (idNode == null || !idNode.isNumber ||
+          idNode.asInt() < 0 || idNode.asInt() >= reqs.size)
+        throw new IllegalStateException(
+          s"JSON-RPC batch response with unmatchable id from $endpoint: " +
+            r.toString.take(300))
+      byId(idNode.asInt()) = result(r, "batch")
+    }
+    byId.iterator.map(n => if (n == null) mapper.nullNode(): JsonNode else n).toVector
   }
 
   private def rpcRequest(method: String, ps: ArrayNode, id: Int): ObjectNode = {
@@ -185,6 +201,14 @@ object JsonRpcChainClient {
   def hexToLong(n: JsonNode): Long = hexBig(n).longValue()
   /** Hex quantity → double (wei values exceed long range). */
   def hexToDouble(n: JsonNode): Double = hexBig(n).doubleValue()
+  /** Optional hex quantity: modern nodes omit fields the pre-merge chain
+    * always had (post-merge Geth drops `totalDifficulty`; type-2 EIP-1559
+    * transactions may omit `gasPrice`) — absent/null defaults instead of
+    * crashing the scan. */
+  def hexToLongOpt(n: JsonNode, default: Long = 0L): Long =
+    if (n == null || n.isNull) default else hexToLong(n)
+  def hexToDoubleOpt(n: JsonNode, default: Double = 0.0): Double =
+    if (n == null || n.isNull) default else hexToDouble(n)
 
   private def strings(n: JsonNode): Vector[String] = {
     val b = Vector.newBuilder[String]
@@ -212,7 +236,10 @@ object JsonRpcChainClient {
         to = Option(t.get("to")).filter(!_.isNull).map(_.asText()),
         value = hexToDouble(t.get("value")),
         gas = hexToDouble(t.get("gas")),
-        gasPrice = hexToDouble(t.get("gasPrice")),
+        // EIP-1559 type-2 txs: some clients omit gasPrice; the fee cap is
+        // the closest published quantity, 0 when neither exists
+        gasPrice = hexToDoubleOpt(
+          if (t.hasNonNull("gasPrice")) t.get("gasPrice") else t.get("maxFeePerGas")),
         input = t.get("input").asText(),
         logs = logsByTx.getOrElse(txHash, Vector.empty))
       idx += 1
@@ -227,8 +254,8 @@ object JsonRpcChainClient {
       transactionsRoot = j.get("transactionsRoot").asText(),
       stateRoot = j.get("stateRoot").asText(),
       miner = j.get("miner").asText(),
-      difficulty = hexToLong(j.get("difficulty")),
-      totalDifficulty = hexToLong(j.get("totalDifficulty")),
+      difficulty = hexToLongOpt(j.get("difficulty")),
+      totalDifficulty = hexToLongOpt(j.get("totalDifficulty")),
       size = hexToLong(j.get("size")).toInt,
       extraData = j.get("extraData").asText(),
       gasLimit = hexToDouble(j.get("gasLimit")),

@@ -221,6 +221,30 @@ class Erc20GeneratorSpec extends AnyFunSuite {
     assert(viaGen.length == viaScan.length && viaGen.nonEmpty)
     assert(viaGen.zip(viaScan).forall { case (a, b) => a == b })
   }
+
+  test("wrong-typed arguments fail at analysis with the signature, not at runtime") {
+    graft.functions.Expressions.register(spark)
+    import spark.implicits._
+    Seq(("0xa", Seq("0xt"), "0x", "0xh", 7))
+      .toDF("addr", "topics", "data", "txh", "bn_int")
+      .createOrReplaceTempView("gen_badargs")
+    // INT block number (arg 5 must be BIGINT)
+    val e1 = intercept[org.apache.spark.sql.AnalysisException](spark.sql(
+      """SELECT t.* FROM gen_badargs
+         LATERAL VIEW erc20_transfers(addr, topics, data, txh, bn_int) t""").collect())
+    assert(e1.getMessage.contains("block_number") && e1.getMessage.contains("BIGINT"),
+      e1.getMessage)
+    // non-array topics (arg 2 must be ARRAY<STRING>)
+    val e2 = intercept[org.apache.spark.sql.AnalysisException](spark.sql(
+      """SELECT t.* FROM gen_badargs
+         LATERAL VIEW erc20_transfers(addr, data, data, txh, CAST(bn_int AS BIGINT)) t""").collect())
+    assert(e2.getMessage.contains("topics"), e2.getMessage)
+    // a cast fixes it
+    assert(spark.sql(
+      """SELECT t.* FROM gen_badargs
+         LATERAL VIEW erc20_transfers(addr, topics, data, txh, CAST(bn_int AS BIGINT)) t""")
+      .collect().isEmpty) // non-Transfer topic decodes to zero rows, no crash
+  }
 }
 
 /** DSv2 custom-metric reporting of the scan + readers. */

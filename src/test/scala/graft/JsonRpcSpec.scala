@@ -23,8 +23,10 @@ object RpcStubServer {
     "0x" + java.math.BigDecimal.valueOf(d).toBigInteger.toString(16)
 
   /** Serve fixture blocks `1..maxBlock` (tx/receipt index is built for that
-    * range only); account/gas RPCs delegate to the fixture client. */
-  def start(chainDir: String, maxBlock: Long): HttpServer = {
+    * range only); account/gas RPCs delegate to the fixture client. When
+    * `counts` is given, every served method increments its entry. */
+  def start(chainDir: String, maxBlock: Long,
+      counts: java.util.concurrent.ConcurrentHashMap[String, java.lang.Long] = null): HttpServer = {
     val fixture = EthClient.forChain(chainDir)
     val blocks: Map[Long, EthBlockData] =
       fixture.blocks(1, maxBlock).map(b => b.number -> b).toMap
@@ -85,6 +87,8 @@ object RpcStubServer {
 
     def answer(req: JsonNode): JsonNode = {
       val ps = req.get("params")
+      if (counts != null)
+        counts.merge(req.get("method").asText(), 1L, (a, b) => a + b)
       val result: JsonNode = req.get("method").asText() match {
         case "eth_blockNumber" => mapper.getNodeFactory.textNode(hex(fixture.blockNumber()))
         case "eth_getBlockByNumber" =>
@@ -229,6 +233,90 @@ class JsonRpcSpec extends AnyFunSuite {
       // protocol error: fails fast, no retry loop
       failures.set(0)
       intercept[IllegalStateException](client.blockNumber())
+    } finally server.stop(0)
+  }
+
+  test("post-merge response shapes parse: no totalDifficulty, type-2 gasPrice") {
+    val mapper = new ObjectMapper()
+    // post-merge Geth (>=1.14) block: totalDifficulty absent, difficulty 0x0;
+    // type-2 tx: gasPrice absent, maxFeePerGas present
+    val block = mapper.readTree(
+      """{"number":"0x10","hash":"0xb","parentHash":"0xp","nonce":"0x0000000000000000",
+          "sha3Uncles":"0xs","logsBloom":"0xl","transactionsRoot":"0xt","stateRoot":"0xr",
+          "miner":"0xm","difficulty":"0x0","size":"0x220","extraData":"0x",
+          "gasLimit":"0x1c9c380","gasUsed":"0x5208","timestamp":"0x64000000","uncles":[],
+          "transactions":[
+            {"hash":"0xt1","nonce":"0x1","from":"0xf","to":"0xa","value":"0xde0b6b3a7640000",
+             "gas":"0x5208","maxFeePerGas":"0x77359400","maxPriorityFeePerGas":"0x3b9aca00",
+             "input":"0x","type":"0x2"},
+            {"hash":"0xt2","nonce":"0x2","from":"0xf","to":null,"value":"0x0",
+             "gas":"0x5208","input":"0x","type":"0x2"}]}""".replaceAll("\n\\s*", ""))
+    val b = JsonRpcChainClient.parseRpcBlock(block, Map.empty, fullTx = true)
+    assert(b.totalDifficulty == 0L && b.difficulty == 0L)
+    assert(b.transactions(0).gasPrice == 2e9) // falls back to maxFeePerGas
+    assert(b.transactions(1).gasPrice == 0.0) // neither field -> 0
+    assert(b.transactions(1).to.isEmpty)
+  }
+
+  test("batch responses with unmatchable ids fail descriptively, dropped slots skip") {
+    import com.sun.net.httpserver.HttpServer
+    import java.net.InetSocketAddress
+    val mode = new java.util.concurrent.atomic.AtomicReference("null_id")
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", (ex: com.sun.net.httpserver.HttpExchange) => {
+      try {
+        ex.getRequestBody.readAllBytes()
+        val resp = mode.get() match {
+          // spec-allowed error response for an unparseable request
+          case "null_id" =>
+            """[{"jsonrpc":"2.0","id":null,"error":{"code":-32700,"message":"parse error"}}]"""
+          case "out_of_range" =>
+            """[{"jsonrpc":"2.0","id":99,"result":null}]"""
+          // server answers only the second of two requests
+          case "partial" =>
+            """[{"jsonrpc":"2.0","id":1,"result":null}]"""
+        }
+        val bytes = resp.getBytes("UTF-8")
+        ex.sendResponseHeaders(200, bytes.length)
+        ex.getResponseBody.write(bytes)
+      } finally ex.close()
+    })
+    server.start()
+    try {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}/"
+      val client = new JsonRpcChainClient(url, retryBackoffMs = 1)
+      val eNull = intercept[IllegalStateException](client.blocks(1, 2).toVector)
+      assert(eNull.getMessage.contains("unmatchable id"), eNull.getMessage)
+      mode.set("out_of_range")
+      val eRange = intercept[IllegalStateException](client.blocks(1, 2).toVector)
+      assert(eRange.getMessage.contains("unmatchable id"), eRange.getMessage)
+      mode.set("partial")
+      // dropped slot becomes JSON null -> filtered like an unknown block
+      assert(client.blocks(1, 2).toVector.isEmpty)
+    } finally server.stop(0)
+  }
+
+  test("transaction scans skip receipt fetches; erc20 scans still batch them") {
+    val counts = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+    val server = RpcStubServer.start(dir, 8, counts)
+    try {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}/"
+      val rpc = EthClient.forChain(url)
+      // client level: fullTx without logs fetches no receipts
+      assert(rpc.blocks(1, 8, fullTx = true, needLogs = false).flatMap(_.transactions).nonEmpty)
+      assert(!counts.containsKey("eth_getTransactionReceipt"), counts.toString)
+      // DSv2 level: a transaction-table scan stays receipt-free
+      val txRows = spark.read.format("ethereum")
+        .option("table", "transaction").option("chain", url).load()
+        .filter(org.apache.spark.sql.functions.col("tx_blockNumber") <= 8)
+        .count()
+      assert(txRows > 0 && !counts.containsKey("eth_getTransactionReceipt"), counts.toString)
+      // erc20 decode needs the logs -> receipts are fetched (batched)
+      spark.read.format("ethereum")
+        .option("table", "erc20").option("chain", url).load()
+        .filter(org.apache.spark.sql.functions.col("erc20_blockNumber") <= 8)
+        .collect()
+      assert(counts.getOrDefault("eth_getTransactionReceipt", 0L) > 0L, counts.toString)
     } finally server.stop(0)
   }
 
