@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 /** Persisted IVF index — the "build once, query many" ANN serving shape.
   *
-  * `build` trains the coarse quantizer (same seeds + one-Lloyd-step math as
+  * `build` trains the coarse quantizer (same seeds + Lloyd refinement as
   * [[Similarity.knnIvf]]) and writes the inverted lists as parquet
   * **partitioned by `list_id`**, centroids alongside. `query` reads the
   * centroids (nLists tiny rows), picks each query's nProbe nearest lists,
@@ -19,11 +19,12 @@ import org.apache.spark.sql.functions._
 object IvfIndex {
 
   /** Train the quantizer over `embeddings` at `d` and write the index. */
-  def build(s: SparkSession, d: String, indexDir: String, nLists: Int = 16): Unit = {
+  def build(s: SparkSession, d: String, indexDir: String, nLists: Int = 16,
+      lloydIters: Int = Similarity.DefaultLloydIters): Unit = {
     import s.implicits._
     val vecs = graft.Tables.embeddings(s, d)
       .select($"vec_id", transform($"embedding", _.cast("double")).as("v"))
-    val centroids = Similarity.lloydCentroids(vecs, nLists)
+    val centroids = Similarity.lloydCentroids(vecs, nLists, lloydIters)
     centroids.coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids")
     Similarity.coarseAssign(vecs, centroids)
       .write.mode("overwrite")

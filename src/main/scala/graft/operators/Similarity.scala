@@ -76,35 +76,58 @@ object Similarity {
   }
 
   /** IVF-style ANN: a coarse quantizer (nLists centroids = deterministic
-    * seed vectors refined by one Lloyd step, all as DataFrame ops) assigns
+    * seed vectors refined by Lloyd steps, all as DataFrame ops) assigns
     * every vector to an inverted list; queries probe their nProbe nearest
     * lists and rank exactly within those lists only. The scan cost drops
     * from O(|Q|·|corpus|) to O(|Q|·(nProbe/nLists)·|corpus|); at 100 TB the
     * assignment is one map-side pass (centroids broadcast) and each probe
     * touches only its list partitions. */
   /** Assign every vector of `vecs` to its nearest centroid (broadcast
-    * centroids; tie-break by list_id). */
+    * centroids; tie-break by smallest list_id). Arg-max via `max_by` with
+    * a unique ordering key: the broadcast join leaves all nLists scored
+    * rows of a vector in its input partition, so the partial aggregate
+    * collapses them map-side and the shuffle carries ONE row per vector —
+    * a window arg-max would shuffle and sort all nLists× rows instead. */
   private[operators] def coarseAssign(vecs: DataFrame, cent: DataFrame): DataFrame = {
     import vecs.sparkSession.implicits._
-    val scored = vecs.join(broadcast(cent))
+    vecs.join(broadcast(cent))
       .select($"vec_id", $"v", $"list_id",
               Expressions.cosineSim($"v", $"cv").as("sim"))
-    val w = Window.partitionBy($"vec_id").orderBy($"sim".desc, $"list_id")
-    scored.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
-      .select($"vec_id", $"v", $"list_id")
+      .groupBy($"vec_id")
+      .agg(max_by(struct($"v", $"list_id"),
+                  struct($"sim", (-$"list_id").as("nl"))).as("m"))
+      .select($"vec_id", $"m.v".as("v"), $"m.list_id".as("list_id"))
   }
 
-  /** Coarse quantizer: seeds = first nLists vectors, one Lloyd step. */
-  private[operators] def lloydCentroids(vecs: DataFrame, nLists: Int): DataFrame = {
+  /** Coarse quantizer: seeds = first nLists vectors refined by
+    * `iterations` Lloyd steps. Each step is one broadcast-assign map pass
+    * plus one [[graft.functions.VectorAvg]] aggregate — whole vectors
+    * reduce to O(partitions × lists) partial `(sums, n)` states, ONE input
+    * row per vector (the earlier posexplode formulation shuffled 64 rows
+    * per vector, which would dominate the index build at corpus scale). */
+  /** The un-materialized Lloyd chain — exposed for plan assertions. */
+  private[graft] def lloydCentroidsLazy(vecs: DataFrame, nLists: Int,
+      iterations: Int): DataFrame = {
     import vecs.sparkSession.implicits._
-    val seeds = vecs.filter($"vec_id" < nLists)
+    val vecAvg = udaf(new graft.functions.VectorAvg,
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]())
+    var cent = vecs.filter($"vec_id" < nLists)
       .select($"vec_id".as("list_id"), $"v".as("cv"))
-    coarseAssign(vecs, seeds)
-      .select($"list_id", posexplode($"v").as(Seq("pos", "x")))
-      .groupBy($"list_id", $"pos").agg(avg($"x").as("m"))
-      .groupBy($"list_id")
-      .agg(transform(array_sort(collect_list(struct($"pos", $"m"))),
-        e => e.getField("m")).as("cv"))
+    for (_ <- 1 to iterations)
+      cent = coarseAssign(vecs, cent)
+        .groupBy($"list_id").agg(vecAvg($"v").as("cv"))
+    cent
+  }
+
+  private[graft] def lloydCentroids(vecs: DataFrame, nLists: Int,
+      iterations: Int = 1): DataFrame = {
+    val cent = lloydCentroidsLazy(vecs, nLists, iterations)
+    // centroids are index METADATA (nLists rows of dims doubles) — collect
+    // them once so the two downstream consumers (list assignment and query
+    // probing) broadcast a local relation instead of re-running the whole
+    // iterative chain per consumer
+    val rows = java.util.Arrays.asList(cent.collect(): _*)
+    vecs.sparkSession.createDataFrame(rows, cent.schema)
   }
 
   /** Top-`nProbe` nearest centroid lists per query vector. */
@@ -130,12 +153,17 @@ object Similarity {
       .orderBy($"query_id", $"rank")
   }
 
+  /** Default Lloyd refinement depth for the IVF quantizer — shared by the
+    * inline path and [[IvfIndex.build]] so the two stay comparable. */
+  val DefaultLloydIters = 2
+
   def knnIvf(s: SparkSession, d: String, nQueries: Int = 5, k: Int = 5,
-      nLists: Int = 16, nProbe: Int = 4): DataFrame = {
+      nLists: Int = 16, nProbe: Int = 4,
+      lloydIters: Int = DefaultLloydIters): DataFrame = {
     import s.implicits._
     val vecs = embeddings(s, d)
       .select($"vec_id", transform($"embedding", _.cast("double")).as("v"))
-    val centroids = lloydCentroids(vecs, nLists)
+    val centroids = lloydCentroids(vecs, nLists, lloydIters)
     val lists = coarseAssign(vecs, centroids)
     val probes = probeLists(
       vecs.filter($"vec_id" < nQueries).select($"vec_id".as("query_id"), $"v".as("qv")),
@@ -187,6 +215,52 @@ object Similarity {
                     THEN $v[i] ELSE -$v[i] END)) >= 0
              THEN (1::BIGINT << p) ELSE 0 END)) AS BIGINT)"""
 
+  /** DuckDB replay of the full IVF pipeline for `iterations` Lloyd steps:
+    * `cvecs0` = seed vectors, then per step an assignment CTE (nearest
+    * centroid by cosine, tie-break by list id) and a centroid-average CTE
+    * — exactly the unrolled loop [[lloydCentroids]] builds, so the oracle
+    * is re-derived mechanically whenever the iteration depth changes. */
+  private[operators] def ivfOracleSql(nLists: Int, nProbe: Int, nQueries: Int,
+      k: Int, iterations: Int, dims: Int = 64): String = {
+    val steps = (1 to iterations).map { i =>
+      s"""a$i AS (
+            SELECT vec_id, v, list_id,
+                   row_number() OVER (PARTITION BY vec_id
+                     ORDER BY list_cosine_similarity(v, cv) DESC, list_id) AS rn
+            FROM vecs CROSS JOIN cvecs${i - 1}),
+          asg$i AS (SELECT vec_id, v, list_id FROM a$i WHERE rn = 1),
+          cent$i AS (
+            SELECT list_id, t.pos AS pos, avg(v[t.pos]) AS m
+            FROM asg$i CROSS JOIN range(1, ${dims + 1}) t(pos)
+            GROUP BY list_id, t.pos),
+          cvecs$i AS (SELECT list_id, list(m ORDER BY pos) AS cv FROM cent$i GROUP BY list_id)"""
+    }.mkString(",\n          ")
+    s"""WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          cvecs0 AS (SELECT vec_id AS list_id, v AS cv FROM vecs WHERE vec_id < $nLists),
+          $steps,
+          aF AS (
+            SELECT vec_id, v, list_id,
+                   row_number() OVER (PARTITION BY vec_id
+                     ORDER BY list_cosine_similarity(v, cv) DESC, list_id) AS rn
+            FROM vecs CROSS JOIN cvecs$iterations),
+          lists AS (SELECT vec_id, v, list_id FROM aF WHERE rn = 1),
+          qs AS (
+            SELECT q.vec_id AS query_id, q.v AS qv, c.list_id,
+                   row_number() OVER (PARTITION BY q.vec_id
+                     ORDER BY list_cosine_similarity(q.v, c.cv) DESC, c.list_id) AS rn
+            FROM vecs q CROSS JOIN cvecs$iterations c WHERE q.vec_id < $nQueries),
+          probes AS (SELECT query_id, qv, list_id FROM qs WHERE rn <= $nProbe),
+          cand AS (
+            SELECT query_id, vec_id AS neighbor_id, list_cosine_similarity(qv, v) AS sim
+            FROM lists JOIN probes USING (list_id) WHERE vec_id <> query_id),
+          r AS (
+            SELECT query_id, neighbor_id, sim,
+                   row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk
+            FROM cand)
+          SELECT query_id, neighbor_id, round(sim, 6) AS cos_sim, CAST(rk AS BIGINT) AS rank
+          FROM r WHERE rk <= $k ORDER BY query_id, rank"""
+  }
+
   val oracle: Map[String, String] = Map(
     "nd_knn_filtered" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
@@ -226,41 +300,8 @@ object Similarity {
             FROM scored)
           SELECT query_id, neighbor_id, round(sim, 6) AS cos_sim, CAST(rk AS BIGINT) AS rank
           FROM r WHERE rk <= 5 ORDER BY query_id, rank""",
-    "nd_knn_ivf" ->
-      """WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-          seeds AS (SELECT vec_id AS list_id, v AS cv FROM vecs WHERE vec_id < 16),
-          a1 AS (
-            SELECT vec_id, v, list_id,
-                   row_number() OVER (PARTITION BY vec_id
-                     ORDER BY list_cosine_similarity(v, cv) DESC, list_id) AS rn
-            FROM vecs CROSS JOIN seeds),
-          asg1 AS (SELECT vec_id, v, list_id FROM a1 WHERE rn = 1),
-          cent AS (
-            SELECT list_id, t.pos AS pos, avg(v[t.pos]) AS m
-            FROM asg1 CROSS JOIN range(1, 65) t(pos)
-            GROUP BY list_id, t.pos),
-          cvecs AS (SELECT list_id, list(m ORDER BY pos) AS cv FROM cent GROUP BY list_id),
-          a2 AS (
-            SELECT vec_id, v, list_id,
-                   row_number() OVER (PARTITION BY vec_id
-                     ORDER BY list_cosine_similarity(v, cv) DESC, list_id) AS rn
-            FROM vecs CROSS JOIN cvecs),
-          lists AS (SELECT vec_id, v, list_id FROM a2 WHERE rn = 1),
-          qs AS (
-            SELECT q.vec_id AS query_id, q.v AS qv, c.list_id,
-                   row_number() OVER (PARTITION BY q.vec_id
-                     ORDER BY list_cosine_similarity(q.v, c.cv) DESC, c.list_id) AS rn
-            FROM vecs q CROSS JOIN cvecs c WHERE q.vec_id < 5),
-          probes AS (SELECT query_id, qv, list_id FROM qs WHERE rn <= 4),
-          cand AS (
-            SELECT query_id, vec_id AS neighbor_id, list_cosine_similarity(qv, v) AS sim
-            FROM lists JOIN probes USING (list_id) WHERE vec_id <> query_id),
-          r AS (
-            SELECT query_id, neighbor_id, sim,
-                   row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk
-            FROM cand)
-          SELECT query_id, neighbor_id, round(sim, 6) AS cos_sim, CAST(rk AS BIGINT) AS rank
-          FROM r WHERE rk <= 5 ORDER BY query_id, rank""",
+    "nd_knn_ivf" -> ivfOracleSql(nLists = 16, nProbe = 4, nQueries = 5, k = 5,
+      iterations = DefaultLloydIters),
     "nd_knn_brute" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
                     FROM embeddings WHERE vec_id < 5),
