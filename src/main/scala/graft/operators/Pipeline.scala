@@ -18,33 +18,61 @@ import graft.Tables._
   */
 object Pipeline {
 
+  /** One-scan sketch base: everything the curation stages consume —
+    * quality signal, exact-dup digest, minhash signature, plus the output
+    * stat columns — computed in a SINGLE pass over `documents` and
+    * persisted sketch-sized (no text column in the cache). The quality
+    * filter, exact keepers, and near-dup losers all read this frame, where
+    * they previously ran three independent corpus scans. */
+  private def curationBase(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    TextAnalysis.withQualitySignals(documents(s, d))
+      .select($"doc_id", $"lang", length($"text").cast("long").as("text_len"),
+              $"quality",
+              md5(TextAnalysis.canonical($"text")).as("text_key"),
+              Dedup.minhashSignature($"text").as("sig"))
+  }
+
+  /** Survivor doc_ids + stats columns, and the cleanup that releases the
+    * shared base cache (call after the downstream result materializes). */
+  private def survivors(s: SparkSession, d: String, minQuality: Double,
+      nearDupThreshold: Double): (DataFrame, () => Unit) = {
+    import s.implicits._
+    val base = curationBase(s, d)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val keepers = base.groupBy($"text_key").agg(min($"doc_id").as("doc_id"))
+      .select($"doc_id")
+    val losers = Dedup.minhashPairsFrom(base.select($"doc_id", $"sig"), nearDupThreshold)
+      .select($"doc_b".as("doc_id")).distinct()
+    val out = base.filter($"quality" >= minQuality)
+      .select($"doc_id", $"lang", $"text_len")
+      .join(keepers, "doc_id")
+      .join(losers, Seq("doc_id"), "left_anti")
+    (out, () => { base.unpersist(blocking = false); () })
+  }
+
   /** The surviving, curated corpus (before writing). Keeps the lowest
-    * doc_id of every near-duplicate cluster. */
+    * doc_id of every near-duplicate cluster. The shared sketch base stays
+    * cached while the returned frame is consumed; [[curateAndWrite]] /
+    * [[curationStats]] release it once their output materializes. */
   def curated(s: SparkSession, d: String,
       minQuality: Double = 0.4, nearDupThreshold: Double = 0.8): DataFrame = {
     import s.implicits._
-    val quality = TextAnalysis.qualityScore(s, d)
-      .filter($"quality" >= minQuality).select($"doc_id")
-    // exact dedup keepers
-    val keepers = Dedup.exact(s, d).select($"keeper_id".as("doc_id"))
-    // near-dup losers: the higher doc_id of every strong minhash pair
-    val losers = Dedup.minhashPairs(s, d, nearDupThreshold)
-      .select($"doc_b".as("doc_id")).distinct()
-    documents(s, d)
-      .join(quality, "doc_id")
-      .join(keepers, "doc_id")
-      .join(losers, Seq("doc_id"), "left_anti")
+    val (ids, _) = survivors(s, d, minQuality, nearDupThreshold)
+    documents(s, d).join(ids.select($"doc_id"), "doc_id")
   }
 
   /** Run the pipeline and write the curated corpus partitioned by lang;
     * returns per-language output stats. */
   def curateAndWrite(s: SparkSession, d: String, outDir: String): DataFrame = {
     import s.implicits._
-    curated(s, d)
+    val (ids, free) = survivors(s, d, 0.4, 0.8)
+    documents(s, d).join(ids.select($"doc_id"), "doc_id")
       .write.mode("overwrite")
       .partitionBy("lang")
       .option("maxRecordsPerFile", 1000000)
       .parquet(outDir)
+    free()
     s.read.parquet(outDir)
       .groupBy($"lang")
       .agg(count(lit(1)).as("n_docs"), sum(length($"text")).as("total_chars"))
@@ -52,13 +80,16 @@ object Pipeline {
   }
 
   /** Query-registry entry: stats of the curated corpus (write-free variant
-    * so Verify/Bench don't leave output dirs around). */
+    * so Verify/Bench don't leave output dirs around). Stats come straight
+    * off the sketch base — no second corpus scan at all. */
   def curationStats(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    curated(s, d)
+    val (ids, free) = survivors(s, d, 0.4, 0.8)
+    val stats = ids
       .groupBy($"lang")
-      .agg(count(lit(1)).as("n_docs"), sum(length($"text")).as("total_chars"))
+      .agg(count(lit(1)).as("n_docs"), sum($"text_len").as("total_chars"))
       .orderBy($"lang")
+    graft.plans.Caching.detach(stats, free)
   }
 
   /** Stratified sampling by quality decile — the data-mixing stage of a

@@ -29,21 +29,39 @@ object TextAnalysis {
   def canonical(text: Column): Column =
     trim(regexp_replace(lower(text), "[^a-z0-9]+", " "))
 
+  /** Adds the quality-signal columns (`n_tokens_ws`, `n_punct`, `n_stop`,
+    * `stop_ratio`, `len_score`, `punct_score`, `stop_score`, `quality`) to
+    * any frame carrying a `text` column. Factored so [[Pipeline]]'s fused
+    * base scan computes the IDENTICAL expression trees (same fp op order —
+    * the oracle-parity requirement) as [[textStats]]/[[qualityScore]]. */
+  private[operators] def withQualitySignals(df: DataFrame): DataFrame = {
+    import df.sparkSession.implicits._
+    df.withColumn("n_tokens_ws", size(wsTokens($"text")).cast("long"))
+      .withColumn("n_punct",
+        length(regexp_replace($"text", "[^.!?,;:]", "")).cast("long"))
+      .withColumn("n_stop",
+        expr(s"CAST(size(filter(split(text, ' +'), w -> w IN ($stopListSql))) AS BIGINT)"))
+      .withColumn("stop_ratio", round($"n_stop" / expr("nullif(n_tokens_ws, 0)"), 4))
+      .withColumn("len_score", least(lit(1.0), $"n_tokens_ws" / lit(64.0)))
+      .withColumn("punct_score",
+        lit(1.0) - least(lit(1.0), $"n_punct" / expr("nullif(CAST(n_tokens_ws AS DOUBLE), 0.0)")))
+      .withColumn("stop_score", least(lit(1.0), $"stop_ratio" * 5))
+      .withColumn("quality",
+        $"len_score" * 0.4 + coalesce($"punct_score", lit(0.0)) * 0.3 +
+          coalesce($"stop_score", lit(0.0)) * 0.3)
+  }
+
   /** Per-document stats: token counts, punctuation count, stopword
     * count/ratio — the raw signals of quality scoring. */
   def textStats(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    documents(s, d)
+    withQualitySignals(documents(s, d))
       .select(
         $"doc_id", $"lang", $"source",
         length($"text").cast("long").as("n_chars"),
-        size(wsTokens($"text")).cast("long").as("n_tokens_ws"),
+        $"n_tokens_ws",
         size(regexTokens($"text")).cast("long").as("n_tokens_re"),
-        length(regexp_replace($"text", "[^.!?,;:]", "")).cast("long").as("n_punct"),
-        expr(s"CAST(size(filter(split(text, ' +'), w -> w IN ($stopListSql))) AS BIGINT)")
-          .as("n_stop"))
-      .withColumn("stop_ratio",
-        round($"n_stop" / expr("nullif(n_tokens_ws, 0)"), 4))
+        $"n_punct", $"n_stop", $"stop_ratio")
       .orderBy($"doc_id")
   }
 
@@ -58,15 +76,7 @@ object TextAnalysis {
     * 0.76255. */
   def qualityScore(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    textStats(s, d)
-      .withColumn("len_score",
-        least(lit(1.0), $"n_tokens_ws" / lit(64.0)))
-      .withColumn("punct_score",
-        lit(1.0) - least(lit(1.0), $"n_punct" / expr("nullif(CAST(n_tokens_ws AS DOUBLE), 0.0)")))
-      .withColumn("stop_score", least(lit(1.0), $"stop_ratio" * 5))
-      .withColumn("quality",
-        $"len_score" * 0.4 + coalesce($"punct_score", lit(0.0)) * 0.3 +
-          coalesce($"stop_score", lit(0.0)) * 0.3)
+    withQualitySignals(documents(s, d))
       .withColumn("keep", ($"quality" >= 0.5).cast("boolean"))
       .select($"doc_id", $"len_score", $"punct_score", $"stop_score", $"quality", $"keep")
       .orderBy($"doc_id")
