@@ -45,11 +45,14 @@ trait EthClient extends Serializable {
 
 object EthClient {
   /** Construct the client for a chain location — URI-scheme dispatch, the
-    * analogue of the reference's endpoint config
-    * (`EthereumConnectorConfig.java:11-39`): an http(s) endpoint gets the
-    * live JSON-RPC backend, anything else is a fixture directory. */
+    * analogue of the reference's one-of endpoint config
+    * (`EthereumConnectorConfig.java:11-39`, `EthereumWeb3jProvider.java:20-30`):
+    * http(s) endpoints and `ipc://<socket-path>` get the live JSON-RPC
+    * backend over the matching transport (Infura is covered by https);
+    * anything else is a fixture directory. */
   def forChain(chain: String): EthClient =
-    if (chain.startsWith("http://") || chain.startsWith("https://"))
+    if (chain.startsWith("http://") || chain.startsWith("https://") ||
+        chain.startsWith("ipc://"))
       new JsonRpcChainClient(chain)
     else new FixtureChainClient(chain)
 

@@ -7,10 +7,15 @@ import java.nio.charset.StandardCharsets
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
 
-/** Live chain backend over Ethereum JSON-RPC 2.0 (HTTP) — the analogue of
-  * the reference's web3j provider (`EthereumWeb3jProvider.java:14-34`,
+/** Live chain backend over Ethereum JSON-RPC 2.0 — the analogue of the
+  * reference's web3j provider (`EthereumWeb3jProvider.java:14-34`,
   * endpoints configured in `EthereumConnectorConfig.java:11-39`). Selected
-  * by [[EthClient.forChain]] when the chain location is an http(s) URI.
+  * by [[EthClient.forChain]] when the chain location is an http(s) or
+  * `ipc://` URI: the same request construction, batching, retry, and
+  * response handling run over either transport, mirroring the reference's
+  * one-of HTTP / Unix IPC / Infura provider choice
+  * (`EthereumWeb3jProvider.java:20-30`, `UnixIpcService` at `:26` —
+  * Infura is plain HTTPS JSON-RPC and needs no separate path).
   *
   * RPC usage mirrors the reference connector:
   *  - `eth_blockNumber` for the tip (`EthereumSplitManager.java:51`)
@@ -168,7 +173,24 @@ final class JsonRpcChainClient(endpoint: String, batchSize: Int = 128,
     throw new IllegalStateException("unreachable")
   }
 
-  private def postOnce(body: Array[Byte]): JsonNode = {
+  @transient private lazy val transport: RpcTransport =
+    if (endpoint.startsWith("ipc://"))
+      new IpcTransport(endpoint.stripPrefix("ipc://"))
+    else new HttpTransport(endpoint)
+
+  private def postOnce(body: Array[Byte]): JsonNode = transport.exchange(body)
+}
+
+/** One JSON-RPC exchange: request bytes out, parsed response tree back.
+  * Implementations throw `IOException` for transient transport failures
+  * (the retry loop's contract). */
+private[eth] trait RpcTransport extends Serializable {
+  def exchange(body: Array[Byte]): JsonNode
+}
+
+/** HTTP(S) POST transport — one connection per exchange. */
+private[eth] final class HttpTransport(endpoint: String) extends RpcTransport {
+  override def exchange(body: Array[Byte]): JsonNode = {
     val conn = URI.create(endpoint).toURL.openConnection().asInstanceOf[HttpURLConnection]
     conn.setRequestMethod("POST")
     conn.setRequestProperty("Content-Type", "application/json")
@@ -181,12 +203,49 @@ final class JsonRpcChainClient(endpoint: String, batchSize: Int = 128,
     if (code != 200)
       throw new java.io.IOException(s"JSON-RPC HTTP $code from $endpoint")
     val is = conn.getInputStream
-    try mapper.readTree(is) finally is.close()
+    try JsonRpcChainClient.mapper.readTree(is) finally is.close()
+  }
+}
+
+/** Unix-domain-socket transport (geth `--ipcpath`-style endpoints) — the
+  * analogue of the reference's `UnixIpcService` mode
+  * (`EthereumWeb3jProvider.java:26`). Framing follows geth's IPC codec:
+  * one compact JSON value per request, responses newline-terminated (JSON
+  * string escapes keep raw newlines out of the payload, so the trailing
+  * `\n` is an unambiguous frame boundary). One connection per exchange,
+  * like the HTTP transport — connect failures surface as `IOException`
+  * and retry. */
+private[eth] final class IpcTransport(path: String) extends RpcTransport {
+  override def exchange(body: Array[Byte]): JsonNode = {
+    val ch = java.nio.channels.SocketChannel.open(
+      java.net.UnixDomainSocketAddress.of(path))
+    try {
+      val out = java.nio.ByteBuffer.allocate(body.length + 1)
+      out.put(body); out.put('\n'.toByte); out.flip()
+      while (out.hasRemaining) ch.write(out)
+      val acc = new java.io.ByteArrayOutputStream()
+      val rb = java.nio.ByteBuffer.allocate(8192)
+      var done = false
+      while (!done) {
+        rb.clear()
+        val n = ch.read(rb)
+        if (n < 0) {
+          if (acc.size() == 0)
+            throw new java.io.IOException(s"IPC endpoint $path closed without a response")
+          done = true
+        } else if (n > 0) {
+          acc.write(rb.array(), 0, n)
+          val bytes = acc.toByteArray
+          if (bytes.last == '\n'.toByte) done = true
+        }
+      }
+      JsonRpcChainClient.mapper.readTree(acc.toByteArray)
+    } finally ch.close()
   }
 }
 
 object JsonRpcChainClient {
-  private val mapper = new ObjectMapper()
+  private[eth] val mapper = new ObjectMapper()
 
   def hexQty(n: Long): String = "0x" + java.lang.Long.toHexString(n)
 

@@ -22,11 +22,11 @@ object RpcStubServer {
   def hex(d: Double): String =
     "0x" + java.math.BigDecimal.valueOf(d).toBigInteger.toString(16)
 
-  /** Serve fixture blocks `1..maxBlock` (tx/receipt index is built for that
-    * range only); account/gas RPCs delegate to the fixture client. When
+  /** Per-request responder answering from the fixture chain (blocks
+    * `1..maxBlock`); shared by the HTTP and IPC stub servers. When
     * `counts` is given, every served method increments its entry. */
-  def start(chainDir: String, maxBlock: Long,
-      counts: java.util.concurrent.ConcurrentHashMap[String, java.lang.Long] = null): HttpServer = {
+  def responder(chainDir: String, maxBlock: Long,
+      counts: java.util.concurrent.ConcurrentHashMap[String, java.lang.Long] = null): JsonNode => JsonNode = {
     val fixture = EthClient.forChain(chainDir)
     val blocks: Map[Long, EthBlockData] =
       fixture.blocks(1, maxBlock).map(b => b.number -> b).toMap
@@ -113,17 +113,26 @@ object RpcStubServer {
       resp
     }
 
+    answer _
+  }
+
+  /** Single or batch request body → response body. */
+  private def handleBody(answer: JsonNode => JsonNode, body: JsonNode): JsonNode =
+    if (body.isArray) {
+      val arr = mapper.createArrayNode()
+      body.forEach(r => arr.add(answer(r)))
+      arr
+    } else answer(body)
+
+  /** HTTP stub server over [[responder]]. */
+  def start(chainDir: String, maxBlock: Long,
+      counts: java.util.concurrent.ConcurrentHashMap[String, java.lang.Long] = null): HttpServer = {
+    val answer = responder(chainDir, maxBlock, counts)
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
     server.createContext("/", (ex: HttpExchange) => {
       try {
         val body = mapper.readTree(ex.getRequestBody)
-        val out: JsonNode =
-          if (body.isArray) {
-            val arr = mapper.createArrayNode()
-            body.forEach(r => arr.add(answer(r)))
-            arr
-          } else answer(body)
-        val bytes = mapper.writeValueAsBytes(out)
+        val bytes = mapper.writeValueAsBytes(handleBody(answer, body))
         ex.getResponseHeaders.add("Content-Type", "application/json")
         ex.sendResponseHeaders(200, bytes.length)
         ex.getResponseBody.write(bytes)
@@ -131,6 +140,47 @@ object RpcStubServer {
     })
     server.start()
     server
+  }
+
+  /** Unix-domain-socket stub server speaking geth's IPC framing (one
+    * newline-terminated JSON value per exchange) over the SAME responder
+    * as the HTTP stub — the differential target for the `ipc://` mode. */
+  def startIpc(chainDir: String, maxBlock: Long,
+      socketPath: String): java.nio.channels.ServerSocketChannel = {
+    val answer = responder(chainDir, maxBlock)
+    val ssc = java.nio.channels.ServerSocketChannel.open(java.net.StandardProtocolFamily.UNIX)
+    ssc.bind(java.net.UnixDomainSocketAddress.of(socketPath))
+    val t = new Thread(() => {
+      try {
+        while (true) {
+          val ch = ssc.accept()
+          try {
+            val acc = new java.io.ByteArrayOutputStream()
+            val rb = java.nio.ByteBuffer.allocate(8192)
+            var done = false
+            while (!done) {
+              rb.clear()
+              val n = ch.read(rb)
+              if (n < 0) done = true
+              else if (n > 0) {
+                acc.write(rb.array(), 0, n)
+                if (acc.toByteArray.last == '\n'.toByte) done = true
+              }
+            }
+            val body = mapper.readTree(acc.toByteArray)
+            val bytes = mapper.writeValueAsBytes(handleBody(answer, body)) :+ '\n'.toByte
+            val out = java.nio.ByteBuffer.wrap(bytes)
+            while (out.hasRemaining) ch.write(out)
+          } finally ch.close()
+        }
+      } catch {
+        case _: java.nio.channels.ClosedChannelException => ()
+        case _: java.nio.channels.AsynchronousCloseException => ()
+      }
+    })
+    t.setDaemon(true)
+    t.start()
+    ssc
   }
 }
 
@@ -148,7 +198,46 @@ class JsonRpcSpec extends AnyFunSuite {
 
   test("forChain dispatches on URI scheme") {
     assert(EthClient.forChain("http://example.invalid/").isInstanceOf[JsonRpcChainClient])
+    assert(EthClient.forChain("ipc:///var/run/geth.ipc").isInstanceOf[JsonRpcChainClient])
     assert(EthClient.forChain(dir).isInstanceOf[FixtureChainClient])
+  }
+
+  test("scan over unix IPC is byte-identical to the fixture backend") {
+    val sockDir = java.nio.file.Files.createTempDirectory("ipc")
+    val sock = sockDir.resolve("geth.ipc").toString
+    val server = RpcStubServer.startIpc(dir, 32, sock)
+    try {
+      val ipc = EthClient.forChain(s"ipc://$sock")
+      val fx = EthClient.forChain(dir)
+      // full scan incl. transactions + receipt logs over the socket
+      val a = ipc.blocks(1, 32, fullTx = true).toVector
+      val b = fx.blocks(1, 32, fullTx = true).toVector
+      assert(a.size == b.size && a.nonEmpty)
+      assert(a == b)
+      // point lookups + account RPCs through the same framing
+      assert(ipc.blockNumber() == fx.blockNumber())
+      assert(ipc.timestampOf(7L) == fx.timestampOf(7L))
+      val h = fx.blocks(3, 3, fullTx = false).next().hash
+      assert(ipc.blockNumberByHash(h).contains(3L))
+      val addr = fx.blocks(2, 2).next().transactions.head.from
+      assert(ipc.getBalance(addr, None) == fx.getBalance(addr, None))
+      // DSv2 read through ipc:// equals the fixture-backed read
+      import spark.implicits._
+      val viaIpc = spark.read.format("ethereum")
+        .option("table", "block").option("chain", s"ipc://$sock").load()
+        .filter($"block_number" <= 20)
+        .select($"block_number", $"block_hash", $"block_miner")
+        .orderBy($"block_number").collect()
+      val viaFx = spark.read.format("ethereum")
+        .option("table", "block").option("chain", dir).load()
+        .filter($"block_number" <= 20)
+        .select($"block_number", $"block_hash", $"block_miner")
+        .orderBy($"block_number").collect()
+      assert(viaIpc.sameElements(viaFx) && viaIpc.length == 20)
+    } finally {
+      server.close()
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(sock))
+    }
   }
 
   test("block scan over JSON-RPC equals the fixture scan (full tx + logs)") {
