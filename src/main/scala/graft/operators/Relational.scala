@@ -299,17 +299,33 @@ object Relational {
   }
 
   /** Approximate aggregation surface: HLL distinct + quantile sketches —
-    * the constant-memory scale path (exact distinct is q10). No SQL oracle
-    * (sketches are engine-specific); accuracy is asserted vs exact results
-    * in `ApproxSpec`. */
+    * the constant-memory scale path (exact distinct is q10).
+    *
+    * Raw sketch values are engine-specific (Spark HLL++ vs any oracle's
+    * HLL differ by design), so the output hash-pairs differently: the
+    * exact distinct counts are emitted as integers, and each sketch is
+    * emitted as a BOOLEAN tolerance verdict (within 5% of the exact value
+    * computed in the same aggregate). The DuckDB oracle produces the same
+    * exact counts plus literal TRUEs — so a sketch drifting out of
+    * tolerance breaks the hash and the driver's gate genuinely checks
+    * sketch accuracy, while finer-grained bounds stay in `ApproxSpec`. */
   def q21ApproxAgg(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     lineitem(s, d)
       .groupBy($"l_returnflag")
-      .agg(approx_count_distinct($"l_partkey").as("approx_parts"),
-           approx_count_distinct($"l_suppkey").as("approx_supps"),
-           percentile_approx($"l_extendedprice", lit(0.5), lit(10000)).as("median_price"),
-           percentile_approx($"l_extendedprice", lit(0.95), lit(10000)).as("p95_price"))
+      .agg(countDistinct($"l_partkey").as("exact_parts"),
+           countDistinct($"l_suppkey").as("exact_supps"),
+           approx_count_distinct($"l_partkey").as("ap_parts"),
+           approx_count_distinct($"l_suppkey").as("ap_supps"),
+           expr("percentile(l_extendedprice, 0.5)").as("ex_median"),
+           expr("percentile(l_extendedprice, 0.95)").as("ex_p95"),
+           percentile_approx($"l_extendedprice", lit(0.5), lit(10000)).as("ap_median"),
+           percentile_approx($"l_extendedprice", lit(0.95), lit(10000)).as("ap_p95"))
+      .select($"l_returnflag", $"exact_parts", $"exact_supps",
+        (abs($"ap_parts" - $"exact_parts") / $"exact_parts" <= 0.05).as("parts_sketch_ok"),
+        (abs($"ap_supps" - $"exact_supps") / $"exact_supps" <= 0.05).as("supps_sketch_ok"),
+        (abs($"ap_median" - $"ex_median") / $"ex_median" <= 0.05).as("median_sketch_ok"),
+        (abs($"ap_p95" - $"ex_p95") / $"ex_p95" <= 0.05).as("p95_sketch_ok"))
       .orderBy($"l_returnflag")
   }
 
@@ -444,6 +460,16 @@ object Relational {
 
   /** Oracle SQL (DuckDB dialect = ANSI here) for each query above. */
   val oracle: Map[String, String] = Map(
+    // exact distinct counts hash-match; the booleans are the sketch
+    // tolerance CLAIM (oracle pins TRUE, Spark computes them from the
+    // live HLL/quantile sketches) — see q21ApproxAgg scaladoc
+    "q21_approx_agg" ->
+      """SELECT l_returnflag,
+         count(DISTINCT l_partkey) AS exact_parts,
+         count(DISTINCT l_suppkey) AS exact_supps,
+         TRUE AS parts_sketch_ok, TRUE AS supps_sketch_ok,
+         TRUE AS median_sketch_ok, TRUE AS p95_sketch_ok
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
          round(sum(l_quantity), 2) AS sum_qty,
