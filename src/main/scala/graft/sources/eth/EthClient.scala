@@ -78,10 +78,21 @@ object EthClient {
 final class FixtureChainClient(chainDir: String) extends EthClient {
   import FixtureChainClient._
 
-  private lazy val tip: Long = {
-    val meta = new String(Files.readAllBytes(Paths.get(chainDir, "meta.txt")), StandardCharsets.UTF_8)
-    meta.linesIterator.collectFirst { case l if l.startsWith("tip=") => l.drop(4).toLong }
-      .getOrElse(throw new IllegalStateException(s"no tip= in $chainDir/meta.txt"))
+  /** Chain tip, re-read when `meta.txt` changes (mtime-validated cache):
+    * a fixture dir can grow or be rewritten under a tip-following stream —
+    * e.g. the reorg spec — and must then behave like a live chain, not a
+    * snapshot pinned at first read. */
+  @transient private var tipCache: (java.nio.file.attribute.FileTime, Long) = _
+  private def tip: Long = {
+    val p = Paths.get(chainDir, "meta.txt")
+    val mt = Files.getLastModifiedTime(p)
+    if (tipCache == null || tipCache._1 != mt) {
+      val meta = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+      val t = meta.linesIterator.collectFirst { case l if l.startsWith("tip=") => l.drop(4).toLong }
+        .getOrElse(throw new IllegalStateException(s"no tip= in $chainDir/meta.txt"))
+      tipCache = (mt, t)
+    }
+    tipCache._2
   }
 
   @transient private lazy val hashIndex: Map[String, Long] = {

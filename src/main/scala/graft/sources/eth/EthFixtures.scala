@@ -175,6 +175,29 @@ object EthFixtures {
     sb.toString()
   }
 
+  /** Write an arbitrary (single-chunk) chain in the fixture layout —
+    * lets tests rewrite a chain underneath a running stream (reorg
+    * simulation). Overwrites chain file, hash index, and tip marker. */
+  def writeRawChain(dir: String, blocks: Seq[EthBlockData], tip: Long): Unit = {
+    require(blocks.nonEmpty && blocks.size <= FixtureChainClient.BlocksPerFile,
+      s"writeRawChain supports one chunk file, got ${blocks.size} blocks")
+    Files.createDirectories(Paths.get(dir, "chain"))
+    // chunk swapped in atomically and the tip marker written LAST: a
+    // concurrent micro-batch either sees the old chain, or the new blocks
+    // under the old (lower) tip — never a torn file or a tip pointing at
+    // blocks that are not there yet
+    val tmp = Paths.get(dir, "chain", ".blocks-0000001.jsonl.tmp")
+    val w = new BufferedWriter(new FileWriter(tmp.toFile))
+    try blocks.foreach { b => w.write(blockJson(b)); w.newLine() } finally w.close()
+    Files.move(tmp, Paths.get(dir, "chain", "blocks-0000001.jsonl"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val hi = new BufferedWriter(new FileWriter(s"$dir/hash-index.txt"))
+    try blocks.foreach { b => hi.write(s"${b.hash} ${b.number}"); hi.newLine() } finally hi.close()
+    Files.write(Paths.get(dir, "meta.txt"),
+      s"tip=$tip\n".getBytes(StandardCharsets.UTF_8))
+  }
+
   /** Generate chain + oracle tables under `dir` unless already present.
     * Safe to call from every query — synchronized and marker-guarded. */
   def ensure(spark: SparkSession, dir: String = DefaultDir): String = synchronized {

@@ -14,9 +14,22 @@ import graft.sources.eth._
   * K-blocks-per-partition input partitions as the batch scan.
   *
   * Offsets are inclusive-end block numbers: offset N means blocks ≤ N have
-  * been processed. Reorg/finality handling is out of scope (documented
-  * SURVEY §7 risk) — a production source would hold offsets `finality`
-  * blocks behind tip; the `lagBlocks` option models exactly that.
+  * been processed.
+  *
+  * **Reorg semantics**: the source emits a block exactly once and never
+  * retracts — so correctness under chain reorganizations is a
+  * *finality-lag* contract. `latestOffset` caps every batch at
+  * `tip - lagBlocks`: blocks inside the lag window are withheld until the
+  * chain has built `lagBlocks` descendants on top of them. A reorg of
+  * depth ≤ `lagBlocks` therefore only ever replaces blocks that were
+  * never emitted, and the stream emits the winning branch when it clears
+  * the window (spec: `EthStreamSpec`("lag-bounded stream never emits
+  * orphaned blocks across a reorg") rewrites the chain under a running
+  * query). A reorg DEEPER than the configured lag orphans already-emitted
+  * rows — the operator must size `lagBlocks` to the chain's finality
+  * depth (post-merge Ethereum finalizes in ~2 epochs ≈ 64 slots; the
+  * reference connector has no reorg handling at all, it re-reads the
+  * chain per query).
   *
   * Implements `SupportsTriggerAvailableNow`: `Trigger.AvailableNow` pins the
   * tip once, then drains it in `maxBlocksPerBatch`-sized batches.

@@ -12,6 +12,56 @@ import graft.streaming.EventStreams
 class EthStreamSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
+  /** Minimal block for chain-rewrite tests; `ver` versions the hash so a
+    * reorged height is distinguishable from the branch it replaced. */
+  private def mkBlock(n: Long, ver: String): graft.sources.eth.EthBlockData =
+    graft.sources.eth.EthBlockData(
+      number = n, hash = s"0x$ver-$n", parentHash = s"0x$ver-${n - 1}",
+      nonce = "0x0", sha3Uncles = "0x0", logsBloom = "0x0",
+      transactionsRoot = "0x0", stateRoot = "0x0", miner = "0xminer",
+      difficulty = 1L, totalDifficulty = n, size = 500,
+      extraData = s"$ver$n", gasLimit = 8.0e6, gasUsed = 0.0,
+      timestamp = 1438269988L + n * 13, uncles = Vector.empty,
+      transactions = Vector.empty)
+
+  test("lag-bounded stream never emits orphaned blocks across a reorg") {
+    val dir = java.nio.file.Files.createTempDirectory("reorgchain").toString
+    // branch A: heights 1..30; with lagBlocks=5 only 1..25 are visible
+    EthFixtures.writeRawChain(dir, (1L to 30L).map(mkBlock(_, "a")), tip = 30)
+    val q = spark.readStream.format("ethereum")
+      .option("table", "block").option("chain", dir)
+      .option("maxBlocksPerBatch", 10).option("lagBlocks", 5)
+      .load()
+      .select("block_number", "block_hash")
+      .writeStream.format("memory").queryName("reorg_stream")
+      .trigger(Trigger.ProcessingTime(50))
+      .start()
+    try {
+      q.processAllAvailable()
+      val phase1 = spark.table("reorg_stream").collect()
+        .map(r => r.getLong(0) -> r.getString(1))
+      assert(phase1.map(_._1).sorted.toSeq == (1L to 25L),
+        s"phase 1 emitted ${phase1.length} blocks")
+      // reorg of depth 5 — within the lag window: heights 26..30 are
+      // replaced by branch B, chain extends to 36 (visible tip 31)
+      EthFixtures.writeRawChain(dir,
+        (1L to 25L).map(mkBlock(_, "a")) ++ (26L to 36L).map(mkBlock(_, "b")),
+        tip = 36)
+      q.processAllAvailable()
+      val rows = spark.table("reorg_stream").collect()
+        .map(r => r.getLong(0) -> r.getString(1))
+      // exactly one row per height — no height was emitted twice
+      assert(rows.map(_._1).sorted.toSeq == (1L to 31L),
+        s"got heights ${rows.map(_._1).sorted.mkString(",")}")
+      val byHeight = rows.toMap
+      // nothing from orphaned branch-A 26..30 ever reached the sink; the
+      // lag bound held the un-final region back until branch B won
+      (1L to 25L).foreach(n => assert(byHeight(n) == s"0xa-$n"))
+      (26L to 31L).foreach(n => assert(byHeight(n) == s"0xb-$n",
+        s"height $n emitted orphaned block ${byHeight(n)}"))
+    } finally q.stop()
+  }
+
   test("ethereum micro-batch stream delivers the whole chain in rate-limited batches") {
     val dir = EthFixtures.ensure(spark)
     val stream = spark.readStream.format("ethereum")
