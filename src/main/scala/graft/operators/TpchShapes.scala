@@ -21,12 +21,13 @@ object TpchShapes {
       .join(supplier(s, d), $"l_suppkey" === $"s_suppkey")
       .join(broadcast(nation(s, d)), $"s_nationkey" === $"n_nationkey")
       .groupBy($"n_name", year($"o_orderdate").cast("long").as("o_year"))
-      // revenue in exact decimal: a double sum is summation-order sensitive
-      // and Spark/DuckDB round repr-half ties differently (caught at
-      // sf0.001: 3918590.075 rounded .08 vs .07). DECIMAL(18,6) casts make
-      // the sum and its rounding bit-identical across engines at any SF.
-      .agg(round(sum($"l_extendedprice".cast("decimal(18,6)")
-             * (lit(1) - $"l_discount".cast("decimal(18,6)"))), 2)
+      // revenue exact (a double sum is summation-order sensitive and
+      // Spark/DuckDB round repr-half ties differently — caught at sf0.001:
+      // 3918590.075 rounded .08 vs .07) but computed as primitive
+      // fixed-point longs on the hot path ([[Money]]); one decimal
+      // conversion per group keeps results bit-identical to the oracle's
+      // DECIMAL(18,6) form at any SF.
+      .agg(round(Money.sumRev4(Money.rev4($"l_extendedprice", $"l_discount")), 2)
              .cast("double").as("revenue"),
            count(lit(1)).as("n_items"))
       .orderBy($"n_name", $"o_year")
@@ -53,11 +54,11 @@ object TpchShapes {
     lineitem(s, d)
       .join(part(s, d), $"l_partkey" === $"p_partkey")
       .agg(round(
-        sum(when($"p_type" === "PROMO",
-            $"l_extendedprice".cast("decimal(18,6)") * (lit(1) - $"l_discount".cast("decimal(18,6)")))
-          .otherwise(lit(0).cast("decimal(38,12)"))).cast("double") * 100.0 /
-        sum($"l_extendedprice".cast("decimal(18,6)")
-          * (lit(1) - $"l_discount".cast("decimal(18,6)"))).cast("double"), 4).as("promo_pct"))
+        Money.sumRev4(when($"p_type" === "PROMO",
+            Money.rev4($"l_extendedprice", $"l_discount")).otherwise(lit(0L)))
+          .cast("double") * 100.0 /
+        Money.sumRev4(Money.rev4($"l_extendedprice", $"l_discount"))
+          .cast("double"), 4).as("promo_pct"))
   }
 
   /** Q19 shape: disjunctive predicate groups over a join. */
