@@ -88,7 +88,7 @@ object Similarity {
     * rows of a vector in its input partition, so the partial aggregate
     * collapses them map-side and the shuffle carries ONE row per vector —
     * a window arg-max would shuffle and sort all nLists× rows instead. */
-  private[operators] def coarseAssign(vecs: DataFrame, cent: DataFrame): DataFrame = {
+  private[graft] def coarseAssign(vecs: DataFrame, cent: DataFrame): DataFrame = {
     import vecs.sparkSession.implicits._
     vecs.join(broadcast(cent))
       .select($"vec_id", $"v", $"list_id",

@@ -12,79 +12,99 @@ import org.apache.spark.sql.functions._
   * 100 TB. This operator computes the *same* bucket assignment in three
   * scale-safe steps:
   *
-  *  1. **range-partition** the input on the order key (sampled boundaries,
-  *     the same machinery as a distributed sort) — each partition holds a
-  *     contiguous key range;
-  *  2. **per-partition rank** via `row_number` partitioned by the range
-  *     partition id (window state is per-partition, no global funnel), plus
-  *     a P-row side aggregate of partition counts whose running sum gives
-  *     each partition's global rank offset (P = #partitions, so this
-  *     "global" window is over P rows of metadata, not N rows of data);
+  *  1. **deterministic range bucketing**: P−1 boundary keys are picked from
+  *     a weighted sample, collected ONCE (driver metadata, like broadcast
+  *     join keys), and frozen into the plan as literals; each row's range
+  *     id `__pid` is a codegen'd comparison count against those literals.
+  *     Because `__pid` is a pure function of the row, every consumer and
+  *     every re-execution agrees on it — there is nothing to persist and
+  *     no sampling to misalign (the round-2 formulation range-partitioned
+  *     physically and had to cache the shuffle to keep two passes
+  *     consistent; at 9M rows building that cache cost more than the
+  *     single-partition sort it replaced);
+  *  2. **per-range rank** via `row_number` partitioned by `__pid` (window
+  *     state is per-partition, no global funnel), plus a P-row aggregate of
+  *     range counts whose running sum gives each range's global rank
+  *     offset (P rows of metadata, not N rows of data);
   *  3. **closed-form bucket** from the global rank: with N rows and n
   *     buckets, the first N mod n buckets get ceil(N/n) rows and the rest
   *     floor(N/n) — SQL-standard ntile semantics, so results are
   *     bit-identical to the single-partition plan.
   *
-  * The order key must be a total order (add a unique tie-break column) for
-  * the assignment to be deterministic.
+  * The order key must be an ASCENDING total order (add a unique tie-break
+  * column) for the assignment to be deterministic. Boundary skew only
+  * affects balance, never correctness: any range-consistent bucketing
+  * yields the same global ranks.
   */
 object ScalableNtile {
 
-  /** Input rows + `__grank` (1-based global rank by `order`) + `__total`,
-    * plus the persisted range-partitioned frame for lifecycle control. */
+  /** P−1 ascending boundary keys as literal structs, frozen at plan time. */
+  private def boundaryLiterals(df: DataFrame, order: Seq[Column],
+      parts: Int): Seq[Column] = {
+    val named = order.zipWithIndex.map { case (c, i) => c.as(s"_b$i") }
+    val key = struct(named: _*)
+    val n = df.count()
+    if (n == 0 || parts <= 1) return Seq.empty
+    // ~128 samples per target range bound the driver collect and give
+    // boundaries within a few percent of even; tiny inputs sample fully
+    val f = math.min(1.0, (parts * 128.0) / n)
+    val sampled = df.select(key.as("__k"))
+      .sample(withReplacement = false, f, seed = 42)
+      .sort("__k") // sample-sized sort, driver-scale
+      .collect().map(_.getStruct(0))
+    if (sampled.isEmpty) return Seq.empty
+    (1 until parts).flatMap { j =>
+      val idx = (j.toLong * sampled.length / parts).toInt
+      if (idx == 0) None
+      else Some(struct(sampled(idx).toSeq.zipWithIndex
+        .map { case (v, i) => lit(v).as(s"_b$i") }: _*))
+    }.distinct
+  }
+
+  /** Input rows + `__grank` (1-based global rank by `order`) + `__total`. */
   private def withGlobalRank(df: DataFrame, order: Seq[Column],
-      partitions: Int): (DataFrame, DataFrame) = {
+      partitions: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val parts =
       if (partitions > 0) partitions else spark.sessionState.conf.numShufflePartitions
-    // Persisted because the frame forks into the rank pass and the count
-    // pass: repartitionByRange picks boundaries by SAMPLING, so two
-    // re-executions of the lineage can produce different partitionings and
-    // the offsets would not line up with the ranks. One materialization
-    // (memory-and-disk — at cluster scale the same bytes a distributed
-    // sort would spill to shuffle anyway) makes both passes consistent.
-    val ranged = df.repartitionByRange(parts, order: _*)
-      .withColumn("__pid", spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // P rows of metadata: count per range partition → exclusive running sum
-    // = global offset of the partition's first row; windows over P rows are
+    val named = order.zipWithIndex.map { case (c, i) => c.as(s"_b$i") }
+    val bounds = boundaryLiterals(df, order, parts).toIndexedSeq
+    // deterministic range id = count of boundaries ≤ key, found by BINARY
+    // SEARCH as a balanced CASE tree over a once-projected key struct:
+    // log2(P) lexicographic compares per row instead of P, and the struct
+    // is built once per row instead of per comparison
+    val keyed = df.withColumn("__ntk", struct(named: _*))
+    def search(loPid: Int, hiPid: Int): Column =
+      if (loPid == hiPid) lit(loPid)
+      else {
+        val mid = (loPid + hiPid + 1) / 2
+        when(col("__ntk") >= bounds(mid - 1), search(mid, hiPid))
+          .otherwise(search(loPid, mid - 1))
+      }
+    val withPid = keyed.withColumn("__pid", search(0, bounds.length)).drop("__ntk")
+    // P rows of metadata: count per range → exclusive running sum = global
+    // offset of the range's first row; windows over P rows are
     // driver-scale, not data-scale.
     val wMeta = Window.orderBy($"__pid")
-    val offsets = ranged.groupBy($"__pid").agg(count(lit(1)).as("__cnt"))
+    val offsets = withPid.groupBy($"__pid").agg(count(lit(1)).as("__cnt"))
       .withColumn("__offset",
         coalesce(sum($"__cnt").over(wMeta.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .withColumn("__total",
         sum($"__cnt").over(wMeta.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
       .select($"__pid", $"__offset", $"__total")
     val wRank = Window.partitionBy($"__pid").orderBy(order: _*)
-    val ranked = ranged
+    withPid
       .withColumn("__rn", row_number().over(wRank).cast("long"))
       .join(broadcast(offsets), "__pid")
       .withColumn("__grank", $"__offset" + $"__rn")
       .drop("__pid", "__rn", "__offset")
-    (ranked, ranged)
   }
 
   /** The input with an extra long `bucketCol` = `ntile(n) OVER (ORDER BY
-    * order)`, computed without a single-partition sort.
-    *
-    * The internal range-partitioned frame stays persisted for the life of
-    * the returned frame (it is what keeps the two passes consistent — see
-    * [[withGlobalRank]]). Callers that aggregate the result and want the
-    * cache released should use [[ntileDetachable]] and free it once the
-    * downstream result is materialized (see [[Caching.detach]]).
-    */
+    * order)`, computed without a single-partition sort. */
   def ntile(df: DataFrame, n: Int, order: Seq[Column], bucketCol: String = "bucket",
-      partitions: Int = 0): DataFrame =
-    ntileDetachable(df, n, order, bucketCol, partitions)._1
-
-  /** [[ntile]] plus a cleanup that unpersists the internal
-    * range-partitioned frame. Only call the cleanup after the downstream
-    * query has materialized — the bucket assignment is only stable while
-    * the sampled range partitioning is pinned. */
-  def ntileDetachable(df: DataFrame, n: Int, order: Seq[Column],
-      bucketCol: String = "bucket", partitions: Int = 0): (DataFrame, () => Unit) = {
+      partitions: Int = 0): DataFrame = {
     // N = q*n + r: first r buckets take q+1 rows, the rest q (CASE keeps
     // the q-division unevaluated when q = 0, i.e. N < n).
     val bucket = expr(
@@ -93,10 +113,15 @@ object ScalableNtile {
             THEN (__grank - 1) div ((__total div $n) + 1)
             ELSE (__total % $n) + (__grank - (__total % $n) * ((__total div $n) + 1) - 1) div (__total div $n)
           END + 1 AS BIGINT)""")
-    val (ranked, ranged) = withGlobalRank(df, order, partitions)
-    val out = ranked
+    withGlobalRank(df, order, partitions)
       .withColumn(bucketCol, bucket)
       .drop("__grank", "__total")
-    (out, () => { ranged.unpersist(blocking = false); () })
   }
+
+  /** Kept for API stability with round-2 callers: since the range id
+    * became a deterministic expression there is no internal cache left to
+    * release — the cleanup is a no-op. */
+  def ntileDetachable(df: DataFrame, n: Int, order: Seq[Column],
+      bucketCol: String = "bucket", partitions: Int = 0): (DataFrame, () => Unit) =
+    (ntile(df, n, order, bucketCol, partitions), () => ())
 }

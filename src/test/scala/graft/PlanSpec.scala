@@ -36,12 +36,12 @@ class PlanSpec extends AnyFunSuite {
     assert(!scan.contains("l_orderkey"), "scan reads unprojected columns")
   }
 
-  test("scalable ntile ranks via range partitions, not a single-partition data sort") {
+  test("scalable ntile ranks via deterministic range ids, not a single-partition data sort") {
     import spark.implicits._
     val df = graft.plans.ScalableNtile.ntile(
       graft.Tables.orders(spark, sf), 4, Seq($"o_totalprice", $"o_orderkey"))
     val plan = executed(df)
-    assert(plan.contains("rangepartitioning"), s"no range partitioning:\n$plan")
+    assert(plan.contains("hashpartitioning(__pid"), s"no per-range partitioning:\n$plan")
     // the data-scale window must be partitioned by the range-partition id;
     // the only SinglePartition exchange allowed is the P-row metadata agg
     val dataWindow = plan.linesIterator.find(l => l.contains("row_number()"))
