@@ -118,10 +118,20 @@ object ScalableNtile {
       .drop("__grank", "__total")
   }
 
-  /** Kept for API stability with round-2 callers: since the range id
-    * became a deterministic expression there is no internal cache left to
-    * release — the cleanup is a no-op. */
+  /** [[ntile]] with the INPUT frame persisted for the algorithm's four
+    * passes (row count, boundary sample, range counts, ranking) plus a
+    * cleanup to release it once the downstream result materializes.
+    *
+    * Unlike the round-2 formulation this cache is a pure OPTIMIZATION —
+    * correctness never depends on it (the range id is a deterministic
+    * expression), so an eviction merely recomputes. It pays off exactly
+    * when the input is expensive to produce (a chain scan, a computed
+    * quality frame); callers passing a cheap pruned parquet projection can
+    * use [[ntile]] directly and skip the cache. */
   def ntileDetachable(df: DataFrame, n: Int, order: Seq[Column],
-      bucketCol: String = "bucket", partitions: Int = 0): (DataFrame, () => Unit) =
-    (ntile(df, n, order, bucketCol, partitions), () => ())
+      bucketCol: String = "bucket", partitions: Int = 0): (DataFrame, () => Unit) = {
+    val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (ntile(cached, n, order, bucketCol, partitions),
+      () => { cached.unpersist(blocking = false); () })
+  }
 }
