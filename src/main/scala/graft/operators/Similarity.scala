@@ -198,11 +198,29 @@ object Similarity {
       .orderBy($"query_id", $"rank")
   }
 
+  /** Recall@k of the LSH scale path against the exact brute-force top-k —
+    * the evaluation every ANN deployment runs before trusting an index.
+    * Per query: |LSH∩brute| / k. Both sides are deterministic pipelines,
+    * so the recall itself is oracle-checkable (DuckDB replays both and
+    * joins them); at corpus scale this runs the brute baseline over a
+    * SAMPLE of queries, which is exactly this shape with a filter. */
+  def knnRecall(s: SparkSession, d: String, nQueries: Int = 5, k: Int = 5): DataFrame = {
+    import s.implicits._
+    val lsh = knnLsh(s, d, nQueries, k).select($"query_id", $"neighbor_id")
+    val exact = knnBrute(s, d, nQueries, k).select($"query_id", $"neighbor_id")
+    lsh.join(exact, Seq("query_id", "neighbor_id"))
+      .groupBy($"query_id")
+      .agg(count(lit(1)).as("n_hits"))
+      .withColumn("recall_at_k", $"n_hits" / lit(k.toDouble))
+      .orderBy($"query_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "nd_knn_filtered" -> ((s: SparkSession, d: String) => knnFiltered(s, d)),
     "nd_knn_brute" -> ((s: SparkSession, d: String) => knnBrute(s, d)),
     "nd_knn_lsh" -> ((s: SparkSession, d: String) => knnLsh(s, d)),
-    "nd_knn_ivf" -> ((s: SparkSession, d: String) => knnIvf(s, d)))
+    "nd_knn_ivf" -> ((s: SparkSession, d: String) => knnIvf(s, d)),
+    "nd_knn_recall" -> ((s: SparkSession, d: String) => knnRecall(s, d)))
 
   /** DuckDB replica of [[Dedup.embeddingBucket]] ([[graft.functions.Expressions.LshBucket]])
     * for hash table `t`: bit p of the bucket is the sign of the pseudo-
@@ -261,21 +279,9 @@ object Similarity {
           FROM r WHERE rk <= $k ORDER BY query_id, rank"""
   }
 
-  val oracle: Map[String, String] = Map(
-    "nd_knn_filtered" ->
-      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
-                    FROM embeddings WHERE vec_id < 5),
-          s AS (SELECT query_id, e.vec_id AS neighbor_id,
-                       list_cosine_similarity(qv, e.embedding::DOUBLE[]) AS sim
-                FROM embeddings e CROSS JOIN q
-                WHERE e.label = 1 AND e.vec_id <> query_id),
-          r AS (SELECT query_id, neighbor_id, sim,
-                       row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk
-                FROM s)
-         SELECT query_id, neighbor_id, round(sim, 6) AS cos_sim, CAST(rk AS BIGINT) AS rank
-         FROM r WHERE rk <= 5 ORDER BY query_id, rank""",
-    "nd_knn_lsh" ->
-      s"""WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+  /** LSH pipeline replay, shared by nd_knn_lsh and the recall oracle. */
+  private val lshOracleSql: String =
+    s"""WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
           corpus AS (
             SELECT vec_id, v, t.t AS tbl, ${bucketSql("v", 6, "t.t")} AS bucket
             FROM vecs CROSS JOIN range(0, 4) t(t)),
@@ -299,11 +305,11 @@ object Similarity {
                    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk
             FROM scored)
           SELECT query_id, neighbor_id, round(sim, 6) AS cos_sim, CAST(rk AS BIGINT) AS rank
-          FROM r WHERE rk <= 5 ORDER BY query_id, rank""",
-    "nd_knn_ivf" -> ivfOracleSql(nLists = 16, nProbe = 4, nQueries = 5, k = 5,
-      iterations = DefaultLloydIters),
-    "nd_knn_brute" ->
-      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+          FROM r WHERE rk <= 5 ORDER BY query_id, rank"""
+
+  /** Brute-force replay, shared by nd_knn_brute and the recall oracle. */
+  private val bruteOracleSql: String =
+    """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
                     FROM embeddings WHERE vec_id < 5),
           s AS (SELECT query_id, e.vec_id AS neighbor_id,
                        list_cosine_similarity(qv, e.embedding::DOUBLE[]) AS sim
@@ -312,5 +318,29 @@ object Similarity {
                        row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk
                 FROM s)
          SELECT query_id, neighbor_id, round(sim, 6) AS cos_sim, CAST(rk AS BIGINT) AS rank
-         FROM r WHERE rk <= 5 ORDER BY query_id, rank""")
+         FROM r WHERE rk <= 5 ORDER BY query_id, rank"""
+
+  val oracle: Map[String, String] = Map(
+    "nd_knn_recall" ->
+      s"""SELECT l.query_id, count(*) AS n_hits,
+          CAST(count(*) AS DOUBLE) / 5.0::DOUBLE AS recall_at_k
+          FROM ($lshOracleSql) l JOIN ($bruteOracleSql) b
+            ON l.query_id = b.query_id AND l.neighbor_id = b.neighbor_id
+          GROUP BY l.query_id ORDER BY l.query_id""",
+    "nd_knn_filtered" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                    FROM embeddings WHERE vec_id < 5),
+          s AS (SELECT query_id, e.vec_id AS neighbor_id,
+                       list_cosine_similarity(qv, e.embedding::DOUBLE[]) AS sim
+                FROM embeddings e CROSS JOIN q
+                WHERE e.label = 1 AND e.vec_id <> query_id),
+          r AS (SELECT query_id, neighbor_id, sim,
+                       row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk
+                FROM s)
+         SELECT query_id, neighbor_id, round(sim, 6) AS cos_sim, CAST(rk AS BIGINT) AS rank
+         FROM r WHERE rk <= 5 ORDER BY query_id, rank""",
+    "nd_knn_lsh" -> lshOracleSql,
+    "nd_knn_ivf" -> ivfOracleSql(nLists = 16, nProbe = 4, nQueries = 5, k = 5,
+      iterations = DefaultLloydIters),
+    "nd_knn_brute" -> bruteOracleSql)
 }

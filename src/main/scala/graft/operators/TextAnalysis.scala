@@ -157,7 +157,11 @@ object TextAnalysis {
     * the corpus streams through map-side; the only wide shuffle is the
     * trigram count, which combines partially before moving.
     */
-  def trigramLmScore(s: SparkSession, d: String, vocab: Int = 5000): DataFrame = {
+  /** The un-materialized train+score pipeline plus the cleanup that frees
+    * the exploded-gram cache — exposed for plan inspection; callers use
+    * [[trigramLmScore]]. */
+  private[graft] def trigramLmScoreLazy(s: SparkSession, d: String,
+      vocab: Int): (DataFrame, () => Unit) = {
     import s.implicits._
     import graft.functions.Expressions
     // train and score both consume the exploded grams; persist so the
@@ -173,10 +177,33 @@ object TextAnalysis {
       .agg(round(avg(coalesce($"lf", lit(0.0))), 4).as("lm_score"),
            count(lit(1)).as("n_grams"))
       .orderBy($"doc_id")
+    (scored, () => { grams.unpersist(blocking = false); () })
+  }
+
+  def trigramLmScore(s: SparkSession, d: String, vocab: Int = 5000): DataFrame = {
+    val (scored, free) = trigramLmScoreLazy(s, d, vocab)
     // per-doc scores materialized, then the exploded-gram cache (≫ corpus
     // bytes) is freed — the residual is at most one row per document
-    graft.plans.Caching.detach(scored, () => { grams.unpersist(blocking = false); () },
-      maxLocalRows = 10000L)
+    graft.plans.Caching.detach(scored, free, maxLocalRows = 10000L)
+  }
+
+  /** Top-k ADJACENT token pairs — the statistic a BPE merge step ranks
+    * (most frequent pair = next merge). Pairs form map-side via zip_with
+    * over the token array and its tail, then one partially-aggregated
+    * count shuffle; top-k via TakeOrderedAndProject. Same shape as
+    * [[vocabTopK]], one row per adjacent pair instead of per token. */
+  def tokenPairs(s: SparkSession, d: String, k: Int = 40): DataFrame = {
+    import s.implicits._
+    val toks = wsTokens(canonical($"text"))
+    documents(s, d)
+      .select(explode(zip_with(
+        slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1),
+        (a, b) => concat(a, lit(" "), b))).as("pair"))
+      .groupBy($"pair")
+      .agg(count(lit(1)).as("freq"))
+      .orderBy($"freq".desc, $"pair")
+      .limit(k)
   }
 
   /** Corpus vocabulary: top-k tokens by frequency — the BPE-precursor
@@ -201,7 +228,8 @@ object TextAnalysis {
     "nd_lang_id" -> langId _,
     "nd_fingerprints" -> fingerprints _,
     "nd_lang_stats" -> langStats _,
-    "nd_vocab_topk" -> ((s: SparkSession, d: String) => vocabTopK(s, d)))
+    "nd_vocab_topk" -> ((s: SparkSession, d: String) => vocabTopK(s, d)),
+    "nd_token_pairs" -> ((s: SparkSession, d: String) => tokenPairs(s, d)))
 
   private[operators] val stopListSql = stopwords.map(w => s"'$w'").mkString(", ")
 
@@ -220,6 +248,13 @@ object TextAnalysis {
     }.mkString("\n           UNION ALL ")
 
   val oracle: Map[String, String] = Map(
+    "nd_token_pairs" ->
+      """SELECT pair, count(*) AS freq
+         FROM (SELECT unnest(list_transform(range(1, len(w)),
+                        i -> w[i] || ' ' || w[i+1])) AS pair
+               FROM (SELECT string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS w
+                     FROM documents))
+         GROUP BY pair ORDER BY freq DESC, pair LIMIT 40""",
     "nd_vocab_topk" ->
       """SELECT token, count(*) AS freq
          FROM (SELECT unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS token

@@ -272,6 +272,17 @@ class SimilaritySpec extends AnyFunSuite {
     assert(top1Agree >= 4, s"top-1 flipped for ${5 - top1Agree} queries")
   }
 
+  test("LSH recall@5 against the exact baseline is useful and deterministic") {
+    // sf0.01: at the micro corpus (sf0.001) buckets are too sparse for a
+    // meaningful recall floor
+    val rows = Similarity.knnRecall(spark, "/root/testdata/sf0.01").collect()
+    assert(rows.length == 5)
+    val recalls = rows.map(_.getDouble(2))
+    assert(recalls.forall(_ > 0.0), s"a query found nothing: ${recalls.mkString(",")}")
+    val mean = recalls.sum / recalls.length
+    assert(mean >= 0.6, s"mean recall@5 $mean below the multi-probe design point")
+  }
+
   test("brute-force knn is exact: sims descend, no self-matches") {
     val rows = Similarity.knnBrute(spark, sf, nQueries = 3, k = 5).collect()
     assert(rows.length == 15)
