@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.execution.{SortExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.window.WindowExec
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Registry-wide scale audit: no query in `SparkEntry.queries` may plan a
+  * DATA-SCALE operator over a single-partition funnel.
+  *
+  * The rule: a `Window` or global `Sort` directly consuming an
+  * `Exchange SinglePartition` pulls every row through one task — the
+  * first thing to fall over at 100 TB. Global *aggregates* over a
+  * SinglePartition exchange are fine (the exchange carries partial-agg
+  * states, rows = partition count), as are `TakeOrderedAndProject` top-k
+  * plans — so the audit checks the specific operator-over-exchange
+  * adjacency in the plan tree, not string presence.
+  *
+  * Whitelisted: the two reference-parity queries that deliberately keep
+  * the literal `ntile OVER (ORDER BY ...)` window form (each has a
+  * hash-identical scale twin via ScalableNtile, plan-asserted elsewhere).
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.01"
+
+  /** Reference-parity literal global windows; scale twins: q35 / eth_q10. */
+  private val allowedLiteralWindows = Set("q05_ntile_buckets", "eth_q2_ntile_gas")
+
+  private def isSinglePartitionExchange(p: SparkPlan): Boolean = p match {
+    case e: ShuffleExchangeExec => e.outputPartitioning.numPartitions == 1
+    case _ => false
+  }
+
+  /** (operator, child-exchange) offenders in the plan tree. */
+  private def funnels(plan: SparkPlan): Seq[String] = {
+    val unwrapped = plan match {
+      case a: AdaptiveSparkPlanExec => a.initialPlan
+      case p => p
+    }
+    unwrapped.collect {
+      case w: WindowExec if w.children.exists(c =>
+            c.collectFirst { case e if isSinglePartitionExchange(e) => e }.isDefined &&
+            // only flag when the exchange feeds the window without an
+            // intervening aggregate (aggregates shrink to state-scale)
+            !c.collectFirst { case agg: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => agg }.isDefined) =>
+        s"Window over SinglePartition: ${w.simpleStringWithNodeId()}"
+      case s: SortExec if s.global &&
+            s.children.exists(isSinglePartitionExchange) =>
+        s"global Sort over SinglePartition: ${s.simpleStringWithNodeId()}"
+    }
+  }
+
+  test("detector positive control: the literal global-ntile window IS a funnel") {
+    val q05 = SparkEntry.queries("q05_ntile_buckets")(spark, sf)
+    assert(funnels(q05.queryExecution.executedPlan).nonEmpty,
+      "the audit failed to flag the known single-partition window — detector broken")
+  }
+
+  test("no data-scale Window/Sort funnels through a single partition in any registry query") {
+    val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      if (!allowedLiteralWindows.contains(name)) {
+        val df = fn(spark, sf)
+        val bad = funnels(df.queryExecution.executedPlan)
+        if (bad.nonEmpty) offenders += s"$name -> ${bad.mkString("; ")}"
+      }
+    }
+    assert(offenders.isEmpty, s"single-partition funnels:\n${offenders.mkString("\n")}")
+  }
+}
