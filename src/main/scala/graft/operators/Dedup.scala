@@ -179,20 +179,21 @@ object Dedup {
     * it, distributed min-label propagation over the edge set. Both paths
     * produce identical labels (spec-checked).
     *
-    * Storage lifecycle: the driver path releases its one persisted frame
-    * before returning (the result is driver-local); the distributed path
-    * frees `pairs`/`edges` at convergence and detaches the final labels
+    * Storage lifecycle: the driver path runs the pair pipeline exactly
+    * once (LIMIT-guarded collect, nothing cached); the distributed path
+    * frees `pairs`/`bidi` at convergence and detaches the final labels
     * via [[graft.plans.Caching.detach]] — after the call nothing
     * corpus-scale stays pinned (spec-asserted in ClusterSpec). */
   def connectedComponents(pairsIn: DataFrame,
       driverThreshold: Long = 1000000L): DataFrame = {
     import pairsIn.sparkSession.implicits._
-    val pairs = pairsIn
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    if (pairs.count() <= driverThreshold) {
-      val edges = pairs.select($"doc_a", $"doc_b").collect()
-        .map(r => (r.getLong(0), r.getLong(1)))
-      pairs.unpersist(blocking = false)
+    // single-action fast path: pull at most threshold+1 edges — the LIMIT
+    // bounds driver memory without a separate count pass, so the common
+    // (small-graph) case runs the pair pipeline exactly once, uncached
+    val edges = pairsIn.select($"doc_a", $"doc_b")
+      .limit(math.min(driverThreshold + 1, Int.MaxValue.toLong).toInt).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    if (edges.length <= driverThreshold) {
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
       def find(x: Long): Long = {
         var r = x
@@ -210,9 +211,12 @@ object Dedup {
       return pairsIn.sparkSession.createDataFrame(out).toDF("doc_id", "cluster_id")
         .orderBy($"doc_id")
     }
-    val edges = pairs.union(pairs.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b")))
+    // huge graph: persist the pair pipeline once for the iterations
+    val pairs = pairsIn
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select($"doc_a".as("node")).distinct()
+    val bidi = pairs.union(pairs.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = bidi.select($"doc_a".as("node")).distinct()
       .withColumn("lbl", $"node")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // labels only ever decrease, so the label sum strictly decreases iff
@@ -221,7 +225,7 @@ object Dedup {
     var prevSum = labels.agg(sum($"lbl")).head().getLong(0)
     var converged = false
     while (!converged) {
-      val viaNeighbors = edges
+      val viaNeighbors = bidi
         .join(labels.withColumnRenamed("node", "doc_b").withColumnRenamed("lbl", "nlbl"), "doc_b")
         .select($"doc_a".as("node"), $"nlbl".as("cand"))
       val next = labels.join(viaNeighbors, Seq("node"), "left_outer")
@@ -239,7 +243,7 @@ object Dedup {
       .orderBy($"doc_id")
     graft.plans.Caching.detach(out, () => {
       finalLabels.unpersist(blocking = false)
-      edges.unpersist(blocking = false)
+      bidi.unpersist(blocking = false)
       pairs.unpersist(blocking = false)
       ()
     })
