@@ -32,6 +32,23 @@ object IvfIndex {
       .parquet(s"$indexDir/lists")
   }
 
+  /** Append a new vector batch to a built index WITHOUT retraining — the
+    * ingest shape (cf. [[Dedup.exactIncremental]]): the saved centroids
+    * are the frozen quantizer, the batch is assigned against them in one
+    * broadcast map pass, and the new rows land in their `list_id=`
+    * directories via dynamic-partition append. Query cost and pruning are
+    * unchanged; recall degrades only as the corpus drifts from the
+    * centroids' training distribution (rebuild cadence is an operational
+    * choice, exactly as in production vector stores). `newVecs` must have
+    * columns `(vec_id, v: array<double>)`. */
+  def append(s: SparkSession, indexDir: String, newVecs: DataFrame): Unit = {
+    val centroids = s.read.parquet(s"$indexDir/centroids")
+    Similarity.coarseAssign(newVecs, centroids)
+      .write.mode("append")
+      .partitionBy("list_id")
+      .parquet(s"$indexDir/lists")
+  }
+
   /** Top-k per query vector against a built index. `queries` must have
     * columns `(query_id, qv: array<double>)`. */
   def query(s: SparkSession, indexDir: String, queries: DataFrame,

@@ -131,7 +131,7 @@ object Similarity {
   }
 
   /** Top-`nProbe` nearest centroid lists per query vector. */
-  private[operators] def probeLists(queries: DataFrame, centroids: DataFrame,
+  private[graft] def probeLists(queries: DataFrame, centroids: DataFrame,
       nProbe: Int): DataFrame = {
     import queries.sparkSession.implicits._
     val qScored = queries
@@ -144,7 +144,7 @@ object Similarity {
   }
 
   /** Exact rank within candidate lists → top-k per query. */
-  private[operators] def rankWithin(cand: DataFrame, k: Int): DataFrame = {
+  private[graft] def rankWithin(cand: DataFrame, k: Int): DataFrame = {
     import cand.sparkSession.implicits._
     val w = Window.partitionBy($"query_id").orderBy($"sim".desc, $"neighbor_id")
     cand.withColumn("rank", row_number().over(w).cast("long"))

@@ -321,6 +321,40 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(a.zip(b).forall { case (x, y) => x == y },
       s"index query diverges from inline IVF")
   }
+
+  test("append adds a batch under the frozen quantizer; queries see the union") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("ivfappend").toString
+    val all = graft.Tables.embeddings(spark, sf)
+      .select($"vec_id", transform($"embedding", _.cast("double")).as("v"))
+    val (oldB, newB) = (all.filter($"vec_id" < 1500), all.filter($"vec_id" >= 1500))
+    // build on the old batch only, then append the new one
+    val oldDir = java.nio.file.Files.createTempDirectory("ivfappend-src").toString
+    graft.Tables.embeddings(spark, sf).filter($"vec_id" < 1500)
+      .write.parquet(s"$oldDir/embeddings.parquet")
+    operators.IvfIndex.build(spark, oldDir, dir, nLists = 16)
+    operators.IvfIndex.append(spark, dir, newB)
+    // expected: the union assigned against the OLD batch's centroids
+    val centroids = spark.read.parquet(s"$dir/centroids")
+    val queries = all.filter($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"v".as("qv"))
+    val got = operators.IvfIndex.query(spark, dir, queries, k = 5, nProbe = 4)
+      .collect().map(_.toSeq)
+    val probes = operators.Similarity.probeLists(queries, centroids, nProbe = 4)
+    val cand = operators.Similarity.coarseAssign(all, centroids)
+      .join(probes, Seq("list_id"))
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id".as("neighbor_id"),
+              graft.functions.Expressions.cosineSim($"qv", $"v").as("sim"))
+    val want = operators.Similarity.rankWithin(cand, 5).collect().map(_.toSeq)
+    assert(got.length == want.length && got.nonEmpty)
+    assert(got.zip(want).forall { case (x, y) => x == y },
+      "appended index diverges from assign-all-under-frozen-centroids")
+    // and the appended rows really landed in partition directories
+    val total = spark.read.parquet(s"$dir/lists").count()
+    assert(total == all.count(), s"lists hold $total of ${all.count()} vectors")
+  }
 }
 
 class MultimodalSpec extends AnyFunSuite {

@@ -104,3 +104,40 @@ object RangeProps extends Properties("BlockRanges") {
       covers(BlockRanges.intersect(a, b), x) == (covers(a, x) && covers(b, x))
     }
 }
+
+/** Fixed-point money invariants ([[graft.operators.Money]]): for any
+  * 2-decimal money values, the long-cents path reproduces the exact
+  * BigDecimal arithmetic the oracle's DECIMAL(18,6) formulation computes —
+  * the property the oracle hash-match rests on. */
+object MoneyFixedPointProps extends Properties("MoneyFixedPoint") {
+  // 2-decimal money doubles as the corpus carries them: cents/100.0
+  private val cents = Gen.choose(0L, 99999999L) // up to $999,999.99
+  private val discBasis = Gen.choose(0L, 100L)  // 0.00 .. 1.00
+
+  property("round(x*100) recovers exact cents") = forAll(cents) { c =>
+    val money = c / 100.0
+    math.round(money * 100) == c
+  }
+
+  property("long rev4 == BigDecimal price*(1-disc)") = forAll(cents, discBasis) { (c, db) =>
+    val price = c / 100.0
+    val disc = db / 100.0
+    val rev4 = math.round(price * 100) * (100L - math.round(disc * 100))
+    val exact = new java.math.BigDecimal(c).movePointLeft(2)
+      .multiply(java.math.BigDecimal.ONE.subtract(new java.math.BigDecimal(db).movePointLeft(2)))
+    // rev4 is in 1e-4 dollars: compare as scaled BigDecimal, exactly
+    new java.math.BigDecimal(rev4).movePointLeft(4).compareTo(exact) == 0
+  }
+
+  property("scaled-long sums match BigDecimal sums exactly") =
+    forAll(Gen.listOfN(50, Gen.zip(cents, discBasis))) { xs =>
+      val viaLong = new java.math.BigDecimal(
+        xs.map { case (c, db) => math.round(c / 100.0 * 100) * (100L - math.round(db / 100.0 * 100)) }.sum
+      ).movePointLeft(4)
+      val viaBig = xs.map { case (c, db) =>
+        new java.math.BigDecimal(c).movePointLeft(2)
+          .multiply(java.math.BigDecimal.ONE.subtract(new java.math.BigDecimal(db).movePointLeft(2)))
+      }.foldLeft(java.math.BigDecimal.ZERO)(_.add(_))
+      viaLong.compareTo(viaBig) == 0
+    }
+}
