@@ -54,6 +54,35 @@ class PlanSpec extends AnyFunSuite {
     assert(got.except(expected).isEmpty && expected.except(got).isEmpty)
   }
 
+  test("scalable ntile edge cases match the literal window form") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{lit => flit, ntile => fntile}
+    val w = org.apache.spark.sql.expressions.Window.orderBy($"x")
+    def viaWindow(df: org.apache.spark.sql.DataFrame, n: Int) =
+      df.select($"x", fntile(n).over(w).cast("long").as("bucket"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def viaScale(df: org.apache.spark.sql.DataFrame, n: Int) =
+      graft.plans.ScalableNtile.ntile(df, n, Seq($"x"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // empty input
+    assert(graft.plans.ScalableNtile.ntile(
+      Seq.empty[Long].toDF("x"), 4, Seq($"x")).collect().isEmpty)
+    // fewer rows than buckets (the q = 0 branch of the closed form)
+    val tiny = Seq(3L, 1L, 2L).toDF("x")
+    assert(viaScale(tiny, 4) == viaWindow(tiny, 4))
+    // single row
+    val one = Seq(42L).toDF("x")
+    assert(viaScale(one, 7) == viaWindow(one, 7))
+    // forced single range (partitions=1 -> no boundaries at all)
+    val mid = (1L to 100L).toDF("x")
+    val single = graft.plans.ScalableNtile.ntile(mid, 4, Seq($"x"), partitions = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(single == viaWindow(mid, 4))
+    // many duplicate-free rows, buckets not dividing N evenly
+    val uneven = (1L to 103L).toDF("x")
+    assert(viaScale(uneven, 7) == viaWindow(uneven, 7))
+  }
+
   test("q03 top-k plans TakeOrderedAndProject, not a global sort") {
     val plan = Relational.q03TopCustomers(spark, sf).queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), s"top-k missing:\n$plan")
