@@ -198,6 +198,44 @@ object Similarity {
       .orderBy($"query_id", $"rank")
   }
 
+  /** Brute-force top-k over an int8 SCALAR-QUANTIZED corpus — the
+    * embedding-compression stage of a training-data pipeline (4× memory
+    * reduction, queries stay full-precision / asymmetric).
+    *
+    * Build: one [[graft.functions.VectorMinMax]] pass gives per-dimension
+    * ranges (exact, mergeable, collected once as metadata); codes are
+    * `floor((x−min)/scale + 0.5)` clamped to 0..255 — `floor` on the
+    * binary value is deterministic in every engine, unlike `round`, so
+    * the whole quantize→dequantize→cosine pipeline is oracle-replayable
+    * value-for-value. Scoring dequantizes on the fly (`min + code·scale`)
+    * so the stored corpus is 1 byte/dim; ranking quality is checked
+    * against the full-precision baseline in SimilaritySpec. */
+  def knnSq8(s: SparkSession, d: String, nQueries: Int = 5, k: Int = 5): DataFrame = {
+    import s.implicits._
+    val vecs = embeddings(s, d)
+      .select($"vec_id", transform($"embedding", _.cast("double")).as("v"))
+    val mm = vecs.select(udaf(new graft.functions.VectorMinMax,
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]())($"v").as("mm"))
+      .head().getStruct(0)
+    val (mins, maxs) = (mm.getSeq[Double](0), mm.getSeq[Double](1))
+    val minsL = array(mins.map(lit): _*)
+    val scaleL = array(mins.indices.map(i => lit((maxs(i) - mins(i)) / 255.0)): _*)
+    // dequantized corpus: x' = min + clamp(floor((x-min)/scale + 0.5)) * scale
+    val dq = vecs.select($"vec_id",
+      zip_with($"v", sequence(lit(1), lit(mins.length)), (x, i) => {
+        val mn = element_at(minsL, i.cast("int"))
+        val sc = element_at(scaleL, i.cast("int"))
+        when(sc === 0.0, mn)
+          .otherwise(mn + least(lit(255.0), floor((x - mn) / sc + 0.5)) * sc)
+      }).as("dv"))
+    val q = vecs.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("query_id"), $"v".as("qv"))
+    val cand = dq.join(broadcast(q), $"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id".as("neighbor_id"),
+              Expressions.cosineSim($"qv", $"dv").as("sim"))
+    rankWithin(cand, k)
+  }
+
   /** Recall@k of the LSH scale path against the exact brute-force top-k —
     * the evaluation every ANN deployment runs before trusting an index.
     * Per query: |LSH∩brute| / k. Both sides are deterministic pipelines,
@@ -220,7 +258,8 @@ object Similarity {
     "nd_knn_brute" -> ((s: SparkSession, d: String) => knnBrute(s, d)),
     "nd_knn_lsh" -> ((s: SparkSession, d: String) => knnLsh(s, d)),
     "nd_knn_ivf" -> ((s: SparkSession, d: String) => knnIvf(s, d)),
-    "nd_knn_recall" -> ((s: SparkSession, d: String) => knnRecall(s, d)))
+    "nd_knn_recall" -> ((s: SparkSession, d: String) => knnRecall(s, d)),
+    "nd_knn_sq8" -> ((s: SparkSession, d: String) => knnSq8(s, d)))
 
   /** DuckDB replica of [[Dedup.embeddingBucket]] ([[graft.functions.Expressions.LshBucket]])
     * for hash table `t`: bit p of the bucket is the sign of the pseudo-
@@ -321,6 +360,33 @@ object Similarity {
          FROM r WHERE rk <= 5 ORDER BY query_id, rank"""
 
   val oracle: Map[String, String] = Map(
+    // scalar quantization replayed exactly: per-dim min/max (exact aggs),
+    // floor-based codes (floor on the binary value is engine-stable,
+    // round is not), dequantize, asymmetric cosine top-k
+    "nd_knn_sq8" ->
+      """WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          stats AS (
+            SELECT t.i AS i, min(v[t.i]) AS mn, max(v[t.i]) AS mx
+            FROM vecs CROSS JOIN range(1, 65) t(i) GROUP BY t.i),
+          sc AS (SELECT i, mn, (mx - mn) / 255.0::DOUBLE AS s FROM stats),
+          dqe AS (
+            SELECT vec_id, t.i AS i,
+                   CASE WHEN s = 0 THEN mn
+                        ELSE mn + least(255.0::DOUBLE, floor((v[t.i] - mn) / s + 0.5::DOUBLE)) * s
+                   END AS x
+            FROM vecs CROSS JOIN range(1, 65) t(i) JOIN sc ON sc.i = t.i),
+          dq AS (SELECT vec_id, list(x ORDER BY i) AS dv FROM dqe GROUP BY vec_id),
+          q AS (SELECT vec_id AS query_id, v AS qv FROM vecs WHERE vec_id < 5),
+          scored AS (
+            SELECT query_id, dq.vec_id AS neighbor_id,
+                   list_cosine_similarity(qv, dv) AS sim
+            FROM dq CROSS JOIN q WHERE dq.vec_id <> query_id),
+          r AS (
+            SELECT query_id, neighbor_id, sim,
+                   row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk
+            FROM scored)
+          SELECT query_id, neighbor_id, round(sim, 6) AS cos_sim, CAST(rk AS BIGINT) AS rank
+          FROM r WHERE rk <= 5 ORDER BY query_id, rank""",
     "nd_knn_recall" ->
       s"""SELECT l.query_id, count(*) AS n_hits,
           CAST(count(*) AS DOUBLE) / 5.0::DOUBLE AS recall_at_k

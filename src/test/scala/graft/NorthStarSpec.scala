@@ -283,6 +283,23 @@ class SimilaritySpec extends AnyFunSuite {
     assert(mean >= 0.6, s"mean recall@5 $mean below the multi-probe design point")
   }
 
+  test("int8 scalar quantization barely perturbs the ranking") {
+    val sf01 = "/root/testdata/sf0.01"
+    val exact = Similarity.knnBrute(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(3)) -> r.getLong(1)).toMap
+    val sq8 = Similarity.knnSq8(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(3)) -> r.getLong(1)).toMap
+    assert(sq8.size == exact.size && sq8.nonEmpty)
+    // top-1 must survive 8-bit quantization for every query; overall
+    // agreement stays high (the int8 grid error is ~0.2% of the range)
+    (0 until 5).foreach { q =>
+      assert(sq8((q.toLong, 1L)) == exact((q.toLong, 1L)),
+        s"query $q: top-1 flipped under quantization")
+    }
+    val agree = exact.count { case (k, v) => sq8.get(k).contains(v) }
+    assert(agree >= 20, s"only $agree/25 ranks identical after quantization")
+  }
+
   test("brute-force knn is exact: sims descend, no self-matches") {
     val rows = Similarity.knnBrute(spark, sf, nQueries = 3, k = 5).collect()
     assert(rows.length == 15)
