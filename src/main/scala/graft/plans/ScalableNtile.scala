@@ -53,12 +53,16 @@ object ScalableNtile {
       .sort("__k") // sample-sized sort, driver-scale
       .collect().map(_.getStruct(0))
     if (sampled.isEmpty) return Seq.empty
-    (1 until parts).flatMap { j =>
-      val idx = (j.toLong * sampled.length / parts).toInt
-      if (idx == 0) None
-      else Some(struct(sampled(idx).toSeq.zipWithIndex
+    // dedupe by VALUE (tiny samples repeat entries) before building the
+    // literal structs — duplicate boundaries would only add dead compares
+    (1 until parts).iterator
+      .map(j => (j.toLong * sampled.length / parts).toInt)
+      .filter(_ > 0)
+      .map(sampled(_).toSeq)
+      .distinct
+      .map(vs => struct(vs.zipWithIndex
         .map { case (v, i) => lit(v).as(s"_b$i") }: _*))
-    }.distinct
+      .toIndexedSeq
   }
 
   /** Input rows + `__grank` (1-based global rank by `order`) + `__total`. */
