@@ -52,14 +52,22 @@ object Pipeline {
   }
 
   /** The surviving, curated corpus (before writing). Keeps the lowest
-    * doc_id of every near-duplicate cluster. The shared sketch base stays
-    * cached while the returned frame is consumed; [[curateAndWrite]] /
-    * [[curationStats]] release it once their output materializes. */
+    * doc_id of every near-duplicate cluster.
+    *
+    * The survivor id list is materialized through [[Caching.detach]]
+    * BEFORE joining back to `documents`, so the shared sketch base is
+    * released as soon as the ids exist — nothing this entry point pins
+    * outlives the call (the round-3 ADVICE leak: returning a lazy frame
+    * over the persisted base kept it cached for the session's lifetime).
+    * Survivor lists small enough for the driver become a local relation
+    * (and broadcast-join back); larger ones keep only the one-column id
+    * frame persisted, O(ids) residual instead of O(sketch base). */
   def curated(s: SparkSession, d: String,
       minQuality: Double = 0.4, nearDupThreshold: Double = 0.8): DataFrame = {
     import s.implicits._
-    val (ids, _) = survivors(s, d, minQuality, nearDupThreshold)
-    documents(s, d).join(ids.select($"doc_id"), "doc_id")
+    val (ids, free) = survivors(s, d, minQuality, nearDupThreshold)
+    val detachedIds = graft.plans.Caching.detach(ids.select($"doc_id"), free)
+    documents(s, d).join(detachedIds, "doc_id")
   }
 
   /** Run the pipeline and write the curated corpus partitioned by lang;

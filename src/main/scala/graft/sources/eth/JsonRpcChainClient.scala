@@ -44,8 +44,20 @@ final class JsonRpcChainClient(endpoint: String, batchSize: Int = 128,
     Iterator.range(start, end + 1, batchSize.toLong).flatMap { lo =>
       val hi = math.min(end, lo + batchSize - 1)
       val reqs = (lo to hi).map(n => ("eth_getBlockByNumber", params(hexQty(n), fullTx)))
-      batchCall(reqs).iterator
-        .filter(r => !r.isNull)
+      val got = batchCall(reqs)
+      // Scans are tip-bounded at planning time, so a null answer for an
+      // in-range block is data loss (lagging replica, pruned node), never
+      // a legitimate "no such block" — fail loudly instead of emitting a
+      // silently incomplete table. (Dropped batch entries were already
+      // re-requested and error inside batchCall.)
+      val missing = (lo to hi).zip(got).collect { case (n, r) if r.isNull => n }
+      if (missing.nonEmpty)
+        throw new IllegalStateException(
+          s"node $endpoint returned null for in-range block(s) " +
+            missing.take(8).mkString(", ") +
+            (if (missing.size > 8) s" (+${missing.size - 8} more)" else "") +
+            " — blocks at or below the planned tip must exist")
+      got.iterator
         // receipts cost one extra RPC batch per block — fetch them only
         // when the scan actually reads logs (erc20/log table kinds)
         .map(b => parseRpcBlock(b,
@@ -106,29 +118,54 @@ final class JsonRpcChainClient(endpoint: String, batchSize: Int = 128,
     result(post(mapper.writeValueAsBytes(req)), method)
   }
 
-  /** One HTTP round trip for N requests; results returned in request order
-    * (JSON-RPC batch responses may arrive in any order — re-sort by id).
-    * Responses with an unmatchable id — `"id": null` (spec-allowed for
-    * requests the server could not parse) or out of [0, N) — fail with a
-    * descriptive error instead of an NPE/index crash; requests the server
-    * silently dropped come back as JSON null (callers already filter). */
+  /** Batched JSON-RPC with per-request delivery guarantees: one round trip
+    * for N requests, results returned in request order (batch responses may
+    * arrive in any order — re-sorted by id). Responses with an unmatchable
+    * id — `"id": null` (spec-allowed for requests the server could not
+    * parse) or outside the requested set — fail with a descriptive error
+    * instead of an NPE/index crash.
+    *
+    * Requests the server silently dropped (no response object carries their
+    * id) are RE-ISSUED in a follow-up batch, bounded by `maxRetries`; if
+    * entries are still unanswered after that, the call throws `IOException`
+    * listing them, so the scan aborts loudly rather than yielding silently
+    * missing rows. An answered JSON `null` result passes through — null IS
+    * the valid answer for some methods (unknown hash, missing receipt) and
+    * per-method callers decide its meaning. */
   private def batchCall(reqs: Seq[(String, ArrayNode)]): Vector[JsonNode] = {
-    val arr = mapper.createArrayNode()
-    reqs.zipWithIndex.foreach { case ((m, ps), i) => arr.add(rpcRequest(m, ps, i)) }
-    val resp = post(mapper.writeValueAsBytes(arr))
-    if (!resp.isArray)
-      throw new java.io.IOException(s"expected batch array from $endpoint, got: ${resp.getNodeType}")
-    val byId = new Array[JsonNode](reqs.size)
-    resp.forEach { r =>
-      val idNode = r.get("id")
-      if (idNode == null || !idNode.isNumber ||
-          idNode.asInt() < 0 || idNode.asInt() >= reqs.size)
-        throw new IllegalStateException(
-          s"JSON-RPC batch response with unmatchable id from $endpoint: " +
-            r.toString.take(300))
-      byId(idNode.asInt()) = result(r, "batch")
+    val out = new Array[JsonNode](reqs.size) // Scala null = not yet answered
+    var pending: Vector[Int] = reqs.indices.toVector
+    var attempt = 0
+    while (pending.nonEmpty) {
+      val arr = mapper.createArrayNode()
+      pending.foreach { i => val (m, ps) = reqs(i); arr.add(rpcRequest(m, ps, i)) }
+      val resp = post(mapper.writeValueAsBytes(arr))
+      if (!resp.isArray)
+        throw new java.io.IOException(s"expected batch array from $endpoint, got: ${resp.getNodeType}")
+      val pendingSet = pending.toSet
+      resp.forEach { r =>
+        val idNode = r.get("id")
+        if (idNode == null || !idNode.isNumber || !pendingSet.contains(idNode.asInt()))
+          throw new IllegalStateException(
+            s"JSON-RPC batch response with unmatchable id from $endpoint: " +
+              r.toString.take(300))
+        // absent "result" key leaves the slot unanswered -> re-requested;
+        // an explicit "result": null is an answer (Jackson NullNode)
+        out(idNode.asInt()) = result(r, "batch")
+      }
+      pending = pending.filter(i => out(i) == null)
+      if (pending.nonEmpty) {
+        if (attempt >= maxRetries)
+          throw new java.io.IOException(
+            s"JSON-RPC batch from $endpoint left ${pending.size} request(s) unanswered " +
+              s"after $attempt retries: " +
+              pending.take(8).map(i => s"${reqs(i)._1}(id=$i)").mkString(", ") +
+              (if (pending.size > 8) " ..." else ""))
+        attempt += 1
+        Thread.sleep(retryBackoffMs * attempt)
+      }
     }
-    byId.iterator.map(n => if (n == null) mapper.nullNode(): JsonNode else n).toVector
+    out.toVector
   }
 
   private def rpcRequest(method: String, ps: ArrayNode, id: Int): ObjectNode = {
@@ -184,7 +221,7 @@ final class JsonRpcChainClient(endpoint: String, batchSize: Int = 128,
 /** One JSON-RPC exchange: request bytes out, parsed response tree back.
   * Implementations throw `IOException` for transient transport failures
   * (the retry loop's contract). */
-private[eth] trait RpcTransport extends Serializable {
+private[graft] trait RpcTransport extends Serializable {
   def exchange(body: Array[Byte]): JsonNode
 }
 
@@ -215,18 +252,50 @@ private[eth] final class HttpTransport(endpoint: String) extends RpcTransport {
   * `\n` is an unambiguous frame boundary). One connection per exchange,
   * like the HTTP transport — connect failures surface as `IOException`
   * and retry. */
-private[eth] final class IpcTransport(path: String) extends RpcTransport {
+private[graft] final class IpcTransport(path: String,
+    connectTimeoutMs: Long = 30000, readTimeoutMs: Long = 120000)
+  extends RpcTransport {
+  import java.nio.ByteBuffer
+  import java.nio.channels.{SelectionKey, Selector, SocketChannel}
+
+  /** Deadline-bounded exchange: a stalled or dead geth socket surfaces as
+    * `IOException` (so the client's transport retry contract applies)
+    * instead of wedging the scan forever — the same 30s/120s envelope the
+    * HTTP transport gets from `setConnectTimeout`/`setReadTimeout`. Unix
+    * sockets have no built-in timeout, so the channel runs non-blocking
+    * under a `Selector` with an explicit deadline per phase. */
   override def exchange(body: Array[Byte]): JsonNode = {
-    val ch = java.nio.channels.SocketChannel.open(
-      java.net.UnixDomainSocketAddress.of(path))
+    val ch = SocketChannel.open(java.net.StandardProtocolFamily.UNIX)
+    val sel = Selector.open()
     try {
-      val out = java.nio.ByteBuffer.allocate(body.length + 1)
+      ch.configureBlocking(false)
+      if (!ch.connect(java.net.UnixDomainSocketAddress.of(path))) {
+        ch.register(sel, SelectionKey.OP_CONNECT)
+        awaitReady(sel, connectTimeoutMs, s"IPC connect to $path")
+        if (!ch.finishConnect())
+          throw new java.io.IOException(s"IPC connect to $path failed")
+      }
+      val deadline = System.nanoTime() + readTimeoutMs * 1000000L
+      def remainingMs: Long = {
+        val ms = (deadline - System.nanoTime()) / 1000000L
+        if (ms <= 0)
+          throw new java.io.IOException(
+            s"IPC exchange with $path timed out after ${readTimeoutMs}ms")
+        ms
+      }
+      val out = ByteBuffer.allocate(body.length + 1)
       out.put(body); out.put('\n'.toByte); out.flip()
-      while (out.hasRemaining) ch.write(out)
+      ch.register(sel, SelectionKey.OP_WRITE)
+      while (out.hasRemaining) {
+        awaitReady(sel, remainingMs, s"IPC write to $path")
+        ch.write(out)
+      }
+      ch.register(sel, SelectionKey.OP_READ)
       val acc = new java.io.ByteArrayOutputStream()
-      val rb = java.nio.ByteBuffer.allocate(8192)
+      val rb = ByteBuffer.allocate(8192)
       var done = false
       while (!done) {
+        awaitReady(sel, remainingMs, s"IPC read from $path")
         rb.clear()
         val n = ch.read(rb)
         if (n < 0) {
@@ -235,12 +304,25 @@ private[eth] final class IpcTransport(path: String) extends RpcTransport {
           done = true
         } else if (n > 0) {
           acc.write(rb.array(), 0, n)
-          val bytes = acc.toByteArray
-          if (bytes.last == '\n'.toByte) done = true
+          // JSON string escaping keeps raw newlines out of the payload, so
+          // the frame ends exactly when a chunk ends in '\n' — checking the
+          // last byte of THIS read keeps accumulation O(n), no per-chunk
+          // re-materialization of the whole buffer
+          if (rb.array()(n - 1) == '\n'.toByte) done = true
         }
       }
       JsonRpcChainClient.mapper.readTree(acc.toByteArray)
-    } finally ch.close()
+    } finally {
+      sel.close(); ch.close()
+    }
+  }
+
+  /** Block until the registered channel is ready or `timeoutMs` elapses;
+    * timeout is `IOException` so the retry loop treats it as transient. */
+  private def awaitReady(sel: Selector, timeoutMs: Long, what: String): Unit = {
+    if (sel.select(math.max(1L, timeoutMs)) == 0)
+      throw new java.io.IOException(s"$what timed out after ${timeoutMs}ms")
+    sel.selectedKeys().clear()
   }
 }
 
@@ -281,6 +363,10 @@ object JsonRpcChainClient {
       fullTx: Boolean): EthBlockData = {
     val number = hexToLong(j.get("number"))
     val hash = j.get("hash").asText()
+    // post-London blocks carry the base fee needed to reconstruct a type-2
+    // transaction's effective gas price when the node omits `gasPrice`
+    val baseFee: Option[BigInteger] =
+      Option(j.get("baseFeePerGas")).filterNot(_.isNull).map(hexBig)
     val txs = Vector.newBuilder[EthTx]
     var idx = 0
     if (fullTx) j.get("transactions").forEach { t =>
@@ -295,10 +381,23 @@ object JsonRpcChainClient {
         to = Option(t.get("to")).filter(!_.isNull).map(_.asText()),
         value = hexToDouble(t.get("value")),
         gas = hexToDouble(t.get("gas")),
-        // EIP-1559 type-2 txs: some clients omit gasPrice; the fee cap is
-        // the closest published quantity, 0 when neither exists
-        gasPrice = hexToDoubleOpt(
-          if (t.hasNonNull("gasPrice")) t.get("gasPrice") else t.get("maxFeePerGas")),
+        // EIP-1559 type-2 txs: when the node omits `gasPrice`, reconstruct
+        // the EFFECTIVE price min(baseFee + maxPriorityFeePerGas, maxFeePerGas)
+        // — what the sender actually paid — rather than the fee cap, which
+        // overstates it; the bare cap is the fallback only when the block
+        // predates London or omits baseFeePerGas, 0 when nothing exists
+        gasPrice =
+          if (t.hasNonNull("gasPrice")) hexToDouble(t.get("gasPrice"))
+          else {
+            val cap = Option(t.get("maxFeePerGas")).filterNot(_.isNull).map(hexBig)
+            val tip = Option(t.get("maxPriorityFeePerGas")).filterNot(_.isNull)
+              .map(hexBig).getOrElse(BigInteger.ZERO)
+            (baseFee, cap) match {
+              case (Some(b), Some(c)) => b.add(tip).min(c).doubleValue()
+              case (None, Some(c))    => c.doubleValue()
+              case _                  => 0.0
+            }
+          },
         input = t.get("input").asText(),
         logs = logsByTx.getOrElse(txHash, Vector.empty))
       idx += 1

@@ -90,7 +90,10 @@ object RpcStubServer {
       if (counts != null)
         counts.merge(req.get("method").asText(), 1L, (a, b) => a + b)
       val result: JsonNode = req.get("method").asText() match {
-        case "eth_blockNumber" => mapper.getNodeFactory.textNode(hex(fixture.blockNumber()))
+        // a self-consistent node never advertises blocks it cannot serve —
+        // the strict client treats null for an in-range block as data loss
+        case "eth_blockNumber" =>
+          mapper.getNodeFactory.textNode(hex(math.min(fixture.blockNumber(), maxBlock)))
         case "eth_getBlockByNumber" =>
           blocks.get(qty(ps.get(0))).map(renderBlock(_, ps.get(1).asBoolean()))
             .getOrElse(mapper.nullNode()): JsonNode
@@ -214,8 +217,9 @@ class JsonRpcSpec extends AnyFunSuite {
       val b = fx.blocks(1, 32, fullTx = true).toVector
       assert(a.size == b.size && a.nonEmpty)
       assert(a == b)
-      // point lookups + account RPCs through the same framing
-      assert(ipc.blockNumber() == fx.blockNumber())
+      // point lookups + account RPCs through the same framing (the stub
+      // advertises the tip it can actually serve, not the fixture's)
+      assert(ipc.blockNumber() == 32L)
       assert(ipc.timestampOf(7L) == fx.timestampOf(7L))
       val h = fx.blocks(3, 3, fullTx = false).next().hash
       assert(ipc.blockNumberByHash(h).contains(3L))
@@ -240,6 +244,43 @@ class JsonRpcSpec extends AnyFunSuite {
     }
   }
 
+  test("a stalled IPC endpoint times out with IOException instead of wedging") {
+    val sockDir = java.nio.file.Files.createTempDirectory("ipc-stall")
+    val sock = sockDir.resolve("stall.ipc").toString
+    // accepts connections and reads requests, but never answers
+    val ssc = java.nio.channels.ServerSocketChannel.open(java.net.StandardProtocolFamily.UNIX)
+    ssc.bind(java.net.UnixDomainSocketAddress.of(sock))
+    val t = new Thread(() => {
+      try {
+        while (true) {
+          val ch = ssc.accept()
+          val buf = java.nio.ByteBuffer.allocate(4096)
+          while (ch.read(buf) >= 0) buf.clear() // drain forever, reply never
+        }
+      } catch { case _: java.nio.channels.ClosedChannelException => () }
+    })
+    t.setDaemon(true); t.start()
+    try {
+      val transport = new graft.sources.eth.IpcTransport(sock, readTimeoutMs = 400)
+      val t0 = System.nanoTime()
+      val e = intercept[java.io.IOException](
+        transport.exchange("""{"jsonrpc":"2.0","id":1,"method":"eth_blockNumber","params":[]}"""
+          .getBytes("UTF-8")))
+      val elapsedMs = (System.nanoTime() - t0) / 1000000L
+      assert(e.getMessage.contains("timed out"), e.getMessage)
+      // bounded: IOException means the client's transport retry loop applies
+      assert(elapsedMs < 5000, s"took ${elapsedMs}ms")
+      // connecting to a socket nobody listens on also fails as IOException
+      val dead = sockDir.resolve("nobody.ipc").toString
+      intercept[java.io.IOException](
+        new graft.sources.eth.IpcTransport(dead, connectTimeoutMs = 400)
+          .exchange("{}".getBytes("UTF-8")))
+    } finally {
+      ssc.close()
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(sock))
+    }
+  }
+
   test("block scan over JSON-RPC equals the fixture scan (full tx + logs)") {
     withServer(48) { url =>
       val rpc = EthClient.forChain(url)
@@ -259,7 +300,7 @@ class JsonRpcSpec extends AnyFunSuite {
     withServer(16) { url =>
       val rpc = EthClient.forChain(url)
       val fx = EthClient.forChain(dir)
-      assert(rpc.blockNumber() == fx.blockNumber())
+      assert(rpc.blockNumber() == 16L) // stub tip = blocks it can serve
       assert(rpc.gasPrice() == fx.gasPrice())
       assert(rpc.timestampOf(7L) == fx.timestampOf(7L))
       val h = fx.blocks(3, 3, fullTx = false).next().hash
@@ -284,10 +325,10 @@ class JsonRpcSpec extends AnyFunSuite {
         .writeStream.format("memory").queryName("rpc_stream")
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination(120000)
-      // the stub serves blocks 1..32 but reports the fixture tip; the
-      // stream must deliver exactly the blocks the server knows
+      // the stub serves and advertises blocks 1..32; the stream must
+      // deliver exactly those (rate-limited to 16 per micro-batch)
       val got = spark.table("rpc_stream").collect().map(_.getLong(0)).sorted
-      assert(got.take(32).toSeq == (1L to 32L), s"got ${got.length} blocks")
+      assert(got.toSeq == (1L to 32L), s"got ${got.length} blocks")
       q.stop()
     }
   }
@@ -342,28 +383,72 @@ class JsonRpcSpec extends AnyFunSuite {
              "gas":"0x5208","input":"0x","type":"0x2"}]}""".replaceAll("\n\\s*", ""))
     val b = JsonRpcChainClient.parseRpcBlock(block, Map.empty, fullTx = true)
     assert(b.totalDifficulty == 0L && b.difficulty == 0L)
-    assert(b.transactions(0).gasPrice == 2e9) // falls back to maxFeePerGas
+    // pre-London shape (no baseFeePerGas): the cap is the only published
+    // quantity -> used as-is
+    assert(b.transactions(0).gasPrice == 2e9)
     assert(b.transactions(1).gasPrice == 0.0) // neither field -> 0
     assert(b.transactions(1).to.isEmpty)
   }
 
-  test("batch responses with unmatchable ids fail descriptively, dropped slots skip") {
+  test("type-2 gasPrice reconstructs the effective price, not the fee cap") {
+    val mapper = new ObjectMapper()
+    // post-London block: baseFee 1 gwei; tx1 tips 0.5 gwei under a 2 gwei
+    // cap -> effective = base+tip = 1.5 gwei; tx2 tips 3 gwei under the
+    // same cap -> capped at 2 gwei; tx3 omits the tip -> base alone
+    val block = mapper.readTree(
+      """{"number":"0x10","hash":"0xb","parentHash":"0xp","nonce":"0x0000000000000000",
+          "sha3Uncles":"0xs","logsBloom":"0xl","transactionsRoot":"0xt","stateRoot":"0xr",
+          "miner":"0xm","difficulty":"0x0","size":"0x220","extraData":"0x",
+          "baseFeePerGas":"0x3b9aca00",
+          "gasLimit":"0x1c9c380","gasUsed":"0x5208","timestamp":"0x64000000","uncles":[],
+          "transactions":[
+            {"hash":"0xt1","nonce":"0x1","from":"0xf","to":"0xa","value":"0x0",
+             "gas":"0x5208","maxFeePerGas":"0x77359400","maxPriorityFeePerGas":"0x1dcd6500",
+             "input":"0x","type":"0x2"},
+            {"hash":"0xt2","nonce":"0x2","from":"0xf","to":"0xa","value":"0x0",
+             "gas":"0x5208","maxFeePerGas":"0x77359400","maxPriorityFeePerGas":"0xb2d05e00",
+             "input":"0x","type":"0x2"},
+            {"hash":"0xt3","nonce":"0x3","from":"0xf","to":"0xa","value":"0x0",
+             "gas":"0x5208","maxFeePerGas":"0x77359400",
+             "input":"0x","type":"0x2"},
+            {"hash":"0xt4","nonce":"0x4","from":"0xf","to":"0xa","value":"0x0",
+             "gas":"0x5208","gasPrice":"0x2540be400",
+             "input":"0x","type":"0x0"}]}""".replaceAll("\n\\s*", ""))
+    val b = JsonRpcChainClient.parseRpcBlock(block, Map.empty, fullTx = true)
+    assert(b.transactions(0).gasPrice == 1.5e9) // base + tip below cap
+    assert(b.transactions(1).gasPrice == 2e9)   // capped at maxFeePerGas
+    assert(b.transactions(2).gasPrice == 1e9)   // missing tip -> base fee
+    assert(b.transactions(3).gasPrice == 10e9)  // explicit gasPrice wins
+  }
+
+  test("batch responses with unmatchable ids fail descriptively, dropped slots retry then fail") {
     import com.sun.net.httpserver.HttpServer
     import java.net.InetSocketAddress
     val mode = new java.util.concurrent.atomic.AtomicReference("null_id")
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
     server.createContext("/", (ex: com.sun.net.httpserver.HttpExchange) => {
       try {
-        ex.getRequestBody.readAllBytes()
+        val reqBody = ex.getRequestBody.readAllBytes()
         val resp = mode.get() match {
           // spec-allowed error response for an unparseable request
           case "null_id" =>
             """[{"jsonrpc":"2.0","id":null,"error":{"code":-32700,"message":"parse error"}}]"""
           case "out_of_range" =>
             """[{"jsonrpc":"2.0","id":99,"result":null}]"""
-          // server answers only the second of two requests
+          // server persistently drops request id 0, answers everything else
+          // (so the client's re-request of the dropped slot stays dropped)
           case "partial" =>
-            """[{"jsonrpc":"2.0","id":1,"result":null}]"""
+            val req = new ObjectMapper().readTree(reqBody)
+            val kept = scala.collection.mutable.ArrayBuffer.empty[String]
+            req.forEach { r =>
+              val id = r.get("id").asInt()
+              if (id != 0) kept += s"""{"jsonrpc":"2.0","id":$id,"result":null}"""
+            }
+            kept.mkString("[", ",", "]")
+          // both requests answered, but with null results for in-range blocks
+          case "null_blocks" =>
+            """[{"jsonrpc":"2.0","id":0,"result":null},
+                {"jsonrpc":"2.0","id":1,"result":null}]""".replaceAll("\n\\s*", "")
         }
         val bytes = resp.getBytes("UTF-8")
         ex.sendResponseHeaders(200, bytes.length)
@@ -380,8 +465,15 @@ class JsonRpcSpec extends AnyFunSuite {
       val eRange = intercept[IllegalStateException](client.blocks(1, 2).toVector)
       assert(eRange.getMessage.contains("unmatchable id"), eRange.getMessage)
       mode.set("partial")
-      // dropped slot becomes JSON null -> filtered like an unknown block
-      assert(client.blocks(1, 2).toVector.isEmpty)
+      // a slot the server keeps dropping is re-requested, then fails loudly
+      // (silently missing rows were the round-3 ADVICE finding)
+      val eDrop = intercept[java.io.IOException](client.blocks(1, 2).toVector)
+      assert(eDrop.getMessage.contains("unanswered"), eDrop.getMessage)
+      assert(eDrop.getMessage.contains("eth_getBlockByNumber"), eDrop.getMessage)
+      mode.set("null_blocks")
+      // answered nulls for tip-bounded blocks are data loss, not "no block"
+      val eNullBlk = intercept[IllegalStateException](client.blocks(1, 2).toVector)
+      assert(eNullBlk.getMessage.contains("in-range block"), eNullBlk.getMessage)
     } finally server.stop(0)
   }
 

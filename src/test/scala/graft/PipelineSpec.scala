@@ -13,6 +13,7 @@ class PipelineSpec extends AnyFunSuite {
   test("curated corpus = quality ∩ keepers ∖ near-dup losers") {
     import spark.implicits._
     val total = Tables.documents(spark, sf).count()
+    val pinnedBefore = spark.sparkContext.getPersistentRDDs.keySet
     val curated = Pipeline.curated(spark, sf).cache()
     val n = curated.count()
     assert(n > 0 && n <= total)
@@ -26,6 +27,10 @@ class PipelineSpec extends AnyFunSuite {
       .filter($"quality" < 0.4).collect().map(_.getLong(0)).toSet
     assert(survivors.intersect(below).isEmpty)
     curated.unpersist()
+    // the shared sketch base must not outlive the call (round-3 ADVICE):
+    // survivor ids detach through Caching.detach, releasing every block
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- pinnedBefore
+    assert(leaked.isEmpty, s"curated() left pinned RDD ids: $leaked")
   }
 
   test("partitioned write produces lang=* directories and round-trips") {
