@@ -152,6 +152,45 @@ object Dedup {
     graft.plans.Caching.detach(verified, () => { base.unpersist(blocking = false); () })
   }
 
+  /** Benchmark DECONTAMINATION — the train/eval overlap check every
+    * training-data pipeline runs before a corpus ships: find training
+    * documents that share word shingles with a held-out evaluation set, so
+    * contaminated examples can be dropped before benchmark numbers are
+    * trusted. Here the "benchmark" is the `doc_id % evalMod == 0` slice of
+    * `documents` (a stand-in for an external eval suite; the operator only
+    * needs the two sides to be distinguishable).
+    *
+    * Shape at 100 TB: the shingle base `(doc_id, sh)` is computed in ONE
+    * corpus pass (the same fused-loop expression the dedup family uses —
+    * raw text never leaves the scan) and persisted sketch-sized; the eval
+    * side is benchmark-scale (MBs), so its exploded shingles BROADCAST and
+    * the train side never shuffles — only matched `(train_id, eval_id)`
+    * hits flow into the pair count. Output: contaminated pairs with the
+    * shared-shingle count and the fraction of the eval doc's shingles
+    * found in the training doc (unrounded: single fp division, identical
+    * op order on both engines). */
+  def decontaminate(s: SparkSession, d: String, evalMod: Int = 10,
+      minShared: Int = 3): DataFrame = {
+    import s.implicits._
+    val sh = documents(s, d)
+      .select($"doc_id", shingleHashes($"text").as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ev = sh.filter($"doc_id" % evalMod === 0)
+    val evShingles = ev.select($"doc_id".as("eval_id"), explode($"sh").as("h"))
+    val evSizes = ev.select($"doc_id".as("eval_id"), size($"sh").cast("long").as("n_eval"))
+    val train = sh.filter($"doc_id" % evalMod =!= 0)
+      .select($"doc_id".as("train_id"), explode($"sh").as("h"))
+    val out = train.join(broadcast(evShingles), "h")
+      .groupBy($"train_id", $"eval_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter($"n_shared" >= minShared)
+      .join(broadcast(evSizes), "eval_id")
+      .select($"train_id", $"eval_id", $"n_shared",
+              ($"n_shared".cast("double") / $"n_eval".cast("double")).as("overlap_frac"))
+      .orderBy($"train_id", $"eval_id")
+    graft.plans.Caching.detach(out, () => { sh.unpersist(blocking = false); () })
+  }
+
   /** Transitive near-duplicate CLUSTERS — the stage after pair generation:
     * near-dup similarity is not transitive, but dedup policy must be (keep
     * one document per connected component of the pair graph). Iterative
@@ -320,6 +359,7 @@ object Dedup {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "nd_decontaminate" -> ((s: SparkSession, d: String) => decontaminate(s, d)),
     "nd_dedup_incremental" -> exactIncrementalQuery _,
     "nd_dedup_clusters" -> ((s: SparkSession, d: String) => nearDupClusters(s, d)),
     "nd_dedup_exact" -> exact _,
@@ -382,6 +422,25 @@ object Dedup {
           FROM cand)"""
 
   val oracle: Map[String, String] = Map(
+    // decontamination replay: same canonical/shingle/60-bit-fold scheme as
+    // the jaccard oracle, split into eval (doc_id % 10 = 0) and train
+    // sides, joined on the shingle hash
+    "nd_decontaminate" ->
+      s"""WITH $shingleCtesSql,
+         sh60 AS (SELECT doc_id, list_distinct(list_transform(shings, s -> ${Sketch.foldSql(15, "s")})) AS sh
+                  FROM shing),
+         ex AS (SELECT doc_id, unnest(sh) AS h FROM sh60),
+         ev AS (SELECT doc_id AS eval_id, h FROM ex WHERE doc_id % 10 = 0),
+         evn AS (SELECT doc_id AS eval_id, CAST(len(sh) AS BIGINT) AS n_eval
+                 FROM sh60 WHERE doc_id % 10 = 0),
+         tr AS (SELECT doc_id AS train_id, h FROM ex WHERE doc_id % 10 <> 0),
+         ov AS (SELECT train_id, eval_id, count(*) AS n_shared
+                FROM tr JOIN ev USING (h) GROUP BY train_id, eval_id)
+         SELECT train_id, eval_id, n_shared,
+                CAST(n_shared AS DOUBLE) / CAST(n_eval AS DOUBLE) AS overlap_frac
+         FROM ov JOIN evn USING (eval_id)
+         WHERE n_shared >= 3
+         ORDER BY train_id, eval_id""",
     "nd_dedup_clusters" ->
       s"""WITH RECURSIVE $shingleCtesSql, $candCtesSql,
          pairs AS (SELECT doc_a, doc_b FROM est WHERE est_jaccard >= 0.5),

@@ -236,6 +236,52 @@ object Similarity {
     rankWithin(cand, k)
   }
 
+  /** Product-quantized ANN (PQ) — the codebook-compression half of the
+    * IVF+PQ architecture production vector stores run at billion scale:
+    * split every vector into `m` subspaces, learn a `ksub`-centroid
+    * codebook per subspace (the same seed+Lloyd machinery as the IVF
+    * coarse quantizer, run on subvectors), store each vector as `m` small
+    * codes (m·log2(ksub) bits — 32 bits/vector here vs 512 for int8 SQ),
+    * and score queries asymmetrically: full-precision query against the
+    * RECONSTRUCTION (concatenated per-subspace centroids).
+    *
+    * Scale shape: codebooks are metadata (m·ksub·sub doubles, collected
+    * once like [[lloydCentroids]]); encode + reconstruct + score is a
+    * single map-only pass with the codebooks inlined as literals — the
+    * corpus never shuffles, exactly the [[knnSq8]] plan with a learned
+    * codebook instead of per-dimension ranges. Tie-breaks are pinned
+    * (first maximum = lowest surviving code id) so the whole train→encode
+    * →score pipeline replays in the oracle value-for-value. */
+  def knnPq(s: SparkSession, d: String, nQueries: Int = 5, k: Int = 5,
+      m: Int = 4, ksub: Int = 16, lloydIters: Int = 1): DataFrame = {
+    import s.implicits._
+    val dims = 64; val sub = dims / m
+    val vecs = embeddings(s, d)
+      .select($"vec_id", transform($"embedding", _.cast("double")).as("v"))
+    // per-subspace codebooks, ordered by surviving list id so array
+    // position order matches the oracle's code-ascending tie-break
+    val codebooks: Seq[Array[Seq[Double]]] = (0 until m).map { j =>
+      val svFrame = vecs.select($"vec_id", slice($"v", j * sub + 1, sub).as("v"))
+      lloydCentroids(svFrame, ksub, lloydIters)
+        .orderBy($"list_id").collect().map(_.getSeq[Double](1))
+    }
+    val recon = (0 until m).map { j =>
+      val cb = codebooks(j)
+      val sv = slice($"v", j * sub + 1, sub)
+      val scores = array(cb.map(cv =>
+        Expressions.cosineSim(sv, array(cv.map(lit): _*))): _*)
+      val code = array_position(scores, array_max(scores)) // 1-based, first max
+      element_at(array(cb.map(cv => array(cv.map(lit): _*)): _*), code.cast("int"))
+    }
+    val dq = vecs.select($"vec_id", concat(recon: _*).as("dv"))
+    val q = vecs.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("query_id"), $"v".as("qv"))
+    val cand = dq.join(broadcast(q), $"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id".as("neighbor_id"),
+              Expressions.cosineSim($"qv", $"dv").as("sim"))
+    rankWithin(cand, k)
+  }
+
   /** Recall@k of the LSH scale path against the exact brute-force top-k —
     * the evaluation every ANN deployment runs before trusting an index.
     * Per query: |LSH∩brute| / k. Both sides are deterministic pipelines,
@@ -254,6 +300,7 @@ object Similarity {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "nd_knn_pq" -> ((s: SparkSession, d: String) => knnPq(s, d)),
     "nd_knn_filtered" -> ((s: SparkSession, d: String) => knnFiltered(s, d)),
     "nd_knn_brute" -> ((s: SparkSession, d: String) => knnBrute(s, d)),
     "nd_knn_lsh" -> ((s: SparkSession, d: String) => knnLsh(s, d)),
@@ -318,6 +365,55 @@ object Similarity {
           FROM r WHERE rk <= $k ORDER BY query_id, rank"""
   }
 
+  /** DuckDB replay of the full PQ pipeline: per subspace, the seed+Lloyd
+    * codebook chain (the [[ivfOracleSql]] step shape on subvector slices),
+    * then encode (nearest trained centroid, tie → lowest code), reconstruct
+    * by list concatenation, and asymmetric cosine top-k — mechanically
+    * re-derived for any (m, ksub, iterations), like the IVF oracle. */
+  private[operators] def pqOracleSql(m: Int = 4, sub: Int = 16, ksub: Int = 16,
+      iterations: Int = 1, nQueries: Int = 5, k: Int = 5): String = {
+    val subCtes = (0 until m).map { j =>
+      val off = j * sub
+      val steps = (1 to iterations).map { i =>
+        s"""a${j}_$i AS (
+              SELECT vec_id, sv, code,
+                     row_number() OVER (PARTITION BY vec_id
+                       ORDER BY list_cosine_similarity(sv, cv) DESC, code) AS rn
+              FROM sv$j CROSS JOIN cb${j}_${i - 1}),
+            asg${j}_$i AS (SELECT vec_id, sv, code FROM a${j}_$i WHERE rn = 1),
+            cent${j}_$i AS (
+              SELECT code, t.pos AS pos, avg(sv[t.pos]) AS mu
+              FROM asg${j}_$i CROSS JOIN range(1, ${sub + 1}) t(pos)
+              GROUP BY code, t.pos),
+            cb${j}_$i AS (SELECT code, list(mu ORDER BY pos) AS cv FROM cent${j}_$i GROUP BY code)"""
+      }.mkString(",\n            ")
+      s"""sv$j AS (SELECT vec_id, v[${off + 1}:${off + sub}] AS sv FROM vecs),
+          cb${j}_0 AS (SELECT vec_id AS code, sv AS cv FROM sv$j WHERE vec_id < $ksub),
+          $steps,
+          enc$j AS (
+            SELECT vec_id, cv,
+                   row_number() OVER (PARTITION BY vec_id
+                     ORDER BY list_cosine_similarity(sv, cv) DESC, code) AS rn
+            FROM sv$j CROSS JOIN cb${j}_$iterations),
+          r$j AS (SELECT vec_id, cv AS c$j FROM enc$j WHERE rn = 1)"""
+    }.mkString(",\n          ")
+    val joins = (1 until m).map(j => s"JOIN r$j USING (vec_id)").mkString(" ")
+    val dvExpr = (0 until m).map(j => s"c$j").mkString(" || ")
+    s"""WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          $subCtes,
+          dq AS (SELECT vec_id, $dvExpr AS dv FROM r0 $joins),
+          q AS (SELECT vec_id AS query_id, v AS qv FROM vecs WHERE vec_id < $nQueries),
+          scored AS (
+            SELECT query_id, dq.vec_id AS neighbor_id,
+                   list_cosine_similarity(qv, dv) AS sim
+            FROM dq CROSS JOIN q WHERE dq.vec_id <> query_id),
+          rr AS (SELECT query_id, neighbor_id, sim,
+                        row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk
+                 FROM scored)
+          SELECT query_id, neighbor_id, round(sim, 6) AS cos_sim, CAST(rk AS BIGINT) AS rank
+          FROM rr WHERE rk <= $k ORDER BY query_id, rank"""
+  }
+
   /** LSH pipeline replay, shared by nd_knn_lsh and the recall oracle. */
   private val lshOracleSql: String =
     s"""WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -360,6 +456,7 @@ object Similarity {
          FROM r WHERE rk <= 5 ORDER BY query_id, rank"""
 
   val oracle: Map[String, String] = Map(
+    "nd_knn_pq" -> pqOracleSql(),
     // scalar quantization replayed exactly: per-dim min/max (exact aggs),
     // floor-based codes (floor on the binary value is engine-stable,
     // round is not), dequantize, asymmetric cosine top-k

@@ -92,6 +92,24 @@ class DedupSpec extends AnyFunSuite {
     assert(out.forall(_.getAs[Long]("n_copies") >= 1))
   }
 
+  test("decontamination flags train docs overlapping the eval slice") {
+    val out = Dedup.decontaminate(spark, sf).collect()
+    assert(out.nonEmpty, "expected planted near-dups to cross the eval slice")
+    out.foreach { r =>
+      val (train, eval) = (r.getAs[Long]("train_id"), r.getAs[Long]("eval_id"))
+      assert(eval % 10 == 0 && train % 10 != 0, s"sides swapped: $train / $eval")
+      assert(r.getAs[Long]("n_shared") >= 3)
+      val frac = r.getAs[Double]("overlap_frac")
+      assert(frac > 0.0 && frac <= 1.0, s"overlap_frac out of range: $frac")
+    }
+    // ground truth on the worst offender: its shingle sets really intersect
+    val top = out.maxBy(_.getAs[Long]("n_shared"))
+    val sh = Tables.documents(spark, sf)
+      .filter($"doc_id".isin(top.getAs[Long]("train_id"), top.getAs[Long]("eval_id")))
+      .select(Dedup.shingleHashes($"text")).collect().map(_.getSeq[Long](0).toSet)
+    assert(sh(0).intersect(sh(1)).size == top.getAs[Long]("n_shared"))
+  }
+
   test("simhash pairs agree with minhash pairs on strong duplicates") {
     val mh = Dedup.minhashPairs(spark, sf, threshold = 0.9).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -281,6 +299,23 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recalls.forall(_ > 0.0), s"a query found nothing: ${recalls.mkString(",")}")
     val mean = recalls.sum / recalls.length
     assert(mean >= 0.6, s"mean recall@5 $mean below the multi-probe design point")
+  }
+
+  test("product quantization keeps useful recall at 32 bits per vector") {
+    val sf01 = "/root/testdata/sf0.01"
+    val exact = Similarity.knnBrute(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = Similarity.knnPq(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pq.size == exact.size && pq.nonEmpty)
+    // PQ at 4x16 codes compresses 16x harder than int8 SQ — the bar is
+    // usefulness (codes separate neighbors from the bulk), not agreement
+    val recall = exact.intersect(pq).size.toDouble / exact.size
+    assert(recall >= 0.3, s"PQ recall@5 vs brute force fell to $recall")
+    // deterministic: training, encode, and scoring have pinned tie-breaks
+    val again = Similarity.knnPq(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again == pq)
   }
 
   test("int8 scalar quantization barely perturbs the ranking") {
