@@ -206,6 +206,63 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Full BPE merge-LEARNING loop — the tokenizer-training stage after the
+    * single-step pair statistic ([[tokenPairs]]): starting from characters,
+    * repeatedly find the most frequent adjacent token pair across the
+    * corpus and merge it, emitting the learned merge table
+    * `(rank, pair, merged, cnt)` that a BPE tokenizer would ship.
+    *
+    * Distributed shape: the corpus is scanned ONCE into a persisted
+    * `(word, freq)` vocabulary (bounded — word counts grow sublinearly in
+    * corpus bytes), and every iteration runs on that vocab-sized frame:
+    * map-side pair explode, one partially-aggregated count shuffle, and a
+    * driver-side top-1 collect (the merge table is model metadata, like
+    * the IVF centroids). At 100 TB only the first scan touches data.
+    *
+    * Merge semantics are pinned so both engines replay identically: token
+    * strings are space-joined with sentinel padding (`" a b c "`), one
+    * merge = one left-to-right non-overlapping `replace` of `" x y "` with
+    * `" xy "` (consumed boundaries defer an immediately-adjacent repeat of
+    * the same pair to a later iteration — deterministic, and identical in
+    * Spark and DuckDB), ties on count break by pair string ascending. */
+  def bpeLearn(s: SparkSession, d: String, nMerges: Int = 8): DataFrame = {
+    import s.implicits._
+    val wf = documents(s, d)
+      .select(explode(wsTokens(canonical($"text"))).as("word"))
+      .filter($"word" =!= "")
+      .groupBy($"word").agg(count(lit(1)).as("freq"))
+      .select(concat(lit(" "), trim(regexp_replace($"word", "(.)", "$1 ")), lit(" ")).as("toks"),
+              $"freq")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var toks: Column = $"toks"
+    val merges = Seq.newBuilder[(Long, String, String, Long)]
+    for (i <- 1 to nMerges) {
+      val l = split(trim(toks), " ")
+      val top = wf.select(
+          explode(zip_with(
+            slice(l, lit(1), size(l) - 1),
+            slice(l, lit(2), size(l) - 1),
+            (a, b) => concat(a, lit(" "), b))).as("pair"),
+          $"freq")
+        .groupBy($"pair").agg(sum($"freq").as("cnt"))
+        .orderBy($"cnt".desc, $"pair")
+        .limit(1).collect()(0)
+      val pair = top.getString(0)
+      val merged = pair.replace(" ", "")
+      merges += ((i.toLong, pair, merged, top.getLong(1)))
+      toks = replace(toks, lit(s" $pair "), lit(s" $merged "))
+    }
+    wf.unpersist(blocking = false)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("rank", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("pair", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("merged", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("cnt", org.apache.spark.sql.types.LongType)))
+    val rows = merges.result().map { case (r, p, m, c) =>
+      org.apache.spark.sql.Row(r, p, m, c) }
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), schema).orderBy($"rank")
+  }
+
   /** Corpus vocabulary: top-k tokens by frequency — the BPE-precursor
     * statistic every tokenizer-training pipeline computes. One explode +
     * count shuffle with map-side partial aggregation; top-k via
@@ -229,7 +286,8 @@ object TextAnalysis {
     "nd_fingerprints" -> fingerprints _,
     "nd_lang_stats" -> langStats _,
     "nd_vocab_topk" -> ((s: SparkSession, d: String) => vocabTopK(s, d)),
-    "nd_token_pairs" -> ((s: SparkSession, d: String) => tokenPairs(s, d)))
+    "nd_token_pairs" -> ((s: SparkSession, d: String) => tokenPairs(s, d)),
+    "nd_bpe_learn" -> ((s: SparkSession, d: String) => bpeLearn(s, d)))
 
   private[operators] val stopListSql = stopwords.map(w => s"'$w'").mkString(", ")
 
@@ -247,7 +305,40 @@ object TextAnalysis {
       s"SELECT doc_id, labeled_lang, '$l' AS l, score_$l AS s FROM sc"
     }.mkString("\n           UNION ALL ")
 
+  /** DuckDB replay of the full BPE loop: the same `(word, freq)` vocab,
+    * then per iteration a pair-count CTE, a top-1 CTE (count desc, pair
+    * asc), and a `replace`-merge CTE — the merge pair is computed IN SQL
+    * via scalar subqueries, so the oracle re-learns the merges itself
+    * rather than trusting the engine's. Mechanically re-derived for any
+    * iteration depth, like the Lloyd and PQ oracles. */
+  private def bpeOracleSql(nMerges: Int = 8): String = {
+    val iters = (1 to nMerges).map { i =>
+      s"""p$i AS (
+            SELECT pr AS pair, CAST(sum(freq) AS BIGINT) AS cnt
+            FROM (SELECT unnest(list_transform(range(1, len(l)), x -> l[x] || ' ' || l[x+1])) AS pr,
+                         freq
+                  FROM (SELECT string_split(trim(toks), ' ') AS l, freq FROM t${i - 1}) s$i)
+            GROUP BY pr),
+          m$i AS (SELECT pair, cnt FROM p$i ORDER BY cnt DESC, pair LIMIT 1),
+          t$i AS (
+            SELECT replace(toks, ' ' || (SELECT pair FROM m$i) || ' ',
+                           ' ' || replace((SELECT pair FROM m$i), ' ', '') || ' ') AS toks, freq
+            FROM t${i - 1})"""
+    }.mkString(",\n          ")
+    val union = (1 to nMerges).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS rank, pair, replace(pair, ' ', '') AS merged, cnt FROM m$i")
+      .mkString("\n           UNION ALL ")
+    s"""WITH words AS (
+            SELECT unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS word
+            FROM documents),
+          wf AS (SELECT word, count(*) AS freq FROM words WHERE word <> '' GROUP BY word),
+          t0 AS (SELECT ' ' || trim(regexp_replace(word, '(.)', '\\1 ', 'g')) || ' ' AS toks, freq FROM wf),
+          $iters
+          SELECT rank, pair, merged, cnt FROM ($union) u ORDER BY rank"""
+  }
+
   val oracle: Map[String, String] = Map(
+    "nd_bpe_learn" -> bpeOracleSql(),
     "nd_token_pairs" ->
       """SELECT pair, count(*) AS freq
          FROM (SELECT unnest(list_transform(range(1, len(w)),

@@ -448,6 +448,31 @@ class TextAnalysisSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("BPE merge loop learns a well-formed, deterministic merge table") {
+    val sf = "/root/testdata/sf0.001"
+    val merges = TextAnalysis.bpeLearn(spark, sf).collect()
+    assert(merges.length == 8)
+    merges.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getAs[Long]("rank") == i + 1)
+      val pair = r.getAs[String]("pair")
+      // a merge is always of exactly two existing tokens
+      assert(pair.count(_ == ' ') == 1, s"malformed pair '$pair'")
+      assert(r.getAs[String]("merged") == pair.replace(" ", ""))
+      assert(r.getAs[Long]("cnt") > 0)
+    }
+    // the best pair count can only shrink as merges consume occurrences
+    val counts = merges.map(_.getAs[Long]("cnt"))
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b },
+      s"counts not non-increasing: ${counts.toSeq}")
+    // later merges may build on earlier ones (that is the point of the
+    // loop vs the single-step pair statistic) — at minimum the table has
+    // no duplicate merges
+    assert(merges.map(_.getAs[String]("pair")).distinct.length == 8)
+    // deterministic re-run
+    val again = TextAnalysis.bpeLearn(spark, sf).collect()
+    assert(again.map(_.toSeq).toSeq == merges.map(_.toSeq).toSeq)
+  }
+
   test("langid heuristic identifies hand-written sentences") {
     val samples = Seq(
       (1L, "the cat is on the mat and the dog is in the house", "en"),
