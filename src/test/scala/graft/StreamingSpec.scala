@@ -270,4 +270,48 @@ class EventStreamSpec extends AnyFunSuite {
       s"streamed ${streamed.size} sessions vs expected ${expected.size}")
     q.stop()
   }
+
+  test("streaming ANN over a static IVF index matches the batch top-k") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.Similarity
+    import spark.implicits._
+    val d = sf
+    val vecs = Tables.embeddings(spark, d)
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+    // static index, same parameters as the batch knnIvf defaults
+    val centDf = Similarity.lloydCentroids(vecs, 16, Similarity.DefaultLloydIters)
+    val lists = Similarity.coarseAssign(vecs, centDf)
+    val centroids = centDf.collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq.sortBy(_._1)
+    // queries arrive across two micro-batches
+    val allQ = vecs.filter(col("vec_id") < 5)
+      .select(col("vec_id"), col("v")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    implicit val sq = spark.sqlContext
+    val source = MemoryStream[(Long, Seq[Double])]
+    val out = graft.streaming.StreamingAnn.knnStream(
+      source.toDF().toDF("query_id", "qv"), lists, centroids, k = 5, nProbe = 4)
+    val q = out.writeStream.format("memory").queryName("ann_stream")
+      .outputMode("complete").start()
+    try {
+      source.addData(allQ.take(2).toSeq)
+      q.processAllAvailable()
+      source.addData(allQ.drop(2).toSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("ann_stream").collect().map { r =>
+        r.getLong(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+          .map(p => p.getLong(0)).toList
+      }.toMap
+      val batch = Similarity.knnIvf(spark, d).collect()
+        .groupBy(_.getLong(0)).view
+        .mapValues(_.sortBy(_.getLong(3)).map(_.getLong(1)).toList).toMap
+      assert(streamed.keySet == batch.keySet)
+      // identical neighbors in identical order: pinned tie-breaks on both
+      // paths (sim desc, neighbor asc) make the comparison exact
+      batch.foreach { case (qid, neighbors) =>
+        assert(streamed(qid) == neighbors,
+          s"query $qid: stream ${streamed(qid)} vs batch $neighbors")
+      }
+    } finally q.stop()
+  }
 }
