@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -252,34 +252,89 @@ object Similarity {
     * codebook instead of per-dimension ranges. Tie-breaks are pinned
     * (first maximum = lowest surviving code id) so the whole train→encode
     * →score pipeline replays in the oracle value-for-value. */
+  /** Per-subspace PQ codebooks: the [[lloydCentroids]] machinery run on
+    * subvector frames, collected as metadata and ordered by surviving
+    * list id so array position order matches the oracle's code-ascending
+    * tie-break. */
+  private def pqCodebooks(vecs: DataFrame, m: Int, sub: Int, ksub: Int,
+      lloydIters: Int): Seq[Array[Seq[Double]]] = {
+    import vecs.sparkSession.implicits._
+    (0 until m).map { j =>
+      val svFrame = vecs.select($"vec_id", slice($"v", j * sub + 1, sub).as("v"))
+      lloydCentroids(svFrame, ksub, lloydIters)
+        .orderBy($"list_id").collect().map(_.getSeq[Double](1))
+    }
+  }
+
+  /** PQ encode + reconstruct as a single map-only expression over `vCol`:
+    * per subspace, argmax of cosine against the literal codebook (first
+    * maximum = lowest surviving code id), then the chosen centroids
+    * concatenated back into a full-width reconstruction. */
+  private def pqReconExpr(codebooks: Seq[Array[Seq[Double]]], vCol: Column,
+      sub: Int): Column =
+    concat(codebooks.zipWithIndex.map { case (cb, j) =>
+      val sv = slice(vCol, j * sub + 1, sub)
+      val scores = array(cb.map(cv =>
+        Expressions.cosineSim(sv, array(cv.map(lit): _*))): _*)
+      val code = array_position(scores, array_max(scores)) // 1-based, first max
+      element_at(array(cb.map(cv => array(cv.map(lit): _*)): _*), code.cast("int"))
+    }: _*)
+
   def knnPq(s: SparkSession, d: String, nQueries: Int = 5, k: Int = 5,
       m: Int = 4, ksub: Int = 16, lloydIters: Int = 1): DataFrame = {
     import s.implicits._
     val dims = 64; val sub = dims / m
     val vecs = embeddings(s, d)
       .select($"vec_id", transform($"embedding", _.cast("double")).as("v"))
-    // per-subspace codebooks, ordered by surviving list id so array
-    // position order matches the oracle's code-ascending tie-break
-    val codebooks: Seq[Array[Seq[Double]]] = (0 until m).map { j =>
-      val svFrame = vecs.select($"vec_id", slice($"v", j * sub + 1, sub).as("v"))
-      lloydCentroids(svFrame, ksub, lloydIters)
-        .orderBy($"list_id").collect().map(_.getSeq[Double](1))
-    }
-    val recon = (0 until m).map { j =>
-      val cb = codebooks(j)
-      val sv = slice($"v", j * sub + 1, sub)
-      val scores = array(cb.map(cv =>
-        Expressions.cosineSim(sv, array(cv.map(lit): _*))): _*)
-      val code = array_position(scores, array_max(scores)) // 1-based, first max
-      element_at(array(cb.map(cv => array(cv.map(lit): _*)): _*), code.cast("int"))
-    }
-    val dq = vecs.select($"vec_id", concat(recon: _*).as("dv"))
+    val codebooks = pqCodebooks(vecs, m, sub, ksub, lloydIters)
+    val dq = vecs.select($"vec_id", pqReconExpr(codebooks, $"v", sub).as("dv"))
     val q = vecs.filter($"vec_id" < nQueries)
       .select($"vec_id".as("query_id"), $"v".as("qv"))
     val cand = dq.join(broadcast(q), $"vec_id" =!= $"query_id")
       .select($"query_id", $"vec_id".as("neighbor_id"),
               Expressions.cosineSim($"qv", $"dv").as("sim"))
     rankWithin(cand, k)
+  }
+
+  /** IVF+PQ with exact re-rank — the COMBINED architecture production
+    * vector stores run at billion scale, end to end: the coarse quantizer
+    * prunes the corpus to `nProbe` inverted lists, PQ codes give a cheap
+    * asymmetric first-pass score inside those lists (compressed corpus —
+    * at scale the list partitions hold 32-bit codes, not raw vectors),
+    * the best `rerank` ADC candidates per query are re-scored against the
+    * true vectors, and the final top-k is exact over that shortlist.
+    *
+    * Every stage keeps the scale shape of its standalone counterpart:
+    * centroids and codebooks are collected metadata (broadcast /
+    * literal-inlined), list assignment and PQ encode are map-only over
+    * one corpus pass, candidates come only from probed lists, and both
+    * rank stages sort per-query candidate sets, never the corpus. */
+  def knnIvfPq(s: SparkSession, d: String, nQueries: Int = 5, k: Int = 5,
+      nLists: Int = 16, nProbe: Int = 4, m: Int = 4, ksub: Int = 16,
+      rerank: Int = 15): DataFrame = {
+    import s.implicits._
+    val dims = 64; val sub = dims / m
+    val vecs = embeddings(s, d)
+      .select($"vec_id", transform($"embedding", _.cast("double")).as("v"))
+    val centroids = lloydCentroids(vecs, nLists, DefaultLloydIters)
+    val codebooks = pqCodebooks(vecs, m, sub, ksub, 1)
+    val enc = coarseAssign(vecs, centroids)
+      .withColumn("dv", pqReconExpr(codebooks, $"v", sub))
+    val probes = probeLists(
+      vecs.filter($"vec_id" < nQueries)
+        .select($"vec_id".as("query_id"), $"v".as("qv")),
+      centroids, nProbe)
+    val cand = enc.join(probes, Seq("list_id"))
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"qv", $"vec_id".as("neighbor_id"), $"v",
+              Expressions.cosineSim($"qv", $"dv").as("adc"))
+    val wAdc = Window.partitionBy($"query_id").orderBy($"adc".desc, $"neighbor_id")
+    val shortlist = cand
+      .withColumn("adc_rn", row_number().over(wAdc))
+      .filter($"adc_rn" <= rerank)
+      .select($"query_id", $"neighbor_id",
+              Expressions.cosineSim($"qv", $"v").as("sim"))
+    rankWithin(shortlist, k)
   }
 
   /** Recall@k of the LSH scale path against the exact brute-force top-k —
@@ -301,6 +356,7 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "nd_knn_pq" -> ((s: SparkSession, d: String) => knnPq(s, d)),
+    "nd_knn_ivfpq" -> ((s: SparkSession, d: String) => knnIvfPq(s, d)),
     "nd_knn_filtered" -> ((s: SparkSession, d: String) => knnFiltered(s, d)),
     "nd_knn_brute" -> ((s: SparkSession, d: String) => knnBrute(s, d)),
     "nd_knn_lsh" -> ((s: SparkSession, d: String) => knnLsh(s, d)),
@@ -370,8 +426,10 @@ object Similarity {
     * then encode (nearest trained centroid, tie → lowest code), reconstruct
     * by list concatenation, and asymmetric cosine top-k — mechanically
     * re-derived for any (m, ksub, iterations), like the IVF oracle. */
-  private[operators] def pqOracleSql(m: Int = 4, sub: Int = 16, ksub: Int = 16,
-      iterations: Int = 1, nQueries: Int = 5, k: Int = 5): String = {
+  /** The per-subspace codebook chains + the `dq` reconstruction CTE,
+    * shared by the standalone PQ oracle and the combined IVF+PQ oracle.
+    * Assumes a `vecs(vec_id, v)` CTE is already in scope. */
+  private def pqCtesSql(m: Int, sub: Int, ksub: Int, iterations: Int): String = {
     val subCtes = (0 until m).map { j =>
       val off = j * sub
       val steps = (1 to iterations).map { i =>
@@ -399,9 +457,14 @@ object Similarity {
     }.mkString(",\n          ")
     val joins = (1 until m).map(j => s"JOIN r$j USING (vec_id)").mkString(" ")
     val dvExpr = (0 until m).map(j => s"c$j").mkString(" || ")
+    s"""$subCtes,
+          dq AS (SELECT vec_id, $dvExpr AS dv FROM r0 $joins)"""
+  }
+
+  private[operators] def pqOracleSql(m: Int = 4, sub: Int = 16, ksub: Int = 16,
+      iterations: Int = 1, nQueries: Int = 5, k: Int = 5): String = {
     s"""WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-          $subCtes,
-          dq AS (SELECT vec_id, $dvExpr AS dv FROM r0 $joins),
+          ${pqCtesSql(m, sub, ksub, iterations)},
           q AS (SELECT vec_id AS query_id, v AS qv FROM vecs WHERE vec_id < $nQueries),
           scored AS (
             SELECT query_id, dq.vec_id AS neighbor_id,
@@ -410,6 +473,63 @@ object Similarity {
           rr AS (SELECT query_id, neighbor_id, sim,
                         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk
                  FROM scored)
+          SELECT query_id, neighbor_id, round(sim, 6) AS cos_sim, CAST(rk AS BIGINT) AS rank
+          FROM rr WHERE rk <= $k ORDER BY query_id, rank"""
+  }
+
+  /** DuckDB replay of the combined IVF+PQ+rerank pipeline: the coarse
+    * Lloyd chain and probe selection of [[ivfOracleSql]], the codebook
+    * chains and reconstruction of [[pqCtesSql]], an ADC shortlist window
+    * inside the probed lists, and an exact re-rank window over the
+    * shortlist — all re-derived for any parameter combination. */
+  private[operators] def ivfPqOracleSql(nLists: Int = 16, nProbe: Int = 4,
+      m: Int = 4, sub: Int = 16, ksub: Int = 16, coarseIters: Int = DefaultLloydIters,
+      pqIters: Int = 1, nQueries: Int = 5, k: Int = 5, rerank: Int = 15,
+      dims: Int = 64): String = {
+    val steps = (1 to coarseIters).map { i =>
+      s"""ca$i AS (
+            SELECT vec_id, v, list_id,
+                   row_number() OVER (PARTITION BY vec_id
+                     ORDER BY list_cosine_similarity(v, cv) DESC, list_id) AS rn
+            FROM vecs CROSS JOIN cvecs${i - 1}),
+          casg$i AS (SELECT vec_id, v, list_id FROM ca$i WHERE rn = 1),
+          ccent$i AS (
+            SELECT list_id, t.pos AS pos, avg(v[t.pos]) AS mu
+            FROM casg$i CROSS JOIN range(1, ${dims + 1}) t(pos)
+            GROUP BY list_id, t.pos),
+          cvecs$i AS (SELECT list_id, list(mu ORDER BY pos) AS cv FROM ccent$i GROUP BY list_id)"""
+    }.mkString(",\n          ")
+    s"""WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          cvecs0 AS (SELECT vec_id AS list_id, v AS cv FROM vecs WHERE vec_id < $nLists),
+          $steps,
+          aF AS (
+            SELECT vec_id, v, list_id,
+                   row_number() OVER (PARTITION BY vec_id
+                     ORDER BY list_cosine_similarity(v, cv) DESC, list_id) AS rn
+            FROM vecs CROSS JOIN cvecs$coarseIters),
+          lists AS (SELECT vec_id, v, list_id FROM aF WHERE rn = 1),
+          ${pqCtesSql(m, sub, ksub, pqIters)},
+          qs AS (
+            SELECT q.vec_id AS query_id, q.v AS qv, c.list_id,
+                   row_number() OVER (PARTITION BY q.vec_id
+                     ORDER BY list_cosine_similarity(q.v, c.cv) DESC, c.list_id) AS rn
+            FROM vecs q CROSS JOIN cvecs$coarseIters c WHERE q.vec_id < $nQueries),
+          probes AS (SELECT query_id, qv, list_id FROM qs WHERE rn <= $nProbe),
+          cand AS (
+            SELECT query_id, qv, l.vec_id AS neighbor_id, l.v,
+                   list_cosine_similarity(qv, dq.dv) AS adc
+            FROM lists l JOIN probes USING (list_id)
+                         JOIN dq ON dq.vec_id = l.vec_id
+            WHERE l.vec_id <> query_id),
+          sl AS (
+            SELECT query_id, neighbor_id,
+                   list_cosine_similarity(qv, v) AS sim,
+                   row_number() OVER (PARTITION BY query_id ORDER BY adc DESC, neighbor_id) AS arn
+            FROM cand),
+          rr AS (
+            SELECT query_id, neighbor_id, sim,
+                   row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk
+            FROM sl WHERE arn <= $rerank)
           SELECT query_id, neighbor_id, round(sim, 6) AS cos_sim, CAST(rk AS BIGINT) AS rank
           FROM rr WHERE rk <= $k ORDER BY query_id, rank"""
   }
@@ -457,6 +577,7 @@ object Similarity {
 
   val oracle: Map[String, String] = Map(
     "nd_knn_pq" -> pqOracleSql(),
+    "nd_knn_ivfpq" -> ivfPqOracleSql(),
     // scalar quantization replayed exactly: per-dim min/max (exact aggs),
     // floor-based codes (floor on the binary value is engine-stable,
     // round is not), dequantize, asymmetric cosine top-k

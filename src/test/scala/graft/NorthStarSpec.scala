@@ -318,6 +318,20 @@ class SimilaritySpec extends AnyFunSuite {
     assert(again == pq)
   }
 
+  test("IVF+PQ with exact re-rank recovers most of the uncompressed IVF answer") {
+    val sf01 = "/root/testdata/sf0.01"
+    val ivf = Similarity.knnIvf(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivfpq = Similarity.knnIvfPq(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivfpq.size == ivf.size && ivfpq.nonEmpty)
+    // same probed lists, so the only loss is PQ's ADC shortlist missing a
+    // true neighbor before the exact re-rank — the 3x shortlist should
+    // keep most of them
+    val agree = ivf.intersect(ivfpq).size.toDouble / ivf.size
+    assert(agree >= 0.6, s"IVF+PQ agreement with IVF fell to $agree")
+  }
+
   test("int8 scalar quantization barely perturbs the ranking") {
     val sf01 = "/root/testdata/sf0.01"
     val exact = Similarity.knnBrute(spark, sf01).collect()
