@@ -176,6 +176,49 @@ class StressSpec extends AnyFunSuite {
     assert(Similarity.knnLsh(spark, dir).collect().length == 25)
   }
 
+  test("(e) round-4 operators keep their scale shape at 30x") {
+    import spark.implicits._
+    def plan(df: DataFrame): String = df.queryExecution.executedPlan.toString
+
+    // decontamination: the benchmark side must broadcast (in production it
+    // is a fixed eval suite, bounded regardless of corpus growth) and the
+    // corpus side must never funnel. decontaminate() detaches its result
+    // (LocalTableScan), so the join shape is asserted on the same pipeline
+    // built inline
+    val sh = Tables.documents(spark, dir)
+      .select($"doc_id", Dedup.shingleHashes($"text").as("sh"))
+    val joined = sh.filter($"doc_id" % 10 =!= 0)
+      .select($"doc_id".as("train_id"), explode($"sh").as("h"))
+      .join(broadcast(sh.filter($"doc_id" % 10 === 0)
+        .select($"doc_id".as("eval_id"), explode($"sh").as("h"))), "h")
+      .groupBy($"train_id", $"eval_id").agg(count(lit(1)).as("n_shared"))
+    val decPlan = plan(joined)
+    assert(decPlan.contains("BroadcastHashJoin"),
+      s"decontaminate shape lost its broadcast eval side at 30x:\n$decPlan")
+    assert(!decPlan.contains("Exchange SinglePartition"),
+      s"decontaminate shape funnels at 30x:\n$decPlan")
+    val decRows = Dedup.decontaminate(spark, dir).collect()
+    assert(decRows.nonEmpty, "word-salted copies killed all base-corpus overlap")
+
+    // PQ / IVF+PQ: encode is map-only (literal codebooks), candidates stay
+    // shuffle-partitioned; both must complete and keep 25 result rows
+    val pq = Similarity.knnPq(spark, dir)
+    assert(!plan(pq).contains("Exchange SinglePartition"),
+      s"knnPq funnels at 30x:\n${plan(pq)}")
+    assert(pq.collect().length == 25)
+    val ivfpq = Similarity.knnIvfPq(spark, dir)
+    assert(!plan(ivfpq).contains("Exchange SinglePartition"),
+      s"knnIvfPq funnels at 30x:\n${plan(ivfpq)}")
+    assert(ivfpq.collect().length == 25)
+
+    // BPE: iterations run on the vocab, not the corpus — a 30x corpus
+    // still learns a well-formed merge table in vocab-sized work
+    val merges = graft.operators.TextAnalysis.bpeLearn(spark, dir, nMerges = 4).collect()
+    assert(merges.length == 4)
+    val counts = merges.map(_.getAs[Long]("cnt"))
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
+  }
+
   test("(d) ANN recall holds up at 30x — not just at the toy corpus") {
     // the round-2 caveat was that recall was only ever measured at 2k
     // vectors; here the same multi-probe LSH runs against 60k and must
