@@ -122,8 +122,34 @@ object Pipeline {
     graft.plans.Caching.detach(agg, freeNtile)
   }
 
+  /** Sequence PACKING — the last step before tokenized training data hits
+    * the trainer: concatenate documents (in a deterministic order) and cut
+    * the stream into fixed token-budget training sequences. Each doc's
+    * sequence id is `floor(start_offset / budget)` where `start_offset`
+    * is the exclusive global running total of token counts — the
+    * contiguous-packing assignment.
+    *
+    * The global running total is the scale hazard: `sum() OVER (ORDER BY
+    * ...)` plans a single-partition window. This uses
+    * [[graft.plans.ScalableNtile.runningTotal]] — per-range prefix sums
+    * plus a P-row offset broadcast, the same two-phase decomposition as
+    * the scalable ntile — so the plan never funnels. Output: per-sequence
+    * doc counts and token totals (the write path would partition by
+    * `seq_id` bucket instead of aggregating). */
+  def packSequences(s: SparkSession, d: String, budget: Long = 2048L): DataFrame = {
+    import s.implicits._
+    val toks = documents(s, d)
+      .select($"doc_id", size(TextAnalysis.wsTokens($"text")).cast("long").as("n_tokens"))
+    graft.plans.ScalableNtile.runningTotal(toks, $"n_tokens", Seq($"doc_id"), "cum_tokens")
+      .withColumn("seq_id", expr(s"CAST((cum_tokens - n_tokens) div $budget AS BIGINT)"))
+      .groupBy($"seq_id")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("total_tokens"))
+      .orderBy($"seq_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "nd_pipeline_curation" -> curationStats _,
+    "nd_pipeline_packing" -> ((s: SparkSession, d: String) => packSequences(s, d)),
     "nd_pipeline_stratified" -> stratifiedByQuality _)
 
   /** DuckDB replica of the whole curation pipeline — quality filter,
@@ -131,6 +157,21 @@ object Pipeline {
     * the same replayable constructions as the [[TextAnalysis]] /
     * [[Dedup]] oracles. */
   val oracle: Map[String, String] = Map(
+    // packing replay: DuckDB's literal running-total window (the plan the
+    // scalable two-phase version refuses to run) must yield identical
+    // sequence assignments — integer arithmetic end to end
+    "nd_pipeline_packing" ->
+      """WITH t AS (
+           SELECT doc_id, CAST(len(string_split_regex(text, ' +')) AS BIGINT) AS n_tokens
+           FROM documents),
+         c AS (
+           SELECT doc_id, n_tokens,
+                  sum(n_tokens) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM t),
+         b AS (SELECT CAST((cum - n_tokens) // 2048 AS BIGINT) AS seq_id, n_tokens FROM c)
+         SELECT seq_id, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+         FROM b GROUP BY seq_id ORDER BY seq_id""",
     "nd_pipeline_stratified" ->
       s"""WITH q AS (
             SELECT doc_id,

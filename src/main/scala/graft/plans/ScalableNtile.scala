@@ -65,19 +65,18 @@ object ScalableNtile {
       .toIndexedSeq
   }
 
-  /** Input rows + `__grank` (1-based global rank by `order`) + `__total`. */
-  private def withGlobalRank(df: DataFrame, order: Seq[Column],
+  /** Input rows + deterministic range id `__pid`: count of boundaries ≤
+    * key, found by BINARY SEARCH as a balanced CASE tree over a
+    * once-projected key struct — log2(P) lexicographic compares per row
+    * instead of P, and the struct is built once per row instead of per
+    * comparison. */
+  private def withRangeId(df: DataFrame, order: Seq[Column],
       partitions: Int): DataFrame = {
     val spark = df.sparkSession
-    import spark.implicits._
     val parts =
       if (partitions > 0) partitions else spark.sessionState.conf.numShufflePartitions
     val named = order.zipWithIndex.map { case (c, i) => c.as(s"_b$i") }
     val bounds = boundaryLiterals(df, order, parts).toIndexedSeq
-    // deterministic range id = count of boundaries ≤ key, found by BINARY
-    // SEARCH as a balanced CASE tree over a once-projected key struct:
-    // log2(P) lexicographic compares per row instead of P, and the struct
-    // is built once per row instead of per comparison
     val keyed = df.withColumn("__ntk", struct(named: _*))
     def search(loPid: Int, hiPid: Int): Column =
       if (loPid == hiPid) lit(loPid)
@@ -86,7 +85,15 @@ object ScalableNtile {
         when(col("__ntk") >= bounds(mid - 1), search(mid, hiPid))
           .otherwise(search(loPid, mid - 1))
       }
-    val withPid = keyed.withColumn("__pid", search(0, bounds.length)).drop("__ntk")
+    keyed.withColumn("__pid", search(0, bounds.length)).drop("__ntk")
+  }
+
+  /** Input rows + `__grank` (1-based global rank by `order`) + `__total`. */
+  private def withGlobalRank(df: DataFrame, order: Seq[Column],
+      partitions: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val withPid = withRangeId(df, order, partitions)
     // P rows of metadata: count per range → exclusive running sum = global
     // offset of the range's first row; windows over P rows are
     // driver-scale, not data-scale.
@@ -103,6 +110,32 @@ object ScalableNtile {
       .join(broadcast(offsets), "__pid")
       .withColumn("__grank", $"__offset" + $"__rn")
       .drop("__pid", "__rn", "__offset")
+  }
+
+  /** The input with an extra long column = the INCLUSIVE global running
+    * total of `value` in `order` — `sum(value) OVER (ORDER BY order ROWS
+    * UNBOUNDED PRECEDING)` without the single-partition funnel that window
+    * plans: per-range prefix sums (window state per range) plus a P-row
+    * exclusive-offset broadcast, the same decomposition as [[ntile]]'s
+    * global rank. `order` must be a total order and `value` must not be
+    * NULL; boundary skew affects balance only, never the result. */
+  def runningTotal(df: DataFrame, value: Column, order: Seq[Column],
+      totalCol: String, partitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val withPid = withRangeId(df, order, partitions).withColumn("__v", value)
+    val wMeta = Window.orderBy($"__pid")
+    val offsets = withPid.groupBy($"__pid").agg(sum($"__v").as("__vsum"))
+      .withColumn("__voffset",
+        coalesce(sum($"__vsum").over(wMeta.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select($"__pid", $"__voffset")
+    val wCum = Window.partitionBy($"__pid").orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    withPid
+      .withColumn("__pcum", sum($"__v").over(wCum))
+      .join(broadcast(offsets), "__pid")
+      .withColumn(totalCol, $"__voffset" + $"__pcum")
+      .drop("__pid", "__v", "__pcum", "__voffset")
   }
 
   /** The input with an extra long `bucketCol` = `ntile(n) OVER (ORDER BY

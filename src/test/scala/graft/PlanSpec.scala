@@ -83,6 +83,37 @@ class PlanSpec extends AnyFunSuite {
     assert(viaScale(uneven, 7) == viaWindow(uneven, 7))
   }
 
+  test("scalable running total matches the literal window and never funnels data") {
+    import spark.implicits._
+    val orders = graft.Tables.orders(spark, sf)
+      .select($"o_orderkey", ($"o_custkey" % 100 + 1).as("v"))
+    val got = graft.plans.ScalableNtile.runningTotal(
+      orders, $"v", Seq($"o_orderkey"), "rt")
+    // the data-scale cumulative window is partitioned by range id; only
+    // the P-row metadata aggregate may pass a single partition
+    val plan = executed(got)
+    assert(plan.contains("hashpartitioning(__pid"), s"no per-range partitioning:\n$plan")
+    // exact equality with sum() OVER (ORDER BY ...) — the plan this
+    // decomposition exists to avoid
+    val w = org.apache.spark.sql.expressions.Window.orderBy($"o_orderkey")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val expected = orders.select($"o_orderkey",
+      org.apache.spark.sql.functions.sum($"v").over(w).as("rt"))
+    val a = got.select($"o_orderkey", $"rt")
+    assert(a.except(expected).isEmpty && expected.except(a).isEmpty)
+    // edge cases: empty input, single row, forced single range
+    assert(graft.plans.ScalableNtile.runningTotal(
+      Seq.empty[Long].toDF("x"), $"x", Seq($"x"), "rt").collect().isEmpty)
+    val one = graft.plans.ScalableNtile.runningTotal(
+      Seq(7L).toDF("x"), $"x", Seq($"x"), "rt").collect()
+    assert(one.length == 1 && one(0).getAs[Long]("rt") == 7L)
+    val mid = (1L to 100L).toDF("x")
+    val single = graft.plans.ScalableNtile.runningTotal(
+      mid, $"x", Seq($"x"), "rt", partitions = 1)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("rt")).toMap
+    assert((1L to 100L).forall(i => single(i) == i * (i + 1) / 2))
+  }
+
   test("q03 top-k plans TakeOrderedAndProject, not a global sort") {
     val plan = Relational.q03TopCustomers(spark, sf).queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), s"top-k missing:\n$plan")
