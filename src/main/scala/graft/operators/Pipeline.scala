@@ -147,9 +147,43 @@ object Pipeline {
       .orderBy($"seq_id")
   }
 
+  /** Temperature-flattened language MIXING — the multi-source sampling
+    * step of a training mix: low-resource languages keep a higher fraction
+    * so the mix is flatter than the raw corpus. Keep rate per language is
+    * `min(1, targetFraction · sqrt(n_max / n_l))` — the α = 0.5
+    * temperature schedule expressed through `sqrt`, which IEEE-754
+    * guarantees correctly rounded (a general `pow` is libm-dependent and
+    * would not replay bit-for-bit across engines). Rows are kept by the
+    * same reproducible md5-fold key hashing as q36/stratified sampling —
+    * stable across runs, engines and cluster layouts.
+    *
+    * Scale shape: language counts are one metadata aggregate, rates
+    * broadcast back, the keep filter is map-side — one corpus pass plus a
+    * group-count shuffle of kept rows. */
+  def temperatureMixture(s: SparkSession, d: String,
+      targetFraction: Double = 0.5): DataFrame = {
+    import s.implicits._
+    val docs = documents(s, d)
+    val counts = docs.groupBy($"lang").agg(count(lit(1)).as("n_total"))
+    val rates = counts
+      .crossJoin(broadcast(counts.agg(max($"n_total").as("nmax"))))
+      .withColumn("rate", least(lit(1.0),
+        lit(targetFraction) * sqrt($"nmax".cast("double") / $"n_total".cast("double"))))
+      .select($"lang", $"n_total", $"rate")
+    docs.join(broadcast(rates), "lang")
+      .filter(conv(substring(md5(concat_ws("|", lit("mix"), $"doc_id")), 1, 7), 16, 10)
+        .cast("long") % 1000000L < floor($"rate" * 1000000.0).cast("long"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_kept"))
+      .join(broadcast(rates), "lang")
+      .select($"lang", $"n_total", $"n_kept", $"rate")
+      .orderBy($"lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "nd_pipeline_curation" -> curationStats _,
     "nd_pipeline_packing" -> ((s: SparkSession, d: String) => packSequences(s, d)),
+    "nd_pipeline_mixture" -> ((s: SparkSession, d: String) => temperatureMixture(s, d)),
     "nd_pipeline_stratified" -> stratifiedByQuality _)
 
   /** DuckDB replica of the whole curation pipeline — quality filter,
@@ -172,6 +206,23 @@ object Pipeline {
          b AS (SELECT CAST((cum - n_tokens) // 2048 AS BIGINT) AS seq_id, n_tokens FROM c)
          SELECT seq_id, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
          FROM b GROUP BY seq_id ORDER BY seq_id""",
+    // mixture replay: exact counts, sqrt-based rate (IEEE-correctly-rounded
+    // on both engines), md5-fold keep hash — integer gate end to end
+    "nd_pipeline_mixture" ->
+      """WITH c AS (SELECT lang, count(*) AS n_total FROM documents GROUP BY lang),
+         m AS (SELECT max(n_total) AS nmax FROM c),
+         r AS (SELECT lang, n_total,
+                      least(1.0::DOUBLE, 0.5::DOUBLE * sqrt(CAST(nmax AS DOUBLE) / CAST(n_total AS DOUBLE))) AS rate
+               FROM c CROSS JOIN m),
+         kept AS (
+           SELECT lang, count(*) AS n_kept
+           FROM documents d JOIN r USING (lang)
+           WHERE FOLD7 % 1000000 < CAST(floor(rate * 1000000.0::DOUBLE) AS BIGINT)
+           GROUP BY lang)
+         SELECT lang, n_total, n_kept, rate
+         FROM kept JOIN r USING (lang)
+         ORDER BY lang"""
+        .replace("FOLD7", "CAST(list_sum(list_transform(range(1,8), fi -> (strpos('0123456789abcdef', substr(md5(concat_ws('|', 'mix', d.doc_id)), fi, 1)) - 1)::BIGINT << (4*(7-fi)))) AS BIGINT)"),
     "nd_pipeline_stratified" ->
       s"""WITH q AS (
             SELECT doc_id,

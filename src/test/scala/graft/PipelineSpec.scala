@@ -33,6 +33,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(leaked.isEmpty, s"curated() left pinned RDD ids: $leaked")
   }
 
+  test("temperature mixture flattens the language distribution") {
+    val rows = Pipeline.temperatureMixture(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    val byN = rows.sortBy(_._2)
+    val (smallest, largest) = (byN.head, byN.last)
+    // the biggest language keeps exactly targetFraction; smaller ones more
+    assert(largest._4 == 0.5, s"largest-language rate ${largest._4}")
+    assert(smallest._4 > largest._4, "small languages not upweighted")
+    // realized keep shares flatten: small-lang share ≥ large-lang share
+    val shareSmall = smallest._3.toDouble / smallest._2
+    val shareLarge = largest._3.toDouble / largest._2
+    assert(shareSmall > shareLarge,
+      s"mixture did not flatten: $shareSmall vs $shareLarge")
+    // hash sampling lands near the configured rate
+    rows.foreach { case (lang, n, kept, rate) =>
+      assert(math.abs(kept.toDouble / n - rate) < 0.25,
+        s"$lang keep fraction ${kept.toDouble / n} far from rate $rate")
+    }
+  }
+
   test("partitioned write produces lang=* directories and round-trips") {
     val out = java.nio.file.Files.createTempDirectory("curated").toString
     val stats = Pipeline.curateAndWrite(spark, sf, out).collect()
