@@ -225,13 +225,20 @@ object TextAnalysis {
     * `" xy "` (consumed boundaries defer an immediately-adjacent repeat of
     * the same pair to a later iteration — deterministic, and identical in
     * Spark and DuckDB), ties on count break by pair string ascending. */
-  def bpeLearn(s: SparkSession, d: String, nMerges: Int = 8): DataFrame = {
+  /** The shared BPE training state: a persisted `(word, toks, freq)`
+    * vocabulary, the learned merge table, and the final tokenization
+    * expression (the chained merges applied to `toks`). The caller owns
+    * the returned `free` (unpersist the vocab after its result
+    * materializes). */
+  private def bpeState(s: SparkSession, d: String, nMerges: Int)
+      : (Seq[(Long, String, String, Long)], DataFrame, Column, () => Unit) = {
     import s.implicits._
     val wf = documents(s, d)
       .select(explode(wsTokens(canonical($"text"))).as("word"))
       .filter($"word" =!= "")
       .groupBy($"word").agg(count(lit(1)).as("freq"))
-      .select(concat(lit(" "), trim(regexp_replace($"word", "(.)", "$1 ")), lit(" ")).as("toks"),
+      .select($"word",
+              concat(lit(" "), trim(regexp_replace($"word", "(.)", "$1 ")), lit(" ")).as("toks"),
               $"freq")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var toks: Column = $"toks"
@@ -252,15 +259,64 @@ object TextAnalysis {
       merges += ((i.toLong, pair, merged, top.getLong(1)))
       toks = replace(toks, lit(s" $pair "), lit(s" $merged "))
     }
-    wf.unpersist(blocking = false)
+    (merges.result(), wf, toks, () => { wf.unpersist(blocking = false); () })
+  }
+
+  def bpeLearn(s: SparkSession, d: String, nMerges: Int = 8): DataFrame = {
+    import s.implicits._
+    val (merges, _, _, free) = bpeState(s, d, nMerges)
+    free()
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("rank", org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("pair", org.apache.spark.sql.types.StringType),
       org.apache.spark.sql.types.StructField("merged", org.apache.spark.sql.types.StringType),
       org.apache.spark.sql.types.StructField("cnt", org.apache.spark.sql.types.LongType)))
-    val rows = merges.result().map { case (r, p, m, c) =>
-      org.apache.spark.sql.Row(r, p, m, c) }
+    val rows = merges.map { case (r, p, m, c) => org.apache.spark.sql.Row(r, p, m, c) }
     s.createDataFrame(java.util.Arrays.asList(rows: _*), schema).orderBy($"rank")
+  }
+
+  /** BPE APPLY — tokenize the corpus under the learned merge table and
+    * report per-language compression (words in, BPE tokens out). The
+    * apply stage is per-WORD work: the vocab is tokenized once (the
+    * chained merge `replace`s, vocab-sized), then documents join their
+    * words against that piece-count table — at 100 TB the corpus pass is
+    * the explode+join; the tokenizer itself never touches data-scale
+    * rows. */
+  def bpeApply(s: SparkSession, d: String, nMerges: Int = 8): DataFrame = {
+    import s.implicits._
+    val (_, wf, finalToks, free) = bpeState(s, d, nMerges)
+    val pieces = wf.select($"word",
+      size(split(trim(finalToks), " ")).cast("long").as("n_pieces"))
+    val out = documents(s, d)
+      .select($"lang", explode(wsTokens(canonical($"text"))).as("word"))
+      .filter($"word" =!= "")
+      .join(pieces, "word")
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_words"), sum($"n_pieces").as("n_tokens"))
+      .orderBy($"lang")
+    graft.plans.Caching.detach(out, free)
+  }
+
+  /** One-pass table PROFILING — the `ANALYZE`-style statistics pass every
+    * ingest pipeline runs before trusting a new data drop: per column,
+    * null count, exact distinct count, and min/max (as a 16-char string
+    * prefix so wide text columns stay metadata-sized). One aggregate over
+    * the corpus (Spark plans multi-distinct via a single expanded pass),
+    * then a 5-row unpivot — output is column-count-sized, not data-sized. */
+  def profile(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val cols = Seq("doc_id", "lang", "n_chars", "source", "text")
+    val aggs = cols.flatMap(c => Seq(
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+      countDistinct(col(c)).as(s"${c}__distinct"),
+      substring(min(col(c)).cast("string"), 1, 16).as(s"${c}__min"),
+      substring(max(col(c)).cast("string"), 1, 16).as(s"${c}__max")))
+    val stacked = s"stack(${cols.length}, " + cols.map(c =>
+      s"'$c', ${c}__nulls, ${c}__distinct, ${c}__min, ${c}__max").mkString(", ") +
+      ") as (col_name, n_nulls, n_distinct, min_repr, max_repr)"
+    docs.agg(aggs.head, aggs.tail: _*)
+      .selectExpr(stacked)
+      .orderBy("col_name")
   }
 
   /** Corpus vocabulary: top-k tokens by frequency — the BPE-precursor
@@ -287,7 +343,9 @@ object TextAnalysis {
     "nd_lang_stats" -> langStats _,
     "nd_vocab_topk" -> ((s: SparkSession, d: String) => vocabTopK(s, d)),
     "nd_token_pairs" -> ((s: SparkSession, d: String) => tokenPairs(s, d)),
-    "nd_bpe_learn" -> ((s: SparkSession, d: String) => bpeLearn(s, d)))
+    "nd_bpe_learn" -> ((s: SparkSession, d: String) => bpeLearn(s, d)),
+    "nd_bpe_apply" -> ((s: SparkSession, d: String) => bpeApply(s, d)),
+    "nd_profile" -> profile _)
 
   private[operators] val stopListSql = stopwords.map(w => s"'$w'").mkString(", ")
 
@@ -311,34 +369,68 @@ object TextAnalysis {
     * via scalar subqueries, so the oracle re-learns the merges itself
     * rather than trusting the engine's. Mechanically re-derived for any
     * iteration depth, like the Lloyd and PQ oracles. */
-  private def bpeOracleSql(nMerges: Int = 8): String = {
+  /** The shared learn-chain CTEs (vocab → per-iteration pair counts, top
+    * pair, merge) up to `t{nMerges}`, which carries `(word, toks, freq)`. */
+  private def bpeChainSql(nMerges: Int): String = {
+    // every t_i / m_i is referenced more than once (directly and through
+    // the next iteration's scalar subqueries) — MATERIALIZED stops DuckDB
+    // from inlining the chain, which would recompute it combinatorially
     val iters = (1 to nMerges).map { i =>
-      s"""p$i AS (
+      s"""p$i AS MATERIALIZED (
             SELECT pr AS pair, CAST(sum(freq) AS BIGINT) AS cnt
             FROM (SELECT unnest(list_transform(range(1, len(l)), x -> l[x] || ' ' || l[x+1])) AS pr,
                          freq
                   FROM (SELECT string_split(trim(toks), ' ') AS l, freq FROM t${i - 1}) s$i)
             GROUP BY pr),
-          m$i AS (SELECT pair, cnt FROM p$i ORDER BY cnt DESC, pair LIMIT 1),
-          t$i AS (
-            SELECT replace(toks, ' ' || (SELECT pair FROM m$i) || ' ',
+          m$i AS MATERIALIZED (SELECT pair, cnt FROM p$i ORDER BY cnt DESC, pair LIMIT 1),
+          t$i AS MATERIALIZED (
+            SELECT word, replace(toks, ' ' || (SELECT pair FROM m$i) || ' ',
                            ' ' || replace((SELECT pair FROM m$i), ' ', '') || ' ') AS toks, freq
             FROM t${i - 1})"""
     }.mkString(",\n          ")
+    s"""words AS (
+            SELECT unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS word
+            FROM documents),
+          wf AS MATERIALIZED (SELECT word, count(*) AS freq FROM words WHERE word <> '' GROUP BY word),
+          t0 AS MATERIALIZED (SELECT word, ' ' || trim(regexp_replace(word, '(.)', '\\1 ', 'g')) || ' ' AS toks, freq FROM wf),
+          $iters"""
+  }
+
+  private def bpeOracleSql(nMerges: Int = 8): String = {
     val union = (1 to nMerges).map(i =>
       s"SELECT CAST($i AS BIGINT) AS rank, pair, replace(pair, ' ', '') AS merged, cnt FROM m$i")
       .mkString("\n           UNION ALL ")
-    s"""WITH words AS (
-            SELECT unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS word
-            FROM documents),
-          wf AS (SELECT word, count(*) AS freq FROM words WHERE word <> '' GROUP BY word),
-          t0 AS (SELECT ' ' || trim(regexp_replace(word, '(.)', '\\1 ', 'g')) || ' ' AS toks, freq FROM wf),
-          $iters
+    s"""WITH ${bpeChainSql(nMerges)}
           SELECT rank, pair, merged, cnt FROM ($union) u ORDER BY rank"""
   }
 
+  private def bpeApplyOracleSql(nMerges: Int = 8): String =
+    s"""WITH ${bpeChainSql(nMerges)},
+          wp AS (SELECT word, CAST(len(string_split(trim(toks), ' ')) AS BIGINT) AS n_pieces
+                 FROM t$nMerges),
+          dw AS (SELECT lang,
+                        unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS word
+                 FROM documents)
+          SELECT lang, count(*) AS n_words, CAST(sum(n_pieces) AS BIGINT) AS n_tokens
+          FROM dw JOIN wp USING (word)
+          WHERE word <> ''
+          GROUP BY lang ORDER BY lang"""
+
+  /** Per-column profiling replica: one UNION ALL branch per column. */
+  private val profileOracleSql: String =
+    Seq("doc_id", "lang", "n_chars", "source", "text").map { c =>
+      s"""SELECT '$c' AS col_name,
+                 CAST(count(*) - count($c) AS BIGINT) AS n_nulls,
+                 CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+                 substr(CAST(min($c) AS VARCHAR), 1, 16) AS min_repr,
+                 substr(CAST(max($c) AS VARCHAR), 1, 16) AS max_repr
+          FROM documents"""
+    }.mkString("\n          UNION ALL ") + "\n          ORDER BY col_name"
+
   val oracle: Map[String, String] = Map(
+    "nd_profile" -> profileOracleSql,
     "nd_bpe_learn" -> bpeOracleSql(),
+    "nd_bpe_apply" -> bpeApplyOracleSql(),
     "nd_token_pairs" ->
       """SELECT pair, count(*) AS freq
          FROM (SELECT unnest(list_transform(range(1, len(w)),

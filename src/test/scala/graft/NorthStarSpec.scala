@@ -487,6 +487,19 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(again.map(_.toSeq).toSeq == merges.map(_.toSeq).toSeq)
   }
 
+  test("BPE apply compresses: more merges, fewer tokens, never below word count") {
+    val sf = "/root/testdata/sf0.001"
+    def totals(n: Int): (Long, Long) = {
+      val rows = TextAnalysis.bpeApply(spark, sf, nMerges = n).collect()
+      (rows.map(_.getAs[Long]("n_words")).sum, rows.map(_.getAs[Long]("n_tokens")).sum)
+    }
+    val (w0, t0) = totals(0) // character tokenization
+    val (w8, t8) = totals(8)
+    assert(w0 == w8, "word universe must not depend on the merge count")
+    assert(t8 < t0, s"8 merges did not compress: $t8 vs $t0")
+    assert(t8 >= w8, "a word can never tokenize to fewer than one piece")
+  }
+
   test("langid heuristic identifies hand-written sentences") {
     val samples = Seq(
       (1L, "the cat is on the mat and the dog is in the house", "en"),
