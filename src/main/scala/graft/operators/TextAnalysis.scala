@@ -297,6 +297,36 @@ object TextAnalysis {
     graft.plans.Caching.detach(out, free)
   }
 
+  /** Within-document REPETITION signals — the "repeated n-gram fraction"
+    * family of junk-text filters (boilerplate loops, keyword stuffing,
+    * degenerate generations repeat themselves): per document, the
+    * fraction of word bigrams/trigrams that are duplicates of an earlier
+    * occurrence, plus the keep-flag at the conventional threshold. Pure
+    * map-side expressions over the token array (counts and one division,
+    * unrounded — identical op order on both engines); the only shuffle is
+    * the output ordering. */
+  def repetition(s: SparkSession, d: String, maxDupFrac: Double = 0.2): DataFrame = {
+    import s.implicits._
+    val toks = wsTokens(canonical($"text"))
+    val len2 = greatest(size(toks) - 1, lit(0))
+    val g2 = zip_with(slice(toks, lit(1), len2), slice(toks, lit(2), len2),
+      (a, b) => concat(a, lit(" "), b))
+    val len3 = greatest(size(toks) - 2, lit(0))
+    val g3 = zip_with(
+      zip_with(slice(toks, lit(1), len3), slice(toks, lit(2), len3),
+        (a, b) => concat(a, lit(" "), b)),
+      slice(toks, lit(3), len3), (ab, c) => concat(ab, lit(" "), c))
+    def dupFrac(g: Column): Column =
+      when(size(g) === 0, lit(0.0))
+        .otherwise((size(g) - size(array_distinct(g))).cast("double") / size(g).cast("double"))
+    documents(s, d)
+      .select($"doc_id",
+        dupFrac(g2).as("dup_bigram_frac"),
+        dupFrac(g3).as("dup_trigram_frac"))
+      .withColumn("keep", $"dup_bigram_frac" <= maxDupFrac && $"dup_trigram_frac" <= maxDupFrac)
+      .orderBy($"doc_id")
+  }
+
   /** One-pass table PROFILING — the `ANALYZE`-style statistics pass every
     * ingest pipeline runs before trusting a new data drop: per column,
     * null count, exact distinct count, and min/max (as a 16-char string
@@ -345,6 +375,7 @@ object TextAnalysis {
     "nd_token_pairs" -> ((s: SparkSession, d: String) => tokenPairs(s, d)),
     "nd_bpe_learn" -> ((s: SparkSession, d: String) => bpeLearn(s, d)),
     "nd_bpe_apply" -> ((s: SparkSession, d: String) => bpeApply(s, d)),
+    "nd_text_repetition" -> ((s: SparkSession, d: String) => repetition(s, d)),
     "nd_profile" -> profile _)
 
   private[operators] val stopListSql = stopwords.map(w => s"'$w'").mkString(", ")
@@ -429,6 +460,30 @@ object TextAnalysis {
 
   val oracle: Map[String, String] = Map(
     "nd_profile" -> profileOracleSql,
+    "nd_text_repetition" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS l
+           FROM documents),
+         g AS (
+           SELECT doc_id,
+                  list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1]) AS g2,
+                  CASE WHEN len(l) >= 3
+                       THEN list_transform(range(1, len(l) - 1), i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])
+                       ELSE [] END AS g3
+           FROM t),
+         f AS (
+           SELECT doc_id,
+                  CASE WHEN len(g2) = 0 THEN 0.0::DOUBLE
+                       ELSE CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE) / CAST(len(g2) AS DOUBLE)
+                  END AS dup_bigram_frac,
+                  CASE WHEN len(g3) = 0 THEN 0.0::DOUBLE
+                       ELSE CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE) / CAST(len(g3) AS DOUBLE)
+                  END AS dup_trigram_frac
+           FROM g)
+         SELECT doc_id, dup_bigram_frac, dup_trigram_frac,
+                (dup_bigram_frac <= 0.2::DOUBLE AND dup_trigram_frac <= 0.2::DOUBLE) AS keep
+         FROM f ORDER BY doc_id""",
     "nd_bpe_learn" -> bpeOracleSql(),
     "nd_bpe_apply" -> bpeApplyOracleSql(),
     "nd_token_pairs" ->
