@@ -93,6 +93,30 @@ object SketchKernels {
     out
   }
 
+  private val GramSep = UTF8String.fromString(" ")
+
+  /** Fraction of n-grams of `words` that duplicate an earlier occurrence —
+    * one pass, one HashSet, exact string distinct (matches the oracle's
+    * `len(g) - len(list_distinct(g))` on space-joined grams). The
+    * HOF formulation builds the gram array several times per row (size,
+    * distinct and the guard each re-evaluate the interpreted zip_with
+    * chain — no codegen, no subexpression elimination). */
+  def dupGramFraction(words: ArrayData, n: Int): Double = {
+    val total = words.numElements() - n + 1
+    if (total <= 0) return 0.0
+    val seen = new java.util.HashSet[UTF8String](total * 2)
+    var distinct = 0
+    var i = 0
+    while (i < total) {
+      val parts = new Array[UTF8String](n)
+      var j = 0
+      while (j < n) { parts(j) = words.getUTF8String(i + j); j += 1 }
+      if (seen.add(UTF8String.concatWs(GramSep, parts: _*))) distinct += 1
+      i += 1
+    }
+    (total - distinct).toDouble / total.toDouble
+  }
+
   def jaccardSorted(a: ArrayData, b: ArrayData): Double = {
     val na = a.numElements(); val nb = b.numElements()
     var i = 0; var j = 0; var inter = 0
@@ -303,6 +327,19 @@ object Expressions {
     override def prettyName: String = "shingle_hashes"
   }
 
+  /** Duplicate-n-gram fraction of a word array — the repeated-n-gram junk
+    * signal as ONE fused pass (see [[SketchKernels.dupGramFraction]]). */
+  case class DupGramFraction(child: Expression, n: Int) extends UnaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(input: Any): Any =
+      SketchKernels.dupGramFraction(input.asInstanceOf[ArrayData], n)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $K.dupGramFraction($c, $n);")
+    override protected def withNewChildInternal(newChild: Expression): DupGramFraction =
+      copy(child = newChild)
+    override def prettyName: String = "dup_gram_fraction"
+  }
+
   /** Exact Jaccard similarity of two SORTED distinct long arrays (as
     * produced by [[ShingleHashes]]): one merge pass, no set allocation. */
   case class JaccardSorted(left: Expression, right: Expression) extends BinaryExpression {
@@ -354,6 +391,8 @@ object Expressions {
     column(ShingleHashes(expression(words), shingleSize))
   def jaccardSorted(a: Column, b: Column): Column =
     column(JaccardSorted(expression(a), expression(b)))
+  def dupGramFraction(words: Column, n: Int): Column =
+    column(DupGramFraction(expression(words), n))
   def lshBucket(vec: Column, planes: Int, table: Int): Column =
     column(LshBucket(expression(vec), planes, table))
   def charNgrams(text: Column, n: Int): Column =

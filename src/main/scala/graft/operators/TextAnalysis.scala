@@ -301,28 +301,19 @@ object TextAnalysis {
     * family of junk-text filters (boilerplate loops, keyword stuffing,
     * degenerate generations repeat themselves): per document, the
     * fraction of word bigrams/trigrams that are duplicates of an earlier
-    * occurrence, plus the keep-flag at the conventional threshold. Pure
-    * map-side expressions over the token array (counts and one division,
-    * unrounded — identical op order on both engines); the only shuffle is
-    * the output ordering. */
+    * occurrence, plus the keep-flag at the conventional threshold. Each
+    * fraction is ONE fused native-expression pass over the token array
+    * ([[Expressions.dupGramFraction]] — the HOF formulation re-evaluated
+    * its interpreted zip_with chain per reference and benched 7× slower);
+    * the only shuffle is the output ordering. */
   def repetition(s: SparkSession, d: String, maxDupFrac: Double = 0.2): DataFrame = {
     import s.implicits._
+    import graft.functions.Expressions
     val toks = wsTokens(canonical($"text"))
-    val len2 = greatest(size(toks) - 1, lit(0))
-    val g2 = zip_with(slice(toks, lit(1), len2), slice(toks, lit(2), len2),
-      (a, b) => concat(a, lit(" "), b))
-    val len3 = greatest(size(toks) - 2, lit(0))
-    val g3 = zip_with(
-      zip_with(slice(toks, lit(1), len3), slice(toks, lit(2), len3),
-        (a, b) => concat(a, lit(" "), b)),
-      slice(toks, lit(3), len3), (ab, c) => concat(ab, lit(" "), c))
-    def dupFrac(g: Column): Column =
-      when(size(g) === 0, lit(0.0))
-        .otherwise((size(g) - size(array_distinct(g))).cast("double") / size(g).cast("double"))
     documents(s, d)
       .select($"doc_id",
-        dupFrac(g2).as("dup_bigram_frac"),
-        dupFrac(g3).as("dup_trigram_frac"))
+        Expressions.dupGramFraction(toks, 2).as("dup_bigram_frac"),
+        Expressions.dupGramFraction(toks, 3).as("dup_trigram_frac"))
       .withColumn("keep", $"dup_bigram_frac" <= maxDupFrac && $"dup_trigram_frac" <= maxDupFrac)
       .orderBy($"doc_id")
   }
