@@ -407,5 +407,7 @@ object Expressions {
     reg.createOrReplaceTempFunction("hamming64", es => HammingDist64(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("cosine_sim", es => CosineSim(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("erc20_transfers", es => Erc20TransfersGenerator(es), "built-in")
+    reg.createOrReplaceTempFunction("dup_gram_fraction",
+      es => DupGramFraction(es(0), es(1).eval().asInstanceOf[Int]), "built-in")
   }
 }

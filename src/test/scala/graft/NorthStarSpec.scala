@@ -54,8 +54,11 @@ class ExpressionsSpec extends AnyFunSuite {
     Expressions.register(spark)
     val r = spark.sql(
       "SELECT hamming64(simhash60(array('a','b')), simhash60(array('a','b'))) h, " +
-      "cosine_sim(array(1.0d, 0.0d), array(1.0d, 0.0d)) c").head()
+      "cosine_sim(array(1.0d, 0.0d), array(1.0d, 0.0d)) c, " +
+      "dup_gram_fraction(array('a','b','a','b','x'), 2) d").head()
     assert(r.getInt(0) == 0 && math.abs(r.getDouble(1) - 1.0) < 1e-12)
+    // grams: ab, ba, ab, bx -> one duplicate of four
+    assert(math.abs(r.getDouble(2) - 0.25) < 1e-12)
   }
 }
 
@@ -551,7 +554,8 @@ class TextAnalysisSpec extends AnyFunSuite {
           Expressions.cosineSim(typedLit(Seq(1.0, 2.0)), typedLit(Seq(2.0, 1.0))).as("cos"),
           Expressions.cosineSim(typedLit(Seq(1.0, 2.0)), typedLit(Seq(0.0, 0.0))).as("cos_null"),
           Expressions.lshBucket(typedLit(Seq(1.0, 2.0)), 6, 0).as("bkt"),
-          Expressions.hamming64(Expressions.simhash60(toks), Expressions.simhash60(toks)).as("ham"))
+          Expressions.hamming64(Expressions.simhash60(toks), Expressions.simhash60(toks)).as("ham"),
+          Expressions.dupGramFraction(toks, 2).as("dup2"))
       val r = df.head()
       assert(r.getAs[scala.collection.Seq[Long]]("sig").length == 32)
       assert(r.getAs[scala.collection.Seq[Long]]("shs").nonEmpty)
@@ -559,6 +563,8 @@ class TextAnalysisSpec extends AnyFunSuite {
       assert(r.isNullAt(r.fieldIndex("cos_null")))
       assert(r.getAs[scala.collection.Seq[String]]("grams").nonEmpty)
       assert(r.getAs[Int]("ham") == 0)
+      val dup2 = r.getAs[Double]("dup2")
+      assert(dup2 >= 0.0 && dup2 < 1.0)
       // the generated code calls the static kernels directly
       val gen = org.apache.spark.sql.execution.debug.codegenString(df.queryExecution.executedPlan)
       assert(gen.contains("SketchKernels"), s"kernels not in generated code:\n${gen.take(2000)}")
