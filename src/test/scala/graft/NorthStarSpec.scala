@@ -174,6 +174,15 @@ class CacheHygieneSpec extends AnyFunSuite {
     val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
     assert(leaked.isEmpty, s"leaked cached RDDs: $leaked")
   }
+
+  test("round-4 persisted bases (decontaminate, BPE vocab) are freed too") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    assert(Dedup.decontaminate(spark, sf).collect().nonEmpty)
+    assert(TextAnalysis.bpeLearn(spark, sf, nMerges = 2).collect().length == 2)
+    assert(TextAnalysis.bpeApply(spark, sf, nMerges = 2).collect().nonEmpty)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"leaked cached RDDs: $leaked")
+  }
 }
 
 /** Incremental-ingest dedup invariant: splitting the corpus and deduping
