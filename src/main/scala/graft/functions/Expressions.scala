@@ -117,6 +117,27 @@ object SketchKernels {
     (total - distinct).toDouble / total.toDouble
   }
 
+  /** Fraction of the document's n-grams occupied by the single most
+    * frequent one — the "top n-gram coverage" junk signal (a page that is
+    * one phrase looping scores near 1). Same fused pass as
+    * [[dupGramFraction]], with a count map instead of a set. */
+  def topGramFraction(words: ArrayData, n: Int): Double = {
+    val total = words.numElements() - n + 1
+    if (total <= 0) return 0.0
+    val counts = new java.util.HashMap[UTF8String, Int](total * 2)
+    var best = 0
+    var i = 0
+    while (i < total) {
+      val parts = new Array[UTF8String](n)
+      var j = 0
+      while (j < n) { parts(j) = words.getUTF8String(i + j); j += 1 }
+      val c = counts.merge(UTF8String.concatWs(GramSep, parts: _*), 1, (a, b) => a + b)
+      if (c > best) best = c
+      i += 1
+    }
+    best.toDouble / total.toDouble
+  }
+
   def jaccardSorted(a: ArrayData, b: ArrayData): Double = {
     val na = a.numElements(); val nb = b.numElements()
     var i = 0; var j = 0; var inter = 0
@@ -340,6 +361,18 @@ object Expressions {
     override def prettyName: String = "dup_gram_fraction"
   }
 
+  /** Top-n-gram coverage fraction ([[SketchKernels.topGramFraction]]). */
+  case class TopGramFraction(child: Expression, n: Int) extends UnaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(input: Any): Any =
+      SketchKernels.topGramFraction(input.asInstanceOf[ArrayData], n)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $K.topGramFraction($c, $n);")
+    override protected def withNewChildInternal(newChild: Expression): TopGramFraction =
+      copy(child = newChild)
+    override def prettyName: String = "top_gram_fraction"
+  }
+
   /** Exact Jaccard similarity of two SORTED distinct long arrays (as
     * produced by [[ShingleHashes]]): one merge pass, no set allocation. */
   case class JaccardSorted(left: Expression, right: Expression) extends BinaryExpression {
@@ -393,6 +426,8 @@ object Expressions {
     column(JaccardSorted(expression(a), expression(b)))
   def dupGramFraction(words: Column, n: Int): Column =
     column(DupGramFraction(expression(words), n))
+  def topGramFraction(words: Column, n: Int): Column =
+    column(TopGramFraction(expression(words), n))
   def lshBucket(vec: Column, planes: Int, table: Int): Column =
     column(LshBucket(expression(vec), planes, table))
   def charNgrams(text: Column, n: Int): Column =

@@ -313,7 +313,8 @@ object TextAnalysis {
     documents(s, d)
       .select($"doc_id",
         Expressions.dupGramFraction(toks, 2).as("dup_bigram_frac"),
-        Expressions.dupGramFraction(toks, 3).as("dup_trigram_frac"))
+        Expressions.dupGramFraction(toks, 3).as("dup_trigram_frac"),
+        Expressions.topGramFraction(toks, 2).as("top_bigram_frac"))
       .withColumn("keep", $"dup_bigram_frac" <= maxDupFrac && $"dup_trigram_frac" <= maxDupFrac)
       .orderBy($"doc_id")
   }
@@ -471,10 +472,16 @@ object TextAnalysis {
                   CASE WHEN len(g3) = 0 THEN 0.0::DOUBLE
                        ELSE CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE) / CAST(len(g3) AS DOUBLE)
                   END AS dup_trigram_frac
-           FROM g)
-         SELECT doc_id, dup_bigram_frac, dup_trigram_frac,
+           FROM g),
+         gc AS (SELECT doc_id, pr, count(*) AS c
+                FROM (SELECT doc_id, unnest(g2) AS pr FROM g) gg GROUP BY doc_id, pr),
+         tp AS (SELECT doc_id, CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top_bigram_frac
+                FROM gc GROUP BY doc_id)
+         SELECT f.doc_id, dup_bigram_frac, dup_trigram_frac,
+                coalesce(top_bigram_frac, 0.0::DOUBLE) AS top_bigram_frac,
                 (dup_bigram_frac <= 0.2::DOUBLE AND dup_trigram_frac <= 0.2::DOUBLE) AS keep
-         FROM f ORDER BY doc_id""",
+         FROM f LEFT JOIN tp ON f.doc_id = tp.doc_id
+         ORDER BY f.doc_id""",
     "nd_bpe_learn" -> bpeOracleSql(),
     "nd_bpe_apply" -> bpeApplyOracleSql(),
     "nd_token_pairs" ->
