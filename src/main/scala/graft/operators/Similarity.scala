@@ -337,6 +337,33 @@ object Similarity {
     rankWithin(shortlist, k)
   }
 
+  /** Matryoshka-style PREFIX-dimension retrieval — the two-stage trick
+    * behind MRL embeddings: score a cheap shortlist on the first
+    * `prefixDims` dimensions only (at scale the prefix can live in memory
+    * / a separate column while full vectors stay on disk), then re-rank
+    * the shortlist against the full vectors. Complements PQ: compression
+    * by truncation instead of quantization, same
+    * shortlist-then-exact-rerank plan shape as [[knnIvfPq]]. */
+  def knnMrl(s: SparkSession, d: String, nQueries: Int = 5, k: Int = 5,
+      prefixDims: Int = 32, rerank: Int = 15): DataFrame = {
+    import s.implicits._
+    val vecs = embeddings(s, d)
+      .select($"vec_id", transform($"embedding", _.cast("double")).as("v"))
+    val q = vecs.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("query_id"), $"v".as("qv"))
+    val cand = vecs.join(broadcast(q), $"vec_id" =!= $"query_id")
+      .select($"query_id", $"qv", $"vec_id".as("neighbor_id"), $"v",
+              Expressions.cosineSim(
+                slice($"qv", 1, prefixDims), slice($"v", 1, prefixDims)).as("psim"))
+    val wPre = Window.partitionBy($"query_id").orderBy($"psim".desc, $"neighbor_id")
+    val shortlist = cand
+      .withColumn("pre_rn", row_number().over(wPre))
+      .filter($"pre_rn" <= rerank)
+      .select($"query_id", $"neighbor_id",
+              Expressions.cosineSim($"qv", $"v").as("sim"))
+    rankWithin(shortlist, k)
+  }
+
   /** Recall@k of the LSH scale path against the exact brute-force top-k —
     * the evaluation every ANN deployment runs before trusting an index.
     * Per query: |LSH∩brute| / k. Both sides are deterministic pipelines,
@@ -357,6 +384,7 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "nd_knn_pq" -> ((s: SparkSession, d: String) => knnPq(s, d)),
     "nd_knn_ivfpq" -> ((s: SparkSession, d: String) => knnIvfPq(s, d)),
+    "nd_knn_mrl" -> ((s: SparkSession, d: String) => knnMrl(s, d)),
     "nd_knn_filtered" -> ((s: SparkSession, d: String) => knnFiltered(s, d)),
     "nd_knn_brute" -> ((s: SparkSession, d: String) => knnBrute(s, d)),
     "nd_knn_lsh" -> ((s: SparkSession, d: String) => knnLsh(s, d)),
@@ -578,6 +606,24 @@ object Similarity {
   val oracle: Map[String, String] = Map(
     "nd_knn_pq" -> pqOracleSql(),
     "nd_knn_ivfpq" -> ivfPqOracleSql(),
+    "nd_knn_mrl" ->
+      """WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          q AS (SELECT vec_id AS query_id, v AS qv FROM vecs WHERE vec_id < 5),
+          cand AS (
+            SELECT query_id, qv, vec_id AS neighbor_id, v,
+                   list_cosine_similarity(qv[1:32], v[1:32]) AS psim
+            FROM vecs CROSS JOIN q WHERE vec_id <> query_id),
+          sl AS (
+            SELECT query_id, neighbor_id,
+                   list_cosine_similarity(qv, v) AS sim,
+                   row_number() OVER (PARTITION BY query_id ORDER BY psim DESC, neighbor_id) AS prn
+            FROM cand),
+          rr AS (
+            SELECT query_id, neighbor_id, sim,
+                   row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk
+            FROM sl WHERE prn <= 15)
+          SELECT query_id, neighbor_id, round(sim, 6) AS cos_sim, CAST(rk AS BIGINT) AS rank
+          FROM rr WHERE rk <= 5 ORDER BY query_id, rank""",
     // scalar quantization replayed exactly: per-dim min/max (exact aggs),
     // floor-based codes (floor on the binary value is engine-stable,
     // round is not), dequantize, asymmetric cosine top-k

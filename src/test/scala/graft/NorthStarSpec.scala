@@ -344,6 +344,18 @@ class SimilaritySpec extends AnyFunSuite {
     assert(agree >= 0.6, s"IVF+PQ agreement with IVF fell to $agree")
   }
 
+  test("prefix-dimension (MRL) retrieval recovers most of the exact answer") {
+    val sf01 = "/root/testdata/sf0.01"
+    val exact = Similarity.knnBrute(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mrl = Similarity.knnMrl(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mrl.size == exact.size && mrl.nonEmpty)
+    // a 32-of-64-dim shortlist at 3x depth keeps most true neighbors
+    val recall = exact.intersect(mrl).size.toDouble / exact.size
+    assert(recall >= 0.4, s"MRL recall@5 vs brute force fell to $recall")
+  }
+
   test("int8 scalar quantization barely perturbs the ranking") {
     val sf01 = "/root/testdata/sf0.01"
     val exact = Similarity.knnBrute(spark, sf01).collect()
