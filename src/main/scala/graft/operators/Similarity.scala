@@ -337,6 +337,38 @@ object Similarity {
     rankWithin(shortlist, k)
   }
 
+  /** Binary quantization ANN — the most aggressive compression point of
+    * the family (1 bit/dim: a 64-dim vector becomes ONE long, 512× smaller
+    * than float64): sign-bit codes, Hamming-distance shortlist (a single
+    * XOR+popcount per candidate — the cheapest possible first pass), exact
+    * re-rank of the shortlist. Integer arithmetic end to end until the
+    * final cosine, so the replay is exact. */
+  def knnBq(s: SparkSession, d: String, nQueries: Int = 5, k: Int = 5,
+      rerank: Int = 15): DataFrame = {
+    import s.implicits._
+    val vecs = embeddings(s, d)
+      .select($"vec_id", transform($"embedding", _.cast("double")).as("v"))
+    // sign-bit code: bit i-1 set iff v[i] >= 0 (exact integer fold; the
+    // i=64 term wraps to Long.MinValue identically in both engines)
+    val code = expr(
+      """aggregate(zip_with(v, sequence(1, 64),
+           (x, i) -> IF(x >= 0D, shiftleft(1L, i - 1), 0L)),
+         0L, (acc, b) -> acc | b)""")
+    val coded = vecs.withColumn("bq", code)
+    val q = coded.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("query_id"), $"v".as("qv"), $"bq".as("qbq"))
+    val cand = coded.join(broadcast(q), $"vec_id" =!= $"query_id")
+      .select($"query_id", $"qv", $"vec_id".as("neighbor_id"), $"v",
+              Expressions.hamming64($"qbq", $"bq").as("ham"))
+    val wHam = Window.partitionBy($"query_id").orderBy($"ham".asc, $"neighbor_id")
+    val shortlist = cand
+      .withColumn("ham_rn", row_number().over(wHam))
+      .filter($"ham_rn" <= rerank)
+      .select($"query_id", $"neighbor_id",
+              Expressions.cosineSim($"qv", $"v").as("sim"))
+    rankWithin(shortlist, k)
+  }
+
   /** Matryoshka-style PREFIX-dimension retrieval — the two-stage trick
     * behind MRL embeddings: score a cheap shortlist on the first
     * `prefixDims` dimensions only (at scale the prefix can live in memory
@@ -385,6 +417,7 @@ object Similarity {
     "nd_knn_pq" -> ((s: SparkSession, d: String) => knnPq(s, d)),
     "nd_knn_ivfpq" -> ((s: SparkSession, d: String) => knnIvfPq(s, d)),
     "nd_knn_mrl" -> ((s: SparkSession, d: String) => knnMrl(s, d)),
+    "nd_knn_bq" -> ((s: SparkSession, d: String) => knnBq(s, d)),
     "nd_knn_filtered" -> ((s: SparkSession, d: String) => knnFiltered(s, d)),
     "nd_knn_brute" -> ((s: SparkSession, d: String) => knnBrute(s, d)),
     "nd_knn_lsh" -> ((s: SparkSession, d: String) => knnLsh(s, d)),
@@ -606,6 +639,33 @@ object Similarity {
   val oracle: Map[String, String] = Map(
     "nd_knn_pq" -> pqOracleSql(),
     "nd_knn_ivfpq" -> ivfPqOracleSql(),
+    "nd_knn_bq" ->
+      """WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          coded AS (
+            -- DuckDB range-checks 1 << 63, so the top bit is its literal
+            -- two's-complement value (same long Spark's shiftleft wraps to)
+            SELECT vec_id, v,
+                   CAST(list_sum(list_transform(range(1, 65),
+                     i -> CASE WHEN v[i] < 0 THEN 0::BIGINT
+                               WHEN i = 64 THEN (-9223372036854775807 - 1)::BIGINT
+                               ELSE (1::BIGINT << (i-1)) END)) AS BIGINT) AS bq
+            FROM vecs),
+          q AS (SELECT vec_id AS query_id, v AS qv, bq AS qbq FROM coded WHERE vec_id < 5),
+          cand AS (
+            SELECT query_id, qv, c.vec_id AS neighbor_id, c.v,
+                   bit_count(xor(qbq, c.bq)) AS ham
+            FROM coded c CROSS JOIN q WHERE c.vec_id <> query_id),
+          sl AS (
+            SELECT query_id, neighbor_id,
+                   list_cosine_similarity(qv, v) AS sim,
+                   row_number() OVER (PARTITION BY query_id ORDER BY ham ASC, neighbor_id) AS hrn
+            FROM cand),
+          rr AS (
+            SELECT query_id, neighbor_id, sim,
+                   row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk
+            FROM sl WHERE hrn <= 15)
+          SELECT query_id, neighbor_id, round(sim, 6) AS cos_sim, CAST(rk AS BIGINT) AS rank
+          FROM rr WHERE rk <= 5 ORDER BY query_id, rank""",
     "nd_knn_mrl" ->
       """WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
           q AS (SELECT vec_id AS query_id, v AS qv FROM vecs WHERE vec_id < 5),

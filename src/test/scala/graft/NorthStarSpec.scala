@@ -356,6 +356,18 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.4, s"MRL recall@5 vs brute force fell to $recall")
   }
 
+  test("binary quantization still separates neighbors at 1 bit per dimension") {
+    val sf01 = "/root/testdata/sf0.01"
+    val exact = Similarity.knnBrute(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bq = Similarity.knnBq(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bq.size == exact.size && bq.nonEmpty)
+    // 512x compression: the bar is usefulness of the Hamming shortlist
+    val recall = exact.intersect(bq).size.toDouble / exact.size
+    assert(recall >= 0.3, s"BQ recall@5 vs brute force fell to $recall")
+  }
+
   test("int8 scalar quantization barely perturbs the ranking") {
     val sf01 = "/root/testdata/sf0.01"
     val exact = Similarity.knnBrute(spark, sf01).collect()
