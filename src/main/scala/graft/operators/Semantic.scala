@@ -1,0 +1,144 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.Tables._
+import graft.functions.Expressions
+import graft.plans.Caching
+
+/** Semantic (embedding-space) curation over the `embeddings` table:
+  * cluster-then-compare deduplication and per-cluster prototype selection.
+  *
+  * Both operators share the IVF coarse quantizer
+  * ([[Similarity.lloydCentroids]]): the corpus is partitioned into
+  * `nLists` Lloyd-refined clusters, and ALL pairwise work happens inside a
+  * cluster. That is the scale contract — the quadratic comparison that
+  * makes naive semantic dedup intractable is bounded by the largest
+  * cluster, not the corpus: with balanced lists each cluster holds ~n/L
+  * vectors and the candidate pair count drops from n²/2 to n²/(2L). At
+  * 100 TB you raise `nLists` with the corpus (lists of ~100k vectors keep
+  * the per-cluster join trivially memory-resident) and cap outliers with
+  * the same bounded-bucket argument StressSpec asserts for LSH/simhash.
+  *
+  * SemDeDup (Abbas et al., arXiv:2303.09540) keeps one representative per
+  * group of near-identical embeddings: inside each cluster, a vector is
+  * dropped when a lower-id vector sits within the cosine threshold.
+  * Prototype selection (the "SSL prototypes" curation rule, Sorscher et
+  * al., arXiv:2206.14486) ranks each cluster's members by centroid
+  * similarity and keeps the `m` most prototypical.
+  */
+object Semantic {
+
+  val DefaultLists = 16
+
+  /** Cosine threshold for "semantically identical". The synthetic
+    * embeddings' pairwise cosine mass sits in [-0.5, 0.5]; 0.4 selects the
+    * far tail (top ~0.2% of pairs), the same regime a production tau
+    * (0.95+ on real embeddings) occupies. */
+  val DefaultTau = 0.4
+
+  /** Cluster assignment reused by both operators: the trained quantizer's
+    * final assignment, persisted because both consumers fork over it
+    * (self-join / centroid re-join). Callers free via the returned thunk
+    * ([[graft.plans.Caching.detach]] discipline). */
+  private def clusteredVecs(s: SparkSession, d: String, nLists: Int,
+      lloydIters: Int): (DataFrame, DataFrame, () => Unit) = {
+    import s.implicits._
+    val vecs = embeddings(s, d)
+      .select($"vec_id", transform($"embedding", _.cast("double")).as("v"))
+    val centroids = Similarity.lloydCentroids(vecs, nLists, lloydIters)
+    val lists = Similarity.coarseAssign(vecs, centroids)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    (lists, centroids, () => { lists.unpersist(blocking = false); () })
+  }
+
+  /** SemDeDup: `(vec_id, list_id, keep)` for every corpus vector — `keep`
+    * is false iff a lower-id vector in the same cluster has cosine ≥ `tau`
+    * (round-4-digit first, the same boundary discipline as the embedding
+    * near-dup pair queries, so the ≥ comparison is engine-stable).
+    *
+    * The self-join is equi-keyed on `list_id`, so it shuffles each cluster
+    * to one task and compares only within it; the dup side collapses to a
+    * DISTINCT id set before the corpus-wide left-anti flag join. */
+  def semanticDedup(s: SparkSession, d: String,
+      nLists: Int = DefaultLists,
+      lloydIters: Int = Similarity.DefaultLloydIters,
+      tau: Double = DefaultTau): DataFrame = {
+    import s.implicits._
+    val (lists, _, free) = clusteredVecs(s, d, nLists, lloydIters)
+    val dup = lists.as("a").join(lists.as("b"),
+        col("a.list_id") === col("b.list_id") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .filter(round(Expressions.cosineSim(col("a.v"), col("b.v")), 4) >= tau)
+      .select(col("b.vec_id").as("vec_id")).distinct()
+    val out = lists
+      .join(dup.withColumn("is_dup", lit(true)), Seq("vec_id"), "left")
+      .select($"vec_id", $"list_id", $"is_dup".isNull.as("keep"))
+      .orderBy($"vec_id")
+    Caching.detach(out, free)
+  }
+
+  /** Per-cluster prototypes: the `m` members most similar to their
+    * cluster's trained centroid — `(list_id, vec_id, proto_rank,
+    * cos_sim)`. Centroids are collected index metadata (nLists × dims
+    * doubles), so the scoring join is a broadcast and the rank window is
+    * partitioned by cluster — no global sort anywhere. */
+  def prototypes(s: SparkSession, d: String,
+      nLists: Int = DefaultLists,
+      lloydIters: Int = Similarity.DefaultLloydIters,
+      m: Int = 3): DataFrame = {
+    import s.implicits._
+    val (lists, centroids, free) = clusteredVecs(s, d, nLists, lloydIters)
+    val scored = lists.join(broadcast(centroids), Seq("list_id"))
+      .select($"list_id", $"vec_id",
+              Expressions.cosineSim($"v", $"cv").as("sim"))
+    val w = Window.partitionBy($"list_id").orderBy($"sim".desc, $"vec_id")
+    val out = scored.withColumn("rk", row_number().over(w))
+      .filter($"rk" <= m)
+      .select($"list_id", $"vec_id", $"rk".cast("long").as("proto_rank"),
+              round($"sim", 6).as("cos_sim"))
+      .orderBy($"list_id", $"proto_rank")
+    Caching.detach(out, free)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "nd_dedup_semantic" -> ((s: SparkSession, d: String) => semanticDedup(s, d)),
+    "nd_sample_prototypes" -> ((s: SparkSession, d: String) => prototypes(s, d)))
+
+  val oracle: Map[String, String] = Map(
+    "nd_dedup_semantic" -> semanticOracleSql(),
+    "nd_sample_prototypes" -> prototypesOracleSql())
+
+  /** DuckDB replay: the [[Similarity.lloydChainSql]] quantizer chain, then
+    * the within-cluster lower-id dup rule. */
+  private[operators] def semanticOracleSql(nLists: Int = DefaultLists,
+      iterations: Int = Similarity.DefaultLloydIters,
+      tau: Double = DefaultTau): String =
+    s"""WITH ${Similarity.lloydChainSql(nLists, iterations)},
+          dup AS (
+            SELECT DISTINCT b.vec_id
+            FROM lists a JOIN lists b USING (list_id)
+            WHERE a.vec_id < b.vec_id
+              AND round(list_cosine_similarity(a.v, b.v), 4) >= $tau)
+          SELECT l.vec_id, l.list_id, (d.vec_id IS NULL) AS keep
+          FROM lists l LEFT JOIN dup d ON l.vec_id = d.vec_id
+          ORDER BY l.vec_id"""
+
+  private[operators] def prototypesOracleSql(nLists: Int = DefaultLists,
+      iterations: Int = Similarity.DefaultLloydIters, m: Int = 3): String =
+    s"""WITH ${Similarity.lloydChainSql(nLists, iterations)},
+          scored AS (
+            SELECT list_id, vec_id, list_cosine_similarity(v, cv) AS sim
+            FROM lists JOIN cvecs$iterations USING (list_id)),
+          r AS (
+            SELECT list_id, vec_id, sim,
+                   row_number() OVER (PARTITION BY list_id
+                     ORDER BY sim DESC, vec_id) AS rk
+            FROM scored)
+          SELECT list_id, vec_id, CAST(rk AS BIGINT) AS proto_rank,
+                 round(sim, 6) AS cos_sim
+          FROM r WHERE rk <= $m ORDER BY list_id, proto_rank"""
+}

@@ -436,13 +436,15 @@ object Similarity {
                     THEN $v[i] ELSE -$v[i] END)) >= 0
              THEN (1::BIGINT << p) ELSE 0 END)) AS BIGINT)"""
 
-  /** DuckDB replay of the full IVF pipeline for `iterations` Lloyd steps:
+  /** The seed+Lloyd quantizer CTE chain shared by the IVF oracle and the
+    * semantic-dedup / prototype oracles: `vecs` (corpus as DOUBLE[]),
     * `cvecs0` = seed vectors, then per step an assignment CTE (nearest
     * centroid by cosine, tie-break by list id) and a centroid-average CTE
-    * — exactly the unrolled loop [[lloydCentroids]] builds, so the oracle
-    * is re-derived mechanically whenever the iteration depth changes. */
-  private[operators] def ivfOracleSql(nLists: Int, nProbe: Int, nQueries: Int,
-      k: Int, iterations: Int, dims: Int = 64): String = {
+    * — exactly the unrolled loop [[lloydCentroids]] builds — ending with
+    * `lists(vec_id, v, list_id)` (final assignment) and
+    * `cvecs$iterations(list_id, cv)` (trained centroids) in scope. */
+  private[operators] def lloydChainSql(nLists: Int, iterations: Int,
+      dims: Int = 64): String = {
     val steps = (1 to iterations).map { i =>
       s"""a$i AS (
             SELECT vec_id, v, list_id,
@@ -456,7 +458,7 @@ object Similarity {
             GROUP BY list_id, t.pos),
           cvecs$i AS (SELECT list_id, list(m ORDER BY pos) AS cv FROM cent$i GROUP BY list_id)"""
     }.mkString(",\n          ")
-    s"""WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s"""vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
           cvecs0 AS (SELECT vec_id AS list_id, v AS cv FROM vecs WHERE vec_id < $nLists),
           $steps,
           aF AS (
@@ -464,7 +466,15 @@ object Similarity {
                    row_number() OVER (PARTITION BY vec_id
                      ORDER BY list_cosine_similarity(v, cv) DESC, list_id) AS rn
             FROM vecs CROSS JOIN cvecs$iterations),
-          lists AS (SELECT vec_id, v, list_id FROM aF WHERE rn = 1),
+          lists AS (SELECT vec_id, v, list_id FROM aF WHERE rn = 1)"""
+  }
+
+  /** DuckDB replay of the full IVF pipeline for `iterations` Lloyd steps
+    * over the [[lloydChainSql]] quantizer — the oracle is re-derived
+    * mechanically whenever the iteration depth changes. */
+  private[operators] def ivfOracleSql(nLists: Int, nProbe: Int, nQueries: Int,
+      k: Int, iterations: Int, dims: Int = 64): String = {
+    s"""WITH ${lloydChainSql(nLists, iterations, dims)},
           qs AS (
             SELECT q.vec_id AS query_id, q.v AS qv, c.list_id,
                    row_number() OVER (PARTITION BY q.vec_id
