@@ -180,7 +180,50 @@ object Pipeline {
       .orderBy($"lang")
   }
 
+  /** Deterministic output SHARDING — the final write stage of a training
+    * pipeline: every document lands in `shard = md5-fold("shard"|doc_id)
+    * mod nShards`, a placement that is reproducible across runs, engines
+    * and cluster layouts (unlike `hash()`-based partitioning, whose seed
+    * is engine-internal). The query reports the shard manifest — doc
+    * count, token total and id range per shard — which is also the
+    * balance check: a uniform key hash keeps every shard within a few
+    * percent of corpus/nShards, so downstream trainers stream equal-sized
+    * inputs. [[shardedWrite]] applies the same assignment physically.
+    *
+    * Scale shape: the assignment is one map-side expression; the manifest
+    * is a partial-aggregated shuffle of nShards rows. */
+  def shardManifest(s: SparkSession, d: String, nShards: Int = 8): DataFrame = {
+    import s.implicits._
+    documents(s, d)
+      .select($"doc_id", size(TextAnalysis.wsTokens($"text")).cast("long").as("n_tokens"))
+      .withColumn("shard",
+        conv(substring(md5(concat_ws("|", lit("shard"), $"doc_id")), 1, 7), 16, 10)
+          .cast("long") % nShards)
+      .groupBy($"shard")
+      .agg(count(lit(1)).as("n_docs"),
+           sum($"n_tokens").as("total_tokens"),
+           min($"doc_id").as("min_doc"),
+           max($"doc_id").as("max_doc"))
+      .orderBy($"shard")
+  }
+
+  /** Physically write the corpus under the [[shardManifest]] assignment:
+    * one directory per shard (`shard=K/`), each written by its own task
+    * set after an explicit repartition on the shard key — directory-level
+    * pruning for consumers that read a shard slice. */
+  def shardedWrite(s: SparkSession, d: String, outDir: String,
+      nShards: Int = 8): Unit = {
+    import s.implicits._
+    documents(s, d)
+      .withColumn("shard",
+        conv(substring(md5(concat_ws("|", lit("shard"), $"doc_id")), 1, 7), 16, 10)
+          .cast("long") % nShards)
+      .repartition($"shard")
+      .write.mode("overwrite").partitionBy("shard").parquet(outDir)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "nd_pipeline_shard" -> ((s: SparkSession, d: String) => shardManifest(s, d)),
     "nd_pipeline_curation" -> curationStats _,
     "nd_pipeline_packing" -> ((s: SparkSession, d: String) => packSequences(s, d)),
     "nd_pipeline_mixture" -> ((s: SparkSession, d: String) => temperatureMixture(s, d)),
@@ -191,6 +234,16 @@ object Pipeline {
     * the same replayable constructions as the [[TextAnalysis]] /
     * [[Dedup]] oracles. */
   val oracle: Map[String, String] = Map(
+    "nd_pipeline_shard" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  CAST(len(string_split_regex(text, ' +')) AS BIGINT) AS n_tokens,
+                  FOLD7 % 8 AS shard
+           FROM documents)
+         SELECT shard, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+                min(doc_id) AS min_doc, max(doc_id) AS max_doc
+         FROM t GROUP BY shard ORDER BY shard"""
+        .replace("FOLD7", "CAST(list_sum(list_transform(range(1,8), fi -> (strpos('0123456789abcdef', substr(md5(concat_ws('|', 'shard', doc_id)), fi, 1)) - 1)::BIGINT << (4*(7-fi)))) AS BIGINT)"),
     // packing replay: DuckDB's literal running-total window (the plan the
     // scalable two-phase version refuses to run) must yield identical
     // sequence assignments — integer arithmetic end to end

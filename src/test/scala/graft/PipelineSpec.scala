@@ -54,6 +54,35 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("shard manifest: full cover, balanced, deterministic across runs") {
+    val rows = Pipeline.shardManifest(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).sorted.sameElements(0L until 8L))
+    val total = Tables.documents(spark, sf).count()
+    assert(rows.map(_.getLong(1)).sum == total, "shards must cover the corpus")
+    // uniform key hash ⇒ every shard within ±60% of the mean even at tiny SF
+    val mean = total.toDouble / 8
+    rows.foreach(r => assert(math.abs(r.getLong(1) - mean) <= mean * 0.6,
+      s"shard ${r.getLong(0)} holds ${r.getLong(1)} docs vs mean $mean"))
+    val again = Pipeline.shardManifest(spark, sf).collect()
+    assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
+  test("sharded write: shard=* directories, round-trip, assignment stable") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("sharded").toString
+    Pipeline.shardedWrite(spark, sf, out)
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(dirs.length == 8 && dirs.forall(_.startsWith("shard=")), s"layout: ${dirs.toSeq}")
+    val back = spark.read.parquet(out)
+    assert(back.count() == Tables.documents(spark, sf).count())
+    // physical placement matches the manifest's logical assignment
+    val manifest = Pipeline.shardManifest(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val physical = back.groupBy($"shard".cast("long").as("shard")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(physical == manifest.map { case (k, v) => k -> v })
+  }
+
   test("partitioned write produces lang=* directories and round-trips") {
     val out = java.nio.file.Files.createTempDirectory("curated").toString
     val stats = Pipeline.curateAndWrite(spark, sf, out).collect()
