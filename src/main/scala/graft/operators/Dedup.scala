@@ -124,6 +124,67 @@ object Dedup {
       documents(s, d).select($"doc_id", minhashSignature($"text").as("sig")), threshold)
   }
 
+  /** Banded LSH bucket rows `(doc_id, sig, band, key)` of a kept corpus —
+    * the persisted near-dup state [[minhashIncremental]] joins new batches
+    * against. Per historical document the state is its 32-slot signature
+    * exploded into 8 band rows (~tens of bytes): the near-dup analogue of
+    * [[digests]], so daily ingest carries sketches, never corpus text. */
+  def minhashBandStore(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select($"doc_id", minhashSignature($"text").as("sig"))
+      .select($"doc_id", $"sig", posexplode(bandKeys($"sig")).as(Seq("band", "key")))
+  }
+
+  /** Incremental NEAR-dup ingest — the [[exactIncremental]] production
+    * shape for MinHash+LSH: flag each NEW-batch document against (a) the
+    * persisted band store of everything already kept and (b) lower-id
+    * batch members, without touching historical text. Both probes are
+    * equi-joins on `(band, key)`, so only colliding buckets shuffle; the
+    * estimated-Jaccard verify runs on the candidate pairs alone. Output is
+    * the per-document ingest verdict `(doc_id, dup_corpus, dup_batch,
+    * keep)` — keep iff neither side has a ≥`threshold` match. */
+  def minhashIncremental(newDocs: DataFrame, store: DataFrame,
+      threshold: Double = 0.5): DataFrame = {
+    import newDocs.sparkSession.implicits._
+    val sigs = newDocs.select($"doc_id", minhashSignature($"text").as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = sigs
+      .select($"doc_id", $"sig", posexplode(bandKeys($"sig")).as(Seq("band", "key")))
+    def estJaccard(a: Column, b: Column): Column =
+      round(size(filter(zip_with(a, b, (x, y) => x === y), v => v))
+        / lit(NumHashes.toDouble), 4)
+    val corpusDup = banded.as("n").join(store.as("o"),
+        col("n.band") === col("o.band") && col("n.key") === col("o.key"))
+      .select(col("n.doc_id").as("doc_id"), col("n.sig").as("sn"),
+              col("o.doc_id").as("old_id"), col("o.sig").as("so"))
+      .dropDuplicates("doc_id", "old_id")
+      .filter(estJaccard($"sn", $"so") >= threshold)
+      .select($"doc_id").distinct()
+    val batchDup = minhashPairsFrom(sigs, threshold)
+      .select($"doc_b".as("doc_id")).distinct()
+    val out = sigs.select($"doc_id")
+      .join(corpusDup.withColumn("dc", lit(true)), Seq("doc_id"), "left")
+      .join(batchDup.withColumn("db", lit(true)), Seq("doc_id"), "left")
+      .select($"doc_id",
+              coalesce($"dc", lit(false)).as("dup_corpus"),
+              coalesce($"db", lit(false)).as("dup_batch"))
+      .withColumn("keep", !$"dup_corpus" && !$"dup_batch")
+      .orderBy($"doc_id")
+    graft.plans.Caching.detach(out, () => { sigs.unpersist(blocking = false); () })
+  }
+
+  /** [[minhashIncremental]] over the standard id-ordered split: documents
+    * below `split` are the kept corpus, the rest are the new batch — the
+    * same convention as nd_dedup_incremental. */
+  def minhashIncrementalQuery(s: SparkSession, d: String, split: Long = 250L,
+      threshold: Double = 0.5): DataFrame = {
+    import s.implicits._
+    val docs = documents(s, d)
+    minhashIncremental(
+      docs.filter($"doc_id" >= split),
+      minhashBandStore(docs.filter($"doc_id" < split)), threshold)
+  }
+
   /** Exact n-gram Jaccard verification of the LSH candidates — the
     * "verify" stage after "generate". Jaccard runs as one merge pass over
     * the sorted shingle-hash sets ([[Expressions.JaccardSorted]]).
@@ -365,6 +426,7 @@ object Dedup {
     "nd_dedup_exact" -> exact _,
     "nd_dedup_exact_kept" -> exactKept _,
     "nd_dedup_minhash" -> ((s: SparkSession, d: String) => minhashPairs(s, d)),
+    "nd_dedup_minhash_incr" -> ((s: SparkSession, d: String) => minhashIncrementalQuery(s, d)),
     "nd_dedup_ngram_jaccard" -> ((s: SparkSession, d: String) => ngramJaccardPairs(s, d)),
     "nd_dedup_simhash" -> ((s: SparkSession, d: String) => simhashPairs(s, d)),
     "nd_dedup_embedding" -> ((s: SparkSession, d: String) => embeddingPairs(s, d)),
@@ -466,6 +528,24 @@ object Dedup {
          SELECT doc_a, doc_b, est_jaccard FROM est
          WHERE est_jaccard >= 0.5
          ORDER BY doc_a, doc_b""",
+    // incremental replay: the same banded pipeline over ALL docs, with the
+    // id-ordered split applied to the pair list — cross pairs always have
+    // doc_a on the old side (old ids < split ≤ new ids and doc_a < doc_b)
+    "nd_dedup_minhash_incr" ->
+      s"""WITH $shingleCtesSql, $candCtesSql,
+         cdup AS (SELECT DISTINCT doc_b AS doc_id FROM est
+                  WHERE doc_a < 250 AND doc_b >= 250 AND est_jaccard >= 0.5),
+         bdup AS (SELECT DISTINCT doc_b AS doc_id FROM est
+                  WHERE doc_a >= 250 AND est_jaccard >= 0.5)
+         SELECT s.doc_id,
+                (c.doc_id IS NOT NULL) AS dup_corpus,
+                (b.doc_id IS NOT NULL) AS dup_batch,
+                (c.doc_id IS NULL AND b.doc_id IS NULL) AS keep
+         FROM sigs s
+         LEFT JOIN cdup c ON s.doc_id = c.doc_id
+         LEFT JOIN bdup b ON s.doc_id = b.doc_id
+         WHERE s.doc_id >= 250
+         ORDER BY s.doc_id""",
     "nd_dedup_ngram_jaccard" ->
       s"""WITH $shingleCtesSql, $candCtesSql,
          sh60 AS (SELECT doc_id, list_distinct(list_transform(shings, s -> ${Sketch.foldSql(15, "s")})) AS sh

@@ -211,6 +211,31 @@ class IncrementalDedupSpec extends AnyFunSuite {
       s"old=${oldKeepers.size} inc=${incremental.size} full=${fullKeepers.size}")
     assert(incremental.forall(_ >= cut))
   }
+
+  test("minhashIncremental verdicts agree with the full-corpus pair list") {
+    import spark.implicits._
+    val cut = 250L
+    val verdicts = Dedup.minhashIncrementalQuery(spark, sf, cut).collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3))).toMap
+    assert(verdicts.nonEmpty && verdicts.keySet.forall(_ >= cut))
+    // ground truth from the one-shot pair query over the whole corpus:
+    // a cross-split pair flags dup_corpus, a batch-side pair dup_batch
+    val pairs = Dedup.minhashPairs(spark, sf, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expCorpus = pairs.collect { case (a, b) if a < cut && b >= cut => b }.toSet
+    val expBatch = pairs.collect { case (a, b) if a >= cut => b }.toSet
+    verdicts.foreach { case (id, (dc, db, keep)) =>
+      assert(dc == expCorpus.contains(id), s"doc $id dup_corpus")
+      assert(db == expBatch.contains(id), s"doc $id dup_batch")
+      assert(keep == (!dc && !db))
+    }
+    // the batch contains both planted near-dups and clean docs
+    assert(verdicts.values.exists(v => v._1 || v._2) && verdicts.values.exists(_._3))
+    // sketch-state handoff leaves nothing pinned
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet
+    Dedup.minhashIncrementalQuery(spark, sf, cut).collect()
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- leaked).isEmpty)
+  }
 }
 
 class SimilaritySpec extends AnyFunSuite {
