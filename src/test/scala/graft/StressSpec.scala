@@ -219,6 +219,52 @@ class StressSpec extends AnyFunSuite {
     assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
   }
 
+  test("(f) semantic/PII/shard/incremental operators keep their scale shape at 30x") {
+    import spark.implicits._
+    import graft.operators.{Pii, Pipeline, Semantic}
+    def plan(df: DataFrame): String = df.queryExecution.executedPlan.toString
+
+    // SemDeDup: the within-cluster pair join must stay an equi-join on
+    // list_id (shuffle-partitioned, no funnel, no nested loop) — asserted
+    // on the inline pipeline since semanticDedup detaches its result
+    val vecs = Tables.embeddings(spark, dir)
+      .select($"vec_id", transform($"embedding", _.cast("double")).as("v"))
+    val lists = Similarity.coarseAssign(vecs,
+      Similarity.lloydCentroids(vecs, nLists = 16, iterations = 1))
+    val pairPlan = plan(lists.as("a").join(lists.as("b"),
+      col("a.list_id") === col("b.list_id") && col("a.vec_id") < col("b.vec_id")))
+    // the only nested loops allowed are coarseAssign's centroid-broadcast
+    // scoring passes (bounded metadata side, like knnIvf in test (c)); the
+    // PAIR join itself must key on list_id
+    assert(pairPlan.contains("Join [list_id") || pairPlan.contains("Join list_id"),
+      s"semantic pair join is not an equi-join on list_id at 30x:\n$pairPlan")
+    assert(!pairPlan.contains("Exchange SinglePartition"),
+      s"semantic pair join funnels at 30x:\n$pairPlan")
+    val sem = Semantic.semanticDedup(spark, dir).collect()
+    assert(sem.length == Tables.embeddings(spark, dir).count(),
+      "semantic dedup must emit one verdict per corpus vector")
+
+    // incremental minhash: verdict per batch doc, probes stay bucket joins
+    val cut = 1000000L // first replica = kept corpus, 29 replicas = batch
+    val verdicts = Dedup.minhashIncrementalQuery(spark, dir, cut)
+    assert(!plan(verdicts).contains("Exchange SinglePartition"))
+    val n = verdicts.count()
+    assert(n == Tables.documents(spark, dir).filter($"doc_id" >= cut).count())
+
+    // PII redaction stays a pure map at 30x (no shuffle before the
+    // presentation sort)
+    val piiPlan = plan(Pii.redact(spark, dir))
+      .linesIterator.filterNot(_.contains("rangepartitioning")).mkString("\n")
+    assert(!piiPlan.contains("hashpartitioning"),
+      s"PII redaction gained a shuffle at 30x:\n$piiPlan")
+
+    // sharding: balance tightens with corpus size (150k docs → within 5%)
+    val shards = Pipeline.shardManifest(spark, dir).collect()
+    val total = shards.map(_.getLong(1)).sum.toDouble
+    shards.foreach(r => assert(math.abs(r.getLong(1) - total / 8) <= total / 8 * 0.05,
+      s"shard ${r.getLong(0)} off balance at 30x: ${r.getLong(1)} vs ${total / 8}"))
+  }
+
   test("(d) ANN recall holds up at 30x — not just at the toy corpus") {
     // the round-2 caveat was that recall was only ever measured at 2k
     // vectors; here the same multi-probe LSH runs against 60k and must
