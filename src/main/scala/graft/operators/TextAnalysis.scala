@@ -356,7 +356,45 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** GOPHER-style rule-filter bundle (Rae et al. 2112.11446, App. A1) —
+    * the named heuristic battery most corpus-cleaning pipelines start
+    * from: word-count bounds, mean-word-length bounds, symbol-to-word
+    * ratio, alphabetic-word fraction, and minimum stop-word count, each
+    * emitted as its own boolean verdict plus the conjunction `keep` (so
+    * downstream can audit WHICH rule dropped a document). Word-level
+    * signals run on canonical tokens; symbol/alpha checks on the raw
+    * whitespace split, where symbols still exist.
+    *
+    * All signals are array expressions over the one tokenized pass — pure
+    * map-side work; the only shuffle is the presentation sort. */
+  def gopherRules(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    documents(s, d)
+      .select($"doc_id", wsTokens(canonical($"text")).as("w"),
+              split($"text", " +").as("raw"))
+      .select($"doc_id",
+        size($"w").cast("long").as("n_words"),
+        round(aggregate($"w", lit(0L), (acc, x) => acc + length(x)).cast("double")
+          / size($"w").cast("double"), 4).as("mean_word_len"),
+        round(size(filter($"raw", x => x.contains("#") || x.contains("...")))
+          .cast("double") / size($"raw").cast("double"), 4).as("symbol_ratio"),
+        round(size(filter($"raw", x => x.rlike("[A-Za-z]"))).cast("double")
+          / size($"raw").cast("double"), 4).as("alpha_frac"),
+        expr(s"CAST(size(filter(w, x -> x IN ($stopListSql))) AS BIGINT)").as("n_stop"))
+      .select($"doc_id", $"n_words", $"mean_word_len", $"symbol_ratio",
+              $"alpha_frac", $"n_stop",
+        ($"n_words" >= 50L && $"n_words" <= 100000L).as("rule_words"),
+        ($"mean_word_len" >= 3.0 && $"mean_word_len" <= 10.0).as("rule_word_len"),
+        ($"symbol_ratio" <= 0.1).as("rule_symbols"),
+        ($"alpha_frac" >= 0.8).as("rule_alpha"),
+        ($"n_stop" >= 2L).as("rule_stopwords"))
+      .withColumn("keep", $"rule_words" && $"rule_word_len" && $"rule_symbols" &&
+                          $"rule_alpha" && $"rule_stopwords")
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "nd_text_gopher" -> gopherRules _,
     "nd_text_lm_score" -> ((s: SparkSession, d: String) => trigramLmScore(s, d)),
     "nd_text_stats" -> textStats _,
     "nd_text_quality" -> qualityScore _,
@@ -451,6 +489,32 @@ object TextAnalysis {
     }.mkString("\n          UNION ALL ") + "\n          ORDER BY col_name"
 
   val oracle: Map[String, String] = Map(
+    "nd_text_gopher" ->
+      s"""WITH t AS (
+            SELECT doc_id,
+                   string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' +') AS w,
+                   string_split_regex(text, ' +') AS raw
+            FROM documents),
+          sig AS (
+            SELECT doc_id,
+              CAST(len(w) AS BIGINT) AS n_words,
+              round(CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE)
+                / CAST(len(w) AS DOUBLE), 4) AS mean_word_len,
+              round(CAST(len(list_filter(raw, x -> contains(x, '#') OR contains(x, '...'))) AS DOUBLE)
+                / CAST(len(raw) AS DOUBLE), 4) AS symbol_ratio,
+              round(CAST(len(list_filter(raw, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+                / CAST(len(raw) AS DOUBLE), 4) AS alpha_frac,
+              CAST(len(list_filter(w, x -> x IN ($stopListSql))) AS BIGINT) AS n_stop
+            FROM t)
+          SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_frac, n_stop,
+                 (n_words BETWEEN 50 AND 100000) AS rule_words,
+                 (mean_word_len BETWEEN 3.0 AND 10.0) AS rule_word_len,
+                 (symbol_ratio <= 0.1) AS rule_symbols,
+                 (alpha_frac >= 0.8) AS rule_alpha,
+                 (n_stop >= 2) AS rule_stopwords,
+                 (n_words BETWEEN 50 AND 100000 AND mean_word_len BETWEEN 3.0 AND 10.0
+                  AND symbol_ratio <= 0.1 AND alpha_frac >= 0.8 AND n_stop >= 2) AS keep
+          FROM sig ORDER BY doc_id""",
     "nd_profile" -> profileOracleSql,
     "nd_text_repetition" ->
       """WITH t AS (

@@ -523,6 +523,26 @@ class TextAnalysisSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("gopher rule verdicts are consistent with their signals and discriminate") {
+    val rows = TextAnalysis.gopherRules(spark, "/root/testdata/sf0.01").collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val (nWords, mwl, sym, alpha, nStop) =
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getLong(5))
+      assert(r.getBoolean(6) == (nWords >= 50 && nWords <= 100000))
+      assert(r.getBoolean(7) == (mwl >= 3.0 && mwl <= 10.0))
+      assert(r.getBoolean(8) == (sym <= 0.1))
+      assert(r.getBoolean(9) == (alpha >= 0.8))
+      assert(r.getBoolean(10) == (nStop >= 2))
+      assert(r.getBoolean(11) == (6 to 10).forall(r.getBoolean))
+      assert(mwl > 0 && alpha >= 0.0 && alpha <= 1.0 && sym >= 0.0)
+    }
+    val kept = rows.count(_.getBoolean(11))
+    assert(kept > 0 && kept < rows.length, s"gopher rules degenerate: kept=$kept")
+    // both discriminating rules actually fire on this corpus
+    assert(rows.exists(!_.getBoolean(6)) && rows.exists(!_.getBoolean(10)))
+  }
+
   test("BPE merge loop learns a well-formed, deterministic merge table") {
     val sf = "/root/testdata/sf0.001"
     val merges = TextAnalysis.bpeLearn(spark, sf).collect()
