@@ -1,0 +1,50 @@
+package graft.functions
+
+import org.apache.spark.sql.Encoder
+import org.apache.spark.sql.expressions.Aggregator
+
+/** KMV (k-minimum-values) distinct-count sketch as a one-pass mergeable
+  * typed aggregate (Bar-Yossef et al., "Counting distinct elements in a
+  * data stream"; the classic theta-sketch special case).
+  *
+  * State is the k smallest DISTINCT 60-bit hashes seen per group — O(k)
+  * and associatively mergeable, so Spark runs map-side partials and
+  * shuffles at most k longs per group regardless of corpus size. The
+  * estimate is `(k-1) / u_(k)` with `u_(k)` the k-th smallest hash
+  * normalized to [0,1); below k distinct hashes the count is exact.
+  *
+  * Unlike HLL (whose register layout is engine-internal, making q21's
+  * sketch columns tolerance-gated), KMV over the replayable md5-fold hash
+  * ([[Expressions.Sketch]]) is a pure function of the value set: any
+  * engine that sorts the same 60-bit folds produces the SAME estimate
+  * bit-for-bit, so the sketch output itself is oracle-hash-checkable.
+  * The cast of a >2^53 hash to double rounds nearest-even identically on
+  * both engines; 255·2^60 is exactly representable, so the division is
+  * one IEEE op with identical operands.
+  */
+class KmvDistinct(k: Int) extends Aggregator[Long, List[Long], Double] {
+
+  /** 2^60 as an exact double — hashes are 60-bit folds. */
+  private val Norm = 1152921504606846976L.toDouble
+
+  override def zero: List[Long] = Nil
+
+  override def reduce(buf: List[Long], h: Long): List[Long] =
+    if (buf.contains(h)) buf
+    else {
+      val merged = (h :: buf).sorted
+      if (merged.size > k) merged.take(k) else merged
+    }
+
+  override def merge(a: List[Long], b: List[Long]): List[Long] =
+    (a ++ b).distinct.sorted.take(k)
+
+  override def finish(buf: List[Long]): Double =
+    if (buf.size < k) buf.size.toDouble
+    else (k - 1).toDouble * Norm / buf.last.toDouble
+
+  override def bufferEncoder: Encoder[List[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[List[Long]]()
+  override def outputEncoder: Encoder[Double] =
+    org.apache.spark.sql.Encoders.scalaDouble
+}

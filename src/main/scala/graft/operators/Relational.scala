@@ -479,8 +479,59 @@ object Relational {
       .orderBy($"lang", $"rank")
   }
 
+  /** KMV distinct-count sketch ([[graft.functions.KmvDistinct]]): per
+    * return flag, the sketch estimate AND the exact distinct count for
+    * part and order keys. The sketch state is the 256 smallest md5-fold
+    * hashes — O(k) mergeable, one pass, map-side partials — and because
+    * the fold is the replayable [[graft.functions.Expressions.Sketch]]
+    * scheme, the ESTIMATE ITSELF hash-matches the oracle (q21's HLL can
+    * only be tolerance-gated; this is the fully-checkable sketch). */
+  def q38KmvDistinct(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val kmv = udaf(new graft.functions.KmvDistinct(256),
+      org.apache.spark.sql.Encoders.scalaLong)
+    lineitem(s, d)
+      .select($"l_returnflag", $"l_partkey", $"l_orderkey",
+        conv(substring(md5(concat_ws("|", lit("kmv"), $"l_partkey")), 1, 15), 16, 10)
+          .cast("long").as("hp"),
+        conv(substring(md5(concat_ws("|", lit("kmv"), $"l_orderkey")), 1, 15), 16, 10)
+          .cast("long").as("ho"))
+      .groupBy($"l_returnflag")
+      .agg(round(kmv($"hp"), 4).as("kmv_parts"),
+           round(kmv($"ho"), 4).as("kmv_orders"),
+           countDistinct($"l_partkey").as("exact_parts"),
+           countDistinct($"l_orderkey").as("exact_orders"))
+      .orderBy($"l_returnflag")
+  }
+
   /** Oracle SQL (DuckDB dialect = ANSI here) for each query above. */
   val oracle: Map[String, String] = Map(
+    // KMV replay: k smallest distinct 60-bit folds per group, estimate
+    // (k-1)·2^60 / h_(k) — double ops in the same order as the aggregate
+    "q38_kmv_distinct" -> {
+      def estCte(col: String, tag: String): String =
+        s"""h_$tag AS (SELECT DISTINCT l_returnflag, ${graft.functions.Expressions.Sketch.foldSql(15, s"concat_ws('|', 'kmv', CAST($col AS VARCHAR))")} AS h
+                 FROM lineitem),
+           r_$tag AS (SELECT l_returnflag, h,
+                        row_number() OVER (PARTITION BY l_returnflag ORDER BY h) AS rk,
+                        count(*) OVER (PARTITION BY l_returnflag) AS nd
+                      FROM h_$tag),
+           e_$tag AS (SELECT l_returnflag,
+                        CASE WHEN max(nd) < 256 THEN CAST(max(nd) AS DOUBLE)
+                             ELSE 255.0 * CAST(1152921504606846976 AS DOUBLE)
+                                  / CAST(max(CASE WHEN rk = 256 THEN h END) AS DOUBLE) END AS est
+                      FROM r_$tag WHERE rk <= 256 GROUP BY l_returnflag)"""
+      s"""WITH ${estCte("l_partkey", "p")},
+           ${estCte("l_orderkey", "o")},
+           ex AS (SELECT l_returnflag,
+                         count(DISTINCT l_partkey) AS exact_parts,
+                         count(DISTINCT l_orderkey) AS exact_orders
+                  FROM lineitem GROUP BY l_returnflag)
+           SELECT l_returnflag, round(e_p.est, 4) AS kmv_parts,
+                  round(e_o.est, 4) AS kmv_orders, exact_parts, exact_orders
+           FROM ex JOIN e_p USING (l_returnflag) JOIN e_o USING (l_returnflag)
+           ORDER BY l_returnflag"""
+    },
     // exact distinct counts hash-match; the booleans are the sketch
     // tolerance CLAIM (oracle pins TRUE, Spark computes them from the
     // live HLL/quantile sketches) — see q21ApproxAgg scaladoc
@@ -725,6 +776,7 @@ object Relational {
     "q25_struct_map" -> q25StructMap _,
     "q26_asof_join" -> q26AsofJoin _,
     "q27_range_join" -> q27RangeJoin _,
-    "q28_group_sample" -> q28GroupSample _
+    "q28_group_sample" -> q28GroupSample _,
+    "q38_kmv_distinct" -> q38KmvDistinct _
   )
 }

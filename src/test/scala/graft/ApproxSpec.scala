@@ -24,6 +24,33 @@ class ApproxSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getLong(1) == exact(r.getString(0))))
   }
 
+  test("KMV sketch: exact below k, within theory bounds above k, layout-invariant") {
+    import spark.implicits._
+    val rows = Relational.q38KmvDistinct(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (estP, estO) = (r.getDouble(1), r.getDouble(2))
+      val (exP, exO) = (r.getLong(3), r.getLong(4))
+      // k=256 → rsd ≈ 1/sqrt(k-2) ≈ 6.3%; allow 4 sigma
+      assert(math.abs(estP - exP) / exP <= 0.25, s"${r.getString(0)} parts $estP vs $exP")
+      assert(math.abs(estO - exO) / exO <= 0.25, s"${r.getString(0)} orders $estO vs $exO")
+    }
+    // below-k exactness: a group with < 256 distinct values reports exactly
+    val kmv = org.apache.spark.sql.functions.udaf(
+      new graft.functions.KmvDistinct(256), org.apache.spark.sql.Encoders.scalaLong)
+    val small = Tables.nation(spark, sf)
+      .select(conv(substring(md5(concat_ws("|", lit("kmv"), $"n_nationkey")), 1, 15), 16, 10)
+        .cast("long").as("h"), $"n_nationkey")
+    assert(small.agg(kmv($"h")).head().getDouble(0) == 25.0)
+    // mergeability: the estimate is invariant to physical layout
+    val li = Tables.lineitem(spark, sf)
+      .select(conv(substring(md5(concat_ws("|", lit("kmv"), $"l_partkey")), 1, 15), 16, 10)
+        .cast("long").as("h"))
+    val oneP = li.repartition(1).agg(kmv($"h")).head().getDouble(0)
+    val manyP = li.repartition(32).agg(kmv($"h")).head().getDouble(0)
+    assert(oneP == manyP, s"KMV not merge-invariant: $oneP vs $manyP")
+  }
+
   test("approx_count_distinct within 5% of exact per group") {
     import spark.implicits._
     val both = Tables.lineitem(spark, sf)
