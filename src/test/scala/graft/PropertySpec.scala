@@ -141,3 +141,39 @@ object MoneyFixedPointProps extends Properties("MoneyFixedPoint") {
       viaLong.compareTo(viaBig) == 0
     }
 }
+
+/** [[graft.functions.KmvDistinct]] laws: the one-pass mergeable aggregate
+  * must behave like the mathematical KMV sketch no matter how the input
+  * is partitioned or ordered. */
+object KmvProps extends Properties("KmvDistinct") {
+  import graft.functions.KmvDistinct
+
+  private val hashes = Gen.listOf(Gen.choose(1L, 1L << 60))
+  private def run(agg: KmvDistinct, xs: Seq[Long]): List[Long] =
+    xs.foldLeft(agg.zero)(agg.reduce)
+
+  property("merge of any split equals one-pass reduce") =
+    forAll(hashes, Gen.choose(0, 100)) { (xs, cutRaw) =>
+      val agg = new KmvDistinct(16)
+      val cut = if (xs.isEmpty) 0 else cutRaw % (xs.size + 1)
+      val (a, b) = xs.splitAt(cut)
+      agg.merge(run(agg, a), run(agg, b)) == run(agg, xs)
+    }
+
+  property("input order never changes the sketch") = forAll(hashes) { xs =>
+    val agg = new KmvDistinct(16)
+    run(agg, xs) == run(agg, scala.util.Random.shuffle(xs))
+  }
+
+  property("below k the estimate is the exact distinct count") =
+    forAll(Gen.listOf(Gen.choose(1L, 1L << 60)).map(_.take(15))) { xs =>
+      val agg = new KmvDistinct(16)
+      agg.finish(run(agg, xs)) == xs.distinct.size.toDouble
+    }
+
+  property("buffer is the k smallest distinct hashes, sorted") =
+    forAll(hashes) { xs =>
+      val agg = new KmvDistinct(16)
+      run(agg, xs) == xs.distinct.sorted.take(16)
+    }
+}
