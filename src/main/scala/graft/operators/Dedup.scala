@@ -88,6 +88,11 @@ object Dedup {
   def minhashSignature(text: Column): Column =
     Expressions.minhashSigFromWords(wsTokens(canonical(text)), ShingleSize, NumHashes)
 
+  /** MinHash-estimated Jaccard: fraction of equal signature slots. */
+  private[graft] def estJaccard(a: Column, b: Column): Column =
+    round(size(filter(zip_with(a, b, (x, y) => x === y), v => v))
+      / lit(NumHashes.toDouble), 4)
+
   /** LSH band keys: hash of each 4-element signature slice. */
   def bandKeys(sig: Column): Column =
     transform(sequence(lit(0), lit(Bands - 1)),
@@ -150,9 +155,6 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sigs
       .select($"doc_id", $"sig", posexplode(bandKeys($"sig")).as(Seq("band", "key")))
-    def estJaccard(a: Column, b: Column): Column =
-      round(size(filter(zip_with(a, b, (x, y) => x === y), v => v))
-        / lit(NumHashes.toDouble), 4)
     val corpusDup = banded.as("n").join(store.as("o"),
         col("n.band") === col("o.band") && col("n.key") === col("o.key"))
       .select(col("n.doc_id").as("doc_id"), col("n.sig").as("sn"),

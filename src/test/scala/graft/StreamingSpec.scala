@@ -315,3 +315,44 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 }
+
+/** Streaming ingest dedup vs the batch incremental verdict. */
+class StreamingDedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.01"
+
+  test("streaming dedup against the static band store matches the batch verdicts") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.Dedup
+    import spark.implicits._
+    val cut = 250L
+    val docs = Tables.documents(spark, sf)
+    val store = Dedup.minhashBandStore(docs.filter(col("doc_id") < cut))
+    val batchDocs = docs.filter(col("doc_id") >= cut)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    implicit val sq = spark.sqlContext
+    val source = MemoryStream[(Long, String)]
+    val out = graft.streaming.StreamingDedup.dedupStream(
+      source.toDF().toDF("doc_id", "text"), store)
+    val q = out.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("complete").start()
+    try {
+      // docs arrive across two micro-batches
+      source.addData(batchDocs.take(100).toSeq)
+      q.processAllAvailable()
+      source.addData(batchDocs.drop(100).toSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("dedup_stream").collect()
+        .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+      val batch = Dedup.minhashIncrementalQuery(spark, sf, cut).collect()
+        .map(r => r.getLong(0) -> r.getBoolean(1)).toMap // dup_corpus
+      assert(streamed.keySet == batch.keySet,
+        s"stream emitted ${streamed.size} verdicts vs batch ${batch.size}")
+      batch.foreach { case (id, dup) =>
+        assert(streamed(id) == dup, s"doc $id: stream ${streamed(id)} vs batch $dup")
+      }
+      assert(streamed.values.exists(identity) && streamed.values.exists(!_))
+    } finally q.stop()
+  }
+}
