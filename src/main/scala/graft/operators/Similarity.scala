@@ -262,7 +262,7 @@ object Similarity {
     * as metadata ordered by surviving code id per subspace, so array
     * position order matches the oracle's code-ascending tie-break. */
   private def pqCodebooks(vecs: DataFrame, m: Int, sub: Int, ksub: Int,
-      lloydIters: Int): Seq[Array[Seq[Double]]] = {
+      lloydIters: Int): Seq[Seq[Seq[Double]]] = {
     import vecs.sparkSession.implicits._
     val vecAvg = udaf(new graft.functions.VectorAvg,
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]())
@@ -283,14 +283,14 @@ object Similarity {
     }
     val rows = cent.orderBy($"j", $"code").collect()
     (0 until m).map(j =>
-      rows.filter(_.getInt(0) == j).map(_.getSeq[Double](2)))
+      rows.filter(_.getInt(0) == j).map(_.getSeq[Double](2)).toIndexedSeq)
   }
 
   /** PQ encode + reconstruct as a single map-only expression over `vCol`:
     * per subspace, argmax of cosine against the literal codebook (first
     * maximum = lowest surviving code id), then the chosen centroids
     * concatenated back into a full-width reconstruction. */
-  private def pqReconExpr(codebooks: Seq[Array[Seq[Double]]], vCol: Column,
+  private def pqReconExpr(codebooks: Seq[Seq[Seq[Double]]], vCol: Column,
       sub: Int): Column =
     concat(codebooks.zipWithIndex.map { case (cb, j) =>
       val sv = slice(vCol, j * sub + 1, sub)

@@ -37,10 +37,10 @@ object TemporalJoins {
       .withColumn("__side", lit(0))
     // align schemas: left keeps all its columns; right carries only payload
     val unioned = leftTagged.drop("__payload")
-      .select((left.columns.map(col) :+ col("__side") :+
+      .select((left.columns.toIndexedSeq.map(col) :+ col("__side") :+
         lit(null).cast(rightTagged.schema("__rpay").dataType).as("__rpay")): _*)
       .unionByName(
-        rightTagged.select((left.columns.map(c =>
+        rightTagged.select((left.columns.toIndexedSeq.map(c =>
           if (c == by || c == tsCol) col(c) else lit(null).cast(left.schema(c).dataType).as(c)) :+
           col("__side") :+ col("__rpay")): _*))
     // right rows sort before left rows at equal ts => >= semantics
