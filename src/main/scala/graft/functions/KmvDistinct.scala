@@ -27,21 +27,29 @@ class KmvDistinct(k: Int) extends Aggregator[Long, List[Long], Double] {
   /** 2^60 as an exact double — hashes are 60-bit folds. */
   private val Norm = 1152921504606846976L.toDouble
 
+  /** Buffer invariant: the k smallest distinct hashes in DESCENDING
+    * order, so `head` is the k-th smallest — the admission threshold.
+    * That makes the hot path O(1): once the buffer is full, a row whose
+    * hash ≥ head (the overwhelming majority after warm-up — the
+    * admission probability of the i-th distinct value is k/i) is
+    * rejected without touching the list. Only admitted hashes pay the
+    * O(k) dedup + re-sort. */
   override def zero: List[Long] = Nil
 
   override def reduce(buf: List[Long], h: Long): List[Long] =
-    if (buf.contains(h)) buf
+    if (buf.nonEmpty && buf.size >= k && h >= buf.head) buf // fast reject
+    else if (buf.contains(h)) buf
     else {
-      val merged = (h :: buf).sorted
-      if (merged.size > k) merged.take(k) else merged
+      val merged = (h :: buf).sortWith(_ > _)
+      if (merged.size > k) merged.tail else merged
     }
 
   override def merge(a: List[Long], b: List[Long]): List[Long] =
-    (a ++ b).distinct.sorted.take(k)
+    (a ++ b).distinct.sortWith(_ > _).takeRight(k)
 
   override def finish(buf: List[Long]): Double =
     if (buf.size < k) buf.size.toDouble
-    else (k - 1).toDouble * Norm / buf.last.toDouble
+    else (k - 1).toDouble * Norm / buf.head.toDouble
 
   override def bufferEncoder: Encoder[List[Long]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[List[Long]]()

@@ -490,17 +490,28 @@ object Relational {
     import s.implicits._
     val kmv = udaf(new graft.functions.KmvDistinct(256),
       org.apache.spark.sql.Encoders.scalaLong)
-    lineitem(s, d)
-      .select($"l_returnflag", $"l_partkey", $"l_orderkey",
+    val li = lineitem(s, d)
+    // sketches and exact counts aggregate in SEPARATE passes joined on the
+    // 3-row group key: mixing countDistinct with typed aggregates makes
+    // Spark Expand every input row once per distinct spec (3× the rows
+    // through a SortAggregate — measured 2.5× slower than two clean
+    // passes), and the exact counts exist only as the sketch's on-query
+    // validation anyway
+    val sketches = li
+      .select($"l_returnflag",
         conv(substring(md5(concat_ws("|", lit("kmv"), $"l_partkey")), 1, 15), 16, 10)
           .cast("long").as("hp"),
         conv(substring(md5(concat_ws("|", lit("kmv"), $"l_orderkey")), 1, 15), 16, 10)
           .cast("long").as("ho"))
       .groupBy($"l_returnflag")
       .agg(round(kmv($"hp"), 4).as("kmv_parts"),
-           round(kmv($"ho"), 4).as("kmv_orders"),
-           countDistinct($"l_partkey").as("exact_parts"),
+           round(kmv($"ho"), 4).as("kmv_orders"))
+    val exact = li.groupBy($"l_returnflag")
+      .agg(countDistinct($"l_partkey").as("exact_parts"),
            countDistinct($"l_orderkey").as("exact_orders"))
+    sketches.join(exact, "l_returnflag")
+      .select($"l_returnflag", $"kmv_parts", $"kmv_orders",
+              $"exact_parts", $"exact_orders")
       .orderBy($"l_returnflag")
   }
 

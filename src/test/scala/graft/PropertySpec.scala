@@ -171,9 +171,9 @@ object KmvProps extends Properties("KmvDistinct") {
       agg.finish(run(agg, xs)) == xs.distinct.size.toDouble
     }
 
-  property("buffer is the k smallest distinct hashes, sorted") =
+  property("buffer is the k smallest distinct hashes, descending") =
     forAll(hashes) { xs =>
       val agg = new KmvDistinct(16)
-      run(agg, xs) == xs.distinct.sorted.take(16)
+      run(agg, xs) == xs.distinct.sorted.take(16).reverse
     }
 }
