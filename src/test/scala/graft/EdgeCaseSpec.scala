@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, Pii, TextAnalysis}
+
+/** Pathological-document robustness: at 100 TB the corpus WILL contain
+  * empty strings, whitespace runs, unicode, emoji, punctuation-only and
+  * megaword documents — every text operator must process them without
+  * throwing and with sane (bounded, non-null) signals. The driver tables
+  * are clean by construction, so this spec builds its own hostile
+  * documents.parquet and runs the text surface over it. */
+class EdgeCaseSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private lazy val dir: String = {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-edge").toString
+    val docs = Seq(
+      (0L, "", "en", "src0"),                                   // empty
+      (1L, "hello", "en", "src0"),                              // single word
+      (2L, "!!! ??? ... --- ###", "en", "src1"),                // punctuation only
+      (3L, "héllo wörld 你好世界 🙂", "zz", "src1"), // unicode + emoji
+      (4L, ("lorem ipsum dolor sit amet " * 2000).trim, "en", "src2"), // 10k words
+      (5L, ("spam " * 500).trim, "en", "src2"),                 // one repeated word
+      (6L, "   \t  \n ", "en", "src3"),                         // whitespace only
+      (7L, "123 456 789 000", "en", "src3"))                    // digits only
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length($"text").cast("long"))
+    docs.write.mode("overwrite").parquet(s"$out/documents.parquet")
+    out
+  }
+
+  test("stats / quality / gopher / repetition survive hostile documents") {
+    val stats = TextAnalysis.textStats(spark, dir).collect()
+    assert(stats.length == 8)
+    val quality = TextAnalysis.qualityScore(spark, dir).collect()
+    assert(quality.length == 8)
+    quality.foreach { r =>
+      val q = r.getDouble(r.fieldIndex("quality"))
+      assert(q >= 0.0 && q <= 1.0, s"doc ${r.getLong(0)} quality $q out of [0,1]")
+    }
+    val gopher = TextAnalysis.gopherRules(spark, dir).collect()
+    assert(gopher.length == 8)
+    gopher.foreach { r =>
+      assert(!r.anyNull, s"gopher row has nulls: $r")
+      val frac = r.getDouble(r.fieldIndex("alpha_frac"))
+      assert(frac >= 0.0 && frac <= 1.0)
+      // the single-word doc fails the 50-word floor; the 10k-word doc
+      // sits inside Gopher's [50, 100000] band
+      if (r.getLong(0) == 1L) assert(!r.getBoolean(r.fieldIndex("rule_words")))
+      if (r.getLong(0) == 4L) assert(r.getBoolean(r.fieldIndex("rule_words")))
+    }
+    val rep = TextAnalysis.repetition(spark, dir).collect()
+    assert(rep.length == 8)
+    // the all-one-word doc is pure repetition; singletons are not
+    val repMap = rep.map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(repMap(5L) > 0.9, s"spam doc dup fraction ${repMap(5L)}")
+    assert(repMap(1L) == 0.0)
+  }
+
+  test("fingerprints, language id, vocab and profile survive hostile documents") {
+    val fp = TextAnalysis.fingerprints(spark, dir).collect()
+    assert(fp.length == 8 && fp.forall(!_.anyNull))
+    // distinct content → distinct canonical keys; empty, whitespace-only
+    // and punctuation-only all collapse to the canonical empty string —
+    // that IS the semantics (3 docs share one key → 6 distinct keys)
+    val keys = fp.map(_.getString(1))
+    assert(keys.distinct.length == 6)
+    assert(TextAnalysis.langId(spark, dir).collect().length == 8)
+    assert(TextAnalysis.vocabTopK(spark, dir, 10).collect().nonEmpty)
+    assert(TextAnalysis.profile(spark, dir).collect().length == 5)
+  }
+
+  test("dedup sketches and PII redaction survive hostile documents") {
+    // signatures must compute for every doc, including empty/whitespace
+    val sigs = Tables.documents(spark, dir)
+      .select(col("doc_id"), Dedup.minhashSignature(col("text")).as("sig"),
+              Dedup.shingleHashes(col("text")).as("sh"))
+      .collect()
+    assert(sigs.length == 8 && sigs.forall(!_.anyNull))
+    // one row per canonical key: empty (0), punct-only (2) and
+    // whitespace-only (6) form one 3-copy group kept by the lowest id
+    val exact = Dedup.exact(spark, dir).collect()
+    assert(exact.length == 6)
+    val emptyGroup = exact.find(_.getLong(2) == 3L).get
+    assert(emptyGroup.getLong(1) == 0L, s"empty-group keeper ${emptyGroup.getLong(1)}")
+    val pii = Pii.redact(spark, dir).collect()
+    assert(pii.length == 8 && pii.forall(r => r.getString(5) != null))
+  }
+}

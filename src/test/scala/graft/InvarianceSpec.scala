@@ -1,0 +1,58 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Layout invariance: every deterministic registry query must return the
+  * SAME rows no matter how the cluster is laid out — shuffle partition
+  * count, AQE on/off. This is the "stable across runs, engines and
+  * cluster layouts" claim tested directly: the md5-fold sampling keys,
+  * two-phase ntile, KMV sketch, Lloyd chains and LSH pipelines were all
+  * designed so physical parallelism never leaks into results; a query
+  * whose output changes with partition count would pass the oracle gate
+  * at one layout and silently drift on a real cluster.
+  *
+  * (q22 is excluded by design: Spark's seeded Bernoulli sampling is a
+  * function of the input SPLIT layout, documented in COVERAGE.md.)
+  */
+class InvarianceSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.01"
+
+  /** A second session over the same cluster with a deliberately hostile
+    * layout: 5 shuffle partitions and AQE disabled. */
+  private lazy val altSession = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", "5")
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    s
+  }
+
+  // one representative per algorithm family whose determinism argument is
+  // non-trivial (hash sampling, range decomposition, sketch merge order,
+  // Lloyd iteration, banded LSH, label propagation, typed aggregates)
+  private val representatives = Seq(
+    "q01_pricing_summary",    // fixed-point money partial sums
+    "q28_group_sample",       // bottom-k-by-hash typed aggregate
+    "q35_ntile_scalable",     // two-phase range-partitioned ntile
+    "q36_hash_sample",        // md5-fold key sampling
+    "q38_kmv_distinct",       // KMV sketch merge order
+    "nd_dedup_minhash",       // banded LSH self-join
+    "nd_dedup_clusters",      // label propagation / union-find
+    "nd_knn_ivf",             // Lloyd chain + window rank
+    "nd_pipeline_packing",    // scalable running total
+    "nd_pipeline_stratified", // ntile + hash sampling composition
+    "nd_text_lm_score",       // trained-model broadcast join
+    "nd_dedup_semantic")      // cluster-bounded pair rule
+
+  test("representative queries are bit-stable under 5 partitions + AQE off") {
+    representatives.foreach { name =>
+      val base = SparkEntry.queries(name)(spark, sf).collect().map(_.toString)
+      val alt = SparkEntry.queries(name)(altSession, sf).collect().map(_.toString)
+      assert(base.length == alt.length,
+        s"$name row count differs: ${base.length} vs ${alt.length}")
+      base.zip(alt).zipWithIndex.foreach { case ((b, a), i) =>
+        assert(b == a, s"$name row $i differs under alt layout:\n  base $b\n  alt  $a")
+      }
+    }
+  }
+}
