@@ -222,7 +222,39 @@ object Pipeline {
       .write.mode("overwrite").partitionBy("shard").parquet(outDir)
   }
 
+  /** Document CHUNKING — the stage before embedding generation: split
+    * each document into fixed-size token windows with overlap (the
+    * standard RAG/encoder prep). Pure map-side array expressions — the
+    * token array is built once per doc and `slice`d per chunk; no shuffle
+    * except the presentation sort. Chunk identity is the md5 of the
+    * chunk's joined tokens, so downstream stages can dedup or join chunks
+    * without carrying text.
+    *
+    * `n_chunks = max(1, ceil((n_tokens - overlap) / step))`, chunk i
+    * covering tokens `[i·step, i·step + size)` — every token is covered,
+    * consecutive chunks share `overlap` tokens, and even an empty doc
+    * yields one (empty) chunk so provenance never drops a document. */
+  def chunkDocuments(s: SparkSession, d: String, size: Int = 32,
+      overlap: Int = 8): DataFrame = {
+    import s.implicits._
+    val step = size - overlap
+    documents(s, d)
+      .select($"doc_id", TextAnalysis.wsTokens(TextAnalysis.canonical($"text")).as("w"))
+      .select($"doc_id", $"w",
+        greatest(floor((org.apache.spark.sql.functions.size($"w") - overlap + (step - 1))
+          / step.toDouble), lit(1.0)).cast("long").as("n_chunks"))
+      .select($"doc_id", $"w",
+        posexplode(sequence(lit(0L), $"n_chunks" - 1L)).as(Seq("pos", "chunk_id")))
+      .select($"doc_id", $"chunk_id",
+        slice($"w", ($"chunk_id" * step + 1).cast("int"), lit(size)).as("cw"))
+      .select($"doc_id", $"chunk_id",
+        org.apache.spark.sql.functions.size($"cw").cast("long").as("chunk_tokens"),
+        md5(concat_ws(" ", $"cw")).as("chunk_key"))
+      .orderBy($"doc_id", $"chunk_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "nd_pipeline_chunks" -> ((s: SparkSession, d: String) => chunkDocuments(s, d)),
     "nd_pipeline_shard" -> ((s: SparkSession, d: String) => shardManifest(s, d)),
     "nd_pipeline_curation" -> curationStats _,
     "nd_pipeline_packing" -> ((s: SparkSession, d: String) => packSequences(s, d)),
@@ -234,6 +266,20 @@ object Pipeline {
     * the same replayable constructions as the [[TextAnalysis]] /
     * [[Dedup]] oracles. */
   val oracle: Map[String, String] = Map(
+    // chunk replay: same canonical split, same integer chunk-count formula,
+    // same slice windows, md5 of the space-joined chunk
+    "nd_pipeline_chunks" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' +') AS w
+           FROM documents),
+         c AS (
+           SELECT doc_id, r.i AS chunk_id, w[(r.i*24+1):(r.i*24+32)] AS cw
+           FROM t CROSS JOIN range(0, 10000) r(i)
+           WHERE r.i < greatest(1, (len(w) - 8 + 23) // 24))
+         SELECT doc_id, chunk_id, CAST(len(cw) AS BIGINT) AS chunk_tokens,
+                md5(array_to_string(cw, ' ')) AS chunk_key
+         FROM c ORDER BY doc_id, chunk_id""",
     "nd_pipeline_shard" ->
       """WITH t AS (
            SELECT doc_id,

@@ -440,6 +440,7 @@ object Similarity {
     "nd_knn_bq" -> ((s: SparkSession, d: String) => knnBq(s, d)),
     "nd_knn_filtered" -> ((s: SparkSession, d: String) => knnFiltered(s, d)),
     "nd_knn_brute" -> ((s: SparkSession, d: String) => knnBrute(s, d)),
+    "nd_rag_retrieval" -> ((s: SparkSession, d: String) => ragRetrieve(s, d)),
     "nd_knn_lsh" -> ((s: SparkSession, d: String) => knnLsh(s, d)),
     "nd_knn_ivf" -> ((s: SparkSession, d: String) => knnIvf(s, d)),
     "nd_knn_recall" -> ((s: SparkSession, d: String) => knnRecall(s, d)),
@@ -666,7 +667,38 @@ object Similarity {
          SELECT query_id, neighbor_id, round(sim, 6) AS cos_sim, CAST(rk AS BIGINT) AS rank
          FROM r WHERE rk <= 5 ORDER BY query_id, rank"""
 
+  /** End-to-end RAG retrieval: query vectors → exact top-k neighbors →
+    * join back to the `documents` table (vec_id ≡ doc_id in the driver
+    * tables) for the passage payload — the full "retrieve the texts"
+    * path a serving stack runs. The ANN stage is the brute baseline
+    * (swap in [[knnIvf]]/[[knnIvfPq]] for the indexed path); the payload
+    * join is an equi-join against the tiny top-k result, so only k×Q
+    * documents are ever fetched — at 100 TB the corpus scan is pruned by
+    * the join keys, not the retrieval. */
+  def ragRetrieve(s: SparkSession, d: String, nQueries: Int = 5,
+      k: Int = 5): DataFrame = {
+    import s.implicits._
+    val hits = knnBrute(s, d, nQueries, k)
+    hits.join(documents(s, d).select($"doc_id".as("neighbor_id"),
+        substring($"text", 1, 40).as("passage")), "neighbor_id")
+      .select($"query_id", $"rank", $"neighbor_id", $"cos_sim", $"passage")
+      .orderBy($"query_id", $"rank")
+  }
+
   val oracle: Map[String, String] = Map(
+    "nd_rag_retrieval" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                    FROM embeddings WHERE vec_id < 5),
+          s AS (SELECT query_id, e.vec_id AS neighbor_id,
+                       list_cosine_similarity(qv, e.embedding::DOUBLE[]) AS sim
+                FROM embeddings e CROSS JOIN q WHERE e.vec_id <> query_id),
+          r AS (SELECT query_id, neighbor_id, sim,
+                       row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk
+                FROM s)
+          SELECT query_id, CAST(rk AS BIGINT) AS rank, neighbor_id,
+                 round(sim, 6) AS cos_sim, substr(text, 1, 40) AS passage
+          FROM r JOIN documents ON neighbor_id = doc_id
+          WHERE rk <= 5 ORDER BY query_id, rank""",
     "nd_knn_pq" -> pqOracleSql(),
     "nd_knn_ivfpq" -> ivfPqOracleSql(),
     "nd_knn_bq" ->

@@ -410,6 +410,23 @@ class SimilaritySpec extends AnyFunSuite {
     assert(agree >= 20, s"only $agree/25 ranks identical after quantization")
   }
 
+  test("RAG retrieval returns the neighbor documents' actual text") {
+    import spark.implicits._
+    val hits = Similarity.ragRetrieve(spark, sf).collect()
+    assert(hits.length == 25)
+    val texts = Tables.documents(spark, sf)
+      .select($"doc_id", org.apache.spark.sql.functions.substring($"text", 1, 40))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    hits.foreach { r =>
+      assert(r.getString(4) == texts(r.getLong(2)),
+        s"passage for neighbor ${r.getLong(2)} is not that document's text")
+    }
+    // neighbor sets equal the plain ANN answer — the join adds payload only
+    val plain = Similarity.knnBrute(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(1))).toSet
+    assert(hits.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet == plain)
+  }
+
   test("brute-force knn is exact: sims descend, no self-matches") {
     val rows = Similarity.knnBrute(spark, sf, nQueries = 3, k = 5).collect()
     assert(rows.length == 15)

@@ -83,6 +83,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(physical == manifest.map { case (k, v) => k -> v })
   }
 
+  test("chunking covers every token with the configured overlap") {
+    import spark.implicits._
+    val size = 32; val overlap = 8; val step = size - overlap
+    val chunks = Pipeline.chunkDocuments(spark, sf, size, overlap).collect()
+      .groupBy(_.getLong(0))
+    val tokens = Tables.documents(spark, sf)
+      .select($"doc_id", org.apache.spark.sql.functions.size(
+        TextAnalysis.wsTokens(TextAnalysis.canonical($"text"))).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    tokens.foreach { case (id, n) =>
+      val cs = chunks(id).sortBy(_.getLong(1))
+      val expected = math.max(1L, (n - overlap + step - 1) / step)
+      assert(cs.length == expected, s"doc $id: ${cs.length} chunks for $n tokens")
+      // chunk ids dense from 0; all full-size except possibly the last
+      assert(cs.map(_.getLong(1)).sameElements(0L until expected))
+      cs.init.foreach(c => assert(c.getLong(2) == size))
+      assert(cs.last.getLong(2) == n - (expected - 1) * step || n <= size)
+    }
+  }
+
   test("partitioned write produces lang=* directories and round-trips") {
     val out = java.nio.file.Files.createTempDirectory("curated").toString
     val stats = Pipeline.curateAndWrite(spark, sf, out).collect()
