@@ -44,15 +44,25 @@ class InvarianceSpec extends AnyFunSuite {
     "nd_text_lm_score",       // trained-model broadcast join
     "nd_dedup_semantic")      // cluster-bounded pair rule
 
-  test("representative queries are bit-stable under 5 partitions + AQE off") {
-    representatives.foreach { name =>
-      val base = SparkEntry.queries(name)(spark, sf).collect().map(_.toString)
-      val alt = SparkEntry.queries(name)(altSession, sf).collect().map(_.toString)
-      assert(base.length == alt.length,
-        s"$name row count differs: ${base.length} vs ${alt.length}")
-      base.zip(alt).zipWithIndex.foreach { case ((b, a), i) =>
-        assert(b == a, s"$name row $i differs under alt layout:\n  base $b\n  alt  $a")
-      }
+  private def assertStable(name: String): Unit = {
+    val base = SparkEntry.queries(name)(spark, sf).collect().map(_.toString)
+    val alt = SparkEntry.queries(name)(altSession, sf).collect().map(_.toString)
+    assert(base.length == alt.length,
+      s"$name row count differs: ${base.length} vs ${alt.length}")
+    base.zip(alt).zipWithIndex.foreach { case ((b, a), i) =>
+      assert(b == a, s"$name row $i differs under alt layout:\n  base $b\n  alt  $a")
     }
+  }
+
+  test("representative queries are bit-stable under 5 partitions + AQE off") {
+    representatives.foreach(assertStable)
+  }
+
+  test("EVERY oracle-paired query is bit-stable under the alt layout") {
+    // q22 is the documented exception (seeded RNG over the split layout);
+    // everything the driver hash-compares must be layout-independent
+    val names = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(_ == "q22_sample").filterNot(representatives.contains)
+    names.foreach(assertStable)
   }
 }
