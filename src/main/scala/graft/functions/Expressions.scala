@@ -444,5 +444,9 @@ object Expressions {
     reg.createOrReplaceTempFunction("erc20_transfers", es => Erc20TransfersGenerator(es), "built-in")
     reg.createOrReplaceTempFunction("dup_gram_fraction",
       es => DupGramFraction(es(0), es(1).eval().asInstanceOf[Int]), "built-in")
+    // the KMV sketch aggregate (k=256): input is a 60-bit fold hash
+    spark.udf.register("kmv_distinct",
+      org.apache.spark.sql.functions.udaf(new KmvDistinct(256),
+        org.apache.spark.sql.Encoders.scalaLong))
   }
 }

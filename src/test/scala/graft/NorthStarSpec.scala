@@ -59,6 +59,11 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(r.getInt(0) == 0 && math.abs(r.getDouble(1) - 1.0) < 1e-12)
     // grams: ab, ba, ab, bx -> one duplicate of four
     assert(math.abs(r.getDouble(2) - 0.25) < 1e-12)
+    // the KMV aggregate from SQL: below k the estimate is exact
+    val kmv = spark.sql(
+      """SELECT kmv_distinct(CAST(conv(substring(md5(concat_ws('|', 'kmv', id)), 1, 15), 16, 10) AS BIGINT))
+         FROM range(0, 100)""").head().getDouble(0)
+    assert(kmv == 100.0, s"SQL kmv_distinct of 100 ids gave $kmv")
   }
 }
 
