@@ -104,13 +104,62 @@ object Semantic {
     Caching.detach(out, free)
   }
 
+  /** Clustering-quality evaluation — the semantic family's analogue of
+    * nd_knn_recall: per cluster, how tight are members around their own
+    * centroid (`avg_own`) versus the best OTHER centroid (`avg_other`)?
+    * `separation > 0` means the quantizer actually partitions the space;
+    * a cluster whose members sit closer to a foreign centroid is a
+    * mis-trained list. Both scores come from ONE broadcast of the
+    * (metadata-sized) centroid set — per row the nearest-other score is
+    * a greatest() over nLists−1 literal-joined similarities collapsed
+    * map-side, so the corpus contributes one shuffle row per vector. */
+  def clusterQuality(s: SparkSession, d: String,
+      nLists: Int = DefaultLists,
+      lloydIters: Int = Similarity.DefaultLloydIters): DataFrame = {
+    import s.implicits._
+    val (lists, centroids, free) = clusteredVecs(s, d, nLists, lloydIters)
+    val scored = lists.join(broadcast(centroids.withColumnRenamed("list_id", "cid")))
+      .select($"vec_id", $"list_id", $"cid",
+              Expressions.cosineSim($"v", $"cv").as("sim"))
+    val perVec = scored.groupBy($"vec_id", $"list_id")
+      .agg(max(when($"cid" === $"list_id", $"sim")).as("own"),
+           max(when($"cid" =!= $"list_id", $"sim")).as("other"))
+    val out = perVec.groupBy($"list_id")
+      .agg(count(lit(1)).as("n"),
+           round(avg($"own"), 6).as("avg_own"),
+           round(avg($"other"), 6).as("avg_other"),
+           round(avg($"own" - $"other"), 6).as("separation"))
+      .orderBy($"list_id")
+    Caching.detach(out, free)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "nd_dedup_semantic" -> ((s: SparkSession, d: String) => semanticDedup(s, d)),
+    "nd_cluster_quality" -> ((s: SparkSession, d: String) => clusterQuality(s, d)),
     "nd_sample_prototypes" -> ((s: SparkSession, d: String) => prototypes(s, d)))
 
   val oracle: Map[String, String] = Map(
     "nd_dedup_semantic" -> semanticOracleSql(),
+    "nd_cluster_quality" -> clusterQualityOracleSql(),
     "nd_sample_prototypes" -> prototypesOracleSql())
+
+  private[operators] def clusterQualityOracleSql(nLists: Int = DefaultLists,
+      iterations: Int = Similarity.DefaultLloydIters): String =
+    s"""WITH ${Similarity.lloydChainSql(nLists, iterations)},
+          scored AS (
+            SELECT l.vec_id, l.list_id, c.list_id AS cid,
+                   list_cosine_similarity(l.v, c.cv) AS sim
+            FROM lists l CROSS JOIN cvecs$iterations c),
+          pv AS (
+            SELECT vec_id, list_id,
+                   max(CASE WHEN cid = list_id THEN sim END) AS own,
+                   max(CASE WHEN cid <> list_id THEN sim END) AS other
+            FROM scored GROUP BY vec_id, list_id)
+          SELECT list_id, count(*) AS n,
+                 round(avg(own), 6) AS avg_own,
+                 round(avg(other), 6) AS avg_other,
+                 round(avg(own - other), 6) AS separation
+          FROM pv GROUP BY list_id ORDER BY list_id"""
 
   /** DuckDB replay: the [[Similarity.lloydChainSql]] quantizer chain, then
     * the within-cluster lower-id dup rule. */

@@ -73,6 +73,17 @@ class SemanticSpec extends AnyFunSuite {
     out.foreach(r => assert(assign(r.getLong(1)) == r.getLong(0)))
   }
 
+  test("cluster quality: every trained list separates from its neighbors") {
+    val rows = Semantic.clusterQuality(spark, sf).collect()
+    assert(rows.length == Semantic.DefaultLists)
+    assert(rows.map(_.getLong(1)).sum == 500L, "quality rows must cover the corpus")
+    rows.foreach { r =>
+      assert(r.getDouble(4) > 0.0,
+        s"cluster ${r.getLong(0)}: members closer to a foreign centroid (${r.getDouble(4)})")
+      assert(r.getDouble(2) > r.getDouble(3))
+    }
+  }
+
   test("semantic queries leave no pinned storage behind") {
     val before = spark.sparkContext.getPersistentRDDs.keySet
     Semantic.semanticDedup(spark, sf).collect()
