@@ -237,6 +237,16 @@ object Pipeline {
   def chunkDocuments(s: SparkSession, d: String, size: Int = 32,
       overlap: Int = 8): DataFrame = {
     import s.implicits._
+    chunkedCore(s, d, size, overlap).orderBy($"doc_id", $"chunk_id")
+  }
+
+  /** Unordered chunk stream `(doc_id, chunk_id, chunk_tokens, chunk_key)` —
+    * the map-side core of [[chunkDocuments]], shared with
+    * [[chunkBoilerplate]] so consumers that aggregate anyway don't inherit
+    * a presentation sort. */
+  private[operators] def chunkedCore(s: SparkSession, d: String, size: Int,
+      overlap: Int): DataFrame = {
+    import s.implicits._
     val step = size - overlap
     documents(s, d)
       .select($"doc_id", TextAnalysis.wsTokens(TextAnalysis.canonical($"text")).as("w"))
@@ -250,10 +260,100 @@ object Pipeline {
       .select($"doc_id", $"chunk_id",
         org.apache.spark.sql.functions.size($"cw").cast("long").as("chunk_tokens"),
         md5(concat_ws(" ", $"cw")).as("chunk_key"))
-      .orderBy($"doc_id", $"chunk_id")
+  }
+
+  /** Chunk-level BOILERPLATE removal — the within-source repeated-segment
+    * filter of web-corpus pipelines (the line-dedup stage of CCNet /
+    * RefinedWeb, expressed over deterministic token windows because the
+    * synthetic corpus has no newline structure): a chunk whose exact token
+    * window appears in ≥ `minDocs` DISTINCT documents of the SAME source
+    * is boilerplate (navigation, headers, license blurbs); the apply stage
+    * reports, per document, how much of it survives.
+    *
+    * Scale shape: chunk hashing is map-side (one corpus pass); boilerplate
+    * detection is one partial-aggregated count shuffle of `(source,
+    * 32-byte key)` rows — never text; the apply join is on the same keys,
+    * so AQE can broadcast the (small) boilerplate set. The chunk frame is
+    * persisted sketch-sized across its two consumers and freed via
+    * [[graft.plans.Caching.detach]].
+    */
+  def chunkBoilerplate(s: SparkSession, d: String, size: Int = 8,
+      minDocs: Int = 2): DataFrame = {
+    import s.implicits._
+    val chunks = chunkedCore(s, d, size, 0)
+      .join(documents(s, d).select($"doc_id", $"source"), "doc_id")
+      .select($"doc_id", $"source", $"chunk_tokens", $"chunk_key")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val boiler = chunks.groupBy($"source", $"chunk_key")
+      .agg(countDistinct($"doc_id").as("n_docs_with"))
+      .filter($"n_docs_with" >= minDocs)
+      .select($"source", $"chunk_key", lit(1L).as("is_boiler"))
+    val out = chunks.join(boiler, Seq("source", "chunk_key"), "left_outer")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+           sum(coalesce($"is_boiler", lit(0L))).as("n_boiler"),
+           sum(when($"is_boiler".isNull, $"chunk_tokens").otherwise(0L)).as("kept_tokens"))
+      // one IEEE division of two small longs — bit-identical across
+      // engines without the (unsafe, see qualityScore) round(x, 4)
+      .withColumn("boiler_frac", $"n_boiler" / $"n_chunks")
+      .orderBy($"doc_id")
+    graft.plans.Caching.detach(out, () => { chunks.unpersist(blocking = false); () })
+  }
+
+  /** DSIR-style importance weighting (Xie et al. 2302.03169: Data
+    * Selection via Importance Resampling) — score every document by how
+    * much its hashed-unigram distribution looks like a TARGET corpus
+    * (here: the quality-filter keepers, `quality >= 0.5`) versus the raw
+    * corpus. Weight = Σ_tokens log( p_target(bucket) / p_raw(bucket) )
+    * with add-one smoothing over `buckets` hashed features — the
+    * importance log-weight used to resample a 100 TB crawl toward a
+    * curated distribution.
+    *
+    * Determinism: bucket = md5-fold of the token (replayable in SQL);
+    * each bucket's log-ratio is quantized ONCE to integer micro-nats
+    * (round(lr·1e6)), so the per-document score is an exact integer sum —
+    * no float accumulation order anywhere. The ratio feeding the single
+    * `log` is one exact-integer-product division (products stay < 2^53
+    * at test scale; a petabyte-scale run would switch to the
+    * two-log-difference form and tolerate last-ulp drift).
+    *
+    * Scale shape: one corpus pass builds the compact `(doc_id, is_target,
+    * bucket)` stream (persisted across the two consumers like the trigram
+    * LM — at true corpus scale you would instead re-stream the scan);
+    * the model is `buckets` rows broadcast; scoring is a map-side
+    * broadcast join plus a partially-aggregated per-doc sum. */
+  def dsirWeights(s: SparkSession, d: String, buckets: Int = 1024,
+      qualityThreshold: Double = 0.5): DataFrame = {
+    import s.implicits._
+    val toks = TextAnalysis.withQualitySignals(documents(s, d))
+      .select($"doc_id", ($"quality" >= qualityThreshold).as("is_target"),
+        explode(TextAnalysis.wsTokens(TextAnalysis.canonical($"text"))).as("tok"))
+      .select($"doc_id", $"is_target",
+        (conv(substring(md5(concat_ws("|", lit("dsir"), $"tok")), 1, 7), 16, 10)
+          .cast("long") % buckets).as("b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = toks.groupBy($"b")
+      .agg(count(lit(1)).as("c_raw"),
+           sum(when($"is_target", 1L).otherwise(0L)).as("c_tgt"))
+    val totals = toks
+      .agg(count(lit(1)).as("n_raw"),
+           sum(when($"is_target", 1L).otherwise(0L)).as("n_tgt"))
+    val model = counts.crossJoin(broadcast(totals))
+      .select($"b",
+        round(log((($"c_tgt" + 1L) * ($"n_raw" + buckets)).cast("double") /
+                  (($"c_raw" + 1L) * ($"n_tgt" + buckets)).cast("double")) * 1e6)
+          .cast("long").as("lrq"))
+    val scored = toks.join(broadcast(model), Seq("b"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum($"lrq").as("dsir_logw_micro"))
+      .withColumn("selected", $"dsir_logw_micro" > 0L)
+      .orderBy($"doc_id")
+    graft.plans.Caching.detach(scored, () => { toks.unpersist(blocking = false); () })
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "nd_dedup_boilerplate" -> ((s: SparkSession, d: String) => chunkBoilerplate(s, d)),
+    "nd_pipeline_dsir" -> ((s: SparkSession, d: String) => dsirWeights(s, d)),
     "nd_pipeline_chunks" -> ((s: SparkSession, d: String) => chunkDocuments(s, d)),
     "nd_pipeline_shard" -> ((s: SparkSession, d: String) => shardManifest(s, d)),
     "nd_pipeline_curation" -> curationStats _,
@@ -280,6 +380,70 @@ object Pipeline {
          SELECT doc_id, chunk_id, CAST(len(cw) AS BIGINT) AS chunk_tokens,
                 md5(array_to_string(cw, ' ')) AS chunk_key
          FROM c ORDER BY doc_id, chunk_id""",
+    // boilerplate replay: the same chunk construction at size 8 / step 8,
+    // per-(source, chunk_key) distinct-doc counts, left join back, one
+    // IEEE long/long division for the fraction
+    "nd_dedup_boilerplate" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' +') AS w
+           FROM documents),
+         c AS (
+           SELECT doc_id, r.i AS chunk_id, w[(r.i*8+1):(r.i*8+8)] AS cw
+           FROM t CROSS JOIN range(0, 10000) r(i)
+           WHERE r.i < greatest(1, (len(w) + 7) // 8)),
+         k AS (
+           SELECT c.doc_id, d.source, CAST(len(cw) AS BIGINT) AS chunk_tokens,
+                  md5(array_to_string(cw, ' ')) AS chunk_key
+           FROM c JOIN documents d USING (doc_id)),
+         b AS (
+           SELECT source, chunk_key FROM k
+           GROUP BY source, chunk_key
+           HAVING count(DISTINCT doc_id) >= 2)
+         SELECT k.doc_id,
+                count(*) AS n_chunks,
+                CAST(count(b.chunk_key) AS BIGINT) AS n_boiler,
+                CAST(sum(CASE WHEN b.chunk_key IS NULL THEN k.chunk_tokens ELSE 0 END) AS BIGINT) AS kept_tokens,
+                CAST(count(b.chunk_key) AS BIGINT) / CAST(count(*) AS BIGINT) AS boiler_frac
+         FROM k LEFT JOIN b ON k.source = b.source AND k.chunk_key = b.chunk_key
+         GROUP BY k.doc_id ORDER BY k.doc_id""",
+    // DSIR replay: quality gate (same fp order as nd_text_quality), token
+    // md5-fold buckets, add-one-smoothed single-log ratio quantized to
+    // integer micro-nats per bucket, exact integer sum per document
+    "nd_pipeline_dsir" ->
+      s"""WITH q AS (
+            SELECT doc_id, text,
+              least(1.0::DOUBLE, n_tokens_ws / 64.0::DOUBLE) * 0.4::DOUBLE
+              + coalesce(1.0::DOUBLE - least(1.0::DOUBLE, n_punct / nullif(CAST(n_tokens_ws AS DOUBLE), 0.0::DOUBLE)), 0.0::DOUBLE) * 0.3::DOUBLE
+              + coalesce(least(1.0::DOUBLE, round(n_stop / nullif(n_tokens_ws, 0), 4) * 5), 0.0::DOUBLE) * 0.3::DOUBLE AS quality
+            FROM (
+              SELECT doc_id, text,
+                CAST(len(string_split_regex(text, ' +')) AS BIGINT) AS n_tokens_ws,
+                CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS BIGINT) AS n_punct,
+                CAST(len(list_filter(string_split_regex(text, ' +'), w -> w IN (${TextAnalysis.stopListSql}))) AS BIGINT) AS n_stop
+              FROM documents)),
+          tok AS (
+            SELECT doc_id, quality >= 0.5::DOUBLE AS is_target,
+                   ${graft.functions.Expressions.Sketch.foldSql(7, "concat_ws('|', 'dsir', u.tok)")} % 1024 AS b
+            FROM q, unnest(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' +')) AS u(tok)),
+          cnt AS (
+            SELECT b, count(*) AS c_raw,
+                   sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS c_tgt
+            FROM tok GROUP BY b),
+          tot AS (
+            SELECT count(*) AS n_raw,
+                   sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS n_tgt
+            FROM tok),
+          model AS (
+            SELECT b,
+              CAST(round(ln(CAST((c_tgt + 1) * (n_raw + 1024) AS DOUBLE)
+                            / CAST((c_raw + 1) * (n_tgt + 1024) AS DOUBLE)) * 1000000.0::DOUBLE) AS BIGINT) AS lrq
+            FROM cnt CROSS JOIN tot)
+          SELECT t.doc_id, count(*) AS n_tokens,
+                 CAST(sum(m.lrq) AS BIGINT) AS dsir_logw_micro,
+                 CAST(sum(m.lrq) AS BIGINT) > 0 AS selected
+          FROM tok t JOIN model m USING (b)
+          GROUP BY t.doc_id ORDER BY t.doc_id""",
     "nd_pipeline_shard" ->
       """WITH t AS (
            SELECT doc_id,

@@ -116,4 +116,62 @@ class PipelineSpec extends AnyFunSuite {
     val scan = pruned.queryExecution.executedPlan.toString
     assert(pruned.count() == stats.head.getLong(1))
   }
+
+  test("chunk boilerplate: per-doc invariants, real signal, no pinned cache") {
+    import spark.implicits._
+    val pinnedBefore = spark.sparkContext.getPersistentRDDs.keySet
+    val rows = Pipeline.chunkBoilerplate(spark, sf).collect()
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(rows.length == nDocs, "every document must be reported")
+    rows.foreach { r =>
+      val (nChunks, nBoiler, frac) = (r.getLong(1), r.getLong(2), r.getDouble(4))
+      assert(nBoiler >= 0 && nBoiler <= nChunks)
+      assert(frac == nBoiler.toDouble / nChunks)
+    }
+    // the fixture plants near-duplicates, so the interesting path (shared
+    // chunks within a source) must actually fire, not vacuously pass
+    assert(rows.exists(_.getLong(2) > 0), "no boilerplate detected at all")
+    assert(rows.exists(r => r.getLong(2) < r.getLong(1)),
+      "every chunk flagged boilerplate — detector is degenerate")
+    // independent recount of one flagged doc: its boiler chunks really do
+    // appear in >= 2 distinct docs of the same source
+    val flagged = rows.filter(_.getLong(2) > 0).map(_.getLong(0)).toSet
+    val chunks = Pipeline.chunkDocuments(spark, sf, 8, 0)
+      .join(Tables.documents(spark, sf).select($"doc_id", $"source"), "doc_id")
+    val shared = chunks.groupBy($"source", $"chunk_key")
+      .agg(org.apache.spark.sql.functions.countDistinct($"doc_id").as("nd"))
+      .filter($"nd" >= 2)
+      .join(chunks, Seq("source", "chunk_key"))
+      .select($"doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(flagged == shared, s"flagged-doc set mismatch: ${flagged.diff(shared)} / ${shared.diff(flagged)}")
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- pinnedBefore
+    assert(leaked.isEmpty, s"chunkBoilerplate left pinned RDD ids: $leaked")
+  }
+
+  test("DSIR weights separate target-like from raw documents") {
+    import spark.implicits._
+    val pinnedBefore = spark.sparkContext.getPersistentRDDs.keySet
+    val w = Pipeline.dsirWeights(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(w.size == nDocs, "every document must be weighted")
+    w.values.foreach { case (n, lw, sel) =>
+      assert(n > 0)
+      assert(sel == (lw > 0L), "selected flag must equal sign of the weight")
+    }
+    // importance weights must point TOWARD the target distribution: the
+    // mean per-token log-weight of target docs exceeds that of the rest
+    val target = TextAnalysis.qualityScore(spark, sf)
+      .filter($"quality" >= 0.5).select($"doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(target.nonEmpty && target.size < w.size, "degenerate quality split")
+    def meanPerTok(ids: Iterable[Long]) = {
+      val xs = ids.map(w); xs.map(_._2.toDouble).sum / xs.map(_._1).sum
+    }
+    val (inT, outT) = (meanPerTok(target), meanPerTok(w.keySet -- target))
+    assert(inT > outT,
+      s"target docs not upweighted: mean/token $inT vs $outT micro-nats")
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- pinnedBefore
+    assert(leaked.isEmpty, s"dsirWeights left pinned RDD ids: $leaked")
+  }
 }
