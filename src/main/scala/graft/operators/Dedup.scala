@@ -254,6 +254,57 @@ object Dedup {
     graft.plans.Caching.detach(out, () => { sh.unpersist(blocking = false); () })
   }
 
+  /** BLOOM-FILTER decontamination pre-pass — the shape that makes
+    * [[decontaminate]] affordable at 100 TB: instead of broadcasting the
+    * eval shingle SET (unbounded as benchmark suites grow), broadcast an
+    * `mBits`-bit Bloom mask of it (16 KB here, constant-size by
+    * construction) and test every training shingle map-side. A training
+    * document whose bloom-positive shingle count reaches `minShared`
+    * is a CANDIDATE for the exact pass; the Bloom no-false-negative
+    * guarantee means the candidate set is a superset of the truly
+    * contaminated documents (spec-proven), so the expensive shingle
+    * equi-join runs over candidates only.
+    *
+    * Determinism and oracle replay: bit positions come from
+    * Kirsch-Mitzenmacher double hashing of the 60-bit shingle fold —
+    * `pos_j = (h>>30) + j·(h & 2^30-1) mod mBits` — pure integer ops
+    * with no overflow at 60 bits, identical in Spark and SQL. The mask
+    * itself is driver-collected DISTINCT positions (bounded by `mBits`
+    * bits = 2 K longs, metadata-scale like the IVF probe set) baked into
+    * a literal array; membership is a codegen'd higher-order `filter`
+    * over the shingle array — the train side is one map-only pass, no
+    * explode, no shuffle before the per-doc aggregate. */
+  def decontaminateBloom(s: SparkSession, d: String, evalMod: Int = 10,
+      minShared: Int = 3, mBits: Int = 131072, kHashes: Int = 4): DataFrame = {
+    import s.implicits._
+    val sh = documents(s, d)
+      .select($"doc_id", shingleHashes($"text").as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def bitPos(h: Column, j: Int): Column =
+      (shiftright(h, 30) + lit(j.toLong) * h.bitwiseAND(lit(1073741823L))) % mBits
+    val bits = sh.filter($"doc_id" % evalMod === 0)
+      .select(explode($"sh").as("h"))
+      .select(explode(array((0 until kHashes).map(j => bitPos($"h", j)): _*)).as("bit"))
+      .distinct().collect().map(_.getLong(0))
+    val mask = new Array[Long](mBits / 64)
+    bits.foreach(b => mask(b.toInt >> 6) |= 1L << (b.toInt & 63))
+    // all-k-bits-set test per shingle, inlined as SQL so the lambda can
+    // reference the broadcast literal `mask` column
+    val hit = (0 until kHashes).map { j =>
+      val bit = s"((shiftright(h, 30) + $j * (h & 1073741823)) % $mBits)"
+      s"((shiftright(element_at(mask, CAST($bit DIV 64 AS INT) + 1), " +
+        s"CAST($bit % 64 AS INT)) & 1) = 1)"
+    }.mkString(" AND ")
+    val out = sh.filter($"doc_id" % evalMod =!= 0)
+      .withColumn("mask", lit(mask))
+      .select($"doc_id".as("train_id"),
+        size($"sh").cast("long").as("n_shingles"),
+        expr(s"CAST(size(filter(sh, h -> $hit)) AS BIGINT)").as("n_hits"))
+      .withColumn("candidate", $"n_hits" >= minShared)
+      .orderBy($"train_id")
+    graft.plans.Caching.detach(out, () => { sh.unpersist(blocking = false); () })
+  }
+
   /** Transitive near-duplicate CLUSTERS — the stage after pair generation:
     * near-dup similarity is not transitive, but dedup policy must be (keep
     * one document per connected component of the pair graph). Iterative
@@ -423,6 +474,7 @@ object Dedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "nd_decontaminate" -> ((s: SparkSession, d: String) => decontaminate(s, d)),
+    "nd_decontaminate_bloom" -> ((s: SparkSession, d: String) => decontaminateBloom(s, d)),
     "nd_dedup_incremental" -> exactIncrementalQuery _,
     "nd_dedup_clusters" -> ((s: SparkSession, d: String) => nearDupClusters(s, d)),
     "nd_dedup_exact" -> exact _,
@@ -505,6 +557,28 @@ object Dedup {
          FROM ov JOIN evn USING (eval_id)
          WHERE n_shared >= 3
          ORDER BY train_id, eval_id""",
+    // bloom replay: same 60-bit shingle folds; the mask is replayed as
+    // the DISTINCT eval bit-position set (set semantics — a bitmask IS a
+    // set), double-hashed positions, all-k-present via left-join + min
+    "nd_decontaminate_bloom" ->
+      s"""WITH $shingleCtesSql,
+         sh60 AS (SELECT doc_id, list_distinct(list_transform(shings, s -> ${Sketch.foldSql(15, "s")})) AS sh
+                  FROM shing),
+         evb AS (SELECT DISTINCT ((h >> 30) + t.j * (h & 1073741823)) % 131072 AS bit
+                 FROM (SELECT unnest(sh) AS h FROM sh60 WHERE doc_id % 10 = 0)
+                 CROSS JOIN range(0, 4) t(j)),
+         tr AS (SELECT doc_id AS train_id, unnest(sh) AS h
+                FROM sh60 WHERE doc_id % 10 <> 0),
+         pos AS (SELECT train_id, h, ((h >> 30) + t.j * (h & 1073741823)) % 131072 AS bit
+                 FROM tr CROSS JOIN range(0, 4) t(j)),
+         hs AS (SELECT train_id, h,
+                       min(CASE WHEN e.bit IS NOT NULL THEN 1 ELSE 0 END) AS allset
+                FROM pos LEFT JOIN evb e USING (bit)
+                GROUP BY train_id, h)
+         SELECT train_id, count(*) AS n_shingles,
+                CAST(sum(allset) AS BIGINT) AS n_hits,
+                CAST(sum(allset) AS BIGINT) >= 3 AS candidate
+         FROM hs GROUP BY train_id ORDER BY train_id""",
     "nd_dedup_clusters" ->
       s"""WITH RECURSIVE $shingleCtesSql, $candCtesSql,
          pairs AS (SELECT doc_a, doc_b FROM est WHERE est_jaccard >= 0.5),

@@ -118,6 +118,29 @@ class DedupSpec extends AnyFunSuite {
     assert(sh(0).intersect(sh(1)).size == top.getAs[Long]("n_shared"))
   }
 
+  test("bloom decontamination pre-pass: superset of exact, bounded FPs") {
+    val exact = Dedup.decontaminate(spark, sf).collect()
+    val bloom = Dedup.decontaminateBloom(spark, sf).collect()
+      .map(r => r.getAs[Long]("train_id") ->
+        (r.getAs[Long]("n_hits"), r.getAs[Boolean]("candidate"))).toMap
+    val nTrain = Tables.documents(spark, sf).filter($"doc_id" % 10 =!= 0).count()
+    assert(bloom.size == nTrain, "every train doc must be scored")
+    // no false negatives: every truly contaminated train doc is a
+    // candidate, and its bloom hit count covers the exact shared count
+    exact.foreach { r =>
+      val (train, shared) = (r.getAs[Long]("train_id"), r.getAs[Long]("n_shared"))
+      val (hits, cand) = bloom(train)
+      assert(cand, s"contaminated train doc $train not a bloom candidate")
+      assert(hits >= shared, s"doc $train: $hits bloom hits < $shared exact shares")
+    }
+    // false positives stay a small fraction of the train side (the mask
+    // is sized so the all-k-bits test rarely fires spuriously)
+    val truly = exact.map(_.getAs[Long]("train_id")).toSet
+    val falsePos = bloom.count { case (id, (_, c)) => c && !truly(id) }
+    assert(falsePos <= math.max(2L, nTrain / 10),
+      s"$falsePos bloom false positives out of $nTrain train docs")
+  }
+
   test("simhash pairs agree with minhash pairs on strong duplicates") {
     val mh = Dedup.minhashPairs(spark, sf, threshold = 0.9).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
