@@ -100,7 +100,39 @@ object TpchShapes {
       .orderBy($"supplier_cnt".desc, $"p_brand", $"p_type")
   }
 
+  /** Z-ORDER locality manifest — the inspection query for the
+    * [[graft.plans.Layout.zorderedWrite]] layout pass: Morton-interleave
+    * `(l_partkey, l_suppkey)`, cut the Z range into 64 equal-width
+    * buckets (the file boundaries a range-partitioned write would draw),
+    * and report each bucket's 2-D bounding box. Contiguous Z ranges are
+    * bounded boxes in BOTH dimensions — the property that lets parquet
+    * footer min/max stats prune files for a filter on EITHER column,
+    * where a single-column sort clusters only itself. Pure integer
+    * mask/shift spreading, exactly replayable in SQL. */
+  def q39ZorderLocality(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val li = lineitem(s, d).select($"l_partkey", $"l_suppkey")
+    val bounds = li.agg(
+      min($"l_partkey").as("pmin"), max($"l_partkey").as("pmax"),
+      min($"l_suppkey").as("smin"), max($"l_suppkey").as("smax"))
+    li.crossJoin(broadcast(bounds))
+      .withColumn("pn",
+        expr("CAST(((l_partkey - pmin) * 65535) DIV greatest(pmax - pmin, 1) AS BIGINT)"))
+      .withColumn("sn",
+        expr("CAST(((l_suppkey - smin) * 65535) DIV greatest(smax - smin, 1) AS BIGINT)"))
+      .withColumn("z", graft.plans.Layout.zValue($"pn", $"sn"))
+      // normalized z spans the full 32-bit square, so the 64 equal-width
+      // buckets are exactly the top 6 bits
+      .withColumn("zbucket", shiftright($"z", 26))
+      .groupBy($"zbucket")
+      .agg(count(lit(1)).as("n_rows"),
+           min($"l_partkey").as("p_min"), max($"l_partkey").as("p_max"),
+           min($"l_suppkey").as("s_min"), max($"l_suppkey").as("s_max"))
+      .orderBy($"zbucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q39_zorder_locality" -> ((s: SparkSession, d: String) => q39ZorderLocality(s, d)),
     "q29_nation_volume" -> q29NationVolume _,
     "q30_returned_items" -> q30ReturnedItems _,
     "q31_promo_share" -> q31PromoShare _,
@@ -108,7 +140,34 @@ object TpchShapes {
     "q33_idle_customers" -> q33IdleCustomers _,
     "q34_supplier_breadth" -> q34SupplierBreadth _)
 
+  /** The 4-step Morton mask/shift spreading as a SQL expression. */
+  private def spreadSql(e: String): String = {
+    val a = s"($e & 65535)"
+    val b = s"(($a | ($a << 8)) & 16711935)"
+    val d = s"(($b | ($b << 4)) & 252645135)"
+    val f = s"(($d | ($d << 2)) & 858993459)"
+    s"(($f | ($f << 1)) & 1431655765)"
+  }
+
   val oracle: Map[String, String] = Map(
+    "q39_zorder_locality" ->
+      s"""WITH m AS (
+            SELECT min(l_partkey) AS pmin, max(l_partkey) AS pmax,
+                   min(l_suppkey) AS smin, max(l_suppkey) AS smax
+            FROM lineitem),
+          n AS (
+            SELECT l_partkey, l_suppkey,
+                   ((l_partkey - pmin) * 65535) // greatest(pmax - pmin, 1) AS pn,
+                   ((l_suppkey - smin) * 65535) // greatest(smax - smin, 1) AS sn
+            FROM lineitem CROSS JOIN m),
+          b AS (
+            SELECT l_partkey, l_suppkey,
+                   (${spreadSql("pn")} | (${spreadSql("sn")} << 1)) >> 26 AS zbucket
+            FROM n)
+          SELECT zbucket, count(*) AS n_rows,
+                 min(l_partkey) AS p_min, max(l_partkey) AS p_max,
+                 min(l_suppkey) AS s_min, max(l_suppkey) AS s_max
+          FROM b GROUP BY zbucket ORDER BY zbucket""",
     "q29_nation_volume" ->
       """SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
          CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))

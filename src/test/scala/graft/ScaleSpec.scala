@@ -83,4 +83,39 @@ class ScaleSpec extends AnyFunSuite {
     val salted = Skew.saltedJoin(l, o, "l_orderkey", "o_orderkey", salts = 5).count()
     assert(salted == direct)
   }
+
+  test("z-order layout clusters the second dimension; single-column sort does not") {
+    import spark.implicits._
+    // sf0.01 for meaningful spread: partkey 0..1999, suppkey 0..99
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.01")
+      .select($"l_partkey", $"l_suppkey", $"l_quantity")
+    val nFiles = 16
+    val dirX = java.nio.file.Files.createTempDirectory("layout-x").toString
+    val dirZ = java.nio.file.Files.createTempDirectory("layout-z").toString
+    li.repartitionByRange(nFiles, $"l_partkey")
+      .sortWithinPartitions("l_partkey")
+      .write.mode("overwrite").parquet(dirX)
+    Layout.zorderedWrite(li, "l_partkey", "l_suppkey", dirZ, nFiles)
+    def filesWithMatches(dir: String, cond: org.apache.spark.sql.Column): Long =
+      spark.read.parquet(dir).filter(cond)
+        .select(input_file_name()).distinct().count()
+    // a narrow band on the SECOND dimension: the partkey-sorted layout
+    // scatters it across ~every file; the Z layout keeps it in a bounded
+    // set of boxes (~sqrt of the files)
+    val band = $"l_suppkey" >= 10 && $"l_suppkey" <= 14
+    val hitX = filesWithMatches(dirX, band)
+    val hitZ = filesWithMatches(dirZ, band)
+    assert(hitX >= nFiles - 2, s"x-sorted layout unexpectedly clustered suppkey: $hitX")
+    assert(hitZ * 2 <= hitX, s"z-order did not cluster suppkey: $hitZ vs $hitX files")
+    // the layout changes bytes touched, never results
+    val a = spark.read.parquet(dirX).filter(band).agg(
+      count(lit(1)), sum($"l_quantity"), sum($"l_partkey")).collect()(0)
+    val b = spark.read.parquet(dirZ).filter(band).agg(
+      count(lit(1)), sum($"l_quantity"), sum($"l_partkey")).collect()(0)
+    assert(a == b, s"layouts disagree: $a vs $b")
+    // and the first dimension still prunes too (bounded boxes both ways)
+    val pband = $"l_partkey" >= 100 && $"l_partkey" <= 199
+    assert(filesWithMatches(dirZ, pband) < nFiles,
+      "z layout lost partkey locality entirely")
+  }
 }
