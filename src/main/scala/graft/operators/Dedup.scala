@@ -274,8 +274,10 @@ object Dedup {
     * a literal array; membership is a codegen'd higher-order `filter`
     * over the shingle array — the train side is one map-only pass, no
     * explode, no shuffle before the per-doc aggregate. */
-  def decontaminateBloom(s: SparkSession, d: String, evalMod: Int = 10,
-      minShared: Int = 3, mBits: Int = 131072, kHashes: Int = 4): DataFrame = {
+  /** Pre-materialization pipeline + cache release — exposed for plan
+    * inspection; callers use [[decontaminateBloom]]. */
+  private[graft] def decontaminateBloomLazy(s: SparkSession, d: String,
+      evalMod: Int, minShared: Int, mBits: Int, kHashes: Int): (DataFrame, () => Unit) = {
     import s.implicits._
     val sh = documents(s, d)
       .select($"doc_id", shingleHashes($"text").as("sh"))
@@ -302,7 +304,13 @@ object Dedup {
         expr(s"CAST(size(filter(sh, h -> $hit)) AS BIGINT)").as("n_hits"))
       .withColumn("candidate", $"n_hits" >= minShared)
       .orderBy($"train_id")
-    graft.plans.Caching.detach(out, () => { sh.unpersist(blocking = false); () })
+    (out, () => { sh.unpersist(blocking = false); () })
+  }
+
+  def decontaminateBloom(s: SparkSession, d: String, evalMod: Int = 10,
+      minShared: Int = 3, mBits: Int = 131072, kHashes: Int = 4): DataFrame = {
+    val (out, free) = decontaminateBloomLazy(s, d, evalMod, minShared, mBits, kHashes)
+    graft.plans.Caching.detach(out, free)
   }
 
   /** Transitive near-duplicate CLUSTERS — the stage after pair generation:

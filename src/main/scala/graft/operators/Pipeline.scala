@@ -277,8 +277,10 @@ object Pipeline {
     * persisted sketch-sized across its two consumers and freed via
     * [[graft.plans.Caching.detach]].
     */
-  def chunkBoilerplate(s: SparkSession, d: String, size: Int = 8,
-      minDocs: Int = 2): DataFrame = {
+  /** Pre-materialization pipeline + cache release — exposed for plan
+    * inspection; callers use [[chunkBoilerplate]]. */
+  private[graft] def chunkBoilerplateLazy(s: SparkSession, d: String,
+      size: Int, minDocs: Int): (DataFrame, () => Unit) = {
     import s.implicits._
     val chunks = chunkedCore(s, d, size, 0)
       .join(documents(s, d).select($"doc_id", $"source"), "doc_id")
@@ -297,7 +299,13 @@ object Pipeline {
       // engines without the (unsafe, see qualityScore) round(x, 4)
       .withColumn("boiler_frac", $"n_boiler" / $"n_chunks")
       .orderBy($"doc_id")
-    graft.plans.Caching.detach(out, () => { chunks.unpersist(blocking = false); () })
+    (out, () => { chunks.unpersist(blocking = false); () })
+  }
+
+  def chunkBoilerplate(s: SparkSession, d: String, size: Int = 8,
+      minDocs: Int = 2): DataFrame = {
+    val (out, free) = chunkBoilerplateLazy(s, d, size, minDocs)
+    graft.plans.Caching.detach(out, free)
   }
 
   /** DSIR-style importance weighting (Xie et al. 2302.03169: Data
@@ -322,8 +330,10 @@ object Pipeline {
     * LM — at true corpus scale you would instead re-stream the scan);
     * the model is `buckets` rows broadcast; scoring is a map-side
     * broadcast join plus a partially-aggregated per-doc sum. */
-  def dsirWeights(s: SparkSession, d: String, buckets: Int = 1024,
-      qualityThreshold: Double = 0.5): DataFrame = {
+  /** Pre-materialization pipeline + cache release — exposed for plan
+    * inspection; callers use [[dsirWeights]]. */
+  private[graft] def dsirWeightsLazy(s: SparkSession, d: String, buckets: Int,
+      qualityThreshold: Double): (DataFrame, () => Unit) = {
     import s.implicits._
     val toks = TextAnalysis.withQualitySignals(documents(s, d))
       .select($"doc_id", ($"quality" >= qualityThreshold).as("is_target"),
@@ -348,7 +358,13 @@ object Pipeline {
       .agg(count(lit(1)).as("n_tokens"), sum($"lrq").as("dsir_logw_micro"))
       .withColumn("selected", $"dsir_logw_micro" > 0L)
       .orderBy($"doc_id")
-    graft.plans.Caching.detach(scored, () => { toks.unpersist(blocking = false); () })
+    (scored, () => { toks.unpersist(blocking = false); () })
+  }
+
+  def dsirWeights(s: SparkSession, d: String, buckets: Int = 1024,
+      qualityThreshold: Double = 0.5): DataFrame = {
+    val (scored, free) = dsirWeightsLazy(s, d, buckets, qualityThreshold)
+    graft.plans.Caching.detach(scored, free)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

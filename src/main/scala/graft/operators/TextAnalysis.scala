@@ -356,6 +356,52 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** COUNT-MIN sketch accuracy audit — the mergeable heavy-hitter sketch
+    * of streaming/scale counting (Cormode & Muthukrishnan 2005): `depth`
+    * hash rows × `width` buckets of token counts, estimate = min over
+    * rows of the token's bucket count. Never under-counts (the estimate
+    * majorizes the true count by construction) and over-counts by at most
+    * ~2N/width for a 1/2-failure-depth-1 row — emitted as an integer
+    * verdict column the oracle pins exactly (over·width ≤ 2N, no float).
+    *
+    * Scale shape: the sketch build is one explode + a partially-aggregated
+    * count shuffle of (depth × width) bounded cells — at 100 TB the
+    * counts table is `depth·width` rows regardless of corpus size (the
+    * production form would fold it into a mergeable array aggregate; the
+    * table form here has identical cell values and replays in SQL). The
+    * audit joins only the top-`k` exact tokens back against the cells.
+    * Bucket ids are md5-folds seeded per row (`cms0`..`cms3`) — the same
+    * replayable hash family as the sampling/sharding operators. */
+  def vocabCms(s: SparkSession, d: String, k: Int = 30, width: Int = 1024,
+      depth: Int = 4): DataFrame = {
+    import s.implicits._
+    val toks = documents(s, d)
+      .select(explode(wsTokens(canonical($"text"))).as("token"))
+      .filter($"token" =!= "")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def bucket(j: Int): Column =
+      conv(substring(md5(concat_ws("|", lit(s"cms$j"), $"token")), 1, 7), 16, 10)
+        .cast("long") % width
+    val cells = toks
+      .select(posexplode(array((0 until depth).map(bucket): _*)).as(Seq("j", "b")))
+      .groupBy($"j", $"b").agg(count(lit(1)).as("c"))
+    val totals = toks.agg(count(lit(1)).as("n_total"))
+    val top = toks.groupBy($"token").agg(count(lit(1)).as("exact_n"))
+      .orderBy($"exact_n".desc, $"token").limit(k)
+    val est = top
+      .select($"token", $"exact_n",
+        posexplode(array((0 until depth).map(bucket): _*)).as(Seq("j", "b")))
+      .join(cells, Seq("j", "b"))
+      .groupBy($"token", $"exact_n")
+      .agg(min($"c").as("cms_est"))
+    val out = est.crossJoin(broadcast(totals))
+      .select($"token", $"exact_n", $"cms_est",
+        ($"cms_est" - $"exact_n").as("cms_over"),
+        (($"cms_est" - $"exact_n") * width <= $"n_total" * 2L).as("within_bound"))
+      .orderBy($"exact_n".desc, $"token")
+    graft.plans.Caching.detach(out, () => { toks.unpersist(blocking = false); () })
+  }
+
   /** GOPHER-style rule-filter bundle (Rae et al. 2112.11446, App. A1) —
     * the named heuristic battery most corpus-cleaning pipelines start
     * from: word-count bounds, mean-word-length bounds, symbol-to-word
@@ -402,6 +448,7 @@ object TextAnalysis {
     "nd_fingerprints" -> fingerprints _,
     "nd_lang_stats" -> langStats _,
     "nd_vocab_topk" -> ((s: SparkSession, d: String) => vocabTopK(s, d)),
+    "nd_vocab_cms" -> ((s: SparkSession, d: String) => vocabCms(s, d)),
     "nd_token_pairs" -> ((s: SparkSession, d: String) => tokenPairs(s, d)),
     "nd_bpe_learn" -> ((s: SparkSession, d: String) => bpeLearn(s, d)),
     "nd_bpe_apply" -> ((s: SparkSession, d: String) => bpeApply(s, d)),
@@ -561,6 +608,35 @@ object TextAnalysis {
                FROM documents)
          WHERE token <> ''
          GROUP BY token ORDER BY freq DESC, token LIMIT 50""",
+    // count-min replay: same md5-fold bucket family per sketch row, cell
+    // counts, min-over-rows estimate, integer bound verdict
+    "nd_vocab_cms" ->
+      s"""WITH tok AS (
+            SELECT unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS token
+            FROM documents),
+          tk AS (SELECT token FROM tok WHERE token <> ''),
+          tot AS (SELECT count(*) AS n_total FROM tk),
+          cells AS (
+            SELECT t.j AS j, ${graft.functions.Expressions.Sketch.foldSql(7,
+              "concat_ws('|', 'cms' || CAST(t.j AS VARCHAR), token)")} % 1024 AS b,
+                   count(*) AS c
+            FROM tk CROSS JOIN range(0, 4) t(j)
+            GROUP BY 1, 2),
+          top AS (
+            SELECT token, count(*) AS exact_n FROM tk
+            GROUP BY token ORDER BY exact_n DESC, token LIMIT 30),
+          eb AS (
+            SELECT top.token, top.exact_n, t.j AS j, ${graft.functions.Expressions.Sketch.foldSql(7,
+              "concat_ws('|', 'cms' || CAST(t.j AS VARCHAR), token)")} % 1024 AS b
+            FROM top CROSS JOIN range(0, 4) t(j)),
+          est AS (
+            SELECT token, exact_n, min(c) AS cms_est
+            FROM eb JOIN cells USING (j, b) GROUP BY token, exact_n)
+          SELECT token, exact_n, cms_est,
+                 cms_est - exact_n AS cms_over,
+                 (cms_est - exact_n) * 1024 <= n_total * 2 AS within_bound
+          FROM est CROSS JOIN tot
+          ORDER BY exact_n DESC, token""",
     "nd_text_quality" ->
       s"""WITH stats AS (
             SELECT doc_id,

@@ -568,6 +568,22 @@ class TextAnalysisSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("count-min sketch never under-counts and stays within its bound") {
+    val sf = "/root/testdata/sf0.01"
+    val rows = TextAnalysis.vocabCms(spark, sf).collect()
+    assert(rows.length == 30)
+    rows.foreach { r =>
+      val (exact, est, over) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(est >= exact, s"CMS under-counted '${r.getString(0)}': $est < $exact")
+      assert(over == est - exact)
+      assert(r.getBoolean(4), s"'${r.getString(0)}' over-count $over beyond the 2N/w bound")
+    }
+    // estimates agree with the exact top-k table on the ranking input
+    val topk = TextAnalysis.vocabTopK(spark, sf, 30).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach(r => assert(topk(r.getString(0)) == r.getLong(1)))
+  }
+
   test("gopher rule verdicts are consistent with their signals and discriminate") {
     val rows = TextAnalysis.gopherRules(spark, "/root/testdata/sf0.01").collect()
     assert(rows.length == 500)
