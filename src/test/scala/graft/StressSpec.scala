@@ -265,6 +265,63 @@ class StressSpec extends AnyFunSuite {
       s"shard ${r.getLong(0)} off balance at 30x: ${r.getLong(1)} vs ${total / 8}"))
   }
 
+  test("(g) round-5 operators keep their scale shape at 30x") {
+    import spark.implicits._
+    import graft.operators.{Pipeline, TextAnalysis}
+    def plan(df: DataFrame): String = df.queryExecution.executedPlan.toString
+    val nDocs = Tables.documents(spark, dir).count()
+
+    // boilerplate: candidate detection stays a (source, chunk_key) hash
+    // aggregate — no funnel — and word-salted copies keep the boilerplate
+    // mass base-corpus-sized instead of exploding 30x
+    val (boiler, freeB) = Pipeline.chunkBoilerplateLazy(spark, dir, 8, 2)
+    val bPlan = plan(boiler)
+    assert(!bPlan.contains("Exchange SinglePartition"),
+      s"boilerplate funnels at 30x:\n$bPlan")
+    val bRows = boiler.collect()
+    freeB()
+    assert(bRows.length == nDocs)
+    val boilerFrac = bRows.map(_.getLong(2)).sum.toDouble / bRows.map(_.getLong(1)).sum
+    assert(boilerFrac < 0.1, s"boilerplate mass exploded at 30x: $boilerFrac")
+
+    // DSIR: the model lookup must stay a broadcast hash join (the model is
+    // `buckets` rows however big the corpus gets) and the per-doc score a
+    // hash-partitioned aggregate — the only single-partition exchanges are
+    // the 1-row totals
+    val (dsir, freeD) = Pipeline.dsirWeightsLazy(spark, dir, 1024, 0.5)
+    val dPlan = plan(dsir)
+    assert(dPlan.contains("BroadcastHashJoin"),
+      s"DSIR model lookup lost its broadcast at 30x:\n$dPlan")
+    assert(dPlan.contains("hashpartitioning(doc_id"),
+      s"DSIR per-doc aggregate not hash-partitioned at 30x:\n$dPlan")
+    assert(dsir.count() == nDocs)
+    freeD()
+
+    // bloom decontamination: the train pass is JOIN-FREE (the eval side is
+    // a constant-size mask literal), and the candidate set still covers
+    // every exactly-contaminated doc at 30x
+    val (bloom, freeBl) = graft.operators.Dedup.decontaminateBloomLazy(
+      spark, dir, 10, 3, 131072, 4)
+    val blPlan = plan(bloom)
+    assert(!blPlan.contains("Join"), s"bloom train pass gained a join at 30x:\n$blPlan")
+    val cand = bloom.collect()
+      .map(r => r.getAs[Long]("train_id") -> r.getAs[Boolean]("candidate")).toMap
+    freeBl()
+    val exactIds = graft.operators.Dedup.decontaminate(spark, dir).collect()
+      .map(_.getAs[Long]("train_id")).toSet
+    assert(exactIds.nonEmpty && exactIds.forall(cand(_)),
+      "bloom candidates lost exact contaminations at 30x")
+
+    // count-min: the sketch is depth x width cells no matter the corpus;
+    // the guarantees hold on 30x counts too
+    val cms = TextAnalysis.vocabCms(spark, dir).collect()
+    assert(cms.length == 30)
+    cms.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1), "CMS under-counted at 30x")
+      assert(r.getBoolean(4), s"CMS bound violated at 30x for '${r.getString(0)}'")
+    }
+  }
+
   test("(d) ANN recall holds up at 30x — not just at the toy corpus") {
     // the round-2 caveat was that recall was only ever measured at 2k
     // vectors; here the same multi-probe LSH runs against 60k and must
