@@ -372,6 +372,13 @@ object TextAnalysis {
     * audit joins only the top-`k` exact tokens back against the cells.
     * Bucket ids are md5-folds seeded per row (`cms0`..`cms3`) — the same
     * replayable hash family as the sampling/sharding operators. */
+  /** Row-`j` count-min bucket of a token — md5-fold seeded per sketch
+    * row; shared by the batch audit and [[graft.streaming.StreamingCms]]
+    * so both maintain the same cells. */
+  private[graft] def cmsBucket(j: Int, token: Column, width: Int): Column =
+    conv(substring(md5(concat_ws("|", lit(s"cms$j"), token)), 1, 7), 16, 10)
+      .cast("long") % width
+
   def vocabCms(s: SparkSession, d: String, k: Int = 30, width: Int = 1024,
       depth: Int = 4): DataFrame = {
     import s.implicits._
@@ -379,9 +386,7 @@ object TextAnalysis {
       .select(explode(wsTokens(canonical($"text"))).as("token"))
       .filter($"token" =!= "")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    def bucket(j: Int): Column =
-      conv(substring(md5(concat_ws("|", lit(s"cms$j"), $"token")), 1, 7), 16, 10)
-        .cast("long") % width
+    def bucket(j: Int): Column = cmsBucket(j, $"token", width)
     val cells = toks
       .select(posexplode(array((0 until depth).map(bucket): _*)).as(Seq("j", "b")))
       .groupBy($"j", $"b").agg(count(lit(1)).as("c"))

@@ -355,4 +355,43 @@ class StreamingDedupSpec extends AnyFunSuite {
       assert(streamed.values.exists(identity) && streamed.values.exists(!_))
     } finally q.stop()
   }
+
+  test("streaming count-min cells equal the batch sketch after the stream drains") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.TextAnalysis
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    implicit val sq = spark.sqlContext
+    val source = MemoryStream[(Long, String)]
+    val out = graft.streaming.StreamingCms.cmsStream(
+      source.toDF().toDF("doc_id", "text"))
+    val q = out.writeStream.format("memory").queryName("cms_stream")
+      .outputMode("complete").start()
+    try {
+      source.addData(docs.take(200).toSeq)
+      q.processAllAvailable()
+      source.addData(docs.drop(200).toSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("cms_stream").collect()
+        .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+      // state is bounded by construction: never more than depth x width
+      assert(streamed.size <= 4 * 1024, s"cell state exploded: ${streamed.size}")
+      // batch cells built by the same hash family over the same corpus
+      val batch = Tables.documents(spark, sf)
+        .select(explode(TextAnalysis.wsTokens(TextAnalysis.canonical(col("text")))).as("token"))
+        .filter(col("token") =!= "")
+        .select(posexplode(array((0 until 4).map(j =>
+          TextAnalysis.cmsBucket(j, col("token"), 1024)): _*)).as(Seq("j", "b")))
+        .groupBy(col("j"), col("b")).agg(count(lit(1)).as("c")).collect()
+        .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(streamed == batch, "streamed cells diverge from the batch sketch")
+      // the read path: a known-frequent token's estimate covers its count
+      val (top, exact) = TextAnalysis.vocabTopK(spark, sf, 1).collect()
+        .map(r => (r.getString(0), r.getLong(1))).head
+      val est = graft.streaming.StreamingCms.estimate(spark.table("cms_stream"), top)
+      assert(est >= exact, s"estimate $est under-counts '$top' ($exact)")
+    } finally q.stop()
+  }
 }
