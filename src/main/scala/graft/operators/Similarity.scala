@@ -175,6 +175,33 @@ object Similarity {
     rankWithin(cand, k)
   }
 
+  /** INCREMENTAL IVF — the daily-ingest serving shape
+    * ([[IvfIndex.append]] as an oracle-paired query): the coarse
+    * quantizer is trained on the HISTORICAL corpus only (`vec_id < cut`)
+    * and frozen; the new batch is assigned under the frozen centroids in
+    * one broadcast map pass (never retrained), and queries search the
+    * union. Recall degrades only as the batch drifts from the training
+    * distribution — the rebuild-cadence trade every production vector
+    * store makes. Spec-proven identical to physically appending to a
+    * persisted [[IvfIndex]]. */
+  def knnIvfIncremental(s: SparkSession, d: String, cut: Long = 250,
+      nQueries: Int = 5, k: Int = 5, nLists: Int = 16, nProbe: Int = 4,
+      lloydIters: Int = DefaultLloydIters): DataFrame = {
+    import s.implicits._
+    val vecs = embeddings(s, d)
+      .select($"vec_id", transform($"embedding", _.cast("double")).as("v"))
+    val centroids = lloydCentroids(vecs.filter($"vec_id" < cut), nLists, lloydIters)
+    val lists = coarseAssign(vecs, centroids)
+    val probes = probeLists(
+      vecs.filter($"vec_id" < nQueries).select($"vec_id".as("query_id"), $"v".as("qv")),
+      centroids, nProbe)
+    val cand = lists.join(probes, Seq("list_id"))
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id".as("neighbor_id"),
+              Expressions.cosineSim($"qv", $"v").as("sim"))
+    rankWithin(cand, k)
+  }
+
   /** Metadata-filtered ANN — the retrieval-pipeline shape "top-k among
     * vectors satisfying a predicate". The filter lands on the corpus scan
     * (PushedFilters on `label`), so candidates shrink BEFORE any distance
@@ -443,6 +470,7 @@ object Similarity {
     "nd_rag_retrieval" -> ((s: SparkSession, d: String) => ragRetrieve(s, d)),
     "nd_knn_lsh" -> ((s: SparkSession, d: String) => knnLsh(s, d)),
     "nd_knn_ivf" -> ((s: SparkSession, d: String) => knnIvf(s, d)),
+    "nd_knn_ivf_incr" -> ((s: SparkSession, d: String) => knnIvfIncremental(s, d)),
     "nd_knn_recall" -> ((s: SparkSession, d: String) => knnRecall(s, d)),
     "nd_knn_sq8" -> ((s: SparkSession, d: String) => knnSq8(s, d)))
 
@@ -465,7 +493,7 @@ object Similarity {
     * `lists(vec_id, v, list_id)` (final assignment) and
     * `cvecs$iterations(list_id, cv)` (trained centroids) in scope. */
   private[operators] def lloydChainSql(nLists: Int, iterations: Int,
-      dims: Int = 64): String = {
+      dims: Int = 64, src: String = "embeddings"): String = {
     val steps = (1 to iterations).map { i =>
       s"""a$i AS (
             SELECT vec_id, v, list_id,
@@ -479,7 +507,7 @@ object Similarity {
             GROUP BY list_id, t.pos),
           cvecs$i AS (SELECT list_id, list(m ORDER BY pos) AS cv FROM cent$i GROUP BY list_id)"""
     }.mkString(",\n          ")
-    s"""vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s"""vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM $src),
           cvecs0 AS (SELECT vec_id AS list_id, v AS cv FROM vecs WHERE vec_id < $nLists),
           $steps,
           aF AS (
@@ -512,6 +540,38 @@ object Similarity {
           SELECT query_id, neighbor_id, round(sim, 6) AS cos_sim, CAST(rk AS BIGINT) AS rank
           FROM r WHERE rk <= $k ORDER BY query_id, rank"""
   }
+
+  /** DuckDB replay of the incremental-IVF pipeline: the
+    * [[lloydChainSql]] quantizer trained on the `vec_id < cut` slice
+    * only, the FULL corpus assigned under the frozen `cvecs`, queries
+    * probing and ranking against the union — the oracle form of
+    * [[knnIvfIncremental]]/[[IvfIndex.append]]. */
+  private[operators] def ivfIncrOracleSql(cut: Long, nLists: Int, nProbe: Int,
+      nQueries: Int, k: Int, iterations: Int, dims: Int = 64): String =
+    s"""WITH ${lloydChainSql(nLists, iterations, dims,
+          src = s"(SELECT * FROM embeddings WHERE vec_id < $cut)")},
+          allv AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          ai AS (
+            SELECT vec_id, v, list_id,
+                   row_number() OVER (PARTITION BY vec_id
+                     ORDER BY list_cosine_similarity(v, cv) DESC, list_id) AS rn
+            FROM allv CROSS JOIN cvecs$iterations),
+          ilists AS (SELECT vec_id, v, list_id FROM ai WHERE rn = 1),
+          qs AS (
+            SELECT q.vec_id AS query_id, q.v AS qv, c.list_id,
+                   row_number() OVER (PARTITION BY q.vec_id
+                     ORDER BY list_cosine_similarity(q.v, c.cv) DESC, c.list_id) AS rn
+            FROM allv q CROSS JOIN cvecs$iterations c WHERE q.vec_id < $nQueries),
+          probes AS (SELECT query_id, qv, list_id FROM qs WHERE rn <= $nProbe),
+          cand AS (
+            SELECT query_id, vec_id AS neighbor_id, list_cosine_similarity(qv, v) AS sim
+            FROM ilists JOIN probes USING (list_id) WHERE vec_id <> query_id),
+          r AS (
+            SELECT query_id, neighbor_id, sim,
+                   row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk
+            FROM cand)
+          SELECT query_id, neighbor_id, round(sim, 6) AS cos_sim, CAST(rk AS BIGINT) AS rank
+          FROM r WHERE rk <= $k ORDER BY query_id, rank"""
 
   /** DuckDB replay of the full PQ pipeline: per subspace, the seed+Lloyd
     * codebook chain (the [[ivfOracleSql]] step shape on subvector slices),
@@ -794,5 +854,7 @@ object Similarity {
     "nd_knn_lsh" -> lshOracleSql,
     "nd_knn_ivf" -> ivfOracleSql(nLists = 16, nProbe = 4, nQueries = 5, k = 5,
       iterations = DefaultLloydIters),
+    "nd_knn_ivf_incr" -> ivfIncrOracleSql(cut = 250, nLists = 16, nProbe = 4,
+      nQueries = 5, k = 5, iterations = DefaultLloydIters),
     "nd_knn_brute" -> bruteOracleSql)
 }

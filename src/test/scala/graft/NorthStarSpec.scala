@@ -500,10 +500,14 @@ class IvfIndexSpec extends AnyFunSuite {
     val dir = java.nio.file.Files.createTempDirectory("ivfappend").toString
     val all = graft.Tables.embeddings(spark, sf)
       .select($"vec_id", transform($"embedding", _.cast("double")).as("v"))
-    val (oldB, newB) = (all.filter($"vec_id" < 1500), all.filter($"vec_id" >= 1500))
+    // cut INSIDE the corpus (sf0.01 has vec_id 0..499) so the appended
+    // batch is non-empty — a cut past the max id would pass vacuously
+    val cut = 250L
+    val (oldB, newB) = (all.filter($"vec_id" < cut), all.filter($"vec_id" >= cut))
+    assert(newB.count() > 0, "append batch must not be empty")
     // build on the old batch only, then append the new one
     val oldDir = java.nio.file.Files.createTempDirectory("ivfappend-src").toString
-    graft.Tables.embeddings(spark, sf).filter($"vec_id" < 1500)
+    graft.Tables.embeddings(spark, sf).filter($"vec_id" < cut)
       .write.parquet(s"$oldDir/embeddings.parquet")
     operators.IvfIndex.build(spark, oldDir, dir, nLists = 16)
     operators.IvfIndex.append(spark, dir, newB)
@@ -526,6 +530,13 @@ class IvfIndexSpec extends AnyFunSuite {
     // and the appended rows really landed in partition directories
     val total = spark.read.parquet(s"$dir/lists").count()
     assert(total == all.count(), s"lists hold $total of ${all.count()} vectors")
+    // the oracle-paired incremental query is this exact pipeline end to
+    // end: frozen old-half quantizer, union assignment, probed search
+    val viaQuery = operators.Similarity.knnIvfIncremental(spark, sf, cut)
+      .collect().map(_.toSeq)
+    assert(viaQuery.sameElements(got) ||
+           viaQuery.zip(got).forall { case (x, y) => x == y },
+      "knnIvfIncremental diverges from the persisted build+append+query path")
   }
 }
 
