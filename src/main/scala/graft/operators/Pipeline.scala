@@ -367,7 +367,39 @@ object Pipeline {
     graft.plans.Caching.detach(scored, free)
   }
 
+  /** MERGE-INTO (upsert) for corpus refresh — the copy-on-write update
+    * shape of a lakehouse table: rows of `base` whose key appears in
+    * `updates` are replaced, unmatched `updates` rows are inserted,
+    * everything else passes through. One anti-join on the key plus a
+    * union — the exact plan a Delta/Iceberg MERGE compiles to for
+    * whole-row updates; at 100 TB the anti-join shuffles keys and the
+    * untouched partition files would be rewritten only where matched. */
+  def upsert(base: DataFrame, updates: DataFrame, key: String): DataFrame =
+    base.join(updates.select(key), Seq(key), "left_anti").unionByName(updates)
+
+  /** Oracle-paired refresh manifest: a deterministic update batch (every
+    * doc_id % 7 == 0 re-edited via canonical-case text, plus new docs at
+    * id + 1000000 for doc_id % 11 == 0) merged into `documents`; reports
+    * per-source row counts and char mass, with updated/inserted splits. */
+  def upsertManifest(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = documents(s, d).select($"doc_id", $"source", $"text")
+    val edits = base.filter($"doc_id" % 7 === 0)
+      .select($"doc_id", $"source", upper($"text").as("text"))
+    val inserts = base.filter($"doc_id" % 11 === 0)
+      .select(($"doc_id" + 1000000L).as("doc_id"), $"source", $"text")
+    val merged = upsert(base, edits.unionByName(inserts), "doc_id")
+    merged
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+           sum(when($"doc_id" % 7 === 0 && $"doc_id" < 1000000L, 1L).otherwise(0L)).as("n_updated"),
+           sum(when($"doc_id" >= 1000000L, 1L).otherwise(0L)).as("n_inserted"),
+           sum(length($"text").cast("long")).as("total_chars"))
+      .orderBy($"source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "nd_pipeline_upsert" -> upsertManifest _,
     "nd_dedup_boilerplate" -> ((s: SparkSession, d: String) => chunkBoilerplate(s, d)),
     "nd_pipeline_dsir" -> ((s: SparkSession, d: String) => dsirWeights(s, d)),
     "nd_pipeline_chunks" -> ((s: SparkSession, d: String) => chunkDocuments(s, d)),
@@ -382,6 +414,21 @@ object Pipeline {
     * the same replayable constructions as the [[TextAnalysis]] /
     * [[Dedup]] oracles. */
   val oracle: Map[String, String] = Map(
+    // upsert replay: same deterministic edit/insert batches, anti-join +
+    // union, per-source manifest
+    "nd_pipeline_upsert" ->
+      """WITH base AS (SELECT doc_id, source, text FROM documents),
+         edits AS (SELECT doc_id, source, upper(text) AS text FROM base WHERE doc_id % 7 = 0),
+         inserts AS (SELECT doc_id + 1000000 AS doc_id, source, text FROM base WHERE doc_id % 11 = 0),
+         ups AS (SELECT * FROM edits UNION ALL SELECT * FROM inserts),
+         merged AS (
+           SELECT * FROM base WHERE doc_id NOT IN (SELECT doc_id FROM ups)
+           UNION ALL SELECT * FROM ups)
+         SELECT source, count(*) AS n_docs,
+                CAST(sum(CASE WHEN doc_id % 7 = 0 AND doc_id < 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_updated,
+                CAST(sum(CASE WHEN doc_id >= 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_inserted,
+                CAST(sum(length(text)) AS BIGINT) AS total_chars
+         FROM merged GROUP BY source ORDER BY source""",
     // chunk replay: same canonical split, same integer chunk-count formula,
     // same slice windows, md5 of the space-joined chunk
     "nd_pipeline_chunks" ->

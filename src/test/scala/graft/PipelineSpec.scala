@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.upper
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.{Dedup, Pipeline, TextAnalysis}
@@ -146,6 +147,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(flagged == shared, s"flagged-doc set mismatch: ${flagged.diff(shared)} / ${shared.diff(flagged)}")
     val leaked = spark.sparkContext.getPersistentRDDs.keySet -- pinnedBefore
     assert(leaked.isEmpty, s"chunkBoilerplate left pinned RDD ids: $leaked")
+  }
+
+  test("upsert replaces matched rows, inserts unmatched, passes the rest") {
+    import spark.implicits._
+    val base = Tables.documents(spark, sf).select($"doc_id", $"source", $"text")
+    val edits = base.filter($"doc_id" % 7 === 0)
+      .select($"doc_id", $"source", upper($"text").as("text"))
+    val inserts = base.filter($"doc_id" % 11 === 0)
+      .select(($"doc_id" + 1000000L).as("doc_id"), $"source", $"text")
+    val merged = Pipeline.upsert(base, edits.unionByName(inserts), "doc_id").cache()
+    try {
+      // cardinality: edits replace, inserts add
+      assert(merged.count() == base.count() + inserts.count())
+      // keys unique after the merge
+      assert(merged.select($"doc_id").distinct().count() == merged.count())
+      // a matched row carries the UPDATE's payload, not the base's
+      val updated = merged.filter($"doc_id" % 7 === 0 && $"doc_id" < 1000000L)
+        .select($"text").as[String].collect()
+      assert(updated.nonEmpty && updated.forall(t => t == t.toUpperCase),
+        "matched rows kept the base payload")
+      // an untouched row is bit-identical to the base
+      val keep = base.filter($"doc_id" % 7 =!= 0).orderBy($"doc_id").collect()
+      val got = merged.filter($"doc_id" % 7 =!= 0 && $"doc_id" < 1000000L)
+        .orderBy($"doc_id").collect()
+      assert(keep.sameElements(got))
+    } finally { merged.unpersist(); () }
   }
 
   test("DSIR weights separate target-like from raw documents") {
