@@ -379,8 +379,10 @@ object TextAnalysis {
     conv(substring(md5(concat_ws("|", lit(s"cms$j"), token)), 1, 7), 16, 10)
       .cast("long") % width
 
-  def vocabCms(s: SparkSession, d: String, k: Int = 30, width: Int = 1024,
-      depth: Int = 4): DataFrame = {
+  /** Pre-materialization pipeline + cache release — exposed for plan
+    * inspection; callers use [[vocabCms]]. */
+  private[graft] def vocabCmsLazy(s: SparkSession, d: String, k: Int,
+      width: Int, depth: Int): (DataFrame, () => Unit) = {
     import s.implicits._
     val toks = documents(s, d)
       .select(explode(wsTokens(canonical($"text"))).as("token"))
@@ -404,7 +406,13 @@ object TextAnalysis {
         ($"cms_est" - $"exact_n").as("cms_over"),
         (($"cms_est" - $"exact_n") * width <= $"n_total" * 2L).as("within_bound"))
       .orderBy($"exact_n".desc, $"token")
-    graft.plans.Caching.detach(out, () => { toks.unpersist(blocking = false); () })
+    (out, () => { toks.unpersist(blocking = false); () })
+  }
+
+  def vocabCms(s: SparkSession, d: String, k: Int = 30, width: Int = 1024,
+      depth: Int = 4): DataFrame = {
+    val (out, free) = vocabCmsLazy(s, d, k, width, depth)
+    graft.plans.Caching.detach(out, free)
   }
 
   /** GOPHER-style rule-filter bundle (Rae et al. 2112.11446, App. A1) —
