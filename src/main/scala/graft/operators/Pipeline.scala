@@ -373,9 +373,18 @@ object Pipeline {
     * everything else passes through. One anti-join on the key plus a
     * union — the exact plan a Delta/Iceberg MERGE compiles to for
     * whole-row updates; at 100 TB the anti-join shuffles keys and the
-    * untouched partition files would be rewritten only where matched. */
-  def upsert(base: DataFrame, updates: DataFrame, key: String): DataFrame =
-    base.join(updates.select(key), Seq(key), "left_anti").unionByName(updates)
+    * untouched partition files would be rewritten only where matched.
+    *
+    * PRECONDITION: `updates` must be unique on `key` — Delta/Iceberg MERGE
+    * raises "multiple source rows matched" when it isn't. As a guard the
+    * batch is passed through dropDuplicates(key) so the merged output can
+    * never carry two rows per key; which duplicate survives is arbitrary
+    * (as with any unordered dedup), so callers wanting a specific winner
+    * must resolve duplicates themselves before calling. */
+  def upsert(base: DataFrame, updates: DataFrame, key: String): DataFrame = {
+    val uniq = updates.dropDuplicates(key)
+    base.join(uniq.select(key), Seq(key), "left_anti").unionByName(uniq)
+  }
 
   /** Oracle-paired refresh manifest: a deterministic update batch (every
     * doc_id % 7 == 0 re-edited via canonical-case text, plus new docs at

@@ -333,15 +333,24 @@ object Relational {
            approx_count_distinct($"l_suppkey", rsd = sketchRsd).as("ap_supps"),
            percentile_approx($"l_extendedprice", lit(0.5), lit(10000)).as("ap_median"),
            percentile_approx($"l_extendedprice", lit(0.95), lit(10000)).as("ap_p95"))
-    li.join(broadcast(sketches), "l_returnflag")
-      .groupBy($"l_returnflag")
+    // exact-distinct validation split off the rank-check pass (the q38
+    // lesson): mixing countDistinct with the sketch-joined sums makes
+    // Spark Expand every joined row once per distinct spec — 3x the rows,
+    // each dragging the sketch columns through the shuffle. Split, the
+    // Expand pass runs on a narrow 3-column projection and the rank pass
+    // is a plain codegen'd conditional-count; both shuffle only 3 groups.
+    val exact = li.groupBy($"l_returnflag")
       .agg(countDistinct($"l_partkey").as("exact_parts"),
-           countDistinct($"l_suppkey").as("exact_supps"),
-           count(lit(1)).as("n"),
+           countDistinct($"l_suppkey").as("exact_supps"))
+    val ranks = li.select($"l_returnflag", $"l_extendedprice")
+      .join(broadcast(sketches), "l_returnflag")
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"),
            sum(when($"l_extendedprice" <= $"ap_median", 1L).otherwise(0L)).as("n_le_med"),
            sum(when($"l_extendedprice" <= $"ap_p95", 1L).otherwise(0L)).as("n_le_p95"),
            first($"ap_parts").as("ap_parts"),
            first($"ap_supps").as("ap_supps"))
+    exact.join(ranks, "l_returnflag")
       .select($"l_returnflag", $"exact_parts", $"exact_supps",
         (abs($"ap_parts" - $"exact_parts") / $"exact_parts" <= 0.05).as("parts_sketch_ok"),
         (abs($"ap_supps" - $"exact_supps") / $"exact_supps" <= 0.05).as("supps_sketch_ok"),

@@ -95,8 +95,11 @@ object Layout {
                    min(col(yCol)).cast("long"), max(col(yCol)).cast("long"))
       .collect()(0)
     val (xlo, xhi, ylo, yhi) = (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
-    val xn = expr(s"CAST((($xCol - $xlo) * 65535) DIV ${math.max(xhi - xlo, 1)} AS BIGINT)")
-    val yn = expr(s"CAST((($yCol - $ylo) * 65535) DIV ${math.max(yhi - ylo, 1)} AS BIGINT)")
+    // widen BEFORE the multiply: an IntegerType key with range > ~32k
+    // would overflow (key - lo) * 65535 in 32-bit arithmetic, silently
+    // corrupting z-values (layout-only damage, but real)
+    val xn = expr(s"CAST(((CAST($xCol AS BIGINT) - $xlo) * 65535) DIV ${math.max(xhi - xlo, 1)} AS BIGINT)")
+    val yn = expr(s"CAST(((CAST($yCol AS BIGINT) - $ylo) * 65535) DIV ${math.max(yhi - ylo, 1)} AS BIGINT)")
     df.withColumn("__z", zValue(xn, yn))
       .repartitionByRange(nFiles, col("__z"))
       .sortWithinPartitions("__z")

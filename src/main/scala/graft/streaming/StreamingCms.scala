@@ -50,7 +50,11 @@ object StreamingCms {
       val hex = digest.map("%02x".format(_)).mkString.substring(0, 7)
       (j, java.lang.Long.parseLong(hex, 16) % width)
     }
-    cells.join(s.createDataset(pairs).toDF("j", "b"), Seq("j", "b"))
-      .agg(min($"c")).collect()(0).getLong(0)
+    // LEFT join from the token's bucket rows: a cell the stream never
+    // incremented is absent from `cells`, and a true CMS reads it as 0.
+    // An inner join would drop the zero cells — over-estimating tokens
+    // with partially-unpopulated buckets and NPE-ing on fully-unseen ones.
+    cells.join(s.createDataset(pairs).toDF("j", "b"), Seq("j", "b"), "right")
+      .agg(min(coalesce($"c", lit(0L)))).collect()(0).getLong(0)
   }
 }

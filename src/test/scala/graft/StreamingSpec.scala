@@ -392,6 +392,11 @@ class StreamingDedupSpec extends AnyFunSuite {
         .map(r => (r.getString(0), r.getLong(1))).head
       val est = graft.streaming.StreamingCms.estimate(spark.table("cms_stream"), top)
       assert(est >= exact, s"estimate $est under-counts '$top' ($exact)")
+      // a token the stream never saw reads as >= 0 with missing cells
+      // treated as zero — not an NPE, and never under its true count (0)
+      val unseen = graft.streaming.StreamingCms.estimate(
+        spark.table("cms_stream"), "zz-token-the-corpus-cannot-contain-zz")
+      assert(unseen >= 0L, s"unseen-token estimate went negative: $unseen")
     } finally q.stop()
   }
 }
