@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables._
@@ -472,6 +473,64 @@ object Dedup {
       .orderBy($"vec_a", $"vec_b")
   }
 
+  // ---- Exact substring dedup (anchored k-gram run extension) ----
+  // The variable-length repeated-span member of the dedup family (Lee et
+  // al., "Deduplicating Training Data Makes Language Models Better",
+  // arXiv:2107.06499). The paper builds a corpus-wide suffix array — a
+  // global sort over every byte, which is exactly the single-machine shape
+  // that does not distribute. The Spark-shaped approximation: a span of
+  // ≥ L tokens repeats somewhere in the corpus iff EVERY k-token window
+  // inside it repeats, so (1) hash each k-gram (anchor) per position,
+  // (2) one count aggregate finds anchors occurring > 1 time corpus-wide,
+  // (3) per document, maximal runs of consecutive duplicated positions
+  // extend anchors back into variable-length spans: a run of positions
+  // p..q means tokens p..q+k-1 repeat, span length (q-p)+k. Everything is
+  // linear, bucketed by gram hash — never all-pairs: the anchor aggregate
+  // map-side combines, the semi-join back streams (sort-merge on the same
+  // gram-hash partitioning, so the exchange is reusable), and the run
+  // window partitions by doc_id (per-doc bounded, no global sort).
+  // False positives require two distinct token spans sharing every
+  // overlapping k-gram MD5 — vanishing at md5 strength.
+  val AnchorK = 8
+  val MinSpanTokens = 12
+
+  /** Repeated spans `(doc_id, span_start, span_len)` (1-based token
+    * positions): maximal corpus-repeated substrings of ≥ `minSpanTokens`
+    * whitespace tokens, including within-doc repeats (the paper dedups
+    * those too). */
+  def substringSpans(s: SparkSession, d: String, k: Int = AnchorK,
+      minSpanTokens: Int = MinSpanTokens): DataFrame =
+    substringSpansOf(documents(s, d).toDF(), k, minSpanTokens)
+
+  /** [[substringSpans]] over any `(doc_id, text)`-shaped frame. */
+  def substringSpansOf(docs: DataFrame, k: Int = AnchorK,
+      minSpanTokens: Int = MinSpanTokens): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val grams = docs
+      .select($"doc_id", wsTokens(canonical($"text")).as("w"))
+      .filter(size($"w") >= k)
+      .select($"doc_id", posexplode(
+        transform(sequence(lit(0), size($"w") - k),
+          i => md5(concat_ws(" ", slice($"w", i + 1, lit(k)))))).as(Seq("p0", "gh")))
+      .select($"doc_id", ($"p0" + 1).cast("long").as("pos"), $"gh")
+    // anchors repeated anywhere (other doc OR another position of the same
+    // doc); aggregate-then-semi-join rather than a count window so a
+    // boilerplate heavy-hitter gram partial-aggregates map-side instead of
+    // buffering one giant window partition
+    val dupAnchors = grams.groupBy($"gh")
+      .agg(count(lit(1)).as("n_occ")).filter($"n_occ" > 1).select($"gh")
+    val byDoc = Window.partitionBy($"doc_id").orderBy($"pos")
+    grams.join(dupAnchors, Seq("gh"), "left_semi")
+      .withColumn("grp", $"pos" - row_number().over(byDoc))
+      .groupBy($"doc_id", $"grp")
+      .agg(min($"pos").as("span_start"),
+           (max($"pos") - min($"pos") + k).as("span_len"))
+      .filter($"span_len" >= minSpanTokens)
+      .select($"doc_id", $"span_start", $"span_len")
+      .orderBy($"doc_id", $"span_start")
+  }
+
   /** Oracle-paired incremental run: batch = doc_id ≥ 250 deduped against
     * the digests of doc_id < 250. */
   def exactIncrementalQuery(s: SparkSession, d: String): DataFrame = {
@@ -484,6 +543,7 @@ object Dedup {
     "nd_decontaminate" -> ((s: SparkSession, d: String) => decontaminate(s, d)),
     "nd_decontaminate_bloom" -> ((s: SparkSession, d: String) => decontaminateBloom(s, d)),
     "nd_dedup_incremental" -> exactIncrementalQuery _,
+    "nd_dedup_substring" -> ((s: SparkSession, d: String) => substringSpans(s, d)),
     "nd_dedup_clusters" -> ((s: SparkSession, d: String) => nearDupClusters(s, d)),
     "nd_dedup_exact" -> exact _,
     "nd_dedup_exact_kept" -> exactKept _,
@@ -598,6 +658,29 @@ object Dedup {
            SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
          SELECT a AS doc_id, least(a, min(b)) AS cluster_id
          FROM reach GROUP BY a ORDER BY doc_id""",
+    // substring replay: same canonical/tokenize scheme, k-gram MD5 anchors
+    // with positions via lateral range-unnest, duplicated-anchor filter,
+    // gaps-and-islands (pos - row_number) run grouping
+    "nd_dedup_substring" ->
+      s"""WITH w AS (
+           SELECT doc_id,
+                  string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS w
+           FROM documents),
+         g AS (
+           SELECT doc_id, CAST(u.pos AS BIGINT) AS pos,
+                  md5(array_to_string(w[u.pos:u.pos+${AnchorK - 1}], ' ')) AS gh
+           FROM w, unnest(range(1, len(w) - ${AnchorK - 2})) AS u(pos)
+           WHERE len(w) >= $AnchorK),
+         dup AS (SELECT gh FROM g GROUP BY gh HAVING count(*) > 1),
+         d AS (SELECT doc_id, pos FROM g WHERE gh IN (SELECT gh FROM dup)),
+         r AS (SELECT doc_id, pos,
+                      pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+               FROM d)
+         SELECT doc_id, min(pos) AS span_start,
+                max(pos) - min(pos) + $AnchorK AS span_len
+         FROM r GROUP BY doc_id, grp
+         HAVING max(pos) - min(pos) + $AnchorK >= $MinSpanTokens
+         ORDER BY doc_id, span_start""",
     "nd_dedup_incremental" ->
       """WITH keyed AS (
            SELECT doc_id, md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS k

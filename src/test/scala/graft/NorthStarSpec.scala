@@ -94,6 +94,29 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.contains((first, 99999L)), s"planted pair missing from ${pairs.take(20).toSeq}")
   }
 
+  test("substring dedup finds a planted repeated span with exact extent") {
+    // a 20-token span shared between docs 1 and 2 at different offsets;
+    // doc 3 shares nothing 8 tokens long
+    val shared = (1 to 20).map(i => s"shared$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"alpha one two three $shared tail one"),
+      (2L, s"$shared completely different ending here"),
+      (3L, "nothing in common with the others at all twelve tokens maybe"))
+      .toDF("doc_id", "text")
+    val spans = Dedup.substringSpansOf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // maximal extents exactly recover the plant: doc 1 carries it at token
+    // positions 5..24, doc 2 at 1..20 — span_len = 20 in both
+    assert(spans.toSet == Set((1L, 5L, 20L), (2L, 1L, 20L)),
+      s"got ${spans.toSeq}")
+    // below the k-gram floor nothing is reported: a 7-token shared run
+    val short = Seq(
+      (1L, "x1 x2 x3 x4 x5 x6 x7 aa bb cc dd ee ff gg hh"),
+      (2L, "x1 x2 x3 x4 x5 x6 x7 zz yy ww vv uu tt ss rr"))
+      .toDF("doc_id", "text")
+    assert(Dedup.substringSpansOf(short).collect().isEmpty)
+  }
+
   test("exact dedup keeps one copy per canonical text") {
     val out = Dedup.exact(spark, sf).collect()
     assert(out.map(_.getAs[Long]("n_copies")).sum == Tables.documents(spark, sf).count())

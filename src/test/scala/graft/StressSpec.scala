@@ -322,6 +322,31 @@ class StressSpec extends AnyFunSuite {
     }
   }
 
+  test("(h) substring dedup keeps its scale shape at 30x") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val spans = Dedup.substringSpans(spark, dir)
+    val p = spans.queryExecution.executedPlan.toString
+    // anchor counting is a hash aggregate bucketed by gram hash, the
+    // duplicated-anchor filter joins back as an equi-semi-join, and the
+    // run window partitions by doc_id — no funnel, no all-pairs
+    assert(!p.contains("Exchange SinglePartition"),
+      s"substring dedup funnels at 30x:\n$p")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      s"substring dedup flipped to an all-pairs join at 30x:\n$p")
+    assert(p.contains("hashpartitioning(gh"),
+      s"anchor aggregate is not bucketed by gram hash at 30x:\n$p")
+    // distributive correctness: word-salted copies collide with nothing
+    // unsalted, so the spans of the original (k=0) documents at 30x must
+    // be EXACTLY the base-corpus spans — extra corpus cannot invent or
+    // destroy repeats among the originals
+    val at30 = spans.filter($"doc_id" < 1000000L).collect().map(_.toSeq)
+    val base = Dedup.substringSpans(spark, "/root/testdata/sf0.1")
+      .collect().map(_.toSeq)
+    assert(at30.length == base.length && at30.sameElements(base),
+      s"k=0 spans at 30x (${at30.length}) diverge from base corpus spans (${base.length})")
+  }
+
   test("(d) ANN recall holds up at 30x — not just at the toy corpus") {
     // the round-2 caveat was that recall was only ever measured at 2k
     // vectors; here the same multi-probe LSH runs against 60k and must
