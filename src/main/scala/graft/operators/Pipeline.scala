@@ -207,6 +207,37 @@ object Pipeline {
       .orderBy($"shard")
   }
 
+  /** Deterministic EPOCH SHUFFLE — the trainer-feed stage that gives every
+    * document a fresh pseudo-random visit order per training epoch,
+    * reproducibly: `position` of a doc in epoch `e` is its rank under the
+    * md5-fold key `fold60(md5("epoch|e|doc_id"))` — a pure function of
+    * (epoch, doc_id), so any engine, re-run or cluster layout derives the
+    * identical permutation (and the oracle replays it value-for-value).
+    *
+    * The rank is computed WITHOUT a global sort: one
+    * [[graft.plans.ScalableNtile.runningTotal]] pass over (epoch, key)
+    * order — deterministic range ids from literal boundaries, per-range
+    * `row_number`, and a P-row offset broadcast. Each epoch occupies an
+    * exact `n`-row stripe of the global rank, so the within-epoch position
+    * is `grank - epoch*n` — closed form, no per-epoch repartition. The
+    * single `count()` is driver metadata of the same class as the
+    * boundary sample. */
+  def epochShuffle(s: SparkSession, d: String, epochs: Int = 3): DataFrame = {
+    import s.implicits._
+    val docs = documents(s, d).select($"doc_id")
+    val n = docs.count()
+    val keyed = docs
+      .select($"doc_id", explode(sequence(lit(0), lit(epochs - 1))).as("epoch"))
+      .withColumn("skey",
+        conv(substring(md5(concat_ws("|", lit("epoch"), $"epoch", $"doc_id")), 1, 15), 16, 10)
+          .cast("long"))
+    graft.plans.ScalableNtile.runningTotal(keyed, lit(1L),
+        Seq(col("epoch"), col("skey"), col("doc_id")), "grank")
+      .select($"epoch".cast("long").as("epoch"),
+              ($"grank" - $"epoch" * n).as("pos"), $"doc_id")
+      .orderBy($"epoch", $"pos")
+  }
+
   /** Physically write the corpus under the [[shardManifest]] assignment:
     * one directory per shard (`shard=K/`), each written by its own task
     * set after an explicit repartition on the shard key — directory-level
@@ -413,6 +444,7 @@ object Pipeline {
     "nd_pipeline_dsir" -> ((s: SparkSession, d: String) => dsirWeights(s, d)),
     "nd_pipeline_chunks" -> ((s: SparkSession, d: String) => chunkDocuments(s, d)),
     "nd_pipeline_shard" -> ((s: SparkSession, d: String) => shardManifest(s, d)),
+    "nd_pipeline_epoch" -> ((s: SparkSession, d: String) => epochShuffle(s, d)),
     "nd_pipeline_curation" -> curationStats _,
     "nd_pipeline_packing" -> ((s: SparkSession, d: String) => packSequences(s, d)),
     "nd_pipeline_mixture" -> ((s: SparkSession, d: String) => temperatureMixture(s, d)),
@@ -438,6 +470,20 @@ object Pipeline {
                 CAST(sum(CASE WHEN doc_id >= 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_inserted,
                 CAST(sum(length(text)) AS BIGINT) AS total_chars
          FROM merged GROUP BY source ORDER BY source""",
+    // epoch replay: the permutation is rank under the 60-bit md5 fold of
+    // 'epoch|e|doc_id' — the oracle's partitioned row_number IS the spec;
+    // the Spark side computes the same rank via runningTotal, no funnel
+    "nd_pipeline_epoch" -> {
+      val fold = graft.functions.Expressions.Sketch.foldSql(
+        15, "concat_ws('|', 'epoch', t.e, doc_id)")
+      s"""WITH e AS (
+           SELECT doc_id, t.e AS epoch, $fold AS skey
+           FROM documents CROSS JOIN range(0, 3) t(e))
+         SELECT epoch,
+                CAST(row_number() OVER (PARTITION BY epoch ORDER BY skey, doc_id) AS BIGINT) AS pos,
+                doc_id
+         FROM e ORDER BY epoch, pos"""
+    },
     // chunk replay: same canonical split, same integer chunk-count formula,
     // same slice windows, md5 of the space-joined chunk
     "nd_pipeline_chunks" ->

@@ -68,6 +68,37 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
 
+  test("epoch shuffle: per-epoch permutation, epochs differ, deterministic, no funnel") {
+    import spark.implicits._
+    val n = Tables.documents(spark, sf).count()
+    val rows = Pipeline.epochShuffle(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length == n * 3)
+    // every epoch is a true permutation: positions 1..n once, all docs once
+    val byEpoch = rows.groupBy(_._1)
+    assert(byEpoch.keySet == Set(0L, 1L, 2L))
+    byEpoch.values.foreach { es =>
+      assert(es.map(_._2).sorted.sameElements(1L to n))
+      assert(es.map(_._3).distinct.length == n.toInt)
+    }
+    // the permutations genuinely differ across epochs (not a shifted copy)
+    def order(e: Long) = byEpoch(e).sortBy(_._2).map(_._3).toSeq
+    assert(order(0L) != order(1L) && order(1L) != order(2L))
+    // deterministic: a second build reproduces the manifest exactly
+    val again = Pipeline.epochShuffle(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.sameElements(again))
+    // scale shape: the rank comes from runningTotal — per-range windows +
+    // a broadcast offset join, never a corpus-wide single-partition sort
+    val p = Pipeline.epochShuffle(spark, sf).queryExecution.executedPlan.toString
+    val funnels = "Exchange SinglePartition".r.findAllIn(p).length
+    val metaWindows = "Window".r.findAllIn(p).length
+    assert(p.contains("BroadcastExchange"), s"offset join lost its broadcast:\n$p")
+    // the only SinglePartition exchanges allowed are the P-row metadata
+    // window and the presentation sort feed — both driver-scale
+    assert(funnels <= 2 && metaWindows >= 1, s"epoch shuffle funnels:\n$p")
+  }
+
   test("sharded write: shard=* directories, round-trip, assignment stable") {
     import spark.implicits._
     val out = java.nio.file.Files.createTempDirectory("sharded").toString
