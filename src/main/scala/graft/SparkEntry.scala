@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Dedup, EthQueries, Multimodal, Pii, Pipeline, Relational, Semantic, Similarity, Subqueries, TextAnalysis, TpchShapes}
+import graft.operators.{Dedup, EthQueries, Multimodal, Pii, Pipeline, Relational, Semantic, Similarity, StreamQueries, Subqueries, TextAnalysis, TpchShapes}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -20,7 +20,8 @@ object SparkEntry {
     Relational.queries ++ Subqueries.queries ++ TpchShapes.queries ++
       EthQueries.queries ++
       TextAnalysis.queries ++ Dedup.queries ++ Similarity.queries ++
-      Semantic.queries ++ Pii.queries ++ Multimodal.queries ++ Pipeline.queries
+      Semantic.queries ++ Pii.queries ++ Multimodal.queries ++
+      Pipeline.queries ++ StreamQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -28,5 +29,6 @@ object SparkEntry {
     Relational.oracle ++ Subqueries.oracle ++ TpchShapes.oracle ++
       EthQueries.oracle ++
       TextAnalysis.oracle ++ Dedup.oracle ++ Similarity.oracle ++
-      Semantic.oracle ++ Pii.oracle ++ Multimodal.oracle ++ Pipeline.oracle
+      Semantic.oracle ++ Pii.oracle ++ Multimodal.oracle ++
+      Pipeline.oracle ++ StreamQueries.oracle
 }

@@ -1,0 +1,31 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Similarity, StreamQueries}
+
+/** Registered drained-stream manifests (StreamQueries): the oracle pins
+  * each against DuckDB per-round; here we pin the strongest cross-path
+  * claim — the streamed ANN manifest is EXACTLY the batch IVF ranking —
+  * and that every manifest drains non-empty (a silently-empty sink would
+  * otherwise only surface as a driver-side row-count failure). */
+class StreamQueriesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("every registered stream manifest drains non-empty") {
+    StreamQueries.queries.foreach { case (name, fn) =>
+      assert(fn(spark, sf).count() > 0, s"$name drained empty")
+    }
+  }
+
+  test("drained ANN manifest equals the batch IVF ranking row-for-row") {
+    val streamed = StreamQueries.streamAnn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val batch = Similarity.knnIvf(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(streamed.length == batch.length && streamed.length > 0)
+    assert(streamed.sameElements(batch),
+      s"stream/batch ranking diverged: ${streamed.take(3).mkString(",")} vs ${batch.take(3).mkString(",")}")
+  }
+}
