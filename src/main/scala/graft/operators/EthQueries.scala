@@ -199,6 +199,25 @@ object EthQueries {
          GROUP BY t.erc20_token ORDER BY t.erc20_token""")
   }
 
+  /** The `weiDecimal` quality mode as an oracle row: the erc20 scan with
+    * exact DECIMAL(38,0) wei values (SURVEY.md §1.2's documented deviation
+    * from the reference's lossy double narrowing,
+    * `EthereumERC20Utils.java:8-14`) — per-token exact transfer totals.
+    * Fixture transfer values are < 1e9, so the expected table's doubles
+    * are integer-exact and the oracle pins the decimal arithmetic
+    * losslessly via CAST. */
+  def q12WeiDecimal(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dir = EthFixtures.ensure(s)
+    s.read.format("ethereum").option("table", "erc20").option("chain", dir)
+      .option("weiDecimal", "true").load()
+      .groupBy($"erc20_token")
+      .agg(count(lit(1)).as("n_transfers"),
+           sum($"erc20_value").cast("decimal(38,0)").as("total_wei"),
+           max($"erc20_value").as("max_wei"))
+      .orderBy($"erc20_token")
+  }
+
   /** B12: the catalog's DESCRIBE surface *as data*. The reference pins the
     * exact `DESCRIBE block/transaction/erc20` output in its docs
     * (`README.md:139-186`; widths `EthereumMetadata.java:48-51`), so this
@@ -246,7 +265,8 @@ object EthQueries {
     "eth_q9_array_cols" -> q9ArrayCols _,
     "eth_udfs" -> qUdfs _,
     "eth_q10_ntile_scalable" -> q10NtileScalable _,
-    "eth_q11_log_decode" -> q11LogDecode _)
+    "eth_q11_log_decode" -> q11LogDecode _,
+    "eth_q12_wei_decimal" -> q12WeiDecimal _)
 
   /** DuckDB replica of [[graft.sources.eth.FixtureChainClient.addrSeed]]:
     * first 15 hex chars of sha256(lower(addr)) folded to a BIGINT. */
@@ -330,6 +350,14 @@ object EthQueries {
       """SELECT erc20_token, round(sum(erc20_value), 2) AS total_moved,
          count(*) AS n_transfers
          FROM erc20 WHERE erc20_blockNumber BETWEEN 2000 AND 4000
+         GROUP BY erc20_token ORDER BY erc20_token"""),
+    // fixture wei values are < 1e9 ⇒ the expected doubles are
+    // integer-exact and CAST to DECIMAL(38,0) losslessly
+    "eth_q12_wei_decimal" -> withEthTables(
+      """SELECT erc20_token, count(*) AS n_transfers,
+         CAST(sum(CAST(erc20_value AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS total_wei,
+         CAST(max(CAST(erc20_value AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS max_wei
+         FROM erc20
          GROUP BY erc20_token ORDER BY erc20_token"""),
     "eth_q5_fromwei" -> withEthTables(
       """SELECT tx_hash, round(tx_value / 1e18, 6) AS eth_value,
