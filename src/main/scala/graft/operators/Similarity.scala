@@ -472,7 +472,9 @@ object Similarity {
     "nd_knn_ivf" -> ((s: SparkSession, d: String) => knnIvf(s, d)),
     "nd_knn_ivf_incr" -> ((s: SparkSession, d: String) => knnIvfIncremental(s, d)),
     "nd_knn_recall" -> ((s: SparkSession, d: String) => knnRecall(s, d)),
-    "nd_knn_sq8" -> ((s: SparkSession, d: String) => knnSq8(s, d)))
+    "nd_knn_sq8" -> ((s: SparkSession, d: String) => knnSq8(s, d)),
+    "nd_rag_bm25" -> ((s: SparkSession, d: String) => bm25Retrieve(s, d)),
+    "nd_rag_hybrid" -> ((s: SparkSession, d: String) => hybridRetrieve(s, d)))
 
   /** DuckDB replica of [[Dedup.embeddingBucket]] ([[graft.functions.Expressions.LshBucket]])
     * for hash table `t`: bit p of the bucket is the sign of the pseudo-
@@ -745,7 +747,175 @@ object Similarity {
       .orderBy($"query_id", $"rank")
   }
 
+  /** Lexical BM25 top-k retrieval — the sparse/keyword half of the
+    * retrieval story (ANN is the dense half; [[hybridRetrieve]] fuses
+    * them). Queries are the first `qTerms` distinct canonical tokens of
+    * each query document (`doc_id < nQueries`), scored against the whole
+    * corpus with Lucene-shaped BM25 (k1 = 1.2, b = 0.75).
+    *
+    * Cross-engine exactness: every per-term score is quantized to integer
+    * MICRO units before the per-document sum, so the aggregate is an
+    * order-free exact integer (the nd_pipeline_dsir trick):
+    * `idf_micro = round(ln((N-df+.5)/(df+.5)+1)·1e6)`, and the tf
+    * normalization is an exact integer ratio (k1 = 6/5 and b = 3/4 scaled
+    * through by 10·T): num = 22·tf·T, den = 10·tf·T + 3·T + 9·dl·N. The
+    * only float ops are one divide and one multiply over
+    * exactly-representable integers — bit-identical in any IEEE engine.
+    *
+    * Scale shape: the corpus token explode is filtered by a BROADCAST
+    * semi-join against the bounded query-term set BEFORE it shuffles —
+    * only matching tokens reach the (doc, term) count, with map-side
+    * partial aggregation; df is a term-cardinality aggregate (bounded
+    * rows); the final rank partitions per query. N and T are two
+    * collected scalars (bounded metadata, like the IVF centroids); the
+    * tokenized base is computed once and released after materialization. */
+  def bm25Retrieve(s: SparkSession, d: String, nQueries: Int = 5,
+      qTerms: Int = 6, k: Int = 10): DataFrame = {
+    val (out, free) = bm25RetrieveLazy(s, d, nQueries, qTerms, k)
+    graft.plans.Caching.detach(out, free)
+  }
+
+  /** Pre-materialization pipeline + cache release — exposed for plan
+    * inspection; callers use [[bm25Retrieve]]. */
+  private[graft] def bm25RetrieveLazy(s: SparkSession, d: String,
+      nQueries: Int, qTerms: Int, k: Int): (DataFrame, () => Unit) = {
+    import s.implicits._
+    val base = documents(s, d)
+      .select($"doc_id",
+        TextAnalysis.wsTokens(TextAnalysis.canonical($"text")).as("toks"))
+      .withColumn("dl", size($"toks").cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val stats = base.agg(count(lit(1)), sum($"dl")).head
+    val (nDocs, tToks) = (stats.getLong(0), stats.getLong(1))
+    val qt = base.filter($"doc_id" < nQueries)
+      .select($"doc_id".as("query_id"),
+              explode(array_distinct(slice($"toks", 1, qTerms))).as("term"))
+    val terms = qt.select($"term").distinct()
+    val tf = base
+      .select($"doc_id", $"dl", explode($"toks").as("term"))
+      .join(broadcast(terms), "term")
+      .groupBy($"doc_id", $"term", $"dl").agg(count(lit(1)).as("tf"))
+    val idf = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+      .withColumn("idf_micro",
+        round(log(((lit(nDocs) - $"df").cast("double") + lit(0.5)) /
+                  ($"df".cast("double") + lit(0.5)) + lit(1.0)) * lit(1000000.0))
+          .cast("long"))
+    val termScores = tf
+      .join(broadcast(qt), "term")
+      .join(broadcast(idf.select($"term", $"idf_micro")), "term")
+      .filter($"doc_id" =!= $"query_id")
+      .select($"query_id", $"doc_id",
+        round($"idf_micro".cast("double") *
+          ((lit(22L) * $"tf" * lit(tToks)).cast("double") /
+           (lit(10L) * $"tf" * lit(tToks) + lit(3L) * lit(tToks) +
+            lit(9L) * $"dl" * lit(nDocs)).cast("double")))
+          .cast("long").as("m"))
+    val scored = termScores.groupBy($"query_id", $"doc_id")
+      .agg(sum($"m").as("bm25_micro"))
+    val w = Window.partitionBy($"query_id").orderBy($"bm25_micro".desc, $"doc_id")
+    val out = scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= k)
+      .orderBy($"query_id", $"rank")
+    (out, () => { base.unpersist(blocking = false); () })
+  }
+
+  /** Hybrid retrieval: reciprocal-rank fusion (RRF) of the lexical
+    * [[bm25Retrieve]] ranking and the dense [[knnBrute]] ranking for the
+    * same query documents (vec_id ≡ doc_id in the driver tables).
+    * Contributions are quantized to integer micro units
+    * (`round(1e6/(60+rank))`) so the fused score is an exact order-free
+    * integer sum; a candidate missing from one system contributes 0 —
+    * standard RRF union semantics. The fusion itself is a union + one
+    * (query, doc)-keyed sum over two k·|Q|-bounded rank lists — driver
+    * metadata scale, regardless of corpus size. */
+  def hybridRetrieve(s: SparkSession, d: String, nQueries: Int = 5,
+      k: Int = 10): DataFrame = {
+    import s.implicits._
+    def contrib(r: Column): Column =
+      round(lit(1000000.0) / (lit(60L) + r).cast("double")).cast("long")
+    val lex = bm25Retrieve(s, d, nQueries, k = k)
+      .select($"query_id", $"doc_id", contrib($"rank").as("c"))
+    val dense = knnBrute(s, d, nQueries, k)
+      .select($"query_id", $"neighbor_id".as("doc_id"), contrib($"rank").as("c"))
+    val fused = lex.unionByName(dense)
+      .groupBy($"query_id", $"doc_id").agg(sum($"c").as("rrf_micro"))
+    val w = Window.partitionBy($"query_id").orderBy($"rrf_micro".desc, $"doc_id")
+    fused.withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= k)
+      .orderBy($"query_id", $"rank")
+  }
+
+  /** BM25 replay CTEs (ending in `brank`): same canonical/tokenize scheme
+    * as the dedup oracles, integer micro idf + exact-ratio tf
+    * normalization mirroring [[bm25Retrieve]] operation-for-operation. */
+  private def bm25CtesSql(nQueries: Int, qTerms: Int): String =
+    s"""bdocs AS (
+          SELECT doc_id,
+                 string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS toks
+          FROM documents),
+        bbase AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM bdocs),
+        bstats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                          CAST(sum(dl) AS BIGINT) AS t_toks FROM bbase),
+        bqt AS (SELECT DISTINCT query_id, term FROM (
+                  SELECT doc_id AS query_id, unnest(toks[1:$qTerms]) AS term
+                  FROM bbase WHERE doc_id < $nQueries)),
+        bterms AS (SELECT DISTINCT term FROM bqt),
+        btf AS (SELECT x.doc_id, x.term, x.dl, CAST(count(*) AS BIGINT) AS tf
+                FROM (SELECT doc_id, dl, unnest(toks) AS term FROM bbase) x
+                JOIN bterms USING (term)
+                GROUP BY x.doc_id, x.term, x.dl),
+        bdf AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM btf GROUP BY term),
+        bidf AS (SELECT term,
+                   CAST(round(ln((CAST(n_docs - df AS DOUBLE) + 0.5::DOUBLE) /
+                                 (CAST(df AS DOUBLE) + 0.5::DOUBLE) + 1.0::DOUBLE)
+                              * 1000000.0::DOUBLE) AS BIGINT) AS idf_micro
+                 FROM bdf CROSS JOIN bstats),
+        bts AS (SELECT q.query_id, f.doc_id,
+                  CAST(round(CAST(idf_micro AS DOUBLE) *
+                       (CAST(22*f.tf*t_toks AS DOUBLE) /
+                        CAST(10*f.tf*t_toks + 3*t_toks + 9*f.dl*n_docs AS DOUBLE))) AS BIGINT) AS m
+                FROM btf f JOIN bqt q USING (term) JOIN bidf USING (term)
+                CROSS JOIN bstats
+                WHERE f.doc_id <> q.query_id),
+        bsc AS (SELECT query_id, doc_id, CAST(sum(m) AS BIGINT) AS bm25_micro
+                FROM bts GROUP BY query_id, doc_id),
+        brank AS (SELECT query_id, doc_id, bm25_micro,
+                    row_number() OVER (PARTITION BY query_id
+                      ORDER BY bm25_micro DESC, doc_id) AS rk
+                  FROM bsc)"""
+
   val oracle: Map[String, String] = Map(
+    "nd_rag_bm25" ->
+      s"""WITH ${bm25CtesSql(nQueries = 5, qTerms = 6)}
+          SELECT query_id, doc_id, bm25_micro, CAST(rk AS BIGINT) AS rank
+          FROM brank WHERE rk <= 10 ORDER BY query_id, rank""",
+    "nd_rag_hybrid" ->
+      s"""WITH ${bm25CtesSql(nQueries = 5, qTerms = 6)},
+          hq AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                 FROM embeddings WHERE vec_id < 5),
+          hs AS (SELECT query_id, e.vec_id AS doc_id,
+                        list_cosine_similarity(qv, e.embedding::DOUBLE[]) AS sim
+                 FROM embeddings e CROSS JOIN hq WHERE e.vec_id <> query_id),
+          hr AS (SELECT query_id, doc_id,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY sim DESC, doc_id) AS rk
+                 FROM hs),
+          contrib AS (
+            SELECT query_id, doc_id,
+                   CAST(round(1000000.0::DOUBLE / CAST(60 + rk AS DOUBLE)) AS BIGINT) AS c
+            FROM brank WHERE rk <= 10
+            UNION ALL
+            SELECT query_id, doc_id,
+                   CAST(round(1000000.0::DOUBLE / CAST(60 + rk AS DOUBLE)) AS BIGINT) AS c
+            FROM hr WHERE rk <= 10),
+          fused AS (SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS rrf_micro
+                    FROM contrib GROUP BY query_id, doc_id),
+          frank AS (SELECT query_id, doc_id, rrf_micro,
+                      row_number() OVER (PARTITION BY query_id
+                        ORDER BY rrf_micro DESC, doc_id) AS rk
+                    FROM fused)
+          SELECT query_id, doc_id, rrf_micro, CAST(rk AS BIGINT) AS rank
+          FROM frank WHERE rk <= 10 ORDER BY query_id, rank""",
     "nd_rag_retrieval" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
                     FROM embeddings WHERE vec_id < 5),

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Similarity
+
+/** Lexical BM25 + hybrid RRF retrieval (the sparse half and the fusion of
+  * the retrieval story; the DuckDB oracle pins the exact micro-integer
+  * scores per round — here we pin semantics and scale shape). */
+class RetrievalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("BM25 ranks a planted term-stuffed document first") {
+    import spark.implicits._
+    val base = Tables.documents(spark, sf)
+    // replicate the query-term rule for doc 0: distinct of the FIRST SIX
+    // canonical tokens
+    val text0 = base.filter($"doc_id" === 0).head.getAs[String]("text")
+    val q0 = text0.toLowerCase.replaceAll("[^a-z0-9]+", " ").trim
+      .split(" +").toSeq.take(6).distinct
+    // plant: a document that is doc 0's query terms repeated 60x — max tf
+    // for every query term; must out-score every organic document
+    val dir = java.nio.file.Files.createTempDirectory("bm25plant").toString
+    val stuffed = Seq.fill(60)(q0).flatten.mkString(" ")
+    val planted = Seq((91000L, stuffed, "en", "plant", stuffed.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    base.unionByName(planted).coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val rank1 = Similarity.bm25Retrieve(spark, dir).collect()
+      .filter(r => r.getLong(0) == 0L && r.getLong(3) == 1L)
+    assert(rank1.length == 1 && rank1.head.getLong(1) == 91000L,
+      s"planted doc not rank-1 for query 0: ${rank1.mkString(",")}")
+  }
+
+  test("hybrid RRF equals the driver-computed fusion of the two rankings") {
+    def contrib(rank: Long): Long = math.round(1000000.0 / (60L + rank))
+    val lex = Similarity.bm25Retrieve(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> contrib(r.getLong(3)))
+    val dense = Similarity.knnBrute(spark, sf, nQueries = 5, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> contrib(r.getLong(3)))
+    val expected = (lex ++ dense)
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+      .map { case ((q, doc), s) => (q, doc, s) }
+      .groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+        rows.sortBy(t => (-t._3, t._2)).take(10).zipWithIndex
+          .map { case ((q, doc, s), i) => (q, doc, s, i + 1L) }
+      }.sortBy(t => (t._1, t._4))
+    val got = Similarity.hybridRetrieve(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got.length == expected.length && got.nonEmpty)
+    assert(got == expected,
+      s"fusion diverged: ${got.take(3)} vs ${expected.take(3)}")
+  }
+
+  test("BM25 scale shape: broadcast term filter, per-query rank partitions") {
+    val (df, free) = Similarity.bm25RetrieveLazy(spark, sf, 5, 6, 10)
+    val plan = df.queryExecution.executedPlan.toString
+    free()
+    assert(plan.contains("BroadcastHashJoin"),
+      s"corpus token filter lost its broadcast:\n$plan")
+    assert(plan.contains("hashpartitioning(query_id"),
+      s"rank window not partitioned per query:\n$plan")
+  }
+}
