@@ -452,7 +452,86 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** Supervised multinomial Naive Bayes, trained IN-PLAN and applied —
+    * the learned-classifier stage every curation pipeline runs (fastText
+    * LID / quality filters): the even-id half of `documents` is the
+    * labeled training set (labels = `lang`), the odd-id half is scored,
+    * and each test document gets its argmax class plus a `correct`
+    * verdict.
+    *
+    * Exactness: the model is quantized to integer micro-nats before
+    * inference (`lp_micro = round(ln((n+1)/(N_c+V))·1e6)`, priors
+    * likewise), so per-(doc, class) scores are order-free exact integer
+    * sums — the same discipline as nd_pipeline_dsir and nd_rag_bm25 —
+    * and the argmax needs no float tie-breaks (score desc, class asc).
+    * Laplace smoothing over the train vocabulary; test tokens outside the
+    * vocabulary drop (standard multinomial NB), and a test document with
+    * NO in-vocabulary tokens still classifies by priors alone.
+    *
+    * Scale shape: training is ONE (class, token) count shuffle with
+    * map-side partial aggregation; the model (V×C log-probs + C priors)
+    * is bounded and BROADCASTS; inference is a broadcast join over
+    * per-doc tf rows with a (doc, class) partial-agg sum; the argmax
+    * partitions per document. An unbounded vocabulary swaps the token key
+    * for a feature hash (the CMS fold) without changing the plan shape.
+    * V and the train doc total are two collected scalars (bounded
+    * metadata). */
+  def nbClassify(s: SparkSession, d: String): DataFrame = {
+    val (out, free) = nbClassifyLazy(s, d)
+    graft.plans.Caching.detach(out, free)
+  }
+
+  /** Pre-materialization pipeline + cache release — exposed for plan
+    * inspection; callers use [[nbClassify]]. */
+  private[graft] def nbClassifyLazy(s: SparkSession, d: String): (DataFrame, () => Unit) = {
+    import s.implicits._
+    val toks = documents(s, d)
+      .select($"doc_id", $"lang",
+              explode(wsTokens(canonical($"text"))).as("token"))
+      .filter($"token" =!= "")
+    val train = toks.filter(pmod($"doc_id", lit(2)) === 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cnt = train.groupBy($"lang", $"token").agg(count(lit(1)).as("n"))
+    val nc = train.groupBy($"lang").agg(count(lit(1)).as("n_c"))
+    val vocab = cnt.select($"token").distinct()
+    val vocabV = vocab.count()
+    // the model must cover the FULL vocab x class grid: a token unseen in
+    // a class contributes the smoothing floor ln(1/(N_c+V)) — dropping
+    // those rows would silently skip the penalty and invert predictions
+    val model = vocab.crossJoin(broadcast(nc))
+      .join(cnt, Seq("lang", "token"), "left")
+      .select($"lang".as("cls"), $"token",
+        round(log(((coalesce($"n", lit(0L)) + lit(1L)).cast("double")) /
+                  (($"n_c" + lit(vocabV)).cast("double"))) * lit(1000000.0))
+          .cast("long").as("lp"))
+    val trainDocs = documents(s, d).filter(pmod($"doc_id", lit(2)) === 0)
+      .groupBy($"lang").agg(count(lit(1)).as("d_c"))
+    val dTot = documents(s, d).filter(pmod($"doc_id", lit(2)) === 0).count()
+    val priors = trainDocs.select($"lang".as("cls"),
+      round(log($"d_c".cast("double") / lit(dTot.toDouble)) * lit(1000000.0))
+        .cast("long").as("prior"))
+    val tf = toks.filter(pmod($"doc_id", lit(2)) === 1)
+      .groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
+    val contrib = tf.join(broadcast(model), "token")
+      .groupBy($"doc_id", $"cls").agg(sum($"tf" * $"lp").as("s"))
+    val tdocs = documents(s, d).filter(pmod($"doc_id", lit(2)) === 1)
+      .select($"doc_id", $"lang".as("actual"))
+    val scored = tdocs.crossJoin(broadcast(priors))
+      .join(contrib, Seq("doc_id", "cls"), "left")
+      .select($"doc_id", $"cls", $"actual",
+              ($"prior" + coalesce($"s", lit(0L))).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"score".desc, $"cls")
+    val out = scored.withColumn("r", row_number().over(w))
+      .filter($"r" === 1)
+      .select($"doc_id", $"cls".as("predicted"), $"actual",
+              ($"cls" === $"actual").as("correct"))
+      .orderBy($"doc_id")
+    (out, () => { train.unpersist(blocking = false); () })
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "nd_text_nb_classifier" -> nbClassify _,
     "nd_text_gopher" -> gopherRules _,
     "nd_text_lm_score" -> ((s: SparkSession, d: String) => trigramLmScore(s, d)),
     "nd_text_stats" -> textStats _,
@@ -615,6 +694,51 @@ object TextAnalysis {
                FROM (SELECT string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS w
                      FROM documents))
          GROUP BY pair ORDER BY freq DESC, pair LIMIT 40""",
+    // Naive Bayes replay: even-id half trains (Laplace-smoothed micro-nat
+    // log-probs over the train vocabulary), odd-id half scores; argmax with
+    // (score desc, class asc) tie-break; unseen-vocab docs fall back to
+    // priors via the cross-join base
+    "nd_text_nb_classifier" ->
+      """WITH ndocs AS (
+            SELECT doc_id, lang,
+                   string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS toks
+            FROM documents),
+          ntok AS (SELECT doc_id, lang, token
+                   FROM (SELECT doc_id, lang, unnest(toks) AS token FROM ndocs)
+                   WHERE token <> ''),
+          tr AS (SELECT * FROM ntok WHERE doc_id % 2 = 0),
+          cnt AS (SELECT lang, token, CAST(count(*) AS BIGINT) AS n FROM tr GROUP BY 1, 2),
+          nc AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_c FROM tr GROUP BY 1),
+          vocab AS (SELECT DISTINCT token FROM cnt),
+          vsz AS (SELECT CAST(count(*) AS BIGINT) AS vsize FROM vocab),
+          model AS (
+            SELECT nc.lang AS cls, vocab.token,
+                   CAST(round(ln(CAST(coalesce(n, 0) + 1 AS DOUBLE)
+                                 / CAST(n_c + vsize AS DOUBLE))
+                              * 1000000.0::DOUBLE) AS BIGINT) AS lp
+            FROM vocab CROSS JOIN nc
+            LEFT JOIN cnt ON cnt.lang = nc.lang AND cnt.token = vocab.token
+            CROSS JOIN vsz),
+          dct AS (SELECT lang, CAST(count(*) AS BIGINT) AS d_c
+                  FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
+          dtot AS (SELECT CAST(sum(d_c) AS BIGINT) AS d_tot FROM dct),
+          pri AS (SELECT lang AS cls,
+                    CAST(round(ln(CAST(d_c AS DOUBLE) / CAST(d_tot AS DOUBLE))
+                               * 1000000.0::DOUBLE) AS BIGINT) AS prior
+                  FROM dct CROSS JOIN dtot),
+          tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+                 FROM ntok WHERE doc_id % 2 = 1 GROUP BY 1, 2),
+          contrib AS (SELECT doc_id, cls, CAST(sum(tf * lp) AS BIGINT) AS s
+                      FROM tf JOIN model USING (token) GROUP BY 1, 2),
+          tdocs AS (SELECT doc_id, lang AS actual FROM documents WHERE doc_id % 2 = 1),
+          sc AS (SELECT t.doc_id, p.cls, t.actual, p.prior + coalesce(c.s, 0) AS score
+                 FROM tdocs t CROSS JOIN pri p
+                 LEFT JOIN contrib c ON c.doc_id = t.doc_id AND c.cls = p.cls),
+          rk AS (SELECT doc_id, cls, actual,
+                   row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cls) AS r
+                 FROM sc)
+          SELECT doc_id, cls AS predicted, actual, (cls = actual) AS correct
+          FROM rk WHERE r = 1 ORDER BY doc_id""",
     "nd_vocab_topk" ->
       """SELECT token, count(*) AS freq
          FROM (SELECT unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS token

@@ -347,6 +347,31 @@ class StressSpec extends AnyFunSuite {
       s"k=0 spans at 30x (${at30.length}) diverge from base corpus spans (${base.length})")
   }
 
+  test("(i) BM25 retrieval keeps its scale shape at 30x") {
+    // the corpus token explode must still be cut down by a BROADCAST
+    // semi-join on the bounded query-term set (a shuffle-side filter
+    // would move 30x the tokens), the rank must stay per-query
+    // partitioned, and nothing may funnel through one partition
+    val (df, free) = Similarity.bm25RetrieveLazy(spark, dir, 5, 6, 10)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"BM25 token filter lost its broadcast at 30x:\n$plan")
+    assert(plan.contains("hashpartitioning(query_id"),
+      s"BM25 rank not per-query partitioned at 30x:\n$plan")
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"BM25 funnels at 30x:\n$plan")
+    val rows = df.collect()
+    free()
+    assert(rows.length == 50, s"expected 5 queries x top-10, got ${rows.length}")
+    // per-query ranks are a contiguous 1..10 with strictly ordered scores
+    rows.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      assert(rs.map(_.getLong(3)).sorted.sameElements(1L to 10L), s"query $q ranks")
+      val scores = rs.sortBy(_.getLong(3)).map(_.getLong(2))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+        s"query $q scores not descending")
+    }
+  }
+
   test("(d) ANN recall holds up at 30x — not just at the toy corpus") {
     // the round-2 caveat was that recall was only ever measured at 2k
     // vectors; here the same multi-probe LSH runs against 60k and must
