@@ -42,7 +42,11 @@ class InvarianceSpec extends AnyFunSuite {
     "nd_pipeline_packing",    // scalable running total
     "nd_pipeline_stratified", // ntile + hash sampling composition
     "nd_text_lm_score",       // trained-model broadcast join
-    "nd_dedup_semantic")      // cluster-bounded pair rule
+    "nd_dedup_semantic",      // cluster-bounded pair rule
+    "nd_rag_bm25",            // integer-micro BM25 sums + per-query rank
+    "nd_text_nb_classifier",  // in-plan NB train + micro-nat argmax
+    "nd_pipeline_epoch",      // md5-fold epoch permutation, two-phase rank
+    "nd_stream_dedup")        // drained stream vs static band store
 
   private def assertStable(name: String): Unit = {
     val base = SparkEntry.queries(name)(spark, sf).collect().map(_.toString)
