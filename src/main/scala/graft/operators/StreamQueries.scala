@@ -47,6 +47,27 @@ object StreamQueries {
       .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
       .parquet(s"$d/documents.*")
 
+  /** `documents` as a TWO-micro-batch file stream: the corpus split by id
+    * parity into two single-part files, read with maxFilesPerTrigger=1 —
+    * so the drained manifests genuinely exercise the state store's
+    * cross-batch merge (not just a single-batch pass), while the final
+    * state stays a pure function of the input set (which micro-batch a
+    * row lands in cannot matter — that is the invariance StreamingSpec
+    * proves, and the oracle now gates it on real data every round). */
+  private def docStreamTwoBatches(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream-batches").toString
+    val docs = Tables.documents(s, d)
+    docs.filter(pmod($"doc_id", lit(2)) === 0).coalesce(1)
+      .write.mode("overwrite").parquet(s"$tmp/b0.parquet")
+    docs.filter(pmod($"doc_id", lit(2)) === 1).coalesce(1)
+      .write.mode("overwrite").parquet(s"$tmp/b1.parquet")
+    s.readStream
+      .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$tmp/b*.parquet")
+  }
+
   /** Drained watermarked tumbling-window aggregation over the events
     * stream ([[EventStreams.windowedStats]]) — window starts surfaced as
     * epoch millis so the oracle compares integers, not timestamps. */
@@ -65,7 +86,8 @@ object StreamQueries {
     * family — [[TextAnalysis.cmsBucket]]). */
   def streamCms(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    drain(StreamingCms.cmsStream(docStream(s, d)), "nd_stream_cms_sink", "complete")
+    drain(StreamingCms.cmsStream(docStreamTwoBatches(s, d)),
+        "nd_stream_cms_sink", "complete")
       .select($"j".cast("long").as("j"), $"b", $"c")
       .orderBy($"j", $"b")
   }
@@ -80,7 +102,7 @@ object StreamQueries {
     val store = Dedup.minhashBandStore(
       Tables.documents(s, d).filter($"doc_id" < split))
     val out = StreamingDedup.dedupStream(
-      docStream(s, d).filter($"doc_id" >= split), store)
+      docStreamTwoBatches(s, d).filter($"doc_id" >= split), store)
     drain(out, "nd_stream_dedup_sink", "complete").orderBy($"doc_id")
   }
 
