@@ -27,6 +27,11 @@ object Bench {
         .format("noop").mode("overwrite").save()
       SparkEntry.queries("eth_q3_top_miners")(spark, sfDir).write
         .format("noop").mode("overwrite").save()
+      // a documents-scan query too, so the first nd_* query measured does
+      // not absorb the text pipeline's codegen/JIT warmup (nd_bpe_apply is
+      // alphabetically early and was paying it)
+      SparkEntry.queries("nd_text_stats")(spark, sfDir).write
+        .format("noop").mode("overwrite").save()
     } catch { case _: Throwable => () }
     // Best-of-N per query: a single sample on a shared box can be poisoned
     // by transient load (round-4 artifact showed one query at 15x its clean

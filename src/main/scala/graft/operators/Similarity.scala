@@ -474,7 +474,8 @@ object Similarity {
     "nd_knn_recall" -> ((s: SparkSession, d: String) => knnRecall(s, d)),
     "nd_knn_sq8" -> ((s: SparkSession, d: String) => knnSq8(s, d)),
     "nd_rag_bm25" -> ((s: SparkSession, d: String) => bm25Retrieve(s, d)),
-    "nd_rag_hybrid" -> ((s: SparkSession, d: String) => hybridRetrieve(s, d)))
+    "nd_rag_hybrid" -> ((s: SparkSession, d: String) => hybridRetrieve(s, d)),
+    "nd_join_setsim" -> ((s: SparkSession, d: String) => setSimJoin(s, d)))
 
   /** DuckDB replica of [[Dedup.embeddingBucket]] ([[graft.functions.Expressions.LshBucket]])
     * for hash table `t`: bit p of the bucket is the sign of the pseudo-
@@ -845,6 +846,68 @@ object Similarity {
       .orderBy($"query_id", $"rank")
   }
 
+  /** EXACT set-similarity self-join with AllPairs/PPJoin-style prefix
+    * filtering (Bayardo et al., WWW'07) over part-name word sets — the
+    * deterministic entity-resolution complement to the probabilistic
+    * MinHash path: every pair with Jaccard ≥ `simNum/simDen` is found
+    * (no LSH recall loss), yet the join never goes all-pairs.
+    *
+    * The pruning argument: order every set by GLOBAL token rarity
+    * (rarest first) and index only each set's first
+    * `L - ceil(t·L) + 1` tokens; two sets with Jaccard ≥ t must share
+    * at least one prefix token, so the candidate join runs on prefix
+    * tokens only — and because prefixes are the RAREST tokens, bucket
+    * sizes stay small where a naive token join would explode on heavy
+    * hitters. All threshold math is integer-exact: the prefix length
+    * uses integer ceil `(num·L + den - 1) div den`, the Jaccard gate is
+    * the cross-multiplied `i·den ≥ u·num`, and the per-part best-match
+    * argmax orders by the one exact-int division both engines compute
+    * identically.
+    *
+    * Output: one row per part that has a ≥t neighbor — its most-similar
+    * neighbor (ties → lowest key), with exact intersection/union sizes.
+    * Scale shape: vocabulary stats broadcast; the candidate join
+    * partitions by (rare) prefix token; verification touches candidate
+    * pairs only. */
+  def setSimJoin(s: SparkSession, d: String, simNum: Int = 3,
+      simDen: Int = 5): DataFrame = {
+    import s.implicits._
+    val parts = part(s, d)
+      .select($"p_partkey", array_distinct(split($"p_name", " ")).as("w"))
+    val dfTok = parts.select(explode($"w").as("tok"))
+      .groupBy($"tok").agg(count(lit(1)).as("n"))
+    val ordered = parts.select($"p_partkey", explode($"w").as("tok"))
+      .join(broadcast(dfTok), "tok")
+      .groupBy($"p_partkey")
+      .agg(transform(array_sort(collect_list(struct($"n", $"tok"))),
+        x => x("tok")).as("ws"))
+    val L = size($"ws")
+    val prefLen =
+      (L - floor((lit(simNum) * L + lit(simDen - 1)) / lit(simDen)).cast("int") + 1)
+    val pref = ordered.select($"p_partkey", $"ws",
+      explode(slice($"ws", lit(1), prefLen)).as("t"))
+    val cand = pref.as("a").join(pref.as("b"),
+        col("a.t") === col("b.t") && col("a.p_partkey") < col("b.p_partkey"))
+      .select(col("a.p_partkey").as("pa"), col("b.p_partkey").as("pb"),
+              col("a.ws").as("wa"), col("b.ws").as("wb"))
+      .dropDuplicates("pa", "pb")
+    val verified = cand
+      .withColumn("i", size(array_intersect($"wa", $"wb")).cast("long"))
+      .withColumn("u", (size($"wa") + size($"wb")).cast("long") - $"i")
+      .filter($"i" * lit(simDen.toLong) >= $"u" * lit(simNum.toLong))
+      .select($"pa", $"pb", $"i", $"u")
+    val sym = verified.select($"pa".as("p"), $"pb".as("q"), $"i", $"u")
+      .unionByName(verified.select($"pb".as("p"), $"pa".as("q"), $"i", $"u"))
+    val w = Window.partitionBy($"p")
+      .orderBy(($"i".cast("double") / $"u").desc, $"q")
+    sym.withColumn("r", row_number().over(w))
+      .filter($"r" === 1)
+      .select($"p".as("p_partkey"), $"q".as("best_match"),
+              $"i".as("inter"), $"u".as("uni"),
+              round($"i".cast("double") / $"u", 4).as("jaccard"))
+      .orderBy($"p_partkey")
+  }
+
   /** BM25 replay CTEs (ending in `brank`): same canonical/tokenize scheme
     * as the dedup oracles, integer micro idf + exact-ratio tf
     * normalization mirroring [[bm25Retrieve]] operation-for-operation. */
@@ -885,6 +948,38 @@ object Similarity {
                   FROM bsc)"""
 
   val oracle: Map[String, String] = Map(
+    // AllPairs prefix-filter replay: rarity-ordered sets, integer-ceil
+    // prefix, cross-multiplied Jaccard gate, per-part argmax
+    "nd_join_setsim" ->
+      """WITH sp AS (SELECT p_partkey, list_distinct(string_split(p_name, ' ')) AS w FROM part),
+          sdf AS (SELECT tok, CAST(count(*) AS BIGINT) AS n
+                  FROM (SELECT p_partkey, unnest(w) AS tok FROM sp) GROUP BY 1),
+          sord AS (SELECT p_partkey, list(tok ORDER BY n, tok) AS ws
+                   FROM (SELECT p_partkey, unnest(w) AS tok FROM sp) x
+                   JOIN sdf USING (tok)
+                   GROUP BY 1),
+          spref AS (SELECT p_partkey, ws,
+                      unnest(ws[1 : len(ws) - (3*len(ws) + 4)//5 + 1]) AS t
+                    FROM sord),
+          scand AS (SELECT DISTINCT a.p_partkey AS pa, b.p_partkey AS pb,
+                           a.ws AS wa, b.ws AS wb
+                    FROM spref a JOIN spref b
+                      ON a.t = b.t AND a.p_partkey < b.p_partkey),
+          sver AS (SELECT pa, pb,
+                     CAST(len(list_intersect(wa, wb)) AS BIGINT) AS i,
+                     CAST(len(wa) + len(wb) - len(list_intersect(wa, wb)) AS BIGINT) AS u
+                   FROM scand),
+          sth AS (SELECT * FROM sver WHERE i*5 >= u*3),
+          ssym AS (SELECT pa AS p, pb AS q, i, u FROM sth
+                   UNION ALL
+                   SELECT pb AS p, pa AS q, i, u FROM sth),
+          srk AS (SELECT p, q, i, u,
+                    row_number() OVER (PARTITION BY p
+                      ORDER BY CAST(i AS DOUBLE)/u DESC, q) AS r
+                  FROM ssym)
+          SELECT p AS p_partkey, q AS best_match, i AS inter, u AS uni,
+                 round(CAST(i AS DOUBLE)/u, 4) AS jaccard
+          FROM srk WHERE r = 1 ORDER BY p_partkey""",
     "nd_rag_bm25" ->
       s"""WITH ${bm25CtesSql(nQueries = 5, qTerms = 6)}
           SELECT query_id, doc_id, bm25_micro, CAST(rk AS BIGINT) AS rank

@@ -54,6 +54,42 @@ class RetrievalSpec extends AnyFunSuite {
       s"fusion diverged: ${got.take(3)} vs ${expected.take(3)}")
   }
 
+  test("set-sim join prefix filter misses NO pair vs driver brute force") {
+    import spark.implicits._
+    val parts = Tables.part(spark, sf)
+      .select($"p_partkey", $"p_name").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").distinct.toSet)
+    // brute force best ≥3/5-Jaccard neighbor per part, exact rational
+    // compare (i1*u2 vs i2*u1) — the ordering the engine's one exact-int
+    // double division reproduces
+    val best = scala.collection.mutable.Map.empty[Long, (Long, Long, Long)]
+    for (i <- parts.indices; j <- (i + 1) until parts.length) {
+      val (ka, wa) = parts(i); val (kb, wb) = parts(j)
+      val inter = (wa & wb).size.toLong
+      val uni = wa.size + wb.size - inter
+      if (inter * 5 >= uni * 3) {
+        def consider(p: Long, q: Long): Unit = {
+          val better = best.get(p) match {
+            case None => true
+            case Some((q0, i0, u0)) =>
+              val c = (inter * u0) compare (i0 * uni) // i/u vs i0/u0
+              c > 0 || (c == 0 && q < q0)
+          }
+          if (better) best(p) = (q, inter, uni)
+        }
+        consider(ka, kb); consider(kb, ka)
+      }
+    }
+    val got = graft.operators.Similarity.setSimJoin(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got.keySet == best.keySet,
+      s"prefix filter missed parts: ${(best.keySet -- got.keySet).take(5)}; extra: ${(got.keySet -- best.keySet).take(5)}")
+    got.foreach { case (p, v) =>
+      assert(v == best(p), s"part $p best-match diverged: got $v expected ${best(p)}")
+    }
+    assert(got.nonEmpty)
+  }
+
   test("BM25 scale shape: broadcast term filter, per-query rank partitions") {
     val (df, free) = Similarity.bm25RetrieveLazy(spark, sf, 5, 6, 10)
     val plan = df.queryExecution.executedPlan.toString
