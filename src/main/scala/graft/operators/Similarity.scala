@@ -791,6 +791,9 @@ object Similarity {
     val qt = base.filter($"doc_id" < nQueries)
       .select($"doc_id".as("query_id"),
               explode(array_distinct(slice($"toks", 1, qTerms))).as("term"))
+      .filter($"term" =!= "") // an empty/punct-only query doc canonicalizes
+                              // to [""] — not a term (corpus side is culled
+                              // by the term-set join, so one guard suffices)
     val terms = qt.select($"term").distinct()
     val tf = base
       .select($"doc_id", $"dl", explode($"toks").as("term"))
@@ -921,7 +924,8 @@ object Similarity {
                           CAST(sum(dl) AS BIGINT) AS t_toks FROM bbase),
         bqt AS (SELECT DISTINCT query_id, term FROM (
                   SELECT doc_id AS query_id, unnest(toks[1:$qTerms]) AS term
-                  FROM bbase WHERE doc_id < $nQueries)),
+                  FROM bbase WHERE doc_id < $nQueries)
+                WHERE term <> ''),
         bterms AS (SELECT DISTINCT term FROM bqt),
         btf AS (SELECT x.doc_id, x.term, x.dl, CAST(count(*) AS BIGINT) AS tf
                 FROM (SELECT doc_id, dl, unnest(toks) AS term FROM bbase) x

@@ -89,4 +89,19 @@ class EdgeCaseSpec extends AnyFunSuite {
     val pii = Pii.redact(spark, dir).collect()
     assert(pii.length == 8 && pii.forall(r => r.getString(5) != null))
   }
+
+  test("BM25 retrieval and NB classifier survive hostile documents") {
+    // query docs include the empty doc (0), punct-only (2) and unicode (3):
+    // empty/punct canonicalize to [""] which must NOT become a query term
+    val bm25 = graft.operators.Similarity.bm25Retrieve(spark, dir).collect()
+    assert(bm25.forall(_.getLong(2) > 0L), "non-positive BM25 score")
+    assert(bm25.map(_.getLong(0)).distinct.forall(q => Set(1L, 3L, 4L)(q)),
+      s"empty/punct query docs produced matches: ${bm25.map(_.getLong(0)).distinct.mkString(",")}")
+    // classifier: every odd-id doc gets exactly one prediction, even the
+    // whitespace-only doc (prior-only fallback path)
+    val nb = graft.operators.TextAnalysis.nbClassify(spark, dir).collect()
+    assert(nb.length == 4, s"expected 4 test docs, got ${nb.length}")
+    assert(nb.map(_.getLong(0)).toSet == Set(1L, 3L, 5L, 7L))
+    assert(nb.forall(r => r.getString(1) != null && r.getString(1).nonEmpty))
+  }
 }
