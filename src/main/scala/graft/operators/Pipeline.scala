@@ -398,6 +398,32 @@ object Pipeline {
     graft.plans.Caching.detach(scored, free)
   }
 
+  /** CCNet-style perplexity bucketing — the classic LM-quality split of a
+    * web corpus into head / middle / tail terciles (Wenzek et al., CCNet,
+    * arXiv:1911.00359): score every document with the corpus-trained
+    * trigram LM ([[TextAnalysis.trigramLmScoreLazy]] — higher mean
+    * log-frequency = more typical = "lower perplexity"), then cut the
+    * GLOBAL score order into three equal tiles. The tercile cut uses
+    * [[graft.plans.ScalableNtile]] (two-phase exact ntile, per-range
+    * window state + P-row offset broadcast), because `ntile(3) OVER
+    * (ORDER BY score)` would funnel the corpus through one task. Head =
+    * top tercile. At 100 TB: the LM model broadcasts (V rows), scoring is
+    * one map pass, and the tercile assignment shuffles each doc once into
+    * its score range. */
+  def ccnetBuckets(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (scored, freeLm) = TextAnalysis.trigramLmScoreLazy(s, d, 5000)
+    val (tiled, freeNtile) = graft.plans.ScalableNtile.ntileDetachable(
+      scored.select($"doc_id", $"lm_score"), 3,
+      Seq($"lm_score", $"doc_id"), bucketCol = "tile")
+    val out = tiled
+      .withColumn("ppl_bucket",
+        when($"tile" === 3, "head").when($"tile" === 2, "middle").otherwise("tail"))
+      .select($"doc_id", $"lm_score", $"ppl_bucket")
+      .orderBy($"doc_id")
+    graft.plans.Caching.detach(out, () => { freeLm(); freeNtile() })
+  }
+
   /** MERGE-INTO (upsert) for corpus refresh — the copy-on-write update
     * shape of a lakehouse table: rows of `base` whose key appears in
     * `updates` are replaced, unmatched `updates` rows are inserted,
@@ -442,6 +468,7 @@ object Pipeline {
     "nd_pipeline_upsert" -> upsertManifest _,
     "nd_dedup_boilerplate" -> ((s: SparkSession, d: String) => chunkBoilerplate(s, d)),
     "nd_pipeline_dsir" -> ((s: SparkSession, d: String) => dsirWeights(s, d)),
+    "nd_pipeline_ccnet" -> ((s: SparkSession, d: String) => ccnetBuckets(s, d)),
     "nd_pipeline_chunks" -> ((s: SparkSession, d: String) => chunkDocuments(s, d)),
     "nd_pipeline_shard" -> ((s: SparkSession, d: String) => shardManifest(s, d)),
     "nd_pipeline_epoch" -> ((s: SparkSession, d: String) => epochShuffle(s, d)),

@@ -524,6 +524,75 @@ object Relational {
       .orderBy($"l_returnflag")
   }
 
+  /** B8 breadth: the window FRAME battery — moving-window ROWS frames,
+    * value-bounded RANGE frames, first/last/nth value over explicit
+    * frames, percent_rank/cume_dist — in ONE ANSI text both engines run
+    * verbatim ([[windowFramesSql]]): Spark executes it through
+    * `spark.sql`, DuckDB replays the identical string as the oracle.
+    * Money is exact integer cents so frame sums are order-free. Windows
+    * partition by customer — per-group state, no global funnel. */
+  def q43WindowFrames(s: SparkSession, d: String): DataFrame = {
+    graft.Catalog.mountCorpus(s, d)
+    s.sql(windowFramesSql)
+  }
+
+  private val windowFramesSql =
+    """WITH o AS (
+         SELECT o_custkey, o_orderkey,
+                CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+         FROM orders WHERE o_custkey % 25 = 0)
+       SELECT o_custkey, o_orderkey, cents,
+         CAST(count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS BIGINT) AS run_n,
+         CAST(sum(cents) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS moving3_cents,
+         CAST(first_value(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS BIGINT) AS first_ok,
+         CAST(last_value(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS BIGINT) AS last_ok,
+         CAST(nth_value(o_orderkey, 2) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS BIGINT) AS second_ok,
+         round(percent_rank() OVER (PARTITION BY o_custkey ORDER BY o_orderkey), 6) AS pct_rank,
+         round(cume_dist() OVER (PARTITION BY o_custkey ORDER BY o_orderkey), 6) AS cdist,
+         CAST(count(*) OVER (PARTITION BY o_custkey ORDER BY cents
+              RANGE BETWEEN 500000 PRECEDING AND 500000 FOLLOWING) AS BIGINT) AS range_n
+       FROM o
+       ORDER BY o_custkey, o_orderkey"""
+
+  /** B7 breadth: explicit GROUPING SETS (the general form behind q14's
+    * rollup and q23's cube) with `grouping()` null-vs-subtotal markers —
+    * again one ANSI text both engines run verbatim. */
+  def q44GroupingSets(s: SparkSession, d: String): DataFrame = {
+    graft.Catalog.mountCorpus(s, d)
+    s.sql(groupingSetsSql)
+  }
+
+  private val groupingSetsSql =
+    """SELECT l_returnflag, l_linestatus,
+         CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,
+         CAST(grouping(l_linestatus) AS BIGINT) AS g_ls,
+         count(*) AS n_items,
+         CAST(round(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) * 0.01, 2) AS DOUBLE) AS total_price
+       FROM lineitem
+       GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus), ())
+       ORDER BY g_rf, g_ls, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"""
+
+  /** B7 breadth: ordered string aggregation (LISTAGG / string_agg) — the
+    * per-group top-3 accounts concatenated in a deterministic order. The
+    * Spark side sorts the collected array before joining (collect_list
+    * order is nondeterministic; array_sort makes the aggregate order-free),
+    * the oracle uses `string_agg(... ORDER BY ...)`. */
+  def q45StringAgg(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"n_name").orderBy($"c_acctbal".desc, $"c_custkey")
+    customer(s, d)
+      .join(broadcast(nation(s, d)), $"c_nationkey" === $"n_nationkey")
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 3)
+      .groupBy($"n_name")
+      .agg(array_join(array_sort(collect_list($"c_name")), "|").as("top_names"),
+           round(sum($"c_acctbal"), 2).as("top_bal"))
+      .orderBy($"n_name")
+  }
+
   /** Oracle SQL (DuckDB dialect = ANSI here) for each query above. */
   val oracle: Map[String, String] = Map(
     // KMV replay: k smallest distinct 60-bit folds per group, estimate
@@ -766,7 +835,19 @@ object Relational {
                        row_number() OVER (PARTITION BY lang ORDER BY hh, doc_id) AS rk
                 FROM h)
          SELECT lang, CAST(rk AS BIGINT) AS rank, doc_id
-         FROM r WHERE rk <= 5 ORDER BY lang, rank"""
+         FROM r WHERE rk <= 5 ORDER BY lang, rank""",
+    // q43/q44 oracles are the SAME ANSI text Spark executes — the whole
+    // point: one query string, two engines, hash-identical results
+    "q43_window_frames" -> windowFramesSql,
+    "q44_grouping_sets" -> groupingSetsSql,
+    "q45_string_agg" ->
+      """WITH r AS (SELECT n_name, c_name, c_acctbal,
+                      row_number() OVER (PARTITION BY n_name
+                        ORDER BY c_acctbal DESC, c_custkey) AS rk
+                    FROM customer JOIN nation ON c_nationkey = n_nationkey)
+         SELECT n_name, string_agg(c_name, '|' ORDER BY c_name) AS top_names,
+                round(sum(c_acctbal), 2) AS top_bal
+         FROM r WHERE rk <= 3 GROUP BY n_name ORDER BY n_name"""
   )
 
   /** Query registry: name → (session, sfDir) → DataFrame. */
@@ -797,6 +878,9 @@ object Relational {
     "q26_asof_join" -> q26AsofJoin _,
     "q27_range_join" -> q27RangeJoin _,
     "q28_group_sample" -> q28GroupSample _,
-    "q38_kmv_distinct" -> q38KmvDistinct _
+    "q38_kmv_distinct" -> q38KmvDistinct _,
+    "q43_window_frames" -> q43WindowFrames _,
+    "q44_grouping_sets" -> q44GroupingSets _,
+    "q45_string_agg" -> q45StringAgg _
   )
 }

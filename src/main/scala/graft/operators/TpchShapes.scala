@@ -131,7 +131,65 @@ object TpchShapes {
       .orderBy($"zbucket")
   }
 
+  /** Skew-mitigated aggregation ([[Skew.saltedAgg]]) earning its oracle
+    * row: `l_returnflag` has only 3 values, so a plain `groupBy` funnels a
+    * third of a 100 TB corpus through each of 3 reducers. The salted form
+    * spreads every group over 16 sub-keys (phase 1) and merges 16 partial
+    * rows per group (phase 2) — every reducer bounded, result identical.
+    * The oracle is the PLAIN group-by: correctness of salting IS
+    * plan-shape-invariance of the answer. Money stays exact integer cents
+    * on the hot path ([[Money.cents]]). */
+  def q40SaltedAgg(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = lineitem(s, d).select($"l_returnflag",
+      Money.cents($"l_extendedprice").as("cents"))
+    Skew.saltedAgg(base, Seq("l_returnflag"), salts = 16,
+        ("count", "cents", "n_items"), ("sum", "cents", "sum_cents"),
+        ("min", "cents", "min_cents"), ("max", "cents", "max_cents"))
+      .select($"l_returnflag", $"n_items", $"sum_cents", $"min_cents", $"max_cents")
+      .orderBy($"l_returnflag")
+  }
+
+  /** Skew-mitigated join ([[Skew.saltedJoin]]) earning its oracle row: the
+    * fact↔fact join key becomes (key, salt) with the right side replicated
+    * once per salt, so a hot key's probe rows spread across `salts`
+    * reducers instead of one. The oracle is the plain equi-join — same
+    * invariance argument as [[q40SaltedAgg]]. Revenue is the exact
+    * integer 1e-4-dollar product ([[Money.rev4]]). */
+  def q41SaltedJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val l = lineitem(s, d).select($"l_orderkey",
+      Money.rev4($"l_extendedprice", $"l_discount").as("rev4"))
+    val o = orders(s, d).select($"o_orderkey", $"o_orderpriority")
+    Skew.saltedJoin(l, o, "l_orderkey", "o_orderkey", salts = 8)
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+           round(Money.sumRev4($"rev4"), 2).cast("double").as("revenue"))
+      .orderBy($"o_orderpriority")
+  }
+
+  /** Bucketed co-located join ([[graft.plans.Layout.colocatedJoin]])
+    * earning its oracle row: both fact sides are written bucketed on the
+    * join key once (the ingest-time amortization), then joined
+    * exchange-free — the plan ScaleSpec asserts has NO shuffle on either
+    * side. The oracle is the plain join: the layout pass must never change
+    * an answer. */
+  def q42BucketedJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val l = lineitem(s, d).select($"l_orderkey", $"l_quantity")
+    val o = orders(s, d).select($"o_orderkey", $"o_orderpriority")
+    graft.plans.Layout.colocatedJoin(s, l, o, "l_orderkey", "o_orderkey",
+        buckets = 8, namePrefix = "graft_q42")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+           round(sum($"l_quantity"), 2).as("sum_qty"))
+      .orderBy($"o_orderpriority")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q40_salted_agg" -> q40SaltedAgg _,
+    "q41_salted_join" -> q41SaltedJoin _,
+    "q42_bucketed_join" -> q42BucketedJoin _,
     "q39_zorder_locality" -> ((s: SparkSession, d: String) => q39ZorderLocality(s, d)),
     "q29_nation_volume" -> q29NationVolume _,
     "q30_returned_items" -> q30ReturnedItems _,
@@ -150,6 +208,25 @@ object TpchShapes {
   }
 
   val oracle: Map[String, String] = Map(
+    // the salted/bucketed variants MUST produce the plain-plan answers:
+    // the oracle for a physical-layout operator is the logical query
+    "q40_salted_agg" ->
+      """SELECT l_returnflag, count(*) AS n_items,
+         CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents,
+         min(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS min_cents,
+         max(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS max_cents
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q41_salted_join" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+         CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+                        * (1 - CAST(l_discount AS DECIMAL(18,6)))), 2) AS DOUBLE) AS revenue
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q42_bucketed_join" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+         round(sum(l_quantity), 2) AS sum_qty
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "q39_zorder_locality" ->
       s"""WITH m AS (
             SELECT min(l_partkey) AS pmin, max(l_partkey) AS pmax,
