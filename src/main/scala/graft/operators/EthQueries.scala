@@ -24,10 +24,11 @@ object EthQueries {
   }
 
   private val exp = s"${EthFixtures.DefaultDir}/expected"
-  private def withEthTables(sql: String): String =
+  private[operators] def withEthTables(sql: String): String =
     s"""WITH block AS (SELECT * FROM read_parquet('$exp/block/*.parquet')),
         transaction AS (SELECT * FROM read_parquet('$exp/transaction/*.parquet')),
-        erc20 AS (SELECT * FROM read_parquet('$exp/erc20/*.parquet'))
+        erc20 AS (SELECT * FROM read_parquet('$exp/erc20/*.parquet')),
+        erc20_exact AS (SELECT * FROM read_parquet('$exp/erc20_exact/*.parquet'))
         $sql"""
 
   /** Q1: block-time deltas via consecutive-block self-join
@@ -203,9 +204,13 @@ object EthQueries {
     * exact DECIMAL(38,0) wei values (SURVEY.md §1.2's documented deviation
     * from the reference's lossy double narrowing,
     * `EthereumERC20Utils.java:8-14`) — per-token exact transfer totals.
-    * Fixture transfer values are < 1e9, so the expected table's doubles
-    * are integer-exact and the oracle pins the decimal arithmetic
-    * losslessly via CAST. */
+    * Fixture blocks above [[EthFixtures.HugeValueFloor]] plant uint256
+    * values beyond 2^64, which the reference's double path cannot
+    * represent; the oracle replays them from the `erc20_exact` expected
+    * table (decimal-digit strings). Outputs are pinned as STRING on both
+    * engines — DECIMAL(38,0) is rendered identically ("123", no point) by
+    * Spark and DuckDB, removing the decimal-canonicalization ambiguity
+    * that the round-5 driver hash tripped on. */
   def q12WeiDecimal(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val dir = EthFixtures.ensure(s)
@@ -213,9 +218,51 @@ object EthQueries {
       .option("weiDecimal", "true").load()
       .groupBy($"erc20_token")
       .agg(count(lit(1)).as("n_transfers"),
-           sum($"erc20_value").cast("decimal(38,0)").as("total_wei"),
-           max($"erc20_value").as("max_wei"))
+           sum($"erc20_value").cast("decimal(38,0)").cast("string").as("total_wei"),
+           max($"erc20_value").cast("string").as("max_wei"))
       .orderBy($"erc20_token")
+  }
+
+  /** The `weiDecimal` mode on the TRANSACTION table (tx_value/tx_gasPrice
+    * surface as DECIMAL(38,0), [[graft.sources.eth.EthSchemas.weiColumns]]) —
+    * round 5 only oracle-checked erc20's decimal path. Fixture tx values
+    * are integral doubles (≤1e18), so both engines' double→decimal
+    * conversions are exact; outputs pinned as STRING like eth_q12. */
+  def q13TxDecimal(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dir = EthFixtures.ensure(s)
+    s.read.format("ethereum").option("table", "transaction").option("chain", dir)
+      .option("weiDecimal", "true").load()
+      .filter($"tx_blockNumber" <= 500)
+      .groupBy(expr("tx_blockNumber div 100").as("blk_c"))
+      .agg(count(lit(1)).as("n_tx"),
+           sum($"tx_value").cast("decimal(38,0)").cast("string").as("total_value_wei"),
+           max($"tx_gasPrice").cast("string").as("max_gas_price_wei"))
+      .orderBy($"blk_c")
+  }
+
+  /** TopN-pushdown oracle row: `ORDER BY block_number LIMIT 20` plans a
+    * 20-block scan (EthPlanSpec asserts the partition shape), not a
+    * 512-block partition — the `SELECT * FROM block LIMIT k` gap the
+    * round-5 verdict ranked #3. Deterministic: block_number is unique. */
+  def q14LimitScan(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    eth(s, "block")
+      .select($"block_number", $"block_miner", $"block_gasUsed")
+      .orderBy($"block_number")
+      .limit(20)
+  }
+
+  /** Aggregate-pushdown oracle row: count/min/max over a block range are
+    * answered from range metadata (one EthereumAggPartition, zero block
+    * fetches — EthPlanSpec asserts the plan). */
+  def q15CountRange(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    eth(s, "block")
+      .filter($"block_number".between(500, 4500))
+      .agg(count(lit(1)).as("n_blocks"),
+           min($"block_number").as("min_bn"),
+           max($"block_number").as("max_bn"))
   }
 
   /** B12: the catalog's DESCRIBE surface *as data*. The reference pins the
@@ -266,7 +313,10 @@ object EthQueries {
     "eth_udfs" -> qUdfs _,
     "eth_q10_ntile_scalable" -> q10NtileScalable _,
     "eth_q11_log_decode" -> q11LogDecode _,
-    "eth_q12_wei_decimal" -> q12WeiDecimal _)
+    "eth_q12_wei_decimal" -> q12WeiDecimal _,
+    "eth_q13_tx_decimal" -> q13TxDecimal _,
+    "eth_q14_limit_scan" -> q14LimitScan _,
+    "eth_q15_count_range" -> q15CountRange _)
 
   /** DuckDB replica of [[graft.sources.eth.FixtureChainClient.addrSeed]]:
     * first 15 hex chars of sha256(lower(addr)) folded to a BIGINT. */
@@ -351,14 +401,30 @@ object EthQueries {
          count(*) AS n_transfers
          FROM erc20 WHERE erc20_blockNumber BETWEEN 2000 AND 4000
          GROUP BY erc20_token ORDER BY erc20_token"""),
-    // fixture wei values are < 1e9 ⇒ the expected doubles are
-    // integer-exact and CAST to DECIMAL(38,0) losslessly
+    // exact uint256 replay from the erc20_exact string table; results
+    // compared as strings (scale-0 decimals render identically on both
+    // engines, no parquet-decimal canonicalization ambiguity)
     "eth_q12_wei_decimal" -> withEthTables(
       """SELECT erc20_token, count(*) AS n_transfers,
-         CAST(sum(CAST(erc20_value AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS total_wei,
-         CAST(max(CAST(erc20_value AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS max_wei
-         FROM erc20
+         CAST(CAST(sum(CAST(erc20_value AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS VARCHAR) AS total_wei,
+         CAST(max(CAST(erc20_value AS DECIMAL(38,0))) AS VARCHAR) AS max_wei
+         FROM erc20_exact
          GROUP BY erc20_token ORDER BY erc20_token"""),
+    // integral fixture doubles ⇒ both engines' double→decimal casts exact;
+    // string-pinned like eth_q12
+    "eth_q13_tx_decimal" -> withEthTables(
+      """SELECT tx_blockNumber // 100 AS blk_c, count(*) AS n_tx,
+         CAST(CAST(sum(CAST(tx_value AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS VARCHAR) AS total_value_wei,
+         CAST(max(CAST(tx_gasPrice AS DECIMAL(38,0))) AS VARCHAR) AS max_gas_price_wei
+         FROM transaction WHERE tx_blockNumber <= 500
+         GROUP BY blk_c ORDER BY blk_c"""),
+    "eth_q14_limit_scan" -> withEthTables(
+      """SELECT block_number, block_miner, block_gasUsed
+         FROM block ORDER BY block_number LIMIT 20"""),
+    "eth_q15_count_range" -> withEthTables(
+      """SELECT count(*) AS n_blocks, min(block_number) AS min_bn,
+         max(block_number) AS max_bn
+         FROM block WHERE block_number BETWEEN 500 AND 4500"""),
     "eth_q5_fromwei" -> withEthTables(
       """SELECT tx_hash, round(tx_value / 1e18, 6) AS eth_value,
          round(tx_gasPrice / 1e9, 4) AS gwei_price

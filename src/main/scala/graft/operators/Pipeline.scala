@@ -482,6 +482,31 @@ object Pipeline {
     * the same replayable constructions as the [[TextAnalysis]] /
     * [[Dedup]] oracles. */
   val oracle: Map[String, String] = Map(
+    // CCNet replay: the nd_text_lm_score chain (same trigram model, same
+    // vocab-5000 tie-break, same round-4 score) composed with the literal
+    // ntile(3) the ScalableNtile path refuses to funnel — (lm_score,
+    // doc_id) is a total order, so the tercile cut is deterministic
+    "nd_pipeline_ccnet" ->
+      """WITH grams AS (
+           SELECT doc_id, substr(text, CAST(i AS INTEGER), 3) AS g
+           FROM documents JOIN range(1, 100000) t(i)
+             ON i <= length(text) - 2),
+         model AS (
+           SELECT g, ln(CAST(count(*) AS DOUBLE)) AS lf
+           FROM grams GROUP BY g ORDER BY count(*) DESC, g LIMIT 5000),
+         scored AS (
+           SELECT doc_id, round(avg(coalesce(lf, 0.0)), 4) AS lm_score
+           FROM grams LEFT JOIN model USING (g)
+           GROUP BY doc_id),
+         tiled AS (
+           SELECT doc_id, lm_score,
+                  ntile(3) OVER (ORDER BY lm_score, doc_id) AS tile
+           FROM scored)
+         SELECT doc_id, lm_score,
+                CASE WHEN tile = 3 THEN 'head'
+                     WHEN tile = 2 THEN 'middle'
+                     ELSE 'tail' END AS ppl_bucket
+         FROM tiled ORDER BY doc_id""",
     // upsert replay: same deterministic edit/insert batches, anti-join +
     // union, per-source manifest
     "nd_pipeline_upsert" ->

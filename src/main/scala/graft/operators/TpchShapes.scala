@@ -143,10 +143,13 @@ object TpchShapes {
     import s.implicits._
     val base = lineitem(s, d).select($"l_returnflag",
       Money.cents($"l_extendedprice").as("cents"))
+    // the salted sum accumulates as DECIMAL(28,0) in both phases (no long
+    // wrap at any per-group mass); the final cast to BIGINT is presentation
     Skew.saltedAgg(base, Seq("l_returnflag"), salts = 16,
         ("count", "cents", "n_items"), ("sum", "cents", "sum_cents"),
         ("min", "cents", "min_cents"), ("max", "cents", "max_cents"))
-      .select($"l_returnflag", $"n_items", $"sum_cents", $"min_cents", $"max_cents")
+      .select($"l_returnflag", $"n_items", $"sum_cents".cast("long").as("sum_cents"),
+              $"min_cents", $"max_cents")
       .orderBy($"l_returnflag")
   }
 

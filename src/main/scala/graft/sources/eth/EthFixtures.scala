@@ -48,10 +48,18 @@ object EthFixtures {
   def txHash(n: Long, j: Int): String = "0x" + EthClient.sha256Hex(s"tx-$n-$j")
 
   private def word(hex40: String): String = "0x" + "0" * 24 + hex40.drop(2)
-  private def valueWord(v: Long): String = {
-    val h = new BigInteger(java.lang.Long.toString(v)).toString(16)
+  private def valueWord(v: BigInteger): String = {
+    val h = v.toString(16)
     "0x" + "0" * (64 - h.length) + h
   }
+
+  /** Blocks above this height carry occasional uint256 transfer values
+    * far beyond 2^64 — the regime where the reference's double narrowing
+    * (`EthereumERC20Utils.java:8-14`) actually loses precision and the
+    * `weiDecimal` DECIMAL(38,0) mode earns its keep. Kept OUT of the
+    * double-summed oracle ranges (eth_q4/eth_q11 filter blocks
+    * 2000–4000) so float-order-sensitive sums stay integer-exact. */
+  val HugeValueFloor = 5000L
 
   /** One block, seeded by its number. Returns the block plus the expected
     * decoded transfers implied by the chosen log parameters. */
@@ -69,29 +77,37 @@ object EthFixtures {
         val contract = tokenContracts(rng.nextInt(tokenContracts.size))
         val lFrom = addrPool(rng.nextInt(addrPool.size))
         val lTo = addrPool(rng.nextInt(addrPool.size))
-        val v = 1L + (rng.nextLong() & Long.MaxValue) % 1000000000L
+        val small = 1L + (rng.nextLong() & Long.MaxValue) % 1000000000L
+        // ~1 in 5 logs in the huge-value region carry a 94-bit+ uint256:
+        // (small << 70) | low — unrepresentable in a double's 53-bit mantissa
+        val v: BigInteger =
+          if (n > HugeValueFloor && rng.nextInt(5) == 0)
+            BigInteger.valueOf(small).shiftLeft(70)
+              .add(BigInteger.valueOf(1L + (rng.nextLong() & Long.MaxValue) % 1000000000L))
+          else BigInteger.valueOf(small)
         val kind = rng.nextInt(100)
-        def emit(value: Double): Unit =
+        def emit(exact: BigInteger): Unit =
           expected += Erc20Decoder.Erc20Transfer(
-            Erc20Decoder.tokenName(contract), lFrom, lTo, value, hash, n)
+            Erc20Decoder.tokenName(contract), lFrom, lTo, exact.doubleValue,
+            hash, n, valueExact = exact)
         kind match {
           case k if k < 50 => // indexed 3-topic transfer
-            emit(v.toDouble)
+            emit(v)
             EthLog(contract, Vector(Erc20Decoder.TransferTopic, word(lFrom), word(lTo)),
               valueWord(v), hash, n)
           case k if k < 60 => // unindexed: sig only, from/to/value in data
-            emit(v.toDouble)
+            emit(v)
             EthLog(contract, Vector(Erc20Decoder.TransferTopic),
               "0x" + word(lFrom).drop(2) + word(lTo).drop(2) + valueWord(v).drop(2), hash, n)
           case k if k < 70 => // partially indexed: sig+from, to/value in data
-            emit(v.toDouble)
+            emit(v)
             EthLog(contract, Vector(Erc20Decoder.TransferTopic, word(lFrom)),
               "0x" + word(lTo).drop(2) + valueWord(v).drop(2), hash, n)
           case k if k < 75 => // malformed unindexed arity -> dropped
             EthLog(contract, Vector(Erc20Decoder.TransferTopic),
               "0x" + word(lFrom).drop(2) + word(lTo).drop(2), hash, n)
           case k if k < 82 => // ERC-721-style: 4 indexed topics, empty data -> value 0.0
-            emit(0.0)
+            emit(BigInteger.ZERO)
             EthLog(contract, Vector(Erc20Decoder.TransferTopic, word(lFrom), word(lTo),
               valueWord(v)), "0x", hash, n)
           case _ => // non-Transfer event -> dropped
@@ -209,6 +225,7 @@ object EthFixtures {
     val blockRows = mutable.ArrayBuffer.empty[Row]
     val txRows = mutable.ArrayBuffer.empty[Row]
     val ercRows = mutable.ArrayBuffer.empty[Row]
+    val ercExactRows = mutable.ArrayBuffer.empty[Row]
     val hashIndex = new BufferedWriter(new FileWriter(s"$dir/hash-index.txt"))
     var chainWriter: BufferedWriter = null
     var totalDifficulty = 0L
@@ -237,6 +254,8 @@ object EthFixtures {
       }
       transfers.foreach { e =>
         ercRows += Row(e.token, e.from, e.to, e.value, e.txHash, e.blockNumber)
+        ercExactRows += Row(e.token, e.from, e.to, e.valueExact.toString,
+          e.txHash, e.blockNumber)
       }
       n += 1
     }
@@ -253,6 +272,16 @@ object EthFixtures {
     write(blockRows, EthSchemas.blockSchema, "block")
     write(txRows, EthSchemas.transactionSchema, "transaction")
     write(ercRows, EthSchemas.erc20Schema, "erc20")
+    // exact uint256 values as decimal-digit strings (doubles cannot carry
+    // them above 2^53) — the weiDecimal mode's differential oracle input
+    val exactSchema = org.apache.spark.sql.types.StructType(
+      EthSchemas.erc20Schema.map { f =>
+        if (f.name == "erc20_value")
+          org.apache.spark.sql.types.StructField(
+            f.name, org.apache.spark.sql.types.StringType)
+        else f
+      })
+    write(ercExactRows, exactSchema, "erc20_exact")
 
     Files.write(marker, Array.emptyByteArray)
     System.err.println(f"[eth-fixtures] generated $Blocks blocks, ${txRows.size} txs, " +

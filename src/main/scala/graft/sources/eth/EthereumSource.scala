@@ -93,13 +93,31 @@ object BlockRanges {
     }
     out.toSeq
   }
+
+  /** First (or, `fromEnd`, last) `k` blocks of a normalized union — the
+    * range truncation behind block-table LIMIT/TopN pushdown. */
+  def truncateBlocks(rs: Seq[(Long, Long)], k: Long, fromEnd: Boolean): Seq[(Long, Long)] = {
+    val ordered = if (fromEnd) rs.reverse else rs
+    var remaining = k
+    val out = mutable.ArrayBuffer.empty[(Long, Long)]
+    ordered.foreach { case (s, e) =>
+      if (remaining > 0) {
+        val len = math.min(e - s + 1, remaining)
+        out += (if (fromEnd) (e - len + 1, e) else (s, s + len - 1))
+        remaining -= len
+      }
+    }
+    if (fromEnd) out.reverse.toSeq else out.toSeq
+  }
 }
 
 class EthereumScanBuilder(kind: EthSchemas.TableKind, chainDir: String,
     blocksPerPartition: Int,
     options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty(),
     weiDecimal: Boolean = false)
-    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownLimit with SupportsPushDownTopN
+    with SupportsPushDownAggregates {
 
   private val numberCol = EthSchemas.blockNumberColumn(kind)
   private val hashCol = EthSchemas.blockHashColumn(kind)
@@ -109,6 +127,16 @@ class EthereumScanBuilder(kind: EthSchemas.TableKind, chainDir: String,
   private var pushed: Array[Filter] = Array.empty
   /** Conjunction of per-filter range unions; None = unconstrained. */
   private var ranges: Option[Seq[(Long, Long)]] = None
+  /** Pushed LIMIT: cap on rows each task emits; for the block table also a
+    * cap on planned blocks (1 row per block). */
+  private var limit: Option[Int] = None
+  /** TopN on block_number (block table only): take the limit from the low
+    * (asc) or high (desc) end of the resolved ranges. */
+  private var topNDesc: Option[Boolean] = None
+  /** Fully-pushed aggregate tokens ("count" | "min" | "max"), in the
+    * aggregation's expression order — answered from range metadata, no
+    * block fetch. */
+  private var pushedAggs: Seq[String] = Nil
 
   @transient private lazy val client = EthClient.forChain(chainDir)
 
@@ -190,11 +218,84 @@ class EthereumScanBuilder(kind: EthSchemas.TableKind, chainDir: String,
 
   override def pruneColumns(schema: StructType): Unit = requiredSchema = schema
 
+  /** LIMIT pushdown (reference gap closed — Presto's connector doesn't push
+    * limit either, but at 100× a `LIMIT 10` must not fetch a 512-block
+    * partition). Block table: 1 row per block, so the plan itself shrinks
+    * to ≤ `limit` blocks. Fan-out tables: each task stops fetching blocks
+    * once it has emitted `limit` rows (an early-exit bound; a task cannot
+    * know another task's fan-out, so the scan stays partially pushed and
+    * Spark keeps its own Limit on top). */
+  override def pushLimit(l: Int): Boolean = { limit = Some(l); true }
+  override def isPartiallyPushed(): Boolean = true
+
+  /** TopN pushdown for the chain's natural order: block_number on the
+    * block table is monotone over the scan, so the top-N rows are exactly
+    * the first (asc) or last (desc) N blocks of the resolved ranges.
+    * Partial push — Spark keeps TakeOrderedAndProject for the final
+    * cross-partition order; the scan just stops planning everything else. */
+  override def pushTopN(orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+      l: Int): Boolean = {
+    if (kind != EthSchemas.Block || orders.length != 1) return false
+    orders(0).expression() match {
+      case nr: org.apache.spark.sql.connector.expressions.NamedReference
+          if nr.fieldNames.sameElements(Array("block_number")) =>
+        limit = Some(l)
+        topNDesc = Some(orders(0).direction() ==
+          org.apache.spark.sql.connector.expressions.SortDirection.DESCENDING)
+        true
+      case _ => false
+    }
+  }
+
+  /** COUNT(*), MIN(block_number) and MAX(block_number) over the block
+    * table are answerable from range metadata alone (1 row per block,
+    * ranges already clipped to the tip at plan time) — no block is
+    * fetched. Spark only pushes aggregates when every filter was fully
+    * pushed, so residual hash/timestamp predicates disable this
+    * automatically. */
+  private def aggToken(
+      f: org.apache.spark.sql.connector.expressions.aggregate.AggregateFunc): Option[String] = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    def isBn(e: org.apache.spark.sql.connector.expressions.Expression): Boolean = e match {
+      case nr: NamedReference => nr.fieldNames.sameElements(Array("block_number"))
+      case _ => false
+    }
+    f match {
+      case _: CountStar => Some("count")
+      case m: Min if isBn(m.column) => Some("min")
+      case m: Max if isBn(m.column) => Some("max")
+      case _ => None
+    }
+  }
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    kind == EthSchemas.Block && agg.groupByExpressions().isEmpty &&
+      agg.aggregateExpressions().nonEmpty &&
+      agg.aggregateExpressions().forall(f => aggToken(f).isDefined)
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    if (!supportCompletePushDown(agg)) return false
+    pushedAggs = agg.aggregateExpressions().toSeq.map(f => aggToken(f).get)
+    requiredSchema = StructType(pushedAggs.zipWithIndex.map { case (t, i) =>
+      org.apache.spark.sql.types.StructField(s"agg_${t}_$i",
+        org.apache.spark.sql.types.LongType, nullable = t != "count")
+    })
+    true
+  }
+
   override def build(): Scan =
-    new EthereumScan(kind, chainDir, requiredSchema, ranges, blocksPerPartition, options)
+    new EthereumScan(kind, chainDir, requiredSchema, ranges, blocksPerPartition, options,
+      limit = limit, topNDesc = topNDesc,
+      pushedAggs = pushedAggs)
 }
 
 case class EthereumInputPartition(start: Long, end: Long) extends InputPartition
+/** Carries the metadata answers of a fully-pushed aggregation — one value
+  * per pushed count/min/max expression (None = empty-range null). */
+case class EthereumAggPartition(values: Seq[Option[Long]]) extends InputPartition
 
 /** DSv2 custom metrics surfaced in the SQL UI per scan — fetch/emit
   * observability a chain source needs at cluster scale (blocks fetched ≠
@@ -215,7 +316,9 @@ object EthMetrics {
 class EthereumScan(kind: EthSchemas.TableKind, chainDir: String,
     requiredSchema: StructType, ranges: Option[Seq[(Long, Long)]],
     blocksPerPartition: Int,
-    options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
+    options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty(),
+    limit: Option[Int] = None, topNDesc: Option[Boolean] = None,
+    pushedAggs: Seq[String] = Nil)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering {
 
@@ -254,26 +357,49 @@ class EthereumScan(kind: EthSchemas.TableKind, chainDir: String,
   }
   override def description(): String = {
     val r = ranges.map(_.map { case (s, e) => s"[$s,$e]" }.mkString(",")).getOrElse("full-chain")
-    s"ethereum.${kind.name} ranges=$r"
+    val lim = limit.map(l => s" pushedLimit=$l" +
+      topNDesc.map(d => s" topN=block_number ${if (d) "DESC" else "ASC"}").getOrElse("")).getOrElse("")
+    val cnt = if (pushedAggs.nonEmpty)
+      s" pushedAggregate=${pushedAggs.map { case "count" => "count(*)"
+        case t => s"$t(block_number)" }.mkString(",")}"
+    else ""
+    s"ethereum.${kind.name} ranges=$r$lim$cnt"
   }
 
   private def resolvedRanges: Seq[(Long, Long)] = {
     val tip = EthClient.forChain(chainDir).blockNumber()
     val static = ranges.getOrElse(Seq((1L, tip)))
     val combined = runtimeRanges.map(BlockRanges.intersect(static, _)).getOrElse(static)
-    BlockRanges.normalize(combined.map { case (s, e) =>
+    val clipped = BlockRanges.normalize(combined.map { case (s, e) =>
       (math.max(1L, s), math.min(tip, e))
     })
+    // block table emits 1 row per block, so a pushed LIMIT/TopN truncates
+    // the PLAN to its first (asc) or last (desc) `limit` blocks
+    (kind, limit) match {
+      case (EthSchemas.Block, Some(k)) =>
+        BlockRanges.truncateBlocks(clipped, k.toLong, fromEnd = topNDesc.getOrElse(false))
+      case _ => clipped
+    }
   }
 
   override def planInputPartitions(): Array[InputPartition] =
-    resolvedRanges.flatMap { case (s, e) =>
-      Iterator.range(s, e + 1, blocksPerPartition.toLong)
-        .map(p => EthereumInputPartition(p, math.min(e, p + blocksPerPartition - 1)))
-    }.toArray
+    if (pushedAggs.nonEmpty) {
+      // fully-pushed aggregation: one metadata row, zero block fetches
+      val rs = resolvedRanges
+      val blocks = rs.map { case (s, e) => e - s + 1 }.sum
+      Array(EthereumAggPartition(pushedAggs.map {
+        case "count" => Some(blocks)
+        case "min"   => rs.headOption.map(_._1)
+        case "max"   => rs.lastOption.map(_._2)
+      }))
+    } else
+      resolvedRanges.flatMap { case (s, e) =>
+        Iterator.range(s, e + 1, blocksPerPartition.toLong)
+          .map(p => EthereumInputPartition(p, math.min(e, p + blocksPerPartition - 1)))
+      }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new EthereumReaderFactory(kind, chainDir, requiredSchema)
+    new EthereumReaderFactory(kind, chainDir, requiredSchema, rowLimit = limit)
 
   override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
     Array(new EthMetrics.BlocksFetched, new EthMetrics.RowsEmitted)
@@ -295,11 +421,19 @@ class EthereumScan(kind: EthSchemas.TableKind, chainDir: String,
 }
 
 class EthereumReaderFactory(kind: EthSchemas.TableKind, chainDir: String,
-    schema: StructType) extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[EthereumInputPartition]
-    new EthereumPartitionReader(kind, chainDir, schema, p.start, p.end)
-  }
+    schema: StructType, rowLimit: Option[Int] = None) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    partition match {
+      case EthereumAggPartition(values) => new PartitionReader[InternalRow] {
+        private var done = false
+        override def next(): Boolean = { val h = !done; done = true; h }
+        override def get(): InternalRow =
+          new GenericInternalRow(values.map(_.map(Long.box).orNull).toArray[Any])
+        override def close(): Unit = ()
+      }
+      case p: EthereumInputPartition =>
+        new EthereumPartitionReader(kind, chainDir, schema, p.start, p.end, rowLimit)
+    }
 
   /** All three tables read columnar: decoded values land directly in
     * `OnHeapColumnVector`s, so downstream whole-stage codegen consumes
@@ -307,18 +441,20 @@ class EthereumReaderFactory(kind: EthSchemas.TableKind, chainDir: String,
     * row (the same reason Spark's own file sources are columnar). The
     * fan-out tables flatten block→transactions / block→transfers into the
     * batch stream. */
-  override def supportColumnarReads(partition: InputPartition): Boolean = true
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    !partition.isInstanceOf[EthereumAggPartition]
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val p = partition.asInstanceOf[EthereumInputPartition]
-    new EthereumColumnarReader(kind, chainDir, schema, p.start, p.end)
+    new EthereumColumnarReader(kind, chainDir, schema, p.start, p.end, rowLimit = rowLimit)
   }
 }
 
 /** Columnar reader: decodes rows of any of the three tables straight into
   * on-heap column vectors (`batchRows` rows per `ColumnarBatch`). */
 class EthereumColumnarReader(kind: EthSchemas.TableKind, chainDir: String,
-    schema: StructType, start: Long, end: Long, batchRows: Int = 256)
+    schema: StructType, start: Long, end: Long, batchRows: Int = 256,
+    rowLimit: Option[Int] = None)
     extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
   import org.apache.spark.sql.execution.vectorized.{OnHeapColumnVector, WritableColumnVector}
   import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
@@ -336,12 +472,18 @@ class EthereumColumnarReader(kind: EthSchemas.TableKind, chainDir: String,
   private val blocks: Iterator[EthBlockData] =
     client.blocks(start, end, fullTx = needTx, needLogs = needLogs)
       .map { b => blocksFetched += 1; b }
-  private val chunks: Iterator[Seq[AnyRef]] = (kind match {
-    case EthSchemas.Block => blocks
-    case EthSchemas.Transaction => blocks.flatMap(_.transactions.iterator)
-    case EthSchemas.Erc20 => blocks.flatMap(Erc20Decoder.decodeBlock)
-    case EthSchemas.Log => blocks.flatMap(_.transactions.iterator.flatMap(_.logs))
-  }).asInstanceOf[Iterator[AnyRef]].grouped(batchRows)
+  private val chunks: Iterator[Seq[AnyRef]] = {
+    val base = (kind match {
+      case EthSchemas.Block => blocks
+      case EthSchemas.Transaction => blocks.flatMap(_.transactions.iterator)
+      case EthSchemas.Erc20 => blocks.flatMap(Erc20Decoder.decodeBlock)
+      case EthSchemas.Log => blocks.flatMap(_.transactions.iterator.flatMap(_.logs))
+    }).asInstanceOf[Iterator[AnyRef]]
+    // pushed LIMIT: stop pulling (and therefore fetching) blocks once this
+    // task has emitted `limit` rows — the lazy block iterator never advances
+    // past the last needed block
+    rowLimit.map(base.take).getOrElse(base).grouped(batchRows)
+  }
   private var batch: ColumnarBatch = _
 
   private def putDec(v: WritableColumnVector, r: Int, bd: java.math.BigDecimal): Unit = {
@@ -464,7 +606,8 @@ class EthereumColumnarReader(kind: EthSchemas.TableKind, chainDir: String,
   * (`EthereumRecordCursor.java:109-189`): block→1 row, block→N tx rows,
   * block→decoded transfer rows. */
 class EthereumPartitionReader(kind: EthSchemas.TableKind, chainDir: String,
-    schema: StructType, start: Long, end: Long) extends PartitionReader[InternalRow] {
+    schema: StructType, start: Long, end: Long,
+    rowLimit: Option[Int] = None) extends PartitionReader[InternalRow] {
 
   private val client = EthClient.forChain(chainDir)
   private var blocksFetched = 0L
@@ -539,7 +682,7 @@ class EthereumPartitionReader(kind: EthSchemas.TableKind, chainDir: String,
     val needLogs = kind == EthSchemas.Erc20 || kind == EthSchemas.Log
     val blocks = client.blocks(start, end, fullTx = needTx, needLogs = needLogs)
       .map { b => blocksFetched += 1; b }
-    kind match {
+    val base = kind match {
       case EthSchemas.Block =>
         val fs = schema.fieldNames.map(blockExtractors)
         blocks.map(b => new GenericInternalRow(fs.map(_.apply(b)).toArray[Any]))
@@ -562,6 +705,8 @@ class EthereumPartitionReader(kind: EthSchemas.TableKind, chainDir: String,
         blocks.flatMap(_.transactions.iterator.flatMap(_.logs))
           .map(l => new GenericInternalRow(fs.map(_.apply(l)).toArray[Any]))
     }
+    // pushed LIMIT: early-exit after `limit` rows (see columnar reader)
+    rowLimit.map(base.take).getOrElse(base)
   }
 
   private var current: InternalRow = _

@@ -90,4 +90,37 @@ object EventStreams {
           closed.result().iterator
       }
   }
+
+  /** Stream-stream event-time INTERVAL join — the attribution shape: each
+    * `purchase` joined to the same user's `click`s in the preceding
+    * `windowMs`. Both sides carry a watermark and the join condition
+    * bounds each side's event time by the other's, so the state store
+    * evicts a row as soon as the opposite watermark passes its match
+    * window — bounded state on unbounded streams, the canonical
+    * stream-stream join discipline.
+    *
+    * Event times are truncated to whole milliseconds BEFORE the join so
+    * the boundary comparison is at the same resolution the oracle's
+    * `epoch_ms` replay uses.
+    *
+    * `horizon` trades completeness for state: a drained oracle replay
+    * passes a horizon ≥ the replayed span (files are not time-ordered, so
+    * any tighter horizon could legally drop cross-batch matches as late);
+    * production uses the real lateness bound. */
+  def attributionJoin(events: DataFrame, windowMs: Long = 86400000L,
+      horizon: String = "35 days"): DataFrame = {
+    val ms = timestamp_millis(unix_millis(col("ts")))
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), ms.as("p_ts"),
+              col("user_id").as("p_user"), col("value").as("p_value"))
+      .withWatermark("p_ts", horizon)
+    val c = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), ms.as("c_ts"),
+              col("user_id").as("c_user"))
+      .withWatermark("c_ts", horizon)
+    p.join(c,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $windowMs MILLISECONDS") &&
+        col("c_ts") <= col("p_ts"))
+  }
 }

@@ -21,6 +21,66 @@ class EthPlanSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), s"fk join shuffled both sides:\n$plan")
   }
 
+  private def batchScans(df: org.apache.spark.sql.DataFrame)
+      : Seq[org.apache.spark.sql.execution.datasources.v2.BatchScanExec] = {
+    df.collect()
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    plan.collect { case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b }
+  }
+
+  test("LIMIT pushes into the block scan: plans <=limit blocks, not a full partition") {
+    import org.apache.spark.sql.functions.col
+    val dir = graft.sources.eth.EthFixtures.ensure(spark)
+    val df = spark.read.format("ethereum")
+      .option("table", "block").option("chain", dir).load().limit(10)
+    assert(df.count() == 10)
+    val scan = batchScans(df).head
+    assert(scan.scan.description().contains("pushedLimit=10"), scan.scan.description())
+    assert(scan.inputPartitions.size == 1,
+      s"LIMIT 10 planned ${scan.inputPartitions.size} partitions")
+    // fan-out tables keep the limit as a per-task early-exit (partial push)
+    val tx = spark.read.format("ethereum")
+      .option("table", "transaction").option("chain", dir).load().limit(7)
+    assert(tx.count() == 7)
+    assert(batchScans(tx).head.scan.description().contains("pushedLimit=7"))
+  }
+
+  test("TopN on block_number pushes: DESC takes the tip-most blocks only") {
+    import org.apache.spark.sql.functions.col
+    val dir = graft.sources.eth.EthFixtures.ensure(spark)
+    val df = spark.read.format("ethereum")
+      .option("table", "block").option("chain", dir).load()
+      .select("block_number").orderBy(col("block_number").desc).limit(5)
+    val top = df.collect().map(_.getLong(0)).toSeq
+    assert(top == Seq(6000L, 5999L, 5998L, 5997L, 5996L), top.toString)
+    val scan = batchScans(df).head
+    assert(scan.scan.description().contains("topN=block_number DESC"),
+      scan.scan.description())
+    assert(scan.inputPartitions.size == 1,
+      s"TopN 5 planned ${scan.inputPartitions.size} partitions")
+  }
+
+  test("count/min/max on a block range are answered from metadata, zero blocks fetched") {
+    import org.apache.spark.sql.functions.{col, count, lit, max, min}
+    val dir = graft.sources.eth.EthFixtures.ensure(spark)
+    val df = spark.read.format("ethereum")
+      .option("table", "block").option("chain", dir).load()
+      .filter(col("block_number").between(100, 299))
+      .agg(count(lit(1)), min(col("block_number")), max(col("block_number")))
+    val row = df.collect().head
+    assert((row.getLong(0), row.getLong(1), row.getLong(2)) == ((200L, 100L, 299L)))
+    val scan = batchScans(df).head
+    assert(scan.scan.description().contains(
+      "pushedAggregate=count(*),min(block_number),max(block_number)"),
+      scan.scan.description())
+    assert(scan.inputPartitions.forall(
+      _.isInstanceOf[graft.sources.eth.EthereumAggPartition]),
+      "pushed aggregate still planned block-fetch partitions")
+  }
+
   test("all eth tables scan columnar (vectors + ColumnarToRow, like a file source)") {
     import org.apache.spark.sql.functions.col
     val dir = graft.sources.eth.EthFixtures.ensure(spark)
