@@ -855,42 +855,89 @@ object Similarity {
     * MinHash path: every pair with Jaccard ≥ `simNum/simDen` is found
     * (no LSH recall loss), yet the join never goes all-pairs.
     *
-    * The pruning argument: order every set by GLOBAL token rarity
-    * (rarest first) and index only each set's first
-    * `L - ceil(t·L) + 1` tokens; two sets with Jaccard ≥ t must share
-    * at least one prefix token, so the candidate join runs on prefix
-    * tokens only — and because prefixes are the RAREST tokens, bucket
-    * sizes stay small where a naive token join would explode on heavy
-    * hitters. All threshold math is integer-exact: the prefix length
-    * uses integer ceil `(num·L + den - 1) div den`, the Jaccard gate is
-    * the cross-multiplied `i·den ≥ u·num`, and the per-part best-match
-    * argmax orders by the one exact-int division both engines compute
-    * identically.
+    * Candidates join on 2-TOKEN prefix signatures, not single tokens.
+    * Rationale: with a SMALL vocabulary (p_name draws ~90 words) every
+    * token is a heavy hitter and single-token prefix buckets explode
+    * (~650 rows/bucket at sf0.1 → ~19M candidate pairs → this operator
+    * was the round-6 local bench's 50s outlier). The pair signature is
+    * still loss-free: order every set by global token rarity; if
+    * `|A∩B| ≥ k` (k = integer-ceil(t·L), implied by Jaccard ≥ t since
+    * u ≥ L), the two globally-smallest shared tokens x1<x2 both lie in
+    * each side's first `L − k + 2` tokens — were x2 deeper in A, A∩B
+    * would have ≤ 1 + (k−2) < k elements — so both sides emit the
+    * ordered 2-subset (x1,x2) and the equi-join finds the pair. Bucket
+    * count rises from |V| to ~|V|²/2 while signature volume only rises
+    * `C(p,2)/p`-fold — candidate pairs drop ~10×. Singleton sets emit
+    * the degenerate (x,x) signature (identical singletons still pair);
+    * `t > 1/2` is required so a singleton can never qualify against a
+    * larger set. A cross-multiplied length gate
+    * (num·max(La,Lb) ≤ den·min) prunes in the join condition. All
+    * threshold math is integer-exact; the per-part argmax orders by the
+    * one exact-int division both engines compute identically.
     *
     * Output: one row per part that has a ≥t neighbor — its most-similar
     * neighbor (ties → lowest key), with exact intersection/union sizes.
     * Scale shape: vocabulary stats broadcast; the candidate join
-    * partitions by (rare) prefix token; verification touches candidate
-    * pairs only. */
+    * partitions by (rare) signature pairs; verification touches
+    * candidate pairs only. RetrievalSpec proves zero missed pairs vs
+    * driver brute force. */
   def setSimJoin(s: SparkSession, d: String, simNum: Int = 3,
       simDen: Int = 5): DataFrame = {
     import s.implicits._
+    require(2 * simNum > simDen,
+      "pair-signature prefix requires threshold > 1/2 (singleton-vs-larger pairs excluded)")
     val parts = part(s, d)
       .select($"p_partkey", array_distinct(split($"p_name", " ")).as("w"))
     val dfTok = parts.select(explode($"w").as("tok"))
       .groupBy($"tok").agg(count(lit(1)).as("n"))
-    val ordered = parts.select($"p_partkey", explode($"w").as("tok"))
+    val orderedAll = parts.select($"p_partkey", explode($"w").as("tok"))
       .join(broadcast(dfTok), "tok")
       .groupBy($"p_partkey")
       .agg(transform(array_sort(collect_list(struct($"n", $"tok"))),
         x => x("tok")).as("ws"))
+    // Collapse IDENTICAL sets into equivalence classes before the pair
+    // join: duplicate sets make the true pair count quadratic (this
+    // corpus: 64 distinct 2-word names over 20k parts ⇒ ~3.1M genuinely
+    // qualifying pairs — no candidate filter can prune TRUE pairs), but
+    // every member of a class shares one answer. The signature join runs
+    // on DISTINCT sets only; members expand back at the end. At 100 TB
+    // this is the same discipline as exact dedup-before-minhash: one
+    // extra groupBy, and the quadratic blowup on duplicated content is
+    // gone.
+    val classes = orderedAll.groupBy($"ws")
+      .agg(min($"p_partkey").as("p_partkey"),
+           sort_array(collect_list($"p_partkey")).as("members"),
+           count(lit(1)).as("m"))
+    val ordered = classes.select($"p_partkey", $"ws")
     val L = size($"ws")
-    val prefLen =
-      (L - floor((lit(simNum) * L + lit(simDen - 1)) / lit(simDen)).cast("int") + 1)
-    val pref = ordered.select($"p_partkey", $"ws",
-      explode(slice($"ws", lit(1), prefLen)).as("t"))
-    val cand = pref.as("a").join(pref.as("b"),
-        col("a.t") === col("b.t") && col("a.p_partkey") < col("b.p_partkey"))
+    // k = ceil(t·L); j=2 prefix = first L − k + 2 tokens (capped at L)
+    val kSelf = floor((lit(simNum) * L + lit(simDen - 1)) / lit(simDen)).cast("int")
+    val pref2 = ordered.select($"p_partkey", $"ws",
+      slice($"ws", lit(1), least(L, L - kSelf + 2)).as("p2"))
+    // ordered 2-subsets of the prefix with y's 1-based position (jy);
+    // singleton sets emit the degenerate (x, x) at position 1
+    val sigs = pref2
+      .select($"p_partkey", $"ws", $"p2", posexplode($"p2").as(Seq("i", "x")))
+      .select($"p_partkey", size($"ws").as("la"), $"ws", $"x", $"i",
+        posexplode(when(size($"p2") === 1, array($"x"))
+          .otherwise(slice($"p2", $"i" + 2, size($"p2")))).as(Seq("dj", "y")))
+      .select($"p_partkey", $"la", $"ws", $"x", $"y",
+        when(size($"ws") === 1, lit(1))
+          .otherwise($"i" + 2 + $"dj").as("jy"))
+    // join gates, all integer-exact and loss-free for qualifying pairs:
+    //  - length: Jaccard ≥ t ⇒ num·max(La,Lb) ≤ den·min(La,Lb);
+    //  - positional (PPJoin): i ≥ k_pair = ceil(num(La+Lb)/(num+den))
+    //    needs 2 + min(La−jyA, Lb−jyB) ≥ k_pair — true of the
+    //    two-smallest-shared-tokens signature row, so the pair survives
+    //    even when its other signature rows are pruned
+    val cand = sigs.as("a").join(sigs.as("b"),
+        col("a.x") === col("b.x") && col("a.y") === col("b.y") &&
+          col("a.p_partkey") < col("b.p_partkey") &&
+          greatest(col("a.la"), col("b.la")) * simNum <=
+            least(col("a.la"), col("b.la")) * simDen &&
+          lit(2) + least(col("a.la") - col("a.jy"), col("b.la") - col("b.jy")) >=
+            floor(((col("a.la") + col("b.la")) * simNum + lit(simNum + simDen - 1))
+              .cast("long") / lit(simNum + simDen)).cast("int"))
       .select(col("a.p_partkey").as("pa"), col("b.p_partkey").as("pb"),
               col("a.ws").as("wa"), col("b.ws").as("wb"))
       .dropDuplicates("pa", "pb")
@@ -903,11 +950,27 @@ object Similarity {
       .unionByName(verified.select($"pb".as("p"), $"pa".as("q"), $"i", $"u"))
     val w = Window.partitionBy($"p")
       .orderBy(($"i".cast("double") / $"u").desc, $"q")
-    sym.withColumn("r", row_number().over(w))
+    // best inter-class neighbor per class rep; partner classes' members
+    // share the partner rep (its min member), so ordering by (j desc,
+    // rep asc) IS "lowest q among max-j neighbors"
+    val bestInter = sym.withColumn("r", row_number().over(w))
       .filter($"r" === 1)
+      .select($"p".as("rep"), $"q".as("q_rep"), $"i".as("ii"), $"u".as("uu"))
+    // expand classes back to members: an identical-set twin (jaccard 1,
+    // lowest other member) beats any inter-class neighbor (distinct sets
+    // ⇒ j < 1); singleton classes take the inter-class best or drop out
+    val intraQ = when($"p" === $"members"(0), $"members"(1)).otherwise($"members"(0))
+    classes
+      .select($"p_partkey".as("rep"), $"ws", $"members", $"m",
+              explode($"members").as("p"))
+      .join(bestInter, Seq("rep"), "left_outer")
+      .withColumn("q", when($"m" >= 2, intraQ).otherwise($"q_rep"))
+      .filter($"q".isNotNull)
+      .withColumn("iE", when($"m" >= 2, size($"ws").cast("long")).otherwise($"ii"))
+      .withColumn("uE", when($"m" >= 2, size($"ws").cast("long")).otherwise($"uu"))
       .select($"p".as("p_partkey"), $"q".as("best_match"),
-              $"i".as("inter"), $"u".as("uni"),
-              round($"i".cast("double") / $"u", 4).as("jaccard"))
+              $"iE".as("inter"), $"uE".as("uni"),
+              round($"iE".cast("double") / $"uE", 4).as("jaccard"))
       .orderBy($"p_partkey")
   }
 
