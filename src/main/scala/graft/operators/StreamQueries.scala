@@ -28,14 +28,31 @@ object StreamQueries {
 
   /** Run a streaming frame to completion into a memory sink and return
     * the drained result. Sink names are per-query so repeated runs (the
-    * best-of-N bench) replace rather than collide. */
-  private def drain(df: DataFrame, sink: String, mode: String): DataFrame = {
+    * best-of-N bench) replace rather than collide.
+    *
+    * `statePartitions`: stateful operators pay fixed per-partition
+    * state-store + commit cost EVERY micro-batch, so a bounded drain
+    * sizes `spark.sql.shuffle.partitions` to its actual state volume
+    * (measured on the stream-stream join: 32 partitions 9.3s vs 8
+    * partitions 3.0s for the same result). The conf is captured at
+    * query START and restored after — batch queries in the session are
+    * untouched. At production scale the same knob goes UP with
+    * throughput; the semantics never change (state partitioning is
+    * internal). */
+  private def drain(df: DataFrame, sink: String, mode: String,
+      statePartitions: Option[Int] = None): DataFrame = {
     val s = df.sparkSession
     s.catalog.dropTempView(sink)
-    val q = df.writeStream.format("memory").queryName(sink)
-      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(300000)
-    q.stop()
+    val prev = statePartitions.map { n =>
+      val p = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", n.toString); p
+    }
+    try {
+      val q = df.writeStream.format("memory").queryName(sink)
+        .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(300000)
+      q.stop()
+    } finally prev.foreach(p => s.conf.set("spark.sql.shuffle.partitions", p))
     s.table(sink)
   }
 
@@ -168,7 +185,7 @@ object StreamQueries {
   def streamJoin(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val out = EventStreams.attributionJoin(EventStreams.readEvents(s, d))
-    drain(out, "nd_stream_join_sink", "append")
+    drain(out, "nd_stream_join_sink", "append", statePartitions = Some(8))
       .select($"p_id", $"c_id", $"p_user".as("user_id"),
               unix_millis($"p_ts").as("p_ms"), unix_millis($"c_ts").as("c_ms"),
               round($"p_value", 2).as("p_value"))
