@@ -265,6 +265,72 @@ object EthQueries {
            max($"block_number").as("max_bn"))
   }
 
+  /** Transfer-graph degree profile per token — the "who trades with whom"
+    * summary an Ethereum analytics user runs before any graph algorithm:
+    * transfer count, distinct senders/receivers, and distinct directed
+    * edges. All four are one hash-aggregate pass over the decoded transfer
+    * scan (distincts expand to partial aggregates per group); nothing is
+    * collected, so the shape holds when the transfer table is data-scale. */
+  def q16TokenGraph(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    eth(s, "erc20")
+      .groupBy($"erc20_token")
+      .agg(count(lit(1)).as("n_transfers"),
+           countDistinct($"erc20_from").as("n_senders"),
+           countDistinct($"erc20_to").as("n_receivers"),
+           countDistinct(concat_ws(">", $"erc20_from", $"erc20_to")).as("n_edges"))
+      .orderBy($"erc20_token")
+  }
+
+  /** PageRank over the ERC-20 transfer graph (damping 0.85, 5 fixed
+    * iterations, edge weight = transfer count) — top 15 addresses. The
+    * whole computation runs in EXACT INTEGER micro-units so Spark and the
+    * oracle agree bit-for-bit regardless of join/aggregation order (the
+    * repo's standing micro-nat discipline; float PageRank sums are
+    * summation-order sensitive):
+    *
+    *   R₀(u) = 1 000 000;  contrib(u→v) = (R(u)·w(u,v)) div W(u);
+    *   R'(v) = 150 000 + (850·Σ contrib(·→v)) div 1000.
+    *
+    * Dangling mass is dropped (both engines agree; ranking is unaffected
+    * at the fixture's connectivity). Each iteration is ONE shuffle: join
+    * ranks to the weighted edge list on src, re-aggregate by dst — the
+    * standard distributed PageRank step (Pregel's shape without the
+    * framework). The edge list + node set are persisted across the 5
+    * iterations and freed via [[graft.plans.Caching.detach]]; per-node
+    * state is one long, so at 100 TB of transfers the iteration state is
+    * |V| rows, not data-scale, and every join is a plain shuffled
+    * hash join on the address key. */
+  def q17PageRank(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val edges = eth(s, "erc20")
+      .groupBy($"erc20_from".as("src"), $"erc20_to".as("dst"))
+      .agg(count(lit(1)).as("w"))
+      .persist(lvl)
+    val outw = edges.groupBy($"src").agg(sum($"w").as("tw"))
+    val wEdges = edges.join(outw, "src").persist(lvl)
+    val nodes = edges.select($"src".as("addr"))
+      .union(edges.select($"dst".as("addr"))).distinct().persist(lvl)
+    var rank = nodes.withColumn("r", lit(1000000L))
+    for (_ <- 1 to 5) {
+      val contribs = wEdges.join(rank, wEdges("src") === rank("addr"))
+        .select($"dst", expr("(r * w) div tw").as("c"))
+        .groupBy($"dst").agg(sum($"c").as("s"))
+      rank = nodes.join(contribs, nodes("addr") === contribs("dst"), "left")
+        .select($"addr",
+          (lit(150000L) + expr("(850 * coalesce(s, 0L)) div 1000")).as("r"))
+    }
+    val out = rank.orderBy($"r".desc, $"addr").limit(15)
+      .select($"addr", $"r".as("rank_micro"))
+    graft.plans.Caching.detach(out, () => {
+      edges.unpersist(blocking = false)
+      wEdges.unpersist(blocking = false)
+      nodes.unpersist(blocking = false)
+      ()
+    })
+  }
+
   /** B12: the catalog's DESCRIBE surface *as data*. The reference pins the
     * exact `DESCRIBE block/transaction/erc20` output in its docs
     * (`README.md:139-186`; widths `EthereumMetadata.java:48-51`), so this
@@ -316,7 +382,36 @@ object EthQueries {
     "eth_q12_wei_decimal" -> q12WeiDecimal _,
     "eth_q13_tx_decimal" -> q13TxDecimal _,
     "eth_q14_limit_scan" -> q14LimitScan _,
-    "eth_q15_count_range" -> q15CountRange _)
+    "eth_q15_count_range" -> q15CountRange _,
+    "eth_q16_token_graph" -> q16TokenGraph _,
+    "eth_q17_pagerank" -> q17PageRank _)
+
+  /** Unrolled 5-iteration integer PageRank replay (see [[q17PageRank]] for
+    * the exact recurrence); starts with "," to extend [[withEthTables]]'s
+    * CTE list. DuckDB's `//` and Spark's `div` agree on positive integers,
+    * and every value in the recurrence is a positive integer, so the replay
+    * is bit-exact. */
+  private val pageRankOracle: String = {
+    val base =
+      """, edges AS (SELECT erc20_from AS src, erc20_to AS dst, count(*) AS w
+                     FROM erc20 GROUP BY 1, 2),
+         outw AS (SELECT src, sum(w) AS tw FROM edges GROUP BY src),
+         wedges AS (SELECT e.src, e.dst, e.w, CAST(o.tw AS BIGINT) AS tw
+                    FROM edges e JOIN outw o ON e.src = o.src),
+         nodes AS (SELECT src AS addr FROM edges UNION SELECT dst AS addr FROM edges),
+         pr0 AS (SELECT addr, CAST(1000000 AS BIGINT) AS r FROM nodes)"""
+    val iters = (1 to 5).map { i =>
+      s"""pr$i AS (SELECT n.addr,
+             CAST(150000 + (850 * COALESCE(c.s, 0)) // 1000 AS BIGINT) AS r
+           FROM nodes n LEFT JOIN (
+             SELECT e.dst, CAST(sum((p.r * e.w) // e.tw) AS BIGINT) AS s
+             FROM wedges e JOIN pr${i - 1} p ON e.src = p.addr
+             GROUP BY e.dst) c ON n.addr = c.dst)"""
+    }.mkString(",\n")
+    s"""$base,
+       $iters
+       SELECT addr, r AS rank_micro FROM pr5 ORDER BY r DESC, addr LIMIT 15"""
+  }
 
   /** DuckDB replica of [[graft.sources.eth.FixtureChainClient.addrSeed]]:
     * first 15 hex chars of sha256(lower(addr)) folded to a BIGINT. */
@@ -425,6 +520,13 @@ object EthQueries {
       """SELECT count(*) AS n_blocks, min(block_number) AS min_bn,
          max(block_number) AS max_bn
          FROM block WHERE block_number BETWEEN 500 AND 4500"""),
+    "eth_q16_token_graph" -> withEthTables(
+      """SELECT erc20_token, count(*) AS n_transfers,
+         count(DISTINCT erc20_from) AS n_senders,
+         count(DISTINCT erc20_to) AS n_receivers,
+         count(DISTINCT concat_ws('>', erc20_from, erc20_to)) AS n_edges
+         FROM erc20 GROUP BY erc20_token ORDER BY erc20_token"""),
+    "eth_q17_pagerank" -> withEthTables(pageRankOracle),
     "eth_q5_fromwei" -> withEthTables(
       """SELECT tx_hash, round(tx_value / 1e18, 6) AS eth_value,
          round(tx_gasPrice / 1e9, 4) AS gwei_price

@@ -593,6 +593,40 @@ object Relational {
       .orderBy($"n_name")
   }
 
+  /** Exact global order statistics WITHOUT a single-partition sort — the
+    * scale-true complement to q21's sketch percentiles. `percentile_disc`
+    * (and any exact `percentile`) plans a global sort or a single-node
+    * aggregation buffer; at 100 TB both funnel the column through one
+    * task. This computes the value at rank ceil(q·N) for q ∈ {0.25, 0.5,
+    * 0.95} from [[graft.plans.ScalableNtile.globalRank]]'s per-range rank
+    * + P-row offset broadcast (nothing data-scale is globally sorted),
+    * then ONE aggregate pass reads the three order statistics as
+    * `min(value WHERE rank ≥ target)` — correct because rank order IS
+    * value order. Money stays in exact integer cents ([[Money.cents]]),
+    * so both engines compare integers, not doubles. Ties on value are
+    * harmless: the value at a given rank is unique regardless of how
+    * equal values are tie-broken, so the rank tie-break key exists only
+    * to make the assignment deterministic. */
+  def q46ExactPercentile(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val li = lineitem(s, d)
+      .select(Money.cents($"l_extendedprice").as("cents"),
+              $"l_orderkey", $"l_linenumber")
+    val ranked = graft.plans.ScalableNtile.globalRank(
+      li, Seq($"cents", $"l_orderkey", $"l_linenumber"), "rnk", "n")
+    def at(q: String): Column =
+      min(when($"rnk" >= ceil(lit(new java.math.BigDecimal(q)) * $"n").cast("long"),
+               $"cents"))
+    ranked.agg(
+        max($"n").as("n_rows"),
+        at("0.25").as("p25_cents"),
+        at("0.5").as("p50_cents"),
+        at("0.95").as("p95_cents"))
+      .select($"n_rows", $"p25_cents", $"p50_cents", $"p95_cents",
+              ($"p50_cents".cast("decimal(28,0)") * lit(new java.math.BigDecimal("0.01")))
+                .cast("double").as("median_dollars"))
+  }
+
   /** Oracle SQL (DuckDB dialect = ANSI here) for each query above. */
   val oracle: Map[String, String] = Map(
     // KMV replay: k smallest distinct 60-bit folds per group, estimate
@@ -847,7 +881,21 @@ object Relational {
                     FROM customer JOIN nation ON c_nationkey = n_nationkey)
          SELECT n_name, string_agg(c_name, '|' ORDER BY c_name) AS top_names,
                 CAST(round(sum(CAST(round(c_acctbal * 100, 0) AS BIGINT)) * 0.01, 2) AS DOUBLE) AS top_bal
-         FROM r WHERE rk <= 3 GROUP BY n_name ORDER BY n_name"""
+         FROM r WHERE rk <= 3 GROUP BY n_name ORDER BY n_name""",
+    // exact order statistics in integer cents: value at rank ceil(q*N) —
+    // the literal single-sort formulation the scalable plan must equal
+    "q46_exact_percentile" ->
+      """WITH c AS (SELECT CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents
+                    FROM lineitem),
+           r AS (SELECT cents, row_number() OVER (ORDER BY cents) AS rnk,
+                        count(*) OVER () AS n
+                 FROM c)
+         SELECT max(n) AS n_rows,
+                min(CASE WHEN rnk >= CAST(ceil(0.25 * n) AS BIGINT) THEN cents END) AS p25_cents,
+                min(CASE WHEN rnk >= CAST(ceil(0.5 * n) AS BIGINT) THEN cents END) AS p50_cents,
+                min(CASE WHEN rnk >= CAST(ceil(0.95 * n) AS BIGINT) THEN cents END) AS p95_cents,
+                CAST(min(CASE WHEN rnk >= CAST(ceil(0.5 * n) AS BIGINT) THEN cents END) * 0.01 AS DOUBLE) AS median_dollars
+         FROM r"""
   )
 
   /** Query registry: name → (session, sfDir) → DataFrame. */
@@ -881,6 +929,7 @@ object Relational {
     "q38_kmv_distinct" -> q38KmvDistinct _,
     "q43_window_frames" -> q43WindowFrames _,
     "q44_grouping_sets" -> q44GroupingSets _,
-    "q45_string_agg" -> q45StringAgg _
+    "q45_string_agg" -> q45StringAgg _,
+    "q46_exact_percentile" -> q46ExactPercentile _
   )
 }

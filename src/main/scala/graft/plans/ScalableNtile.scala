@@ -112,6 +112,18 @@ object ScalableNtile {
       .drop("__pid", "__rn", "__offset")
   }
 
+  /** The input with 1-based exact global rank + total count columns —
+    * `row_number() OVER (ORDER BY order)` + `count(*) OVER ()` without the
+    * single-partition funnel, by the same per-range rank + P-row offset
+    * broadcast decomposition as [[ntile]]. `order` must be a total order
+    * for the rank to be deterministic; consumers that only read the VALUE
+    * at a given rank (order-statistic queries) may tie-break arbitrarily. */
+  def globalRank(df: DataFrame, order: Seq[Column], rankCol: String,
+      totalCol: String, partitions: Int = 0): DataFrame =
+    withGlobalRank(df, order, partitions)
+      .withColumnRenamed("__grank", rankCol)
+      .withColumnRenamed("__total", totalCol)
+
   /** The input with an extra long column = the INCLUSIVE global running
     * total of `value` in `order` — `sum(value) OVER (ORDER BY order ROWS
     * UNBOUNDED PRECEDING)` without the single-partition funnel that window

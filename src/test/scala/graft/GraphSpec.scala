@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{EthQueries, Relational}
+
+/** Transfer-graph analytics (eth_q16/eth_q17) and the exact scalable
+  * percentile (q46) — each checked against an INDEPENDENT formulation:
+  * PageRank against a driver-side Scala reimplementation of the integer
+  * recurrence, the percentile against the literal single-sort window the
+  * scalable plan refuses to run at data scale.
+  */
+class GraphSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("eth_q17 pagerank equals a driver-side integer-exact reimplementation") {
+    import spark.implicits._
+    val dir = graft.sources.eth.EthFixtures.ensure(spark)
+    val edges = spark.read.format("ethereum")
+      .option("table", "erc20").option("chain", dir).load()
+      .groupBy($"erc20_from", $"erc20_to").agg(count(lit(1)).as("w"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val outw = edges.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    var rank = nodes.map(_ -> 1000000L).toMap
+    for (_ <- 1 to 5) {
+      val in = new scala.collection.mutable.HashMap[String, Long]().withDefaultValue(0L)
+      edges.foreach { case (s, d, w) =>
+        in(d) += rank(s) * w / outw(s)
+      }
+      rank = nodes.map(n => n -> (150000L + 850L * in(n) / 1000L)).toMap
+    }
+    val expected = rank.toSeq.sortBy { case (a, r) => (-r, a) }.take(15)
+    val got = EthQueries.q17PageRank(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == expected, s"pagerank mismatch:\n got=$got\n exp=$expected")
+  }
+
+  test("eth_q17 ranks conserve (leaky) mass and respect the teleport floor") {
+    val rows = EthQueries.q17PageRank(spark, sf).collect()
+    assert(rows.length == 15)
+    assert(rows.forall(_.getLong(1) >= 150000L), "rank below teleport floor")
+    // top-15 of a 200-node graph can't hold more than the full graph mass
+    assert(rows.map(_.getLong(1)).sum <= 200L * 1000000L)
+  }
+
+  test("eth_q16 degree profile is consistent with raw transfer counts") {
+    import spark.implicits._
+    val dir = graft.sources.eth.EthFixtures.ensure(spark)
+    val raw = spark.read.format("ethereum")
+      .option("table", "erc20").option("chain", dir).load()
+    val total = raw.count()
+    val rows = EthQueries.q16TokenGraph(spark, sf).collect()
+    assert(rows.map(_.getLong(1)).sum == total, "per-token transfers don't sum to total")
+    rows.foreach { r =>
+      val (n, senders, receivers, pairs) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(senders <= n && receivers <= n && pairs <= n)
+      assert(pairs >= math.max(senders, receivers),
+        "distinct edges can't be fewer than distinct endpoints on either side")
+    }
+  }
+
+  test("q46 exact percentile equals the literal single-sort formulation") {
+    import spark.implicits._
+    val got = Relational.q46ExactPercentile(spark, sf).collect().head
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(graft.operators.Money.cents($"l_extendedprice").as("cents"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy($"cents")
+    val ranked = li
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+    def at(q: Double): Long = ranked
+      .filter($"rnk" >= ceil(lit(q) * $"n").cast("long"))
+      .agg(min($"cents")).collect().head.getLong(0)
+    assert(got.getLong(1) == at(0.25))
+    assert(got.getLong(2) == at(0.5))
+    assert(got.getLong(3) == at(0.95))
+    assert(got.getDouble(4) == at(0.5) * 0.01)
+  }
+}
