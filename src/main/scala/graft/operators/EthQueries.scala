@@ -331,6 +331,56 @@ object EthQueries {
     })
   }
 
+  /** Triangle count of the UNDIRECTED transfer graph — the standard
+    * graph-mining statistic (clustering/community structure), computed
+    * with the degree-ordered orientation that makes it scale: every
+    * undirected edge is oriented from its lower-(degree, addr) endpoint
+    * to the higher, so each node's oriented out-degree is O(√E) and the
+    * wedge join (pairs of out-neighbors of a common source) is bounded by
+    * Σ d⁺(v)² = O(E^1.5) instead of the Σ d(v)² blow-up a hub would cause
+    * un-oriented. Three shuffles total: undirected-edge dedup, degree
+    * aggregate, and the wedge⋈edge closing join. All counts are integers;
+    * the oracle replays the identical orientation, so the row is
+    * bit-exact. */
+  def q18Triangles(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val t = eth(s, "erc20")
+      .select(least($"erc20_from", $"erc20_to").as("a"),
+              greatest($"erc20_from", $"erc20_to").as("b"))
+      .filter($"a" =!= $"b").distinct()
+    val und = t.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = und.select($"a".as("n")).union(und.select($"b".as("n")))
+      .groupBy($"n").agg(count(lit(1)).as("deg"))
+    // orient each edge toward the higher (deg, addr) endpoint
+    val withDeg = und
+      .join(deg.withColumnRenamed("n", "a").withColumnRenamed("deg", "da"), "a")
+      .join(deg.withColumnRenamed("n", "b").withColumnRenamed("deg", "db"), "b")
+    val oriented = withDeg.select(
+        when($"da" < $"db" || ($"da" === $"db" && $"a" < $"b"), struct($"a".as("src"), $"b".as("dst"), $"da".as("ds"), $"db".as("dd")))
+          .otherwise(struct($"b".as("src"), $"a".as("dst"), $"db".as("ds"), $"da".as("dd")))
+          .as("e"))
+      .select($"e.src", $"e.dst", $"e.ds", $"e.dd")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // wedges: ordered pairs of out-neighbors of one source, v before w in
+    // the SAME (deg, addr) orientation order, closed by an oriented edge
+    val e1 = oriented.select($"src", $"dst".as("v"), $"dd".as("dv"))
+    val e2 = oriented.select($"src", $"dst".as("w"), $"dd".as("dw"))
+    val wedges = e1.join(e2, Seq("src"))
+      .filter($"dv" < $"dw" || ($"dv" === $"dw" && $"v" < $"w"))
+    val closing = oriented.select($"src".as("v"), $"dst".as("w"))
+    val tri = wedges.join(closing, Seq("v", "w"))
+    val out = und.agg(count(lit(1)).as("n_edges")).crossJoin(
+        deg.agg(count(lit(1)).as("n_nodes")))
+      .crossJoin(wedges.agg(count(lit(1)).as("n_wedges")))
+      .crossJoin(tri.agg(count(lit(1)).as("n_triangles")))
+      .select($"n_nodes", $"n_edges", $"n_wedges", $"n_triangles")
+    graft.plans.Caching.detach(out, () => {
+      und.unpersist(blocking = false)
+      oriented.unpersist(blocking = false)
+      ()
+    })
+  }
+
   /** B12: the catalog's DESCRIBE surface *as data*. The reference pins the
     * exact `DESCRIBE block/transaction/erc20` output in its docs
     * (`README.md:139-186`; widths `EthereumMetadata.java:48-51`), so this
@@ -384,7 +434,8 @@ object EthQueries {
     "eth_q14_limit_scan" -> q14LimitScan _,
     "eth_q15_count_range" -> q15CountRange _,
     "eth_q16_token_graph" -> q16TokenGraph _,
-    "eth_q17_pagerank" -> q17PageRank _)
+    "eth_q17_pagerank" -> q17PageRank _,
+    "eth_q18_triangles" -> q18Triangles _)
 
   /** Unrolled 5-iteration integer PageRank replay (see [[q17PageRank]] for
     * the exact recurrence); starts with "," to extend [[withEthTables]]'s
@@ -527,6 +578,30 @@ object EthQueries {
          count(DISTINCT concat_ws('>', erc20_from, erc20_to)) AS n_edges
          FROM erc20 GROUP BY erc20_token ORDER BY erc20_token"""),
     "eth_q17_pagerank" -> withEthTables(pageRankOracle),
+    "eth_q18_triangles" -> withEthTables(
+      """, und AS (SELECT DISTINCT least(erc20_from, erc20_to) AS a,
+                          greatest(erc20_from, erc20_to) AS b
+                   FROM erc20 WHERE erc20_from <> erc20_to),
+         deg AS (SELECT n, count(*) AS deg FROM (
+                   SELECT a AS n FROM und UNION ALL SELECT b FROM und)
+                 GROUP BY n),
+         eo AS (SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b)
+                            THEN u.a ELSE u.b END AS src,
+                       CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b)
+                            THEN u.b ELSE u.a END AS dst,
+                       CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b)
+                            THEN db.deg ELSE da.deg END AS dd
+                FROM und u JOIN deg da ON u.a = da.n JOIN deg db ON u.b = db.n),
+         wedges AS (SELECT e1.src, e1.dst AS v, e2.dst AS w
+                    FROM eo e1 JOIN eo e2 ON e1.src = e2.src
+                    WHERE e1.dd < e2.dd OR (e1.dd = e2.dd AND e1.dst < e2.dst)),
+         tri AS (SELECT count(*) AS n_triangles
+                 FROM wedges JOIN eo ON wedges.v = eo.src AND wedges.w = eo.dst)
+         SELECT (SELECT count(*) FROM deg) AS n_nodes,
+                (SELECT count(*) FROM und) AS n_edges,
+                (SELECT count(*) FROM wedges) AS n_wedges,
+                n_triangles
+         FROM tri"""),
     "eth_q5_fromwei" -> withEthTables(
       """SELECT tx_hash, round(tx_value / 1e18, 6) AS eth_value,
          round(tx_gasPrice / 1e9, 4) AS gwei_price

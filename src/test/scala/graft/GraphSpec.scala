@@ -64,6 +64,28 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("eth_q18 triangle count equals a driver-side adjacency-set recount") {
+    import spark.implicits._
+    val dir = graft.sources.eth.EthFixtures.ensure(spark)
+    val edges = spark.read.format("ethereum")
+      .option("table", "erc20").option("chain", dir).load()
+      .select(least($"erc20_from", $"erc20_to").as("a"),
+              greatest($"erc20_from", $"erc20_to").as("b"))
+      .filter($"a" =!= $"b").distinct()
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val adj = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // count each triangle once at its lexicographically-smallest vertex
+    val expected = edges.map { case (a, b) =>
+      adj(a).count(c => c > a && c > b && adj(b).contains(c)).toLong
+    }.sum
+    val row = EthQueries.q18Triangles(spark, sf).collect().head
+    assert(row.getLong(0).toInt == adj.size, "node count")
+    assert(row.getLong(1).toInt == edges.length, "edge count")
+    assert(row.getLong(3) == expected,
+      s"triangles: got ${row.getLong(3)}, brute force $expected")
+  }
+
   test("q46 exact percentile equals the literal single-sort formulation") {
     import spark.implicits._
     val got = Relational.q46ExactPercentile(spark, sf).collect().head
