@@ -28,4 +28,14 @@ class StreamQueriesSpec extends AnyFunSuite {
     assert(streamed.sameElements(batch),
       s"stream/batch ranking diverged: ${streamed.take(3).mkString(",")} vs ${batch.take(3).mkString(",")}")
   }
+
+  test("streaming MERGE equals the one-shot batch upsert manifest") {
+    val streamed = operators.StreamQueries.streamUpsert(spark, sf)
+      .collect().map(_.toSeq)
+    val batch = operators.Pipeline.upsertManifest(spark, sf)
+      .collect().map(_.toSeq)
+    assert(streamed.length == batch.length && streamed.nonEmpty)
+    assert(streamed.sameElements(batch),
+      "two sequential key-disjoint streaming merges must compose to the batch upsert")
+  }
 }
