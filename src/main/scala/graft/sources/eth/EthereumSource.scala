@@ -329,9 +329,18 @@ class EthereumScan(kind: EthSchemas.TableKind, chainDir: String,
     * pruning. */
   private var runtimeRanges: Option[Seq[(Long, Long)]] = None
 
-  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    Array(org.apache.spark.sql.connector.expressions.Expressions.column(
-      EthSchemas.blockNumberColumn(kind)))
+  /** Runtime filtering (DPP-style range narrowing) keys on the table's
+    * block-number column — but ONLY while that column survives column
+    * pruning: Spark's PartitionPruning rule resolves these references
+    * against the scan's pruned output and throws on a dangling one (hit
+    * by any join over a scan projecting neither key, e.g. the transfer
+    * graph's from/to-only edge scan). */
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
+    val col = EthSchemas.blockNumberColumn(kind)
+    if (requiredSchema.fieldNames.contains(col))
+      Array(org.apache.spark.sql.connector.expressions.Expressions.column(col))
+    else Array.empty
+  }
 
   override def filter(filters: Array[Filter]): Unit = {
     val numberCol = EthSchemas.blockNumberColumn(kind)

@@ -25,7 +25,8 @@ object DumpPlans {
       "nd_pii_redact", "nd_pipeline_shard", "q39_zorder_locality",
       "nd_knn_ivf_incr", "nd_pipeline_upsert",
       "nd_dedup_substring", "nd_pipeline_epoch", "eth_q12_wei_decimal",
-      "eth_q14_limit_scan", "eth_q15_count_range", "nd_join_setsim")
+      "eth_q14_limit_scan", "eth_q15_count_range", "nd_join_setsim",
+      "q46_exact_percentile", "eth_q16_token_graph")
     // detach-materialized queries return a LocalRelation; dump the
     // pre-materialization pipelines those queries execute
     import org.apache.spark.sql.functions._
@@ -58,6 +59,49 @@ object DumpPlans {
             col("a.list_id") === col("b.list_id") && col("a.vec_id") < col("b.vec_id"))
           .filter(round(graft.functions.Expressions.cosineSim(col("a.v"), col("b.v")), 4) >= 0.4)
           .select(col("b.vec_id").as("vec_id")).distinct()
+      },
+      "eth_q17_pagerank (one iteration, pre-materialization)" -> {
+        val dir = graft.sources.eth.EthFixtures.ensure(spark)
+        val edges = spark.read.format("ethereum")
+          .option("table", "erc20").option("chain", dir).load()
+          .groupBy(col("erc20_from").as("src"), col("erc20_to").as("dst"))
+          .agg(count(lit(1)).as("w"))
+        val outw = edges.groupBy($"src").agg(sum($"w").as("tw"))
+        val wEdges = edges.join(outw, "src")
+        val nodes = edges.select($"src".as("addr"))
+          .union(edges.select($"dst".as("addr"))).distinct()
+        val rank = nodes.withColumn("r", lit(1000000L))
+        val contribs = wEdges.join(rank, wEdges("src") === rank("addr"))
+          .select($"dst", expr("(r * w) div tw").as("c"))
+          .groupBy($"dst").agg(sum($"c").as("s"))
+        nodes.join(contribs, nodes("addr") === contribs("dst"), "left")
+          .select($"addr",
+            (lit(150000L) + expr("(850 * coalesce(s, 0L)) div 1000")).as("r"))
+      },
+      "eth_q18_triangles (wedge closing join, pre-materialization)" -> {
+        val dir = graft.sources.eth.EthFixtures.ensure(spark)
+        val und = spark.read.format("ethereum")
+          .option("table", "erc20").option("chain", dir).load()
+          .select(least($"erc20_from", $"erc20_to").as("a"),
+                  greatest($"erc20_from", $"erc20_to").as("b"))
+          .filter($"a" =!= $"b").distinct()
+        val deg = und.select($"a".as("n")).union(und.select($"b".as("n")))
+          .groupBy($"n").agg(count(lit(1)).as("deg"))
+        val withDeg = und
+          .join(deg.withColumnRenamed("n", "a").withColumnRenamed("deg", "da"), "a")
+          .join(deg.withColumnRenamed("n", "b").withColumnRenamed("deg", "db"), "b")
+        val oriented = withDeg.select(
+            when($"da" < $"db" || ($"da" === $"db" && $"a" < $"b"),
+                 struct($"a".as("src"), $"b".as("dst"), $"da".as("ds"), $"db".as("dd")))
+              .otherwise(struct($"b".as("src"), $"a".as("dst"), $"db".as("ds"), $"da".as("dd")))
+              .as("e"))
+          .select($"e.src", $"e.dst", $"e.ds", $"e.dd")
+        val e1 = oriented.select($"src", $"dst".as("v"), $"dd".as("dv"))
+        val e2 = oriented.select($"src", $"dst".as("w"), $"dd".as("dw"))
+        val wedges = e1.join(e2, Seq("src"))
+          .filter($"dv" < $"dw" || ($"dv" === $"dw" && $"v" < $"w"))
+        wedges.join(oriented.select($"src".as("v"), $"dst".as("w")), Seq("v", "w"))
+          .agg(count(lit(1)).as("n_triangles"))
       })
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of flagship queries\n\n")
