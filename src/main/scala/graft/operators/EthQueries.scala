@@ -301,7 +301,15 @@ object EthQueries {
     * state is one long, so at 100 TB of transfers the iteration state is
     * |V| rows, not data-scale, and every join is a plain shuffled
     * hash join on the address key. */
-  def q17PageRank(s: SparkSession, d: String): DataFrame = {
+  /** [[q17PageRank]] before detach-materialization (plan dumps reuse the
+    * exact executed pipeline). The contrib product widens to
+    * DECIMAL(38,0) before the integral divide: at 1e9 addresses a hub's
+    * rank reaches ~1e15 micro-units and a hot edge's count can be ≥1e5,
+    * so `r·w` in plain longs would wrap (Spark wraps silently in
+    * non-ANSI mode; DuckDB raises — the engines would even disagree).
+    * The decimal product is exact, the quotient is back under the rank
+    * bound, and `div` returns a long on both engines. */
+  def q17PageRankLazy(s: SparkSession, d: String): (DataFrame, () => Unit) = {
     import s.implicits._
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val edges = eth(s, "erc20")
@@ -315,20 +323,25 @@ object EthQueries {
     var rank = nodes.withColumn("r", lit(1000000L))
     for (_ <- 1 to 5) {
       val contribs = wEdges.join(rank, wEdges("src") === rank("addr"))
-        .select($"dst", expr("(r * w) div tw").as("c"))
+        .select($"dst", expr("(CAST(r AS DECIMAL(38,0)) * w) div tw").as("c"))
         .groupBy($"dst").agg(sum($"c").as("s"))
       rank = nodes.join(contribs, nodes("addr") === contribs("dst"), "left")
         .select($"addr",
-          (lit(150000L) + expr("(850 * coalesce(s, 0L)) div 1000")).as("r"))
+          (lit(150000L) + expr("(850 * CAST(coalesce(s, 0L) AS DECIMAL(38,0))) div 1000")).as("r"))
     }
     val out = rank.orderBy($"r".desc, $"addr").limit(15)
       .select($"addr", $"r".as("rank_micro"))
-    graft.plans.Caching.detach(out, () => {
+    (out, () => {
       edges.unpersist(blocking = false)
       wEdges.unpersist(blocking = false)
       nodes.unpersist(blocking = false)
       ()
     })
+  }
+
+  def q17PageRank(s: SparkSession, d: String): DataFrame = {
+    val (out, free) = q17PageRankLazy(s, d)
+    graft.plans.Caching.detach(out, free)
   }
 
   /** Triangle count of the UNDIRECTED transfer graph — the standard
@@ -339,10 +352,15 @@ object EthQueries {
     * wedge join (pairs of out-neighbors of a common source) is bounded by
     * Σ d⁺(v)² = O(E^1.5) instead of the Σ d(v)² blow-up a hub would cause
     * un-oriented. Three shuffles total: undirected-edge dedup, degree
-    * aggregate, and the wedge⋈edge closing join. All counts are integers;
-    * the oracle replays the identical orientation, so the row is
-    * bit-exact. */
-  def q18Triangles(s: SparkSession, d: String): DataFrame = {
+    * aggregate, and the wedge⋈edge closing join — the wedge set (the
+    * dominant join) is materialized ONCE: wedges LEFT-join the
+    * closing-edge list (unique on (v, w), so the join multiplies
+    * nothing) with a marker column, and a single aggregate reads
+    * `count(*)` = wedges and `count(marker)` = triangles from the same
+    * pass. All counts are integers; the oracle replays the identical
+    * orientation, so the row is bit-exact. This is the
+    * pre-detach-materialization variant plan dumps reuse. */
+  def q18TrianglesLazy(s: SparkSession, d: String): (DataFrame, () => Unit) = {
     import s.implicits._
     val t = eth(s, "erc20")
       .select(least($"erc20_from", $"erc20_to").as("a"),
@@ -356,10 +374,11 @@ object EthQueries {
       .join(deg.withColumnRenamed("n", "a").withColumnRenamed("deg", "da"), "a")
       .join(deg.withColumnRenamed("n", "b").withColumnRenamed("deg", "db"), "b")
     val oriented = withDeg.select(
-        when($"da" < $"db" || ($"da" === $"db" && $"a" < $"b"), struct($"a".as("src"), $"b".as("dst"), $"da".as("ds"), $"db".as("dd")))
-          .otherwise(struct($"b".as("src"), $"a".as("dst"), $"db".as("ds"), $"da".as("dd")))
+        when($"da" < $"db" || ($"da" === $"db" && $"a" < $"b"),
+             struct($"a".as("src"), $"b".as("dst"), $"db".as("dd")))
+          .otherwise(struct($"b".as("src"), $"a".as("dst"), $"da".as("dd")))
           .as("e"))
-      .select($"e.src", $"e.dst", $"e.ds", $"e.dd")
+      .select($"e.src", $"e.dst", $"e.dd")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // wedges: ordered pairs of out-neighbors of one source, v before w in
     // the SAME (deg, addr) orientation order, closed by an oriented edge
@@ -367,18 +386,23 @@ object EthQueries {
     val e2 = oriented.select($"src", $"dst".as("w"), $"dd".as("dw"))
     val wedges = e1.join(e2, Seq("src"))
       .filter($"dv" < $"dw" || ($"dv" === $"dw" && $"v" < $"w"))
-    val closing = oriented.select($"src".as("v"), $"dst".as("w"))
-    val tri = wedges.join(closing, Seq("v", "w"))
-    val out = und.agg(count(lit(1)).as("n_edges")).crossJoin(
-        deg.agg(count(lit(1)).as("n_nodes")))
-      .crossJoin(wedges.agg(count(lit(1)).as("n_wedges")))
-      .crossJoin(tri.agg(count(lit(1)).as("n_triangles")))
+    val closing = oriented.select($"src".as("v"), $"dst".as("w"), lit(1).as("closed"))
+    val wedgeStats = wedges.join(closing, Seq("v", "w"), "left")
+      .agg(count(lit(1)).as("n_wedges"), count($"closed").as("n_triangles"))
+    val out = und.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(deg.agg(count(lit(1)).as("n_nodes")))
+      .crossJoin(wedgeStats)
       .select($"n_nodes", $"n_edges", $"n_wedges", $"n_triangles")
-    graft.plans.Caching.detach(out, () => {
+    (out, () => {
       und.unpersist(blocking = false)
       oriented.unpersist(blocking = false)
       ()
     })
+  }
+
+  def q18Triangles(s: SparkSession, d: String): DataFrame = {
+    val (out, free) = q18TrianglesLazy(s, d)
+    graft.plans.Caching.detach(out, free)
   }
 
   /** B12: the catalog's DESCRIBE surface *as data*. The reference pins the
@@ -451,11 +475,15 @@ object EthQueries {
                     FROM edges e JOIN outw o ON e.src = o.src),
          nodes AS (SELECT src AS addr FROM edges UNION SELECT dst AS addr FROM edges),
          pr0 AS (SELECT addr, CAST(1000000 AS BIGINT) AS r FROM nodes)"""
+    // products widen to HUGEINT before the floor divide, mirroring the
+    // Spark side's DECIMAL(38,0) widening (plain BIGINT r·w wraps at a
+    // 1e9-address scale — and the engines would even disagree: Spark
+    // wraps, DuckDB raises)
     val iters = (1 to 5).map { i =>
       s"""pr$i AS (SELECT n.addr,
-             CAST(150000 + (850 * COALESCE(c.s, 0)) // 1000 AS BIGINT) AS r
+             CAST(150000 + (850 * CAST(COALESCE(c.s, 0) AS HUGEINT)) // 1000 AS BIGINT) AS r
            FROM nodes n LEFT JOIN (
-             SELECT e.dst, CAST(sum((p.r * e.w) // e.tw) AS BIGINT) AS s
+             SELECT e.dst, CAST(sum((CAST(p.r AS HUGEINT) * e.w) // e.tw) AS BIGINT) AS s
              FROM wedges e JOIN pr${i - 1} p ON e.src = p.addr
              GROUP BY e.dst) c ON n.addr = c.dst)"""
     }.mkString(",\n")

@@ -455,11 +455,24 @@ object Pipeline {
     val inserts = base.filter($"doc_id" % 11 === 0)
       .select(($"doc_id" + 1000000L).as("doc_id"), $"source", $"text")
     val merged = upsert(base, edits.unionByName(inserts), "doc_id")
+    upsertSummary(merged)
+  }
+
+  /** The upsert manifest aggregate. `n_upper` counts rows whose text IS
+    * its own upper-casing — the column that makes the manifest sensitive
+    * to the UPDATE half of the merge: n_updated/total_chars are invariant
+    * to whether the edit batch actually replaced the base rows (the
+    * eligible ids exist either way and upper() preserves length), so
+    * without it a merge that silently kept stale base rows would still
+    * match the oracle. */
+  private[operators] def upsertSummary(merged: DataFrame): DataFrame = {
+    import merged.sparkSession.implicits._
     merged
       .groupBy($"source")
       .agg(count(lit(1)).as("n_docs"),
            sum(when($"doc_id" % 7 === 0 && $"doc_id" < 1000000L, 1L).otherwise(0L)).as("n_updated"),
            sum(when($"doc_id" >= 1000000L, 1L).otherwise(0L)).as("n_inserted"),
+           sum(when($"text" === upper($"text"), 1L).otherwise(0L)).as("n_upper"),
            sum(length($"text").cast("long")).as("total_chars"))
       .orderBy($"source")
   }
@@ -520,6 +533,7 @@ object Pipeline {
          SELECT source, count(*) AS n_docs,
                 CAST(sum(CASE WHEN doc_id % 7 = 0 AND doc_id < 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_updated,
                 CAST(sum(CASE WHEN doc_id >= 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_inserted,
+                CAST(sum(CASE WHEN text = upper(text) THEN 1 ELSE 0 END) AS BIGINT) AS n_upper,
                 CAST(sum(length(text)) AS BIGINT) AS total_chars
          FROM merged GROUP BY source ORDER BY source""",
     // epoch replay: the permutation is rank under the 60-bit md5 fold of

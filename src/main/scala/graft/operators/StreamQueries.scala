@@ -50,7 +50,9 @@ object StreamQueries {
     try {
       val q = df.writeStream.format("memory").queryName(sink)
         .outputMode(mode).trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination(300000)
+      // a timed-out drain = a partial sink table that would silently
+      // mismatch the oracle — fail loudly instead
+      require(q.awaitTermination(300000), s"stream drain of $sink did not finish within 300s")
       q.stop()
     } finally prev.foreach(p => s.conf.set("spark.sql.shuffle.partitions", p))
     s.table(sink)
@@ -259,15 +261,11 @@ object StreamQueries {
     val q = st.writeStream.foreachBatch(merge)
       .option("checkpointLocation", s"$work/ckpt-$run")
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(300000)
+    // a timed-out drain would leave `current` at an intermediate version
+    // and the manifest would SILENTLY miss merges — fail loudly instead
+    require(q.awaitTermination(300000), "streaming MERGE did not drain within 300s")
     q.stop()
-    s.read.parquet(current.get)
-      .groupBy($"source")
-      .agg(count(lit(1)).as("n_docs"),
-           sum(when($"doc_id" % 7 === 0 && $"doc_id" < 1000000L, 1L).otherwise(0L)).as("n_updated"),
-           sum(when($"doc_id" >= 1000000L, 1L).otherwise(0L)).as("n_inserted"),
-           sum(length($"text").cast("long")).as("total_chars"))
-      .orderBy($"source")
+    Pipeline.upsertSummary(s.read.parquet(current.get))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -27,11 +27,12 @@ class GraphSpec extends AnyFunSuite {
     val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
     var rank = nodes.map(_ -> 1000000L).toMap
     for (_ <- 1 to 5) {
+      // BigInt mirrors the query's DECIMAL(38,0)-widened products
       val in = new scala.collection.mutable.HashMap[String, Long]().withDefaultValue(0L)
       edges.foreach { case (s, d, w) =>
-        in(d) += rank(s) * w / outw(s)
+        in(d) += (BigInt(rank(s)) * w / outw(s)).toLong
       }
-      rank = nodes.map(n => n -> (150000L + 850L * in(n) / 1000L)).toMap
+      rank = nodes.map(n => n -> (150000L + (BigInt(850) * in(n) / 1000).toLong)).toMap
     }
     val expected = rank.toSeq.sortBy { case (a, r) => (-r, a) }.take(15)
     val got = EthQueries.q17PageRank(spark, sf).collect()
@@ -102,6 +103,9 @@ class GraphSpec extends AnyFunSuite {
     assert(got.getLong(1) == at(0.25))
     assert(got.getLong(2) == at(0.5))
     assert(got.getLong(3) == at(0.95))
-    assert(got.getDouble(4) == at(0.5) * 0.01)
+    // mirror the query's exact decimal→double path (a plain double
+    // multiply by the unrepresentable 0.01 can differ by 1 ulp)
+    assert(got.getDouble(4) == new java.math.BigDecimal(at(0.5))
+      .multiply(new java.math.BigDecimal("0.01")).doubleValue)
   }
 }
