@@ -530,7 +530,53 @@ object TextAnalysis {
     (out, () => { train.unpersist(blocking = false); () })
   }
 
+  /** Robust length-outlier filter — the |z| > 3 screen a curation
+    * pipeline runs per source before trusting length-sensitive signals,
+    * computed ENTIRELY in exact integer arithmetic so Spark and the
+    * oracle agree bit-for-bit: the z test `(len − mean)² > 9·var` is
+    * cross-multiplied by n² into `(n·len − S)² > k²·(n·SS − S²)` with S =
+    * Σlen, SS = Σlen² — no float mean/stddev, no division at all (the
+    * mean is reported as exact integer centichars, `(100·S) div n`).
+    * Counts are reported at k = 1, 2, 3: the corpus's bounded lengths
+    * never exceed 3σ (max |z| of a uniform distribution is √3), so z3
+    * counting zero is the CORRECT screen answer there, and the z1/z2
+    * tiers keep the row discriminative on real data.
+    * Products widen to DECIMAL(38,0)/HUGEINT: n·len ≈ 2e9 squared ≈ 4e18
+    * already brushes Long.MaxValue at sf0.1. Two scans of the pruned
+    * (source, n_chars) projection: a per-source moment aggregate
+    * (|sources| rows, broadcast back) and a map-side flag pass — the
+    * 100 TB shape, nothing data-scale is collected or sorted. */
+  def lengthOutliers(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    lengthOutliersFrom(graft.Tables.documents(s, d).select($"source", $"n_chars"))
+  }
+
+  /** [[lengthOutliers]] over an explicit (source, n_chars) frame — split
+    * out so specs can plant absurd lengths and watch the z3 screen fire
+    * (the corpus's uniform-ish lengths never exceed 3σ, so on real data
+    * z3 counting zero IS the correct answer; z1 discriminates there). */
+  private[graft] def lengthOutliersFrom(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val st = docs.groupBy($"source").agg(
+      count(lit(1)).as("n"),
+      sum($"n_chars").cast("decimal(38,0)").as("sl"),
+      sum(($"n_chars" * $"n_chars").cast("decimal(38,0)")).as("ssl"))
+    def beyond(k: Int) =
+      $"dev" * $"dev" > lit(k * k) * ($"n".cast("decimal(38,0)") * $"ssl" - $"sl" * $"sl")
+    val flagged = docs.join(broadcast(st), "source")
+      .withColumn("dev", $"n".cast("decimal(38,0)") * $"n_chars" - $"sl")
+    flagged.groupBy($"source")
+      .agg(max($"n").as("n_docs"),
+           sum(when(beyond(1), 1L).otherwise(0L)).as("n_z1"),
+           sum(when(beyond(2), 1L).otherwise(0L)).as("n_z2"),
+           sum(when(beyond(3) && $"dev" > 0, 1L).otherwise(0L)).as("n_outliers_hi"),
+           sum(when(beyond(3) && $"dev" < 0, 1L).otherwise(0L)).as("n_outliers_lo"),
+           max(expr("(100 * sl) div n")).as("mean_centichars"))
+      .orderBy($"source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "nd_text_outliers" -> lengthOutliers _,
     "nd_text_nb_classifier" -> nbClassify _,
     "nd_text_gopher" -> gopherRules _,
     "nd_text_lm_score" -> ((s: SparkSession, d: String) => trigramLmScore(s, d)),
@@ -628,6 +674,24 @@ object TextAnalysis {
     }.mkString("\n          UNION ALL ") + "\n          ORDER BY col_name"
 
   val oracle: Map[String, String] = Map(
+    // integer cross-multiplied z-test replay; HUGEINT mirrors the Spark
+    // side's DECIMAL(38,0) widening
+    "nd_text_outliers" ->
+      """WITH st AS (SELECT source, count(*) AS n,
+                CAST(sum(n_chars) AS HUGEINT) AS sl,
+                CAST(sum(n_chars * n_chars) AS HUGEINT) AS ssl
+              FROM documents GROUP BY source),
+          f AS (SELECT d.source, st.n, st.sl,
+                CAST(st.n AS HUGEINT) * d.n_chars - st.sl AS dev,
+                CAST(st.n AS HUGEINT) * st.ssl - st.sl * st.sl AS var_n2
+                FROM documents d JOIN st ON d.source = st.source)
+          SELECT source, max(n) AS n_docs,
+                 CAST(sum(CASE WHEN dev * dev > 1 * var_n2 THEN 1 ELSE 0 END) AS BIGINT) AS n_z1,
+                 CAST(sum(CASE WHEN dev * dev > 4 * var_n2 THEN 1 ELSE 0 END) AS BIGINT) AS n_z2,
+                 CAST(sum(CASE WHEN dev * dev > 9 * var_n2 AND dev > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers_hi,
+                 CAST(sum(CASE WHEN dev * dev > 9 * var_n2 AND dev < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers_lo,
+                 CAST(max((100 * sl) // n) AS BIGINT) AS mean_centichars
+          FROM f GROUP BY source ORDER BY source""",
     "nd_text_gopher" ->
       s"""WITH t AS (
             SELECT doc_id,

@@ -87,6 +87,26 @@ class GraphSpec extends AnyFunSuite {
       s"triangles: got ${row.getLong(3)}, brute force $expected")
   }
 
+  test("length outlier screen fires on planted absurd lengths, stays quiet on uniform") {
+    import spark.implicits._
+    // 40 uniform lengths plus one absurd high and one absurd low
+    val uniform = (1 to 40).map(i => ("s", 1000L + i))
+    val planted = uniform ++ Seq(("s", 1000000L), ("s", 1L), ("t", 500L), ("t", 510L))
+    val out = graft.operators.TextAnalysis.lengthOutliersFrom(
+        planted.toDF("source", "n_chars")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("s").getLong(3) == 1, "planted high outlier not flagged")
+    assert(out("s").getLong(4) == 1, "planted low outlier not flagged")
+    // two near-identical lengths: nothing beyond even 1 sigma... except
+    // that for n=2 every point sits at exactly 1 sigma, not beyond
+    assert(out("t").getLong(3) == 0 && out("t").getLong(4) == 0)
+    val quiet = graft.operators.TextAnalysis.lengthOutliersFrom(
+        uniform.toDF("source", "n_chars")).collect().head
+    assert(quiet.getLong(3) == 0 && quiet.getLong(4) == 0,
+      "uniform lengths must not exceed the 3-sigma screen")
+    assert(quiet.getLong(1) > 0, "z1 tier should discriminate on uniform data")
+  }
+
   test("q46 exact percentile equals the literal single-sort formulation") {
     import spark.implicits._
     val got = Relational.q46ExactPercentile(spark, sf).collect().head
