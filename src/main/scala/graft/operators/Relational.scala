@@ -627,6 +627,94 @@ object Relational {
                 .cast("double").as("median_dollars"))
   }
 
+  /** Exact-integer simple linear regression (OLS of price on quantity per
+    * return flag) — the `regr_slope`/`regr_intercept`/`regr_r2` family
+    * computed WITHOUT float accumulation. Both engines sum five exact
+    * integer moments (n, Σx, Σy, Σxy, Σx², Σy² in cents), widened to
+    * DECIMAL(38,0)/HUGEINT so nothing wraps at any scale, and derive
+    *
+    *   slope     = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+    *   intercept = (Σy·Σx² − Σx·Σxy) / (n·Σx² − (Σx)²)
+    *   r²        = (n·Σxy − Σx·Σy)² / ((n·Σx² − (Σx)²)·(n·Σy² − (Σy)²))
+    *
+    * as ONE double division of two exact integers at the very end (then
+    * round 6) — summation order can't perturb anything. 100 TB: one
+    * partial-agg'd groupBy; the closed-form avoids the two-pass
+    * mean-centering formulation entirely. Built-in `regr_*` aggregates
+    * sum doubles and are order-sensitive — this is the deterministic
+    * replacement. */
+  def q47Linreg(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val m = lineitem(s, d)
+      .select($"l_returnflag",
+              Money.cents($"l_quantity").as("x"),
+              Money.cents($"l_extendedprice").as("y"))
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+           sum($"x".cast("decimal(38,0)")).as("sx"),
+           sum($"y".cast("decimal(38,0)")).as("sy"),
+           sum(($"x" * $"y").cast("decimal(38,0)")).as("sxy"),
+           sum(($"x" * $"x").cast("decimal(38,0)")).as("sxx"),
+           sum(($"y" * $"y").cast("decimal(38,0)")).as("syy"))
+    m.select($"l_returnflag", $"n".cast("long").as("n_rows"),
+        round(($"n" * $"sxy" - $"sx" * $"sy").cast("double") /
+              ($"n" * $"sxx" - $"sx" * $"sx").cast("double"), 6).as("slope"),
+        round((($"sy" * $"sxx" - $"sx" * $"sxy").cast("double") /
+               ($"n" * $"sxx" - $"sx" * $"sx").cast("double")) * 0.01, 6).as("intercept_dollars"),
+        // the squared/cross products overflow DECIMAL(38,0) (caught at
+        // sf0.1) — convert each EXACT factor to double first; the
+        // square/product/divide are then identical IEEE ops both engines
+        round(($"n" * $"sxy" - $"sx" * $"sy").cast("double") * ($"n" * $"sxy" - $"sx" * $"sy").cast("double") /
+              (($"n" * $"sxx" - $"sx" * $"sx").cast("double") * ($"n" * $"syy" - $"sy" * $"sy").cast("double")), 6).as("r2"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** Equi-width histogram over a GLOBAL min/max — the `width_bucket`
+    * profile pass. The corpus min/max is one metadata-size aggregate
+    * broadcast back over the data (a 1-row cross join — no second scan
+    * shuffle), each order lands in bin `((cents−mn)·16) div (mx−mn+1)`
+    * (pure integer → identical bucketing on both engines), and the
+    * per-bin stats + a running cumulative count (a 16-row window) come
+    * out of one groupBy. The shape every data-profiling pass needs: two
+    * aggregates and a broadcast, nothing data-scale moves twice. */
+  def q48Histogram(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cents = orders(s, d).select(Money.cents($"o_totalprice").as("cents"))
+    val bounds = cents.agg(min($"cents").as("mn"), max($"cents").as("mx"))
+    val binned = cents.crossJoin(broadcast(bounds))
+      .select($"cents", expr("((cents - mn) * 16) div (mx - mn + 1)").as("bin"))
+    binned.groupBy($"bin")
+      .agg(count(lit(1)).as("n_orders"),
+           min($"cents").as("lo_cents"), max($"cents").as("hi_cents"))
+      .withColumn("cum_orders",
+        sum($"n_orders").over(Window.orderBy($"bin")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .orderBy($"bin")
+  }
+
+  /** UNPIVOT (wide → long) via Spark's native `unpivot` operator — the
+    * melt every feature store needs. Per-nation customer metrics computed
+    * once as four columns, then unpivoted to (n_name, metric, value)
+    * rows. `unpivot` is a map-side relational expand (no shuffle beyond
+    * the aggregate's); the oracle is the portable UNION ALL spelling.
+    * All values are exact integer cents/counts in one BIGINT column. */
+  def q49Unpivot(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val wide = customer(s, d)
+      .join(broadcast(nation(s, d)), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(count(lit(1)).as("n_cust"),
+           sum(Money.cents($"c_acctbal")).as("total_bal_cents"),
+           min(Money.cents($"c_acctbal")).as("min_bal_cents"),
+           max(Money.cents($"c_acctbal")).as("max_bal_cents"))
+    wide.unpivot(
+        ids = Array($"n_name"),
+        values = Array($"n_cust", $"total_bal_cents", $"min_bal_cents", $"max_bal_cents"),
+        variableColumnName = "metric",
+        valueColumnName = "value")
+      .orderBy($"n_name", $"metric")
+  }
+
   /** Oracle SQL (DuckDB dialect = ANSI here) for each query above. */
   val oracle: Map[String, String] = Map(
     // KMV replay: k smallest distinct 60-bit folds per group, estimate
@@ -895,7 +983,52 @@ object Relational {
                 min(CASE WHEN rnk >= CAST(ceil(0.5 * n) AS BIGINT) THEN cents END) AS p50_cents,
                 min(CASE WHEN rnk >= CAST(ceil(0.95 * n) AS BIGINT) THEN cents END) AS p95_cents,
                 CAST(min(CASE WHEN rnk >= CAST(ceil(0.5 * n) AS BIGINT) THEN cents END) * 0.01 AS DOUBLE) AS median_dollars
-         FROM r"""
+         FROM r""",
+    // exact integer moments widened to HUGEINT, ONE double division at
+    // the end — the order-free regr_slope/intercept/r2 replay
+    "q47_linreg" ->
+      """WITH m AS (SELECT l_returnflag,
+                      CAST(count(*) AS HUGEINT) AS n,
+                      CAST(sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS HUGEINT) AS sx,
+                      CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS HUGEINT) AS sy,
+                      CAST(sum(CAST(round(l_quantity * 100, 0) AS BIGINT)
+                             * CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS HUGEINT) AS sxy,
+                      CAST(sum(CAST(round(l_quantity * 100, 0) AS BIGINT)
+                             * CAST(round(l_quantity * 100, 0) AS BIGINT)) AS HUGEINT) AS sxx,
+                      CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                             * CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS HUGEINT) AS syy
+                    FROM lineitem GROUP BY l_returnflag)
+         SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+                round(CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE), 6) AS slope,
+                round(CAST(sy*sxx - sx*sxy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE) * 0.01, 6) AS intercept_dollars,
+                round(CAST(n*sxy - sx*sy AS DOUBLE) * CAST(n*sxy - sx*sy AS DOUBLE)
+                      / (CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE)), 6) AS r2
+         FROM m ORDER BY l_returnflag""",
+    // integer equi-width bucketing off the global min/max + running total
+    "q48_histogram" ->
+      """WITH c AS (SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents FROM orders),
+           b AS (SELECT min(cents) AS mn, max(cents) AS mx FROM c),
+           t AS (SELECT cents, ((cents - mn) * 16) // (mx - mn + 1) AS bin FROM c, b),
+           g AS (SELECT bin, count(*) AS n_orders,
+                        min(cents) AS lo_cents, max(cents) AS hi_cents
+                 FROM t GROUP BY bin)
+         SELECT bin, n_orders, lo_cents, hi_cents,
+                CAST(sum(n_orders) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_orders
+         FROM g ORDER BY bin""",
+    // the portable UNION ALL spelling of UNPIVOT
+    "q49_unpivot" ->
+      """WITH w AS (SELECT n_name, count(*) AS n_cust,
+                           sum(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS total_bal_cents,
+                           min(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS min_bal_cents,
+                           max(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS max_bal_cents
+                    FROM customer JOIN nation ON c_nationkey = n_nationkey
+                    GROUP BY n_name)
+         SELECT n_name, metric, CAST(value AS BIGINT) AS value FROM (
+           SELECT n_name, 'n_cust' AS metric, n_cust AS value FROM w
+           UNION ALL SELECT n_name, 'total_bal_cents', total_bal_cents FROM w
+           UNION ALL SELECT n_name, 'min_bal_cents', min_bal_cents FROM w
+           UNION ALL SELECT n_name, 'max_bal_cents', max_bal_cents FROM w)
+         ORDER BY n_name, metric"""
   )
 
   /** Query registry: name → (session, sfDir) → DataFrame. */
@@ -930,6 +1063,9 @@ object Relational {
     "q43_window_frames" -> q43WindowFrames _,
     "q44_grouping_sets" -> q44GroupingSets _,
     "q45_string_agg" -> q45StringAgg _,
-    "q46_exact_percentile" -> q46ExactPercentile _
+    "q46_exact_percentile" -> q46ExactPercentile _,
+    "q47_linreg" -> q47Linreg _,
+    "q48_histogram" -> q48Histogram _,
+    "q49_unpivot" -> q49Unpivot _
   )
 }

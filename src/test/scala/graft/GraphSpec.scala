@@ -128,4 +128,66 @@ class GraphSpec extends AnyFunSuite {
     assert(got.getDouble(4) == new java.math.BigDecimal(at(0.5))
       .multiply(new java.math.BigDecimal("0.01")).doubleValue)
   }
+
+  test("q47 regression equals a driver-side BigInt-moment recompute") {
+    import spark.implicits._
+    val rows = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select($"l_returnflag", graft.operators.Money.cents($"l_quantity").as("x"),
+              graft.operators.Money.cents($"l_extendedprice").as("y"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val got = Relational.q47Linreg(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    rows.groupBy(_._1).foreach { case (flag, g) =>
+      val n = BigInt(g.length)
+      val sx = g.map(t => BigInt(t._2)).sum; val sy = g.map(t => BigInt(t._3)).sum
+      val sxy = g.map(t => BigInt(t._2) * t._3).sum
+      val sxx = g.map(t => BigInt(t._2) * t._2).sum
+      val syy = g.map(t => BigInt(t._3) * t._3).sum
+      def rnd6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val num = (n * sxy - sx * sy).toDouble
+      val r = got(flag)
+      assert(r.getLong(1) == g.length)
+      assert(r.getDouble(2) == rnd6((n * sxy - sx * sy).toDouble / (n * sxx - sx * sx).toDouble))
+      assert(r.getDouble(4) == rnd6(num * num /
+        ((n * sxx - sx * sx).toDouble * (n * syy - sy * sy).toDouble)))
+      // r² is a ratio of a square to a positive product
+      assert(r.getDouble(4) >= 0 && r.getDouble(4) <= 1)
+    }
+  }
+
+  test("q48 histogram bins cover every order exactly once, cumulative is total") {
+    import spark.implicits._
+    val total = spark.read.parquet(s"$sf/orders.parquet").count()
+    val rows = Relational.q48Histogram(spark, sf).collect()
+    assert(rows.map(_.getLong(1)).sum == total, "bin counts don't sum to row count")
+    assert(rows.last.getLong(4) == total, "cumulative ends below total")
+    assert(rows.forall(r => r.getLong(0) >= 0 && r.getLong(0) <= 15))
+    assert(rows.forall(r => r.getLong(2) <= r.getLong(3)), "lo > hi inside a bin")
+    // bin value ranges are disjoint and ordered
+    rows.sliding(2).foreach {
+      case Array(a, b) => assert(a.getLong(3) < b.getLong(2))
+      case _ =>
+    }
+  }
+
+  test("q49 unpivot emits 4 metric rows per nation matching the wide aggregate") {
+    import spark.implicits._
+    val long = Relational.q49Unpivot(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val wide = spark.read.parquet(s"$sf/customer.parquet")
+      .join(spark.read.parquet(s"$sf/nation.parquet"), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(count(lit(1)).as("n"), sum(graft.operators.Money.cents($"c_acctbal")).as("t"),
+           min(graft.operators.Money.cents($"c_acctbal")).as("mn"),
+           max(graft.operators.Money.cents($"c_acctbal")).as("mx"))
+      .collect()
+    assert(long.size == wide.length * 4)
+    wide.foreach { r =>
+      val nat = r.getString(0)
+      assert(long((nat, "n_cust")) == r.getLong(1))
+      assert(long((nat, "total_bal_cents")) == r.getLong(2))
+      assert(long((nat, "min_bal_cents")) == r.getLong(3))
+      assert(long((nat, "max_bal_cents")) == r.getLong(4))
+    }
+  }
 }
