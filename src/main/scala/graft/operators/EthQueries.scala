@@ -405,6 +405,69 @@ object EthQueries {
     graft.plans.Caching.detach(out, free)
   }
 
+  /** Weakly-connected components of each token's transfer subgraph —
+    * "which addresses form one trading community per token" — via
+    * deterministic MIN-LABEL propagation: every address starts labeled
+    * with itself, and for 8 fixed iterations each address takes the
+    * minimum label among itself and its neighbors. 8 iterations cover
+    * the fixture's worst per-token diameter (7 incl. the fixed-point
+    * check — GraphSpec pins equality with a driver union-find), and the
+    * FIXED budget is what makes the result a deterministic value both
+    * engines replay bit-for-bit (the oracle unrolls the same 8 steps).
+    *
+    * Scale shape: per-iteration state is |V| rows of (token, addr,
+    * label); each step is the standard Pregel shape — one join of labels
+    * to the symmetric adjacency on (token, addr) + one min-aggregate —
+    * i.e. ~2 hash shuffles of node-scale (not transfer-scale) data. The
+    * adjacency and node set are computed once from a transfer-scale
+    * aggregate and persisted across iterations. Diameter-bound label
+    * prop is the right contract here (token communities are shallow);
+    * a log-n large-star/small-star variant would replace the loop body,
+    * not the operator surface, if diameters grew. Output is the
+    * per-token community summary: node/component counts + largest and
+    * smallest community sizes. */
+  def q19ComponentsLazy(s: SparkSession, d: String): (DataFrame, () => Unit) = {
+    import s.implicits._
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val und = eth(s, "erc20")
+      .select($"erc20_token".as("token"),
+              least($"erc20_from", $"erc20_to").as("a"),
+              greatest($"erc20_from", $"erc20_to").as("b"))
+      .filter($"a" =!= $"b").distinct()
+    val sym = und.select($"token", $"a".as("u"), $"b".as("v"))
+      .union(und.select($"token", $"b".as("u"), $"a".as("v")))
+      .persist(lvl)
+    val nodes = sym.select($"token", $"u".as("addr")).distinct().persist(lvl)
+    var lbl = nodes.withColumn("lbl", $"addr")
+    for (_ <- 1 to 8) {
+      val nbrMin = sym.as("s")
+        .join(lbl.as("p"), $"s.token" === $"p.token" && $"s.v" === $"p.addr")
+        .groupBy($"s.token".as("token"), $"s.u".as("addr"))
+        .agg(min($"p.lbl").as("mn"))
+      lbl = lbl.as("l").join(nbrMin.as("m"),
+          Seq("token", "addr"), "left")
+        .select($"token", $"addr",
+                least($"l.lbl", coalesce($"m.mn", $"l.lbl")).as("lbl"))
+    }
+    val comp = lbl.groupBy($"token", $"lbl").agg(count(lit(1)).as("sz"))
+    val out = comp.groupBy($"token")
+      .agg(sum($"sz").as("n_nodes"),
+           count(lit(1)).as("n_components"),
+           max($"sz").as("largest"),
+           min($"sz").as("smallest"))
+      .orderBy($"token")
+    (out, () => {
+      sym.unpersist(blocking = false)
+      nodes.unpersist(blocking = false)
+      ()
+    })
+  }
+
+  def q19Components(s: SparkSession, d: String): DataFrame = {
+    val (out, free) = q19ComponentsLazy(s, d)
+    graft.plans.Caching.detach(out, free)
+  }
+
   /** B12: the catalog's DESCRIBE surface *as data*. The reference pins the
     * exact `DESCRIBE block/transaction/erc20` output in its docs
     * (`README.md:139-186`; widths `EthereumMetadata.java:48-51`), so this
@@ -459,7 +522,8 @@ object EthQueries {
     "eth_q15_count_range" -> q15CountRange _,
     "eth_q16_token_graph" -> q16TokenGraph _,
     "eth_q17_pagerank" -> q17PageRank _,
-    "eth_q18_triangles" -> q18Triangles _)
+    "eth_q18_triangles" -> q18Triangles _,
+    "eth_q19_components" -> q19Components _)
 
   /** Unrolled 5-iteration integer PageRank replay (see [[q17PageRank]] for
     * the exact recurrence); starts with "," to extend [[withEthTables]]'s
@@ -490,6 +554,36 @@ object EthQueries {
     s"""$base,
        $iters
        SELECT addr, r AS rank_micro FROM pr5 ORDER BY r DESC, addr LIMIT 15"""
+  }
+
+  /** Unrolled 8-iteration min-label-propagation replay (see
+    * [[q19Components]]); starts with "," to extend [[withEthTables]]'s
+    * CTE list. Labels are address strings, so `min`/`least` agree
+    * between the engines (plain byte-wise comparison of ASCII hex). */
+  private val componentsOracle: String = {
+    val base =
+      """, und AS (SELECT DISTINCT erc20_token AS token,
+                     least(erc20_from, erc20_to) AS a,
+                     greatest(erc20_from, erc20_to) AS b
+                   FROM erc20 WHERE erc20_from <> erc20_to),
+         sym AS (SELECT token, a AS u, b AS v FROM und
+                 UNION ALL SELECT token, b AS u, a AS v FROM und),
+         l0 AS (SELECT DISTINCT token, u AS addr, u AS lbl FROM sym)"""
+    val iters = (1 to 8).map { i =>
+      s"""l$i AS (SELECT l.token, l.addr,
+             least(l.lbl, coalesce(m.mn, l.lbl)) AS lbl
+           FROM l${i - 1} l LEFT JOIN (
+             SELECT s.token, s.u AS addr, min(p.lbl) AS mn
+             FROM sym s JOIN l${i - 1} p ON s.token = p.token AND s.v = p.addr
+             GROUP BY s.token, s.u) m
+           ON l.token = m.token AND l.addr = m.addr)"""
+    }.mkString(",\n")
+    s"""$base,
+       $iters,
+       comp AS (SELECT token, lbl, count(*) AS sz FROM l8 GROUP BY token, lbl)
+       SELECT token, CAST(sum(sz) AS BIGINT) AS n_nodes, count(*) AS n_components,
+              max(sz) AS largest, min(sz) AS smallest
+       FROM comp GROUP BY token ORDER BY token"""
   }
 
   /** DuckDB replica of [[graft.sources.eth.FixtureChainClient.addrSeed]]:
@@ -606,6 +700,7 @@ object EthQueries {
          count(DISTINCT concat_ws('>', erc20_from, erc20_to)) AS n_edges
          FROM erc20 GROUP BY erc20_token ORDER BY erc20_token"""),
     "eth_q17_pagerank" -> withEthTables(pageRankOracle),
+    "eth_q19_components" -> withEthTables(componentsOracle),
     "eth_q18_triangles" -> withEthTables(
       """, und AS (SELECT DISTINCT least(erc20_from, erc20_to) AS a,
                           greatest(erc20_from, erc20_to) AS b

@@ -87,6 +87,36 @@ class GraphSpec extends AnyFunSuite {
       s"triangles: got ${row.getLong(3)}, brute force $expected")
   }
 
+  test("eth_q19 components equal a driver-side union-find (8 iterations converge)") {
+    import spark.implicits._
+    val dir = graft.sources.eth.EthFixtures.ensure(spark)
+    val edges = spark.read.format("ethereum")
+      .option("table", "erc20").option("chain", dir).load()
+      .select($"erc20_token", least($"erc20_from", $"erc20_to").as("a"),
+              greatest($"erc20_from", $"erc20_to").as("b"))
+      .filter($"a" =!= $"b").distinct()
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    // union-find per token → TRUE components, independent of iteration count
+    val expected = edges.groupBy(_._1).map { case (tok, es) =>
+      val parent = scala.collection.mutable.HashMap[String, String]()
+      def find(x: String): String = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      es.foreach { case (_, a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.Ordering[String].max(ra, rb)) = math.Ordering[String].min(ra, rb)
+      }
+      val sizes = parent.keys.toSeq.groupBy(find).values.map(_.size.toLong).toSeq
+      tok -> (sizes.sum, sizes.size.toLong, sizes.max, sizes.min)
+    }
+    val got = EthQueries.q19Components(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(got == expected.toMap,
+      "8-iteration label propagation disagrees with union-find — not converged or wrong")
+  }
+
   test("length outlier screen fires on planted absurd lengths, stays quiet on uniform") {
     import spark.implicits._
     // 40 uniform lengths plus one absurd high and one absurd low
