@@ -25,11 +25,22 @@ object Tables {
     * micros TimestampType — the same nanos→micros floor DuckDB applies, so
     * both engines see identical instants.
     */
+  /** Events with `ts` normalized to session-local TimestampType whatever
+    * physical encoding the generator chose: int64 nanos (read as LONG via
+    * the legacy flag, floored to micros) or parquet timestamp[us] without
+    * UTC adjustment (read as TIMESTAMP_NTZ, reinterpreted at the UTC
+    * session zone — a pure wall-clock relabel, so `unix_millis` agrees
+    * with DuckDB's `epoch_ms` on the same file either way). */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import org.apache.spark.sql.functions._
-    t(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    val raw = t(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")

@@ -19,13 +19,23 @@ object EventStreams {
   val eventSchema = org.apache.spark.sql.types.StructType.fromDDL(
     "event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING")
 
-  /** Streaming read of an events dir (ts normalized to TimestampType). */
+  private val eventSchemaNtz = org.apache.spark.sql.types.StructType.fromDDL(
+    "event_id LONG, ts TIMESTAMP_NTZ, user_id LONG, event_type STRING, value DOUBLE, props STRING")
+
+  /** Streaming read of an events dir (ts normalized to TimestampType).
+    * Streams must declare their schema up front, so a footer probe of the
+    * same glob picks between the two generator encodings the batch reader
+    * ([[graft.Tables.events]]) handles: int64 nanos vs timestamp[us]. */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(eventSchema)
-      .parquet(s"$dir/events.*") // glob: basePath must be the directory
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val glob = s"$dir/events.*" // glob: basePath must be the directory
+    val nanos = spark.read.parquet(glob).schema("ts").dataType ==
+      org.apache.spark.sql.types.LongType
+    val raw = spark.readStream
+      .schema(if (nanos) eventSchema else eventSchemaNtz)
+      .parquet(glob)
+    if (nanos) raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw.withColumn("ts", col("ts").cast("timestamp"))
   }
 
   /** Watermarked tumbling-window counts/sums per event type. */
