@@ -147,11 +147,113 @@ object Events {
       .orderBy($"user_id")
   }
 
+  /** Markov path analysis: the (from → to) transition counts of each
+    * user's event sequence, with START/END pseudo-states so entry and exit
+    * behavior is first-class (the "what do users do next" primitive behind
+    * Sankey/path reports). One user_id exchange feeds a single window pass
+    * computing BOTH `lag` (previous type, START when absent) and `lead`
+    * (to detect terminal events); the two projections union map-side and
+    * the transition groupBy is partial-agg'd. 100 TB: transition
+    * cardinality is |types|² + 2|types| — bounded output regardless of
+    * event volume; nothing data-scale sorts or collects.
+    */
+  def paths(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ms", $"event_id")
+    val base = ev(s, d)
+      .withColumn("prev", lag($"event_type", 1).over(w))
+      .withColumn("nxt", lead($"event_type", 1).over(w))
+    val steps = base.select(
+      coalesce($"prev", lit("START")).as("from_type"),
+      $"event_type".as("to_type"))
+    val exits = base.filter($"nxt".isNull)
+      .select($"event_type".as("from_type"), lit("END").as("to_type"))
+    steps.union(exits)
+      .groupBy($"from_type", $"to_type").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"from_type", $"to_type")
+  }
+
+  /** First-touch vs last-touch revenue attribution: each purchase's value
+    * (exact integer cents, [[Money.cents]]) is credited to the user's
+    * FIRST preceding non-purchase event type and, independently, to the
+    * MOST RECENT one — the two canonical attribution models, side by side
+    * per channel. Purchases with no preceding touch fall into 'direct'.
+    *
+    * Both touch columns come from ONE window pass (first/last IGNORE NULLS
+    * over the strictly-preceding frame) on the single user_id exchange;
+    * the per-channel roll-ups aggregate the purchases-only slice and
+    * full-outer-join on the bounded channel key. Money never leaves
+    * integer cents, so Spark and the oracle agree bit-for-bit at any
+    * summation order.
+    */
+  def attribution(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ms", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch = events(s, d)
+      .select($"user_id", $"event_id", $"event_type",
+        unix_millis($"ts").as("ms"), Money.cents($"value").as("cents"))
+      .withColumn("ft", first(when($"event_type" =!= "purchase", $"event_type"),
+        ignoreNulls = true).over(w))
+      .withColumn("lt", last(when($"event_type" =!= "purchase", $"event_type"),
+        ignoreNulls = true).over(w))
+    val purchases = touch.filter($"event_type" === "purchase")
+      .select(coalesce($"ft", lit("direct")).as("ft"),
+              coalesce($"lt", lit("direct")).as("lt"), $"cents")
+    val byFirst = purchases.groupBy($"ft".as("channel"))
+      .agg(count(lit(1)).as("n_first"), sum($"cents").as("first_touch_cents"))
+    val byLast = purchases.groupBy($"lt".as("channel"))
+      .agg(count(lit(1)).as("n_last"), sum($"cents").as("last_touch_cents"))
+    byFirst.join(byLast, Seq("channel"), "full_outer")
+      .select($"channel",
+        coalesce($"n_first", lit(0L)).as("n_first"),
+        coalesce($"first_touch_cents", lit(0L)).as("first_touch_cents"),
+        coalesce($"n_last", lit(0L)).as("n_last"),
+        coalesce($"last_touch_cents", lit(0L)).as("last_touch_cents"))
+      .orderBy($"channel")
+  }
+
+  /** A/B conversion chi-square, ENTIRELY in exact integer arithmetic:
+    * variant = user_id mod 2, conversion = "has ≥1 purchase event"; the
+    * 2×2 contingency cells a,b,c,d roll up from one per-user aggregate,
+    * and the χ² statistic `N·(ad−bc)²/(r1·r2·c1·c2)` is reported in micro
+    * units via DECIMAL(38,0) products and integral division — no float
+    * anywhere, so both engines agree exactly (numerator ≈ 1e6·N·(ad−bc)²
+    * can reach ~1e25 at sf0.1, far past long range; decimal widening is
+    * load-bearing, not defensive). Zero margins yield 0, not a crash.
+    *
+    * 100 TB: per-user conversion is one partial-agg'd groupBy on user_id;
+    * the contingency roll-up is 4 rows; everything after is literal
+    * arithmetic on one row. */
+  def abTest(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val users = events(s, d).groupBy($"user_id")
+      .agg(max(when($"event_type" === "purchase", 1L).otherwise(0L)).as("conv"))
+      .withColumn("variant", pmod($"user_id", lit(2L)))
+    val cells = users.agg(
+      sum(when($"variant" === 0 && $"conv" === 1, 1L).otherwise(0L)).as("a"),
+      sum(when($"variant" === 0 && $"conv" === 0, 1L).otherwise(0L)).as("b"),
+      sum(when($"variant" === 1 && $"conv" === 1, 1L).otherwise(0L)).as("c"),
+      sum(when($"variant" === 1 && $"conv" === 0, 1L).otherwise(0L)).as("d"))
+    cells.select($"a", $"b", $"c", $"d",
+      ($"a" + $"b" + $"c" + $"d").as("n_users"),
+      expr(
+        """CASE WHEN a + b = 0 OR c + d = 0 OR a + c = 0 OR b + d = 0 THEN 0
+           ELSE CAST((CAST(1000000 AS DECIMAL(38,0)) * (a + b + c + d)
+           * (CAST(a AS DECIMAL(38,0)) * d - CAST(b AS DECIMAL(38,0)) * c)
+           * (CAST(a AS DECIMAL(38,0)) * d - CAST(b AS DECIMAL(38,0)) * c))
+           div (CAST(a + b AS DECIMAL(38,0)) * (c + d) * (a + c) * (b + d))
+           AS BIGINT) END""").as("chi2_micro"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "nd_events_funnel" -> funnel _,
     "nd_events_retention" -> retention _,
     "nd_events_sessions" -> sessions _,
-    "nd_events_gapfill" -> gapfill _)
+    "nd_events_gapfill" -> gapfill _,
+    "nd_events_paths" -> paths _,
+    "nd_events_attribution" -> attribution _,
+    "nd_events_abtest" -> abTest _)
 
   def oracle: Map[String, String] = Map(
     "nd_events_funnel" ->
@@ -205,6 +307,62 @@ object Events {
                 CAST(sum(dur_ms) AS BIGINT) AS total_session_ms,
                 CAST(sum(n_events) // count(*) AS BIGINT) AS avg_events_per_session
          FROM sess""",
+    "nd_events_paths" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms FROM events),
+         g AS (SELECT user_id, event_type,
+                      lag(event_type) OVER w AS prev,
+                      lead(event_type) OVER w AS nxt
+               FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)),
+         t AS (SELECT coalesce(prev, 'START') AS from_type, event_type AS to_type FROM g
+               UNION ALL
+               SELECT event_type, 'END' FROM g WHERE nxt IS NULL)
+         SELECT from_type, to_type, count(*) AS n
+         FROM t GROUP BY 1, 2 ORDER BY n DESC, from_type, to_type""",
+    "nd_events_attribution" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms,
+                           CAST(round(value * 100) AS BIGINT) AS cents
+                    FROM events),
+         t AS (SELECT *,
+                      first_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                                  IGNORE NULLS)
+                        OVER (PARTITION BY user_id ORDER BY ms, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ft,
+                      last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                                 IGNORE NULLS)
+                        OVER (PARTITION BY user_id ORDER BY ms, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lt
+               FROM e),
+         p AS (SELECT coalesce(ft, 'direct') AS ft, coalesce(lt, 'direct') AS lt, cents
+               FROM t WHERE event_type = 'purchase'),
+         bf AS (SELECT ft AS channel, count(*) AS n_first, sum(cents) AS first_touch_cents
+                FROM p GROUP BY 1),
+         bl AS (SELECT lt AS channel, count(*) AS n_last, sum(cents) AS last_touch_cents
+                FROM p GROUP BY 1)
+         SELECT coalesce(bf.channel, bl.channel) AS channel,
+                coalesce(n_first, 0) AS n_first,
+                CAST(coalesce(first_touch_cents, 0) AS BIGINT) AS first_touch_cents,
+                coalesce(n_last, 0) AS n_last,
+                CAST(coalesce(last_touch_cents, 0) AS BIGINT) AS last_touch_cents
+         FROM bf FULL OUTER JOIN bl ON bf.channel = bl.channel
+         ORDER BY channel""",
+    "nd_events_abtest" ->
+      """WITH u AS (SELECT user_id,
+                           max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+                    FROM events GROUP BY user_id),
+         cells AS (SELECT
+             CAST(sum(CASE WHEN user_id % 2 = 0 AND conv = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+             CAST(sum(CASE WHEN user_id % 2 = 0 AND conv = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+             CAST(sum(CASE WHEN user_id % 2 = 1 AND conv = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+             CAST(sum(CASE WHEN user_id % 2 = 1 AND conv = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d
+           FROM u)
+         SELECT a, b, c, d, a + b + c + d AS n_users,
+                CASE WHEN a + b = 0 OR c + d = 0 OR a + c = 0 OR b + d = 0 THEN 0
+                     ELSE CAST((1000000::HUGEINT * (a + b + c + d)
+                                * (a::HUGEINT * d - b::HUGEINT * c)
+                                * (a::HUGEINT * d - b::HUGEINT * c))
+                               // ((a + b)::HUGEINT * (c + d) * (a + c) * (b + d))
+                               AS BIGINT) END AS chi2_micro
+         FROM cells""",
     "nd_events_gapfill" ->
       """WITH daily AS (SELECT user_id, epoch_ms(ts) // 86400000 AS d, count(*) AS cnt
                         FROM events GROUP BY 1, 2),

@@ -180,6 +180,36 @@ object Pipeline {
       .orderBy($"lang")
   }
 
+  /** Deterministic WEIGHTED sampling without replacement (A-ES /
+    * Efraimidis–Spirakis): item i wins with probability proportional to
+    * its weight by ranking on `u_i^(1/w_i)` for uniform `u_i` — here the
+    * length-weighted pick a curation pipeline uses to fill a byte budget.
+    * Everything that decides the sample is EXACT INTEGER: `u` is a 6-digit
+    * md5-fold uniform in [1, 999999] (reproducible across runs, engines
+    * and layouts — the q36/mixture discipline), its ln quantizes ONCE to
+    * micro-nats, and the rank key is the positive integer division
+    * `(−ln u)·1e6 div n_chars` — smallest keys win, ties break on doc_id.
+    * Truncating and floor division agree because the dividend is made
+    * positive first (Spark `div` truncates toward zero, DuckDB `//`
+    * floors — they differ on negatives; this is load-bearing).
+    *
+    * Scale shape: key computation is map-side expression work; the top-k
+    * is a TakeOrderedAndProject (per-partition heaps + driver merge of
+    * k·P rows), never a global sort. */
+  def weightedSample(s: SparkSession, d: String, k: Int = 64): DataFrame = {
+    import s.implicits._
+    documents(s, d)
+      .select($"doc_id", $"n_chars",
+        (conv(substring(md5(concat_ws("|", lit("wrs"), $"doc_id")), 1, 7), 16, 10)
+          .cast("long") % 999999L + 1L).as("u_micro"))
+      .withColumn("priority",
+        expr("(-CAST(round(ln(u_micro / 1000000.0) * 1000000.0) AS BIGINT)" +
+             " * 1000000) div n_chars"))
+      .orderBy($"priority", $"doc_id")
+      .limit(k)
+      .select($"doc_id", $"n_chars", $"u_micro", $"priority")
+  }
+
   /** Deterministic output SHARDING — the final write stage of a training
     * pipeline: every document lands in `shard = md5-fold("shard"|doc_id)
     * mod nShards`, a placement that is reproducible across runs, engines
@@ -488,13 +518,30 @@ object Pipeline {
     "nd_pipeline_curation" -> curationStats _,
     "nd_pipeline_packing" -> ((s: SparkSession, d: String) => packSequences(s, d)),
     "nd_pipeline_mixture" -> ((s: SparkSession, d: String) => temperatureMixture(s, d)),
-    "nd_pipeline_stratified" -> stratifiedByQuality _)
+    "nd_pipeline_stratified" -> stratifiedByQuality _,
+    "nd_sample_weighted" -> ((s: SparkSession, d: String) => weightedSample(s, d)))
 
   /** DuckDB replica of the whole curation pipeline — quality filter,
     * exact-dedup keepers and the ≥0.8-estimate minhash losers all reuse
     * the same replayable constructions as the [[TextAnalysis]] /
     * [[Dedup]] oracles. */
   val oracle: Map[String, String] = Map(
+    // A-ES replay: same md5-fold uniform, one micro-nat ln quantization,
+    // positive integer division (// on a positive dividend == Spark div)
+    "nd_sample_weighted" ->
+      s"""WITH keyed AS (
+            SELECT doc_id, n_chars,
+                   ${graft.functions.Expressions.Sketch.foldSql(7,
+                     "concat_ws('|', 'wrs', CAST(doc_id AS VARCHAR))")}
+                     % 999999 + 1 AS u_micro
+            FROM documents),
+          pri AS (
+            SELECT doc_id, n_chars, u_micro,
+                   (-CAST(round(ln(u_micro / 1000000.0::DOUBLE) * 1000000.0::DOUBLE) AS BIGINT)
+                    * 1000000) // n_chars AS priority
+            FROM keyed)
+          SELECT doc_id, n_chars, u_micro, priority
+          FROM pri ORDER BY priority, doc_id LIMIT 64""",
     // CCNet replay: the nd_text_lm_score chain (same trigram model, same
     // vocab-5000 tie-break, same round-4 score) composed with the literal
     // ntile(3) the ScalableNtile path refuses to funnel — (lm_score,

@@ -206,6 +206,82 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** PMI collocation mining — the corpus-statistics stage that surfaces
+    * multiword expressions ("new york") a tokenizer or phrase table should
+    * treat as units: pointwise mutual information
+    * `ln(p(x,y) / (p(x)·p(y)))` over adjacent token pairs, reported in the
+    * repo's micro-nat integer discipline (ONE ln of a ratio of exact
+    * integer counts, rounded to 1e-6 nats — the identical expression text
+    * runs on both engines, so the doubles agree bit-for-bit).
+    *
+    * Scale shape: bigrams extract MAP-SIDE with the [[tokenPairs]]
+    * zip_with slices (no doc_id window, no per-doc exchange); unigram and
+    * bigram counts are two partial-agg'd token-key shuffles of vocab-sized
+    * frames; the count joins are token-key equi-joins of
+    * vocabulary-bounded sides (AQE broadcasts them when small); N and B
+    * are two collected scalars. The `c_xy ≥ minCount` filter runs BEFORE
+    * the joins, so rare-pair noise never shuffles twice. Top-k is a
+    * TakeOrderedAndProject, never a global sort. */
+  def pmiCollocations(s: SparkSession, d: String, minCount: Int = 5, k: Int = 50): DataFrame = {
+    import s.implicits._
+    val docs = documents(s, d).select(wsTokens(canonical($"text")).as("w"))
+    val uni = docs.select(explode($"w").as("x"))
+      .groupBy($"x").agg(count(lit(1)).as("c_x"))
+    val big = docs.select(explode(zip_with(
+        slice($"w", lit(1), size($"w") - 1),
+        slice($"w", lit(2), size($"w") - 1),
+        (a, b) => concat(a, lit(" "), b))).as("pr"))
+    val cxy = big.groupBy($"pr").agg(count(lit(1)).as("c_xy"))
+      .select(split($"pr", " ", 2).getItem(0).as("x"),
+              split($"pr", " ", 2).getItem(1).as("y"), $"c_xy")
+    val nTot = uni.agg(sum($"c_x")).head.getLong(0)
+    val bTot = cxy.agg(sum($"c_xy")).head.getLong(0)
+    val cy = uni.select($"x".as("y"), $"c_x".as("c_y"))
+    cxy.filter($"c_xy" >= minCount)
+      .join(uni, "x").join(cy, "y")
+      .select($"x", $"y", $"c_xy", $"c_x", $"c_y",
+        round(log(($"c_xy".cast("double") * lit(nTot.toDouble) * lit(nTot.toDouble)) /
+                  (lit(bTot.toDouble) * $"c_x" * $"c_y")) * lit(1000000.0))
+          .cast("long").as("pmi_micro"))
+      .orderBy($"pmi_micro".desc, $"x", $"y")
+      .limit(k)
+  }
+
+  /** Per-document TF-IDF keyword extraction — top-3 terms per document by
+    * `tf · idf`, the classic relevance weight a retrieval or
+    * topic-labeling pipeline derives before anything neural. ONE float
+    * rounding in the whole operator: idf quantizes to integer micro-nats
+    * (`round(ln(D/df)·1e6)`, the [[trigramLmScore]] discipline), after
+    * which every score is an exact integer product `tf · idf_micro` —
+    * rank ties break on the token, so the top-3 is fully deterministic.
+    *
+    * Scale shape: tf is one (doc, token) partial-agg'd shuffle; df is one
+    * token-key partial-agg'd shuffle (`count(*)` over the tf rows — each
+    * (doc, token) appears once, so no countDistinct); the tf⋈idf join is
+    * token-key with a vocabulary-bounded build side; the top-3 window
+    * partitions by doc_id. D is one collected scalar. Nothing data-scale
+    * is collected or globally sorted. */
+  def tfidfKeywords(s: SparkSession, d: String, k: Int = 3): DataFrame = {
+    import s.implicits._
+    val tf = documents(s, d)
+      .select($"doc_id", explode(wsTokens(canonical($"text"))).as("token"))
+      .filter($"token" =!= "")
+      .groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
+    val dTot = documents(s, d).count()
+    val idf = tf.groupBy($"token").agg(count(lit(1)).as("df"))
+      .select($"token",
+        round(log(lit(dTot.toDouble) / $"df") * lit(1000000.0))
+          .cast("long").as("idf_micro"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"score".desc, $"token")
+    tf.join(idf, "token")
+      .select($"doc_id", $"token", $"tf", $"idf_micro",
+              ($"tf" * $"idf_micro").as("score"))
+      .withColumn("r", row_number().over(w))
+      .filter($"r" <= k)
+      .orderBy($"doc_id", $"r")
+  }
+
   /** Full BPE merge-LEARNING loop — the tokenizer-training stage after the
     * single-step pair statistic ([[tokenPairs]]): starting from characters,
     * repeatedly find the most frequent adjacent token pair across the
@@ -354,6 +430,115 @@ object TextAnalysis {
       .agg(count(lit(1)).as("freq"))
       .orderBy($"freq".desc, $"token")
       .limit(k)
+  }
+
+  /** ZIPF-LAW fit of the vocabulary — the corpus-health diagnostic
+    * (natural text follows freq ∝ rank^-1; a flat or broken power law
+    * flags synthetic/templated data): OLS of ln(freq) on ln(rank) over
+    * the top-`k` vocabulary, both axes quantized ONCE to integer
+    * micro-nats (the repo's ln discipline), slope and intercept emitted
+    * via DECIMAL(38,0) integral division — a slope_micro of −1 000 000
+    * is exactly Zipf. r² converts the exact moment sums to double only
+    * at the end ([[q47]]'s overflow-safe pattern).
+    *
+    * Scale shape: the vocab count is one partial-agg'd token shuffle;
+    * the top-k is a TakeOrderedAndProject; the rank window and the OLS
+    * moments run over ≤k rows of aggregate output (state-scale, the
+    * PlanAudit-sanctioned shape). */
+  def zipfFit(s: SparkSession, d: String, k: Int = 100): DataFrame = {
+    import s.implicits._
+    val top = documents(s, d)
+      .select(explode(wsTokens(canonical($"text"))).as("token"))
+      .filter($"token" =!= "")
+      .groupBy($"token").agg(count(lit(1)).as("freq"))
+      .orderBy($"freq".desc, $"token").limit(k)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy($"freq".desc, $"token")
+    val xy = top.withColumn("rank", row_number().over(w))
+      .select(
+        expr("CAST(round(ln(CAST(rank AS DOUBLE)) * 1000000.0) AS BIGINT)").as("x"),
+        expr("CAST(round(ln(CAST(freq AS DOUBLE)) * 1000000.0) AS BIGINT)").as("y"))
+    val m = xy.agg(
+      count(lit(1)).cast("decimal(38,0)").as("n"),
+      sum($"x".cast("decimal(38,0)")).as("sx"),
+      sum($"y".cast("decimal(38,0)")).as("sy"),
+      sum(($"x" * $"y").cast("decimal(38,0)")).as("sxy"),
+      sum(($"x" * $"x").cast("decimal(38,0)")).as("sxx"),
+      sum(($"y" * $"y").cast("decimal(38,0)")).as("syy"))
+    // the slope numerator is negative for any decreasing law, and Spark's
+    // `div` truncates toward zero while DuckDB's `//` floors — divide
+    // magnitudes (where they agree) and reapply the sign
+    m.select($"n".cast("long").as("n_terms"),
+      expr("""CASE WHEN n * sxy - sx * sy < 0
+              THEN -((abs(n * sxy - sx * sy) * 1000000) div (n * sxx - sx * sx))
+              ELSE (abs(n * sxy - sx * sy) * 1000000) div (n * sxx - sx * sx)
+              END""").as("slope_micro"),
+      expr("""CASE WHEN sy * sxx - sx * sxy < 0
+              THEN -(abs(sy * sxx - sx * sxy) div (n * sxx - sx * sx))
+              ELSE abs(sy * sxx - sx * sxy) div (n * sxx - sx * sx)
+              END""").as("intercept_micro"),
+      round(($"n" * $"sxy" - $"sx" * $"sy").cast("double") *
+            ($"n" * $"sxy" - $"sx" * $"sy").cast("double") /
+            (($"n" * $"sxx" - $"sx" * $"sx").cast("double") *
+             ($"n" * $"syy" - $"sy" * $"sy").cast("double")), 6).as("r2"))
+  }
+
+  /** HYPERLOGLOG distinct-vocabulary audit — the mergeable
+    * distinct-count sketch (Flajolet et al. 2007) rebuilt in EXACT INTEGER
+    * arithmetic so both engines agree bit-for-bit: 64 registers over the
+    * 60-bit md5 fold (register = h mod 64, rank = leading-zero count of
+    * the remaining 54 bits + 1 via `length(bin(·))` — the binary-string
+    * bit-length trick both engines share), the harmonic mean computed as
+    * the integer `S = Σ 2^(55−M_j)` (never a float 2^-M sum, whose
+    * summation order differs), and the estimate
+    * `α·m²/Z = α_micro·4096·2^55 div (S·10^6)` one DECIMAL(38,0) integral
+    * division (the numerator ≈ 1e26 overflows long — decimal is
+    * load-bearing). α_micro = 709000 pins m=64's α = 0.709 as a spec
+    * constant. The audit row carries the exact distinct count and the
+    * integer verdict `|est − exact|·10 ≤ 4·exact` (HLL's σ ≈ 1.04/√64 ≈
+    * 13%, so ±40% is a ≥3σ gate).
+    *
+    * Scale shape: the register table is one partially-aggregated 64-row
+    * groupBy of map-side expression work — at 100 TB the sketch is still
+    * 64 longs (the production form is a mergeable array aggregate with
+    * identical register values; countDistinct here audits it exactly,
+    * which the production path would skip). */
+  def vocabHll(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = documents(s, d)
+      .select(explode(wsTokens(canonical($"text"))).as("token"))
+      .filter($"token" =!= "")
+    val ranked = toks
+      .select(conv(substring(md5(concat_ws("|", lit("hll"), $"token")), 1, 15), 16, 10)
+        .cast("long").as("h"))
+      .select(pmod($"h", lit(64L)).as("j"), expr("h div 64").as("rest"))
+      .select($"j", when($"rest" === 0L, 55L)
+        .otherwise(lit(55L) - length(bin($"rest"))).as("rank"))
+    val regs = s.range(64).toDF("j")
+      .join(ranked.groupBy($"j").agg(max($"rank").as("mj")), Seq("j"), "left")
+      .select($"j", coalesce($"mj", lit(0L)).as("mj"))
+    val sketch = regs.agg(
+      count(lit(1)).as("m"),
+      sum(when($"mj" === 0L, 1L).otherwise(0L)).as("n_zero_registers"),
+      sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(55 - mj AS INT))")).as("s_scaled"))
+    val exact = toks.agg(countDistinct($"token").as("exact_distinct"))
+    sketch.crossJoin(exact)
+      .select($"m", $"n_zero_registers", $"s_scaled", $"exact_distinct",
+        expr("""(CAST(709000 AS DECIMAL(38,0)) * 4096 * CAST(36028797018963968 AS DECIMAL(38,0)))
+                div (CAST(s_scaled AS DECIMAL(38,0)) * 1000000)""").as("raw_est"))
+      // Flajolet small-range correction: below 2.5m with empty registers,
+      // linear counting m·ln(m/V) is the unbiased estimator — quantized
+      // through ONE micro-nat ln then integer division, like every other
+      // log in the repo
+      .withColumn("est_distinct",
+        when($"n_zero_registers" > 0 && $"raw_est" * 2 <= $"m" * 5,
+          expr("(CAST(round(ln(CAST(m AS DOUBLE) / n_zero_registers)" +
+               " * 1000000.0) AS BIGINT) * m) div 1000000"))
+        .otherwise($"raw_est"))
+      .select($"m", $"n_zero_registers", $"s_scaled", $"raw_est",
+        $"est_distinct", $"exact_distinct",
+        (abs($"est_distinct" - $"exact_distinct") * 10 <= $"exact_distinct" * 4)
+          .as("within_bound"))
   }
 
   /** COUNT-MIN sketch accuracy audit — the mergeable heavy-hitter sketch
@@ -587,7 +772,11 @@ object TextAnalysis {
     "nd_lang_stats" -> langStats _,
     "nd_vocab_topk" -> ((s: SparkSession, d: String) => vocabTopK(s, d)),
     "nd_vocab_cms" -> ((s: SparkSession, d: String) => vocabCms(s, d)),
+    "nd_vocab_hll" -> vocabHll _,
+    "nd_text_zipf" -> ((s: SparkSession, d: String) => zipfFit(s, d)),
     "nd_token_pairs" -> ((s: SparkSession, d: String) => tokenPairs(s, d)),
+    "nd_text_pmi" -> ((s: SparkSession, d: String) => pmiCollocations(s, d)),
+    "nd_text_tfidf" -> ((s: SparkSession, d: String) => tfidfKeywords(s, d)),
     "nd_bpe_learn" -> ((s: SparkSession, d: String) => bpeLearn(s, d)),
     "nd_bpe_apply" -> ((s: SparkSession, d: String) => bpeApply(s, d)),
     "nd_text_repetition" -> ((s: SparkSession, d: String) => repetition(s, d)),
@@ -751,6 +940,50 @@ object TextAnalysis {
          ORDER BY f.doc_id""",
     "nd_bpe_learn" -> bpeOracleSql(),
     "nd_bpe_apply" -> bpeApplyOracleSql(),
+    // PMI replay: identical bigram construction to nd_token_pairs, the
+    // single ln runs over the SAME left-associated double expression as
+    // Spark, rounded to micro-nats
+    "nd_text_pmi" ->
+      """WITH w AS (SELECT string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS w
+                    FROM documents),
+         uni AS (SELECT unnest(w) AS x FROM w),
+         cx AS (SELECT x, CAST(count(*) AS BIGINT) AS c_x FROM uni GROUP BY x),
+         big AS (SELECT unnest(list_transform(range(1, len(w)),
+                        i -> w[i] || ' ' || w[i+1])) AS pr FROM w),
+         cxy AS (SELECT split_part(pr, ' ', 1) AS x, split_part(pr, ' ', 2) AS y,
+                        CAST(count(*) AS BIGINT) AS c_xy
+                 FROM big GROUP BY pr),
+         n AS (SELECT CAST(count(*) AS BIGINT) AS n_tot FROM uni),
+         b AS (SELECT CAST(count(*) AS BIGINT) AS b_tot FROM big)
+         SELECT cxy.x, cxy.y, c_xy, cx.c_x, cy.c_x AS c_y,
+                CAST(round(ln((CAST(c_xy AS DOUBLE) * CAST(n_tot AS DOUBLE) * CAST(n_tot AS DOUBLE))
+                              / (CAST(b_tot AS DOUBLE) * cx.c_x * cy.c_x))
+                           * 1000000.0::DOUBLE) AS BIGINT) AS pmi_micro
+         FROM cxy
+         JOIN cx ON cx.x = cxy.x
+         JOIN cx cy ON cy.x = cxy.y
+         CROSS JOIN n CROSS JOIN b
+         WHERE c_xy >= 5
+         ORDER BY pmi_micro DESC, cxy.x, cxy.y LIMIT 50""",
+    // TF-IDF replay: tf and df from the same token stream; idf quantizes
+    // to micro-nats once, scores are exact integer products
+    "nd_text_tfidf" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS token
+                      FROM documents),
+         tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+                FROM tok WHERE token <> '' GROUP BY 1, 2),
+         d AS (SELECT CAST(count(*) AS BIGINT) AS d_tot FROM documents),
+         idf AS (SELECT token,
+                        CAST(round(ln(CAST(d_tot AS DOUBLE) / CAST(count(*) AS BIGINT))
+                                   * 1000000.0::DOUBLE) AS BIGINT) AS idf_micro
+                 FROM tf CROSS JOIN d GROUP BY token, d_tot),
+         sc AS (SELECT doc_id, token, tf, idf_micro, tf * idf_micro AS score
+                FROM tf JOIN idf USING (token)),
+         rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                             ORDER BY score DESC, token) AS r
+                FROM sc)
+         SELECT doc_id, token, tf, idf_micro, score, r
+         FROM rk WHERE r <= 3 ORDER BY doc_id, r""",
     "nd_token_pairs" ->
       """SELECT pair, count(*) AS freq
          FROM (SELECT unnest(list_transform(range(1, len(w)),
@@ -809,6 +1042,74 @@ object TextAnalysis {
                FROM documents)
          WHERE token <> ''
          GROUP BY token ORDER BY freq DESC, token LIMIT 50""",
+    // Zipf replay: same top-k, micro-nat ln axes, HUGEINT OLS moments,
+    // integral-division slope/intercept, double r2 off the exact sums
+    "nd_text_zipf" ->
+      """WITH tok AS (SELECT unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS token
+                      FROM documents),
+         top AS (SELECT token, CAST(count(*) AS BIGINT) AS freq
+                 FROM tok WHERE token <> ''
+                 GROUP BY token ORDER BY freq DESC, token LIMIT 100),
+         rk AS (SELECT freq, row_number() OVER (ORDER BY freq DESC, token) AS rank
+                FROM top),
+         xy AS (SELECT CAST(round(ln(CAST(rank AS DOUBLE)) * 1000000.0::DOUBLE) AS BIGINT) AS x,
+                       CAST(round(ln(CAST(freq AS DOUBLE)) * 1000000.0::DOUBLE) AS BIGINT) AS y
+                FROM rk),
+         m AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+                      CAST(sum(x) AS HUGEINT) AS sx,
+                      CAST(sum(y) AS HUGEINT) AS sy,
+                      CAST(sum(x * y) AS HUGEINT) AS sxy,
+                      CAST(sum(x * x) AS HUGEINT) AS sxx,
+                      CAST(sum(y * y) AS HUGEINT) AS syy
+               FROM xy)
+         SELECT CAST(n AS BIGINT) AS n_terms,
+                CAST(CASE WHEN n * sxy - sx * sy < 0
+                     THEN -((abs(n * sxy - sx * sy) * 1000000) // (n * sxx - sx * sx))
+                     ELSE (abs(n * sxy - sx * sy) * 1000000) // (n * sxx - sx * sx)
+                     END AS BIGINT) AS slope_micro,
+                CAST(CASE WHEN sy * sxx - sx * sxy < 0
+                     THEN -(abs(sy * sxx - sx * sxy) // (n * sxx - sx * sx))
+                     ELSE abs(sy * sxx - sx * sxy) // (n * sxx - sx * sx)
+                     END AS BIGINT) AS intercept_micro,
+                round(CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE)
+                      / (CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r2
+         FROM m""",
+    // HLL replay: same 60-bit fold, bin()-length ranks, integer 2^(55-M)
+    // harmonic sum, one HUGEINT integral division for the estimate
+    "nd_vocab_hll" ->
+      s"""WITH tok AS (
+            SELECT unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS token
+            FROM documents),
+          tk AS (SELECT token FROM tok WHERE token <> ''),
+          hs AS (SELECT ${graft.functions.Expressions.Sketch.foldSql(15,
+              "concat_ws('|', 'hll', token)")} AS h FROM tk),
+          rk AS (SELECT h % 64 AS j,
+                        CASE WHEN h // 64 = 0 THEN 55
+                             ELSE 55 - length(bin(h // 64)) END AS rank
+                 FROM hs),
+          regs AS (SELECT g.j, coalesce(max(rank), 0) AS mj
+                   FROM range(0, 64) g(j) LEFT JOIN rk ON rk.j = g.j
+                   GROUP BY g.j),
+          sk AS (SELECT CAST(count(*) AS BIGINT) AS m,
+                        CAST(sum(CASE WHEN mj = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_registers,
+                        CAST(sum(CAST(1 AS BIGINT) << CAST(55 - mj AS INTEGER)) AS BIGINT) AS s_scaled
+                 FROM regs),
+          ex AS (SELECT CAST(count(DISTINCT token) AS BIGINT) AS exact_distinct FROM tk),
+          est AS (SELECT m, n_zero_registers, s_scaled,
+                         CAST((709000::HUGEINT * 4096 * 36028797018963968::HUGEINT)
+                              // (s_scaled::HUGEINT * 1000000) AS BIGINT) AS raw_est,
+                         exact_distinct
+                  FROM sk CROSS JOIN ex),
+          corr AS (SELECT m, n_zero_registers, s_scaled, raw_est,
+                          CASE WHEN n_zero_registers > 0 AND raw_est * 2 <= m * 5
+                               THEN (CAST(round(ln(CAST(m AS DOUBLE) / n_zero_registers)
+                                                * 1000000.0::DOUBLE) AS BIGINT) * m) // 1000000
+                               ELSE raw_est END AS est_distinct,
+                          exact_distinct
+                   FROM est)
+          SELECT m, n_zero_registers, s_scaled, raw_est, est_distinct, exact_distinct,
+                 abs(est_distinct - exact_distinct) * 10 <= exact_distinct * 4 AS within_bound
+          FROM corr""",
     // count-min replay: same md5-fold bucket family per sketch row, cell
     // counts, min-over-rows estimate, integer bound verdict
     "nd_vocab_cms" ->

@@ -106,6 +106,63 @@ class EventsSpec extends AnyFunSuite {
     assert(locfTotal >= eventCount, s"LOCF sum $locfTotal < events $eventCount")
   }
 
+  test("paths conserve flow: one START and one END per user, one transition per event") {
+    val rows = Events.paths(spark, sf).collect()
+    val users = Tables.events(spark, sf).select("user_id").distinct().count()
+    val starts = rows.filter(_.getAs[String]("from_type") == "START")
+      .map(_.getAs[Long]("n")).sum
+    val ends = rows.filter(_.getAs[String]("to_type") == "END")
+      .map(_.getAs[Long]("n")).sum
+    val total = rows.map(_.getAs[Long]("n")).sum
+    assert(starts == users, s"START out-flow $starts != users $users")
+    assert(ends == users, s"END in-flow $ends != users $users")
+    assert(total == eventCount + users,
+      s"every event is a 'to' exactly once plus one END per user: $total")
+  }
+
+  test("paths plan: lag+lead share ONE user_id exchange") {
+    val nodes = flatPlan(Events.paths(spark, sf))
+    val userExchanges = nodes.collect { case e: ShuffleExchangeExec => e }
+      .count(_.outputPartitioning.toString.contains("user_id"))
+    assert(userExchanges == 1,
+      s"lag/lead should ride one user_id exchange, got $userExchanges")
+  }
+
+  test("attribution conserves purchase revenue under BOTH models") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val purchases = Tables.events(spark, sf)
+      .filter($"event_type" === "purchase")
+      .agg(count(lit(1)).as("n"),
+           sum(round($"value" * 100, 0).cast("long")).as("cents"))
+      .collect().head
+    val (nP, centsP) = (purchases.getLong(0), purchases.getLong(1))
+    val rows = Events.attribution(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("n_first")).sum == nP)
+    assert(rows.map(_.getAs[Long]("n_last")).sum == nP)
+    assert(rows.map(_.getAs[Long]("first_touch_cents")).sum == centsP)
+    assert(rows.map(_.getAs[Long]("last_touch_cents")).sum == centsP)
+    // purchase is excluded as a touch channel by construction
+    assert(!rows.exists(_.getAs[String]("channel") == "purchase"))
+  }
+
+  test("abtest cells partition the user base and match a driver recount") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val r = Events.abTest(spark, sf).collect().head
+    val (a, b, c, d) = (r.getAs[Long]("a"), r.getAs[Long]("b"),
+                        r.getAs[Long]("c"), r.getAs[Long]("d"))
+    val users = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(a + b + c + d == users && r.getAs[Long]("n_users") == users)
+    assert(r.getAs[Long]("chi2_micro") >= 0L)
+    val conv = Tables.events(spark, sf)
+      .groupBy($"user_id")
+      .agg(max(when($"event_type" === "purchase", 1L).otherwise(0L)).as("cv"))
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    assert(a == conv.count { case (u, cv) => u % 2 == 0 && cv == 1 })
+    assert(d == conv.count { case (u, cv) => u % 2 == 1 && cv == 0 })
+  }
+
   test("gapfill max_gap matches a driver-side recount on one user") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

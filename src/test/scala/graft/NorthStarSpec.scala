@@ -619,6 +619,74 @@ class TextAnalysisSpec extends AnyFunSuite {
     rows.foreach(r => assert(topk(r.getString(0)) == r.getLong(1)))
   }
 
+  test("PMI collocations: counts honest, micro-nat scores match a driver recount") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = TextAnalysis.pmiCollocations(spark, sf).collect()
+    assert(rows.length == 50)
+    // independent count base: token stream recomputed from the raw corpus
+    val toks = Tables.documents(spark, sf)
+      .select(TextAnalysis.wsTokens(TextAnalysis.canonical($"text")).as("w"))
+      .collect().map(_.getSeq[String](0))
+    val uni = toks.flatten.groupBy(identity).map { case (t, g) => t -> g.size.toLong }
+    val big = toks.flatMap(w => w.sliding(2).filter(_.length == 2).map(p => (p(0), p(1))))
+      .groupBy(identity).map { case (p, g) => p -> g.size.toLong }
+    val nTot = uni.values.sum.toDouble
+    val bTot = big.values.sum.toDouble
+    rows.foreach { r =>
+      val (x, y, cxy, cx, cy, pmi) = (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(cxy >= 5 && big((x, y)) == cxy && uni(x) == cx && uni(y) == cy)
+      val expect = math.round(math.log((cxy.toDouble * nTot * nTot) /
+        (bTot * cx * cy)) * 1000000.0)
+      assert(pmi == expect, s"pmi mismatch for ($x,$y): $pmi != $expect")
+    }
+    // scores arrive in presentation order
+    assert(rows.map(_.getLong(5)).toSeq == rows.map(_.getLong(5)).sortBy(-_).toSeq)
+  }
+
+  test("TF-IDF keywords: top-3 per doc, descending, corpus-wide terms score ~0") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = TextAnalysis.tfidfKeywords(spark, sf).collect()
+    val docs = Tables.documents(spark, sf).count()
+    val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+    assert(byDoc.size == docs, "every document has keywords")
+    byDoc.foreach { case (id, rs) =>
+      assert(rs.length <= 3 && rs.map(_.getAs[Int]("r")).sorted.toSeq == (1 to rs.length))
+      val scores = rs.sortBy(_.getAs[Int]("r")).map(_.getAs[Long]("score"))
+      assert(scores.toSeq == scores.sortBy(-_).toSeq, s"doc $id scores not descending")
+    }
+    // idf = ln(D/df) ≥ 0 with df ≤ D; scores are exact integer products
+    rows.foreach { r =>
+      assert(r.getAs[Long]("idf_micro") >= 0L)
+      assert(r.getAs[Long]("score") == r.getAs[Long]("tf") * r.getAs[Long]("idf_micro"))
+    }
+  }
+
+  test("Zipf fit matches an exact driver-side OLS replay") {
+    val sf = "/root/testdata/sf0.001"
+    val r = TextAnalysis.zipfFit(spark, sf).collect().head
+    // independent replay: counts -> ranks -> micro-nat axes -> integer OLS
+    val freqs = Tables.documents(spark, sf)
+      .select(explode(TextAnalysis.wsTokens(TextAnalysis.canonical($"text"))).as("t"))
+      .filter($"t" =!= "").groupBy($"t").count().collect()
+      .map(x => (x.getString(0), x.getLong(1)))
+      .sortBy { case (t, f) => (-f, t) }.take(100)
+    val xy = freqs.zipWithIndex.map { case ((_, f), i) =>
+      (math.round(math.log(i + 1.0) * 1e6), math.round(math.log(f.toDouble) * 1e6))
+    }
+    val n = BigInt(xy.length)
+    val sx = xy.map(p => BigInt(p._1)).sum; val sy = xy.map(p => BigInt(p._2)).sum
+    val sxy = xy.map(p => BigInt(p._1) * p._2).sum
+    val sxx = xy.map(p => BigInt(p._1) * p._1).sum
+    val num = n * sxy - sx * sy; val den = n * sxx - sx * sx
+    val slope = (num.signum * ((num.abs * 1000000) / den)).toLong
+    assert(r.getAs[Long]("n_terms") == xy.length)
+    assert(r.getAs[Long]("slope_micro") == slope,
+      s"slope ${r.getAs[Long]("slope_micro")} != replay $slope")
+    val r2 = r.getAs[Double]("r2")
+    assert(r2 >= 0.0 && r2 <= 1.0)
+  }
+
   test("gopher rule verdicts are consistent with their signals and discriminate") {
     val rows = TextAnalysis.gopherRules(spark, "/root/testdata/sf0.01").collect()
     assert(rows.length == 500)

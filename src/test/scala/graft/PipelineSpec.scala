@@ -55,6 +55,33 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("weighted sample: A-ES priorities match a driver md5 recount, weight tilts selection") {
+    val rows = Pipeline.weightedSample(spark, sf).collect()
+    assert(rows.length == 64)
+    // priorities arrive ascending with doc_id tie-break
+    val pris = rows.map(r => (r.getAs[Long]("priority"), r.getAs[Long]("doc_id")))
+    assert(pris.toSeq == pris.sortBy(identity).toSeq)
+    // exact replay of the key chain: md5-fold uniform -> micro-nat ln -> integer div
+    val md = java.security.MessageDigest.getInstance("MD5")
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val hex = md.digest(s"wrs|$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(7)
+      val u = java.lang.Long.parseLong(hex, 16) % 999999L + 1L
+      assert(r.getAs[Long]("u_micro") == u, s"doc $id uniform mismatch")
+      val lnu = math.round(math.log(u / 1000000.0) * 1000000.0)
+      val expect = (-lnu * 1000000L) / r.getAs[Long]("n_chars")
+      assert(r.getAs[Long]("priority") == expect, s"doc $id priority mismatch")
+    }
+    // weight tilt: sampled docs are longer on average than the corpus
+    val corpusMean = Tables.documents(spark, sf)
+      .agg(org.apache.spark.sql.functions.avg(
+        org.apache.spark.sql.functions.col("n_chars"))).head.getDouble(0)
+    val sampleMean = rows.map(_.getAs[Long]("n_chars")).sum.toDouble / rows.length
+    assert(sampleMean > corpusMean,
+      s"length-weighted sample not tilted: $sampleMean <= $corpusMean")
+  }
+
   test("shard manifest: full cover, balanced, deterministic across runs") {
     val rows = Pipeline.shardManifest(spark, sf).collect()
     assert(rows.map(_.getLong(0)).sorted.sameElements(0L until 8L))
