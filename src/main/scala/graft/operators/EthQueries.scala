@@ -468,6 +468,42 @@ object EthQueries {
     graft.plans.Caching.detach(out, free)
   }
 
+  /** Q20: per-(token, holder) NET BALANCE snapshot from the transfer log —
+    * the "current holder table" every token-analytics dashboard derives
+    * from the reference's ERC-20 decode (`EthereumERC20Utils.java:6-14`):
+    * credit `erc20_to`, debit `erc20_from`, report the top-15 balances.
+    * Balances ride the `weiDecimal` exact DECIMAL(38,0) scan — the
+    * fixture plants uint256 values beyond 2^53 (above the double path's
+    * precision and past long·100 range, caught by the first cents-based
+    * draft of this query), so the +/− cancellation inside a balance is
+    * only order-free in exact decimals. Output pinned as STRING per the
+    * eth_q12 canonicalization rule.
+    *
+    * Scale shape: the signed ledger is a map-side projection union of the
+    * one decode scan, one (token, addr) partial-agg'd shuffle, and a
+    * TakeOrderedAndProject top-15 — at 100 TB of transfers this is the
+    * minimum possible movement: every row contributes exactly two ledger
+    * entries. */
+  def q20Balances(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dir = EthFixtures.ensure(s)
+    val t = s.read.format("ethereum").option("table", "erc20")
+      .option("chain", dir).option("weiDecimal", "true").load()
+      .select($"erc20_token".as("token"), $"erc20_from".as("from_a"),
+              $"erc20_to".as("to_a"), $"erc20_value".as("wei"))
+    val ledger = t.select($"token", $"to_a".as("addr"), $"wei",
+        lit(1L).as("n_in"), lit(0L).as("n_out"))
+      .union(t.select($"token", $"from_a".as("addr"), (-$"wei").as("wei"),
+        lit(0L).as("n_in"), lit(1L).as("n_out")))
+    ledger.groupBy($"token", $"addr")
+      .agg(sum($"wei").cast("decimal(38,0)").as("bal"),
+           sum($"n_in").as("n_in"), sum($"n_out").as("n_out"))
+      .orderBy($"bal".desc, $"token", $"addr")
+      .limit(15)
+      .select($"token", $"addr", $"bal".cast("string").as("balance_wei"),
+              $"n_in", $"n_out")
+  }
+
   /** B12: the catalog's DESCRIBE surface *as data*. The reference pins the
     * exact `DESCRIBE block/transaction/erc20` output in its docs
     * (`README.md:139-186`; widths `EthereumMetadata.java:48-51`), so this
@@ -523,7 +559,8 @@ object EthQueries {
     "eth_q16_token_graph" -> q16TokenGraph _,
     "eth_q17_pagerank" -> q17PageRank _,
     "eth_q18_triangles" -> q18Triangles _,
-    "eth_q19_components" -> q19Components _)
+    "eth_q19_components" -> q19Components _,
+    "eth_q20_balances" -> q20Balances _)
 
   /** Unrolled 5-iteration integer PageRank replay (see [[q17PageRank]] for
     * the exact recurrence); starts with "," to extend [[withEthTables]]'s
@@ -701,6 +738,25 @@ object EthQueries {
          FROM erc20 GROUP BY erc20_token ORDER BY erc20_token"""),
     "eth_q17_pagerank" -> withEthTables(pageRankOracle),
     "eth_q19_components" -> withEthTables(componentsOracle),
+    // signed exact-wei ledger off the erc20_exact digit strings: credit
+    // to, debit from, top-15 balances, string-pinned like eth_q12
+    "eth_q20_balances" -> withEthTables(
+      """, led AS (
+           SELECT erc20_token AS token, erc20_to AS addr,
+                  CAST(erc20_value AS DECIMAL(38,0)) AS wei,
+                  1 AS n_in, 0 AS n_out
+           FROM erc20_exact
+           UNION ALL
+           SELECT erc20_token, erc20_from,
+                  -CAST(erc20_value AS DECIMAL(38,0)),
+                  0, 1
+           FROM erc20_exact)
+         SELECT token, addr,
+                CAST(CAST(sum(wei) AS DECIMAL(38,0)) AS VARCHAR) AS balance_wei,
+                CAST(sum(n_in) AS BIGINT) AS n_in,
+                CAST(sum(n_out) AS BIGINT) AS n_out
+         FROM led GROUP BY token, addr
+         ORDER BY CAST(sum(wei) AS DECIMAL(38,0)) DESC, token, addr LIMIT 15"""),
     "eth_q18_triangles" -> withEthTables(
       """, und AS (SELECT DISTINCT least(erc20_from, erc20_to) AS a,
                           greatest(erc20_from, erc20_to) AS b

@@ -475,6 +475,7 @@ object Similarity {
     "nd_knn_sq8" -> ((s: SparkSession, d: String) => knnSq8(s, d)),
     "nd_rag_bm25" -> ((s: SparkSession, d: String) => bm25Retrieve(s, d)),
     "nd_rag_hybrid" -> ((s: SparkSession, d: String) => hybridRetrieve(s, d)),
+    "nd_rag_ndcg" -> ((s: SparkSession, d: String) => retrievalNdcg(s, d)),
     "nd_join_setsim" -> ((s: SparkSession, d: String) => setSimJoin(s, d)))
 
   /** DuckDB replica of [[Dedup.embeddingBucket]] ([[graft.functions.Expressions.LshBucket]])
@@ -977,6 +978,70 @@ object Similarity {
   /** BM25 replay CTEs (ending in `brank`): same canonical/tokenize scheme
     * as the dedup oracles, integer micro idf + exact-ratio tf
     * normalization mirroring [[bm25Retrieve]] operation-for-operation. */
+  /** Micro-unit DCG discounts `round(1e6 / log2(rank+1))` for ranks
+    * 1..10, computed ONCE here and shared verbatim by the Spark plan
+    * (literal DataFrame) and the interpolated oracle VALUES — no float
+    * ever crosses engines. */
+  private[operators] val ndcgDisc: Seq[(Long, Long)] =
+    (1 to 10).map(i =>
+      (i.toLong, math.round(1000000.0 / (math.log(i + 1.0) / math.log(2.0)))))
+
+  /** Retrieval QUALITY evaluation — NDCG@k and MRR of the [[bm25Retrieve]]
+    * ranking against deterministic graded relevance (candidate shares the
+    * query doc's source AND lang → 2, source only → 1, else 0 — the
+    * metadata-derived labels an unlabeled-corpus eval harness uses).
+    * Entirely integer once the shared discount table is fixed: DCG is an
+    * exact `Σ rel·disc_micro` over the k retrieved rows; the IDEAL list
+    * needs no sort at all — it is "all the 2s, then all the 1s", so IDCG
+    * comes from two per-(source,lang) COUNT aggregates joined to the
+    * discount table; NDCG and MRR are positive integral divisions.
+    *
+    * Scale shape: relevance labeling joins the k·Q-bounded rank list to
+    * doc metadata; the count tables are |sources|(×|langs|)-bounded
+    * broadcasts; nothing data-scale moves beyond what bm25Retrieve
+    * already shuffles. */
+  def retrievalNdcg(s: SparkSession, d: String, nQueries: Int = 5,
+      k: Int = 10): DataFrame = {
+    import s.implicits._
+    val ranked = bm25Retrieve(s, d, nQueries, 6, k)
+    val meta = documents(s, d).select($"doc_id", $"source", $"lang")
+    val qmeta = meta.filter($"doc_id" < nQueries)
+      .select($"doc_id".as("query_id"),
+              $"source".as("q_source"), $"lang".as("q_lang"))
+    val rel = ranked.join(broadcast(qmeta), Seq("query_id"))
+      .join(meta, Seq("doc_id"))
+      .select($"query_id", $"rank",
+        when($"source" === $"q_source" && $"lang" === $"q_lang", 2L)
+          .when($"source" === $"q_source", 1L).otherwise(0L).as("rel"))
+    val disc = ndcgDisc.toDF("rank", "disc_micro")
+    val dcg = rel.join(broadcast(disc), Seq("rank"))
+      .groupBy($"query_id")
+      .agg(sum($"rel" * $"disc_micro").as("dcg_scaled"),
+           min(when($"rel" > 0, $"rank")).as("first_rel_rank"))
+    val bySl = meta.groupBy($"source", $"lang").agg(count(lit(1)).as("n_sl"))
+      .select($"source".as("q_source"), $"lang".as("q_lang"), $"n_sl")
+    val byS = meta.groupBy($"source").agg(count(lit(1)).as("n_s"))
+      .select($"source".as("q_source"), $"n_s")
+    val qc = qmeta.join(broadcast(bySl), Seq("q_source", "q_lang"))
+      .join(broadcast(byS), Seq("q_source"))
+      .select($"query_id", ($"n_sl" - 1).as("n_rel2"),
+              ($"n_s" - $"n_sl").as("n_rel1"))
+    val idcg = qc.crossJoin(broadcast(disc))
+      .groupBy($"query_id", $"n_rel2", $"n_rel1")
+      .agg(sum(when($"rank" <= $"n_rel2", lit(2L) * $"disc_micro")
+          .when($"rank" <= $"n_rel2" + $"n_rel1", $"disc_micro")
+          .otherwise(0L)).as("idcg_scaled"))
+    idcg.join(dcg, Seq("query_id"), "left")
+      .select($"query_id", $"n_rel2", $"n_rel1",
+        coalesce($"dcg_scaled", lit(0L)).as("dcg_scaled"),
+        $"idcg_scaled",
+        when($"idcg_scaled" > 0,
+          expr("(coalesce(dcg_scaled, 0) * 1000000) div idcg_scaled"))
+          .otherwise(0L).as("ndcg_micro"),
+        coalesce(expr("1000000 div first_rel_rank"), lit(0L)).as("mrr_micro"))
+      .orderBy($"query_id")
+  }
+
   private def bm25CtesSql(nQueries: Int, qTerms: Int): String =
     s"""bdocs AS (
           SELECT doc_id,
@@ -1051,6 +1116,44 @@ object Similarity {
       s"""WITH ${bm25CtesSql(nQueries = 5, qTerms = 6)}
           SELECT query_id, doc_id, bm25_micro, CAST(rk AS BIGINT) AS rank
           FROM brank WHERE rk <= 10 ORDER BY query_id, rank""",
+    // NDCG replay: same bm25 chain, same interpolated discount VALUES,
+    // count-derived ideal list, positive integral divisions
+    "nd_rag_ndcg" ->
+      s"""WITH ${bm25CtesSql(nQueries = 5, qTerms = 6)},
+          nmeta AS (SELECT doc_id, source, lang FROM documents),
+          nq AS (SELECT doc_id AS query_id, source AS q_source, lang AS q_lang
+                 FROM nmeta WHERE doc_id < 5),
+          ndisc(rank, disc_micro) AS (VALUES ${ndcgDisc.map {
+            case (r, m) => s"($r, $m)" }.mkString(", ")}),
+          nrel AS (SELECT b.query_id, b.rk AS rank,
+                          CASE WHEN m.source = q.q_source AND m.lang = q.q_lang THEN 2
+                               WHEN m.source = q.q_source THEN 1 ELSE 0 END AS rel
+                   FROM brank b JOIN nq q USING (query_id)
+                   JOIN nmeta m ON m.doc_id = b.doc_id
+                   WHERE b.rk <= 10),
+          ng AS (SELECT query_id, CAST(sum(rel * disc_micro) AS BIGINT) AS dcg_scaled,
+                        min(CASE WHEN rel > 0 THEN rank END) AS first_rel_rank
+                 FROM nrel JOIN ndisc USING (rank) GROUP BY query_id),
+          nsl AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS n_sl
+                  FROM nmeta GROUP BY 1, 2),
+          ns AS (SELECT source, CAST(count(*) AS BIGINT) AS n_s
+                 FROM nmeta GROUP BY 1),
+          nqc AS (SELECT query_id, n_sl - 1 AS n_rel2, n_s - n_sl AS n_rel1
+                  FROM nq JOIN nsl ON nsl.source = nq.q_source AND nsl.lang = nq.q_lang
+                  JOIN ns ON ns.source = nq.q_source),
+          nidcg AS (SELECT query_id, n_rel2, n_rel1,
+                           CAST(sum(CASE WHEN rank <= n_rel2 THEN 2 * disc_micro
+                                    WHEN rank <= n_rel2 + n_rel1 THEN disc_micro
+                                    ELSE 0 END) AS BIGINT) AS idcg_scaled
+                    FROM nqc CROSS JOIN ndisc GROUP BY 1, 2, 3)
+          SELECT i.query_id, n_rel2, n_rel1,
+                 coalesce(dcg_scaled, 0) AS dcg_scaled, idcg_scaled,
+                 CASE WHEN idcg_scaled > 0
+                      THEN (coalesce(dcg_scaled, 0) * 1000000) // idcg_scaled
+                      ELSE 0 END AS ndcg_micro,
+                 coalesce(1000000 // first_rel_rank, 0) AS mrr_micro
+          FROM nidcg i LEFT JOIN ng g ON g.query_id = i.query_id
+          ORDER BY i.query_id""",
     "nd_rag_hybrid" ->
       s"""WITH ${bm25CtesSql(nQueries = 5, qTerms = 6)},
           hq AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv

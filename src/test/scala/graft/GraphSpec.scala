@@ -15,6 +15,34 @@ class GraphSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val sf = "/root/testdata/sf0.001"
 
+  test("eth_q20 balances equal a driver-side signed exact-wei ledger replay") {
+    import spark.implicits._
+    val dir = graft.sources.eth.EthFixtures.ensure(spark)
+    val transfers = spark.read.format("ethereum")
+      .option("table", "erc20").option("chain", dir)
+      .option("weiDecimal", "true").load()
+      .select($"erc20_token", $"erc20_from", $"erc20_to", $"erc20_value")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+                 BigInt(r.getDecimal(3).toBigInteger)))
+    val bal = new scala.collection.mutable.HashMap[(String, String), (BigInt, Long, Long)]()
+    transfers.foreach { case (tok, from, to, wei) =>
+      val (bc, ni, no) = bal.getOrElse((tok, to), (BigInt(0), 0L, 0L))
+      bal((tok, to)) = (bc + wei, ni + 1, no)
+      val (bc2, ni2, no2) = bal.getOrElse((tok, from), (BigInt(0), 0L, 0L))
+      bal((tok, from)) = (bc2 - wei, ni2, no2 + 1)
+    }
+    // conservation: the ledger sums to zero over all holders
+    assert(bal.values.map(_._1).sum == BigInt(0), "signed ledger must conserve")
+    val expected = bal.toSeq
+      .map { case ((t, a), (b, ni, no)) => (t, a, b.toString, ni, no) }
+      .sortBy { case (t, a, b, _, _) => (-BigInt(b), t, a) }.take(15)
+    val got = EthQueries.q20Balances(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+                 r.getLong(3), r.getLong(4))).toSeq
+    assert(got == expected, s"balances mismatch:\n got=${got.take(3)}\n exp=${expected.take(3)}")
+  }
+
   test("eth_q17 pagerank equals a driver-side integer-exact reimplementation") {
     import spark.implicits._
     val dir = graft.sources.eth.EthFixtures.ensure(spark)

@@ -54,6 +54,45 @@ class RetrievalSpec extends AnyFunSuite {
       s"fusion diverged: ${got.take(3)} vs ${expected.take(3)}")
   }
 
+  test("NDCG eval equals a driver replay from the BM25 ranking and metadata") {
+    import org.apache.spark.sql.functions.col
+    val disc = (1 to 10)
+      .map(i => i.toLong -> math.round(1000000.0 / (math.log(i + 1.0) / math.log(2.0))))
+      .toMap
+    val meta = Tables.documents(spark, sf).select(col("doc_id"), col("source"), col("lang"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    val ranked = Similarity.bm25Retrieve(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))) // (q, doc, rank)
+    val got = Similarity.retrievalNdcg(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val q = r.getAs[Long]("query_id")
+      val (qs, ql) = meta(q)
+      def relOf(doc: Long): Long = meta(doc) match {
+        case (`qs`, `ql`) => 2L
+        case (`qs`, _)    => 1L
+        case _            => 0L
+      }
+      val rows = ranked.filter(_._1 == q)
+      val dcg = rows.map { case (_, doc, rank) => relOf(doc) * disc(rank) }.sum
+      assert(r.getAs[Long]("dcg_scaled") == dcg, s"q$q dcg mismatch")
+      // ideal list: every 2 then every 1 over the whole corpus minus the query doc
+      val n2 = meta.count { case (id, v) => id != q && v == ((qs, ql)) }.toLong
+      val n1 = meta.count { case (id, (s2, l2)) => id != q && s2 == qs && l2 != ql }.toLong
+      assert(r.getAs[Long]("n_rel2") == n2 && r.getAs[Long]("n_rel1") == n1)
+      val idcg = (1 to 10).map { i =>
+        if (i <= n2) 2L * disc(i) else if (i <= n2 + n1) disc(i) else 0L
+      }.sum
+      assert(r.getAs[Long]("idcg_scaled") == idcg, s"q$q idcg mismatch")
+      assert(r.getAs[Long]("ndcg_micro") ==
+        (if (idcg > 0) dcg * 1000000L / idcg else 0L))
+      val firstRel = rows.sortBy(_._3).collectFirst {
+        case (_, doc, rank) if relOf(doc) > 0 => rank }
+      assert(r.getAs[Long]("mrr_micro") == firstRel.map(1000000L / _).getOrElse(0L))
+      assert(r.getAs[Long]("ndcg_micro") <= 1000000L)
+    }
+  }
+
   test("set-sim join prefix filter misses NO pair vs driver brute force") {
     import spark.implicits._
     val parts = Tables.part(spark, sf)
