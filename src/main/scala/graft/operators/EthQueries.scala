@@ -320,7 +320,9 @@ object EthQueries {
     val wEdges = edges.join(outw, "src").persist(lvl)
     val nodes = edges.select($"src".as("addr"))
       .union(edges.select($"dst".as("addr"))).distinct().persist(lvl)
-    var rank = nodes.withColumn("r", lit(1000000L))
+    // eager localCheckpoint truncates the per-iteration lineage (see the
+    // q19 components loop for the measured cost of not doing this)
+    var rank = nodes.withColumn("r", lit(1000000L)).localCheckpoint(true)
     for (_ <- 1 to 5) {
       val contribs = wEdges.join(rank, wEdges("src") === rank("addr"))
         .select($"dst", expr("(CAST(r AS DECIMAL(38,0)) * w) div tw").as("c"))
@@ -328,6 +330,7 @@ object EthQueries {
       rank = nodes.join(contribs, nodes("addr") === contribs("dst"), "left")
         .select($"addr",
           (lit(150000L) + expr("(850 * CAST(coalesce(s, 0L) AS DECIMAL(38,0))) div 1000")).as("r"))
+        .localCheckpoint(true)
     }
     val out = rank.orderBy($"r".desc, $"addr").limit(15)
       .select($"addr", $"r".as("rank_micro"))
@@ -438,7 +441,13 @@ object EthQueries {
       .union(und.select($"token", $"b".as("u"), $"a".as("v")))
       .persist(lvl)
     val nodes = sym.select($"token", $"u".as("addr")).distinct().persist(lvl)
-    var lbl = nodes.withColumn("lbl", $"addr")
+    // each round MUST truncate lineage (eager localCheckpoint): the naive
+    // re-assigned DataFrame re-analyzes and re-executes the whole prefix
+    // every iteration — quadratic work and an exponentially wider plan
+    // (measured 75s on the fixture before truncation; ~2s after). The
+    // checkpointed state is |V| rows — bounded iterative state, the same
+    // contract as the PageRank loop
+    var lbl = nodes.withColumn("lbl", $"addr").localCheckpoint(true)
     for (_ <- 1 to 8) {
       val nbrMin = sym.as("s")
         .join(lbl.as("p"), $"s.token" === $"p.token" && $"s.v" === $"p.addr")
@@ -448,6 +457,7 @@ object EthQueries {
           Seq("token", "addr"), "left")
         .select($"token", $"addr",
                 least($"l.lbl", coalesce($"m.mn", $"l.lbl")).as("lbl"))
+        .localCheckpoint(true)
     }
     val comp = lbl.groupBy($"token", $"lbl").agg(count(lit(1)).as("sz"))
     val out = comp.groupBy($"token")

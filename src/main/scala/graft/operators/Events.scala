@@ -246,6 +246,56 @@ object Events {
            AS BIGINT) END""").as("chi2_micro"))
   }
 
+  /** EXACT per-type value percentiles (p50/p90/p99) — the latency-band
+    * report of every observability pipeline, computed with the
+    * histogram + running-total decomposition that scales: aggregate to
+    * (type, cents) counts FIRST (the value domain is bounded — cents, not
+    * rows), then one window pass over the aggregate's output computes
+    * cumulative counts, and each percentile is `min c with 100·cum ≥ q·n`
+    * — the ceil-free integer formulation of `rank ≥ ⌈q·n/100⌉`. No
+    * data-scale sort anywhere: the window's child is the histogram
+    * aggregate (state-scale, the PlanAudit-sanctioned shape), and money
+    * stays exact integer cents throughout.
+    */
+  def percentiles(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cents = events(s, d)
+      .select($"event_type", Money.cents($"value").as("c"))
+    val hist = cents.groupBy($"event_type", $"c").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy($"event_type").orderBy($"c")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("cum", sum($"n").over(w))
+    val tot = hist.groupBy($"event_type").agg(sum($"n").as("nt"))
+    cum.join(broadcast(tot), "event_type")
+      .groupBy($"event_type")
+      .agg(max($"nt").as("n_events"),
+           min(when($"cum" * 100 >= $"nt" * 50, $"c")).as("p50_cents"),
+           min(when($"cum" * 100 >= $"nt" * 90, $"c")).as("p90_cents"),
+           min(when($"cum" * 100 >= $"nt" * 99, $"c")).as("p99_cents"),
+           max($"c").as("max_cents"))
+      .orderBy($"event_type")
+  }
+
+  /** Semi-structured PROPS profiling — the JSON-column statistics pass
+    * (schema discovery / data profiling over an opaque string column):
+    * extract the numeric `k` property and roll up exact integer stats per
+    * event type. Extraction is map-side codegen'd `get_json_object`; the
+    * roll-up is one partial-agg'd groupBy of |types| rows. The distinct
+    * count is exact (bounded k domain); everything is integer so both
+    * engines agree bit-for-bit. */
+  def propsStats(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val k = get_json_object($"props", "$.k").cast("long")
+    events(s, d).select($"event_type", k.as("k"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+           countDistinct($"k").as("k_distinct"),
+           min($"k").as("k_min"),
+           max($"k").as("k_max"),
+           sum($"k").as("k_sum"))
+      .orderBy($"event_type")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "nd_events_funnel" -> funnel _,
     "nd_events_retention" -> retention _,
@@ -253,7 +303,9 @@ object Events {
     "nd_events_gapfill" -> gapfill _,
     "nd_events_paths" -> paths _,
     "nd_events_attribution" -> attribution _,
-    "nd_events_abtest" -> abTest _)
+    "nd_events_abtest" -> abTest _,
+    "nd_events_percentiles" -> percentiles _,
+    "nd_events_props" -> propsStats _)
 
   def oracle: Map[String, String] = Map(
     "nd_events_funnel" ->
@@ -363,6 +415,29 @@ object Events {
                                // ((a + b)::HUGEINT * (c + d) * (a + c) * (b + d))
                                AS BIGINT) END AS chi2_micro
          FROM cells""",
+    "nd_events_percentiles" ->
+      """WITH c AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c FROM events),
+         hist AS (SELECT event_type, c, CAST(count(*) AS BIGINT) AS n FROM c GROUP BY 1, 2),
+         cum AS (SELECT event_type, c, n,
+                        sum(n) OVER (PARTITION BY event_type ORDER BY c
+                                     ROWS UNBOUNDED PRECEDING) AS cum
+                 FROM hist),
+         tot AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS nt FROM hist GROUP BY 1)
+         SELECT event_type, max(nt) AS n_events,
+                min(CASE WHEN cum * 100 >= nt * 50 THEN c END) AS p50_cents,
+                min(CASE WHEN cum * 100 >= nt * 90 THEN c END) AS p90_cents,
+                min(CASE WHEN cum * 100 >= nt * 99 THEN c END) AS p99_cents,
+                max(c) AS max_cents
+         FROM cum JOIN tot USING (event_type)
+         GROUP BY event_type ORDER BY event_type""",
+    "nd_events_props" ->
+      """SELECT event_type,
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(count(DISTINCT CAST(json_extract_string(props, 'k') AS BIGINT)) AS BIGINT) AS k_distinct,
+                min(CAST(json_extract_string(props, 'k') AS BIGINT)) AS k_min,
+                max(CAST(json_extract_string(props, 'k') AS BIGINT)) AS k_max,
+                CAST(sum(CAST(json_extract_string(props, 'k') AS BIGINT)) AS BIGINT) AS k_sum
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "nd_events_gapfill" ->
       """WITH daily AS (SELECT user_id, epoch_ms(ts) // 86400000 AS d, count(*) AS cnt
                         FROM events GROUP BY 1, 2),

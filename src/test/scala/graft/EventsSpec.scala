@@ -163,6 +163,41 @@ class EventsSpec extends AnyFunSuite {
     assert(d == conv.count { case (u, cv) => u % 2 == 1 && cv == 0 })
   }
 
+  test("percentiles match a driver-side sort of exact cents") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val byType = Tables.events(spark, sf)
+      .select($"event_type", round($"value" * 100, 0).cast("long").as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (t, rs) => t -> rs.map(_._2).sorted }
+    def pct(v: Array[Long], q: Int): Long = {
+      // min c with 100*cum >= q*n == element at index ceil(q*n/100) - 1
+      val idx = (q * v.length + 99) / 100 - 1
+      v(idx.max(0))
+    }
+    Events.percentiles(spark, sf).collect().foreach { r =>
+      val v = byType(r.getAs[String]("event_type"))
+      assert(r.getAs[Long]("n_events") == v.length)
+      assert(r.getAs[Long]("p50_cents") == pct(v, 50))
+      assert(r.getAs[Long]("p90_cents") == pct(v, 90))
+      assert(r.getAs[Long]("p99_cents") == pct(v, 99))
+      assert(r.getAs[Long]("max_cents") == v.last)
+      assert(r.getAs[Long]("p50_cents") <= r.getAs[Long]("p90_cents") &&
+             r.getAs[Long]("p90_cents") <= r.getAs[Long]("p99_cents") &&
+             r.getAs[Long]("p99_cents") <= r.getAs[Long]("max_cents"))
+    }
+  }
+
+  test("props stats conserve counts and bound the k domain") {
+    val rows = Events.propsStats(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("n")).sum == eventCount)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("k_min") >= 0L && r.getAs[Long]("k_max") <= 99L)
+      assert(r.getAs[Long]("k_distinct") <= 100L)
+      assert(r.getAs[Long]("k_sum") >= r.getAs[Long]("k_max"))
+    }
+  }
+
   test("gapfill max_gap matches a driver-side recount on one user") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
