@@ -296,6 +296,47 @@ object Events {
       .orderBy($"event_type")
   }
 
+  /** Robust daily-volume ANOMALY screen — the median/MAD detector every
+    * monitoring pipeline runs per series (median and MAD shrug off the
+    * very outliers a mean/stddev screen would absorb): daily event counts
+    * per type, lower-median via the rank formulation `min n at rank ≥
+    * ⌈days/2⌉` (pure integers — no float median of an even count), MAD =
+    * the same formulation over |n − med|, and a day is anomalous iff
+    * `dev > 3·mad` (exact integer comparison; a zero MAD degenerates to
+    * flagging any deviation, the strictest consistent reading).
+    *
+    * Scale shape: daily counts are one partial-agg'd (type, day) shuffle
+    * of calendar-bounded cells; both medians are windows OVER THE
+    * AGGREGATE's bounded output (the PlanAudit-sanctioned shape); every
+    * join broadcasts a |types|-row side. */
+  def anomalies(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val daily = ev(s, d)
+      .groupBy($"event_type", expr("ms div 86400000").as("d"))
+      .agg(count(lit(1)).as("n"))
+    val nd = daily.groupBy($"event_type").agg(count(lit(1)).as("nd"))
+    val wN = Window.partitionBy($"event_type").orderBy($"n", $"d")
+    val med = daily.withColumn("r", row_number().over(wN))
+      .join(broadcast(nd), "event_type")
+      .filter($"r" * 2 >= $"nd")
+      .groupBy($"event_type").agg(min($"n").as("med"))
+    val dev = daily.join(broadcast(med), "event_type")
+      .withColumn("dev", abs($"n" - $"med"))
+    val wD = Window.partitionBy($"event_type").orderBy($"dev", $"d")
+    val mad = dev.withColumn("r", row_number().over(wD))
+      .join(broadcast(nd), "event_type")
+      .filter($"r" * 2 >= $"nd")
+      .groupBy($"event_type").agg(min($"dev").as("mad"))
+    dev.join(broadcast(mad), "event_type")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_days"),
+           max($"med").as("median_daily"),
+           max($"mad").as("mad_daily"),
+           sum(when($"dev" > lit(3L) * $"mad", 1L).otherwise(0L)).as("n_anomalies"),
+           max($"dev").as("max_dev"))
+      .orderBy($"event_type")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "nd_events_funnel" -> funnel _,
     "nd_events_retention" -> retention _,
@@ -305,7 +346,8 @@ object Events {
     "nd_events_attribution" -> attribution _,
     "nd_events_abtest" -> abTest _,
     "nd_events_percentiles" -> percentiles _,
-    "nd_events_props" -> propsStats _)
+    "nd_events_props" -> propsStats _,
+    "nd_events_anomaly" -> anomalies _)
 
   def oracle: Map[String, String] = Map(
     "nd_events_funnel" ->
@@ -415,6 +457,31 @@ object Events {
                                // ((a + b)::HUGEINT * (c + d) * (a + c) * (b + d))
                                AS BIGINT) END AS chi2_micro
          FROM cells""",
+    "nd_events_anomaly" ->
+      """WITH daily AS (SELECT event_type, epoch_ms(ts) // 86400000 AS d,
+                               CAST(count(*) AS BIGINT) AS n
+                        FROM events GROUP BY 1, 2),
+         nd AS (SELECT event_type, CAST(count(*) AS BIGINT) AS nd FROM daily GROUP BY 1),
+         medr AS (SELECT event_type, n,
+                         row_number() OVER (PARTITION BY event_type ORDER BY n, d) AS r
+                  FROM daily),
+         med AS (SELECT m.event_type, min(n) AS med
+                 FROM medr m JOIN nd USING (event_type)
+                 WHERE r * 2 >= nd GROUP BY m.event_type),
+         dev AS (SELECT daily.event_type, d, n, med, abs(n - med) AS dev
+                 FROM daily JOIN med USING (event_type)),
+         madr AS (SELECT event_type, dev,
+                         row_number() OVER (PARTITION BY event_type ORDER BY dev, d) AS r
+                  FROM dev),
+         mad AS (SELECT m.event_type, min(dev) AS mad
+                 FROM madr m JOIN nd USING (event_type)
+                 WHERE r * 2 >= nd GROUP BY m.event_type)
+         SELECT dev.event_type, CAST(count(*) AS BIGINT) AS n_days,
+                max(med) AS median_daily, max(mad) AS mad_daily,
+                CAST(sum(CASE WHEN dev > 3 * mad THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
+                max(dev) AS max_dev
+         FROM dev JOIN mad USING (event_type)
+         GROUP BY dev.event_type ORDER BY dev.event_type""",
     "nd_events_percentiles" ->
       """WITH c AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c FROM events),
          hist AS (SELECT event_type, c, CAST(count(*) AS BIGINT) AS n FROM c GROUP BY 1, 2),

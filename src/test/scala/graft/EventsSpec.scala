@@ -198,6 +198,28 @@ class EventsSpec extends AnyFunSuite {
     }
   }
 
+  test("anomaly screen matches a driver-side median/MAD replay") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val daily = Tables.events(spark, sf)
+      .groupBy($"event_type", expr("unix_millis(ts) div 86400000").as("d"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getLong(2)))
+      .groupBy(_._1).map { case (t, rs) => t -> rs.map(_._2) }
+    def lowerMedian(v: Seq[Long]): Long = v.sorted.apply((v.length + 1) / 2 - 1)
+    Events.anomalies(spark, sf).collect().foreach { r =>
+      val v = daily(r.getAs[String]("event_type")).toSeq
+      val med = lowerMedian(v)
+      val devs = v.map(n => math.abs(n - med))
+      val mad = lowerMedian(devs)
+      assert(r.getAs[Long]("n_days") == v.length)
+      assert(r.getAs[Long]("median_daily") == med)
+      assert(r.getAs[Long]("mad_daily") == mad)
+      assert(r.getAs[Long]("n_anomalies") == devs.count(_ > 3 * mad))
+      assert(r.getAs[Long]("max_dev") == devs.max)
+    }
+  }
+
   test("gapfill max_gap matches a driver-side recount on one user") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
