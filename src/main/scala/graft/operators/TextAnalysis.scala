@@ -432,6 +432,40 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** SHANNON ENTROPY of the token distribution per language — the
+    * diversity diagnostic (a collapsed or templated corpus shows low
+    * unigram entropy; dedup/curation pipelines track it before/after):
+    * `H = ln N − (Σ c·ln c)/N` in micro-nats, with ONE ln quantization
+    * per distinct count value and everything after exact integer
+    * (products `c·lnc_micro` sum in DECIMAL(38,0) — at 100 TB a
+    * language's Σ c·ln c reaches ~1e19 micro-nats, past long range).
+    * Also reports the perplexity-style normalized entropy `H/ln V`
+    * (micro ratio, integral division) — 1.0 means uniform usage.
+    *
+    * Scale shape: one (lang, token) partial-agg'd count shuffle, one
+    * |langs|-row roll-up; the ln runs over aggregate output. */
+  def tokenEntropy(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cnt = documents(s, d)
+      .select($"lang", explode(wsTokens(canonical($"text"))).as("token"))
+      .filter($"token" =!= "")
+      .groupBy($"lang", $"token").agg(count(lit(1)).as("c"))
+    cnt.groupBy($"lang")
+      .agg(sum($"c").as("n_tokens"),
+           count(lit(1)).as("vocab"),
+           sum(($"c" * expr("CAST(round(ln(CAST(c AS DOUBLE)) * 1000000.0) AS BIGINT)"))
+             .cast("decimal(38,0)")).as("sum_clnc"))
+      .select($"lang", $"n_tokens", $"vocab",
+        (expr("CAST(round(ln(CAST(n_tokens AS DOUBLE)) * 1000000.0) AS BIGINT)")
+          - expr("CAST(sum_clnc div n_tokens AS BIGINT)")).as("entropy_micro"))
+      .withColumn("norm_entropy_micro",
+        expr("""CASE WHEN vocab > 1
+                THEN (entropy_micro * 1000000)
+                     div CAST(round(ln(CAST(vocab AS DOUBLE)) * 1000000.0) AS BIGINT)
+                ELSE 0 END"""))
+      .orderBy($"lang")
+  }
+
   /** ZIPF-LAW fit of the vocabulary — the corpus-health diagnostic
     * (natural text follows freq ∝ rank^-1; a flat or broken power law
     * flags synthetic/templated data): OLS of ln(freq) on ln(rank) over
@@ -774,6 +808,7 @@ object TextAnalysis {
     "nd_vocab_cms" -> ((s: SparkSession, d: String) => vocabCms(s, d)),
     "nd_vocab_hll" -> vocabHll _,
     "nd_text_zipf" -> ((s: SparkSession, d: String) => zipfFit(s, d)),
+    "nd_text_entropy" -> tokenEntropy _,
     "nd_token_pairs" -> ((s: SparkSession, d: String) => tokenPairs(s, d)),
     "nd_text_pmi" -> ((s: SparkSession, d: String) => pmiCollocations(s, d)),
     "nd_text_tfidf" -> ((s: SparkSession, d: String) => tfidfKeywords(s, d)),
@@ -1042,6 +1077,28 @@ object TextAnalysis {
                FROM documents)
          WHERE token <> ''
          GROUP BY token ORDER BY freq DESC, token LIMIT 50""",
+    // entropy replay: per-count micro-nat ln, HUGEINT c*lnc sum,
+    // integral divisions; positive throughout so div == //
+    "nd_text_entropy" ->
+      """WITH tok AS (SELECT lang, unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS token
+                      FROM documents),
+         cnt AS (SELECT lang, token, CAST(count(*) AS BIGINT) AS c
+                 FROM tok WHERE token <> '' GROUP BY 1, 2),
+         roll AS (SELECT lang,
+                         CAST(sum(c) AS BIGINT) AS n_tokens,
+                         CAST(count(*) AS BIGINT) AS vocab,
+                         CAST(sum(c::HUGEINT * CAST(round(ln(CAST(c AS DOUBLE)) * 1000000.0::DOUBLE) AS BIGINT)) AS HUGEINT) AS sum_clnc
+                  FROM cnt GROUP BY lang),
+         ent AS (SELECT lang, n_tokens, vocab,
+                        CAST(round(ln(CAST(n_tokens AS DOUBLE)) * 1000000.0::DOUBLE) AS BIGINT)
+                          - CAST(sum_clnc // n_tokens AS BIGINT) AS entropy_micro
+                 FROM roll)
+         SELECT lang, n_tokens, vocab, entropy_micro,
+                CASE WHEN vocab > 1
+                     THEN (entropy_micro * 1000000)
+                          // CAST(round(ln(CAST(vocab AS DOUBLE)) * 1000000.0::DOUBLE) AS BIGINT)
+                     ELSE 0 END AS norm_entropy_micro
+         FROM ent ORDER BY lang""",
     // Zipf replay: same top-k, micro-nat ln axes, HUGEINT OLS moments,
     // integral-division slope/intercept, double r2 off the exact sums
     "nd_text_zipf" ->

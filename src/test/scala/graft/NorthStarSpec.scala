@@ -662,6 +662,27 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("token entropy matches a driver-side exact replay and is bounded by ln V") {
+    val sf = "/root/testdata/sf0.001"
+    val counts = Tables.documents(spark, sf)
+      .select($"lang", explode(TextAnalysis.wsTokens(TextAnalysis.canonical($"text"))).as("t"))
+      .filter($"t" =!= "").groupBy($"lang", $"t").count().collect()
+      .map(r => (r.getString(0), r.getLong(2)))
+      .groupBy(_._1).map { case (l, rs) => l -> rs.map(_._2) }
+    TextAnalysis.tokenEntropy(spark, sf).collect().foreach { r =>
+      val cs = counts(r.getAs[String]("lang"))
+      val n = cs.sum
+      val sumClnc = cs.map(c => BigInt(c) * math.round(math.log(c.toDouble) * 1e6)).sum
+      val h = math.round(math.log(n.toDouble) * 1e6) - (sumClnc / n).toLong
+      assert(r.getAs[Long]("n_tokens") == n)
+      assert(r.getAs[Long]("vocab") == cs.length)
+      assert(r.getAs[Long]("entropy_micro") == h, s"${r.get(0)} entropy mismatch")
+      val lnV = math.round(math.log(cs.length.toDouble) * 1e6)
+      assert(r.getAs[Long]("norm_entropy_micro") == h * 1000000L / lnV)
+      assert(h >= 0 && h <= lnV, "0 <= H <= ln V")
+    }
+  }
+
   test("Zipf fit matches an exact driver-side OLS replay") {
     val sf = "/root/testdata/sf0.001"
     val r = TextAnalysis.zipfFit(spark, sf).collect().head

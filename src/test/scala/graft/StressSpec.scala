@@ -60,6 +60,16 @@ object StressFixture {
           $"lang", $"source", $"n_chars")
         .write.mode("overwrite").parquet(s"$out/documents.parquet")
 
+      // events user-shifted per copy (per-user event density unchanged —
+      // the shuffle-on-user_id shapes see 30x users, not 30x-denser users)
+      // and day-shifted so calendar cells spread too
+      Tables.events(spark, base).crossJoin(ks)
+        .select(($"event_id" + $"k" * 100000000L).as("event_id"),
+          timestamp_micros(expr("unix_micros(ts)") + $"k" * 86400000000L).as("ts"),
+          ($"user_id" + $"k" * 1000000L).as("user_id"),
+          $"event_type", $"value", $"props")
+        .write.mode("overwrite").parquet(s"$out/events.parquet")
+
       Tables.embeddings(spark, base).crossJoin(ks)
         .select(($"vec_id" + $"k" * 1000000L).as("vec_id"),
           when($"k" === 0, $"embedding").otherwise(
@@ -370,6 +380,54 @@ class StressSpec extends AnyFunSuite {
       assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
         s"query $q scores not descending")
     }
+  }
+
+  test("(j) event-analytics operators keep their scale shape at 30x") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    import graft.operators.Events
+    // same data-scale-funnel detector as PlanAuditSpec: a Window fed by a
+    // single-partition exchange with no intervening aggregate
+    def offenders(plan: SparkPlan): Seq[String] = {
+      val unwrapped = plan match {
+        case a: AdaptiveSparkPlanExec => a.initialPlan
+        case p => p
+      }
+      unwrapped.collect {
+        case w: WindowExec if w.children.exists(c =>
+              c.collectFirst { case e: ShuffleExchangeExec
+                if e.outputPartitioning.numPartitions == 1 => e }.isDefined &&
+              !c.collectFirst { case agg: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => agg }.isDefined) =>
+          s"Window over SinglePartition: ${w.simpleStringWithNodeId()}"
+      }
+    }
+    val ops: Seq[(String, DataFrame)] = Seq(
+      "paths" -> Events.paths(spark, dir),
+      "attribution" -> Events.attribution(spark, dir),
+      "percentiles" -> Events.percentiles(spark, dir),
+      "anomaly" -> Events.anomalies(spark, dir),
+      "sessions" -> Events.sessions(spark, dir))
+    ops.foreach { case (name, df) =>
+      val bad = offenders(df.queryExecution.executedPlan)
+      assert(bad.isEmpty, s"$name funnels at 30x:\n${bad.mkString("\n")}")
+    }
+    // conservation laws hold on the 30x corpus (aggregate-only checks —
+    // outputs are bounded, nothing data-scale is collected)
+    import org.apache.spark.sql.functions._
+    val users = Tables.events(spark, dir).select("user_id").distinct().count()
+    val nEvents = Tables.events(spark, dir).count()
+    assert(nEvents >= 30L * 1000, "stress events fixture missing")
+    val pathTotal = Events.paths(spark, dir)
+      .agg(sum("n")).head.getLong(0)
+    assert(pathTotal == nEvents + users,
+      s"path flow not conserved at 30x: $pathTotal vs ${nEvents + users}")
+    val attr = Events.attribution(spark, dir)
+      .agg(sum("n_first"), sum("n_last"),
+           sum("first_touch_cents"), sum("last_touch_cents")).head
+    assert(attr.getLong(0) == attr.getLong(1), "attribution purchase counts diverge")
+    assert(attr.getLong(2) == attr.getLong(3), "attribution revenue diverges between models")
   }
 
   test("(d) ANN recall holds up at 30x — not just at the toy corpus") {
