@@ -224,20 +224,25 @@ object TextAnalysis {
     * TakeOrderedAndProject, never a global sort. */
   def pmiCollocations(s: SparkSession, d: String, minCount: Int = 5, k: Int = 50): DataFrame = {
     import s.implicits._
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val docs = documents(s, d).select(wsTokens(canonical($"text")).as("w"))
+    // the count tables are VOCAB-sized — persisting them caps the
+    // corpus at exactly two scans (one per n-gram order); without the
+    // persist each scalar aggregate and join re-derives them from raw
+    // text (six corpus scans at 100 TB)
     val uni = docs.select(explode($"w").as("x"))
-      .groupBy($"x").agg(count(lit(1)).as("c_x"))
+      .groupBy($"x").agg(count(lit(1)).as("c_x")).persist(lvl)
     val big = docs.select(explode(zip_with(
         slice($"w", lit(1), size($"w") - 1),
         slice($"w", lit(2), size($"w") - 1),
         (a, b) => concat(a, lit(" "), b))).as("pr"))
     val cxy = big.groupBy($"pr").agg(count(lit(1)).as("c_xy"))
       .select(split($"pr", " ", 2).getItem(0).as("x"),
-              split($"pr", " ", 2).getItem(1).as("y"), $"c_xy")
+              split($"pr", " ", 2).getItem(1).as("y"), $"c_xy").persist(lvl)
     val nTot = uni.agg(sum($"c_x")).head.getLong(0)
     val bTot = cxy.agg(sum($"c_xy")).head.getLong(0)
     val cy = uni.select($"x".as("y"), $"c_x".as("c_y"))
-    cxy.filter($"c_xy" >= minCount)
+    val out = cxy.filter($"c_xy" >= minCount)
       .join(uni, "x").join(cy, "y")
       .select($"x", $"y", $"c_xy", $"c_x", $"c_y",
         round(log(($"c_xy".cast("double") * lit(nTot.toDouble) * lit(nTot.toDouble)) /
@@ -245,6 +250,11 @@ object TextAnalysis {
           .cast("long").as("pmi_micro"))
       .orderBy($"pmi_micro".desc, $"x", $"y")
       .limit(k)
+    graft.plans.Caching.detach(out, () => {
+      uni.unpersist(blocking = false)
+      cxy.unpersist(blocking = false)
+      ()
+    })
   }
 
   /** Per-document TF-IDF keyword extraction — top-3 terms per document by
@@ -263,10 +273,13 @@ object TextAnalysis {
     * is collected or globally sorted. */
   def tfidfKeywords(s: SparkSession, d: String, k: Int = 3): DataFrame = {
     import s.implicits._
+    // tf feeds BOTH the df derivation and the score join — persist it so
+    // the corpus tokenizes once (the nbClassify discipline)
     val tf = documents(s, d)
       .select($"doc_id", explode(wsTokens(canonical($"text"))).as("token"))
       .filter($"token" =!= "")
       .groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dTot = documents(s, d).count()
     val idf = tf.groupBy($"token").agg(count(lit(1)).as("df"))
       .select($"token",
@@ -274,12 +287,13 @@ object TextAnalysis {
           .cast("long").as("idf_micro"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"doc_id").orderBy($"score".desc, $"token")
-    tf.join(idf, "token")
+    val out = tf.join(idf, "token")
       .select($"doc_id", $"token", $"tf", $"idf_micro",
               ($"tf" * $"idf_micro").as("score"))
       .withColumn("r", row_number().over(w))
       .filter($"r" <= k)
       .orderBy($"doc_id", $"r")
+    graft.plans.Caching.detach(out, () => { tf.unpersist(blocking = false); () })
   }
 
   /** Full BPE merge-LEARNING loop — the tokenizer-training stage after the
