@@ -262,6 +262,15 @@ object Events {
     val cents = events(s, d)
       .select($"event_type", Money.cents($"value").as("c"))
     val hist = cents.groupBy($"event_type", $"c").agg(count(lit(1)).as("n"))
+    percentileReadoff(hist)
+  }
+
+  /** Percentile read-off over a `(event_type, c, n)` histogram — shared
+    * by the batch operator and the drained-stream variant
+    * ([[StreamQueries.streamPercentiles]]), whose complete drain produces
+    * the identical cells. */
+  private[operators] def percentileReadoff(hist: DataFrame): DataFrame = {
+    import hist.sparkSession.implicits._
     val w = Window.partitionBy($"event_type").orderBy($"c")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = hist.withColumn("cum", sum($"n").over(w))

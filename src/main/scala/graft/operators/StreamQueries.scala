@@ -109,6 +109,32 @@ object StreamQueries {
       .orderBy($"win_ms", $"event_type")
   }
 
+  /** Drained streaming EXACT percentiles: the stream maintains the
+    * value-domain-bounded `(event_type, cents)` histogram — the same
+    * cells the batch operator aggregates first — as ONE complete-mode
+    * stateful aggregate; the percentile read-off then runs as a batch
+    * post-pass over the drained cells ([[Events.percentileReadoff]],
+    * shared code). State is |types|×|cent-values| however long the
+    * stream runs — the streaming-legal shape for exact order statistics
+    * (a per-event buffer would be unbounded) — and a complete drain makes
+    * the cells exactly the batch histogram, so the row shares
+    * nd_events_percentiles' oracle verbatim. */
+  def streamPercentiles(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cells = EventStreams.readEvents(s, d)
+      .select($"event_type", Money.cents($"value").as("c"))
+      .groupBy($"event_type", $"c").agg(count(lit(1)).as("n"))
+    val drained = drain(cells, "nd_stream_pct_sink", "complete",
+      statePartitions = Some(8))
+    // the read-off self-joins the histogram (cum ⋈ totals); two branches
+    // of one memory-sink table trip Spark's conflicting-reference check,
+    // so localize the BOUNDED cells first (|types|×|cent-values| rows —
+    // sketch-scale metadata, never the event stream)
+    val hist = s.createDataFrame(
+      java.util.Arrays.asList(drained.collect(): _*), drained.schema)
+    Events.percentileReadoff(hist)
+  }
+
   /** Drained streaming count-min sketch ([[StreamingCms.cmsStream]]): the
     * final depth×width cells of the heavy-hitter sketch, which a complete
     * drain makes EXACTLY the batch audit's cells (same md5-fold hash
@@ -273,6 +299,7 @@ object StreamQueries {
     "nd_stream_join" -> ((s: SparkSession, d: String) => streamJoin(s, d)),
     "eth_stream_blocks" -> ((s: SparkSession, d: String) => ethStreamBlocks(s, d)),
     "nd_stream_window" -> ((s: SparkSession, d: String) => streamWindow(s, d)),
+    "nd_stream_percentiles" -> ((s: SparkSession, d: String) => streamPercentiles(s, d)),
     "nd_stream_cms" -> ((s: SparkSession, d: String) => streamCms(s, d)),
     "nd_stream_dedup" -> ((s: SparkSession, d: String) => streamDedup(s, d)),
     "nd_stream_session" -> ((s: SparkSession, d: String) => streamSession(s, d)),
@@ -309,6 +336,9 @@ object StreamQueries {
       """SELECT (epoch_ms(ts) // 300000) * 300000 AS win_ms, event_type,
                 count(*) AS n, round(sum("value"), 2) AS total_value
          FROM events GROUP BY 1, 2 ORDER BY win_ms, event_type""",
+    // a complete drain reproduces the batch histogram cell-for-cell, so
+    // the stream row shares the batch percentile oracle verbatim
+    "nd_stream_percentiles" -> Events.oracle("nd_events_percentiles"),
     // the cells CTE of the nd_vocab_cms replay, emitted directly — a
     // complete drain of the stream must reproduce every cell count
     "nd_stream_cms" ->

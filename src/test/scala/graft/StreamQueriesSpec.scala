@@ -29,6 +29,16 @@ class StreamQueriesSpec extends AnyFunSuite {
       s"stream/batch ranking diverged: ${streamed.take(3).mkString(",")} vs ${batch.take(3).mkString(",")}")
   }
 
+  test("drained streaming percentiles equal the batch read-off row-for-row") {
+    val streamed = StreamQueries.streamPercentiles(spark, sf).collect()
+      .map(_.toSeq)
+    val batch = graft.operators.Events.percentiles(spark, sf).collect()
+      .map(_.toSeq)
+    assert(streamed.length == batch.length && streamed.nonEmpty)
+    assert(streamed.toSeq == batch.toSeq,
+      s"stream/batch percentiles diverged: ${streamed.take(2)} vs ${batch.take(2)}")
+  }
+
   test("streaming MERGE equals the one-shot batch upsert manifest") {
     val streamed = operators.StreamQueries.streamUpsert(spark, sf)
       .collect().map(_.toSeq)
