@@ -226,6 +226,30 @@ object StreamQueries {
     * bucket. The oracle is the expected block table — so the streaming
     * source's offset bookkeeping (no gap, no double-emit across batch
     * boundaries) is value-pinned, not just spec-gated. */
+  /** Drained streaming ERC-20 DECODE: the transfer-log decode
+    * ([[graft.sources.eth.Erc20Decoder]]) runs inside the streaming scan —
+    * each micro-batch covers a block span, decodes its receipts to
+    * transfer rows, and the drained aggregate reproduces eth_q4's
+    * per-token movement over the same block range, oracle shared
+    * verbatim. The 2000–4000 range keeps the planted >2^53 uint256
+    * values out (their rows ride the weiDecimal path, eth_q12/q20); the
+    * in-range values are integral doubles, so the post-drain sum is
+    * order-free. */
+  def ethStreamTransfers(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dir = graft.sources.eth.EthFixtures.ensure(s)
+    val st = s.readStream.format("ethereum")
+      .option("table", "erc20").option("chain", dir)
+      .option("maxBlocksPerBatch", "2048").load()
+      .filter($"erc20_blockNumber".between(2000, 4000))
+      .select($"erc20_token", $"erc20_value")
+    drain(st, "eth_stream_transfers_sink", "append")
+      .groupBy($"erc20_token")
+      .agg(round(sum($"erc20_value"), 2).as("total_moved"),
+           count(lit(1)).as("n_transfers"))
+      .orderBy($"erc20_token")
+  }
+
   def ethStreamBlocks(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val dir = graft.sources.eth.EthFixtures.ensure(s)
@@ -298,6 +322,7 @@ object StreamQueries {
     "nd_stream_upsert" -> ((s: SparkSession, d: String) => streamUpsert(s, d)),
     "nd_stream_join" -> ((s: SparkSession, d: String) => streamJoin(s, d)),
     "eth_stream_blocks" -> ((s: SparkSession, d: String) => ethStreamBlocks(s, d)),
+    "eth_stream_transfers" -> ((s: SparkSession, d: String) => ethStreamTransfers(s, d)),
     "nd_stream_window" -> ((s: SparkSession, d: String) => streamWindow(s, d)),
     "nd_stream_percentiles" -> ((s: SparkSession, d: String) => streamPercentiles(s, d)),
     "nd_stream_cms" -> ((s: SparkSession, d: String) => streamCms(s, d)),
@@ -325,6 +350,9 @@ object StreamQueries {
           ORDER BY p_id, c_id""",
     // the streaming source drain must cover every block exactly once —
     // the oracle is the expected chain-wide per-kilo-block manifest
+    // the streaming decode over the same range must reproduce the batch
+    // movement row-for-row; oracle shared verbatim
+    "eth_stream_transfers" -> EthQueries.oracle("eth_q4_erc20_movement"),
     "eth_stream_blocks" -> EthQueries.withEthTables(
       """SELECT block_number // 1000 AS blk_k, count(*) AS n_blocks,
          CAST(sum(block_size) AS BIGINT) AS total_size,

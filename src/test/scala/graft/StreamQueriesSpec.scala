@@ -39,6 +39,15 @@ class StreamQueriesSpec extends AnyFunSuite {
       s"stream/batch percentiles diverged: ${streamed.take(2)} vs ${batch.take(2)}")
   }
 
+  test("drained streaming ERC-20 decode equals the batch movement rows") {
+    val streamed = StreamQueries.ethStreamTransfers(spark, sf).collect().map(_.toSeq)
+    val batch = graft.operators.EthQueries
+      .queries("eth_q4_erc20_movement")(spark, sf).collect().map(_.toSeq)
+    assert(streamed.length == batch.length && streamed.nonEmpty)
+    assert(streamed.toSeq == batch.toSeq,
+      s"stream/batch decode diverged: ${streamed.take(2)} vs ${batch.take(2)}")
+  }
+
   test("streaming MERGE equals the one-shot batch upsert manifest") {
     val streamed = operators.StreamQueries.streamUpsert(spark, sf)
       .collect().map(_.toSeq)
