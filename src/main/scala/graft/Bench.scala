@@ -38,7 +38,15 @@ object Bench {
     // cost). The min over N runs is the least-noise estimator of the plan's
     // true cost; the JSON carries the run count so readers know the protocol.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt.max(1)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional comma-separated name filter for targeted re-measures (e.g.
+    // regression adjudication on a quiet box). Unset = every query, the
+    // driver's per-round protocol.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").map(_.trim).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter { case (k, _) => names(k) }
+      case None        => SparkEntry.queries
+    }
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val samples = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         val ok =

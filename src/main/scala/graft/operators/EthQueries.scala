@@ -24,12 +24,14 @@ object EthQueries {
   }
 
   private val exp = s"${EthFixtures.DefaultDir}/expected"
-  private[operators] def withEthTables(sql: String): String =
-    s"""WITH block AS (SELECT * FROM read_parquet('$exp/block/*.parquet')),
+  private[operators] def withEthTables(sql: String, recursive: Boolean = false): String = {
+    val kw = if (recursive) "WITH RECURSIVE" else "WITH"
+    s"""$kw block AS (SELECT * FROM read_parquet('$exp/block/*.parquet')),
         transaction AS (SELECT * FROM read_parquet('$exp/transaction/*.parquet')),
         erc20 AS (SELECT * FROM read_parquet('$exp/erc20/*.parquet')),
         erc20_exact AS (SELECT * FROM read_parquet('$exp/erc20_exact/*.parquet'))
         $sql"""
+  }
 
   /** Q1: block-time deltas via consecutive-block self-join
     * (`use-cases.sql:5-15`), bucketed per 1000 blocks. */
@@ -320,17 +322,17 @@ object EthQueries {
     val wEdges = edges.join(outw, "src").persist(lvl)
     val nodes = edges.select($"src".as("addr"))
       .union(edges.select($"dst".as("addr"))).distinct().persist(lvl)
-    // eager localCheckpoint truncates the per-iteration lineage (see the
-    // q19 components loop for the measured cost of not doing this)
-    var rank = nodes.withColumn("r", lit(1000000L)).localCheckpoint(true)
+    // eager lineage truncation each round (see Caching.iterCheckpoint for
+    // the measured cost of not doing this + the reliable-checkpoint mode)
+    var rank = graft.plans.Caching.iterCheckpoint(nodes.withColumn("r", lit(1000000L)))
     for (_ <- 1 to 5) {
       val contribs = wEdges.join(rank, wEdges("src") === rank("addr"))
         .select($"dst", expr("(CAST(r AS DECIMAL(38,0)) * w) div tw").as("c"))
         .groupBy($"dst").agg(sum($"c").as("s"))
-      rank = nodes.join(contribs, nodes("addr") === contribs("dst"), "left")
-        .select($"addr",
-          (lit(150000L) + expr("(850 * CAST(coalesce(s, 0L) AS DECIMAL(38,0))) div 1000")).as("r"))
-        .localCheckpoint(true)
+      rank = graft.plans.Caching.iterCheckpoint(
+        nodes.join(contribs, nodes("addr") === contribs("dst"), "left")
+          .select($"addr",
+            (lit(150000L) + expr("(850 * CAST(coalesce(s, 0L) AS DECIMAL(38,0))) div 1000")).as("r")))
     }
     val out = rank.orderBy($"r".desc, $"addr").limit(15)
       .select($"addr", $"r".as("rank_micro"))
@@ -408,27 +410,63 @@ object EthQueries {
     graft.plans.Caching.detach(out, free)
   }
 
-  /** Weakly-connected components of each token's transfer subgraph —
-    * "which addresses form one trading community per token" — via
-    * deterministic MIN-LABEL propagation: every address starts labeled
-    * with itself, and for 8 fixed iterations each address takes the
-    * minimum label among itself and its neighbors. 8 iterations cover
-    * the fixture's worst per-token diameter (7 incl. the fixed-point
-    * check — GraphSpec pins equality with a driver union-find), and the
-    * FIXED budget is what makes the result a deterministic value both
-    * engines replay bit-for-bit (the oracle unrolls the same 8 steps).
+  /** Deterministic MIN-LABEL propagation to CONVERGENCE over a symmetric
+    * adjacency `sym(token, u, v)` with node set `nodes(token, addr)`:
+    * every address starts labeled with itself; each round every address
+    * takes the minimum label among itself and its neighbors; the loop
+    * stops when a round changes zero labels (checked with one tiny
+    * aggregate over the already-checkpointed |V|-row state). Returns the
+    * converged labels and the number of rounds that changed something.
+    *
+    * Convergence-guarded rather than fixed-budget: a fixed iteration
+    * count silently under-merges any component whose diameter exceeds the
+    * budget — and an oracle unrolled to the same depth AGREES with the
+    * wrong answer (the symmetric-bug class). The guard costs one
+    * `sum(changed)` per round over node-scale state; rounds needed =
+    * largest component diameter. GraphSpec plants a 20-node path (needs
+    * 19 rounds) and proves an 8-round budget gets it wrong.
     *
     * Scale shape: per-iteration state is |V| rows of (token, addr,
     * label); each step is the standard Pregel shape — one join of labels
     * to the symmetric adjacency on (token, addr) + one min-aggregate —
-    * i.e. ~2 hash shuffles of node-scale (not transfer-scale) data. The
-    * adjacency and node set are computed once from a transfer-scale
-    * aggregate and persisted across iterations. Diameter-bound label
-    * prop is the right contract here (token communities are shallow);
-    * a log-n large-star/small-star variant would replace the loop body,
-    * not the operator surface, if diameters grew. Output is the
-    * per-token community summary: node/component counts + largest and
-    * smallest community sizes. */
+    * i.e. ~2 hash shuffles of node-scale (not transfer-scale) data, with
+    * lineage truncated per round via [[graft.plans.Caching.iterCheckpoint]]
+    * (reliable-checkpoint mode available for clusters). For graphs whose
+    * diameter grows with scale a log-n large-star/small-star variant
+    * would replace the loop body, not the operator surface. */
+  private[graft] def labelPropagate(sym: DataFrame, nodes: DataFrame,
+      maxRounds: Int = 1000): (DataFrame, Int) = {
+    val s = sym.sparkSession
+    import s.implicits._
+    var lbl = graft.plans.Caching.iterCheckpoint(nodes.withColumn("lbl", $"addr"))
+    var rounds = 0
+    var changed = 1L
+    while (changed > 0 && rounds < maxRounds) {
+      val nbrMin = sym.as("s")
+        .join(lbl.as("p"), $"s.token" === $"p.token" && $"s.v" === $"p.addr")
+        .groupBy($"s.token".as("token"), $"s.u".as("addr"))
+        .agg(min($"p.lbl").as("mn"))
+      val stepped = graft.plans.Caching.iterCheckpoint(
+        lbl.as("l").join(nbrMin.as("m"), Seq("token", "addr"), "left")
+          .select($"token", $"addr",
+                  least($"l.lbl", coalesce($"m.mn", $"l.lbl")).as("lbl"),
+                  ($"l.lbl" =!= least($"l.lbl", coalesce($"m.mn", $"l.lbl")))
+                    .cast("long").as("chg")))
+      changed = stepped.agg(coalesce(sum($"chg"), lit(0L))).first().getLong(0)
+      lbl = stepped.drop("chg")
+      if (changed > 0) rounds += 1
+    }
+    (lbl, rounds)
+  }
+
+  /** Weakly-connected components of each token's transfer subgraph —
+    * "which addresses form one trading community per token" — via
+    * [[labelPropagate]] run to convergence. The oracle computes TRUE
+    * components independently (DuckDB recursive transitive closure), so
+    * a hash match proves the loop actually converged — deliberately
+    * asymmetric implementations. Output is the per-token community
+    * summary: node/component counts + largest and smallest community
+    * sizes. */
   def q19ComponentsLazy(s: SparkSession, d: String): (DataFrame, () => Unit) = {
     import s.implicits._
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
@@ -441,24 +479,8 @@ object EthQueries {
       .union(und.select($"token", $"b".as("u"), $"a".as("v")))
       .persist(lvl)
     val nodes = sym.select($"token", $"u".as("addr")).distinct().persist(lvl)
-    // each round MUST truncate lineage (eager localCheckpoint): the naive
-    // re-assigned DataFrame re-analyzes and re-executes the whole prefix
-    // every iteration — quadratic work and an exponentially wider plan
-    // (measured 75s on the fixture before truncation; ~2s after). The
-    // checkpointed state is |V| rows — bounded iterative state, the same
-    // contract as the PageRank loop
-    var lbl = nodes.withColumn("lbl", $"addr").localCheckpoint(true)
-    for (_ <- 1 to 8) {
-      val nbrMin = sym.as("s")
-        .join(lbl.as("p"), $"s.token" === $"p.token" && $"s.v" === $"p.addr")
-        .groupBy($"s.token".as("token"), $"s.u".as("addr"))
-        .agg(min($"p.lbl").as("mn"))
-      lbl = lbl.as("l").join(nbrMin.as("m"),
-          Seq("token", "addr"), "left")
-        .select($"token", $"addr",
-                least($"l.lbl", coalesce($"m.mn", $"l.lbl")).as("lbl"))
-        .localCheckpoint(true)
-    }
+    val (lbl, rounds) = labelPropagate(sym, nodes)
+    System.err.println(s"[graft] eth_q19 label propagation converged after $rounds changing rounds")
     val comp = lbl.groupBy($"token", $"lbl").agg(count(lit(1)).as("sz"))
     val out = comp.groupBy($"token")
       .agg(sum($"sz").as("n_nodes"),
@@ -603,34 +625,33 @@ object EthQueries {
        SELECT addr, r AS rank_micro FROM pr5 ORDER BY r DESC, addr LIMIT 15"""
   }
 
-  /** Unrolled 8-iteration min-label-propagation replay (see
+  /** TRUE per-token components via recursive transitive closure (see
     * [[q19Components]]); starts with "," to extend [[withEthTables]]'s
-    * CTE list. Labels are address strings, so `min`/`least` agree
-    * between the engines (plain byte-wise comparison of ASCII hex). */
+    * CTE list (requires `recursive = true`). Deliberately NOT the same
+    * algorithm as the Spark side's convergence-guarded label propagation:
+    * reachability is closed under DuckDB's recursive-CTE fixed point, so
+    * the oracle's components are exact regardless of graph diameter and a
+    * hash match proves the Spark loop converged (no symmetric unrolling
+    * bug). Component label = min address in the component — byte-wise
+    * string comparison of ASCII hex, identical in both engines. Closure
+    * size is Σ per-component size², fine at fixture scale. */
   private val componentsOracle: String = {
-    val base =
-      """, und AS (SELECT DISTINCT erc20_token AS token,
-                     least(erc20_from, erc20_to) AS a,
-                     greatest(erc20_from, erc20_to) AS b
-                   FROM erc20 WHERE erc20_from <> erc20_to),
-         sym AS (SELECT token, a AS u, b AS v FROM und
-                 UNION ALL SELECT token, b AS u, a AS v FROM und),
-         l0 AS (SELECT DISTINCT token, u AS addr, u AS lbl FROM sym)"""
-    val iters = (1 to 8).map { i =>
-      s"""l$i AS (SELECT l.token, l.addr,
-             least(l.lbl, coalesce(m.mn, l.lbl)) AS lbl
-           FROM l${i - 1} l LEFT JOIN (
-             SELECT s.token, s.u AS addr, min(p.lbl) AS mn
-             FROM sym s JOIN l${i - 1} p ON s.token = p.token AND s.v = p.addr
-             GROUP BY s.token, s.u) m
-           ON l.token = m.token AND l.addr = m.addr)"""
-    }.mkString(",\n")
-    s"""$base,
-       $iters,
-       comp AS (SELECT token, lbl, count(*) AS sz FROM l8 GROUP BY token, lbl)
-       SELECT token, CAST(sum(sz) AS BIGINT) AS n_nodes, count(*) AS n_components,
-              max(sz) AS largest, min(sz) AS smallest
-       FROM comp GROUP BY token ORDER BY token"""
+    s""", und AS (SELECT DISTINCT erc20_token AS token,
+                    least(erc20_from, erc20_to) AS a,
+                    greatest(erc20_from, erc20_to) AS b
+                  FROM erc20 WHERE erc20_from <> erc20_to),
+        sym AS (SELECT token, a AS u, b AS v FROM und
+                UNION ALL SELECT token, b AS u, a AS v FROM und),
+        reach AS (SELECT token, u, v FROM sym
+                  UNION
+                  SELECT r.token, r.u, s.v
+                  FROM reach r JOIN sym s ON r.token = s.token AND r.v = s.u),
+        lbls AS (SELECT token, u AS addr, least(u, min(v)) AS lbl
+                 FROM reach GROUP BY token, u),
+        comp AS (SELECT token, lbl, count(*) AS sz FROM lbls GROUP BY token, lbl)
+        SELECT token, CAST(sum(sz) AS BIGINT) AS n_nodes, count(*) AS n_components,
+               max(sz) AS largest, min(sz) AS smallest
+        FROM comp GROUP BY token ORDER BY token"""
   }
 
   /** DuckDB replica of [[graft.sources.eth.FixtureChainClient.addrSeed]]:
@@ -747,7 +768,7 @@ object EthQueries {
          count(DISTINCT concat_ws('>', erc20_from, erc20_to)) AS n_edges
          FROM erc20 GROUP BY erc20_token ORDER BY erc20_token"""),
     "eth_q17_pagerank" -> withEthTables(pageRankOracle),
-    "eth_q19_components" -> withEthTables(componentsOracle),
+    "eth_q19_components" -> withEthTables(componentsOracle, recursive = true),
     // signed exact-wei ledger off the erc20_exact digit strings: credit
     // to, debit from, top-15 balances, string-pinned like eth_q12
     "eth_q20_balances" -> withEthTables(

@@ -32,6 +32,35 @@ object Caching {
     * is preserved on both paths (collect keeps it; a LocalRelation scans
     * in row order).
     */
+  /** Eagerly truncate the lineage of per-iteration loop state (PageRank,
+    * label propagation). Re-assigned DataFrames otherwise re-analyze and
+    * re-execute the whole prefix each round — quadratic work and an
+    * exponentially wider plan (measured 75s → 5s on eth_q19).
+    *
+    * Default mode is `localCheckpoint(eager = true)`: blocks live on
+    * executors NON-REPLICATED, which is correct on `local[*]` but means a
+    * single executor loss mid-loop kills the query on a real cluster (no
+    * lineage left to recover). For cluster deployments set
+    * `spark.graft.checkpointDir` to a reliable location (HDFS/object
+    * store): state is then written through `checkpoint()` and survives
+    * executor loss. The checkpoint dir is installed on the SparkContext
+    * once (first use wins — `setCheckpointDir` mints a fresh random
+    * subdirectory per call, so re-setting it every iteration would leak
+    * directories). Results are identical in both modes; only durability
+    * and write cost differ (state is |V|-row bounded, so the reliable
+    * write is metadata-scale, not data-scale).
+    */
+  def iterCheckpoint(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    spark.conf.getOption("spark.graft.checkpointDir").filter(_.nonEmpty) match {
+      case Some(dir) =>
+        val sc = spark.sparkContext
+        if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
+        df.checkpoint() // eager + reliable
+      case None => df.localCheckpoint(true)
+    }
+  }
+
   def detach(result: DataFrame, free: () => Unit,
       maxLocalRows: Long = 100000L): DataFrame = {
     val spark = result.sparkSession

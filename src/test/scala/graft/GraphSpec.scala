@@ -115,7 +115,7 @@ class GraphSpec extends AnyFunSuite {
       s"triangles: got ${row.getLong(3)}, brute force $expected")
   }
 
-  test("eth_q19 components equal a driver-side union-find (8 iterations converge)") {
+  test("eth_q19 components equal a driver-side union-find (convergence-guarded)") {
     import spark.implicits._
     val dir = graft.sources.eth.EthFixtures.ensure(spark)
     val edges = spark.read.format("ethereum")
@@ -142,7 +142,53 @@ class GraphSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
       .toMap
     assert(got == expected.toMap,
-      "8-iteration label propagation disagrees with union-find — not converged or wrong")
+      "label propagation disagrees with union-find — not converged or wrong")
+  }
+
+  test("label propagation converges on a >8-hop chain where a fixed 8-round budget fails") {
+    import spark.implicits._
+    // 20-node path a01–a02–…–a20: diameter 19, so min-label needs 19
+    // propagation rounds — the round-6 fixed-8 budget provably under-merges
+    val addrs = (1 to 20).map(i => f"a$i%02d")
+    val edges = addrs.sliding(2).map { case Seq(a, b) => ("t", a, b) }.toSeq
+    val sym = edges.toDF("token", "u", "v")
+      .union(edges.map { case (t, a, b) => (t, b, a) }.toDF("token", "u", "v"))
+    val nodes = addrs.map(a => ("t", a)).toDF("token", "addr")
+    // the old fixed budget: 8 rounds leave the far end of the chain unmerged
+    val (lbl8, _) = EthQueries.labelPropagate(sym, nodes, maxRounds = 8)
+    val distinct8 = lbl8.select("lbl").distinct().count()
+    assert(distinct8 > 1,
+      s"8 rounds should NOT merge a 19-hop chain (got $distinct8 labels)")
+    // the guarded loop runs until no label changes: one component, 19 rounds
+    val (lblFull, rounds) = EthQueries.labelPropagate(sym, nodes)
+    val labels = lblFull.select("lbl").distinct().collect().map(_.getString(0))
+    assert(labels.toSeq == Seq("a01"), s"expected single component a01, got ${labels.toSeq}")
+    assert(rounds == 19, s"19-diameter path must take 19 changing rounds, took $rounds")
+  }
+
+  test("reliable-checkpoint mode (spark.graft.checkpointDir) yields identical results") {
+    import spark.implicits._
+    val addrs = (1 to 12).map(i => f"b$i%02d")
+    val edges = addrs.sliding(2).map { case Seq(a, b) => ("t", a, b) }.toSeq
+    val sym = edges.toDF("token", "u", "v")
+      .union(edges.map { case (t, a, b) => (t, b, a) }.toDF("token", "u", "v"))
+    val nodes = addrs.map(a => ("t", a)).toDF("token", "addr")
+    val (defaultLbl, defaultRounds) = EthQueries.labelPropagate(sym, nodes)
+    val ckDir = java.nio.file.Files.createTempDirectory("graft-ck").toString
+    spark.conf.set("spark.graft.checkpointDir", ckDir)
+    try {
+      val (reliableLbl, reliableRounds) = EthQueries.labelPropagate(sym, nodes)
+      assert(reliableRounds == defaultRounds)
+      val a = defaultLbl.orderBy("token", "addr").collect().toSeq
+      val b = reliableLbl.orderBy("token", "addr").collect().toSeq
+      assert(a == b, "reliable-checkpoint mode changed the converged labels")
+      // the reliable mode actually wrote through the configured dir
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(ckDir))
+        .filter(p => java.nio.file.Files.isRegularFile(p)).count()
+      assert(wrote > 0, "no checkpoint files written under spark.graft.checkpointDir")
+    } finally {
+      spark.conf.unset("spark.graft.checkpointDir")
+    }
   }
 
   test("length outlier screen fires on planted absurd lengths, stays quiet on uniform") {
