@@ -34,6 +34,23 @@ object Semantic {
 
   val DefaultLists = 16
 
+  /** Member cap above which a cluster is deterministically hash-sharded
+    * before the within-cluster pair join. The quadratic comparison is
+    * bounded by the LARGEST cluster, and a degenerate corpus (near-
+    * constant embeddings — common in scraped data: empty pages, boiler-
+    * plate) can funnel everything into one mega-cluster where n²/2 pairs
+    * blow up regardless of `nLists`. A second Lloyd pass cannot split
+    * that case (k-means cannot separate identical points), so the cap
+    * shards by `xxhash64(vec_id) mod ceil(size/cap)` — balanced by id
+    * hashing, independent of vector geometry. Drops stay SOUND (anything
+    * dropped has a τ-close lower-id twin in its shard); recall of drops
+    * degrades gracefully: at most one extra representative survives per
+    * shard (≤ ceil(size/cap) per cluster instead of 1 in the fully
+    * degenerate case). Default is inert at oracle scale (largest fixture
+    * cluster « cap), so the DuckDB replay stays exact; StressSpec pins
+    * the capped path on a planted mega-cluster. */
+  val DefaultMaxClusterSize = 100000
+
   /** Cosine threshold for "semantically identical". The synthetic
     * embeddings' pairwise cosine mass sits in [-0.5, 0.5]; 0.4 selects the
     * far tail (top ~0.2% of pairs), the same regime a production tau
@@ -60,25 +77,57 @@ object Semantic {
     * (round-4-digit first, the same boundary discipline as the embedding
     * near-dup pair queries, so the ≥ comparison is engine-stable).
     *
-    * The self-join is equi-keyed on `list_id`, so it shuffles each cluster
-    * to one task and compares only within it; the dup side collapses to a
-    * DISTINCT id set before the corpus-wide left-anti flag join. */
+    * The self-join is equi-keyed on `(list_id, sub_id)` — the cluster id
+    * plus the mega-cluster shard of [[capClusters]] — so it shuffles each
+    * bucket to one task and compares only within it; the dup side
+    * collapses to a DISTINCT id set before the corpus-wide left-anti flag
+    * join. */
   def semanticDedup(s: SparkSession, d: String,
       nLists: Int = DefaultLists,
       lloydIters: Int = Similarity.DefaultLloydIters,
-      tau: Double = DefaultTau): DataFrame = {
+      tau: Double = DefaultTau,
+      maxClusterSize: Int = DefaultMaxClusterSize): DataFrame = {
     import s.implicits._
     val (lists, _, free) = clusteredVecs(s, d, nLists, lloydIters)
-    val dup = lists.as("a").join(lists.as("b"),
+    Caching.detach(semanticDedupFrom(lists, tau, maxClusterSize), free)
+  }
+
+  /** Shard any cluster larger than `cap` into `ceil(size/cap)` sub-buckets
+    * by id hash (see [[DefaultMaxClusterSize]]); clusters at or under the
+    * cap keep a single `sub_id = 0` bucket, so the capped plan is
+    * semantically identical to the uncapped one until a cluster actually
+    * exceeds the cap. Cluster sizes are an nLists-row aggregate —
+    * broadcast, no extra corpus shuffle. */
+  private[graft] def capClusters(lists: DataFrame, cap: Int): DataFrame = {
+    val s = lists.sparkSession
+    import s.implicits._
+    val sizes = lists.groupBy($"list_id").agg(count(lit(1)).as("cl_n"))
+    lists.join(broadcast(sizes), Seq("list_id"))
+      .withColumn("n_sub", greatest(lit(1L), ceil($"cl_n" / lit(cap.toDouble)).cast("long")))
+      .withColumn("sub_id", pmod(xxhash64($"vec_id"), $"n_sub"))
+      .drop("cl_n", "n_sub")
+  }
+
+  /** The SemDeDup core over an already-clustered frame `(vec_id, list_id,
+    * v)`: within each (cluster, shard) bucket, a vector is dropped when a
+    * lower-id vector sits within the cosine threshold. Candidate pairs
+    * are bounded by Σ_buckets c²/2 ≤ corpus · cap — never the
+    * uncapped largest-cluster quadratic. */
+  private[graft] def semanticDedupFrom(lists: DataFrame, tau: Double = DefaultTau,
+      maxClusterSize: Int = DefaultMaxClusterSize): DataFrame = {
+    val s = lists.sparkSession
+    import s.implicits._
+    val capped = capClusters(lists, maxClusterSize)
+    val dup = capped.as("a").join(capped.as("b"),
         col("a.list_id") === col("b.list_id") &&
+          col("a.sub_id") === col("b.sub_id") &&
           col("a.vec_id") < col("b.vec_id"))
       .filter(round(Expressions.cosineSim(col("a.v"), col("b.v")), 4) >= tau)
       .select(col("b.vec_id").as("vec_id")).distinct()
-    val out = lists
+    lists
       .join(dup.withColumn("is_dup", lit(true)), Seq("vec_id"), "left")
       .select($"vec_id", $"list_id", $"is_dup".isNull.as("keep"))
       .orderBy($"vec_id")
-    Caching.detach(out, free)
   }
 
   /** Per-cluster prototypes: the `m` members most similar to their

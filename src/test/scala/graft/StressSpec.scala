@@ -275,6 +275,42 @@ class StressSpec extends AnyFunSuite {
       s"shard ${r.getLong(0)} off balance at 30x: ${r.getLong(1)} vs ${total / 8}"))
   }
 
+  test("(k) SemDeDup mega-cluster cap bounds the pair join on a degenerate corpus") {
+    import spark.implicits._
+    import graft.operators.Semantic
+    // 3000 IDENTICAL embeddings: the adversarial case — every vector lands
+    // in ONE cluster and a second Lloyd pass cannot split identical points,
+    // so the uncapped pair join would build n²/2 = 4.5M candidate pairs
+    val n = 3000
+    val cap = 200
+    val lists = spark.range(n).select($"id".as("vec_id"), lit(0L).as("list_id"),
+      array((0 until 8).map(i => lit(if (i == 0) 1.0 else 0.0)): _*).as("v"))
+    val capped = Semantic.capClusters(lists, cap)
+    val buckets = capped.groupBy($"list_id", $"sub_id").agg(count(lit(1)).as("c"))
+      .collect().map(_.getLong(2))
+    assert(buckets.length == math.ceil(n.toDouble / cap).toInt,
+      s"expected ${math.ceil(n.toDouble / cap).toInt} shards, got ${buckets.length}")
+    // id-hash sharding balances independent of vector geometry
+    assert(buckets.max <= cap * 3 / 2,
+      s"mega-cluster shard overweight: max=${buckets.max} vs cap=$cap")
+    val candidatePairs = buckets.map(c => c * (c - 1) / 2).sum
+    assert(candidatePairs <= n.toLong * cap,
+      s"candidate pairs not bounded by n*cap: $candidatePairs")
+    assert(candidatePairs < n.toLong * (n - 1) / 8,
+      "cap failed to shrink the quadratic pair set")
+    // drops stay sound and ~one representative survives per shard: all
+    // vectors are tau-close, so each shard keeps exactly its min id
+    val verdicts = Semantic.semanticDedupFrom(lists, maxClusterSize = cap).collect()
+    assert(verdicts.length == n)
+    val kept = verdicts.count(_.getBoolean(2))
+    assert(kept == buckets.length,
+      s"degenerate corpus should keep one vector per shard: kept=$kept shards=${buckets.length}")
+    // inert below the cap: same frame, cap >= n, single shard, keeps exactly 1
+    val keptUncapped = Semantic.semanticDedupFrom(lists, maxClusterSize = n)
+      .collect().count(_.getBoolean(2))
+    assert(keptUncapped == 1, "uncapped degenerate cluster must keep only the min id")
+  }
+
   test("(g) round-5 operators keep their scale shape at 30x") {
     import spark.implicits._
     import graft.operators.{Pipeline, TextAnalysis}
