@@ -536,6 +536,26 @@ object EthQueries {
               $"n_in", $"n_out")
   }
 
+  /** Q21: time-span summary of a block range — the "how long did these
+    * blocks take" dashboard primitive. Every aggregate here is FULLY
+    * PUSHED into the source (`SupportsPushDownAggregates`): count and
+    * min/max(block_number) are answered from range metadata, and
+    * min/max(block_timestamp) exploits the chain's monotone timestamps —
+    * `timestampOf(range endpoint)`, two point fetches. The whole query
+    * plans ONE metadata partition and fetches ZERO full blocks
+    * (EthPlanSpec asserts both), where the reference scans every block
+    * in the range. */
+  def q21TimeSpan(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    eth(s, "block")
+      .filter($"block_number".between(1000, 4500))
+      .agg(count(lit(1)).as("n_blocks"),
+           min($"block_number").as("first_block"),
+           max($"block_number").as("last_block"),
+           min($"block_timestamp").as("first_ts"),
+           max($"block_timestamp").as("last_ts"))
+  }
+
   /** B12: the catalog's DESCRIBE surface *as data*. The reference pins the
     * exact `DESCRIBE block/transaction/erc20` output in its docs
     * (`README.md:139-186`; widths `EthereumMetadata.java:48-51`), so this
@@ -592,7 +612,8 @@ object EthQueries {
     "eth_q17_pagerank" -> q17PageRank _,
     "eth_q18_triangles" -> q18Triangles _,
     "eth_q19_components" -> q19Components _,
-    "eth_q20_balances" -> q20Balances _)
+    "eth_q20_balances" -> q20Balances _,
+    "eth_q21_time_span" -> q21TimeSpan _)
 
   /** Unrolled 5-iteration integer PageRank replay (see [[q17PageRank]] for
     * the exact recurrence); starts with "," to extend [[withEthTables]]'s
@@ -769,6 +790,16 @@ object EthQueries {
          FROM erc20 GROUP BY erc20_token ORDER BY erc20_token"""),
     "eth_q17_pagerank" -> withEthTables(pageRankOracle),
     "eth_q19_components" -> withEthTables(componentsOracle, recursive = true),
+    // the engine answers this from pushed metadata aggregates (zero block
+    // fetches); the oracle recomputes it the honest way over the expected
+    // parquet — a value-level check of the monotone-timestamp shortcut
+    "eth_q21_time_span" -> withEthTables(
+      """SELECT count(*) AS n_blocks,
+                CAST(min(block_number) AS BIGINT) AS first_block,
+                CAST(max(block_number) AS BIGINT) AS last_block,
+                CAST(min(block_timestamp) AS BIGINT) AS first_ts,
+                CAST(max(block_timestamp) AS BIGINT) AS last_ts
+         FROM block WHERE block_number BETWEEN 1000 AND 4500"""),
     // signed exact-wei ledger off the erc20_exact digit strings: credit
     // to, debit from, top-15 balances, string-pinned like eth_q12
     "eth_q20_balances" -> withEthTables(

@@ -247,24 +247,30 @@ class EthereumScanBuilder(kind: EthSchemas.TableKind, chainDir: String,
     }
   }
 
-  /** COUNT(*), MIN(block_number) and MAX(block_number) over the block
-    * table are answerable from range metadata alone (1 row per block,
-    * ranges already clipped to the tip at plan time) — no block is
-    * fetched. Spark only pushes aggregates when every filter was fully
-    * pushed, so residual hash/timestamp predicates disable this
-    * automatically. */
+  /** COUNT(*), MIN/MAX(block_number) and MIN/MAX(block_timestamp) over
+    * the block table are answerable from range metadata alone: 1 row per
+    * block, ranges already clipped to the tip at plan time, and chain
+    * timestamps are MONOTONE in block number — so min/max(timestamp)
+    * over a range union is `timestampOf(first/last block)`, two point
+    * fetches, zero block scans (the inverse of the timestamp→block
+    * binary search above). Spark only pushes aggregates when every
+    * filter was fully pushed, so residual hash/timestamp predicates
+    * disable this automatically. */
   private def aggToken(
       f: org.apache.spark.sql.connector.expressions.aggregate.AggregateFunc): Option[String] = {
     import org.apache.spark.sql.connector.expressions.NamedReference
     import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
-    def isBn(e: org.apache.spark.sql.connector.expressions.Expression): Boolean = e match {
-      case nr: NamedReference => nr.fieldNames.sameElements(Array("block_number"))
-      case _ => false
-    }
+    def named(e: org.apache.spark.sql.connector.expressions.Expression, col: String): Boolean =
+      e match {
+        case nr: NamedReference => nr.fieldNames.sameElements(Array(col))
+        case _ => false
+      }
     f match {
       case _: CountStar => Some("count")
-      case m: Min if isBn(m.column) => Some("min")
-      case m: Max if isBn(m.column) => Some("max")
+      case m: Min if named(m.column, "block_number") => Some("min")
+      case m: Max if named(m.column, "block_number") => Some("max")
+      case m: Min if named(m.column, "block_timestamp") => Some("min_ts")
+      case m: Max if named(m.column, "block_timestamp") => Some("max_ts")
       case _ => None
     }
   }
@@ -370,6 +376,8 @@ class EthereumScan(kind: EthSchemas.TableKind, chainDir: String,
       topNDesc.map(d => s" topN=block_number ${if (d) "DESC" else "ASC"}").getOrElse("")).getOrElse("")
     val cnt = if (pushedAggs.nonEmpty)
       s" pushedAggregate=${pushedAggs.map { case "count" => "count(*)"
+        case "min_ts" => "min(block_timestamp)"
+        case "max_ts" => "max(block_timestamp)"
         case t => s"$t(block_number)" }.mkString(",")}"
     else ""
     s"ethereum.${kind.name} ranges=$r$lim$cnt"
@@ -393,13 +401,19 @@ class EthereumScan(kind: EthSchemas.TableKind, chainDir: String,
 
   override def planInputPartitions(): Array[InputPartition] =
     if (pushedAggs.nonEmpty) {
-      // fully-pushed aggregation: one metadata row, zero block fetches
+      // fully-pushed aggregation: one metadata row; zero block fetches for
+      // count/min/max(block_number), two POINT fetches for the timestamp
+      // endpoints (monotone chain timestamps: min/max(ts) over a range
+      // union live at its first/last block)
       val rs = resolvedRanges
       val blocks = rs.map { case (s, e) => e - s + 1 }.sum
+      lazy val client = EthClient.forChain(chainDir)
       Array(EthereumAggPartition(pushedAggs.map {
-        case "count" => Some(blocks)
-        case "min"   => rs.headOption.map(_._1)
-        case "max"   => rs.lastOption.map(_._2)
+        case "count"  => Some(blocks)
+        case "min"    => rs.headOption.map(_._1)
+        case "max"    => rs.lastOption.map(_._2)
+        case "min_ts" => rs.headOption.map(r => client.timestampOf(r._1))
+        case "max_ts" => rs.lastOption.map(r => client.timestampOf(r._2))
       }))
     } else
       resolvedRanges.flatMap { case (s, e) =>
