@@ -33,6 +33,11 @@ object Tables {
     * with DuckDB's `epoch_ms` on the same file either way). */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // the TIMESTAMP_NTZ→timestamp relabel below is epoch-preserving ONLY at
+    // a UTC session zone; every entrypoint sets UTC already, but the
+    // invariant is enforced here, where it is relied upon (a non-UTC caller
+    // would silently shift every epoch)
+    s.conf.set("spark.sql.session.timeZone", "UTC")
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     val raw = t(s, d, "events")

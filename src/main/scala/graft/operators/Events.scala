@@ -222,6 +222,16 @@ object Events {
     * can reach ~1e25 at sf0.1, far past long range; decimal widening is
     * load-bearing, not defensive). Zero margins yield 0, not a crash.
     *
+    * EXACTNESS ENVELOPE: the 38-digit numerator bounds the exact-integer
+    * formulation to |ad−bc| ≲ 4e15 — roughly 1e8 users per experiment.
+    * Past it the engines leave the envelope with DIFFERENT failure modes
+    * (non-ANSI Spark nulls chi2_micro; DuckDB's HUGEINT raises), so the
+    * bound is a documented contract, not a silent cliff. Folding N out of
+    * the intermediate would buy ~one order of magnitude but costs up to N
+    * micro-units of rounding error (~100 χ² units at 1e8 users) — the
+    * wrong trade for a significance statistic; an experiment beyond 1e8
+    * users should subsample or accept a float χ² instead.
+    *
     * 100 TB: per-user conversion is one partial-agg'd groupBy on user_id;
     * the contingency roll-up is 4 rows; everything after is literal
     * arithmetic on one row. */

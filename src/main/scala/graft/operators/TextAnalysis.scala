@@ -467,8 +467,11 @@ object TextAnalysis {
     cnt.groupBy($"lang")
       .agg(sum($"c").as("n_tokens"),
            count(lit(1)).as("vocab"),
-           sum(($"c" * expr("CAST(round(ln(CAST(c AS DOUBLE)) * 1000000.0) AS BIGINT)"))
-             .cast("decimal(38,0)")).as("sum_clnc"))
+           // widen BEFORE the product (oracle's c::HUGEINT ordering): a
+           // long c·lnc_micro wraps once c ≳ 3e11 — reachable at 100 TB
+           sum($"c".cast("decimal(38,0)")
+             * expr("CAST(round(ln(CAST(c AS DOUBLE)) * 1000000.0) AS BIGINT)"))
+             .cast("decimal(38,0)").as("sum_clnc"))
       .select($"lang", $"n_tokens", $"vocab",
         (expr("CAST(round(ln(CAST(n_tokens AS DOUBLE)) * 1000000.0) AS BIGINT)")
           - expr("CAST(sum_clnc div n_tokens AS BIGINT)")).as("entropy_micro"))
