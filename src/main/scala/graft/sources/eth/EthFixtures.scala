@@ -214,6 +214,46 @@ object EthFixtures {
       s"tip=$tip\n".getBytes(StandardCharsets.UTF_8))
   }
 
+  /** Generate ONLY the JSONL chain (no expected-parquet oracle tables) —
+    * for scan/pushdown measurements at chain lengths where driver-side
+    * oracle accumulation is pointless weight ([[graft.tools.PushdownPayoff]]
+    * uses ~100k blocks). Same per-block seeding as [[ensure]], so block
+    * `n` here is byte-identical to block `n` of the standard fixture.
+    * Marker-guarded and synchronized like [[ensure]]. */
+  def ensureChainOnly(dir: String, nBlocks: Long): String = synchronized {
+    val marker = Paths.get(dir, "_SUCCESS_CHAIN")
+    if (Files.exists(marker)) return dir
+    val t0 = System.nanoTime()
+    Files.createDirectories(Paths.get(dir, "chain"))
+    val hashIndex = new BufferedWriter(new FileWriter(s"$dir/hash-index.txt"))
+    var chainWriter: BufferedWriter = null
+    var totalDifficulty = 0L
+    var ts = GenesisTs
+    var n = 1L
+    while (n <= nBlocks) {
+      if ((n - 1) % FixtureChainClient.BlocksPerFile == 0) {
+        if (chainWriter != null) chainWriter.close()
+        chainWriter = new BufferedWriter(
+          new FileWriter(f"$dir/chain/blocks-$n%07d.jsonl"))
+      }
+      val rng = new Random(977L * n)
+      ts += 9 + rng.nextInt(9)
+      val (b, _) = genBlock(n, totalDifficulty, ts)
+      totalDifficulty = b.totalDifficulty
+      chainWriter.write(blockJson(b)); chainWriter.newLine()
+      hashIndex.write(s"${b.hash} ${b.number}"); hashIndex.newLine()
+      n += 1
+    }
+    chainWriter.close()
+    hashIndex.close()
+    Files.write(Paths.get(dir, "meta.txt"),
+      s"tip=$nBlocks\n".getBytes(StandardCharsets.UTF_8))
+    Files.write(marker, Array.emptyByteArray)
+    System.err.println(f"[eth-fixtures] generated chain-only $nBlocks blocks " +
+      f"in ${(System.nanoTime() - t0) / 1e9}%.1fs -> $dir")
+    dir
+  }
+
   /** Generate chain + oracle tables under `dir` unless already present.
     * Safe to call from every query — synchronized and marker-guarded. */
   def ensure(spark: SparkSession, dir: String = DefaultDir): String = synchronized {

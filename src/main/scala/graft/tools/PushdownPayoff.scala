@@ -1,0 +1,148 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Measured payoff of every Ethereum-source pushdown at a scale where the
+  * differences matter: a ~100k-block chain (17× the oracle fixture, the
+  * StressSpec growth pattern applied to the source itself).
+  *
+  * Each pushdown is measured as a WITH/WITHOUT pair on the SAME engine:
+  * the "without" variant wraps the key column in an arithmetic identity
+  * (`block_number + 0`, `concat(hash, '')`), which Spark cannot translate
+  * to a DSv2 filter, so the scan degrades to full-chain fetch + residual
+  * filter — exactly the reference's documented behavior for every
+  * predicate it can't push ("takes forever", README.md:15). Split
+  * batching compares the reference's 1-split-per-block planning
+  * (`EthereumSplitManager.java:55-68`) to the repo's 512-block batches on
+  * the same range scan.
+  *
+  * Two payoff axes per pair:
+  *  - wall time on the local JSONL fixture (parse-bound: the warm
+  *    fixture client clears ~400k blocks/s on local[32], so per-task
+  *    overhead dominates everything but the 1-split-per-block case);
+  *  - BLOCKS PLANNED for fetch, introspected from the scan's input
+  *    partitions — the metric that rules a live RPC/IPC backend, where
+  *    every planned block is ≥1 network round trip (reference: ~10ms+
+  *    per block against a remote node, so planned-blocks IS wall time
+  *    at deployment scale).
+  *
+  * Prints a markdown table (stdout) for COVERAGE.md; runs best-of-N
+  * (default 2, `SPARK_GRAFT_PAYOFF_RUNS`). One-off measurement main, not
+  * part of the test suite — the suite pins the SHAPES (EthPlanSpec),
+  * this pins the measured payoffs.
+  */
+object PushdownPayoff {
+  private val ChainBlocks = 100000L
+
+  private def timeMin(runs: Int)(f: => Unit): Double =
+    (1 to runs).map { _ =>
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }.min
+
+  /** Blocks the executed plan's ethereum scans would fetch: the span sum
+    * of their `EthereumInputPartition`s (agg partitions fetch none —
+    * timestamp endpoints are 2 point lookups, not block fetches).
+    * Descends through AQE wrappers and query stages, whose stage plans
+    * are not `children` of the tree. */
+  private def plannedBlocks(df: DataFrame): Long = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    def walk(p: SparkPlan): Long = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: QueryStageExec => walk(q.plan)
+      case b: BatchScanExec =>
+        b.inputPartitions.collect {
+          case ip: graft.sources.eth.EthereumInputPartition => ip.end - ip.start + 1
+        }.sum
+      case other => other.children.map(walk).sum
+    }
+    walk(df.queryExecution.executedPlan)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_PAYOFF_RUNS", "2").toInt.max(1)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      // AQE off: re-collecting a cached queryExecution would reuse its
+      // materialized stages and time ~nothing; this is a scan bench
+      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SCALE_CHAIN",
+      s"${System.getProperty("java.io.tmpdir")}/graft-eth-scale")
+    graft.sources.eth.EthFixtures.ensureChainOnly(dir, ChainBlocks)
+    val client = graft.sources.eth.EthClient.forChain(dir)
+
+    def blocks(bpp: Int = 512): DataFrame = spark.read.format("ethereum")
+      .option("table", "block").option("chain", dir)
+      .option("blocksPerPartition", bpp.toString).load()
+    // a sum aggregate is NOT pushable, so these scans genuinely fetch
+    // their planned blocks (count(*) would be answered from metadata)
+    def sz(df: DataFrame): DataFrame = df.agg(sum(col("block_size")))
+
+    // warmup: JIT + page cache for the chain files, so pair members see
+    // the same cache state (both measured warm)
+    sz(blocks()).collect()
+
+    val results = scala.collection.mutable.ArrayBuffer.empty[(String, Double, Double, Long, Long)]
+    def pair(name: String, pushed: => DataFrame, defeated: => DataFrame): Unit = {
+      // by-name: a FRESH plan per timed run, so nothing is reused across runs
+      val p = timeMin(runs) { pushed.collect(); () }
+      val d = timeMin(runs) { defeated.collect(); () }
+      val pdf = pushed; pdf.collect()
+      val ddf = defeated; ddf.collect()
+      val pb = plannedBlocks(pdf); val db = plannedBlocks(ddf)
+      results += ((name, p, d, pb, db))
+      System.err.println(f"[payoff] $name%-28s pushed=$p%7.2fs/$pb%7d blk  defeated=$d%7.2fs/$db%7d blk")
+    }
+
+    val ts0 = client.timestampOf(50000L)
+    val ts1 = client.timestampOf(50999L)
+    val hash = graft.sources.eth.EthFixtures.blockHash(70000L)
+
+    // the "without" variants wrap the key in pmod(x, Long.MaxValue) /
+    // concat(x, '') — identity on this domain but opaque to BOTH constant
+    // folding and DSv2 filter translation (a plain `+ 0` gets folded back
+    // into a pushable reference)
+    def opaque(c: String) = pmod(col(c), lit(Long.MaxValue))
+    pair("range (1k of 100k blocks)",
+      sz(blocks().filter(col("block_number").between(50000L, 50999L))),
+      sz(blocks().filter(opaque("block_number").between(50000L, 50999L))))
+    pair("timestamp range (1k blocks)",
+      sz(blocks().filter(col("block_timestamp").between(ts0, ts1))),
+      sz(blocks().filter(opaque("block_timestamp").between(ts0, ts1))))
+    pair("hash point lookup",
+      sz(blocks().filter(col("block_hash") === hash)),
+      sz(blocks().filter(concat(col("block_hash"), lit("")) === hash)))
+    pair("TopN block_number desc 10",
+      blocks().orderBy(col("block_number").desc).limit(10),
+      blocks().orderBy(opaque("block_number").desc).limit(10))
+    pair("agg count/min/max + ts",
+      blocks().agg(count(lit(1)), min(col("block_number")), max(col("block_number")),
+        min(col("block_timestamp")), max(col("block_timestamp"))),
+      blocks().agg(sum(col("block_number") * 0 + 1), min(col("block_number") + 0),
+        max(col("block_number") + 0), min(col("block_timestamp") + 0),
+        max(col("block_timestamp") + 0)))
+    // reference plans 1 split per block (EthereumSplitManager.java:55-68);
+    // measured on a 10k-block range so the 1:1 variant stays tractable
+    pair("split batching 512 vs 1 (10k)",
+      sz(blocks(512).filter(col("block_number").between(40000L, 49999L))),
+      sz(blocks(1).filter(col("block_number").between(40000L, 49999L))))
+
+    println(s"\n| pushdown | time with | time without | blocks fetched with | without | fetch payoff |")
+    println(s"|---|---|---|---|---|---|")
+    results.foreach { case (n, p, d, pb, db) =>
+      val payoff = if (pb == 0) s"inf ($db -> 0)" else f"${db.toDouble / pb}%.0fx"
+      println(f"| $n | $p%.2fs | $d%.2fs | $pb | $db | $payoff |")
+    }
+    println(f"\n(best of $runs runs, ${ChainBlocks} blocks, local[$cpus], warm page cache)")
+    spark.stop()
+  }
+}
