@@ -556,6 +556,160 @@ object EthQueries {
            max($"block_timestamp").as("last_ts"))
   }
 
+  /** Deterministic BFS REACHABILITY to convergence: expand `seeds(token,
+    * addr)` along directed `edges(token, src, dst)` until a round adds no
+    * new address. Returns the reached set (seeds included).
+    *
+    * Convergence-guarded like [[labelPropagate]]: the loop stops on an
+    * EMPTY frontier, not a fixed hop budget, so a transfer chain longer
+    * than any preset depth still closes (the oracle computes true
+    * closure via DuckDB's recursive fixed point — deliberately
+    * asymmetric, so a hash match proves this loop converged).
+    *
+    * Scale shape: per-round work is one equi-join of the (shrinking)
+    * frontier against the edge list on (token, src), a distinct, and an
+    * anti-join against the |V|-bounded reached set — all hash shuffles of
+    * node-scale data; rounds needed = max seed-set eccentricity. Lineage
+    * is truncated per round ([[graft.plans.Caching.iterCheckpoint]];
+    * reliable-checkpoint mode available for clusters). */
+  private[graft] def reachFrom(edges: DataFrame, seeds: DataFrame,
+      maxRounds: Int = 10000): DataFrame = {
+    val s = edges.sparkSession
+    import s.implicits._
+    var reached = graft.plans.Caching.iterCheckpoint(seeds.select($"token", $"addr"))
+    var frontier = reached
+    var rounds = 0
+    var n = frontier.count()
+    while (n > 0 && rounds < maxRounds) {
+      val next = frontier.as("r")
+        .join(edges.as("e"), $"r.token" === $"e.token" && $"r.addr" === $"e.src")
+        .select($"e.token".as("token"), $"e.dst".as("addr")).distinct()
+        .join(reached, Seq("token", "addr"), "left_anti")
+      frontier = graft.plans.Caching.iterCheckpoint(next)
+      n = frontier.count()
+      if (n > 0) {
+        reached = graft.plans.Caching.iterCheckpoint(reached.union(frontier))
+        rounds += 1
+      }
+    }
+    reached
+  }
+
+  /** Q22: taint tracing — the flow-of-funds question every chain-forensics
+    * desk asks of the reference's data ("which addresses ever received
+    * value, directly or through intermediaries, from this seed set"):
+    * seeds are the addresses that SENT a transfer in the first 300 blocks;
+    * taint propagates along directed transfer edges to a fixed point via
+    * [[reachFrom]]. Per token: graph size, tainted-address count, and the
+    * count + EXACT total wei (DECIMAL(38,0) over the `weiDecimal` scan —
+    * the fixture plants >2^64 uint256 values) of transfers sent by
+    * tainted addresses, string-pinned per the eth_q12 rule.
+    *
+    * Scale shape: the transfer scan feeds a distinct edge list (node²-
+    * bounded, transfer-deduped) and the BFS state is |V| rows; the value
+    * rollup is one (token) aggregate over a hash semi-join of transfers
+    * against the bounded tainted set. Nothing driver-side. */
+  def q22TaintLazy(s: SparkSession, d: String): (DataFrame, () => Unit) = {
+    import s.implicits._
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val dir = EthFixtures.ensure(s)
+    val x = s.read.format("ethereum").option("table", "erc20")
+      .option("chain", dir).option("weiDecimal", "true").load()
+      .select($"erc20_token".as("token"), $"erc20_from".as("f"),
+              $"erc20_to".as("t"), $"erc20_value".as("wei"),
+              $"erc20_blockNumber".as("bn"))
+    val edges = x.filter($"f" =!= $"t")
+      .select($"token", $"f".as("src"), $"t".as("dst")).distinct().persist(lvl)
+    val seeds = x.filter($"bn" <= 300 && $"f" =!= $"t")
+      .select($"token", $"f".as("addr")).distinct()
+    val reached = reachFrom(edges, seeds)
+    val nodes = edges.select($"token", $"src".as("addr"))
+      .union(edges.select($"token", $"dst".as("addr"))).distinct()
+    val summ = nodes.join(reached.withColumn("tainted", lit(1L)),
+        Seq("token", "addr"), "left")
+      .groupBy($"token")
+      .agg(count(lit(1)).as("n_addrs"),
+           coalesce(sum($"tainted"), lit(0L)).as("n_tainted"))
+    val tv = x.join(reached.withColumnRenamed("addr", "f"), Seq("token", "f"))
+      .groupBy($"token")
+      .agg(count(lit(1)).as("n_tainted_transfers"),
+           sum($"wei").cast("decimal(38,0)").cast("string").as("tainted_value_wei"))
+    val out = summ.join(tv, Seq("token"))
+      .select($"token", $"n_addrs", $"n_tainted", $"n_tainted_transfers",
+              $"tainted_value_wei")
+      .orderBy($"token")
+    (out, () => { edges.unpersist(blocking = false); () })
+  }
+
+  def q22Taint(s: SparkSession, d: String): DataFrame = {
+    val (out, free) = q22TaintLazy(s, d)
+    graft.plans.Caching.detach(out, free)
+  }
+
+  /** Q23: sender-concentration profile per token — Gini coefficient, HHI,
+    * and top-holder share over per-address OUTGOING transfer counts: the
+    * "is this token's activity organic or one whale" screen. All three
+    * statistics are EXACT INTEGER micro-units (the repo's standing
+    * discipline): with counts c₁ ≤ … ≤ cₙ ranked ascending (ties broken
+    * by address) and S = Σc,
+    *
+    *   gini_micro = (2·Σ i·cᵢ − (n+1)·S)·10⁶ div (n·S)      (≥ 0 by the
+    *     Chebyshev sum inequality, so Spark's truncating `div` and
+    *     DuckDB's flooring `//` agree)
+    *   hhi_micro  = Σ cᵢ²·10⁶ div S²,  top_share_micro = max(c)·10⁶ div S.
+    *
+    * Products widen to DECIMAL(38,0)/HUGEINT before the divide: at 1e9
+    * addresses with 1e10-transfer hubs, Σ i·cᵢ reaches ~1e28 — past long
+    * range, within 38 digits.
+    *
+    * Scale shape: one (token, addr) count shuffle, then a per-token
+    * window over the ALREADY-AGGREGATED node-scale frame (token count is
+    * bounded by the token universe, and rank state is per-token — no
+    * single-partition funnel; PlanAuditSpec's gate is unaffected), and a
+    * final per-token aggregate. */
+  def q23Gini(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val c = eth(s, "erc20")
+      .groupBy($"erc20_token".as("token"), $"erc20_from".as("addr"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy($"token").orderBy($"c", $"addr")
+    c.withColumn("i", row_number().over(w).cast("long"))
+      .groupBy($"token")
+      .agg(count(lit(1)).as("n_senders"),
+           sum($"c").as("s"),
+           sum($"c".cast("decimal(38,0)") * $"i").as("sic"),
+           sum($"c".cast("decimal(38,0)") * $"c").as("ssq"),
+           max($"c").as("cmax"))
+      .select($"token", $"n_senders", $"s".as("n_transfers"),
+        expr("""CAST((2 * sic - (n_senders + 1) * CAST(s AS DECIMAL(38,0))) * 1000000
+                div (CAST(n_senders AS DECIMAL(38,0)) * s) AS BIGINT)""").as("gini_micro"),
+        expr("CAST(ssq * 1000000 div (CAST(s AS DECIMAL(38,0)) * s) AS BIGINT)").as("hhi_micro"),
+        expr("CAST(CAST(cmax AS DECIMAL(38,0)) * 1000000 div s AS BIGINT)").as("top_share_micro"))
+      .orderBy($"token")
+  }
+
+  /** Q24: nonce-sequence audit over the transaction table — the
+    * account-integrity screen a chain indexer runs after ingest: a sane
+    * account's nonces are the contiguous sequence 0..n-1, so per-sender
+    * `n_tx ≠ distinct(nonce)` flags REUSE (replaced/re-broadcast
+    * transactions) and `max−min+1 ≠ distinct` flags GAPS (missed blocks
+    * in the ingest range). One (sender) aggregate with a count-distinct
+    * expansion, then a single summary row — no windows, no joins; at
+    * 100 TB this is a textbook two-phase hash aggregate. */
+  def q24NonceAudit(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    eth(s, "transaction")
+      .groupBy($"tx_from")
+      .agg(count(lit(1)).as("n_tx"), min($"tx_nonce").as("mn"),
+           max($"tx_nonce").as("mx"), countDistinct($"tx_nonce").as("nd"))
+      .agg(count(lit(1)).as("n_addrs"),
+           sum($"n_tx").as("n_tx"),
+           sum(when($"n_tx" =!= $"nd", 1L).otherwise(0L)).as("n_with_reused"),
+           sum(when($"mx" - $"mn" + 1L =!= $"nd", 1L).otherwise(0L)).as("n_with_gaps"),
+           sum($"n_tx" - $"nd").as("n_reused_total"),
+           sum($"mx" - $"mn" + lit(1L) - $"nd").as("n_missing_total"))
+  }
+
   /** B12: the catalog's DESCRIBE surface *as data*. The reference pins the
     * exact `DESCRIBE block/transaction/erc20` output in its docs
     * (`README.md:139-186`; widths `EthereumMetadata.java:48-51`), so this
@@ -613,7 +767,10 @@ object EthQueries {
     "eth_q18_triangles" -> q18Triangles _,
     "eth_q19_components" -> q19Components _,
     "eth_q20_balances" -> q20Balances _,
-    "eth_q21_time_span" -> q21TimeSpan _)
+    "eth_q21_time_span" -> q21TimeSpan _,
+    "eth_q22_taint" -> q22Taint _,
+    "eth_q23_gini" -> q23Gini _,
+    "eth_q24_nonce_audit" -> q24NonceAudit _)
 
   /** Unrolled 5-iteration integer PageRank replay (see [[q17PageRank]] for
     * the exact recurrence); starts with "," to extend [[withEthTables]]'s
@@ -819,6 +976,70 @@ object EthQueries {
                 CAST(sum(n_out) AS BIGINT) AS n_out
          FROM led GROUP BY token, addr
          ORDER BY CAST(sum(wei) AS DECIMAL(38,0)) DESC, token, addr LIMIT 15"""),
+    // TRUE taint closure via the recursive fixed point (asymmetric to the
+    // Spark side's convergence-guarded BFS, like eth_q19); exact wei sums
+    // replay from the erc20_exact digit strings, string-pinned
+    "eth_q22_taint" -> withEthTables(
+      """, x AS (SELECT erc20_token AS token, erc20_from AS f, erc20_to AS t,
+                        CAST(erc20_value AS DECIMAL(38,0)) AS wei,
+                        erc20_blockNumber AS bn
+                 FROM erc20_exact),
+         edges AS (SELECT DISTINCT token, f AS src, t AS dst FROM x WHERE f <> t),
+         seeds AS (SELECT DISTINCT token, f AS addr FROM x WHERE bn <= 300 AND f <> t),
+         reach AS (SELECT token, addr FROM seeds
+                   UNION
+                   SELECT e.token, e.dst
+                   FROM reach r JOIN edges e ON r.token = e.token AND r.addr = e.src),
+         nodes AS (SELECT DISTINCT token, addr FROM (
+                     SELECT token, src AS addr FROM edges
+                     UNION ALL SELECT token, dst FROM edges)),
+         summ AS (SELECT n.token, count(*) AS n_addrs,
+                         CAST(sum(CASE WHEN r.addr IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_tainted
+                  FROM nodes n LEFT JOIN reach r ON n.token = r.token AND n.addr = r.addr
+                  GROUP BY n.token),
+         tv AS (SELECT x.token, count(*) AS n_tainted_transfers,
+                       CAST(CAST(sum(x.wei) AS DECIMAL(38,0)) AS VARCHAR) AS tainted_value_wei
+                FROM x JOIN reach r ON x.token = r.token AND x.f = r.addr
+                GROUP BY x.token)
+         SELECT s.token, s.n_addrs, s.n_tainted, tv.n_tainted_transfers,
+                tv.tainted_value_wei
+         FROM summ s JOIN tv ON s.token = tv.token
+         ORDER BY s.token""", recursive = true),
+    // HUGEINT mirrors the Spark side's DECIMAL(38,0) widening; every
+    // divided quantity is positive, so `//` (floor) and `div` (truncate)
+    // agree
+    "eth_q23_gini" -> withEthTables(
+      """, c AS (SELECT erc20_token AS token, erc20_from AS addr,
+                        CAST(count(*) AS BIGINT) AS c
+                 FROM erc20 GROUP BY 1, 2),
+         r AS (SELECT token, c,
+                      CAST(row_number() OVER (PARTITION BY token ORDER BY c, addr) AS BIGINT) AS i
+               FROM c),
+         a AS (SELECT token,
+                      CAST(count(*) AS BIGINT) AS n_senders,
+                      CAST(sum(c) AS HUGEINT) AS s,
+                      CAST(sum(CAST(c AS HUGEINT) * i) AS HUGEINT) AS sic,
+                      CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS ssq,
+                      CAST(max(c) AS HUGEINT) AS cmax
+               FROM r GROUP BY token)
+         SELECT token, n_senders, CAST(s AS BIGINT) AS n_transfers,
+                CAST(((2 * sic - (n_senders + 1) * s) * 1000000)
+                     // (CAST(n_senders AS HUGEINT) * s) AS BIGINT) AS gini_micro,
+                CAST((ssq * 1000000) // (s * s) AS BIGINT) AS hhi_micro,
+                CAST((cmax * 1000000) // s AS BIGINT) AS top_share_micro
+         FROM a ORDER BY token"""),
+    "eth_q24_nonce_audit" -> withEthTables(
+      """SELECT CAST(count(*) AS BIGINT) AS n_addrs,
+                CAST(sum(n_tx) AS BIGINT) AS n_tx,
+                CAST(sum(CASE WHEN n_tx <> nd THEN 1 ELSE 0 END) AS BIGINT) AS n_with_reused,
+                CAST(sum(CASE WHEN mx - mn + 1 <> nd THEN 1 ELSE 0 END) AS BIGINT) AS n_with_gaps,
+                CAST(sum(n_tx - nd) AS BIGINT) AS n_reused_total,
+                CAST(sum(mx - mn + 1 - nd) AS BIGINT) AS n_missing_total
+         FROM (SELECT tx_from, count(*) AS n_tx,
+                      CAST(min(tx_nonce) AS BIGINT) AS mn,
+                      CAST(max(tx_nonce) AS BIGINT) AS mx,
+                      CAST(count(DISTINCT tx_nonce) AS BIGINT) AS nd
+               FROM transaction GROUP BY tx_from)"""),
     "eth_q18_triangles" -> withEthTables(
       """, und AS (SELECT DISTINCT least(erc20_from, erc20_to) AS a,
                           greatest(erc20_from, erc20_to) AS b

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables._
@@ -507,7 +508,75 @@ object Pipeline {
       .orderBy($"source")
   }
 
+  /** Length-bucketed batch manifest — the padding-minimizing batching
+    * stage of a trainer feed: documents group into power-of-two token-
+    * length buckets (`bucket` = bit length of the token count, an exact
+    * integer on both engines via `bin()` — no float log2 boundary
+    * ambiguity), are ranked within their bucket by (length, doc_id), and
+    * pack `batchSize` consecutive docs per batch. Per bucket the manifest
+    * reports doc/batch counts, total tokens, and `padded_tokens` — the
+    * waste Σ(batch_max·batch_size − batch_sum) a fixed-shape trainer
+    * would pad, the quantity this batching exists to minimize.
+    *
+    * Scale shape: the within-bucket rank uses ONE global
+    * [[graft.plans.ScalableNtile.globalRank]] ordered by (bucket, len,
+    * id) minus a per-bucket exclusive offset (≤64 buckets of metadata,
+    * broadcast) — no per-bucket data-scale window partition, so a
+    * degenerate corpus that lands everything in one bucket still ranks
+    * via range decomposition instead of a single-task sort. */
+  def lengthBatches(s: SparkSession, d: String, batchSize: Int = 8): DataFrame = {
+    import s.implicits._
+    val dnt = documents(s, d).select($"doc_id",
+        size(TextAnalysis.wsTokens(TextAnalysis.canonical($"text")))
+          .cast("long").as("n_tokens"))
+      .withColumn("bucket", length(bin(greatest($"n_tokens", lit(1L)))).cast("long"))
+    val ranked = graft.plans.ScalableNtile.globalRank(dnt,
+      Seq($"bucket", $"n_tokens", $"doc_id"), "grank", "total")
+    val w = Window.orderBy($"bucket")
+    val offsets = dnt.groupBy($"bucket").agg(count(lit(1)).as("bc"))
+      .withColumn("boff",
+        coalesce(sum($"bc").over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select($"bucket", $"boff")
+    ranked.join(broadcast(offsets), "bucket")
+      .withColumn("batch", expr(s"(grank - boff - 1) div $batchSize"))
+      .groupBy($"bucket", $"batch")
+      .agg(count(lit(1)).as("nd"), max($"n_tokens").as("mx"),
+           sum($"n_tokens").as("sm"))
+      .groupBy($"bucket")
+      .agg(sum($"nd").as("n_docs"), count(lit(1)).as("n_batches"),
+           sum($"sm").as("total_tokens"),
+           sum($"mx" * $"nd" - $"sm").as("padded_tokens"))
+      .orderBy($"bucket")
+  }
+
+  /** Budget-capped curation — "take the best documents until the token
+    * budget is spent", the selection rule of every fixed-compute training
+    * run: documents rank by quality descending (ties by doc_id), the
+    * INCLUSIVE running token total is computed by the range-decomposed
+    * [[graft.plans.ScalableNtile.runningTotal]] (no single-partition
+    * window), and a document survives iff its running total fits the
+    * budget. Emits the selected manifest with each doc's cumulative
+    * position, presented in doc_id order.
+    *
+    * Quality reuses [[TextAnalysis.withQualitySignals]]'s exact
+    * expression trees (fixed fp op order — the oracle-parity rule), and
+    * the descending order is encoded as an ASCENDING sort on the negated
+    * score (IEEE negation is exact), which is what the range
+    * decomposition requires. */
+  def tokenBudget(s: SparkSession, d: String, budget: Long = 10000L): DataFrame = {
+    import s.implicits._
+    val q = TextAnalysis.withQualitySignals(documents(s, d))
+      .select($"doc_id", $"n_tokens_ws", $"quality")
+    graft.plans.ScalableNtile.runningTotal(q, $"n_tokens_ws",
+        Seq(-$"quality", $"doc_id"), "cum_tokens")
+      .filter($"cum_tokens" <= budget)
+      .select($"doc_id", $"n_tokens_ws", $"cum_tokens")
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "nd_pipeline_length_batches" -> ((s: SparkSession, d: String) => lengthBatches(s, d)),
+    "nd_pipeline_token_budget" -> ((s: SparkSession, d: String) => tokenBudget(s, d)),
     "nd_pipeline_upsert" -> upsertManifest _,
     "nd_dedup_boilerplate" -> ((s: SparkSession, d: String) => chunkBoilerplate(s, d)),
     "nd_pipeline_dsir" -> ((s: SparkSession, d: String) => dsirWeights(s, d)),
@@ -526,6 +595,45 @@ object Pipeline {
     * the same replayable constructions as the [[TextAnalysis]] /
     * [[Dedup]] oracles. */
   val oracle: Map[String, String] = Map(
+    // literal per-bucket window replay of the range-decomposed rank; the
+    // bit-length bucket is exact on both engines (bin() string length)
+    "nd_pipeline_length_batches" ->
+      """WITH d AS (SELECT doc_id,
+                CAST(len(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' +')) AS BIGINT) AS n_tokens
+              FROM documents),
+          b AS (SELECT doc_id, n_tokens,
+                CAST(length(bin(greatest(n_tokens, 1))) AS BIGINT) AS bucket
+              FROM d),
+          r AS (SELECT *, row_number() OVER (PARTITION BY bucket ORDER BY n_tokens, doc_id) AS rn FROM b),
+          g AS (SELECT bucket, (rn - 1) // 8 AS batch, count(*) AS nd,
+                       max(n_tokens) AS mx, sum(n_tokens) AS sm
+                FROM r GROUP BY 1, 2)
+          SELECT bucket, CAST(sum(nd) AS BIGINT) AS n_docs,
+                 CAST(count(*) AS BIGINT) AS n_batches,
+                 CAST(sum(sm) AS BIGINT) AS total_tokens,
+                 CAST(sum(mx * nd - sm) AS BIGINT) AS padded_tokens
+          FROM g GROUP BY bucket ORDER BY bucket""",
+    // literal descending-quality running-total window replay of the
+    // range-decomposed runningTotal; quality is the standard replayed
+    // fixed-op-order double expression
+    "nd_pipeline_token_budget" ->
+      s"""WITH q AS (
+            SELECT doc_id, n_tokens_ws,
+              least(1.0::DOUBLE, n_tokens_ws / 64.0::DOUBLE) * 0.4::DOUBLE
+              + coalesce(1.0::DOUBLE - least(1.0::DOUBLE, n_punct / nullif(CAST(n_tokens_ws AS DOUBLE), 0.0::DOUBLE)), 0.0::DOUBLE) * 0.3::DOUBLE
+              + coalesce(least(1.0::DOUBLE, round(n_stop / nullif(n_tokens_ws, 0), 4) * 5), 0.0::DOUBLE) * 0.3::DOUBLE AS quality
+            FROM (
+              SELECT doc_id,
+                CAST(len(string_split_regex(text, ' +')) AS BIGINT) AS n_tokens_ws,
+                CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS BIGINT) AS n_punct,
+                CAST(len(list_filter(string_split_regex(text, ' +'), w -> w IN (${TextAnalysis.stopListSql}))) AS BIGINT) AS n_stop
+              FROM documents)),
+          r AS (SELECT doc_id, n_tokens_ws,
+                       sum(n_tokens_ws) OVER (ORDER BY quality DESC, doc_id
+                                              ROWS UNBOUNDED PRECEDING) AS cum
+                FROM q)
+          SELECT doc_id, n_tokens_ws, CAST(cum AS BIGINT) AS cum_tokens
+          FROM r WHERE cum <= 10000 ORDER BY doc_id""",
     // A-ES replay: same md5-fold uniform, one micro-nat ln quantization,
     // positive integer division (// on a positive dividend == Spark div)
     "nd_sample_weighted" ->

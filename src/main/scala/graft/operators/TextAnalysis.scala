@@ -811,7 +811,42 @@ object TextAnalysis {
       .orderBy($"source")
   }
 
+  /** Filter-attrition funnel over the [[gopherRules]] battery — the
+    * pipeline-observability report every corpus-cleaning run ships with:
+    * rules applied in a FIXED order, each stage row records how many
+    * documents entered it, survived it, and were dropped BY it (i.e.
+    * passed every earlier rule but failed this one). Attribution is
+    * cumulative-conjunction, so Σ n_dropped + final n_out = corpus size
+    * and re-ordering rules re-attributes drops without changing the
+    * final survivor set.
+    *
+    * Scale shape: ONE aggregate over the map-side rule verdicts (five
+    * conditional sums sharing the tokenized pass) feeding a constant
+    * 5-row `stack` — no joins, no windows; the corpus is read once. */
+  def filterFunnel(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    gopherRules(s, d)
+      .agg(count(lit(1)).as("n0"),
+        sum(when($"rule_words", 1L).otherwise(0L)).as("c1"),
+        sum(when($"rule_words" && $"rule_word_len", 1L).otherwise(0L)).as("c2"),
+        sum(when($"rule_words" && $"rule_word_len" && $"rule_symbols", 1L)
+          .otherwise(0L)).as("c3"),
+        sum(when($"rule_words" && $"rule_word_len" && $"rule_symbols" &&
+                 $"rule_alpha", 1L).otherwise(0L)).as("c4"),
+        sum(when($"keep", 1L).otherwise(0L)).as("c5"))
+      .selectExpr(
+        """stack(5,
+             1L, 'rule_words',     n0, c1,
+             2L, 'rule_word_len',  c1, c2,
+             3L, 'rule_symbols',   c2, c3,
+             4L, 'rule_alpha',     c3, c4,
+             5L, 'rule_stopwords', c4, c5) AS (stage, rule, n_in, n_out)""")
+      .withColumn("n_dropped", $"n_in" - $"n_out")
+      .orderBy($"stage")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "nd_filter_funnel" -> filterFunnel _,
     "nd_text_outliers" -> lengthOutliers _,
     "nd_text_nb_classifier" -> nbClassify _,
     "nd_text_gopher" -> gopherRules _,
@@ -959,6 +994,40 @@ object TextAnalysis {
                  (n_words BETWEEN 50 AND 100000 AND mean_word_len BETWEEN 3.0 AND 10.0
                   AND symbol_ratio <= 0.1 AND alpha_frac >= 0.8 AND n_stop >= 2) AS keep
           FROM sig ORDER BY doc_id""",
+    // cumulative-conjunction attrition over the same sig CTE as
+    // nd_text_gopher; the 5-row funnel is a UNION ALL over one aggregate
+    "nd_filter_funnel" ->
+      s"""WITH t AS (
+            SELECT doc_id,
+                   string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' +') AS w,
+                   string_split_regex(text, ' +') AS raw
+            FROM documents),
+          sig AS (
+            SELECT doc_id,
+              CAST(len(w) AS BIGINT) AS n_words,
+              round(CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE)
+                / CAST(len(w) AS DOUBLE), 4) AS mean_word_len,
+              round(CAST(len(list_filter(raw, x -> contains(x, '#') OR contains(x, '...'))) AS DOUBLE)
+                / CAST(len(raw) AS DOUBLE), 4) AS symbol_ratio,
+              round(CAST(len(list_filter(raw, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+                / CAST(len(raw) AS DOUBLE), 4) AS alpha_frac,
+              CAST(len(list_filter(w, x -> x IN ($stopListSql))) AS BIGINT) AS n_stop
+            FROM t),
+          c AS (
+            SELECT count(*) AS n0,
+              CAST(sum(CASE WHEN n_words BETWEEN 50 AND 100000 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+              CAST(sum(CASE WHEN n_words BETWEEN 50 AND 100000 AND mean_word_len BETWEEN 3.0 AND 10.0 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+              CAST(sum(CASE WHEN n_words BETWEEN 50 AND 100000 AND mean_word_len BETWEEN 3.0 AND 10.0 AND symbol_ratio <= 0.1 THEN 1 ELSE 0 END) AS BIGINT) AS c3,
+              CAST(sum(CASE WHEN n_words BETWEEN 50 AND 100000 AND mean_word_len BETWEEN 3.0 AND 10.0 AND symbol_ratio <= 0.1 AND alpha_frac >= 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS c4,
+              CAST(sum(CASE WHEN n_words BETWEEN 50 AND 100000 AND mean_word_len BETWEEN 3.0 AND 10.0 AND symbol_ratio <= 0.1 AND alpha_frac >= 0.8 AND n_stop >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS c5
+            FROM sig)
+          SELECT stage, rule, n_in, n_out, n_in - n_out AS n_dropped FROM (
+            SELECT CAST(1 AS BIGINT) AS stage, 'rule_words' AS rule, n0 AS n_in, c1 AS n_out FROM c
+            UNION ALL SELECT 2, 'rule_word_len', c1, c2 FROM c
+            UNION ALL SELECT 3, 'rule_symbols', c2, c3 FROM c
+            UNION ALL SELECT 4, 'rule_alpha', c3, c4 FROM c
+            UNION ALL SELECT 5, 'rule_stopwords', c4, c5 FROM c)
+          ORDER BY stage""",
     "nd_profile" -> profileOracleSql,
     "nd_text_repetition" ->
       """WITH t AS (

@@ -274,6 +274,67 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("taint BFS reaches the far end of a long chain and nothing across components") {
+    import spark.implicits._
+    // 16-node directed path s -> n01 -> ... -> n15 (needs 15 expansion
+    // rounds — any fixed small hop budget would silently under-taint),
+    // plus a disconnected edge x -> y that must stay clean, plus a cycle
+    // c1 -> c2 -> c3 -> c1 that must not loop the guard forever
+    val path = ("s" +: (1 to 15).map(i => f"n$i%02d")).sliding(2)
+      .map { case Seq(a, b) => ("t", a, b) }.toSeq
+    val edges = (path ++ Seq(("t", "x", "y"),
+        ("t", "c1", "c2"), ("t", "c2", "c3"), ("t", "c3", "c1")))
+      .toDF("token", "src", "dst")
+    val seeds = Seq(("t", "s"), ("t", "c1")).toDF("token", "addr")
+    val reached = EthQueries.reachFrom(edges, seeds)
+      .collect().map(_.getString(1)).toSet
+    assert(reached == (Set("s", "c1", "c2", "c3") ++ (1 to 15).map(i => f"n$i%02d")),
+      s"unexpected taint set: $reached")
+    assert(!reached("x") && !reached("y"), "taint crossed into a disconnected component")
+  }
+
+  test("eth_q23 concentration statistics match a driver-side BigInt replay") {
+    import spark.implicits._
+    val rows = EthQueries.q23Gini(spark, sf).collect()
+    val dir = graft.sources.eth.EthFixtures.ensure(spark)
+    val erc = spark.read.format("ethereum").option("table", "erc20")
+      .option("chain", dir).load()
+      .groupBy($"erc20_token", $"erc20_from").count()
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val byToken = erc.groupBy(_._1)
+    rows.foreach { r =>
+      val token = r.getString(0)
+      val cs = byToken(token).map(t => (t._3, t._2)).sortBy(identity).map(_._1.toLong)
+      val n = BigInt(cs.length); val s = cs.map(BigInt(_)).sum
+      val sic = cs.zipWithIndex.map { case (c, i) => BigInt(c) * (i + 1) }.sum
+      val ssq = cs.map(c => BigInt(c) * c).sum
+      assert(r.getLong(1) == n.toLong && r.getLong(2) == s.toLong)
+      assert(r.getLong(3) == ((2 * sic - (n + 1) * s) * 1000000 / (n * s)).toLong, s"gini $token")
+      assert(r.getLong(4) == (ssq * 1000000 / (s * s)).toLong, s"hhi $token")
+      assert(r.getLong(5) == (BigInt(cs.max) * 1000000 / s).toLong, s"top share $token")
+      // Gini and HHI live in [0, 1e6]; HHI is at least the uniform floor 1e6/n
+      assert(r.getLong(3) >= 0 && r.getLong(3) <= 1000000L)
+      assert(r.getLong(4) >= (BigInt(1000000) / n).toLong && r.getLong(4) <= 1000000L)
+    }
+  }
+
+  test("eth_q24 nonce audit counts reconcile with per-address raw sequences") {
+    import spark.implicits._
+    val dir = graft.sources.eth.EthFixtures.ensure(spark)
+    val row = EthQueries.q24NonceAudit(spark, sf).collect().head
+    val per = spark.read.format("ethereum").option("table", "transaction")
+      .option("chain", dir).load()
+      .select($"tx_from", $"tx_nonce").collect()
+      .map(r => (r.getString(0), r.getLong(1))).groupBy(_._1)
+    val seqs = per.values.map(_.map(_._2).toSeq)
+    assert(row.getLong(0) == per.size)
+    assert(row.getLong(1) == seqs.map(_.size.toLong).sum)
+    assert(row.getLong(2) == seqs.count(s => s.size != s.distinct.size).toLong)
+    assert(row.getLong(3) == seqs.count(s => s.max - s.min + 1 != s.distinct.size).toLong)
+    assert(row.getLong(4) == seqs.map(s => (s.size - s.distinct.size).toLong).sum)
+    assert(row.getLong(5) == seqs.map(s => s.max - s.min + 1 - s.distinct.size).sum)
+  }
+
   test("q49 unpivot emits 4 metric rows per nation matching the wide aggregate") {
     import spark.implicits._
     val long = Relational.q49Unpivot(spark, sf).collect()

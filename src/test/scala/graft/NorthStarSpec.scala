@@ -728,6 +728,30 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(rows.exists(!_.getBoolean(6)) && rows.exists(!_.getBoolean(10)))
   }
 
+  test("filter funnel conserves documents and chains stage-to-stage") {
+    val sfq = "/root/testdata/sf0.01"
+    val rows = TextAnalysis.filterFunnel(spark, sfq).collect()
+    assert(rows.length == 5)
+    assert(rows.map(_.getString(1)).toSeq == Seq("rule_words", "rule_word_len",
+      "rule_symbols", "rule_alpha", "rule_stopwords"))
+    val total = TextAnalysis.gopherRules(spark, sfq).count()
+    assert(rows.head.getLong(2) == total, "stage 1 n_in must be the corpus size")
+    rows.foreach { r =>
+      assert(r.getLong(4) == r.getLong(2) - r.getLong(3), "n_dropped != n_in - n_out")
+      assert(r.getLong(3) <= r.getLong(2), "survivors exceed entrants")
+    }
+    rows.sliding(2).foreach {
+      case Array(a, b) => assert(b.getLong(2) == a.getLong(3), "funnel stages don't chain")
+      case _ =>
+    }
+    // conservation: drops across stages + final survivors = corpus
+    assert(rows.map(_.getLong(4)).sum + rows.last.getLong(3) == total)
+    // final survivors equal the conjunction keep-count of the rule bundle
+    val kept = TextAnalysis.gopherRules(spark, sfq)
+      .filter(org.apache.spark.sql.functions.col("keep")).count()
+    assert(rows.last.getLong(3) == kept)
+  }
+
   test("BPE merge loop learns a well-formed, deterministic merge table") {
     val sf = "/root/testdata/sf0.001"
     val merges = TextAnalysis.bpeLearn(spark, sf).collect()

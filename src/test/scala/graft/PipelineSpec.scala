@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.functions.upper
+import org.apache.spark.sql.functions.{size, upper}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.{Dedup, Pipeline, TextAnalysis}
@@ -231,6 +231,54 @@ class PipelineSpec extends AnyFunSuite {
         .orderBy($"doc_id").collect()
       assert(keep.sameElements(got))
     } finally { merged.unpersist(); () }
+  }
+
+  test("length batches: buckets are bit-lengths, batches <= size, padding recounts") {
+    import spark.implicits._
+    val rows = Pipeline.lengthBatches(spark, sf).collect()
+    // driver-side replay: bucket docs, rank ascending, batch by 8
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id",
+        size(TextAnalysis.wsTokens(TextAnalysis.canonical($"text"))).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byBucket = docs.groupBy { case (_, n) => 64 - java.lang.Long.numberOfLeadingZeros(math.max(n, 1L)) }
+    assert(rows.map(_.getLong(1)).sum == docs.length, "manifest loses documents")
+    rows.foreach { r =>
+      val (bucket, nDocs, nBatches) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val exp = byBucket(bucket.toInt).map(_._2).sorted
+      assert(nDocs == exp.length.toLong)
+      assert(nBatches == (exp.length + 7) / 8, s"bucket $bucket batch count")
+      assert(r.getLong(3) == exp.sum, s"bucket $bucket token total")
+      val pad = exp.grouped(8).map(g => g.max * g.length - g.sum).sum
+      assert(r.getLong(4) == pad, s"bucket $bucket padding")
+      // padding within a power-of-two bucket is bounded by (docs per
+      // bucket) x (bucket width) — the reason for length bucketing
+      assert(r.getLong(4) <= nDocs * (1L << bucket.toInt), s"bucket $bucket pad bound")
+    }
+  }
+
+  test("token budget selects the greedy maximal quality prefix") {
+    import spark.implicits._
+    // sf0.01: ~27k corpus tokens, so the 10k budget actually binds
+    val sf = "/root/testdata/sf0.01"
+    val got = Pipeline.tokenBudget(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // driver replay: quality desc, doc_id asc, inclusive cumsum, cut at budget
+    val q = TextAnalysis.qualityScore(spark, sf).select($"doc_id", $"quality")
+      .join(TextAnalysis.textStats(spark, sf).select($"doc_id", $"n_tokens_ws"), "doc_id")
+      .select($"doc_id", $"n_tokens_ws", $"quality")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy { case (id, _, qual) => (-qual, id) }
+    var cum = 0L
+    val exp = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    var excluded = false
+    q.foreach { case (id, n, _) =>
+      cum += n
+      if (cum <= 10000L) exp += ((id, n, cum)) else excluded = true
+    }
+    assert(got.sortBy(_._1).toSeq == exp.sortBy(_._1).toSeq)
+    // the budget actually binds on this corpus (otherwise the test is vacuous)
+    assert(excluded, "budget did not bind — raise corpus size or lower budget")
   }
 
   test("DSIR weights separate target-like from raw documents") {
