@@ -531,6 +531,42 @@ object Dedup {
       .orderBy($"doc_id", $"span_start")
   }
 
+  /** Cross-SOURCE shingle-overlap matrix — the corpus-composition audit a
+    * training-data pipeline runs before mixing data sources: for every
+    * source pair, how many distinct word shingles they share and the
+    * Jaccard similarity of their shingle sets (exact integer micro-units).
+    * High overlap between two "independent" crawls means double-counted
+    * text that per-document dedup alone understates.
+    *
+    * Shape at 100 TB: the corpus collapses to DISTINCT `(source, shingle)`
+    * in one pass (partial-agg'd — each document's shingles dedup map-side
+    * inside [[shingleHashes]] first), and the pair join is an equi-join ON
+    * THE SHINGLE HASH whose per-key fan-out is bounded by the number of
+    * sources (a boilerplate shingle present in all S sources contributes
+    * S·(S−1)/2 pairs, not corpus²). Output is at most S² rows. Per-source
+    * set sizes ride a broadcast join. Nothing is all-pairs in documents. */
+  def sourceOverlap(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sh = documents(s, d)
+      .select($"source", explode(shingleHashes($"text")).as("h"))
+      .distinct()
+    val sizes = sh.groupBy($"source").agg(count(lit(1)).as("n"))
+    val pairs = sh.as("a").join(sh.as("b"),
+        col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    pairs
+      .join(broadcast(sizes.select($"source".as("source_a"), $"n".as("n_a"))), "source_a")
+      .join(broadcast(sizes.select($"source".as("source_b"), $"n".as("n_b"))), "source_b")
+      .select($"source_a", $"source_b", $"n_shared", $"n_a", $"n_b",
+              // widen before the ×1e6: per-source distinct-shingle counts
+              // can pass 1e12 at corpus scale, where a long product wraps
+              expr("""CAST(CAST(n_shared AS DECIMAL(38,0)) * 1000000
+                      div CAST(n_a + n_b - n_shared AS DECIMAL(38,0)) AS BIGINT)""")
+                .as("jaccard_micro"))
+      .orderBy($"source_a", $"source_b")
+  }
+
   /** Oracle-paired incremental run: batch = doc_id ≥ 250 deduped against
     * the digests of doc_id < 250. */
   def exactIncrementalQuery(s: SparkSession, d: String): DataFrame = {
@@ -552,7 +588,8 @@ object Dedup {
     "nd_dedup_ngram_jaccard" -> ((s: SparkSession, d: String) => ngramJaccardPairs(s, d)),
     "nd_dedup_simhash" -> ((s: SparkSession, d: String) => simhashPairs(s, d)),
     "nd_dedup_embedding" -> ((s: SparkSession, d: String) => embeddingPairs(s, d)),
-    "nd_dedup_embedding_brute" -> embeddingPairsBrute _)
+    "nd_dedup_embedding_brute" -> embeddingPairsBrute _,
+    "nd_source_overlap" -> sourceOverlap _)
 
   // ---- DuckDB replicas of the sketch pipeline (see Expressions.Sketch:
   // the hash scheme is md5-fold + affine-mod precisely so these oracles
@@ -606,6 +643,28 @@ object Dedup {
           FROM cand)"""
 
   val oracle: Map[String, String] = Map(
+    // cross-source overlap replay: same canonical/shingle/60-bit-fold
+    // scheme, collapsed to DISTINCT (source, shingle), self-joined on the
+    // shingle hash with source_a < source_b
+    "nd_source_overlap" ->
+      s"""WITH $shingleCtesSql,
+         sh60 AS (SELECT doc_id, list_distinct(list_transform(shings, s -> ${Sketch.foldSql(15, "s")})) AS sh
+                  FROM shing),
+         se AS (SELECT DISTINCT d.source AS source, x.h
+                FROM (SELECT doc_id, unnest(sh) AS h FROM sh60) x
+                JOIN documents d USING (doc_id)),
+         sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+                   FROM se GROUP BY source),
+         p AS (SELECT a.source AS source_a, b.source AS source_b,
+                      CAST(count(*) AS BIGINT) AS n_shared
+               FROM se a JOIN se b ON a.h = b.h AND a.source < b.source
+               GROUP BY 1, 2)
+         SELECT source_a, source_b, n_shared, na.n AS n_a, nb.n AS n_b,
+                CAST(CAST(n_shared AS HUGEINT) * 1000000
+                     // (na.n + nb.n - n_shared) AS BIGINT) AS jaccard_micro
+         FROM p JOIN sizes na ON p.source_a = na.source
+                JOIN sizes nb ON p.source_b = nb.source
+         ORDER BY source_a, source_b""",
     // decontamination replay: same canonical/shingle/60-bit-fold scheme as
     // the jaccard oracle, split into eval (doc_id % 10 = 0) and train
     // sides, joined on the shingle hash

@@ -710,6 +710,160 @@ object EthQueries {
            sum($"mx" - $"mn" + lit(1L) - $"nd").as("n_missing_total"))
   }
 
+  /** Q25: gas-market dashboard — per-1000-block bucket, exact integer
+    * gas-price percentiles (p50/p90/max in gwei) plus the bucket's total
+    * fee budget in exact wei. The gas-price domain is integral gwei
+    * (tiny), so the percentile is a HISTOGRAM READ-OFF (the
+    * nd_events_percentiles discipline): one (bucket, gwei) hash aggregate
+    * — map-side partial, cells bounded by buckets × gwei domain — a
+    * per-bucket cumulative window over the ALREADY-AGGREGATED cells, and
+    * one final aggregate. Nothing data-scale is sorted globally and no
+    * exact-`percentile` single-buffer aggregate appears. The fee product
+    * gas×gasPrice is widened to LONG before multiplying (≤ ~5.3e16 <
+    * 2^63 — a double product would round past 2^53) and summed in
+    * DECIMAL(38,0), so bucket totals are exact at any scale. */
+  def q25GasMarket(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tx = eth(s, "transaction")
+      .select(expr("tx_blockNumber div 1000").as("blk_k"),
+              expr("CAST(tx_gasPrice AS BIGINT) div 1000000000").as("gwei"),
+              ($"tx_gas".cast("long") * $"tx_gasPrice".cast("long")).as("fee"))
+    val hist = tx.groupBy($"blk_k", $"gwei")
+      .agg(count(lit(1)).as("n"), sum($"fee".cast("decimal(38,0)")).as("fee_w"))
+    val w = Window.partitionBy($"blk_k").orderBy($"gwei")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("cum", sum($"n").over(w))
+    val tot = hist.groupBy($"blk_k").agg(sum($"n").as("nt"))
+    cum.join(broadcast(tot), "blk_k")
+      .groupBy($"blk_k")
+      .agg(max($"nt").as("n_tx"),
+           min(when($"cum" * 100 >= $"nt" * 50, $"gwei")).as("p50_gwei"),
+           min(when($"cum" * 100 >= $"nt" * 90, $"gwei")).as("p90_gwei"),
+           max($"gwei").as("max_gwei"),
+           sum($"fee_w").cast("decimal(38,0)").cast("string").as("fee_wei"))
+      .orderBy($"blk_k")
+  }
+
+  /** Q26: address-cohort retention — the on-chain analogue of product
+    * retention: cohort an address by the 1000-block bucket of its FIRST
+    * transaction, then count how many of each cohort are still active
+    * `age_k` buckets later. Shape: one (addr) min-aggregate for first-seen,
+    * one DISTINCT (addr, bucket) activity set, an addr-keyed equi-join
+    * between the two (both sides already address-scale, far smaller than
+    * the transaction scan), and a final (cohort, age) aggregate whose
+    * output is buckets² rows. At 100 TB every stage is a partial-agg'd
+    * hash shuffle on the address key — no windows, no skew funnel (the
+    * join key is the address, not the cohort). */
+  def q26AddressCohorts(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tx = eth(s, "transaction")
+      .select($"tx_from".as("addr"), expr("tx_blockNumber div 1000").as("k"))
+    val first = tx.groupBy($"addr").agg(min($"k").as("cohort_k"))
+    val act = tx.distinct()
+    first.join(act, "addr")
+      .groupBy($"cohort_k", ($"k" - $"cohort_k").as("age_k"))
+      .agg(count(lit(1)).as("n_active"))
+      .orderBy($"cohort_k", $"age_k")
+  }
+
+  /** Q27: uncle economics per miner — uncle production rate as a miner
+    * quality signal (high uncle rates historically meant poor network
+    * position). Exercises the `block_uncles` array column straight off
+    * the columnar scan (`size` is codegen'd over the array vector). One
+    * hash aggregate to miner-scale rows; the rate is exact integer
+    * micro-units (long arithmetic — counts × 1e6 cannot overflow). */
+  def q27UncleEconomics(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    eth(s, "block")
+      .select($"block_miner", size($"block_uncles").cast("long").as("nu"))
+      .groupBy($"block_miner")
+      .agg(count(lit(1)).as("n_blocks"),
+           sum($"nu").as("n_uncles"),
+           sum(when($"nu" > 0L, 1L).otherwise(0L)).as("blocks_with_uncles"))
+      .select($"block_miner", $"n_blocks", $"n_uncles", $"blocks_with_uncles",
+              expr("n_uncles * 1000000 div n_blocks").as("uncle_rate_micro"))
+      .orderBy($"n_blocks".desc, $"block_miner")
+  }
+
+  /** Q28: whale screen — top addresses by NET ether flow with gross
+    * volume and counterparty breadth, in exact wei. Reads the transaction
+    * table in `weiDecimal` mode (DECIMAL(38,0) value path, the
+    * eth_q13-proven exact lane), unions an outflow ledger (negated) with
+    * an inflow ledger, and runs ONE address-keyed aggregate with a
+    * distinct-counterparty expansion; the top-20 is a TakeOrdered, not a
+    * global sort. Net/gross are emitted as strings so the driver compare
+    * is digit-exact against DuckDB's DECIMAL formatting. 100 TB: the
+    * union is scan-fused (no materialization), the aggregate partial-
+    * combines map-side, and nothing beyond 20 rows reaches the driver. */
+  def q28EthFlow(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dir = EthFixtures.ensure(s)
+    val t = s.read.format("ethereum").option("table", "transaction")
+      .option("chain", dir).option("weiDecimal", "true").load()
+    val out = t.select($"tx_from".as("addr"), (-$"tx_value").as("wei"),
+      lit(1L).as("n_out"), lit(0L).as("n_in"), $"tx_to".as("peer"))
+    val in = t.filter($"tx_to".isNotNull)
+      .select($"tx_to".as("addr"), $"tx_value".as("wei"),
+        lit(0L).as("n_out"), lit(1L).as("n_in"), $"tx_from".as("peer"))
+    out.union(in)
+      .groupBy($"addr")
+      .agg(sum($"wei").cast("decimal(38,0)").as("net"),
+           sum(abs($"wei")).cast("decimal(38,0)").as("gross"),
+           sum($"n_in").as("n_in"), sum($"n_out").as("n_out"),
+           countDistinct($"peer").as("n_peers"))
+      .orderBy($"net".desc, $"addr")
+      .limit(20)
+      .select($"addr", $"net".cast("string").as("net_wei"),
+              $"gross".cast("string").as("gross_wei"),
+              $"n_in", $"n_out", $"n_peers")
+  }
+
+  /** Q29: same-block bounce screen — addresses that RECEIVE ether and
+    * SPEND in the very same block (classic mixer / peel-chain behavior;
+    * with same-block granularity it is also the coarse MEV-bot signature).
+    * One equi-join of the inbound leg against the outbound leg on
+    * `(block, address)` — the join key carries the block, so co-activity
+    * is matched without any window or per-block sort, and per-key fan-out
+    * is bounded by one address's activity inside one block. Then one
+    * address aggregate and a TakeOrdered top-20. */
+  def q29BounceScreen(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val t = eth(s, "transaction")
+    val paid = t.filter($"tx_to".isNotNull)
+      .select($"tx_blockNumber".as("bn"), $"tx_to".as("addr"), $"tx_hash".as("h_in"))
+    val spent = t.select($"tx_blockNumber".as("bn"), $"tx_from".as("addr"),
+      $"tx_hash".as("h_out"))
+    paid.join(spent, Seq("bn", "addr"))
+      .filter($"h_in" =!= $"h_out")
+      .groupBy($"addr")
+      .agg(count(lit(1)).as("n_pairs"), countDistinct($"bn").as("n_blocks"))
+      .orderBy($"n_pairs".desc, $"addr")
+      .limit(20)
+  }
+
+  /** Q30: intra-block gas-price ordering audit — miners are expected to
+    * order transactions by descending gas price, so an ASCENDING adjacent
+    * pair is an ordering anomaly (at Ethereum scale, the bulk signal for
+    * out-of-band inclusion deals). `lag` over a window PARTITIONED BY
+    * BLOCK (hash-distributed, millions of tiny per-block frames — the
+    * opposite of a single-partition funnel) feeds one bucket aggregate;
+    * the anomaly rate is exact integer micro-units. */
+  def q30GasOrderAudit(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"bn").orderBy($"idx")
+    eth(s, "transaction")
+      .select($"tx_blockNumber".as("bn"), $"tx_transactionIndex".as("idx"),
+              expr("CAST(tx_gasPrice AS BIGINT)").as("gp"))
+      .withColumn("prev_gp", lag($"gp", 1).over(w))
+      .filter($"prev_gp".isNotNull)
+      .groupBy(expr("bn div 1000").as("blk_k"))
+      .agg(count(lit(1)).as("n_pairs"),
+           sum(when($"gp" > $"prev_gp", 1L).otherwise(0L)).as("n_asc"))
+      .select($"blk_k", $"n_pairs", $"n_asc",
+              expr("n_asc * 1000000 div n_pairs").as("asc_rate_micro"))
+      .orderBy($"blk_k")
+  }
+
   /** B12: the catalog's DESCRIBE surface *as data*. The reference pins the
     * exact `DESCRIBE block/transaction/erc20` output in its docs
     * (`README.md:139-186`; widths `EthereumMetadata.java:48-51`), so this
@@ -770,7 +924,13 @@ object EthQueries {
     "eth_q21_time_span" -> q21TimeSpan _,
     "eth_q22_taint" -> q22Taint _,
     "eth_q23_gini" -> q23Gini _,
-    "eth_q24_nonce_audit" -> q24NonceAudit _)
+    "eth_q24_nonce_audit" -> q24NonceAudit _,
+    "eth_q25_gas_market" -> q25GasMarket _,
+    "eth_q26_cohorts" -> q26AddressCohorts _,
+    "eth_q27_uncles" -> q27UncleEconomics _,
+    "eth_q28_eth_flow" -> q28EthFlow _,
+    "eth_q29_bounce" -> q29BounceScreen _,
+    "eth_q30_gas_order" -> q30GasOrderAudit _)
 
   /** Unrolled 5-iteration integer PageRank replay (see [[q17PageRank]] for
     * the exact recurrence); starts with "," to extend [[withEthTables]]'s
@@ -1028,6 +1188,91 @@ object EthQueries {
                 CAST((ssq * 1000000) // (s * s) AS BIGINT) AS hhi_micro,
                 CAST((cmax * 1000000) // s AS BIGINT) AS top_share_micro
          FROM a ORDER BY token"""),
+    // exact integer gwei histogram read-off + HUGEINT fee sums — the
+    // same single-sort-free formulation the engine must equal
+    "eth_q25_gas_market" -> withEthTables(
+      """, t AS (SELECT tx_blockNumber // 1000 AS blk_k,
+                        CAST(tx_gasPrice AS BIGINT) // 1000000000 AS gwei,
+                        CAST(tx_gas AS BIGINT) * CAST(tx_gasPrice AS BIGINT) AS fee
+                 FROM transaction),
+         h AS (SELECT blk_k, gwei, CAST(count(*) AS BIGINT) AS n,
+                      CAST(sum(fee) AS HUGEINT) AS fee_w
+               FROM t GROUP BY 1, 2),
+         c AS (SELECT blk_k, gwei, n, fee_w,
+                      sum(n) OVER (PARTITION BY blk_k ORDER BY gwei
+                                   ROWS UNBOUNDED PRECEDING) AS cum,
+                      sum(n) OVER (PARTITION BY blk_k) AS nt
+               FROM h)
+         SELECT blk_k, CAST(max(nt) AS BIGINT) AS n_tx,
+                min(CASE WHEN cum * 100 >= nt * 50 THEN gwei END) AS p50_gwei,
+                min(CASE WHEN cum * 100 >= nt * 90 THEN gwei END) AS p90_gwei,
+                max(gwei) AS max_gwei,
+                CAST(CAST(sum(fee_w) AS HUGEINT) AS VARCHAR) AS fee_wei
+         FROM c GROUP BY blk_k ORDER BY blk_k"""),
+    "eth_q26_cohorts" -> withEthTables(
+      """, t AS (SELECT tx_from AS addr, tx_blockNumber // 1000 AS k
+                 FROM transaction),
+         f AS (SELECT addr, min(k) AS cohort_k FROM t GROUP BY addr),
+         a AS (SELECT DISTINCT addr, k FROM t)
+         SELECT cohort_k, k - cohort_k AS age_k,
+                CAST(count(*) AS BIGINT) AS n_active
+         FROM f JOIN a USING (addr)
+         GROUP BY 1, 2 ORDER BY 1, 2"""),
+    "eth_q27_uncles" -> withEthTables(
+      """SELECT block_miner,
+                CAST(count(*) AS BIGINT) AS n_blocks,
+                CAST(sum(len(block_uncles)) AS BIGINT) AS n_uncles,
+                CAST(sum(CASE WHEN len(block_uncles) > 0 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS blocks_with_uncles,
+                CAST(sum(len(block_uncles)) * 1000000 // count(*)
+                     AS BIGINT) AS uncle_rate_micro
+         FROM block GROUP BY block_miner
+         ORDER BY n_blocks DESC, block_miner"""),
+    // exact-wei DECIMAL ledger (the eth_q13-proven double->DECIMAL lane);
+    // net/gross stringified for digit-exact comparison
+    "eth_q28_eth_flow" -> withEthTables(
+      """, l AS (
+           SELECT tx_from AS addr, -CAST(tx_value AS DECIMAL(38,0)) AS wei,
+                  1 AS n_out, 0 AS n_in, tx_to AS peer
+           FROM transaction
+           UNION ALL
+           SELECT tx_to, CAST(tx_value AS DECIMAL(38,0)), 0, 1, tx_from
+           FROM transaction WHERE tx_to IS NOT NULL)
+         SELECT addr,
+                CAST(CAST(sum(wei) AS DECIMAL(38,0)) AS VARCHAR) AS net_wei,
+                CAST(CAST(sum(abs(wei)) AS DECIMAL(38,0)) AS VARCHAR) AS gross_wei,
+                CAST(sum(n_in) AS BIGINT) AS n_in,
+                CAST(sum(n_out) AS BIGINT) AS n_out,
+                CAST(count(DISTINCT peer) AS BIGINT) AS n_peers
+         FROM l GROUP BY addr
+         ORDER BY sum(wei) DESC, addr LIMIT 20"""),
+    "eth_q29_bounce" -> withEthTables(
+      """, paid AS (SELECT tx_blockNumber AS bn, tx_to AS addr,
+                           tx_hash AS h_in
+                    FROM transaction WHERE tx_to IS NOT NULL),
+         spent AS (SELECT tx_blockNumber AS bn, tx_from AS addr,
+                          tx_hash AS h_out
+                   FROM transaction)
+         SELECT addr, CAST(count(*) AS BIGINT) AS n_pairs,
+                CAST(count(DISTINCT bn) AS BIGINT) AS n_blocks
+         FROM paid JOIN spent USING (bn, addr)
+         WHERE h_in <> h_out
+         GROUP BY addr ORDER BY n_pairs DESC, addr LIMIT 20"""),
+    "eth_q30_gas_order" -> withEthTables(
+      """, t AS (SELECT tx_blockNumber AS bn, tx_transactionIndex AS idx,
+                        CAST(tx_gasPrice AS BIGINT) AS gp
+                 FROM transaction),
+         l AS (SELECT bn, gp,
+                      lag(gp) OVER (PARTITION BY bn ORDER BY idx) AS prev_gp
+               FROM t)
+         SELECT bn // 1000 AS blk_k,
+                CAST(count(*) AS BIGINT) AS n_pairs,
+                CAST(sum(CASE WHEN gp > prev_gp THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_asc,
+                CAST(sum(CASE WHEN gp > prev_gp THEN 1 ELSE 0 END) * 1000000
+                     // count(*) AS BIGINT) AS asc_rate_micro
+         FROM l WHERE prev_gp IS NOT NULL
+         GROUP BY blk_k ORDER BY blk_k"""),
     "eth_q24_nonce_audit" -> withEthTables(
       """SELECT CAST(count(*) AS BIGINT) AS n_addrs,
                 CAST(sum(n_tx) AS BIGINT) AS n_tx,

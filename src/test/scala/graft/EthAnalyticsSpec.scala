@@ -1,0 +1,158 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.EthQueries
+
+/** Round-7 chain-analytics queries (eth_q25–eth_q30) checked against
+  * INDEPENDENT driver-side Scala replays: the query runs the distributed
+  * plan (histogram read-off windows, ledger unions, co-activity joins);
+  * the replay recomputes the same answer with plain collections and
+  * BigInt over the engine-scanned rows. Fixture scale (~15k tx) keeps the
+  * replay trivial driver-side; the queries themselves never collect. */
+class EthAnalyticsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private lazy val dir = graft.sources.eth.EthFixtures.ensure(spark)
+
+  /** (bn, idx, from, to(opt), valueWei, gasLong, gasPriceLong, hash) */
+  private lazy val txRows: Seq[(Long, Int, String, Option[String], BigInt, Long, Long, String)] = {
+    import spark.implicits._
+    spark.read.format("ethereum").option("table", "transaction")
+      .option("chain", dir).option("weiDecimal", "true").load()
+      .select($"tx_blockNumber", $"tx_transactionIndex", $"tx_from", $"tx_to",
+              $"tx_value", $"tx_gas".cast("long"), $"tx_gasPrice".cast("long"), $"tx_hash")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), Option(r.getString(3)),
+                 BigInt(r.getDecimal(4).toBigInteger),
+                 r.getLong(5), r.getLong(6), r.getString(7))).toSeq
+  }
+
+  test("eth_q25 gas market equals a histogram-read-off replay with BigInt fees") {
+    val byBucket = txRows.groupBy(_._1 / 1000)
+    val expected = byBucket.toSeq.map { case (k, rows) =>
+      val gweis = rows.map(_._7 / 1000000000L).sorted
+      val n = gweis.size
+      def pct(p: Int): Long = {
+        val hist = gweis.groupBy(identity).toSeq
+          .map { case (g, gs) => (g, gs.size) }.sortBy(_._1)
+        var cum = 0L
+        var res = Long.MinValue
+        hist.foreach { case (g, c) =>
+          cum += c
+          if (res == Long.MinValue && cum * 100 >= n.toLong * p) res = g
+        }
+        res
+      }
+      val fee = rows.map(r => BigInt(r._6) * BigInt(r._7)).sum
+      (k, n.toLong, pct(50), pct(90), gweis.max, fee.toString)
+    }.sortBy(_._1)
+    val got = EthQueries.q25GasMarket(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                 r.getLong(4), r.getString(5))).toSeq
+    assert(got == expected, s"gas market mismatch:\n got=$got\n exp=$expected")
+  }
+
+  test("eth_q26 cohort retention equals a first-seen/activity-set replay") {
+    val ks = txRows.map(r => (r._3, r._1 / 1000))
+    val first = ks.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val expected = ks.distinct
+      .map { case (a, k) => (first(a), k - first(a)) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .map { case ((c, g), n) => (c, g, n) }.sortBy(t => (t._1, t._2))
+    val got = EthQueries.q26AddressCohorts(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected)
+    // every cohort's age-0 row exists: an address is active in its own
+    // first bucket by construction
+    val cohorts = expected.map(_._1).distinct
+    assert(cohorts.forall(c => expected.exists(t => t._1 == c && t._2 == 0L)))
+  }
+
+  test("eth_q27 uncle economics equals a per-miner array replay") {
+    import spark.implicits._
+    val blocks = spark.read.format("ethereum").option("table", "block")
+      .option("chain", dir).load()
+      .select($"block_miner", size($"block_uncles").cast("long")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val expected = blocks.groupBy(_._1).toSeq.map { case (m, bs) =>
+      val nb = bs.size.toLong
+      val nu = bs.map(_._2).sum
+      (m, nb, nu, bs.count(_._2 > 0).toLong, nu * 1000000L / nb)
+    }.sortBy(t => (-t._2, t._1))
+    val got = EthQueries.q27UncleEconomics(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got == expected)
+    assert(expected.map(_._3).sum > 0, "fixture must contain uncles")
+  }
+
+  test("eth_q28 whale screen equals a signed exact-wei ledger replay") {
+    case class Acc(net: BigInt = 0, gross: BigInt = 0, nIn: Long = 0,
+                   nOut: Long = 0, peers: Set[String] = Set.empty)
+    val m = new scala.collection.mutable.HashMap[String, Acc]().withDefault(_ => Acc())
+    txRows.foreach { case (_, _, from, to, wei, _, _, _) =>
+      val a = m(from)
+      m(from) = a.copy(net = a.net - wei, gross = a.gross + wei, nOut = a.nOut + 1,
+        peers = to.fold(a.peers)(a.peers + _))
+      to.foreach { t =>
+        val b = m(t)
+        m(t) = b.copy(net = b.net + wei, gross = b.gross + wei, nIn = b.nIn + 1,
+          peers = b.peers + from)
+      }
+    }
+    val expected = m.toSeq
+      .map { case (a, acc) => (a, acc.net, acc.gross, acc.nIn, acc.nOut, acc.peers.size.toLong) }
+      .sortBy { case (a, net, _, _, _, _) => (-net, a) }.take(20)
+      .map { case (a, net, gross, ni, no, np) => (a, net.toString, gross.toString, ni, no, np) }
+    val got = EthQueries.q28EthFlow(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+                 r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(got == expected, s"whale screen mismatch:\n got=${got.take(3)}\n exp=${expected.take(3)}")
+  }
+
+  test("eth_q29 bounce screen equals an in×out co-activity replay") {
+    val byBlockAddr = new scala.collection.mutable.HashMap[(Long, String), (Set[String], Set[String])]()
+      .withDefault(_ => (Set.empty, Set.empty))
+    txRows.foreach { case (bn, _, from, to, _, _, _, h) =>
+      val k2 = (bn, from)
+      val (i2, o2) = byBlockAddr(k2); byBlockAddr(k2) = (i2, o2 + h)
+      to.foreach { t =>
+        val k1 = (bn, t)
+        val (i1, o1) = byBlockAddr(k1); byBlockAddr(k1) = (i1 + h, o1)
+      }
+    }
+    val perAddr = new scala.collection.mutable.HashMap[String, (Long, Set[Long])]()
+      .withDefault(_ => (0L, Set.empty))
+    byBlockAddr.foreach { case ((bn, a), (ins, outs)) =>
+      val pairs = ins.size.toLong * outs.size - ins.intersect(outs).size
+      if (pairs > 0) {
+        val (p, bs) = perAddr(a); perAddr(a) = (p + pairs, bs + bn)
+      }
+    }
+    val expected = perAddr.toSeq
+      .map { case (a, (p, bs)) => (a, p, bs.size.toLong) }
+      .sortBy(t => (-t._2, t._1)).take(20)
+    val got = EthQueries.q29BounceScreen(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected, s"bounce mismatch:\n got=${got.take(5)}\n exp=${expected.take(5)}")
+    assert(expected.nonEmpty, "fixture must produce same-block bounces")
+  }
+
+  test("eth_q30 gas-order audit equals an adjacent-pair replay") {
+    val pairs = txRows.groupBy(_._1).toSeq.flatMap { case (bn, rows) =>
+      rows.sortBy(_._2).map(_._7).sliding(2).collect {
+        case Seq(a, b) => (bn / 1000, b > a)
+      }
+    }
+    val expected = pairs.groupBy(_._1).toSeq.map { case (k, ps) =>
+      val n = ps.size.toLong
+      val asc = ps.count(_._2).toLong
+      (k, n, asc, asc * 1000000L / n)
+    }.sortBy(_._1)
+    val got = EthQueries.q30GasOrderAudit(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected)
+  }
+}

@@ -141,6 +141,26 @@ class DedupSpec extends AnyFunSuite {
     assert(sh(0).intersect(sh(1)).size == top.getAs[Long]("n_shared"))
   }
 
+  test("cross-source overlap matrix equals a driver-side shingle-set replay") {
+    val perSource = Tables.documents(spark, sf)
+      .select($"source", Dedup.shingleHashes($"text")).collect()
+      .map(r => (r.getString(0), r.getSeq[Long](1).toSet))
+      .groupBy(_._1).view.mapValues(_.map(_._2).reduce(_ ++ _)).toMap
+    val sources = perSource.keys.toSeq.sorted
+    val expected = (for {
+      a <- sources; b <- sources if a < b
+      shared = perSource(a).intersect(perSource(b)).size.toLong if shared > 0
+    } yield {
+      val (na, nb) = (perSource(a).size.toLong, perSource(b).size.toLong)
+      (a, b, shared, na, nb, shared * 1000000L / (na + nb - shared))
+    }).sortBy(t => (t._1, t._2))
+    val got = Dedup.sourceOverlap(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+                 r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(got == expected, s"overlap mismatch: got=${got.take(3)} exp=${expected.take(3)}")
+    assert(expected.nonEmpty, "fixture sources must share shingles")
+  }
+
   test("bloom decontamination pre-pass: superset of exact, bounded FPs") {
     val exact = Dedup.decontaminate(spark, sf).collect()
     val bloom = Dedup.decontaminateBloom(spark, sf).collect()
