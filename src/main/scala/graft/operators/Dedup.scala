@@ -547,15 +547,19 @@ object Dedup {
     * set sizes ride a broadcast join. Nothing is all-pairs in documents. */
   def sourceOverlap(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    // the (source, shingle) base feeds three consumers (both join sides +
+    // sizes) — persist it sketch-sized so the corpus text is scanned and
+    // shingled ONCE, then free it once the bounded S² matrix materializes
     val sh = documents(s, d)
       .select($"source", explode(shingleHashes($"text")).as("h"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy($"source").agg(count(lit(1)).as("n"))
     val pairs = sh.as("a").join(sh.as("b"),
         col("a.h") === col("b.h") && col("a.source") < col("b.source"))
       .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
       .agg(count(lit(1)).as("n_shared"))
-    pairs
+    val out = pairs
       .join(broadcast(sizes.select($"source".as("source_a"), $"n".as("n_a"))), "source_a")
       .join(broadcast(sizes.select($"source".as("source_b"), $"n".as("n_b"))), "source_b")
       .select($"source_a", $"source_b", $"n_shared", $"n_a", $"n_b",
@@ -565,6 +569,7 @@ object Dedup {
                       div CAST(n_a + n_b - n_shared AS DECIMAL(38,0)) AS BIGINT)""")
                 .as("jaccard_micro"))
       .orderBy($"source_a", $"source_b")
+    graft.plans.Caching.detach(out, () => { sh.unpersist(blocking = false); () })
   }
 
   /** Oracle-paired incremental run: batch = doc_id ≥ 250 deduped against

@@ -730,11 +730,13 @@ object EthQueries {
               ($"tx_gas".cast("long") * $"tx_gasPrice".cast("long")).as("fee"))
     val hist = tx.groupBy($"blk_k", $"gwei")
       .agg(count(lit(1)).as("n"), sum($"fee".cast("decimal(38,0)")).as("fee_w"))
+    // bucket totals come from a SECOND window over the same tiny cell
+    // frame (one shuffle, reused partitioning) — NOT a second aggregate
+    // of the source, which would re-scan the chain
     val w = Window.partitionBy($"blk_k").orderBy($"gwei")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = hist.withColumn("cum", sum($"n").over(w))
-    val tot = hist.groupBy($"blk_k").agg(sum($"n").as("nt"))
-    cum.join(broadcast(tot), "blk_k")
+    hist.withColumn("cum", sum($"n").over(w))
+      .withColumn("nt", sum($"n").over(Window.partitionBy($"blk_k")))
       .groupBy($"blk_k")
       .agg(max($"nt").as("n_tx"),
            min(when($"cum" * 100 >= $"nt" * 50, $"gwei")).as("p50_gwei"),
@@ -758,9 +760,11 @@ object EthQueries {
     import s.implicits._
     val tx = eth(s, "transaction")
       .select($"tx_from".as("addr"), expr("tx_blockNumber div 1000").as("k"))
-    val first = tx.groupBy($"addr").agg(min($"k").as("cohort_k"))
-    val act = tx.distinct()
-    first.join(act, "addr")
+    // first-seen rides a min-window over the ALREADY-DISTINCT activity
+    // set (address-partitioned, address-scale rows) — one chain scan,
+    // not a separate first-seen aggregate that scans the source again
+    tx.distinct()
+      .withColumn("cohort_k", min($"k").over(Window.partitionBy($"addr")))
       .groupBy($"cohort_k", ($"k" - $"cohort_k").as("age_k"))
       .agg(count(lit(1)).as("n_active"))
       .orderBy($"cohort_k", $"age_k")
@@ -800,12 +804,19 @@ object EthQueries {
     val dir = EthFixtures.ensure(s)
     val t = s.read.format("ethereum").option("table", "transaction")
       .option("chain", dir).option("weiDecimal", "true").load()
-    val out = t.select($"tx_from".as("addr"), (-$"tx_value").as("wei"),
-      lit(1L).as("n_out"), lit(0L).as("n_in"), $"tx_to".as("peer"))
-    val in = t.filter($"tx_to".isNotNull)
-      .select($"tx_to".as("addr"), $"tx_value".as("wei"),
-        lit(0L).as("n_out"), lit(1L).as("n_in"), $"tx_from".as("peer"))
-    out.union(in)
+    // both ledger legs explode out of ONE scan (a union of two selects of
+    // the same source executes the scan twice — at chain scale that is a
+    // second full fetch); the inflow leg of a to-less contract creation
+    // drops via the null-addr filter
+    t.select(explode(array(
+        struct($"tx_from".as("addr"), (-$"tx_value").as("wei"),
+               lit(1L).as("n_out"), lit(0L).as("n_in"), $"tx_to".as("peer")),
+        struct($"tx_to".as("addr"), $"tx_value".as("wei"),
+               lit(0L).as("n_out"), lit(1L).as("n_in"), $"tx_from".as("peer"))))
+        .as("e"))
+      .select($"e.addr".as("addr"), $"e.wei".as("wei"), $"e.n_out".as("n_out"),
+              $"e.n_in".as("n_in"), $"e.peer".as("peer"))
+      .filter($"addr".isNotNull)
       .groupBy($"addr")
       .agg(sum($"wei").cast("decimal(38,0)").as("net"),
            sum(abs($"wei")).cast("decimal(38,0)").as("gross"),
