@@ -56,3 +56,21 @@ class KmvDistinct(k: Int) extends Aggregator[Long, List[Long], Double] {
   override def outputEncoder: Encoder[Double] =
     org.apache.spark.sql.Encoders.scalaDouble
 }
+
+/** [[KmvDistinct]]'s state as the RESULT: the k smallest distinct hashes,
+  * ascending. The raw sketch (not just its cardinality estimate) is what
+  * set-OPERATION estimators need — two groups' sketches merge into the
+  * union's sketch, and the fraction of merged values present in both
+  * inputs estimates Jaccard (the theta-sketch intersection rule). Same
+  * O(k) mergeable buffer; the output is a pure function of the value set,
+  * so it is oracle-hash-checkable like the estimate. */
+class KmvSketch(k: Int) extends Aggregator[Long, List[Long], Seq[Long]] {
+  private val inner = new KmvDistinct(k)
+  override def zero: List[Long] = inner.zero
+  override def reduce(buf: List[Long], h: Long): List[Long] = inner.reduce(buf, h)
+  override def merge(a: List[Long], b: List[Long]): List[Long] = inner.merge(a, b)
+  override def finish(buf: List[Long]): Seq[Long] = buf.reverse // ascending
+  override def bufferEncoder: Encoder[List[Long]] = inner.bufferEncoder
+  override def outputEncoder: Encoder[Seq[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+}

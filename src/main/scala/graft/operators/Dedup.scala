@@ -572,6 +572,43 @@ object Dedup {
     graft.plans.Caching.detach(out, () => { sh.unpersist(blocking = false); () })
   }
 
+  /** SKETCH-scale path for [[sourceOverlap]] — the same cross-source
+    * overlap matrix estimated from per-source KMV sketches instead of the
+    * full shingle equi-join. [[sourceOverlap]] shuffles every distinct
+    * (source, shingle) pair; at 100 TB that is the dominant cost. This
+    * pass shuffles AT MOST S×k longs: one corpus scan feeds a map-side
+    * partial [[graft.functions.KmvSketch]] per source, the S-row sketch
+    * frame self-joins (bounded S² pairs), and union/intersection come
+    * from 2k-element array ops — the theta-sketch rule: merge the two
+    * sketches, keep the k smallest, estimate |A∪B| from the k-th value
+    * and Jaccard from the fraction of merged values present in BOTH
+    * inputs. Everything is a pure function of the hash set (exact
+    * integers + one IEEE division), so even the ESTIMATES hash-match the
+    * DuckDB replay bit-for-bit. */
+  def sourceOverlapKmv(s: SparkSession, d: String, k: Int = 256): DataFrame = {
+    import s.implicits._
+    val sketch = udaf(new graft.functions.KmvSketch(k),
+      org.apache.spark.sql.Encoders.scalaLong)
+    val sk = documents(s, d)
+      .select($"source", explode(shingleHashes($"text")).as("h"))
+      .groupBy($"source").agg(sketch($"h").as("sk"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val norm = lit((k - 1).toDouble * 1152921504606846976L.toDouble) // (k-1)·2^60
+    val out = sk.as("a").join(sk.as("b"), col("a.source") < col("b.source"))
+      .select(col("a.source").as("source_a"), col("b.source").as("source_b"),
+              col("a.sk").as("sk_a"), col("b.sk").as("sk_b"))
+      .withColumn("mg", slice(array_sort(array_distinct(concat($"sk_a", $"sk_b"))), 1, k))
+      .withColumn("k_used", size($"mg").cast("long"))
+      .withColumn("n_both", size(filter($"mg",
+        x => array_contains($"sk_a", x) && array_contains($"sk_b", x))).cast("long"))
+      .select($"source_a", $"source_b", $"k_used", $"n_both",
+        expr("n_both * 1000000 div k_used").as("jaccard_est_micro"),
+        round(when($"k_used" < k, $"k_used".cast("double"))
+          .otherwise(norm / element_at($"mg", k).cast("double")), 4).as("est_union"))
+      .orderBy($"source_a", $"source_b")
+    graft.plans.Caching.detach(out, () => { sk.unpersist(blocking = false); () })
+  }
+
   /** Oracle-paired incremental run: batch = doc_id ≥ 250 deduped against
     * the digests of doc_id < 250. */
   def exactIncrementalQuery(s: SparkSession, d: String): DataFrame = {
@@ -594,7 +631,8 @@ object Dedup {
     "nd_dedup_simhash" -> ((s: SparkSession, d: String) => simhashPairs(s, d)),
     "nd_dedup_embedding" -> ((s: SparkSession, d: String) => embeddingPairs(s, d)),
     "nd_dedup_embedding_brute" -> embeddingPairsBrute _,
-    "nd_source_overlap" -> sourceOverlap _)
+    "nd_source_overlap" -> sourceOverlap _,
+    "nd_source_overlap_kmv" -> ((s: SparkSession, d: String) => sourceOverlapKmv(s, d)))
 
   // ---- DuckDB replicas of the sketch pipeline (see Expressions.Sketch:
   // the hash scheme is md5-fold + affine-mod precisely so these oracles
@@ -670,6 +708,37 @@ object Dedup {
          FROM p JOIN sizes na ON p.source_a = na.source
                 JOIN sizes nb ON p.source_b = nb.source
          ORDER BY source_a, source_b""",
+    // KMV overlap replay: per-source k-smallest-distinct sketches as
+    // sorted list slices, theta-sketch merge + membership intersection;
+    // (k-1)·2^60 is exactly representable so the one division is a single
+    // IEEE op with identical operands on both engines
+    "nd_source_overlap_kmv" ->
+      s"""WITH $shingleCtesSql,
+         sh60 AS (SELECT doc_id, list_distinct(list_transform(shings, s -> ${Sketch.foldSql(15, "s")})) AS sh
+                  FROM shing),
+         se AS (SELECT DISTINCT d.source AS source, x.h
+                FROM (SELECT doc_id, unnest(sh) AS h FROM sh60) x
+                JOIN documents d USING (doc_id)),
+         sk AS (SELECT source, list_slice(list_sort(list(DISTINCT h)), 1, 256) AS sk
+                FROM se GROUP BY source),
+         p AS (SELECT a.source AS source_a, b.source AS source_b,
+                      a.sk AS sk_a, b.sk AS sk_b
+               FROM sk a JOIN sk b ON a.source < b.source),
+         m AS (SELECT source_a, source_b, sk_a, sk_b,
+                      list_slice(list_sort(list_distinct(list_concat(sk_a, sk_b))), 1, 256) AS mg
+               FROM p),
+         r AS (SELECT source_a, source_b,
+                      CAST(len(mg) AS BIGINT) AS k_used,
+                      CAST(len(list_filter(mg, x -> list_contains(sk_a, x)
+                                               AND list_contains(sk_b, x))) AS BIGINT) AS n_both,
+                      mg
+               FROM m)
+         SELECT source_a, source_b, k_used, n_both,
+                n_both * 1000000 // k_used AS jaccard_est_micro,
+                round(CASE WHEN k_used < 256 THEN CAST(k_used AS DOUBLE)
+                      ELSE CAST(255 AS DOUBLE) * 1152921504606846976
+                           / CAST(mg[256] AS DOUBLE) END, 4) AS est_union
+         FROM r ORDER BY source_a, source_b""",
     // decontamination replay: same canonical/shingle/60-bit-fold scheme as
     // the jaccard oracle, split into eval (doc_id % 10 = 0) and train
     // sides, joined on the shingle hash

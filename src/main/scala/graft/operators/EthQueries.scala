@@ -523,10 +523,16 @@ object EthQueries {
       .option("chain", dir).option("weiDecimal", "true").load()
       .select($"erc20_token".as("token"), $"erc20_from".as("from_a"),
               $"erc20_to".as("to_a"), $"erc20_value".as("wei"))
-    val ledger = t.select($"token", $"to_a".as("addr"), $"wei",
-        lit(1L).as("n_in"), lit(0L).as("n_out"))
-      .union(t.select($"token", $"from_a".as("addr"), (-$"wei").as("wei"),
-        lit(0L).as("n_in"), lit(1L).as("n_out")))
+    // both ledger legs explode out of ONE decode scan (a union of two
+    // selects executes the ERC-20 decode twice — at chain scale a second
+    // full fetch+decode pass)
+    val ledger = t.select($"token", explode(array(
+        struct($"to_a".as("addr"), $"wei".as("wei"),
+               lit(1L).as("n_in"), lit(0L).as("n_out")),
+        struct($"from_a".as("addr"), (-$"wei").as("wei"),
+               lit(0L).as("n_in"), lit(1L).as("n_out")))).as("e"))
+      .select($"token", $"e.addr".as("addr"), $"e.wei".as("wei"),
+              $"e.n_in".as("n_in"), $"e.n_out".as("n_out"))
     ledger.groupBy($"token", $"addr")
       .agg(sum($"wei").cast("decimal(38,0)").as("bal"),
            sum($"n_in").as("n_in"), sum($"n_out").as("n_out"))

@@ -161,6 +161,41 @@ class DedupSpec extends AnyFunSuite {
     assert(expected.nonEmpty, "fixture sources must share shingles")
   }
 
+  test("KMV overlap sketch equals a driver-side k-smallest replay and tracks exact Jaccard") {
+    val k = 256
+    val perSource = Tables.documents(spark, sf)
+      .select($"source", Dedup.shingleHashes($"text")).collect()
+      .map(r => (r.getString(0), r.getSeq[Long](1).toSet))
+      .groupBy(_._1).view.mapValues(_.map(_._2).reduce(_ ++ _)).toMap
+    val sk = perSource.view.mapValues(_.toSeq.sorted.take(k)).toMap
+    val sources = sk.keys.toSeq.sorted
+    val expected = (for { a <- sources; b <- sources if a < b } yield {
+      val mg = (sk(a) ++ sk(b)).distinct.sorted.take(k)
+      val both = mg.count(h => sk(a).contains(h) && sk(b).contains(h)).toLong
+      val kUsed = mg.size.toLong
+      val estUnion =
+        if (kUsed < k) kUsed.toDouble
+        else {
+          val raw = (k - 1).toDouble * 1152921504606846976L.toDouble / mg(k - 1).toDouble
+          BigDecimal(raw).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        }
+      (a, b, kUsed, both, both * 1000000L / kUsed, estUnion)
+    }).sortBy(t => (t._1, t._2))
+    val got = Dedup.sourceOverlapKmv(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+                 r.getLong(4), r.getDouble(5))).toSeq
+    assert(got == expected, s"kmv mismatch: got=${got.take(2)} exp=${expected.take(2)}")
+    // estimator quality: the sketch Jaccard tracks the exact matrix
+    // within the k=256 sampling envelope (σ ≈ √(J/k) ≈ 0.01 here)
+    val exact = Dedup.sourceOverlap(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(5))).toMap
+    got.foreach { case (a, b, _, _, estMicro, _) =>
+      val ex = exact.getOrElse((a, b), 0L)
+      assert(math.abs(estMicro - ex) <= 60000L,
+        s"($a,$b): kmv est $estMicro vs exact $ex off by more than 0.06")
+    }
+  }
+
   test("bloom decontamination pre-pass: superset of exact, bounded FPs") {
     val exact = Dedup.decontaminate(spark, sf).collect()
     val bloom = Dedup.decontaminateBloom(spark, sf).collect()
