@@ -546,6 +546,13 @@ object Dedup {
     * S·(S−1)/2 pairs, not corpus²). Output is at most S² rows. Per-source
     * set sizes ride a broadcast join. Nothing is all-pairs in documents. */
   def sourceOverlap(s: SparkSession, d: String): DataFrame = {
+    val (out, free) = sourceOverlapLazy(s, d)
+    graft.plans.Caching.detach(out, free)
+  }
+
+  /** [[sourceOverlap]] pre-materialization, for plan inspection. */
+  private[graft] def sourceOverlapLazy(s: SparkSession, d: String)
+      : (DataFrame, () => Unit) = {
     import s.implicits._
     // the (source, shingle) base feeds three consumers (both join sides +
     // sizes) — persist it sketch-sized so the corpus text is scanned and
@@ -569,7 +576,7 @@ object Dedup {
                       div CAST(n_a + n_b - n_shared AS DECIMAL(38,0)) AS BIGINT)""")
                 .as("jaccard_micro"))
       .orderBy($"source_a", $"source_b")
-    graft.plans.Caching.detach(out, () => { sh.unpersist(blocking = false); () })
+    (out, () => { sh.unpersist(blocking = false); () })
   }
 
   /** SKETCH-scale path for [[sourceOverlap]] — the same cross-source
@@ -586,6 +593,13 @@ object Dedup {
     * integers + one IEEE division), so even the ESTIMATES hash-match the
     * DuckDB replay bit-for-bit. */
   def sourceOverlapKmv(s: SparkSession, d: String, k: Int = 256): DataFrame = {
+    val (out, free) = sourceOverlapKmvLazy(s, d, k)
+    graft.plans.Caching.detach(out, free)
+  }
+
+  /** [[sourceOverlapKmv]] pre-materialization, for plan inspection. */
+  private[graft] def sourceOverlapKmvLazy(s: SparkSession, d: String, k: Int)
+      : (DataFrame, () => Unit) = {
     import s.implicits._
     val sketch = udaf(new graft.functions.KmvSketch(k),
       org.apache.spark.sql.Encoders.scalaLong)
@@ -606,7 +620,7 @@ object Dedup {
         round(when($"k_used" < k, $"k_used".cast("double"))
           .otherwise(norm / element_at($"mg", k).cast("double")), 4).as("est_union"))
       .orderBy($"source_a", $"source_b")
-    graft.plans.Caching.detach(out, () => { sk.unpersist(blocking = false); () })
+    (out, () => { sk.unpersist(blocking = false); () })
   }
 
   /** Oracle-paired incremental run: batch = doc_id ≥ 250 deduped against

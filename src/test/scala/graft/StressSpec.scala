@@ -466,6 +466,48 @@ class StressSpec extends AnyFunSuite {
     assert(attr.getLong(2) == attr.getLong(3), "attribution revenue diverges between models")
   }
 
+  test("(k) source-overlap family keeps its scale shape at 30x") {
+    import spark.implicits._
+    val nSources = Tables.documents(spark, dir).select("source").distinct().count()
+    val maxPairs = nSources * (nSources - 1) / 2
+
+    // exact matrix: the pair join must stay a shuffle-partitioned
+    // EQUI-join on the shingle hash — per-key fan-out is bounded by the
+    // source count, so no nested loop and no single-partition funnel
+    val (exact, freeE) = Dedup.sourceOverlapLazy(spark, dir)
+    val ePlan = exact.queryExecution.executedPlan.toString
+    assert(!ePlan.contains("BroadcastNestedLoopJoin"),
+      s"overlap pair join flipped to a nested loop at 30x:\n$ePlan")
+    assert(!ePlan.contains("Exchange SinglePartition"),
+      s"overlap matrix funnels at 30x:\n$ePlan")
+    val eRows = exact.collect()
+    freeE()
+    assert(eRows.nonEmpty && eRows.length <= maxPairs,
+      s"expected <= $maxPairs source pairs, got ${eRows.length}")
+
+    // sketch path: the per-source KMV aggregate must still partial-combine
+    // map-side (the shuffle carries k-long sketch buffers, not shingles),
+    // and the S-row self-join is the only nested loop (bounded metadata)
+    val (kmv, freeK) = Dedup.sourceOverlapKmvLazy(spark, dir, 256)
+    val kPlan = kmv.queryExecution.executedPlan.toString
+    assert(kPlan.contains("partial_kmvsketch") || kPlan.contains("ObjectHashAggregate"),
+      s"KMV sketch lost its map-side partial at 30x:\n$kPlan")
+    val kRows = kmv.collect()
+    freeK()
+    assert(kRows.length == eRows.length || kRows.length == maxPairs,
+      s"KMV matrix row count ${kRows.length} vs exact ${eRows.length}")
+    // the estimator still tracks truth on the grown corpus: every pair's
+    // sketch Jaccard within the k=256 sampling envelope of the exact one
+    val exactByPair = eRows.map(r => ((r.getString(0), r.getString(1)), r.getLong(5))).toMap
+    kRows.foreach { r =>
+      val key = (r.getString(0), r.getString(1))
+      val est = r.getLong(4)
+      val ex = exactByPair.getOrElse(key, 0L)
+      assert(math.abs(est - ex) <= 60000L,
+        s"$key: kmv est $est vs exact $ex diverged past 0.06 at 30x")
+    }
+  }
+
   test("(d) ANN recall holds up at 30x — not just at the toy corpus") {
     // the round-2 caveat was that recall was only ever measured at 2k
     // vectors; here the same multi-probe LSH runs against 60k and must
