@@ -715,8 +715,31 @@ object Relational {
       .orderBy($"n_name", $"metric")
   }
 
+  /** B-surface breadth: correlated LATERAL subquery with ORDER BY +
+    * LIMIT — top-k-per-group spelled the declarative ANSI way, one text
+    * both engines run verbatim (the q43 discipline). Catalyst
+    * DECORRELATES the lateral into a per-key window rank (see PLANS.md:
+    * no nested loop, no per-row re-execution), so the scale shape is the
+    * same hash-partitioned rank the hand-written top-k queries use —
+    * the feature is that users get it from plain SQL. Money is exact
+    * integer cents. */
+  def q50LateralTopk(s: SparkSession, d: String): DataFrame = {
+    graft.Catalog.mountCorpus(s, d)
+    s.sql(lateralTopkSql)
+  }
+
+  private val lateralTopkSql =
+    """WITH c AS (SELECT c_custkey, c_name FROM customer WHERE c_custkey % 100 = 0)
+       SELECT c.c_custkey, c.c_name, t.o_orderkey, t.cents
+       FROM c, LATERAL (
+         SELECT o_orderkey, CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+         FROM orders o WHERE o.o_custkey = c.c_custkey
+         ORDER BY cents DESC, o_orderkey LIMIT 2) t
+       ORDER BY c.c_custkey, t.cents DESC, t.o_orderkey"""
+
   /** Oracle SQL (DuckDB dialect = ANSI here) for each query above. */
   val oracle: Map[String, String] = Map(
+    "q50_lateral_topk" -> lateralTopkSql,
     // KMV replay: k smallest distinct 60-bit folds per group, estimate
     // (k-1)·2^60 / h_(k) — double ops in the same order as the aggregate
     "q38_kmv_distinct" -> {
@@ -1066,6 +1089,7 @@ object Relational {
     "q46_exact_percentile" -> q46ExactPercentile _,
     "q47_linreg" -> q47Linreg _,
     "q48_histogram" -> q48Histogram _,
-    "q49_unpivot" -> q49Unpivot _
+    "q49_unpivot" -> q49Unpivot _,
+    "q50_lateral_topk" -> q50LateralTopk _
   )
 }

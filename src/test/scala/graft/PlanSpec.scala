@@ -119,6 +119,14 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), s"top-k missing:\n$plan")
   }
 
+  test("q50 correlated LATERAL decorrelates to a group-limit rank, not a nested loop") {
+    val p = executed(Relational.q50LateralTopk(spark, sf))
+    assert(p.contains("WindowGroupLimit"),
+      s"lateral top-k did not decorrelate to a group-limit window:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"lateral executed as a per-row nested loop:\n$p")
+  }
+
   test("aggregates run partial (map-side) before the shuffle") {
     val plan = Relational.q01PricingSummary(spark, sf).queryExecution.executedPlan.toString
     val firstAgg = plan.indexOf("HashAggregate")
