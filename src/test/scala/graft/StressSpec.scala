@@ -480,6 +480,7 @@ class StressSpec extends AnyFunSuite {
       s"overlap pair join flipped to a nested loop at 30x:\n$ePlan")
     assert(!ePlan.contains("Exchange SinglePartition"),
       s"overlap matrix funnels at 30x:\n$ePlan")
+    val tExact = timeMin(2) { Dedup.sourceOverlap(spark, dir).collect() }
     val eRows = exact.collect()
     freeE()
     assert(eRows.nonEmpty && eRows.length <= maxPairs,
@@ -492,6 +493,8 @@ class StressSpec extends AnyFunSuite {
     val kPlan = kmv.queryExecution.executedPlan.toString
     assert(kPlan.contains("partial_kmvsketch") || kPlan.contains("ObjectHashAggregate"),
       s"KMV sketch lost its map-side partial at 30x:\n$kPlan")
+    val tKmv = timeMin(2) { Dedup.sourceOverlapKmv(spark, dir).collect() }
+    info(f"30x overlap: exact $tExact%.2fs vs kmv $tKmv%.2fs")
     val kRows = kmv.collect()
     freeK()
     assert(kRows.length == eRows.length || kRows.length == maxPairs,
