@@ -147,6 +147,34 @@ object StreamQueries {
       .orderBy($"j", $"b")
   }
 
+  /** Drained streaming KMV distinct-count sketches per source — the
+    * streaming-legal form of "how many distinct shingles has each source
+    * contributed so far": a per-shingle streaming distinct would hold one
+    * state row per distinct value (unbounded); the
+    * [[graft.functions.KmvSketch]] aggregate holds exactly k longs per
+    * source forever, and the buffer merges across micro-batches by the
+    * aggregator's own `merge` (the two-batch parity split lands every
+    * source's documents in BOTH batches, so the drain genuinely exercises
+    * the state-store merge, not a single-batch pass). The drained sketch
+    * is reshaped to the per-source estimate and pinned by the same
+    * list-slice oracle discipline as nd_source_overlap_kmv — the
+    * estimate is a pure function of the value set, so which micro-batch
+    * a document landed in cannot perturb a digit. */
+  def streamKmv(s: SparkSession, d: String, k: Int = 256): DataFrame = {
+    import s.implicits._
+    val sketch = udaf(new graft.functions.KmvSketch(k),
+      org.apache.spark.sql.Encoders.scalaLong)
+    val stream = docStreamTwoBatches(s, d)
+      .select($"source", explode(Dedup.shingleHashes($"text")).as("h"))
+      .groupBy($"source").agg(sketch($"h").as("sk"))
+    val norm = lit((k - 1).toDouble * 1152921504606846976L.toDouble) // (k-1)·2^60
+    drain(stream, "nd_stream_kmv_sink", "complete")
+      .select($"source", size($"sk").cast("long").as("k_used"),
+        round(when(size($"sk") < k, size($"sk").cast("double"))
+          .otherwise(norm / element_at($"sk", k).cast("double")), 4).as("est_distinct"))
+      .orderBy($"source")
+  }
+
   /** Drained streaming ingest dedup ([[StreamingDedup.dedupStream]]):
     * documents at/above the standard id split arrive as the stream and
     * are flagged against the static band store of the kept corpus below
@@ -326,11 +354,29 @@ object StreamQueries {
     "nd_stream_window" -> ((s: SparkSession, d: String) => streamWindow(s, d)),
     "nd_stream_percentiles" -> ((s: SparkSession, d: String) => streamPercentiles(s, d)),
     "nd_stream_cms" -> ((s: SparkSession, d: String) => streamCms(s, d)),
+    "nd_stream_kmv" -> ((s: SparkSession, d: String) => streamKmv(s, d)),
     "nd_stream_dedup" -> ((s: SparkSession, d: String) => streamDedup(s, d)),
     "nd_stream_session" -> ((s: SparkSession, d: String) => streamSession(s, d)),
     "nd_stream_ann" -> ((s: SparkSession, d: String) => streamAnn(s, d)))
 
   val oracle: Map[String, String] = Map(
+    // drained KMV state = the batch k-smallest-distinct sketch per source
+    // (micro-batch placement cannot matter); same list-slice replay as
+    // nd_source_overlap_kmv, read off as the per-source estimate
+    "nd_stream_kmv" ->
+      s"""WITH ${Dedup.shingleCtesSql},
+         sh60 AS (SELECT doc_id, list_distinct(list_transform(shings, s -> ${Sketch.foldSql(15, "s")})) AS sh
+                  FROM shing),
+         se AS (SELECT DISTINCT d.source AS source, x.h
+                FROM (SELECT doc_id, unnest(sh) AS h FROM sh60) x
+                JOIN documents d USING (doc_id)),
+         sk AS (SELECT source, list_slice(list_sort(list(DISTINCT h)), 1, 256) AS sk
+                FROM se GROUP BY source)
+         SELECT source, CAST(len(sk) AS BIGINT) AS k_used,
+                round(CASE WHEN len(sk) < 256 THEN CAST(len(sk) AS DOUBLE)
+                      ELSE CAST(255 AS DOUBLE) * 1152921504606846976
+                           / CAST(sk[256] AS DOUBLE) END, 4) AS est_distinct
+         FROM sk ORDER BY source""",
     // key-disjoint CDC batches ⇒ the two sequential streaming merges
     // compose to the one-shot batch upsert; the oracle is shared verbatim
     "nd_stream_upsert" -> Pipeline.oracle("nd_pipeline_upsert"),

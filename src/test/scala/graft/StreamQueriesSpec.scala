@@ -19,6 +19,30 @@ class StreamQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("drained streaming KMV sketches equal the batch k-smallest sets") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val streamed = StreamQueries.streamKmv(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    // batch replay through the SAME aggregator over the static frame —
+    // equality proves the state-store merge across the two micro-batches
+    // reconstructed exactly the one-pass sketch
+    val sketch = udaf(new graft.functions.KmvSketch(256),
+      org.apache.spark.sql.Encoders.scalaLong)
+    val norm = 255.0 * 1152921504606846976L.toDouble
+    val batch = Tables.documents(spark, sf)
+      .select($"source", explode(graft.operators.Dedup.shingleHashes($"text")).as("h"))
+      .groupBy($"source").agg(sketch($"h").as("sk"))
+      .select($"source", size($"sk").cast("long").as("k_used"),
+        round(when(size($"sk") < 256, size($"sk").cast("double"))
+          .otherwise(lit(norm) / element_at($"sk", 256).cast("double")), 4))
+      .orderBy($"source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(streamed == batch,
+      s"stream/batch KMV diverged: ${streamed.take(2)} vs ${batch.take(2)}")
+    assert(streamed.nonEmpty && streamed.forall(_._3 > 0))
+  }
+
   test("drained ANN manifest equals the batch IVF ranking row-for-row") {
     val streamed = StreamQueries.streamAnn(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
