@@ -171,7 +171,37 @@ object Multimodal {
       .orderBy($"media_id")
   }
 
+  /** Exact CONTENT dedup over the binary payload — the first stage of any
+    * image/audio dedup pipeline: identical encoded bytes are copies
+    * regardless of metadata, so the md5 content digest keys the dedup.
+    * One (modality, digest) hash aggregate (map-side partial — payloads
+    * never shuffle, only 16-byte digests and integer sizes move), then a
+    * modality roll-up reporting corpus size, distinct payloads, duplicate
+    * copies, and the bytes a dedup pass reclaims. All exact integers;
+    * byte totals stay under 2^63 until ~9 EB of media. */
+  def contentDedupStats(s: SparkSession, d: String): DataFrame =
+    contentDedupStatsOf(mediaTable(s, d).toDF())
+
+  /** [[contentDedupStats]] over any `(modality, payload)`-shaped frame. */
+  def contentDedupStatsOf(media: DataFrame): DataFrame = {
+    val s = media.sparkSession
+    import s.implicits._
+    media
+      .select($"modality", md5($"payload").as("key"),
+              length($"payload").cast("long").as("len"))
+      .groupBy($"modality", $"key")
+      .agg(count(lit(1)).as("n_copies"), max($"len").as("len"))
+      .groupBy($"modality")
+      .agg(sum($"n_copies").as("n_media"),
+           count(lit(1)).as("n_distinct"),
+           sum($"n_copies" - 1L).as("n_dup_copies"),
+           sum($"n_copies" * $"len").as("bytes_total"),
+           sum($"len").as("bytes_dedup"))
+      .orderBy($"modality")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "nd_multimodal_dedup" -> contentDedupStats _,
     "nd_multimodal_features" -> featureStats _,
     "nd_multimodal_frames" -> frameStatsOracle _,
     "nd_multimodal_frames_full" -> frameStats _,
@@ -184,6 +214,25 @@ object Multimodal {
     * replay (modality: doc_id%3 → image/audio/video; video frames = every
     * 4th 64-byte window). */
   val oracle: Map[String, String] = Map(
+    // payload = utf-8 text bytes, so DuckDB's md5(text)/octet_length
+    // replay the binary digest and size exactly
+    "nd_multimodal_dedup" ->
+      """WITH m AS (
+           SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                  ELSE 'video' END AS modality,
+                  md5(text) AS key,
+                  CAST(octet_length(encode(text)) AS BIGINT) AS len
+           FROM documents),
+         g AS (SELECT modality, key, CAST(count(*) AS BIGINT) AS n_copies,
+                      max(len) AS len
+               FROM m GROUP BY 1, 2)
+         SELECT modality,
+                CAST(sum(n_copies) AS BIGINT) AS n_media,
+                CAST(count(*) AS BIGINT) AS n_distinct,
+                CAST(sum(n_copies - 1) AS BIGINT) AS n_dup_copies,
+                CAST(sum(n_copies * len) AS BIGINT) AS bytes_total,
+                CAST(sum(len) AS BIGINT) AS bytes_dedup
+         FROM g GROUP BY modality ORDER BY modality""",
     "nd_multimodal_resize" ->
       """WITH img AS (
            SELECT doc_id AS media_id,

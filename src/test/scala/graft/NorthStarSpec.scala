@@ -631,6 +631,37 @@ class MultimodalSpec extends AnyFunSuite {
     assert(df.select("modality").distinct().count() == 3)
   }
 
+  test("content dedup stats reconcile against a driver-side digest replay") {
+    val rows = Multimodal.contentDedupStats(spark, sf).collect()
+    assert(rows.length == 3)
+    val byPayload = Multimodal.mediaTable(spark, sf).collect()
+      .groupBy(m => (m.modality, m.payload.toSeq))
+    rows.foreach { r =>
+      val mod = r.getString(0)
+      val groups = byPayload.filter(_._1._1 == mod)
+      assert(r.getLong(1) == groups.values.map(_.length).sum, s"$mod n_media")
+      assert(r.getLong(2) == groups.size, s"$mod n_distinct")
+      assert(r.getLong(3) == r.getLong(1) - r.getLong(2), s"$mod dup identity")
+      assert(r.getLong(4) == groups.values.flatMap(_.map(_.payload.length.toLong)).sum,
+        s"$mod bytes_total")
+      // keys is a Set — map through a Seq or equal lengths dedup away
+      assert(r.getLong(5) == groups.keys.toSeq.map(_._2.length.toLong).sum,
+        s"$mod bytes_dedup")
+    }
+    // the corpus has no raw-byte copies (its planted dups differ before
+    // canonicalization), so the positive control is a planted frame:
+    // three byte-identical images + one distinct must report one dup pair
+    import spark.implicits._
+    val planted = Seq(
+      ("image", "samebytes"), ("image", "samebytes"), ("image", "samebytes"),
+      ("image", "other")).toDF("modality", "payload_s")
+      .select($"modality", org.apache.spark.sql.functions.encode($"payload_s", "UTF-8").as("payload"))
+    val p = Multimodal.contentDedupStatsOf(planted).collect().head
+    assert(p.getLong(1) == 4 && p.getLong(2) == 2 && p.getLong(3) == 2,
+      s"planted dup screen wrong: $p")
+    assert(p.getLong(4) == 9 * 3 + 5 && p.getLong(5) == 9 + 5, s"planted bytes wrong: $p")
+  }
+
   test("decode kernel is deterministic and batch-shaped") {
     val feats = Multimodal.decodeAndFeaturize(Multimodal.mediaTable(spark, sf))
     val one = feats.filter(_.media_id == 0L).collect().head
