@@ -574,7 +574,32 @@ object Pipeline {
       .orderBy($"doc_id")
   }
 
+  /** Deterministic K-FOLD assignment + cross-fold near-dup LEAKAGE audit —
+    * the cross-validation integrity check a training pipeline runs before
+    * trusting fold-held-out metrics: a near-duplicate pair split across
+    * two folds leaks eval signal into training. Fold assignment is a pure
+    * hash of the id (60-bit md5 fold mod k — uniform, reproducible, no
+    * shuffle), so folds need no state; the audit reuses the
+    * [[Dedup.minhashPairs]] banded-LSH pair set (never all-pairs) and
+    * rolls it up to fold-pair counts — off-diagonal rows ARE the leaks.
+    * Output is at most k(k+1)/2 rows. */
+  def kfoldLeakage(s: SparkSession, d: String, k: Int = 5,
+      threshold: Double = 0.5): DataFrame = {
+    import s.implicits._
+    def foldOf(id: org.apache.spark.sql.Column) =
+      pmod(conv(substring(md5(concat_ws("|", lit("fold"), id)), 1, 15), 16, 10)
+        .cast("long"), lit(k.toLong))
+    Dedup.minhashPairs(s, d, threshold)
+      .select(foldOf($"doc_a").as("fa"), foldOf($"doc_b").as("fb"))
+      .select(least($"fa", $"fb").as("fold_lo"), greatest($"fa", $"fb").as("fold_hi"))
+      .groupBy($"fold_lo", $"fold_hi")
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("leaks", $"fold_lo" =!= $"fold_hi")
+      .orderBy($"fold_lo", $"fold_hi")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "nd_pipeline_kfold_leakage" -> ((s: SparkSession, d: String) => kfoldLeakage(s, d)),
     "nd_pipeline_length_batches" -> ((s: SparkSession, d: String) => lengthBatches(s, d)),
     "nd_pipeline_token_budget" -> ((s: SparkSession, d: String) => tokenBudget(s, d)),
     "nd_pipeline_upsert" -> upsertManifest _,
@@ -595,6 +620,20 @@ object Pipeline {
     * the same replayable constructions as the [[TextAnalysis]] /
     * [[Dedup]] oracles. */
   val oracle: Map[String, String] = Map(
+    // fold = 60-bit md5 fold of 'fold|id' mod 5 on both engines; the pair
+    // set replays the banded-LSH minhash oracle verbatim
+    "nd_pipeline_kfold_leakage" -> {
+      def foldSql(col: String) = graft.functions.Expressions.Sketch.foldSql(
+        15, s"concat_ws('|', 'fold', CAST($col AS VARCHAR))") + " % 5"
+      s"""WITH ${Dedup.shingleCtesSql}, ${Dedup.candCtesSql},
+         f AS (SELECT ${foldSql("doc_a")} AS fa, ${foldSql("doc_b")} AS fb
+               FROM est WHERE est_jaccard >= 0.5),
+         g AS (SELECT least(fa, fb) AS fold_lo, greatest(fa, fb) AS fold_hi,
+                      CAST(count(*) AS BIGINT) AS n_pairs
+               FROM f GROUP BY 1, 2)
+         SELECT fold_lo, fold_hi, n_pairs, fold_lo <> fold_hi AS leaks
+         FROM g ORDER BY fold_lo, fold_hi"""
+    },
     // literal per-bucket window replay of the range-decomposed rank; the
     // bit-length bucket is exact on both engines (bin() string length)
     "nd_pipeline_length_batches" ->

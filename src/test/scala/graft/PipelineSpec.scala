@@ -11,6 +11,34 @@ class PipelineSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val sf = "/root/testdata/sf0.001"
 
+  test("kfold leakage audit equals a driver-side fold-hash replay; folds are balanced") {
+    def fold(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"fold|$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 15)
+      java.lang.Long.parseLong(hex, 16) % 5
+    }
+    val pairs = Dedup.minhashPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "fixture must contain near-dup pairs")
+    val expected = pairs
+      .map { case (a, b) => (math.min(fold(a), fold(b)), math.max(fold(a), fold(b))) }
+      .groupBy(identity).toSeq
+      .map { case ((lo, hi), g) => (lo, hi, g.length.toLong, lo != hi) }
+      .sortBy(t => (t._1, t._2))
+    val got = Pipeline.kfoldLeakage(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSeq
+    assert(got == expected, s"leakage mismatch: got=$got exp=$expected")
+    // the fold hash balances the corpus: no fold under half or over
+    // double its uniform share
+    val docs = graft.Tables.documents(spark, sf).select("doc_id").collect()
+      .map(_.getLong(0))
+    val sizes = docs.groupBy(fold).view.mapValues(_.length).toMap
+    val share = docs.length / 5
+    assert(sizes.size == 5 && sizes.values.forall(n => n >= share / 2 && n <= share * 2),
+      s"fold imbalance: $sizes")
+  }
+
   test("curated corpus = quality ∩ keepers ∖ near-dup losers") {
     import spark.implicits._
     val total = Tables.documents(spark, sf).count()
