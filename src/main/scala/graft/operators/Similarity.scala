@@ -21,6 +21,34 @@ import graft.functions.Expressions
   */
 object Similarity {
 
+  /** EMBEDDING-QUALITY audit — the sanity screen before any ANN or
+    * semantic stage is trusted: per label, vector count, dimensionality
+    * agreement, zero/degenerate vectors, and the squared-norm envelope.
+    * Exactness discipline: each component quantizes ONCE to integer
+    * micro-units (`round(x·1e6)` — float→double promotion is exact; the
+    * round is the Money-cents rule, tie behavior identical on both
+    * engines), so squared norms are exact integer sums and nothing float
+    * accumulates anywhere. One map-side quantization pass + one (label)
+    * hash aggregate; the corpus-scale sum widens to DECIMAL(38,0)/HUGEINT
+    * before the integral mean division. */
+  def embedQuality(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val q = transform($"embedding", x => round(x.cast("double") * 1000000, 0).cast("long"))
+    embeddings(s, d)
+      .select($"label", size($"embedding").cast("long").as("dim"),
+              aggregate(q, lit(0L), (acc, v) => acc + v * v).as("n2"))
+      .groupBy($"label")
+      .agg(count(lit(1)).as("n_vecs"),
+           countDistinct($"dim").as("n_dims"),
+           min($"dim").as("min_dim"),
+           sum(when($"n2" === 0L, 1L).otherwise(0L)).as("n_zero"),
+           min($"n2").as("min_n2"),
+           max($"n2").as("max_n2"),
+           expr("CAST(sum(CAST(n2 AS DECIMAL(38,0))) div count(1) AS BIGINT)")
+             .as("avg_n2"))
+      .orderBy($"label")
+  }
+
   /** Brute-force cosine top-k for query vectors `vec_id < nQueries`. */
   def knnBrute(s: SparkSession, d: String, nQueries: Int = 5, k: Int = 5): DataFrame = {
     import s.implicits._
@@ -466,6 +494,7 @@ object Similarity {
     "nd_knn_mrl" -> ((s: SparkSession, d: String) => knnMrl(s, d)),
     "nd_knn_bq" -> ((s: SparkSession, d: String) => knnBq(s, d)),
     "nd_knn_filtered" -> ((s: SparkSession, d: String) => knnFiltered(s, d)),
+    "nd_embed_quality" -> embedQuality _,
     "nd_knn_brute" -> ((s: SparkSession, d: String) => knnBrute(s, d)),
     "nd_rag_retrieval" -> ((s: SparkSession, d: String) => ragRetrieve(s, d)),
     "nd_knn_lsh" -> ((s: SparkSession, d: String) => knnLsh(s, d)),
@@ -1080,6 +1109,24 @@ object Similarity {
                   FROM bsc)"""
 
   val oracle: Map[String, String] = Map(
+    // per-component micro-quantization BEFORE any arithmetic: squared
+    // norms are exact integer sums, the mean is an integral division of
+    // the HUGEINT-widened total
+    "nd_embed_quality" ->
+      """WITH q AS (SELECT label,
+                CAST(len(embedding) AS BIGINT) AS dim,
+                CAST(list_sum(list_transform(embedding,
+                  x -> CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)
+                       * CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)))
+                     AS BIGINT) AS n2
+              FROM embeddings)
+         SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+                CAST(count(DISTINCT dim) AS BIGINT) AS n_dims,
+                min(dim) AS min_dim,
+                CAST(sum(CASE WHEN n2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+                min(n2) AS min_n2, max(n2) AS max_n2,
+                CAST(CAST(sum(CAST(n2 AS HUGEINT)) AS HUGEINT) // count(*) AS BIGINT) AS avg_n2
+         FROM q GROUP BY label ORDER BY label""",
     // AllPairs prefix-filter replay: rarity-ordered sets, integer-ceil
     // prefix, cross-multiplied Jaccard gate, per-part argmax
     "nd_join_setsim" ->

@@ -348,6 +348,26 @@ class SimilaritySpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val sf = "/root/testdata/sf0.001"
 
+  test("embedding-quality audit equals a driver-side micro-quantized replay") {
+    def micro(x: Float): Long =
+      BigDecimal(x.toDouble * 1000000).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val vecs = Tables.embeddings(spark, sf).collect()
+      .map(r => (r.getInt(2), r.getSeq[Float](1)))
+    val expected = vecs.groupBy(_._1).toSeq.map { case (label, vs) =>
+      val n2s = vs.map { case (_, e) => e.map(x => { val m = micro(x); m * m }).sum }
+      val dims = vs.map(_._2.length.toLong)
+      (label, vs.length.toLong, dims.distinct.length.toLong, dims.min,
+       n2s.count(_ == 0L).toLong, n2s.min, n2s.max,
+       (n2s.map(BigInt(_)).sum / vs.length).toLong)
+    }.sortBy(_._1)
+    val got = Similarity.embedQuality(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                 r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toSeq
+    assert(got == expected, s"embed audit mismatch:\n got=${got.take(2)}\n exp=${expected.take(2)}")
+    // a healthy corpus: uniform dimensionality, no zero vectors
+    assert(got.forall(r => r._3 == 1L && r._5 == 0L))
+  }
+
   test("LSH ANN achieves reasonable recall@5 vs brute force") {
     val brute = Similarity.knnBrute(spark, sf, nQueries = 5, k = 5).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
