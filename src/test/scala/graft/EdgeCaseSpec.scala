@@ -29,6 +29,12 @@ class EdgeCaseSpec extends AnyFunSuite {
       .toDF("doc_id", "text", "lang", "source")
       .withColumn("n_chars", length($"text").cast("long"))
     docs.write.mode("overwrite").parquet(s"$out/documents.parquet")
+    // hostile embeddings: a zero vector, a negative-component vector, and
+    // a dimension mismatch within one label
+    Seq((0L, Seq(0f, 0f, 0f), 0), (1L, Seq(1.25f, -2.5f, 3f), 0),
+        (2L, Seq(0.5f), 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
     out
   }
 
@@ -88,6 +94,33 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(emptyGroup.getLong(1) == 0L, s"empty-group keeper ${emptyGroup.getLong(1)}")
     val pii = Pii.redact(spark, dir).collect()
     assert(pii.length == 8 && pii.forall(r => r.getString(5) != null))
+  }
+
+  test("overlap family, kfold audit and embed audit survive hostile inputs") {
+    // empty/punctuation/whitespace docs all canonicalize to the ""
+    // shingle, so src0/src1/src3 share a hash — the matrix must see it
+    // without throwing, with jaccard inside [0, 1e6]
+    val exact = Dedup.sourceOverlap(spark, dir).collect()
+    assert(exact.nonEmpty && exact.length <= 6)
+    exact.foreach { r =>
+      assert(r.getLong(2) >= 1, s"empty intersection row: $r")
+      assert(r.getLong(5) >= 0 && r.getLong(5) <= 1000000L, s"jaccard out of range: $r")
+    }
+    // the sketch join is pairwise-complete (every source has a sketch)
+    val kmv = Dedup.sourceOverlapKmv(spark, dir).collect()
+    assert(kmv.length == 6)
+    kmv.foreach(r => assert(r.getLong(3) <= r.getLong(2), s"n_both > k_used: $r"))
+    // byte-identical "" docs are cross-source exact dups → the fold audit
+    // has pairs to classify and every row counts at least one
+    val folds = graft.operators.Pipeline.kfoldLeakage(spark, dir).collect()
+    assert(folds.nonEmpty)
+    folds.foreach(r => assert(r.getLong(2) >= 1))
+    // embed audit: zero vector and intra-label dimension drift both
+    // surface instead of crashing or averaging away
+    val eq = graft.operators.Similarity.embedQuality(spark, dir).collect()
+      .map(r => r.getInt(0) -> r).toMap
+    assert(eq(0).getLong(4) == 1L, "zero vector not flagged")
+    assert(eq(0).getLong(6) > 0L && eq(1).getLong(3) == 1L)
   }
 
   test("BM25 retrieval and NB classifier survive hostile documents") {
