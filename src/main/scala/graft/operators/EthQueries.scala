@@ -881,6 +881,43 @@ object EthQueries {
       .orderBy($"blk_k")
   }
 
+  /** Q31: chain-integrity audit over the difficulty columns — the
+    * consistency screen an indexer runs after ingest: on a valid chain
+    * `totalDifficulty[n] − totalDifficulty[n−1] = difficulty[n]`, so any
+    * violating adjacent pair flags corrupt or reorged ingest. Adjacent
+    * blocks pair via the eth_q1 consecutive-block EQUI-join (key =
+    * block_number+1) — never a global-order window, which would funnel
+    * the chain through one partition. Per-1000-block roll-up adds the
+    * exact difficulty envelope; totalDifficulty is already long and sums
+    * widen to DECIMAL(38,0) before the integral mean. Also the first
+    * query to exercise `block_totalDifficulty` end-to-end (A2 column
+    * coverage). */
+  def q31ChainIntegrity(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    q31ChainIntegrityOf(eth(s, "block")
+      .select($"block_number", $"block_difficulty", $"block_totalDifficulty"))
+  }
+
+  /** [[q31ChainIntegrity]] over any block-shaped frame (planted-chain
+    * specs use this to prove the violation path actually fires). */
+  def q31ChainIntegrityOf(b: DataFrame): DataFrame = {
+    val s = b.sparkSession
+    import s.implicits._
+    b.as("a").join(b.as("b"), col("b.block_number") === col("a.block_number") + 1)
+      .select(expr("b.block_number div 1000").as("blk_k"),
+              (col("b.block_totalDifficulty") - col("a.block_totalDifficulty") =!=
+               col("b.block_difficulty")).as("viol"),
+              col("b.block_difficulty").as("diff"))
+      .groupBy($"blk_k")
+      .agg(count(lit(1)).as("n_pairs"),
+           sum(when($"viol", 1L).otherwise(0L)).as("n_td_violations"),
+           min($"diff").as("min_difficulty"),
+           max($"diff").as("max_difficulty"),
+           expr("CAST(sum(CAST(diff AS DECIMAL(38,0))) div count(1) AS BIGINT)")
+             .as("avg_difficulty"))
+      .orderBy($"blk_k")
+  }
+
   /** B12: the catalog's DESCRIBE surface *as data*. The reference pins the
     * exact `DESCRIBE block/transaction/erc20` output in its docs
     * (`README.md:139-186`; widths `EthereumMetadata.java:48-51`), so this
@@ -947,7 +984,8 @@ object EthQueries {
     "eth_q27_uncles" -> q27UncleEconomics _,
     "eth_q28_eth_flow" -> q28EthFlow _,
     "eth_q29_bounce" -> q29BounceScreen _,
-    "eth_q30_gas_order" -> q30GasOrderAudit _)
+    "eth_q30_gas_order" -> q30GasOrderAudit _,
+    "eth_q31_chain_integrity" -> q31ChainIntegrity _)
 
   /** Unrolled 5-iteration integer PageRank replay (see [[q17PageRank]] for
     * the exact recurrence); starts with "," to extend [[withEthTables]]'s
@@ -1289,6 +1327,18 @@ object EthQueries {
                 CAST(sum(CASE WHEN gp > prev_gp THEN 1 ELSE 0 END) * 1000000
                      // count(*) AS BIGINT) AS asc_rate_micro
          FROM l WHERE prev_gp IS NOT NULL
+         GROUP BY blk_k ORDER BY blk_k"""),
+    "eth_q31_chain_integrity" -> withEthTables(
+      """SELECT b.block_number // 1000 AS blk_k,
+                CAST(count(*) AS BIGINT) AS n_pairs,
+                CAST(sum(CASE WHEN b.block_totalDifficulty - a.block_totalDifficulty
+                              <> b.block_difficulty THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_td_violations,
+                min(b.block_difficulty) AS min_difficulty,
+                max(b.block_difficulty) AS max_difficulty,
+                CAST(CAST(sum(CAST(b.block_difficulty AS HUGEINT)) AS HUGEINT)
+                     // count(*) AS BIGINT) AS avg_difficulty
+         FROM block a JOIN block b ON b.block_number = a.block_number + 1
          GROUP BY blk_k ORDER BY blk_k"""),
     "eth_q24_nonce_audit" -> withEthTables(
       """SELECT CAST(count(*) AS BIGINT) AS n_addrs,

@@ -140,6 +140,33 @@ class EthAnalyticsSpec extends AnyFunSuite {
     assert(expected.nonEmpty, "fixture must produce same-block bounces")
   }
 
+  test("eth_q31 chain integrity: fixture chain is clean; planted corruption fires") {
+    import spark.implicits._
+    // the generated chain satisfies td[n]-td[n-1] == diff[n] everywhere
+    val rows = EthQueries.q31ChainIntegrity(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getLong(2) == 0L), s"clean chain reported violations: ${rows.toSeq}")
+    // difficulty envelope replay off the engine scan
+    val blocks = spark.read.format("ethereum").option("table", "block")
+      .option("chain", dir).load()
+      .select($"block_number", $"block_difficulty").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val byBucket = blocks.drop(1).groupBy(_._1 / 1000)
+    rows.foreach { r =>
+      val bs = byBucket(r.getLong(0)).map(_._2)
+      assert(r.getLong(1) == bs.length.toLong && r.getLong(3) == bs.min &&
+             r.getLong(4) == bs.max && r.getLong(5) == bs.map(BigInt(_)).sum / bs.length)
+    }
+    // positive control: a 5-block chain with one broken totalDifficulty
+    val planted = Seq(
+      (0L, 100L, 100L), (1L, 110L, 210L), (2L, 120L, 999L), // td jump ≠ 120
+      (3L, 130L, 1129L), (4L, 140L, 1269L))                 // deltas consistent again
+      .toDF("block_number", "block_difficulty", "block_totalDifficulty")
+    val v = EthQueries.q31ChainIntegrityOf(planted).collect()
+    assert(v.length == 1 && v.head.getLong(2) == 1L,
+      s"planted corruption not flagged exactly once: ${v.toSeq}")
+  }
+
   test("eth_q30 gas-order audit equals an adjacent-pair replay") {
     val pairs = txRows.groupBy(_._1).toSeq.flatMap { case (bn, rows) =>
       rows.sortBy(_._2).map(_._7).sliding(2).collect {
