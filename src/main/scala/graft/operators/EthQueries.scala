@@ -918,6 +918,28 @@ object EthQueries {
       .orderBy($"blk_k")
   }
 
+  /** Q32: token ADOPTION curve — per token, new and cumulative receiving
+    * addresses per 1000-block bucket. Cumulative-distinct is the classic
+    * scale trap (a distinct-over-window recounts the full prefix per
+    * row); the scale-true shape counts each address ONCE at its
+    * first-seen bucket — one (token, addr) min-aggregate, one
+    * (token, bucket) count — and the running sum is a window over the
+    * ALREADY-AGGREGATED bucket-scale frame, partitioned per token. */
+  def q32Adoption(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val firstSeen = eth(s, "erc20")
+      .groupBy($"erc20_token".as("token"), $"erc20_to".as("addr"))
+      .agg(min($"erc20_blockNumber").as("first_bn"))
+    val perBucket = firstSeen
+      .groupBy($"token", expr("first_bn div 1000").as("blk_k"))
+      .agg(count(lit(1)).as("new_adopters"))
+    val w = Window.partitionBy($"token").orderBy($"blk_k")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perBucket
+      .withColumn("cum_adopters", sum($"new_adopters").over(w))
+      .orderBy($"token", $"blk_k")
+  }
+
   /** B12: the catalog's DESCRIBE surface *as data*. The reference pins the
     * exact `DESCRIBE block/transaction/erc20` output in its docs
     * (`README.md:139-186`; widths `EthereumMetadata.java:48-51`), so this
@@ -985,7 +1007,8 @@ object EthQueries {
     "eth_q28_eth_flow" -> q28EthFlow _,
     "eth_q29_bounce" -> q29BounceScreen _,
     "eth_q30_gas_order" -> q30GasOrderAudit _,
-    "eth_q31_chain_integrity" -> q31ChainIntegrity _)
+    "eth_q31_chain_integrity" -> q31ChainIntegrity _,
+    "eth_q32_adoption" -> q32Adoption _)
 
   /** Unrolled 5-iteration integer PageRank replay (see [[q17PageRank]] for
     * the exact recurrence); starts with "," to extend [[withEthTables]]'s
@@ -1340,6 +1363,17 @@ object EthQueries {
                      // count(*) AS BIGINT) AS avg_difficulty
          FROM block a JOIN block b ON b.block_number = a.block_number + 1
          GROUP BY blk_k ORDER BY blk_k"""),
+    "eth_q32_adoption" -> withEthTables(
+      """, f AS (SELECT erc20_token AS token, erc20_to AS addr,
+                        min(erc20_blockNumber) AS first_bn
+                 FROM erc20 GROUP BY 1, 2),
+         p AS (SELECT token, first_bn // 1000 AS blk_k,
+                      CAST(count(*) AS BIGINT) AS new_adopters
+               FROM f GROUP BY 1, 2)
+         SELECT token, blk_k, new_adopters,
+                CAST(sum(new_adopters) OVER (PARTITION BY token ORDER BY blk_k
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_adopters
+         FROM p ORDER BY token, blk_k"""),
     "eth_q24_nonce_audit" -> withEthTables(
       """SELECT CAST(count(*) AS BIGINT) AS n_addrs,
                 CAST(sum(n_tx) AS BIGINT) AS n_tx,

@@ -167,6 +167,32 @@ class EthAnalyticsSpec extends AnyFunSuite {
       s"planted corruption not flagged exactly once: ${v.toSeq}")
   }
 
+  test("eth_q32 adoption curve equals a first-seen replay; cum is monotone and totals") {
+    import spark.implicits._
+    val transfers = spark.read.format("ethereum").option("table", "erc20")
+      .option("chain", dir).load()
+      .select($"erc20_token", $"erc20_to", $"erc20_blockNumber").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val firstSeen = transfers.groupBy(t => (t._1, t._2)).view
+      .mapValues(_.map(_._3).min / 1000).toSeq
+    val expected = firstSeen.groupBy { case ((tok, _), k) => (tok, k) }.toSeq
+      .map { case ((tok, k), g) => (tok, k, g.size.toLong) }
+      .sortBy(t => (t._1, t._2))
+      .groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+        rows.sortBy(_._2).scanLeft(("", 0L, 0L, 0L)) { case ((_, _, _, cum), (t, k, n)) =>
+          (t, k, n, cum + n)
+        }.drop(1)
+      }.sortBy(t => (t._1, t._2))
+    val got = EthQueries.q32Adoption(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected, s"adoption mismatch: got=${got.take(3)} exp=${expected.take(3)}")
+    // final cumulative per token = that token's distinct receiver count
+    val finals = got.groupBy(_._1).view.mapValues(_.maxBy(_._2)._4).toMap
+    val distinctRecv = transfers.groupBy(_._1).view
+      .mapValues(_.map(_._2).distinct.size.toLong).toMap
+    assert(finals == distinctRecv)
+  }
+
   test("eth_q30 gas-order audit equals an adjacent-pair replay") {
     val pairs = txRows.groupBy(_._1).toSeq.flatMap { case (bn, rows) =>
       rows.sortBy(_._2).map(_._7).sliding(2).collect {
