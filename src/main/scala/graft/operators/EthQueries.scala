@@ -728,9 +728,14 @@ object EthQueries {
     * gas×gasPrice is widened to LONG before multiplying (≤ ~5.3e16 <
     * 2^63 — a double product would round past 2^53) and summed in
     * DECIMAL(38,0), so bucket totals are exact at any scale. */
-  def q25GasMarket(s: SparkSession, d: String): DataFrame = {
+  def q25GasMarket(s: SparkSession, d: String): DataFrame =
+    q25GasMarketOf(eth(s, "transaction"))
+
+  /** [[q25GasMarket]] over any transaction-shaped frame. */
+  def q25GasMarketOf(txFrame: DataFrame): DataFrame = {
+    val s = txFrame.sparkSession
     import s.implicits._
-    val tx = eth(s, "transaction")
+    val tx = txFrame
       .select(expr("tx_blockNumber div 1000").as("blk_k"),
               expr("CAST(tx_gasPrice AS BIGINT) div 1000000000").as("gwei"),
               ($"tx_gas".cast("long") * $"tx_gasPrice".cast("long")).as("fee"))
@@ -762,9 +767,14 @@ object EthQueries {
     * output is buckets² rows. At 100 TB every stage is a partial-agg'd
     * hash shuffle on the address key — no windows, no skew funnel (the
     * join key is the address, not the cohort). */
-  def q26AddressCohorts(s: SparkSession, d: String): DataFrame = {
+  def q26AddressCohorts(s: SparkSession, d: String): DataFrame =
+    q26AddressCohortsOf(eth(s, "transaction"))
+
+  /** [[q26AddressCohorts]] over any transaction-shaped frame. */
+  def q26AddressCohortsOf(txFrame: DataFrame): DataFrame = {
+    val s = txFrame.sparkSession
     import s.implicits._
-    val tx = eth(s, "transaction")
+    val tx = txFrame
       .select($"tx_from".as("addr"), expr("tx_blockNumber div 1000").as("k"))
     // first-seen rides a min-window over the ALREADY-DISTINCT activity
     // set (address-partitioned, address-scale rows) — one chain scan,
@@ -865,10 +875,15 @@ object EthQueries {
     * BLOCK (hash-distributed, millions of tiny per-block frames — the
     * opposite of a single-partition funnel) feeds one bucket aggregate;
     * the anomaly rate is exact integer micro-units. */
-  def q30GasOrderAudit(s: SparkSession, d: String): DataFrame = {
+  def q30GasOrderAudit(s: SparkSession, d: String): DataFrame =
+    q30GasOrderAuditOf(eth(s, "transaction"))
+
+  /** [[q30GasOrderAudit]] over any transaction-shaped frame. */
+  def q30GasOrderAuditOf(txFrame: DataFrame): DataFrame = {
+    val s = txFrame.sparkSession
     import s.implicits._
     val w = Window.partitionBy($"bn").orderBy($"idx")
-    eth(s, "transaction")
+    txFrame
       .select($"tx_blockNumber".as("bn"), $"tx_transactionIndex".as("idx"),
               expr("CAST(tx_gasPrice AS BIGINT)").as("gp"))
       .withColumn("prev_gp", lag($"gp", 1).over(w))
@@ -925,9 +940,14 @@ object EthQueries {
     * first-seen bucket — one (token, addr) min-aggregate, one
     * (token, bucket) count — and the running sum is a window over the
     * ALREADY-AGGREGATED bucket-scale frame, partitioned per token. */
-  def q32Adoption(s: SparkSession, d: String): DataFrame = {
+  def q32Adoption(s: SparkSession, d: String): DataFrame =
+    q32AdoptionOf(eth(s, "erc20"))
+
+  /** [[q32Adoption]] over any erc20-shaped frame. */
+  def q32AdoptionOf(erc20Frame: DataFrame): DataFrame = {
+    val s = erc20Frame.sparkSession
     import s.implicits._
-    val firstSeen = eth(s, "erc20")
+    val firstSeen = erc20Frame
       .groupBy($"erc20_token".as("token"), $"erc20_to".as("addr"))
       .agg(min($"erc20_blockNumber").as("first_bn"))
     val perBucket = firstSeen
