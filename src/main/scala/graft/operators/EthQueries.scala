@@ -960,6 +960,33 @@ object EthQueries {
       .orderBy($"token", $"blk_k")
   }
 
+  /** Q33: 4-byte function-SELECTOR profile — the contract-usage census
+    * (which methods the chain actually calls): selector = the first four
+    * calldata bytes (`substr(input, 1, 10)` over the 0x-hex string);
+    * bare value transfers (`input = '0x'`) bucket separately. One hash
+    * aggregate with a distinct-recipient expansion and exact integer gas
+    * stats (DECIMAL-widened mean). First query to exercise `tx_input`
+    * end-to-end (A2 column coverage). */
+  def q33Selectors(s: SparkSession, d: String): DataFrame =
+    q33SelectorsOf(eth(s, "transaction"))
+
+  /** [[q33Selectors]] over any transaction-shaped frame. */
+  def q33SelectorsOf(txFrame: DataFrame): DataFrame = {
+    val s = txFrame.sparkSession
+    import s.implicits._
+    txFrame
+      .select(when($"tx_input" === "0x", lit("(transfer)"))
+                .otherwise(substring($"tx_input", 1, 10)).as("selector"),
+              $"tx_to", $"tx_gas".cast("long").as("gas"))
+      .groupBy($"selector")
+      .agg(count(lit(1)).as("n_tx"),
+           countDistinct($"tx_to").as("n_to"),
+           sum($"gas").as("total_gas"),
+           expr("CAST(sum(CAST(gas AS DECIMAL(38,0))) div count(1) AS BIGINT)")
+             .as("avg_gas"))
+      .orderBy($"n_tx".desc, $"selector")
+  }
+
   /** B12: the catalog's DESCRIBE surface *as data*. The reference pins the
     * exact `DESCRIBE block/transaction/erc20` output in its docs
     * (`README.md:139-186`; widths `EthereumMetadata.java:48-51`), so this
@@ -1028,7 +1055,8 @@ object EthQueries {
     "eth_q29_bounce" -> q29BounceScreen _,
     "eth_q30_gas_order" -> q30GasOrderAudit _,
     "eth_q31_chain_integrity" -> q31ChainIntegrity _,
-    "eth_q32_adoption" -> q32Adoption _)
+    "eth_q32_adoption" -> q32Adoption _,
+    "eth_q33_selectors" -> q33Selectors _)
 
   /** Unrolled 5-iteration integer PageRank replay (see [[q17PageRank]] for
     * the exact recurrence); starts with "," to extend [[withEthTables]]'s
@@ -1394,6 +1422,16 @@ object EthQueries {
                 CAST(sum(new_adopters) OVER (PARTITION BY token ORDER BY blk_k
                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_adopters
          FROM p ORDER BY token, blk_k"""),
+    "eth_q33_selectors" -> withEthTables(
+      """SELECT CASE WHEN tx_input = '0x' THEN '(transfer)'
+                ELSE substr(tx_input, 1, 10) END AS selector,
+                CAST(count(*) AS BIGINT) AS n_tx,
+                CAST(count(DISTINCT tx_to) AS BIGINT) AS n_to,
+                CAST(sum(CAST(tx_gas AS BIGINT)) AS BIGINT) AS total_gas,
+                CAST(CAST(sum(CAST(tx_gas AS HUGEINT)) AS HUGEINT)
+                     // count(*) AS BIGINT) AS avg_gas
+         FROM transaction GROUP BY selector
+         ORDER BY n_tx DESC, selector"""),
     "eth_q24_nonce_audit" -> withEthTables(
       """SELECT CAST(count(*) AS BIGINT) AS n_addrs,
                 CAST(sum(n_tx) AS BIGINT) AS n_tx,

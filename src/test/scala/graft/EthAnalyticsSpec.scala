@@ -193,6 +193,26 @@ class EthAnalyticsSpec extends AnyFunSuite {
     assert(finals == distinctRecv)
   }
 
+  test("eth_q33 selector profile equals a driver-side calldata replay") {
+    import spark.implicits._
+    val txs = spark.read.format("ethereum").option("table", "transaction")
+      .option("chain", dir).load()
+      .select($"tx_input", $"tx_to", $"tx_gas".cast("long")).collect()
+      .map(r => (r.getString(0), Option(r.getString(1)), r.getLong(2)))
+    val expected = txs.groupBy { case (in, _, _) =>
+        if (in == "0x") "(transfer)" else in.take(10)
+      }.toSeq.map { case (sel, g) =>
+        (sel, g.length.toLong, g.flatMap(_._2).distinct.length.toLong,
+         g.map(_._3).sum, g.map(t => BigInt(t._3)).sum / g.length)
+      }.map { case (s0, n, d0, tg, ag) => (s0, n, d0, tg, ag.toLong) }
+      .sortBy(t => (-t._2, t._1))
+    val got = EthQueries.q33Selectors(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got == expected, s"selector mismatch: got=$got exp=$expected")
+    // the fixture plants the ERC-20 transfer selector and bare transfers
+    assert(got.exists(_._1 == "0xa9059cbb") && got.exists(_._1 == "(transfer)"))
+  }
+
   test("eth_q30 gas-order audit equals an adjacent-pair replay") {
     val pairs = txRows.groupBy(_._1).toSeq.flatMap { case (bn, rows) =>
       rows.sortBy(_._2).map(_._7).sliding(2).collect {
