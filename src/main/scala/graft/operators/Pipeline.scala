@@ -598,7 +598,37 @@ object Pipeline {
       .orderBy($"fold_lo", $"fold_hi")
   }
 
+  /** Deterministic proportional INTERLEAVE manifest — the actual read
+    * order a multi-source training job consumes: documents of all
+    * sources merged so every prefix holds each source in proportion to
+    * its size (the "round-robin by weight" loaders implement ad hoc,
+    * here as a declarative, resumable manifest). The r-th document of a
+    * source of weight w gets virtual time r/w; ordering by it interleaves
+    * proportionally. Exactness: the key is `floor(r·1e12 / w)` with the
+    * product DECIMAL-widened (r alone can pass 9e6 docs per source,
+    * where a long product wraps), ties broken (source, doc_id) — a pure
+    * integer definition both engines compute identically. Shape: one
+    * per-source rank window (hash-partitioned by source), a broadcast
+    * size join, and [[graft.plans.ScalableNtile.globalRank]] for the
+    * global position — no single-partition sort anywhere. */
+  def interleave(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = documents(s, d).select($"doc_id", $"source")
+    val sizes = docs.groupBy($"source").agg(count(lit(1)).as("w"))
+    val ranked = docs
+      .withColumn("r", row_number()
+        .over(Window.partitionBy($"source").orderBy($"doc_id")).cast("long"))
+      .join(broadcast(sizes), "source")
+      .withColumn("vkey",
+        expr("CAST(CAST(r AS DECIMAL(38,0)) * 1000000000000 div w AS BIGINT)"))
+    graft.plans.ScalableNtile
+      .globalRank(ranked, Seq($"vkey", $"source", $"doc_id"), "pos", "n")
+      .select($"pos", $"doc_id", $"source", $"vkey")
+      .orderBy($"pos")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "nd_pipeline_interleave" -> interleave _,
     "nd_pipeline_kfold_leakage" -> ((s: SparkSession, d: String) => kfoldLeakage(s, d)),
     "nd_pipeline_length_batches" -> ((s: SparkSession, d: String) => lengthBatches(s, d)),
     "nd_pipeline_token_budget" -> ((s: SparkSession, d: String) => tokenBudget(s, d)),
@@ -620,6 +650,24 @@ object Pipeline {
     * the same replayable constructions as the [[TextAnalysis]] /
     * [[Dedup]] oracles. */
   val oracle: Map[String, String] = Map(
+    // the literal single-sort spelling of the interleave the scalable
+    // global rank must equal (the q46 discipline); same HUGEINT-widened
+    // virtual-time key
+    "nd_pipeline_interleave" ->
+      """WITH r AS (SELECT doc_id, source,
+                CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id)
+                     AS BIGINT) AS r
+              FROM documents),
+         w AS (SELECT source, CAST(count(*) AS BIGINT) AS w
+               FROM documents GROUP BY source),
+         k AS (SELECT doc_id, r.source AS source,
+                      CAST(CAST(r.r AS HUGEINT) * 1000000000000 // w.w
+                           AS BIGINT) AS vkey
+               FROM r JOIN w ON r.source = w.source)
+         SELECT CAST(row_number() OVER (ORDER BY vkey, source, doc_id)
+                     AS BIGINT) AS pos,
+                doc_id, source, vkey
+         FROM k ORDER BY pos""",
     // fold = 60-bit md5 fold of 'fold|id' mod 5 on both engines; the pair
     // set replays the banded-LSH minhash oracle verbatim
     "nd_pipeline_kfold_leakage" -> {

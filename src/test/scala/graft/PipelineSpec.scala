@@ -39,6 +39,32 @@ class PipelineSpec extends AnyFunSuite {
       s"fold imbalance: $sizes")
   }
 
+  test("interleave manifest: contiguous positions, per-source order kept, prefixes proportional") {
+    val rows = Pipeline.interleave(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val n = rows.length
+    assert(rows.map(_._1).toSeq == (1L to n).toSeq, "positions not contiguous")
+    // within each source the manifest preserves doc_id order (streaming
+    // readers must see each shard in order)
+    rows.groupBy(_._3).values.foreach { g =>
+      val ids = g.sortBy(_._1).map(_._2)
+      assert(ids.sameElements(ids.sorted), "per-source order broken")
+    }
+    // proportionality: every prefix holds each source within ±2 of its
+    // proportional share (the virtual-time key's defining property)
+    val w = rows.groupBy(_._3).view.mapValues(_.length).toMap
+    val seen = scala.collection.mutable.HashMap.empty[String, Int].withDefaultValue(0)
+    rows.sortBy(_._1).zipWithIndex.foreach { case ((_, _, src), i) =>
+      seen(src) += 1
+      val p = i + 1
+      w.foreach { case (s0, ws) =>
+        val share = p.toDouble * ws / n
+        assert(math.abs(seen(s0) - share) <= 2.0 + share * 0.05,
+          s"prefix $p: source $s0 has ${seen(s0)} vs share $share")
+      }
+    }
+  }
+
   test("curated corpus = quality ∩ keepers ∖ near-dup losers") {
     import spark.implicits._
     val total = Tables.documents(spark, sf).count()
