@@ -84,6 +84,31 @@ object Events {
       .orderBy($"cohort_week", $"offset_week")
   }
 
+  /** Rolling ACTIVE-USER dashboard — DAU, trailing-7-day WAU, and
+    * stickiness per day, WITHOUT the windowed-distinct trap
+    * (`count(DISTINCT) OVER (RANGE 6 PRECEDING)` recounts the full
+    * window per row): activity collapses ONCE to DISTINCT (user, day),
+    * each activity row fans out to the ≤7 report days it supports via a
+    * bounded range join against the BROADCAST day list (date-scale —
+    * bounded however big the corpus), and one (day) aggregate with a
+    * conditional distinct reads off both measures. Stickiness is exact
+    * integer micro-units with the product DECIMAL-widened. */
+  def rollingActive(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val act = ev(s, d)
+      .select($"user_id", expr("ms div 86400000").as("day")).distinct()
+    val days = act.select($"day").distinct()
+    act.as("a").join(broadcast(days.as("r")),
+        col("r.day") >= col("a.day") && col("r.day") <= col("a.day") + 6)
+      .groupBy(col("r.day").as("day"))
+      .agg(countDistinct(when(col("a.day") === col("r.day"), $"user_id")).as("dau"),
+           countDistinct($"user_id").as("wau"))
+      .select($"day", $"dau", $"wau",
+        expr("CAST(CAST(dau AS DECIMAL(38,0)) * 1000000 div wau AS BIGINT)")
+          .as("stickiness_micro"))
+      .orderBy($"day")
+  }
+
   /** Batch sessionization, 30-minute inactivity gap: the gaps-and-islands
     * decomposition (lag → break flag → running sum = session id) inside
     * each user partition, then per-session stats, then a global summary
@@ -359,6 +384,7 @@ object Events {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "nd_events_funnel" -> funnel _,
     "nd_events_retention" -> retention _,
+    "nd_events_rolling" -> rollingActive _,
     "nd_events_sessions" -> sessions _,
     "nd_events_gapfill" -> gapfill _,
     "nd_events_paths" -> paths _,
@@ -369,6 +395,20 @@ object Events {
     "nd_events_anomaly" -> anomalies _)
 
   def oracle: Map[String, String] = Map(
+    // the same distinct-activity fan-out formulation — never a windowed
+    // distinct — with HUGEINT-widened stickiness
+    "nd_events_rolling" ->
+      """WITH e AS (SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day
+                    FROM events),
+         days AS (SELECT DISTINCT day FROM e),
+         j AS (SELECT r.day AS day, e.user_id, e.day AS aday
+               FROM e JOIN days r ON r.day >= e.day AND r.day <= e.day + 6)
+         SELECT day,
+           CAST(count(DISTINCT CASE WHEN aday = day THEN user_id END) AS BIGINT) AS dau,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS wau,
+           CAST(CAST(count(DISTINCT CASE WHEN aday = day THEN user_id END) AS HUGEINT)
+                * 1000000 // count(DISTINCT user_id) AS BIGINT) AS stickiness_micro
+         FROM j GROUP BY day ORDER BY day""",
     "nd_events_funnel" ->
       """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events),
          u AS (SELECT user_id,

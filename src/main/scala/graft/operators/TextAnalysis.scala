@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables._
@@ -115,6 +116,26 @@ object TextAnalysis {
       .withColumn("predicted_lang", best("lang"))
       .select($"doc_id", $"labeled_lang", $"predicted_lang")
       .orderBy($"doc_id")
+  }
+
+  /** Language-ID CONFUSION matrix — the evaluation row for [[langId]]:
+    * per (labeled, predicted) pair, the count and the row-share in exact
+    * micro-units, plus the diagonal marker. Classifier EVAL as a
+    * first-class query (the same scored scan as langId, then one
+    * pair-count aggregate and a label-partitioned window over the
+    * ALREADY-AGGREGATED ≤|langs|² frame). */
+  def langIdConfusion(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    langId(s, d)
+      .groupBy($"labeled_lang", $"predicted_lang")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("label_total",
+        sum($"n").over(Window.partitionBy($"labeled_lang")))
+      .select($"labeled_lang", $"predicted_lang", $"n",
+        expr("CAST(CAST(n AS DECIMAL(38,0)) * 1000000 div label_total AS BIGINT)")
+          .as("share_micro"),
+        ($"labeled_lang" === $"predicted_lang").as("correct"))
+      .orderBy($"labeled_lang", $"predicted_lang")
   }
 
   /** Document fingerprints: canonical md5 (exact-dup key) + a 60-bit
@@ -854,6 +875,7 @@ object TextAnalysis {
     "nd_text_stats" -> textStats _,
     "nd_text_quality" -> qualityScore _,
     "nd_lang_id" -> langId _,
+    "nd_lang_confusion" -> langIdConfusion _,
     "nd_fingerprints" -> fingerprints _,
     "nd_lang_stats" -> langStats _,
     "nd_vocab_topk" -> ((s: SparkSession, d: String) => vocabTopK(s, d)),
@@ -948,6 +970,23 @@ object TextAnalysis {
                  substr(CAST(max($c) AS VARCHAR), 1, 16) AS max_repr
           FROM documents"""
     }.mkString("\n          UNION ALL ") + "\n          ORDER BY col_name"
+
+  /** The per-doc language-prediction replay, shared by the nd_lang_id
+    * oracle and the confusion-matrix oracle that wraps it. */
+  private lazy val langIdOracleSql: String =
+    s"""WITH sc AS (
+          SELECT doc_id, lang AS labeled_lang,
+            ${langProfiles.toSeq.sortBy(_._1).map { case (l, grams) =>
+               s"${profileScoreSql(grams)} AS score_$l" }.mkString(",\n            ")}
+          FROM (SELECT doc_id, lang, ' ' || lower(text) || ' ' AS p FROM documents)),
+        scores AS (
+          $langScoresUnion),
+        r AS (
+          SELECT doc_id, labeled_lang, l,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, l ASC) AS rn
+          FROM scores)
+        SELECT doc_id, labeled_lang, l AS predicted_lang
+        FROM r WHERE rn = 1 ORDER BY doc_id"""
 
   val oracle: Map[String, String] = Map(
     // integer cross-multiplied z-test replay; HUGEINT mirrors the Spark
@@ -1303,20 +1342,20 @@ object TextAnalysis {
           SELECT doc_id, len_score, punct_score, stop_score, quality,
                  quality >= 0.5::DOUBLE AS keep
           FROM q ORDER BY doc_id""",
-    "nd_lang_id" ->
-      s"""WITH sc AS (
-            SELECT doc_id, lang AS labeled_lang,
-              ${langProfiles.toSeq.sortBy(_._1).map { case (l, grams) =>
-                 s"${profileScoreSql(grams)} AS score_$l" }.mkString(",\n              ")}
-            FROM (SELECT doc_id, lang, ' ' || lower(text) || ' ' AS p FROM documents)),
-          scores AS (
-            $langScoresUnion),
-          r AS (
-            SELECT doc_id, labeled_lang, l,
-                   row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, l ASC) AS rn
-            FROM scores)
-          SELECT doc_id, labeled_lang, l AS predicted_lang
-          FROM r WHERE rn = 1 ORDER BY doc_id""",
+    "nd_lang_id" -> langIdOracleSql,
+    // the confusion matrix derives from the IDENTICAL per-doc prediction
+    // replay (wrapped as a derived table), so eval and classifier cannot
+    // silently diverge; row shares are HUGEINT-widened micro-units
+    "nd_lang_confusion" ->
+      s"""SELECT labeled_lang, predicted_lang,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(CAST(count(*) AS HUGEINT) * 1000000
+                      // sum(count(*)) OVER (PARTITION BY labeled_lang)
+                      AS BIGINT) AS share_micro,
+                 labeled_lang = predicted_lang AS correct
+         FROM ($langIdOracleSql)
+         GROUP BY labeled_lang, predicted_lang
+         ORDER BY labeled_lang, predicted_lang""",
     "nd_fingerprints" ->
       s"""WITH c AS (
             SELECT doc_id,

@@ -33,6 +33,28 @@ class EventsSpec extends AnyFunSuite {
     walk(df.queryExecution.executedPlan)
   }
 
+  test("rolling actives equal a driver-side trailing-window replay") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val act = Tables.events(spark, sf)
+      .select($"user_id", expr("unix_millis(ts) div 86400000").as("day")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val days = act.map(_._2).distinct.sorted
+    val expected = days.map { d0 =>
+      val window = act.filter { case (_, dd) => dd >= d0 - 6 && dd <= d0 }
+      val dau = window.filter(_._2 == d0).map(_._1).distinct.length.toLong
+      val wau = window.map(_._1).distinct.length.toLong
+      (d0, dau, wau, dau * 1000000L / wau)
+    }.toSeq
+    val got = graft.operators.Events.rollingActive(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected, s"rolling mismatch: got=${got.take(3)} exp=${expected.take(3)}")
+    // invariants: wau >= dau, stickiness in (0, 1e6]
+    got.foreach { case (_, dau, wau, st) =>
+      assert(wau >= dau && st > 0 && st <= 1000000L)
+    }
+  }
+
   test("funnel stages are monotone and delays are positive") {
     val r = Events.funnel(spark, sf).collect().head
     val (total, v, c, p) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))

@@ -65,6 +65,28 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("langid confusion matrix reconciles with per-doc predictions and shows diagonal mass") {
+    val preds = TextAnalysis.langId(spark, sf).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    val expected = preds.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val rows = TextAnalysis.langIdConfusion(spark, sf).collect()
+    val got = rows.map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == expected, "confusion cells diverge from per-doc predictions")
+    // row shares: each label's floors sum into (1e6 - cells, 1e6]
+    rows.groupBy(_.getString(0)).foreach { case (lbl, g) =>
+      val s0 = g.map(_.getLong(3)).sum
+      assert(s0 <= 1000000L && s0 > 1000000L - g.length, s"label $lbl shares sum $s0")
+      g.foreach(r => assert(r.getBoolean(4) == (r.getString(0) == r.getString(1))))
+    }
+    // the corpus's lang labels are decorative (every doc's text is the
+    // same English-ish synthetic vocabulary), and the matrix must EXPOSE
+    // that rather than flatter the classifier: predictions collapse onto
+    // the latin-profile languages, so off-diagonal mass dominates for the
+    // label rows whose text carries no signal
+    assert(rows.exists(r => !r.getBoolean(4) && r.getLong(3) > 500000L),
+      "expected the matrix to expose label/content mismatch on synthetic data")
+  }
+
   test("curated corpus = quality ∩ keepers ∖ near-dup losers") {
     import spark.implicits._
     val total = Tables.documents(spark, sf).count()
