@@ -623,6 +623,32 @@ object Dedup {
     (out, () => { sk.unpersist(blocking = false); () })
   }
 
+  /** N-gram NOVELTY curve — the corpus-exhaustion metric a data pipeline
+    * tracks as it ingests: per document (in id order), what fraction of
+    * its shingles has never appeared in any earlier document. A corpus
+    * approaching exhaustion trends toward zero novelty; boilerplate-heavy
+    * sources show it immediately. Shape: one shingle explode, one
+    * (shingle)→min(doc_id) first-seen aggregate (partial-combined — the
+    * classic scale-true form of any "seen before?" check), an equi-join back
+    * on the shingle hash, and a per-doc roll-up. Novelty is exact integer
+    * micro-units. */
+  def noveltyCurve(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sh = documents(s, d)
+      .select($"doc_id", explode(shingleHashes($"text")).as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val firstSeen = sh.groupBy($"h").agg(min($"doc_id").as("first_doc"))
+    val out = sh.join(firstSeen, "h")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+           sum(when($"first_doc" === $"doc_id", 1L).otherwise(0L)).as("n_novel"))
+      .select($"doc_id", $"n_shingles", $"n_novel",
+        expr("CAST(CAST(n_novel AS DECIMAL(38,0)) * 1000000 div n_shingles AS BIGINT)")
+          .as("novelty_micro"))
+      .orderBy($"doc_id")
+    graft.plans.Caching.detach(out, () => { sh.unpersist(blocking = false); () })
+  }
+
   /** Oracle-paired incremental run: batch = doc_id ≥ 250 deduped against
     * the digests of doc_id < 250. */
   def exactIncrementalQuery(s: SparkSession, d: String): DataFrame = {
@@ -646,7 +672,8 @@ object Dedup {
     "nd_dedup_embedding" -> ((s: SparkSession, d: String) => embeddingPairs(s, d)),
     "nd_dedup_embedding_brute" -> embeddingPairsBrute _,
     "nd_source_overlap" -> sourceOverlap _,
-    "nd_source_overlap_kmv" -> ((s: SparkSession, d: String) => sourceOverlapKmv(s, d)))
+    "nd_source_overlap_kmv" -> ((s: SparkSession, d: String) => sourceOverlapKmv(s, d)),
+    "nd_novelty_curve" -> noveltyCurve _)
 
   // ---- DuckDB replicas of the sketch pipeline (see Expressions.Sketch:
   // the hash scheme is md5-fold + affine-mod precisely so these oracles
@@ -753,6 +780,22 @@ object Dedup {
                       ELSE CAST(255 AS DOUBLE) * 1152921504606846976
                            / CAST(mg[256] AS DOUBLE) END, 4) AS est_union
          FROM r ORDER BY source_a, source_b""",
+    // novelty replay: same shingle scheme; first-seen = min(doc_id) per
+    // hash, joined back, HUGEINT-widened micro fraction
+    "nd_novelty_curve" ->
+      s"""WITH $shingleCtesSql,
+         sh60 AS (SELECT doc_id, list_distinct(list_transform(shings, s -> ${Sketch.foldSql(15, "s")})) AS sh
+                  FROM shing),
+         ex AS (SELECT doc_id, unnest(sh) AS h FROM sh60),
+         fs AS (SELECT h, min(doc_id) AS first_doc FROM ex GROUP BY h)
+         SELECT ex.doc_id,
+                CAST(count(*) AS BIGINT) AS n_shingles,
+                CAST(sum(CASE WHEN fs.first_doc = ex.doc_id THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_novel,
+                CAST(CAST(sum(CASE WHEN fs.first_doc = ex.doc_id THEN 1 ELSE 0 END)
+                          AS HUGEINT) * 1000000 // count(*) AS BIGINT) AS novelty_micro
+         FROM ex JOIN fs USING (h)
+         GROUP BY ex.doc_id ORDER BY ex.doc_id""",
     // decontamination replay: same canonical/shingle/60-bit-fold scheme as
     // the jaccard oracle, split into eval (doc_id % 10 = 0) and train
     // sides, joined on the shingle hash

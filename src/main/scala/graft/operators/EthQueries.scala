@@ -987,6 +987,33 @@ object EthQueries {
       .orderBy($"n_tx".desc, $"selector")
   }
 
+  /** Q34: transfer-VALUE distribution in exact power-of-two bins — the
+    * "how big are payments" histogram, binned by BIT LENGTH of the wei
+    * value (`length(bin(v))`, the nd_pipeline_length_batches discipline:
+    * no float log2 boundary ambiguity; zero-value transfers bin
+    * separately). tx values stay under 2^63 wei (~9.2e18; larger values
+    * ride the weiDecimal lane elsewhere), so the long cast is exact.
+    * One hash aggregate; bucket sums widen to DECIMAL(38,0)/HUGEINT and
+    * pin as strings. */
+  def q34ValueHistogram(s: SparkSession, d: String): DataFrame =
+    q34ValueHistogramOf(eth(s, "transaction"))
+
+  /** [[q34ValueHistogram]] over any transaction-shaped frame. */
+  def q34ValueHistogramOf(txFrame: DataFrame): DataFrame = {
+    val s = txFrame.sparkSession
+    import s.implicits._
+    txFrame
+      .select($"tx_value".cast("long").as("v"))
+      .select(when($"v" === 0L, lit(0L))
+                .otherwise(length(bin($"v")).cast("long")).as("bits"))
+      .groupBy($"bits")
+      .agg(count(lit(1)).as("n_tx"))
+      .withColumn("share_micro",
+        expr("""CAST(CAST(n_tx AS DECIMAL(38,0)) * 1000000
+                div sum(n_tx) OVER () AS BIGINT)"""))
+      .orderBy($"bits")
+  }
+
   /** B12: the catalog's DESCRIBE surface *as data*. The reference pins the
     * exact `DESCRIBE block/transaction/erc20` output in its docs
     * (`README.md:139-186`; widths `EthereumMetadata.java:48-51`), so this
@@ -1056,7 +1083,8 @@ object EthQueries {
     "eth_q30_gas_order" -> q30GasOrderAudit _,
     "eth_q31_chain_integrity" -> q31ChainIntegrity _,
     "eth_q32_adoption" -> q32Adoption _,
-    "eth_q33_selectors" -> q33Selectors _)
+    "eth_q33_selectors" -> q33Selectors _,
+    "eth_q34_value_histogram" -> q34ValueHistogram _)
 
   /** Unrolled 5-iteration integer PageRank replay (see [[q17PageRank]] for
     * the exact recurrence); starts with "," to extend [[withEthTables]]'s
@@ -1432,6 +1460,16 @@ object EthQueries {
                      // count(*) AS BIGINT) AS avg_gas
          FROM transaction GROUP BY selector
          ORDER BY n_tx DESC, selector"""),
+    "eth_q34_value_histogram" -> withEthTables(
+      """, t AS (SELECT CAST(tx_value AS BIGINT) AS v FROM transaction),
+         h AS (SELECT CASE WHEN v = 0 THEN CAST(0 AS BIGINT)
+                      ELSE CAST(length(bin(v)) AS BIGINT) END AS bits,
+                      CAST(count(*) AS BIGINT) AS n_tx
+               FROM t GROUP BY 1)
+         SELECT bits, n_tx,
+                CAST(CAST(n_tx AS HUGEINT) * 1000000 // sum(n_tx) OVER ()
+                     AS BIGINT) AS share_micro
+         FROM h ORDER BY bits"""),
     "eth_q24_nonce_audit" -> withEthTables(
       """SELECT CAST(count(*) AS BIGINT) AS n_addrs,
                 CAST(sum(n_tx) AS BIGINT) AS n_tx,

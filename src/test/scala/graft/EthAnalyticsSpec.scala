@@ -213,6 +213,19 @@ class EthAnalyticsSpec extends AnyFunSuite {
     assert(got.exists(_._1 == "0xa9059cbb") && got.exists(_._1 == "(transfer)"))
   }
 
+  test("eth_q34 value histogram equals a bit-length replay; shares floor-sum to 1e6") {
+    val vs = txRows.map(_._5.toLong)
+    val expected = vs.groupBy(v => if (v == 0L) 0L else java.lang.Long.toBinaryString(v).length.toLong)
+      .toSeq.map { case (bits, g) =>
+        (bits, g.size.toLong, g.size.toLong * 1000000L / vs.size)
+      }.sortBy(_._1)
+    val got = EthQueries.q34ValueHistogram(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected, s"value histogram mismatch: got=${got.take(4)} exp=${expected.take(4)}")
+    val shareSum = got.map(_._3).sum
+    assert(shareSum <= 1000000L && shareSum > 1000000L - got.length)
+  }
+
   test("eth_q30 gas-order audit equals an adjacent-pair replay") {
     val pairs = txRows.groupBy(_._1).toSeq.flatMap { case (bn, rows) =>
       rows.sortBy(_._2).map(_._7).sliding(2).collect {

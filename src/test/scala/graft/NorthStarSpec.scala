@@ -196,6 +196,26 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("novelty curve equals a first-seen replay; first doc fully novel, mass conserved") {
+    val perDoc = Tables.documents(spark, sf)
+      .select($"doc_id", Dedup.shingleHashes($"text")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1))).sortBy(_._1)
+    val firstSeen = scala.collection.mutable.HashMap.empty[Long, Long]
+    perDoc.foreach { case (id, hs) =>
+      hs.foreach(h => if (!firstSeen.contains(h)) firstSeen(h) = id)
+    }
+    val expected = perDoc.map { case (id, hs) =>
+      val novel = hs.count(h => firstSeen(h) == id).toLong
+      (id, hs.length.toLong, novel, novel * 1000000L / hs.length)
+    }.toSeq
+    val got = Dedup.noveltyCurve(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected, s"novelty mismatch: got=${got.take(3)} exp=${expected.take(3)}")
+    assert(got.head._4 == 1000000L, "lowest-id doc must be fully novel")
+    // conservation: total novel shingles = distinct shingles in the corpus
+    assert(got.map(_._3).sum == firstSeen.size.toLong)
+  }
+
   test("bloom decontamination pre-pass: superset of exact, bounded FPs") {
     val exact = Dedup.decontaminate(spark, sf).collect()
     val bloom = Dedup.decontaminateBloom(spark, sf).collect()
