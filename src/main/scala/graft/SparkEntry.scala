@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Dedup, EthQueries, Events, Multimodal, Pii, Pipeline, Relational, Semantic, Similarity, StreamQueries, Subqueries, TextAnalysis, TpchShapes}
+import graft.operators.{Dedup, EthQueries, Eval, Events, Multimodal, Pii, Pipeline, Relational, Semantic, Similarity, StreamQueries, Subqueries, TextAnalysis, TpchShapes}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -18,7 +18,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Subqueries.queries ++ TpchShapes.queries ++
-      Events.queries ++ EthQueries.queries ++
+      Events.queries ++ EthQueries.queries ++ Eval.queries ++
       TextAnalysis.queries ++ Dedup.queries ++ Similarity.queries ++
       Semantic.queries ++ Pii.queries ++ Multimodal.queries ++
       Pipeline.queries ++ StreamQueries.queries
@@ -27,7 +27,7 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracle ++ Subqueries.oracle ++ TpchShapes.oracle ++
-      Events.oracle ++ EthQueries.oracle ++
+      Events.oracle ++ EthQueries.oracle ++ Eval.oracle ++
       TextAnalysis.oracle ++ Dedup.oracle ++ Similarity.oracle ++
       Semantic.oracle ++ Pii.oracle ++ Multimodal.oracle ++
       Pipeline.oracle ++ StreamQueries.oracle

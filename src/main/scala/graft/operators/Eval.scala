@@ -1,0 +1,239 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+
+/** Classifier-evaluation operators — the metrics a training pipeline
+  * computes over billions of scored rows before trusting a filter model:
+  * exact ROC-AUC (Mann–Whitney rank statistic), score calibration, and
+  * Cohen's kappa. All three run over the SAME deterministic scorer as
+  * `nd_lang_id` (TextAnalysis.langProfiles), so the eval rows and the
+  * classifier they grade cannot silently diverge.
+  *
+  * Exactness discipline: every metric is integer micro-units end-to-end.
+  * AUC in particular is usually computed with floating ranks; here it is
+  * the exact tie-aware rank-sum — distinct scores are aggregated first
+  * (the frame shrinks from |corpus| to |distinct micro scores|, ≤1e6+1
+  * rows per source by construction), the cumulative rank window runs per
+  * PARTITION (source) over that aggregated frame, and products widen to
+  * DECIMAL(38,0) BEFORE multiplying (the oracle widens to HUGEINT at the
+  * same step — the round-6 advice discipline).
+  *
+  * Scale shape: one corpus scan → one (source, score) hash aggregate →
+  * a window over the already-aggregated per-source frame → one per-source
+  * roll-up. No global sort, no single-partition window; nothing
+  * row-scale moves after the first aggregate.
+  */
+object Eval {
+
+  /** Per-doc integer score: English-profile gram hits per million chars
+    * (the `nd_lang_id` 'en' scorer, micro-normalized by doc length so the
+    * score is length-invariant). Exact: gram hits are integer counts and
+    * the ratio is DECIMAL-widened truncating division (`div`, matching
+    * the oracle's `//` on non-negative operands). */
+  private[graft] def scoredDocs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val padded = concat(lit(" "), lower($"text"), lit(" "))
+    documents(s, d)
+      .select(
+        $"source",
+        ($"lang" === "en").cast("long").as("pos"),
+        TextAnalysis.profileScore(padded, TextAnalysis.langProfiles("en"))
+          .cast("long").as("hits"),
+        length($"text").cast("long").as("n_chars"))
+      .select($"source", $"pos",
+        expr("CAST(1000000 * CAST(hits AS DECIMAL(38,0)) div greatest(n_chars, 1) AS BIGINT)")
+          .as("score"))
+  }
+
+  /** The DuckDB spelling of [[scoredDocs]]'s score (expects a padded
+    * column `p` and the raw `text` in scope). */
+  private def enScoreMicroSql: String = {
+    val hits = TextAnalysis.profileScoreSql(TextAnalysis.langProfiles("en"))
+    s"""CAST(1000000 * CAST(($hits) AS HUGEINT) // greatest(length(text), 1) AS BIGINT)"""
+  }
+
+  /** Exact tie-aware ROC-AUC per source: does the 'en' scorer rank
+    * labeled-English documents above the rest? AUC = (2·Σranks(pos) −
+    * P(P+1)) / (2·P·N) with average ranks for ties, computed WITHOUT a
+    * row-scale rank window: aggregate to (source, score) → (count c,
+    * positives p), cumulative count per source over that aggregated
+    * frame, and each score level contributes p·(2·cum_before + c + 1) to
+    * twice the positive rank-sum (its c tied rows share average rank
+    * cum_before + (c+1)/2). Sources missing a class emit NULL (AUC is
+    * undefined there), never a divide-by-zero. */
+  def aucBySource(s: SparkSession, d: String): DataFrame =
+    aucOf(scoredDocs(s, d))
+
+  /** The rank-sum AUC over any `(source, pos, score)` frame — factored
+    * out so specs can feed planted separations (perfect → 1e6,
+    * inverted → 0, all-tied → 500000). */
+  private[graft] def aucOf(scored: DataFrame): DataFrame = {
+    val s = scored.sparkSession
+    import s.implicits._
+    val byScore = scored
+      .groupBy($"source", $"score")
+      .agg(count(lit(1)).as("c"), sum($"pos").as("p"))
+    val w = Window.partitionBy($"source").orderBy($"score")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withCum = byScore
+      .withColumn("cum_before", sum($"c").over(w) - $"c")
+    withCum
+      .groupBy($"source")
+      .agg(
+        sum(expr("CAST(p AS DECIMAL(38,0)) * (2 * cum_before + c + 1)"))
+          .as("r2"),
+        sum($"p").as("n_pos"),
+        sum($"c" - $"p").as("n_neg"),
+        sum($"c").as("n_docs"))
+      .select(
+        $"source", $"n_docs", $"n_pos", $"n_neg",
+        when($"n_pos" > 0 && $"n_neg" > 0,
+          expr("""CAST((r2 - CAST(n_pos AS DECIMAL(38,0)) * (n_pos + 1)) * 1000000
+                  div (2 * CAST(n_pos AS DECIMAL(38,0)) * n_neg) AS BIGINT)"""))
+          .as("auc_micro"))
+      .orderBy($"source")
+  }
+
+  /** Score calibration table: fixed-width micro-score buckets (div 1e4 —
+    * deterministic percentile-width edges, never a quantile estimate) → bucket
+    * size, positive count, exact positive-rate and mean score in micro
+    * units. The reliability-diagram input at corpus scale: one hash
+    * aggregate; the bucket count is bounded by the score range, not the
+    * corpus. */
+  def calibration(s: SparkSession, d: String): DataFrame =
+    calibrationOf(scoredDocs(s, d))
+
+  private[graft] def calibrationOf(scored: DataFrame): DataFrame = {
+    val s = scored.sparkSession
+    import s.implicits._
+    scored
+      .groupBy(expr("score div 10000").as("bucket"))
+      .agg(count(lit(1)).as("n"), sum($"pos").as("n_pos"),
+        sum($"score".cast("decimal(38,0)")).as("score_sum"))
+      .select($"bucket", $"n", $"n_pos",
+        expr("CAST(1000000 * CAST(n_pos AS DECIMAL(38,0)) div n AS BIGINT)")
+          .as("pos_rate_micro"),
+        expr("CAST(score_sum div n AS BIGINT)").as("mean_score_micro"))
+      .orderBy($"bucket")
+  }
+
+  /** Cohen's kappa over the full multi-class langId confusion matrix —
+    * chance-corrected agreement between labeled and predicted language:
+    * kappa = (n·Σdiag − Σ row_l·col_l) / (n² − Σ row_l·col_l). Runs the
+    * SAME per-doc prediction as nd_lang_id, aggregates once to the
+    * ≤|langs|² confusion frame (bounded metadata — the marginal joins
+    * after it are broadcast-scale by construction), and emits the exact
+    * micro kappa with sign-safe division: `div` truncates toward zero
+    * while DuckDB's `//` floors, and they disagree on negatives — kappa
+    * IS negative for worse-than-chance agreement (which decorative
+    * labels can produce) — so the magnitude divides and the sign
+    * multiplies back, identically on both engines. */
+  def kappa(s: SparkSession, d: String): DataFrame =
+    kappaOf(TextAnalysis.langId(s, d))
+
+  /** Kappa over any `(labeled_lang, predicted_lang)` frame. */
+  private[graft] def kappaOf(pred: DataFrame): DataFrame = {
+    val s = pred.sparkSession
+    import s.implicits._
+    val cm = pred
+      .groupBy($"labeled_lang", $"predicted_lang")
+      .agg(count(lit(1)).as("n"))
+    val rowTot = cm.groupBy($"labeled_lang".as("l"))
+      .agg(sum($"n").as("row_n"))
+    val colTot = cm.groupBy($"predicted_lang".as("l"))
+      .agg(sum($"n").as("col_n"))
+    val peNum = rowTot.join(colTot, Seq("l"))
+      .agg(coalesce(sum(expr("CAST(row_n AS DECIMAL(38,0)) * col_n")),
+        lit(0).cast("decimal(38,0)")).as("pe_num"))
+    cm.agg(
+        sum($"n").as("n_docs"),
+        sum(when($"labeled_lang" === $"predicted_lang", $"n").otherwise(0L))
+          .as("n_agree"))
+      .crossJoin(peNum)
+      .withColumn("num",
+        expr("CAST(n_docs AS DECIMAL(38,0)) * n_agree - pe_num"))
+      .withColumn("den",
+        expr("CAST(n_docs AS DECIMAL(38,0)) * n_docs - pe_num"))
+      .select(
+        $"n_docs", $"n_agree",
+        expr("CAST(1000000 * CAST(n_agree AS DECIMAL(38,0)) div n_docs AS BIGINT)")
+          .as("po_micro"),
+        expr("CAST(pe_num * 1000000 div (CAST(n_docs AS DECIMAL(38,0)) * n_docs) AS BIGINT)")
+          .as("pe_micro"),
+        when($"den" > 0,
+          expr("""CAST((CASE WHEN num < 0 THEN -1 ELSE 1 END)
+                  * (abs(num) * 1000000 div den) AS BIGINT)"""))
+          .as("kappa_micro"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "nd_eval_auc" -> (aucBySource _),
+    "nd_eval_calibration" -> (calibration _),
+    "nd_eval_kappa" -> (kappa _))
+
+  val oracle: Map[String, String] = Map(
+    "nd_eval_auc" ->
+      s"""WITH scored AS (
+            SELECT source,
+                   CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
+                   $enScoreMicroSql AS score
+            FROM (SELECT source, lang, text,
+                         ' ' || lower(text) || ' ' AS p FROM documents)),
+          g AS (SELECT source, score, count(*) AS c, sum(pos) AS p
+                FROM scored GROUP BY source, score),
+          w AS (SELECT source, score, c, p,
+                       sum(c) OVER (PARTITION BY source ORDER BY score
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         - c AS cum_before
+                FROM g),
+          a AS (SELECT source,
+                       sum(CAST(p AS HUGEINT) * (2 * cum_before + c + 1)) AS r2,
+                       sum(p) AS n_pos, sum(c - p) AS n_neg, sum(c) AS n_docs
+                FROM w GROUP BY source)
+          SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+                 CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg,
+                 CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+                   CAST((r2 - CAST(n_pos AS HUGEINT) * (n_pos + 1)) * 1000000
+                        // (2 * CAST(n_pos AS HUGEINT) * n_neg) AS BIGINT)
+                 END AS auc_micro
+          FROM a ORDER BY source""",
+    "nd_eval_calibration" ->
+      s"""WITH scored AS (
+            SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
+                   $enScoreMicroSql AS score
+            FROM (SELECT lang, text, ' ' || lower(text) || ' ' AS p
+                  FROM documents))
+          SELECT score // 10000 AS bucket,
+                 count(*) AS n, CAST(sum(pos) AS BIGINT) AS n_pos,
+                 CAST(1000000 * CAST(sum(pos) AS HUGEINT) // count(*) AS BIGINT)
+                   AS pos_rate_micro,
+                 CAST(CAST(sum(score) AS HUGEINT) // count(*) AS BIGINT)
+                   AS mean_score_micro
+          FROM scored GROUP BY bucket ORDER BY bucket""",
+    "nd_eval_kappa" ->
+      s"""WITH pred AS (${TextAnalysis.langIdOracleSql.replace("ORDER BY doc_id", "")}),
+          cm AS (SELECT labeled_lang, predicted_lang, count(*) AS n
+                 FROM pred GROUP BY labeled_lang, predicted_lang),
+          rt AS (SELECT labeled_lang AS l, sum(n) AS row_n FROM cm GROUP BY 1),
+          ct AS (SELECT predicted_lang AS l, sum(n) AS col_n FROM cm GROUP BY 1),
+          pe AS (SELECT coalesce(sum(CAST(row_n AS HUGEINT) * col_n), 0) AS pe_num
+                 FROM rt JOIN ct USING (l)),
+          a AS (SELECT CAST(sum(n) AS HUGEINT) AS n_docs,
+                       CAST(sum(CASE WHEN labeled_lang = predicted_lang
+                                     THEN n ELSE 0 END) AS HUGEINT) AS n_agree
+                FROM cm)
+          SELECT CAST(n_docs AS BIGINT) AS n_docs,
+                 CAST(n_agree AS BIGINT) AS n_agree,
+                 CAST(1000000 * n_agree // n_docs AS BIGINT) AS po_micro,
+                 CAST(pe_num * 1000000 // (n_docs * n_docs) AS BIGINT) AS pe_micro,
+                 CASE WHEN n_docs * n_docs - pe_num > 0 THEN
+                   CAST((CASE WHEN n_docs * n_agree - pe_num < 0 THEN -1 ELSE 1 END)
+                        * (abs(n_docs * n_agree - pe_num) * 1000000
+                           // (n_docs * n_docs - pe_num)) AS BIGINT)
+                 END AS kappa_micro
+          FROM a, pe""")
+}

@@ -95,7 +95,7 @@ object TextAnalysis {
     "de" -> Seq(" der ", " die ", " und ", " das ", " ist ", "sche"),
     "zh" -> Seq("的", "是", "了", "在", "我", "不"))
 
-  private def profileScore(text: Column, grams: Seq[String]): Column =
+  private[operators] def profileScore(text: Column, grams: Seq[String]): Column =
     grams.map(g =>
       (length(text) - length(regexp_replace(text, java.util.regex.Pattern.quote(g), "")))
         / lit(math.max(1, g.length))
@@ -896,7 +896,7 @@ object TextAnalysis {
   /** Per-language profile score in DuckDB — mirrors [[profileScore]]:
     * sum over grams of (chars removed by deleting the gram) / gram length,
     * left-associated so double summation order matches Spark's. */
-  private def profileScoreSql(grams: Seq[String]): String =
+  private[operators] def profileScoreSql(grams: Seq[String]): String =
     grams.map { g =>
       val lit = g.replace("'", "''")
       s"(length(p) - length(replace(p, '$lit', ''))) / ${math.max(1, g.length)}"
@@ -973,7 +973,7 @@ object TextAnalysis {
 
   /** The per-doc language-prediction replay, shared by the nd_lang_id
     * oracle and the confusion-matrix oracle that wraps it. */
-  private lazy val langIdOracleSql: String =
+  private[operators] lazy val langIdOracleSql: String =
     s"""WITH sc AS (
           SELECT doc_id, lang AS labeled_lang,
             ${langProfiles.toSeq.sortBy(_._1).map { case (l, grams) =>

@@ -1,0 +1,105 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Eval
+
+/** Value gates for the classifier-eval family: the oracle proves the SQL
+  * agrees; these prove the METRICS are right — AUC against a brute-force
+  * pair count (the definition, not the rank-sum identity the operator
+  * uses), planted separations with known closed-form AUC, kappa against
+  * a driver-side replay, and conservation laws on calibration.
+  */
+class EvalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("rank-sum AUC equals the brute-force pair count on the real corpus") {
+    val scored = Eval.scoredDocs(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val got = Eval.aucBySource(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)))).toSeq
+    val expected = scored.groupBy(_._1).toSeq.sortBy(_._1).map {
+      case (src, rows) =>
+        val pos = rows.filter(_._2 == 1L).map(_._3)
+        val neg = rows.filter(_._2 == 0L).map(_._3)
+        val auc =
+          if (pos.isEmpty || neg.isEmpty) None
+          else {
+            // brute Mann–Whitney: concordant + half-ties over all pairs
+            var conc2 = BigInt(0) // 2*concordant + ties
+            for (p <- pos; n <- neg) {
+              if (p > n) conc2 += 2 else if (p == n) conc2 += 1
+            }
+            Some((conc2 * 1000000 /
+              (BigInt(2) * pos.length * neg.length)).toLong)
+          }
+        (src, rows.length.toLong, pos.length.toLong, neg.length.toLong, auc)
+    }
+    assert(got == expected,
+      s"auc mismatch: got=${got.take(2)} exp=${expected.take(2)}")
+  }
+
+  test("planted separations hit the closed-form AUC") {
+    import spark.implicits._
+    // perfect separation / inverted / all-tied, two groups in one frame
+    val rows = Seq(
+      ("sep", 1L, 100L), ("sep", 1L, 90L), ("sep", 0L, 10L), ("sep", 0L, 5L),
+      ("inv", 1L, 1L), ("inv", 0L, 50L), ("inv", 0L, 60L),
+      ("tie", 1L, 7L), ("tie", 1L, 7L), ("tie", 0L, 7L),
+      ("onecls", 1L, 3L), ("onecls", 1L, 4L))
+    val got = Eval.aucOf(rows.toDF("source", "pos", "score")).collect()
+      .map(r => (r.getString(0),
+        if (r.isNullAt(4)) -1L else r.getLong(4))).toMap
+    assert(got("sep") == 1000000L)
+    assert(got("inv") == 0L)
+    assert(got("tie") == 500000L)
+    assert(got("onecls") == -1L, "single-class source must emit NULL")
+  }
+
+  test("kappa matches a driver-side replay and po/pe are consistent") {
+    val preds = graft.operators.TextAnalysis.langId(spark, sf).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    val n = BigInt(preds.length)
+    val agree = BigInt(preds.count { case (a, b) => a == b })
+    val rowT = preds.groupBy(_._1).view.mapValues(v => BigInt(v.length)).toMap
+    val colT = preds.groupBy(_._2).view.mapValues(v => BigInt(v.length)).toMap
+    val pe = rowT.keySet.intersect(colT.keySet).toSeq
+      .map(l => rowT(l) * colT(l)).sum
+    val num = n * agree - pe
+    val den = n * n - pe
+    val expKappa = (if (num < 0) -1 else 1) * (num.abs * 1000000 / den)
+    val r = Eval.kappa(spark, sf).collect().head
+    assert(r.getLong(0) == n.toLong && r.getLong(1) == agree.toLong)
+    assert(r.getLong(2) == (agree * 1000000 / n).toLong, "po mismatch")
+    assert(r.getLong(3) == (pe * 1000000 / (n * n)).toLong, "pe mismatch")
+    assert(r.getLong(4) == expKappa.toLong, "kappa mismatch")
+  }
+
+  test("negative kappa divides sign-safely (planted worse-than-chance)") {
+    import spark.implicits._
+    // two classes, predictions exactly inverted: kappa = -1
+    val pred = Seq(("a", "b"), ("a", "b"), ("b", "a"), ("b", "a"))
+      .toDF("labeled_lang", "predicted_lang")
+    val r = Eval.kappaOf(pred).collect().head
+    assert(r.getLong(4) == -1000000L,
+      s"inverted predictions must give kappa=-1, got ${r.getLong(4)}")
+  }
+
+  test("calibration conserves mass and stays in range") {
+    val docs = Tables.documents(spark, sf).count()
+    val en = Tables.documents(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("lang") === "en").count()
+    val rows = Eval.calibration(spark, sf).collect()
+    assert(rows.map(_.getLong(1)).sum == docs, "bucket sizes must sum to corpus")
+    assert(rows.map(_.getLong(2)).sum == en, "positives must sum to en docs")
+    rows.foreach { r =>
+      val (bucket, n, np, rate, mean) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(np <= n && rate >= 0 && rate <= 1000000L)
+      // bucket edges: every mean score lies inside its bucket
+      assert(mean >= bucket * 10000 && mean < (bucket + 1) * 10000)
+    }
+  }
+}
