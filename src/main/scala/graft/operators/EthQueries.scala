@@ -410,6 +410,73 @@ object EthQueries {
     graft.plans.Caching.detach(out, free)
   }
 
+  /** Q35: neighborhood-Jaccard profile of the undirected transfer graph —
+    * the link-prediction / address-clustering statistic: for every edge
+    * (u,v), J = |N(u)∩N(v)| / |N(u)∪N(v)| with |N(u)∪N(v)| =
+    * deg(u)+deg(v)−common (endpoints count once each; no self-loops, so
+    * the denominator is ≥ 2 — never a divide-by-zero). Common-neighbor
+    * counts come from the SAME degree-ordered oriented wedge join as
+    * [[q18TrianglesLazy]] (each triangle enumerated exactly once, fan-out
+    * bounded at O(√E) per node), then each triangle fans out to its three
+    * canonical edges and one hash aggregate yields per-edge counts —
+    * never a per-edge neighbor-set intersection, which a hub would blow
+    * up quadratically. Output is the bounded 10-bucket Jaccard histogram
+    * (micro div 1e5) — edge-scale rows stay distributed; only the
+    * histogram returns. Exact throughout: counts are integers and the
+    * micro ratio is DECIMAL-widened truncating division. */
+  def q35NeighborJaccardLazy(s: SparkSession, d: String): (DataFrame, () => Unit) = {
+    import s.implicits._
+    val t = eth(s, "erc20")
+      .select(least($"erc20_from", $"erc20_to").as("a"),
+              greatest($"erc20_from", $"erc20_to").as("b"))
+      .filter($"a" =!= $"b").distinct()
+    val und = t.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = und.select($"a".as("n")).union(und.select($"b".as("n")))
+      .groupBy($"n").agg(count(lit(1)).as("deg"))
+    val withDeg = und
+      .join(deg.withColumnRenamed("n", "a").withColumnRenamed("deg", "da"), "a")
+      .join(deg.withColumnRenamed("n", "b").withColumnRenamed("deg", "db"), "b")
+    val oriented = withDeg.select(
+        when($"da" < $"db" || ($"da" === $"db" && $"a" < $"b"),
+             struct($"a".as("src"), $"b".as("dst"), $"db".as("dd")))
+          .otherwise(struct($"b".as("src"), $"a".as("dst"), $"da".as("dd")))
+          .as("e"))
+      .select($"e.src", $"e.dst", $"e.dd")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val e1 = oriented.select($"src", $"dst".as("v"), $"dd".as("dv"))
+    val e2 = oriented.select($"src", $"dst".as("w"), $"dd".as("dw"))
+    val tri = e1.join(e2, Seq("src"))
+      .filter($"dv" < $"dw" || ($"dv" === $"dw" && $"v" < $"w"))
+      .join(oriented.select($"src".as("v"), $"dst".as("w")), Seq("v", "w"))
+    val triEdges = tri.select(explode(array(
+        struct(least($"src", $"v").as("ea"), greatest($"src", $"v").as("eb")),
+        struct(least($"src", $"w").as("ea"), greatest($"src", $"w").as("eb")),
+        struct(least($"v", $"w").as("ea"), greatest($"v", $"w").as("eb")))).as("e"))
+      .select($"e.ea".as("a"), $"e.eb".as("b"))
+    val common = triEdges.groupBy($"a", $"b").agg(count(lit(1)).as("cm"))
+    val perEdge = withDeg
+      .join(common, Seq("a", "b"), "left")
+      .select($"da", $"db", coalesce($"cm", lit(0L)).as("common"))
+      .select($"common",
+        expr("CAST(1000000 * CAST(common AS DECIMAL(38,0)) div (da + db - common) AS BIGINT)")
+          .as("jacc_micro"))
+    val out = perEdge
+      .groupBy(expr("jacc_micro div 100000").as("bucket"))
+      .agg(count(lit(1)).as("n_edges"), sum($"common").as("n_common"),
+           max($"jacc_micro").as("max_jacc_micro"))
+      .orderBy($"bucket")
+    (out, () => {
+      und.unpersist(blocking = false)
+      oriented.unpersist(blocking = false)
+      ()
+    })
+  }
+
+  def q35NeighborJaccard(s: SparkSession, d: String): DataFrame = {
+    val (out, free) = q35NeighborJaccardLazy(s, d)
+    graft.plans.Caching.detach(out, free)
+  }
+
   /** Deterministic MIN-LABEL propagation to CONVERGENCE over a symmetric
     * adjacency `sym(token, u, v)` with node set `nodes(token, addr)`:
     * every address starts labeled with itself; each round every address
@@ -1069,6 +1136,7 @@ object EthQueries {
     "eth_q16_token_graph" -> q16TokenGraph _,
     "eth_q17_pagerank" -> q17PageRank _,
     "eth_q18_triangles" -> q18Triangles _,
+    "eth_q35_jaccard" -> q35NeighborJaccard _,
     "eth_q19_components" -> q19Components _,
     "eth_q20_balances" -> q20Balances _,
     "eth_q21_time_span" -> q21TimeSpan _,
@@ -1506,6 +1574,41 @@ object EthQueries {
                 (SELECT count(*) FROM wedges) AS n_wedges,
                 n_triangles
          FROM tri"""),
+    "eth_q35_jaccard" -> withEthTables(
+      """, und AS (SELECT DISTINCT least(erc20_from, erc20_to) AS a,
+                          greatest(erc20_from, erc20_to) AS b
+                   FROM erc20 WHERE erc20_from <> erc20_to),
+         deg AS (SELECT n, count(*) AS deg FROM (
+                   SELECT a AS n FROM und UNION ALL SELECT b FROM und)
+                 GROUP BY n),
+         eo AS (SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b)
+                            THEN u.a ELSE u.b END AS src,
+                       CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b)
+                            THEN u.b ELSE u.a END AS dst,
+                       CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b)
+                            THEN db.deg ELSE da.deg END AS dd
+                FROM und u JOIN deg da ON u.a = da.n JOIN deg db ON u.b = db.n),
+         tri AS (SELECT w.src, w.v, w.w
+                 FROM (SELECT e1.src, e1.dst AS v, e2.dst AS w
+                       FROM eo e1 JOIN eo e2 ON e1.src = e2.src
+                       WHERE e1.dd < e2.dd OR (e1.dd = e2.dd AND e1.dst < e2.dst)) w
+                 JOIN eo ON w.v = eo.src AND w.w = eo.dst),
+         te AS (SELECT least(src, v) AS a, greatest(src, v) AS b FROM tri
+                UNION ALL SELECT least(src, w), greatest(src, w) FROM tri
+                UNION ALL SELECT least(v, w), greatest(v, w) FROM tri),
+         cmn AS (SELECT a, b, count(*) AS cm FROM te GROUP BY a, b),
+         j AS (SELECT coalesce(cmn.cm, 0) AS common, da.deg AS da, db.deg AS db
+               FROM und u
+               LEFT JOIN cmn ON u.a = cmn.a AND u.b = cmn.b
+               JOIN deg da ON u.a = da.n JOIN deg db ON u.b = db.n),
+         jm AS (SELECT common,
+                       CAST(1000000 * CAST(common AS HUGEINT)
+                            // (da + db - common) AS BIGINT) AS jacc_micro
+                FROM j)
+         SELECT jacc_micro // 100000 AS bucket, count(*) AS n_edges,
+                CAST(sum(common) AS BIGINT) AS n_common,
+                max(jacc_micro) AS max_jacc_micro
+         FROM jm GROUP BY bucket ORDER BY bucket"""),
     "eth_q5_fromwei" -> withEthTables(
       """SELECT tx_hash, round(tx_value / 1e18, 6) AS eth_value,
          round(tx_gasPrice / 1e9, 4) AS gwei_price

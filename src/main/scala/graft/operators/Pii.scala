@@ -87,9 +87,41 @@ object Pii {
       .orderBy($"source")
   }
 
+  /** K-anonymity audit — the privacy screen a release runs AFTER
+    * redaction: under the quasi-identifier generalization (lang, source,
+    * length-centile), how small do equivalence classes get? A class of
+    * size 1 is a re-identifiable row; k-anonymity holds at the smallest
+    * class size. Output is the class-size census in power-of-two bands
+    * (`length(bin(size))`, the length-batches discipline — exact edges,
+    * no float log2): per band, class count, row count, size envelope,
+    * and each band's exact micro share of corpus rows.
+    *
+    * Scale shape: one (lang, source, bucket) hash aggregate collapses the
+    * corpus to class-scale, a second aggregate collapses classes to ≤64
+    * bands, and the corpus total for the share column comes from summing
+    * the ALREADY-AGGREGATED class frame (crossJoin of a 1-row aggregate —
+    * bounded metadata, never a second corpus scan). */
+  def kAnonymity(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val classes = documents(s, d)
+      .groupBy($"lang", $"source", expr("n_chars div 100").as("len_bucket"))
+      .agg(count(lit(1)).as("sz"))
+    val total = classes.agg(sum($"sz").as("total"))
+    classes
+      .groupBy(length(bin($"sz")).cast("long").as("band"))
+      .agg(count(lit(1)).as("n_classes"), sum($"sz").as("n_rows"),
+           min($"sz").as("min_size"), max($"sz").as("max_size"))
+      .crossJoin(total)
+      .select($"band", $"n_classes", $"n_rows", $"min_size", $"max_size",
+        expr("CAST(1000000 * CAST(n_rows AS DECIMAL(38,0)) div total AS BIGINT)")
+          .as("row_share_micro"))
+      .orderBy($"band")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "nd_pii_redact" -> ((s: SparkSession, d: String) => redact(s, d)),
-    "nd_pii_stats" -> ((s: SparkSession, d: String) => stats(s, d)))
+    "nd_pii_stats" -> ((s: SparkSession, d: String) => stats(s, d)),
+    "nd_pii_kanon" -> (kAnonymity _))
 
   private val redactSql: String =
     s"""WITH aug AS (
@@ -120,5 +152,17 @@ object Pii {
                  CAST(sum(n_phones) AS BIGINT) AS phones,
                  CAST(sum(CASE WHEN n_emails + n_ips + n_phones > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii,
                  count(*) AS n_docs
-          FROM det GROUP BY source ORDER BY source""")
+          FROM det GROUP BY source ORDER BY source""",
+    "nd_pii_kanon" ->
+      """WITH cls AS (SELECT lang, source, n_chars // 100 AS len_bucket,
+                             count(*) AS sz
+                      FROM documents GROUP BY lang, source, len_bucket),
+          tot AS (SELECT CAST(sum(sz) AS HUGEINT) AS total FROM cls)
+          SELECT CAST(length(bin(sz)) AS BIGINT) AS band,
+                 count(*) AS n_classes, CAST(sum(sz) AS BIGINT) AS n_rows,
+                 CAST(min(sz) AS BIGINT) AS min_size,
+                 CAST(max(sz) AS BIGINT) AS max_size,
+                 CAST(1000000 * CAST(sum(sz) AS HUGEINT)
+                      // (SELECT total FROM tot) AS BIGINT) AS row_share_micro
+          FROM cls GROUP BY band ORDER BY band""")
 }

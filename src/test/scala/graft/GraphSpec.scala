@@ -115,6 +115,40 @@ class GraphSpec extends AnyFunSuite {
       s"triangles: got ${row.getLong(3)}, brute force $expected")
   }
 
+  test("eth_q35 jaccard histogram equals a brute per-edge set-intersection replay") {
+    import spark.implicits._
+    val dir = graft.sources.eth.EthFixtures.ensure(spark)
+    val edges = spark.read.format("ethereum")
+      .option("table", "erc20").option("chain", dir).load()
+      .select(least($"erc20_from", $"erc20_to").as("a"),
+              greatest($"erc20_from", $"erc20_to").as("b"))
+      .filter($"a" =!= $"b").distinct()
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val adj = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // the definition the operator refuses to run at scale: per edge,
+    // intersect the two neighbor sets directly
+    val perEdge = edges.map { case (a, b) =>
+      val common = (adj(a) intersect adj(b)).size.toLong
+      val denom = adj(a).size + adj(b).size - common
+      (common, BigInt(common) * 1000000 / denom)
+    }
+    val expected = perEdge.groupBy(_._2.toLong / 100000).toSeq.sortBy(_._1)
+      .map { case (bucket, rows) =>
+        (bucket, rows.length.toLong, rows.map(_._1).sum,
+         rows.map(_._2.toLong).max)
+      }
+    val got = EthQueries.q35NeighborJaccard(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected,
+      s"jaccard histogram mismatch: got=$got exp=$expected")
+    // conservation: bucket sizes sum to the edge count; every common
+    // neighbor is one triangle corner-pair, so Σcommon = 3·triangles
+    assert(got.map(_._2).sum == edges.length.toLong)
+    val tri = EthQueries.q18Triangles(spark, sf).collect().head.getLong(3)
+    assert(got.map(_._3).sum == 3 * tri, "sum(common) must equal 3x triangles")
+  }
+
   test("eth_q19 components equal a driver-side union-find (convergence-guarded)") {
     import spark.implicits._
     val dir = graft.sources.eth.EthFixtures.ensure(spark)

@@ -60,4 +60,29 @@ class PiiSpec extends AnyFunSuite {
     val body = plan.linesIterator.filterNot(_.contains("rangepartitioning")).mkString("\n")
     assert(!body.contains("hashpartitioning"), s"unexpected shuffle:\n$plan")
   }
+
+  test("k-anonymity census matches a driver-side class-size replay") {
+    import org.apache.spark.sql.functions._
+    val classes = Tables.documents(spark, sf)
+      .select(col("lang"), col("source"), expr("n_chars div 100").as("lb"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .groupBy(identity).view.mapValues(_.length.toLong).values.toSeq
+    val total = classes.sum
+    val expected = classes.groupBy(sz => sz.toBinaryString.length.toLong)
+      .toSeq.sortBy(_._1).map { case (band, szs) =>
+        (band, szs.length.toLong, szs.sum, szs.min, szs.max,
+         BigInt(szs.sum) * 1000000 / total)
+      }
+    val got = Pii.kAnonymity(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                 r.getLong(4), BigInt(r.getLong(5)))).toSeq
+    assert(got == expected, s"kanon mismatch: got=$got exp=$expected")
+    // conservation: rows across bands cover the corpus exactly once
+    assert(got.map(_._3).sum == total)
+    // band envelope: sizes lie inside their power-of-two band
+    got.foreach { case (band, _, _, mn, mx, _) =>
+      assert(mn >= (1L << (band - 1).toInt) && mx < (1L << band.toInt))
+    }
+  }
 }
