@@ -737,9 +737,40 @@ object Relational {
          ORDER BY cents DESC, o_orderkey LIMIT 2) t
        ORDER BY c.c_custkey, t.cents DESC, t.o_orderkey"""
 
+  /** B-surface breadth: RECURSIVE CTE — multi-hop reachability over the
+    * supplier co-supply graph (suppliers sharing a part are neighbors),
+    * one ANSI text BOTH engines run verbatim (the q43/q50 discipline;
+    * Spark 4's recursive CTE only accepts UNION ALL, which DuckDB
+    * matches level-for-level, so path-counting semantics agree exactly).
+    * The working set is bounded by construction — the edge CTE restricts
+    * to a fixed 40-part subgraph (constant at any SF) and the recursion
+    * is depth-limited, so each level is one distributed join of a
+    * bounded frame, never an unbounded fixpoint. The iterative
+    * convergence-guarded loops (eth_q19/q22) remain the scale path for
+    * full-graph closure; this row covers the declarative SQL surface. */
+  def q51RecursiveCte(s: SparkSession, d: String): DataFrame = {
+    graft.Catalog.mountCorpus(s, d)
+    s.sql(recursiveCteSql)
+  }
+
+  private val recursiveCteSql =
+    """WITH RECURSIVE e AS (
+         SELECT DISTINCT l_suppkey AS s, l_partkey AS p
+         FROM lineitem WHERE l_partkey <= 40),
+       reach(s, depth) AS (
+         SELECT min(s), 0 FROM e
+         UNION ALL
+         SELECT e2.s, r.depth + 1
+         FROM reach r JOIN e e1 ON e1.s = r.s JOIN e e2 ON e2.p = e1.p
+         WHERE r.depth < 2)
+       SELECT s AS suppkey, CAST(min(depth) AS BIGINT) AS min_hops,
+              CAST(count(*) AS BIGINT) AS n_paths
+       FROM reach GROUP BY s ORDER BY suppkey"""
+
   /** Oracle SQL (DuckDB dialect = ANSI here) for each query above. */
   val oracle: Map[String, String] = Map(
     "q50_lateral_topk" -> lateralTopkSql,
+    "q51_recursive_cte" -> recursiveCteSql,
     // KMV replay: k smallest distinct 60-bit folds per group, estimate
     // (k-1)·2^60 / h_(k) — double ops in the same order as the aggregate
     "q38_kmv_distinct" -> {
@@ -1090,6 +1121,7 @@ object Relational {
     "q47_linreg" -> q47Linreg _,
     "q48_histogram" -> q48Histogram _,
     "q49_unpivot" -> q49Unpivot _,
-    "q50_lateral_topk" -> q50LateralTopk _
+    "q50_lateral_topk" -> q50LateralTopk _,
+    "q51_recursive_cte" -> q51RecursiveCte _
   )
 }

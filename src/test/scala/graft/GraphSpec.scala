@@ -369,6 +369,36 @@ class GraphSpec extends AnyFunSuite {
     assert(row.getLong(5) == seqs.map(s => s.max - s.min + 1 - s.distinct.size).sum)
   }
 
+  test("q51 recursive CTE equals a driver-side bounded path count") {
+    import spark.implicits._
+    val edges = Tables.lineitem(spark, sf)
+      .filter($"l_partkey" <= 40)
+      .select($"l_suppkey", $"l_partkey").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val seed = edges.map(_._1).min
+    val byS = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val byP = edges.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    // UNION ALL recursion counts PATHS per level, not nodes
+    var level = Seq(seed)
+    val paths = scala.collection.mutable.HashMap((seed, 0) -> 1L)
+    for (d <- 1 to 2) {
+      level = level.flatMap(u => byS(u).flatMap(p => byP(p)))
+      level.groupBy(identity).foreach { case (v, hits) =>
+        paths((v, d)) = paths.getOrElse((v, d), 0L) + hits.length
+      }
+    }
+    val expected = paths.toSeq.groupBy(_._1._1).toSeq.sortBy(_._1)
+      .map { case (sKey, rows) =>
+        (sKey, rows.map(_._1._2).min.toLong, rows.map(_._2).sum)
+      }
+    val got = Relational.q51RecursiveCte(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected,
+      s"recursive reach mismatch: got=${got.take(3)} exp=${expected.take(3)}")
+    // the seed is its own depth-0 row
+    assert(got.exists { case (sk, h, _) => sk == seed && h == 0L })
+  }
+
   test("q49 unpivot emits 4 metric rows per nation matching the wide aggregate") {
     import spark.implicits._
     val long = Relational.q49Unpivot(spark, sf).collect()
