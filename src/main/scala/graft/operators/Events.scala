@@ -303,8 +303,44 @@ object Events {
   /** Percentile read-off over a `(event_type, c, n)` histogram — shared
     * by the batch operator and the drained-stream variant
     * ([[StreamQueries.streamPercentiles]]), whose complete drain produces
-    * the identical cells. */
-  private[operators] def percentileReadoff(hist: DataFrame): DataFrame = {
+    * the identical cells.
+    *
+    * Two EXACT paths, switched on histogram size (the round-7 review's
+    * bounded-domain fallback):
+    *
+    *  - `≤ maxExactCells` cells: the direct shape — one per-type window
+    *    over the histogram computes cumulative counts, each percentile is
+    *    `min c with 100·cum ≥ q·nt` (the ceil-free integer form of
+    *    `rank ≥ ⌈q·nt/100⌉`). The window partition is the per-type
+    *    histogram, so this is only safe while the value domain is small.
+    *  - above it: the two-phase bucketed shape — a per-type power-of-two
+    *    bucket width `w` is chosen so the BUCKET histogram has at most
+    *    `maxExactCells` rows per type; the per-type window then runs over
+    *    buckets (bounded partition), locates for each quantile the single
+    *    bucket its rank falls in, and a second pass — restricted by a
+    *    broadcast semi-join to ONLY the ≤3 candidate buckets per type —
+    *    reads off the exact cent value inside a ≤`w`-cell partition.
+    *    Both window partitions are bounded by construction, so a type
+    *    whose value domain explodes (micro-priced events, long-tail
+    *    latencies) can no longer pin one hot partition. Results are
+    *    bit-identical to the direct path (the bucket pass only NARROWS
+    *    where the exact rank crossing is searched).
+    */
+  private[graft] def percentileReadoff(hist0: DataFrame,
+      maxExactCells: Long = 262144L): DataFrame = {
+    // one persisted pass feeds the size probe AND whichever read-off path
+    // wins; the per-type result is materialized through detach so nothing
+    // stays pinned afterwards
+    val hist = hist0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val probeN = if (maxExactCells >= Int.MaxValue - 1) Int.MaxValue - 1
+                 else maxExactCells.toInt + 1
+    val nCells = hist.take(probeN).length
+    val out = if (nCells <= maxExactCells) readoffDirect(hist)
+              else readoffBucketed(hist, maxExactCells)
+    graft.plans.Caching.detach(out, () => { hist.unpersist(blocking = false); () })
+  }
+
+  private def readoffDirect(hist: DataFrame): DataFrame = {
     import hist.sparkSession.implicits._
     val w = Window.partitionBy($"event_type").orderBy($"c")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -317,6 +353,67 @@ object Events {
            min(when($"cum" * 100 >= $"nt" * 90, $"c")).as("p90_cents"),
            min(when($"cum" * 100 >= $"nt" * 99, $"c")).as("p99_cents"),
            max($"c").as("max_cents"))
+      .orderBy($"event_type")
+  }
+
+  /** Exact bucketed read-off: see [[percentileReadoff]] (which persists
+    * the histogram for the two passes and frees it afterwards). */
+  private def readoffBucketed(hist: DataFrame, maxCells: Long): DataFrame = {
+    import hist.sparkSession.implicits._
+
+    // per-type stats + smallest power-of-two width w with span/w ≤ maxCells
+    val stats = hist.groupBy($"event_type")
+      .agg(min($"c").as("cmin"), max($"c").as("cmax"), sum($"n").as("nt"))
+      .withColumn("wexp",
+        greatest(lit(0L), ceil(log2(($"cmax" - $"cmin" + 1)
+          .cast("double") / maxCells.toDouble))).cast("int"))
+      .select($"event_type", $"cmin", $"cmax", $"nt", $"wexp")
+
+    // phase 1: bucket histogram (≤ maxCells rows per type) + per-type
+    // cumulative over BUCKETS; the first bucket whose cumulative crosses
+    // q·nt/100 contains the exact percentile cell. Bucketing is an exact
+    // integer shift (width = 2^wexp), never a double division.
+    val bucketOf = (c: org.apache.spark.sql.Column,
+                    cmin: org.apache.spark.sql.Column,
+                    wexp: org.apache.spark.sql.Column) =>
+      call_function("shiftright", c - cmin, wexp)
+    val bh = hist.join(broadcast(stats), "event_type")
+      .withColumn("b", bucketOf($"c", $"cmin", $"wexp"))
+      .groupBy($"event_type", $"b", $"wexp", $"cmin", $"nt")
+      .agg(sum($"n").as("bn"))
+    val wb = Window.partitionBy($"event_type").orderBy($"b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bcum = bh.withColumn("bcum", sum($"bn").over(wb))
+    val qs = Seq(50L, 90L, 99L).toDF("q")
+    val cand = bcum.crossJoin(broadcast(qs))
+      .filter($"bcum" * 100 >= $"q" * $"nt" &&
+              ($"bcum" - $"bn") * 100 < $"q" * $"nt")
+      .select($"event_type", $"q", $"b", ($"bcum" - $"bn").as("cum_before"),
+              $"wexp", $"cmin", $"nt")
+
+    // phase 2: exact crossing inside the candidate bucket only — the
+    // window partition is (type, q) with at most 2^wexp cells
+    val cells = hist.as("h")
+      .join(broadcast(cand).as("k"),
+        $"h.event_type" === $"k.event_type" &&
+        bucketOf($"h.c", $"k.cmin", $"k.wexp") === $"k.b")
+      .select($"h.event_type".as("event_type"), $"k.q", $"h.c", $"h.n",
+              $"k.cum_before", $"k.nt")
+    val wq = Window.partitionBy($"event_type", $"q").orderBy($"c")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val exact = cells.withColumn("cum", $"cum_before" + sum($"n").over(wq))
+      .filter($"cum" * 100 >= $"q" * $"nt")
+      .groupBy($"event_type", $"q").agg(min($"c").as("pc"))
+      .groupBy($"event_type")
+      .agg(min(when($"q" === 50, $"pc")).as("p50_cents"),
+           min(when($"q" === 90, $"pc")).as("p90_cents"),
+           min(when($"q" === 99, $"pc")).as("p99_cents"))
+
+    stats
+      .select($"event_type", $"nt".as("n_events"), $"cmax".as("max_cents"))
+      .join(exact, "event_type")
+      .select($"event_type", $"n_events", $"p50_cents", $"p90_cents",
+              $"p99_cents", $"max_cents")
       .orderBy($"event_type")
   }
 

@@ -128,11 +128,11 @@ object StreamQueries {
       statePartitions = Some(8))
     // the read-off self-joins the histogram (cum ⋈ totals); two branches
     // of one memory-sink table trip Spark's conflicting-reference check,
-    // so localize the BOUNDED cells first (|types|×|cent-values| rows —
-    // sketch-scale metadata, never the event stream)
-    val hist = s.createDataFrame(
-      java.util.Arrays.asList(drained.collect(): _*), drained.schema)
-    Events.percentileReadoff(hist)
+    // so the sink must be re-rooted first. detachSink is BOUNDED: at most
+    // spark.graft.maxLocalRows cells come back as a local relation; a
+    // high-cardinality value domain stays distributed behind a lineage
+    // cut instead of materializing on the driver (round-7 fix).
+    Events.percentileReadoff(graft.plans.Caching.detachSink(drained))
   }
 
   /** Drained streaming count-min sketch ([[StreamingCms.cmsStream]]): the

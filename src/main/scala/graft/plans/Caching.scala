@@ -76,4 +76,40 @@ object Caching {
     free()
     out
   }
+
+  /** The per-session driver-localization bound. Overridable so specs can
+    * force the distributed fallback with a planted small threshold and so
+    * cluster deployments with bigger drivers can raise it. */
+  def maxLocalRows(spark: org.apache.spark.sql.SparkSession): Long =
+    spark.conf.getOption("spark.graft.maxLocalRows").map(_.toLong)
+      .getOrElse(100000L)
+
+  /** Detach a DRAINED memory-sink table so it can be self-joined.
+    *
+    * Two branches of one streaming memory-sink table trip Spark's
+    * conflicting-reference analysis check, so the drained frame must be
+    * re-rooted before a read-off that forks over it. Small tables (at
+    * most [[maxLocalRows]]) become a driver-local relation — cheapest and
+    * leaves nothing pinned. Larger ones are NOT collected: the lineage is
+    * cut with [[iterCheckpoint]] (reliable `checkpoint()` when
+    * `spark.graft.checkpointDir` is set, `localCheckpoint` otherwise),
+    * which yields a fresh distributed plan root that self-joins fine.
+    * The residual is the checkpointed table itself — state-scale, the
+    * same residual discipline as [[detach]]'s large branch. This is the
+    * guard the round-7 review demanded for `nd_stream_percentiles`: a
+    * high-cardinality drained histogram never materializes on the
+    * driver. */
+  def detachSink(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val limit = maxLocalRows(spark)
+    // cheap bounded probe: take(limit+1) stops scanning once the bound is
+    // exceeded instead of counting the full table
+    val probe = df.take(if (limit >= Int.MaxValue - 1) Int.MaxValue - 1
+                        else limit.toInt + 1)
+    if (probe.length <= limit) {
+      spark.createDataFrame(java.util.Arrays.asList(probe: _*), df.schema)
+    } else {
+      iterCheckpoint(df)
+    }
+  }
 }

@@ -210,6 +210,44 @@ class EventsSpec extends AnyFunSuite {
     }
   }
 
+  test("bucketed percentile read-off is bit-identical to direct on a planted 1.2M-distinct domain") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // one type with 1,200,000 distinct cent cells (striped counts so the
+    // crossing cells are not degenerate) + one narrow type, proving the
+    // per-type width choice is independent
+    val wide = spark.range(1200000).select(
+      lit("wide").as("event_type"), ($"id" * 7 + 13).as("c"),
+      (pmod($"id", lit(5)) + 1).as("n"))
+    val narrow = spark.range(100).select(
+      lit("narrow").as("event_type"), $"id".as("c"), lit(2L).as("n"))
+    val hist = wide.unionAll(narrow)
+    val direct = graft.operators.Events
+      .percentileReadoff(hist, maxExactCells = 10000000L).collect().map(_.toSeq)
+    val bucketed = graft.operators.Events
+      .percentileReadoff(hist, maxExactCells = 4096L).collect().map(_.toSeq)
+    assert(direct.length == 2 && bucketed.toSeq == direct.toSeq,
+      s"bucketed/direct diverged: ${bucketed.toSeq} vs ${direct.toSeq}")
+  }
+
+  test("detachSink keeps an over-limit frame distributed and localizes a small one") {
+    import spark.implicits._
+    val big = spark.range(5000).select($"id", ($"id" * 3).as("v"))
+    val small = spark.range(10).select($"id", ($"id" * 3).as("v"))
+    spark.conf.set("spark.graft.maxLocalRows", "1000")
+    try {
+      val d = graft.plans.Caching.detachSink(big)
+      val l = graft.plans.Caching.detachSink(small)
+      def isLocal(df: org.apache.spark.sql.DataFrame) =
+        df.queryExecution.analyzed.collectLeaves().forall(
+          _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
+      assert(!isLocal(d), "over-limit frame was materialized on the driver")
+      assert(isLocal(l), "small frame should localize")
+      assert(d.count() == 5000 && l.count() == 10)
+      assert(d.orderBy("id").collect().map(_.getLong(1)).take(3).sameElements(Array(0L, 3L, 6L)))
+    } finally spark.conf.unset("spark.graft.maxLocalRows")
+  }
+
   test("props stats conserve counts and bound the k domain") {
     val rows = Events.propsStats(spark, sf).collect()
     assert(rows.map(_.getAs[Long]("n")).sum == eventCount)

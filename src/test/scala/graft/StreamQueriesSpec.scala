@@ -63,6 +63,21 @@ class StreamQueriesSpec extends AnyFunSuite {
       s"stream/batch percentiles diverged: ${streamed.take(2)} vs ${batch.take(2)}")
   }
 
+  test("streaming percentiles survive a forced distributed fallback (maxLocalRows below histogram)") {
+    // plant the guard BELOW the drained histogram's cell count so the
+    // round-7 fix's distributed branch (lineage-cut sink, no driver
+    // collect) is the one that actually runs, and prove the values are
+    // untouched by which branch fired
+    spark.conf.set("spark.graft.maxLocalRows", "10")
+    try {
+      val streamed = StreamQueries.streamPercentiles(spark, sf).collect().map(_.toSeq)
+      val batch = graft.operators.Events.percentiles(spark, sf).collect().map(_.toSeq)
+      assert(streamed.length == batch.length && streamed.nonEmpty)
+      assert(streamed.toSeq == batch.toSeq,
+        s"fallback-path percentiles diverged: ${streamed.take(2)} vs ${batch.take(2)}")
+    } finally spark.conf.unset("spark.graft.maxLocalRows")
+  }
+
   test("drained streaming ERC-20 decode equals the batch movement rows") {
     val streamed = StreamQueries.ethStreamTransfers(spark, sf).collect().map(_.toSeq)
     val batch = graft.operators.EthQueries
