@@ -12,9 +12,11 @@ import graft.sources.eth.{EthClient, EthFixtures}
   * registry at bootstrap.
   *
   * Deviations from the reference, documented per SURVEY.md §7:
-  *  - Spark's UDF registry is name-keyed and does not overload, so the
-  *    block-height/tag variants of `eth_getBalance`/`eth_getTransactionCount`
-  *    register as `eth_getBalance_at` / `eth_getTransactionCount_at`;
+  *  - Spark's UDF registry is name-keyed, so the block-height/tag variants
+  *    of `eth_getBalance`/`eth_getTransactionCount` share one registered
+  *    name each and dispatch on the RUNTIME argument signature (arity +
+  *    tag-vs-height), matching Presto's overload resolution — see the
+  *    signature-dispatching registrations below;
   *  - RPC-backed functions are marked nondeterministic so Catalyst neither
   *    folds nor reorders them (the reference re-executes the RPC per row);
   *  - the client is resolved lazily per executor from the chain dir instead

@@ -89,7 +89,8 @@ object Pii {
 
   /** K-anonymity audit — the privacy screen a release runs AFTER
     * redaction: under the quasi-identifier generalization (lang, source,
-    * length-centile), how small do equivalence classes get? A class of
+    * fixed 100-char length bucket — `n_chars div 100`, width-based, not a
+    * quantile), how small do equivalence classes get? A class of
     * size 1 is a re-identifiable row; k-anonymity holds at the smallest
     * class size. Output is the class-size census in power-of-two bands
     * (`length(bin(size))`, the length-batches discipline — exact edges,
