@@ -68,7 +68,15 @@ object Bench {
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }.mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"runs_per_query":$runs,"aggregation":"min","sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"runs_per_query":$runs,"aggregation":"min","sf":"$sfDir"}"""
+    println(json)
+    // quiet-sweep artifact: the per-round 3-run-minima protocol writes its
+    // JSON to a committed file so round-over-round adjudication diffs
+    // machine output, not prose (BASELINE.md bench protocol)
+    sys.env.get("SPARK_GRAFT_QUIET_OUT").foreach { p =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(p),
+        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
     spark.stop()
   }
 }

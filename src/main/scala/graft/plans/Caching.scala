@@ -21,6 +21,11 @@ import org.apache.spark.storage.StorageLevel
   */
 object Caching {
 
+  /** The conf value last installed via `setCheckpointDir` — guards against
+    * both per-iteration directory leaks (same value installs once) and
+    * stale installs (a changed `spark.graft.checkpointDir` re-installs). */
+  private var installedCheckpointDir: Option[String] = None
+
   /** Materialize `result`, then run `free` (unpersist the corpus-scale
     * inputs its computation needed). Results with at most `maxLocalRows`
     * rows come back as a driver-local frame and every cached block is
@@ -44,18 +49,30 @@ object Caching {
     * `spark.graft.checkpointDir` to a reliable location (HDFS/object
     * store): state is then written through `checkpoint()` and survives
     * executor loss. The checkpoint dir is installed on the SparkContext
-    * once (first use wins — `setCheckpointDir` mints a fresh random
+    * once PER CONFIGURED VALUE (`setCheckpointDir` mints a fresh random
     * subdirectory per call, so re-setting it every iteration would leak
-    * directories). Results are identical in both modes; only durability
+    * directories; a CHANGED conf value re-installs, so reconfiguring the
+    * dir mid-session takes effect). Results are identical in both modes;
+    * only durability
     * and write cost differ (state is |V|-row bounded, so the reliable
     * write is metadata-scale, not data-scale).
     */
-  def iterCheckpoint(df: DataFrame): DataFrame = {
-    val spark = df.sparkSession
+  def iterCheckpoint(df0: DataFrame): DataFrame = {
+    val spark = df0.sparkSession
+    // test-only fault-injection seam: the checkpoint is exactly where loop
+    // state crosses rounds, so this is where a task failure must be
+    // injected to prove the recovery contract (FaultInjection is inert —
+    // df0 passes through untouched — unless the conf is set by a spec)
+    val df = FaultInjection.maybeWrap(df0)
     spark.conf.getOption("spark.graft.checkpointDir").filter(_.nonEmpty) match {
       case Some(dir) =>
         val sc = spark.sparkContext
-        if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
+        synchronized {
+          if (!installedCheckpointDir.contains(dir)) {
+            sc.setCheckpointDir(dir)
+            installedCheckpointDir = Some(dir)
+          }
+        }
         df.checkpoint() // eager + reliable
       case None => df.localCheckpoint(true)
     }

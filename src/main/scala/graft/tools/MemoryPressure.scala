@@ -1,0 +1,116 @@
+package graft.tools
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.SparkSession
+
+/** Memory-scarcity gate (round-7 review item 2): run the expensive end of
+  * the registry under a deliberately starved memory manager and prove the
+  * plans SPILL AND FINISH instead of failing — the execution-time half of
+  * "would this survive 100×" that plan-shape audits cannot show.
+  *
+  * Starvation knobs (all public Spark):
+  *  - `spark.testing.memory=512m`-equivalent: the UnifiedMemoryManager
+  *    sizes its pools from this figure instead of the real heap, so
+  *    execution+storage memory is (512M − 300M reserved) × fraction ≈
+  *    42 MB across 8 cores — far below the working set of the heavy
+  *    aggregates/joins at sf0.01, forcing spill paths without risking a
+  *    real driver OOM (the actual heap stays large).
+  *  - `spark.memory.fraction=0.2`, 8 shuffle partitions (bigger
+  *    per-partition working sets → more pressure per task).
+  *
+  * A listener accumulates `memoryBytesSpilled`/`diskBytesSpilled` across
+  * task ends; the gate demands (a) zero query failures and (b) nonzero
+  * total spill — if nothing spilled, the run proved nothing and exits 1.
+  * Output: one JSON line per query (seconds + spill deltas) and a summary
+  * line, recorded in COVERAGE.md per round.
+  *
+  * Usage: `sbt "runMain graft.tools.MemoryPressure [sfDir]"`.
+  */
+object MemoryPressure {
+
+  /** The registry's heavy hitters: every family with a corpus-scale
+    * shuffle, sort, window, iterative loop, or build side. */
+  val heavyQueries: Seq[String] = Seq(
+    "nd_dedup_minhash", "nd_dedup_simhash", "nd_dedup_ngram_jaccard",
+    "nd_dedup_semantic", "nd_dedup_substring", "nd_dedup_clusters",
+    "nd_knn_brute", "nd_knn_ivf", "nd_knn_pq", "nd_rag_bm25",
+    "nd_rag_hybrid", "nd_bpe_learn", "nd_bpe_apply", "nd_text_tfidf",
+    "nd_text_pmi", "nd_pipeline_packing", "nd_pipeline_curation",
+    "q41_salted_join", "q42_bucketed_join", "q38_kmv_distinct",
+    "q21_approx_agg", "eth_q17_pagerank", "eth_q19_components",
+    "eth_q22_taint", "eth_q4_erc20_movement", "nd_events_percentiles")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse(
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
+    val spark = SparkSession.builder()
+      .master("local[8,4]")
+      .appName("graft-memory-pressure")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      // the starvation: the memory manager believes the JVM has 96 MB with
+      // a 16 MB reserve — execution+storage ≈ 24 MB across 8 cores, far
+      // below the sf0.1 working sets (both confs are public knobs from the
+      // Spark source, used by Spark's own memory-manager suites)
+      .config("spark.testing.memory", (96L * 1024 * 1024).toString)
+      .config("spark.testing.reservedMemory", (16L * 1024 * 1024).toString)
+      .config("spark.memory.fraction", "0.3")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val memSpilled = new AtomicLong(0)
+    val diskSpilled = new AtomicLong(0)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) {
+          memSpilled.addAndGet(m.memoryBytesSpilled)
+          diskSpilled.addAndGet(m.diskBytesSpilled)
+        }
+      }
+    })
+
+    graft.sources.eth.EthFixtures.ensure(spark)
+    var failures = 0
+    val rows = heavyQueries.map { name =>
+      val (m0, d0) = (memSpilled.get(), diskSpilled.get())
+      val t0 = System.nanoTime()
+      val ok = try {
+        graft.SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        true
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[mem] $name FAILED: ${e.getMessage}")
+          failures += 1; false
+      }
+      val dt = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(300) // let the listener bus drain before snapshotting
+      val (dm, dd) = (memSpilled.get() - m0, diskSpilled.get() - d0)
+      System.err.println(f"[mem] $name%-26s ${dt}%7.2fs  spill mem=${dm / 1048576}%5dMB disk=${dd / 1048576}%5dMB ${if (ok) "" else "FAILED"}")
+      s"""{"query":"$name","sec":$dt,"mem_spilled_mb":${dm / 1048576},"disk_spilled_mb":${dd / 1048576},"ok":$ok}"""
+    }
+    Thread.sleep(1000)
+    val summary = s"""{"metric":"memory_pressure","queries":${rows.length},""" +
+      s""""failures":$failures,"mem_spilled_mb":${memSpilled.get() / 1048576},""" +
+      s""""disk_spilled_mb":${diskSpilled.get() / 1048576},"sf":"$sfDir"}"""
+    println(rows.mkString("[", ",\n", "]"))
+    println(summary)
+    sys.env.get("SPARK_GRAFT_MEM_OUT").foreach { p =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(p),
+        (rows.mkString("[", ",\n", "]") + "\n" + summary + "\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    spark.stop()
+    // the gate: everything finished AND the starvation genuinely bit
+    if (failures > 0) sys.exit(1)
+    if (memSpilled.get() == 0 && diskSpilled.get() == 0) {
+      System.err.println("[mem] nothing spilled — starvation did not bite; gate proves nothing")
+      sys.exit(1)
+    }
+  }
+}

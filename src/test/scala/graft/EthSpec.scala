@@ -9,7 +9,10 @@ import graft.sources.eth._
 object TestSpark {
   lazy val spark: SparkSession = {
     val s = SparkSession.builder()
-      .master("local[32]")
+      // local[N, maxFailures]: task retries ON, like any real cluster —
+      // the fault-injection specs (FaultInjectionSpec) need a scheduler
+      // that retries a failed task instead of failing the job
+      .master("local[32,4]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")

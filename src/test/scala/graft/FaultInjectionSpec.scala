@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.EthQueries
+import graft.plans.FaultInjection
+import graft.streaming.EventStreams
+
+/** One-shot stream-side injector: a static fire flag (executors share the
+  * JVM in local mode) so exactly ONE first-attempt task throws; the retry
+  * (`attemptNumber > 0`) passes. */
+object StreamFault {
+  val fired = new java.util.concurrent.atomic.AtomicInteger(0)
+  def maybeThrow(): Unit = {
+    val ctx = org.apache.spark.TaskContext.get()
+    if (ctx != null && ctx.attemptNumber() == 0 &&
+        ctx.partitionId() == 0 && fired.compareAndSet(0, 1))
+      throw new RuntimeException("graft injected streaming task failure")
+  }
+}
+
+/** Failure evidence for the recovery contracts (round-7 review item 3).
+  *
+  * The iterative graph operators document that with
+  * `spark.graft.checkpointDir` set, per-round state is written through a
+  * reliable `checkpoint()` and the query survives task loss with
+  * bit-identical output. These specs PROVE it: the scheduler is
+  * retry-capable (`local[32,4]` — see [[TestSpark]]), a task failure is
+  * injected at the exact loop boundary ([[FaultInjection]] fires inside
+  * `Caching.iterCheckpoint`, where state crosses rounds), and the final
+  * rows are compared against an undisturbed run. Each case also asserts
+  * the fault genuinely FIRED — a silently-skipped injection would prove
+  * nothing.
+  */
+class FaultInjectionSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def withInjectedFaults(key: String)(body: => Unit): Unit = {
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    spark.conf.set("spark.graft.checkpointDir", ckpt)
+    spark.conf.set("spark.graft.test.failOnce", key)
+    try body
+    finally {
+      spark.conf.unset("spark.graft.test.failOnce")
+      spark.conf.unset("spark.graft.checkpointDir")
+    }
+  }
+
+  private def recoversIdentically(name: String): Unit = {
+    val clean = EthQueries.queries(name)(spark, sf).collect().map(_.toSeq)
+    assert(clean.nonEmpty)
+    withInjectedFaults(s"fault-$name") {
+      val got = EthQueries.queries(name)(spark, sf).collect().map(_.toSeq)
+      assert(FaultInjection.firedCount(s"fault-$name") >= 1,
+        "injected fault never fired — the test proved nothing")
+      assert(got.toSeq == clean.toSeq,
+        s"$name diverged after injected task failures: " +
+        s"${got.take(3)} vs ${clean.take(3)}")
+    }
+  }
+
+  test("eth_q17 pagerank recovers bit-identically from mid-loop task failures (reliable checkpoint)") {
+    recoversIdentically("eth_q17_pagerank")
+  }
+
+  test("eth_q19 components recover bit-identically from mid-loop task failures (reliable checkpoint)") {
+    recoversIdentically("eth_q19_components")
+  }
+
+  test("eth_q22 taint closure recovers bit-identically from mid-loop task failures (reliable checkpoint)") {
+    recoversIdentically("eth_q22_taint")
+  }
+
+  test("a drained streaming aggregation recovers exactly from an injected task failure") {
+    import spark.implicits._
+    def drainWindow(events: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] = {
+      val sink = "fault_stream_sink"
+      spark.catalog.dropTempView(sink)
+      val q = EventStreams.windowedStats(events)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      require(q.awaitTermination(300000), "drain timed out")
+      q.stop()
+      spark.table(sink)
+        .select(unix_millis($"win_start").as("w"), $"event_type", $"n", $"total_value")
+        .orderBy($"w", $"event_type").collect().map(_.toSeq).toSeq
+    }
+    val clean = drainWindow(EventStreams.readEvents(spark, sf))
+    assert(clean.nonEmpty)
+    StreamFault.fired.set(0)
+    val failOnceUdf = udf { (v: Double) => StreamFault.maybeThrow(); v }
+      .asNondeterministic()
+    val injected = EventStreams.readEvents(spark, sf)
+      .withColumn("value", failOnceUdf($"value"))
+    val got = drainWindow(injected)
+    assert(StreamFault.fired.get() == 1,
+      "injected streaming fault never fired — the test proved nothing")
+    assert(got == clean,
+      s"streaming aggregate diverged after task failure: ${got.take(2)} vs ${clean.take(2)}")
+  }
+}
