@@ -22,6 +22,34 @@ object RpcStubServer {
   def hex(d: Double): String =
     "0x" + java.math.BigDecimal.valueOf(d).toBigInteger.toString(16)
 
+  def renderTx(t: EthTx): ObjectNode = {
+    val o = mapper.createObjectNode()
+    o.put("hash", t.hash); o.put("nonce", hex(t.nonce))
+    o.put("blockHash", t.blockHash); o.put("blockNumber", hex(t.blockNumber))
+    o.put("transactionIndex", hex(t.transactionIndex.toLong))
+    o.put("from", t.from)
+    t.to match { case Some(a) => o.put("to", a); case None => o.putNull("to") }
+    o.put("value", hex(t.value)); o.put("gas", hex(t.gas)); o.put("gasPrice", hex(t.gasPrice))
+    o.put("input", t.input)
+    o
+  }
+  def renderBlock(b: EthBlockData, fullTx: Boolean): ObjectNode = {
+    val o = mapper.createObjectNode()
+    o.put("number", hex(b.number)); o.put("hash", b.hash); o.put("parentHash", b.parentHash)
+    o.put("nonce", b.nonce); o.put("sha3Uncles", b.sha3Uncles); o.put("logsBloom", b.logsBloom)
+    o.put("transactionsRoot", b.transactionsRoot); o.put("stateRoot", b.stateRoot)
+    o.put("miner", b.miner); o.put("difficulty", hex(b.difficulty))
+    o.put("totalDifficulty", hex(b.totalDifficulty)); o.put("size", hex(b.size.toLong))
+    o.put("extraData", b.extraData); o.put("gasLimit", hex(b.gasLimit))
+    o.put("gasUsed", hex(b.gasUsed)); o.put("timestamp", hex(b.timestamp))
+    val us = mapper.createArrayNode(); b.uncles.foreach(us.add); o.set[JsonNode]("uncles", us)
+    val ts = mapper.createArrayNode()
+    if (fullTx) b.transactions.foreach(t => ts.add(renderTx(t)))
+    else b.transactions.foreach(t => ts.add(t.hash))
+    o.set[JsonNode]("transactions", ts)
+    o
+  }
+
   /** Per-request responder answering from the fixture chain (blocks
     * `1..maxBlock`); shared by the HTTP and IPC stub servers. When
     * `counts` is given, every served method increments its entry. */
@@ -34,33 +62,6 @@ object RpcStubServer {
     val txLogs: Map[String, (Long, Vector[EthLog])] =
       blocks.values.flatMap(b => b.transactions.map(t => t.hash -> (b.number, t.logs))).toMap
 
-    def renderTx(t: EthTx): ObjectNode = {
-      val o = mapper.createObjectNode()
-      o.put("hash", t.hash); o.put("nonce", hex(t.nonce))
-      o.put("blockHash", t.blockHash); o.put("blockNumber", hex(t.blockNumber))
-      o.put("transactionIndex", hex(t.transactionIndex.toLong))
-      o.put("from", t.from)
-      t.to match { case Some(a) => o.put("to", a); case None => o.putNull("to") }
-      o.put("value", hex(t.value)); o.put("gas", hex(t.gas)); o.put("gasPrice", hex(t.gasPrice))
-      o.put("input", t.input)
-      o
-    }
-    def renderBlock(b: EthBlockData, fullTx: Boolean): ObjectNode = {
-      val o = mapper.createObjectNode()
-      o.put("number", hex(b.number)); o.put("hash", b.hash); o.put("parentHash", b.parentHash)
-      o.put("nonce", b.nonce); o.put("sha3Uncles", b.sha3Uncles); o.put("logsBloom", b.logsBloom)
-      o.put("transactionsRoot", b.transactionsRoot); o.put("stateRoot", b.stateRoot)
-      o.put("miner", b.miner); o.put("difficulty", hex(b.difficulty))
-      o.put("totalDifficulty", hex(b.totalDifficulty)); o.put("size", hex(b.size.toLong))
-      o.put("extraData", b.extraData); o.put("gasLimit", hex(b.gasLimit))
-      o.put("gasUsed", hex(b.gasUsed)); o.put("timestamp", hex(b.timestamp))
-      val us = mapper.createArrayNode(); b.uncles.foreach(us.add); o.set[JsonNode]("uncles", us)
-      val ts = mapper.createArrayNode()
-      if (fullTx) b.transactions.foreach(t => ts.add(renderTx(t)))
-      else b.transactions.foreach(t => ts.add(t.hash))
-      o.set[JsonNode]("transactions", ts)
-      o
-    }
     def renderReceipt(txHash: String): JsonNode = txLogs.get(txHash) match {
       case None => mapper.nullNode()
       case Some((blockNum, logs)) =>

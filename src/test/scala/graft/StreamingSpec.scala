@@ -157,6 +157,116 @@ class EthStreamSpec extends AnyFunSuite {
     q.stop()
   }
 
+  /** Round-8 live-transport soak (round-7 review item 8): the reorg/lag
+    * contract proven above over the fixture backend, re-proven over the
+    * REAL `JsonRpcChainClient` against an in-process JSON-RPC server whose
+    * chain state mutates mid-stream — tip advances, then a depth-5 reorg
+    * lands inside the lag window — while every 6th HTTP exchange dies with
+    * a 503. The client's transport retry must absorb every injected
+    * failure (driver-side tip polls AND executor-side block fetches), and
+    * the offset bookkeeping must stay gap-free: batch offset ranges chain
+    * contiguously and every height lands in the sink exactly once, from
+    * the winning branch. */
+  test("live JSON-RPC soak: transient 503s + in-lag reorg stay gap-free over the real transport") {
+    import com.fasterxml.jackson.databind.JsonNode
+    import com.sun.net.httpserver.{HttpExchange, HttpServer}
+    import java.net.InetSocketAddress
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    @volatile var chain: Map[Long, graft.sources.eth.EthBlockData] =
+      (1L to 30L).map(n => n -> mkBlock(n, "a")).toMap
+    @volatile var tip = 30L
+    val exchanges = new java.util.concurrent.atomic.AtomicLong(0)
+    val injected = new java.util.concurrent.atomic.AtomicLong(0)
+
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", (ex: HttpExchange) => {
+      try {
+        val body = mapper.readTree(ex.getRequestBody)
+        if (exchanges.incrementAndGet() % 6 == 0) {
+          injected.incrementAndGet()
+          ex.sendResponseHeaders(503, -1) // transient: client must retry
+        } else {
+          def answer(req: JsonNode): JsonNode = {
+            val result: JsonNode = req.get("method").asText() match {
+              case "eth_blockNumber" =>
+                mapper.getNodeFactory.textNode(RpcStubServer.hex(tip))
+              case "eth_getBlockByNumber" =>
+                val n = java.lang.Long.parseLong(
+                  req.get("params").get(0).asText().drop(2), 16)
+                chain.get(n)
+                  .map(RpcStubServer.renderBlock(_, req.get("params").get(1).asBoolean()))
+                  .getOrElse(mapper.nullNode()): JsonNode
+              case m => throw new IllegalArgumentException(s"unexpected in soak: $m")
+            }
+            val resp = mapper.createObjectNode()
+            resp.put("jsonrpc", "2.0")
+            resp.set[JsonNode]("id", req.get("id"))
+            resp.set[JsonNode]("result", result)
+            resp
+          }
+          val out: JsonNode =
+            if (body.isArray) {
+              val a = mapper.createArrayNode(); body.forEach(r => a.add(answer(r))); a
+            } else answer(body)
+          val bytes = mapper.writeValueAsBytes(out)
+          ex.getResponseHeaders.add("Content-Type", "application/json")
+          ex.sendResponseHeaders(200, bytes.length)
+          ex.getResponseBody.write(bytes)
+        }
+      } finally ex.close()
+    })
+    server.start()
+    val q = spark.readStream.format("ethereum")
+      .option("table", "block")
+      .option("chain", s"http://127.0.0.1:${server.getAddress.getPort}/")
+      .option("maxBlocksPerBatch", 7).option("lagBlocks", 5)
+      .load()
+      .select("block_number", "block_hash")
+      .writeStream.format("memory").queryName("rpc_soak")
+      .trigger(Trigger.ProcessingTime(50))
+      .start()
+    try {
+      // phase 1: branch A 1..30, lag 5 -> 1..25 visible
+      q.processAllAvailable()
+      assert(spark.table("rpc_soak").collect().map(_.getLong(0)).sorted.toSeq
+        == (1L to 25L))
+      // phase 2: the live tip advances (A extends to 40) -> 1..35 visible
+      chain = chain ++ (31L to 40L).map(n => n -> mkBlock(n, "a"))
+      tip = 40L
+      q.processAllAvailable()
+      assert(spark.table("rpc_soak").collect().map(_.getLong(0)).sorted.toSeq
+        == (1L to 35L))
+      // phase 3: depth-5 reorg INSIDE the lag window (heights 36..40 were
+      // never emitted) — branch B replaces them and extends to 48
+      chain = chain.filter(_._1 <= 35L) ++ (36L to 48L).map(n => n -> mkBlock(n, "b"))
+      tip = 48L
+      q.processAllAvailable()
+      val rows = spark.table("rpc_soak").collect()
+        .map(r => r.getLong(0) -> r.getString(1))
+      assert(rows.map(_._1).sorted.toSeq == (1L to 43L),
+        s"heights ${rows.map(_._1).sorted.mkString(",")}")
+      val byHeight = rows.toMap
+      (1L to 35L).foreach(n => assert(byHeight(n) == s"0xa-$n"))
+      (36L to 43L).foreach(n => assert(byHeight(n) == s"0xb-$n",
+        s"height $n emitted orphaned block ${byHeight(n)}"))
+      // offset bookkeeping: non-empty batches chain contiguously
+      val ranges = q.recentProgress.toSeq
+        .map(p => p.sources.head)
+        .map(s => Option(s.startOffset).map(_.toLong).getOrElse(0L) ->
+                  Option(s.endOffset).map(_.toLong).getOrElse(0L))
+        .filter { case (s, e) => e > s }
+        .sortBy(_._1)
+      assert(ranges.nonEmpty)
+      ranges.sliding(2).foreach {
+        case Seq((_, e1), (s2, _)) => assert(s2 == e1,
+          s"offset gap: batch ended at $e1, next started at $s2")
+        case _ => ()
+      }
+      // the soak genuinely soaked: transient failures fired and were absorbed
+      assert(injected.get() >= 3, s"only ${injected.get()} failures injected")
+    } finally { q.stop(); server.stop(0) }
+  }
+
 }
 
 class EventStreamSpec extends AnyFunSuite {
