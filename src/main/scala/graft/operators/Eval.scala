@@ -98,6 +98,51 @@ object Eval {
       .orderBy($"source")
   }
 
+  /** Exact tie-aware precision-recall AUC (average precision) per source —
+    * the metric that matters when positives are rare (a quality filter at
+    * corpus scale keeps 1-in-100 docs; ROC-AUC stays rosy there, AP does
+    * not). Ties are handled blockwise: distinct score levels are
+    * aggregated first (same frame shrink as [[aucOf]]), blocks are walked
+    * in DESCENDING score order, and each block of c rows / p positives
+    * contributes p · precision_at_block_end. Integer micro-units
+    * end-to-end with the div discipline: precision_micro = 1e6·TP div N
+    * per block (truncating, identically on both engines), then the
+    * p-weighted sum divides by n_pos. Sources with no positives emit NULL.
+    * Scale shape: identical to [[aucOf]] — one hash aggregate, a window
+    * over the aggregated per-source frame, one roll-up. */
+  def prAucBySource(s: SparkSession, d: String): DataFrame =
+    prAucOf(scoredDocs(s, d))
+
+  /** Blockwise average precision over any `(source, pos, score)` frame. */
+  private[graft] def prAucOf(scored: DataFrame): DataFrame = {
+    val s = scored.sparkSession
+    import s.implicits._
+    val byScore = scored
+      .groupBy($"source", $"score")
+      .agg(count(lit(1)).as("c"), sum($"pos").as("p"))
+    val w = Window.partitionBy($"source").orderBy($"score".desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withCum = byScore
+      .withColumn("tp", sum($"p").over(w))
+      .withColumn("n_at", sum($"c").over(w))
+    withCum
+      .groupBy($"source")
+      .agg(
+        sum(expr("CAST(p AS DECIMAL(38,0)) * (1000000 * CAST(tp AS DECIMAL(38,0)) div n_at)"))
+          .as("ap_num"),
+        sum($"p").as("n_pos"),
+        sum($"c" - $"p").as("n_neg"),
+        sum($"c").as("n_docs"))
+      .select(
+        $"source", $"n_docs", $"n_pos", $"n_neg",
+        expr("CAST(1000000 * CAST(n_pos AS DECIMAL(38,0)) div n_docs AS BIGINT)")
+          .as("prevalence_micro"),
+        when($"n_pos" > 0,
+          expr("CAST(ap_num div n_pos AS BIGINT)"))
+          .as("pr_auc_micro"))
+      .orderBy($"source")
+  }
+
   /** Score calibration table: fixed-width micro-score buckets (div 1e4 —
     * deterministic percentile-width edges, never a quantile estimate) → bucket
     * size, positive count, exact positive-rate and mean score in micro
@@ -172,6 +217,7 @@ object Eval {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "nd_eval_auc" -> (aucBySource _),
+    "nd_eval_pr_auc" -> (prAucBySource _),
     "nd_eval_calibration" -> (calibration _),
     "nd_eval_kappa" -> (kappa _))
 
@@ -200,6 +246,33 @@ object Eval {
                    CAST((r2 - CAST(n_pos AS HUGEINT) * (n_pos + 1)) * 1000000
                         // (2 * CAST(n_pos AS HUGEINT) * n_neg) AS BIGINT)
                  END AS auc_micro
+          FROM a ORDER BY source""",
+    "nd_eval_pr_auc" ->
+      s"""WITH scored AS (
+            SELECT source,
+                   CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
+                   $enScoreMicroSql AS score
+            FROM (SELECT source, lang, text,
+                         ' ' || lower(text) || ' ' AS p FROM documents)),
+          g AS (SELECT source, score, count(*) AS c, sum(pos) AS p
+                FROM scored GROUP BY source, score),
+          w AS (SELECT source, c, p,
+                       sum(p) OVER (PARTITION BY source ORDER BY score DESC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+                       sum(c) OVER (PARTITION BY source ORDER BY score DESC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_at
+                FROM g),
+          a AS (SELECT source,
+                       sum(CAST(p AS HUGEINT)
+                           * (1000000 * CAST(tp AS HUGEINT) // n_at)) AS ap_num,
+                       sum(p) AS n_pos, sum(c - p) AS n_neg, sum(c) AS n_docs
+                FROM w GROUP BY source)
+          SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+                 CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg,
+                 CAST(1000000 * CAST(n_pos AS HUGEINT) // n_docs AS BIGINT)
+                   AS prevalence_micro,
+                 CASE WHEN n_pos > 0 THEN CAST(ap_num // n_pos AS BIGINT)
+                 END AS pr_auc_micro
           FROM a ORDER BY source""",
     "nd_eval_calibration" ->
       s"""WITH scored AS (

@@ -58,6 +58,51 @@ class EvalSpec extends AnyFunSuite {
     assert(got("onecls") == -1L, "single-class source must emit NULL")
   }
 
+  test("blockwise PR-AUC equals a driver-side replay of the definition") {
+    val scored = Eval.scoredDocs(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val got = Eval.prAucBySource(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), if (r.isNullAt(5)) None else Some(r.getLong(5)))).toSeq
+    val expected = scored.groupBy(_._1).toSeq.sortBy(_._1).map {
+      case (src, rows) =>
+        val nPos = rows.count(_._2 == 1L)
+        val nDocs = rows.length
+        // blockwise AP replay: distinct scores desc, per-block truncating
+        // micro precision, p-weighted, then divided by n_pos
+        val blocks = rows.groupBy(_._3).toSeq.sortBy(-_._1)
+          .map { case (_, b) => (b.length, b.count(_._2 == 1L)) }
+        var (tp, nAt, apNum) = (BigInt(0), BigInt(0), BigInt(0))
+        blocks.foreach { case (c, p) =>
+          tp += p; nAt += c
+          apNum += BigInt(p) * (BigInt(1000000) * tp / nAt)
+        }
+        val ap = if (nPos == 0) None else Some((apNum / nPos).toLong)
+        (src, nDocs.toLong, nPos.toLong, (nDocs - nPos).toLong,
+          (BigInt(1000000) * nPos / nDocs).toLong, ap)
+    }
+    assert(got == expected,
+      s"pr_auc mismatch: got=${got.take(2)} exp=${expected.take(2)}")
+  }
+
+  test("planted PR-AUC cases: perfect, inverted, tied, no-positive") {
+    import spark.implicits._
+    val rows = Seq(
+      ("sep", 1L, 100L), ("sep", 1L, 90L), ("sep", 0L, 10L), ("sep", 0L, 5L),
+      ("inv", 1L, 1L), ("inv", 0L, 50L), ("inv", 0L, 60L),
+      ("tie", 1L, 7L), ("tie", 1L, 7L), ("tie", 0L, 7L),
+      ("nopos", 0L, 3L), ("nopos", 0L, 4L))
+    val got = Eval.prAucOf(rows.toDF("source", "pos", "score")).collect()
+      .map(r => (r.getString(0),
+        if (r.isNullAt(5)) -1L else r.getLong(5))).toMap
+    assert(got("sep") == 1000000L, s"perfect separation: ${got("sep")}")
+    // lone positive ranked last of 3: precision there = 1/3
+    assert(got("inv") == 333333L, s"inverted: ${got("inv")}")
+    // single tied block, 2 of 3 positive: AP = precision = 2/3
+    assert(got("tie") == 666666L, s"all-tied: ${got("tie")}")
+    assert(got("nopos") == -1L, "no-positive source must emit NULL")
+  }
+
   test("kappa matches a driver-side replay and po/pe are consistent") {
     val preds = graft.operators.TextAnalysis.langId(spark, sf).collect()
       .map(r => (r.getString(1), r.getString(2)))
