@@ -110,13 +110,40 @@ object Similarity {
     * from O(|Q|·|corpus|) to O(|Q|·(nProbe/nLists)·|corpus|); at 100 TB the
     * assignment is one map-side pass (centroids broadcast) and each probe
     * touches only its list partitions. */
-  /** Assign every vector of `vecs` to its nearest centroid (broadcast
-    * centroids; tie-break by smallest list_id). Arg-max via `max_by` with
-    * a unique ordering key: the broadcast join leaves all nLists scored
-    * rows of a vector in its input partition, so the partial aggregate
-    * collapses them map-side and the shuffle carries ONE row per vector —
-    * a window arg-max would shuffle and sort all nLists× rows instead. */
-  private[graft] def coarseAssign(vecs: DataFrame, cent: DataFrame): DataFrame = {
+  /** Assign every vector of `vecs` to its nearest centroid (tie-break by
+    * smallest list_id). The centroid table is index METADATA (nLists ×
+    * dims doubles, ≤ ~1 MB) — it is localized once and inlined as an
+    * ARRAY LITERAL, so assignment is one codegen'd per-row argmax with no
+    * join, no row expansion, and no re-aggregation. The earlier
+    * broadcast-join + `max_by` formulation materialized |corpus| × nLists
+    * scored rows through a partial aggregate whose hash state carried the
+    * full vectors; at the AnnScale corpus (1M × 64, 256 lists) that made
+    * the index build 256M-row-per-pass work — the literal argmax visits
+    * the same nLists candidates per row inside one projection instead.
+    * Semantics are bit-identical: same cosineSim expression, and
+    * `array_max` over `struct(sim, -list_id)` is the same (NaN-greatest,
+    * lexicographic) ordering `max_by(struct(sim, nl))` used. */
+  private[graft] def coarseAssign(vecs: DataFrame, cent: DataFrame): DataFrame =
+    coarseAssignLit(vecs,
+      cent.collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq)
+
+  private[graft] def coarseAssignLit(vecs: DataFrame,
+      cent: Seq[(Long, Seq[Double])]): DataFrame = {
+    import vecs.sparkSession.implicits._
+    require(cent.nonEmpty, "coarseAssignLit: empty centroid table")
+    val centArr = array(cent.sortBy(_._1).map { case (id, cv) =>
+      struct(lit(id).as("list_id"), typedLit(cv).as("cv")) }: _*)
+    val best = array_max(transform(centArr, c =>
+      struct(Expressions.cosineSim($"v", c("cv")).as("sim"),
+             (-c("list_id")).as("nl"))))
+    vecs.select($"vec_id", $"v", (-best("nl")).as("list_id"))
+  }
+
+  /** The join-formulated assignment — kept ONLY for the un-materialized
+    * Lloyd chain ([[lloydCentroidsLazy]]), where the centroid side is a
+    * lazy frame that cannot be inlined without forcing it. All
+    * materialized-centroid callers go through [[coarseAssign]]. */
+  private def coarseAssignJoin(vecs: DataFrame, cent: DataFrame): DataFrame = {
     import vecs.sparkSession.implicits._
     vecs.join(broadcast(cent))
       .select($"vec_id", $"v", $"list_id",
@@ -142,20 +169,39 @@ object Similarity {
     var cent = vecs.filter($"vec_id" < nLists)
       .select($"vec_id".as("list_id"), $"v".as("cv"))
     for (_ <- 1 to iterations)
-      cent = coarseAssign(vecs, cent)
+      cent = coarseAssignJoin(vecs, cent)
         .groupBy($"list_id").agg(vecAvg($"v").as("cv"))
     cent
   }
 
+  /** Materialized Lloyd refinement — the entry point every index build
+    * actually uses. Iterates EAGERLY: each step localizes the (bounded,
+    * metadata-scale) centroid frame and re-assigns through the
+    * [[coarseAssignLit]] argmax, so one Lloyd step costs one corpus map
+    * pass + one |lists|-group vector-average aggregate — no join, and the
+    * step chain never re-executes earlier steps (the lazy chain re-ran
+    * the whole prefix per consumer before its final collect). Output rows
+    * are bit-identical to [[lloydCentroidsLazy]]: assignments agree
+    * per-vector (same cosine, same ordering), so each step's vecAvg sees
+    * the same groups. */
   private[graft] def lloydCentroids(vecs: DataFrame, nLists: Int,
       iterations: Int = 1): DataFrame = {
-    val cent = lloydCentroidsLazy(vecs, nLists, iterations)
-    // centroids are index METADATA (nLists rows of dims doubles) — collect
-    // them once so the two downstream consumers (list assignment and query
-    // probing) broadcast a local relation instead of re-running the whole
-    // iterative chain per consumer
-    val rows = java.util.Arrays.asList(cent.collect(): _*)
-    vecs.sparkSession.createDataFrame(rows, cent.schema)
+    val s = vecs.sparkSession
+    import s.implicits._
+    val vecAvg = udaf(new graft.functions.VectorAvg,
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]())
+    val seeds = vecs.filter($"vec_id" < nLists)
+      .select($"vec_id".as("list_id"), $"v".as("cv"))
+    var schema = seeds.schema
+    var local = seeds.collect()
+    for (_ <- 1 to iterations) {
+      val step = coarseAssignLit(vecs,
+          local.map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq)
+        .groupBy($"list_id").agg(vecAvg($"v").as("cv"))
+      schema = step.schema
+      local = step.collect()
+    }
+    s.createDataFrame(java.util.Arrays.asList(local: _*), schema)
   }
 
   /** Top-`nProbe` nearest centroid lists per query vector. */

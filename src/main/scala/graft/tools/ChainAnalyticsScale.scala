@@ -14,7 +14,10 @@ import graft.operators.EthQueries
   * measurement main — correctness for these shapes is the oracle gate,
   * scale-shape assertions live in EthAnalyticsSpec/PlanAuditSpec. */
 object ChainAnalyticsScale {
-  private val ChainBlocks = 100000L
+  /** Chain size: default ~100k blocks; the round-8 evidence run sets
+    * SPARK_GRAFT_CHAIN_BLOCKS=1000000 (170x the oracle fixture). */
+  private val ChainBlocks: Long =
+    sys.env.getOrElse("SPARK_GRAFT_CHAIN_BLOCKS", "100000").toLong
 
   private def timeMin(runs: Int)(f: => Unit): Double =
     (1 to runs).map { _ =>

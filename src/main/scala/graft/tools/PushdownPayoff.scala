@@ -33,7 +33,10 @@ import org.apache.spark.sql.functions._
   * this pins the measured payoffs.
   */
 object PushdownPayoff {
-  private val ChainBlocks = 100000L
+  /** Chain size: default ~100k blocks (17x the oracle fixture); the
+    * round-8 evidence run sets SPARK_GRAFT_CHAIN_BLOCKS=1000000. */
+  private val ChainBlocks: Long =
+    sys.env.getOrElse("SPARK_GRAFT_CHAIN_BLOCKS", "100000").toLong
 
   private def timeMin(runs: Int)(f: => Unit): Double =
     (1 to runs).map { _ =>
@@ -103,18 +106,19 @@ object PushdownPayoff {
       System.err.println(f"[payoff] $name%-28s pushed=$p%7.2fs/$pb%7d blk  defeated=$d%7.2fs/$db%7d blk")
     }
 
-    val ts0 = client.timestampOf(50000L)
-    val ts1 = client.timestampOf(50999L)
-    val hash = graft.sources.eth.EthFixtures.blockHash(70000L)
+    val mid = ChainBlocks / 2
+    val ts0 = client.timestampOf(mid)
+    val ts1 = client.timestampOf(mid + 999L)
+    val hash = graft.sources.eth.EthFixtures.blockHash(ChainBlocks * 7 / 10)
 
     // the "without" variants wrap the key in pmod(x, Long.MaxValue) /
     // concat(x, '') — identity on this domain but opaque to BOTH constant
     // folding and DSv2 filter translation (a plain `+ 0` gets folded back
     // into a pushable reference)
     def opaque(c: String) = pmod(col(c), lit(Long.MaxValue))
-    pair("range (1k of 100k blocks)",
-      sz(blocks().filter(col("block_number").between(50000L, 50999L))),
-      sz(blocks().filter(opaque("block_number").between(50000L, 50999L))))
+    pair(s"range (1k of ${ChainBlocks / 1000}k blocks)",
+      sz(blocks().filter(col("block_number").between(mid, mid + 999L))),
+      sz(blocks().filter(opaque("block_number").between(mid, mid + 999L))))
     pair("timestamp range (1k blocks)",
       sz(blocks().filter(col("block_timestamp").between(ts0, ts1))),
       sz(blocks().filter(opaque("block_timestamp").between(ts0, ts1))))
@@ -133,8 +137,8 @@ object PushdownPayoff {
     // reference plans 1 split per block (EthereumSplitManager.java:55-68);
     // measured on a 10k-block range so the 1:1 variant stays tractable
     pair("split batching 512 vs 1 (10k)",
-      sz(blocks(512).filter(col("block_number").between(40000L, 49999L))),
-      sz(blocks(1).filter(col("block_number").between(40000L, 49999L))))
+      sz(blocks(512).filter(col("block_number").between(mid - 10000L, mid - 1L))),
+      sz(blocks(1).filter(col("block_number").between(mid - 10000L, mid - 1L))))
 
     println(s"\n| pushdown | time with | time without | blocks fetched with | without | fetch payoff |")
     println(s"|---|---|---|---|---|---|")
