@@ -368,6 +368,37 @@ class SimilaritySpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val sf = "/root/testdata/sf0.001"
 
+  test("coarse assignment is one projection: no join, no exchange, no aggregate") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.transform
+    val vecs = Tables.embeddings(spark, sf)
+      .select($"vec_id", transform($"embedding", _.cast("double")).as("v"))
+    val cent = Similarity.lloydCentroids(vecs, nLists = 16, iterations = 1)
+    val plan = Similarity.coarseAssign(vecs, cent)
+      .queryExecution.executedPlan.toString
+    // the literal-centroid argmax (round-8): assignment must stay a
+    // map-side projection — any Join/Exchange/Aggregate here re-introduces
+    // the 256M-row build shape AnnScale measured at 839s vs 42s
+    assert(!plan.contains("Join"), s"assignment plans a join:\n$plan")
+    assert(!plan.contains("Exchange"), s"assignment shuffles:\n$plan")
+    assert(!plan.contains("Aggregate"), s"assignment re-aggregates:\n$plan")
+    // and it agrees with the join-formulated lazy chain's final assignment
+    // (bit-identical argmax ordering)
+    val viaLit = Similarity.coarseAssign(vecs, cent)
+      .select($"vec_id", $"list_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaJoinCent = Similarity.lloydCentroidsLazy(vecs, 16, 1)
+    val localCent = spark.createDataFrame(
+      java.util.Arrays.asList(viaJoinCent.collect(): _*), viaJoinCent.schema)
+    val sameCentroids = localCent.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val eagerCentroids = cent.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(sameCentroids == eagerCentroids,
+      "eager Lloyd centroids differ from the lazy join-formulated chain")
+    assert(viaLit.size == vecs.count())
+  }
+
   test("embedding-quality audit equals a driver-side micro-quantized replay") {
     def micro(x: Float): Long =
       BigDecimal(x.toDouble * 1000000).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
