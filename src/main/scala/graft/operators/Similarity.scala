@@ -123,9 +123,16 @@ object Similarity {
     * Semantics are bit-identical: same cosineSim expression, and
     * `array_max` over `struct(sim, -list_id)` is the same (NaN-greatest,
     * lexicographic) ordering `max_by(struct(sim, nl))` used. */
-  private[graft] def coarseAssign(vecs: DataFrame, cent: DataFrame): DataFrame =
-    coarseAssignLit(vecs,
-      cent.collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq)
+  private[graft] def coarseAssign(vecs: DataFrame, cent: DataFrame): DataFrame = {
+    // localization is bounded: a centroid table is nLists rows by
+    // construction; fail loudly (rather than OOM the driver) if a caller
+    // ever passes a corpus-scale frame here
+    val MaxCentroids = 65536
+    val local = cent.limit(MaxCentroids + 1).collect()
+    require(local.length <= MaxCentroids,
+      s"coarseAssign: centroid table exceeds $MaxCentroids rows — not a quantizer table")
+    coarseAssignLit(vecs, local.map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq)
+  }
 
   private[graft] def coarseAssignLit(vecs: DataFrame,
       cent: Seq[(Long, Seq[Double])]): DataFrame = {
