@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -43,10 +43,12 @@ object Eval {
         ($"lang" === "en").cast("long").as("pos"),
         TextAnalysis.profileScore(padded, TextAnalysis.langProfiles("en"))
           .cast("long").as("hits"),
-        length($"text").cast("long").as("n_chars"))
+        length($"text").cast("long").as("n_chars"),
+        $"doc_id")
       .select($"source", $"pos",
         expr("CAST(1000000 * CAST(hits AS DECIMAL(38,0)) div greatest(n_chars, 1) AS BIGINT)")
-          .as("score"))
+          .as("score"),
+        $"doc_id")
   }
 
   /** The DuckDB spelling of [[scoredDocs]]'s score (expects a padded
@@ -166,6 +168,65 @@ object Eval {
       .orderBy($"bucket")
   }
 
+  /** Cumulative Poisson(1) CDF in integer micro units — the shared
+    * constant ladder both engines use to turn a hash-uniform micro draw
+    * into a deterministic bootstrap weight (P(X≤k) for k = 0..8; u at or
+    * beyond the last threshold caps at weight 9). */
+  private val PoissonMicroCdf = Seq(
+    367879L, 735758L, 919698L, 981011L, 996340L,
+    999405L, 999916L, 999989L, 999998L)
+
+  /** Deterministic Poisson-bootstrap confidence interval for the mean
+    * quality score per source — the uncertainty a pipeline needs before
+    * trusting a metric shift at corpus scale. The classical bootstrap
+    * resamples n-of-n WITH replacement, which cannot be computed in one
+    * pass over distributed data; the Poisson bootstrap (the standard
+    * massive-data substitute: each row enters replicate b with
+    * multiplicity ~ Poisson(1)) needs only a per-row weight — and here
+    * that weight is DETERMINISTIC: u = md5-fold("boot"|doc_id|b) mod 1e6
+    * inverted through the shared integer [[PoissonMicroCdf]] ladder, so
+    * both engines, any layout, any run produce bit-identical replicates
+    * (the q36 md5-fold discipline applied to resampling).
+    *
+    * Scale shape: one scan → a bounded B=40× map-side explode → one
+    * (source, replicate) hash aggregate (≤ |sources|·B groups) → order
+    * statistics over the 40 replicate means per source via a bounded
+    * window. Nothing row-scale moves after the first aggregate; B is a
+    * constant, not data. lo/hi are the 2nd/39th order statistics of 40
+    * replicate means (≈ the 2.5th/97.5th percentiles), ties broken by
+    * replicate id — exact integer micro end-to-end. */
+  def bootstrapCi(s: SparkSession, d: String, reps: Int = 40): DataFrame = {
+    import s.implicits._
+    val scored = scoredDocs(s, d)
+    val point = scored.groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        expr("CAST(sum(CAST(score AS DECIMAL(38,0))) div count(*) AS BIGINT)")
+          .as("point_micro"))
+    val u = conv(substring(md5(concat_ws("|", lit("boot"), $"doc_id", $"b")), 1, 7), 16, 10)
+      .cast("long") % 1000000L
+    var w: Column = lit(PoissonMicroCdf.length.toLong)
+    for ((t, k) <- PoissonMicroCdf.zipWithIndex.reverse)
+      w = when($"u" < t, k.toLong).otherwise(w)
+    val repMeans = scored
+      .select($"source", $"score", $"doc_id",
+        explode(sequence(lit(0), lit(reps - 1))).as("b"))
+      .withColumn("u", u)
+      .withColumn("w", w)
+      .groupBy($"source", $"b")
+      .agg(expr("""CAST(sum(CAST(w AS DECIMAL(38,0)) * score)
+                   div greatest(sum(w), 1) AS BIGINT)""").as("mean_micro"))
+    val byMean = Window.partitionBy($"source").orderBy($"mean_micro", $"b")
+    val ci = repMeans
+      .withColumn("rn", row_number().over(byMean))
+      .groupBy($"source")
+      .agg(min(when($"rn" === 2, $"mean_micro")).as("lo_micro"),
+           min(when($"rn" === reps - 1, $"mean_micro")).as("hi_micro"))
+    point.join(ci, "source")
+      .select($"source", $"n_docs", $"point_micro", $"lo_micro", $"hi_micro",
+              lit(reps.toLong).as("n_replicates"))
+      .orderBy($"source")
+  }
+
   /** Cohen's kappa over the full multi-class langId confusion matrix —
     * chance-corrected agreement between labeled and predicted language:
     * kappa = (n·Σdiag − Σ row_l·col_l) / (n² − Σ row_l·col_l). Runs the
@@ -218,8 +279,51 @@ object Eval {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "nd_eval_auc" -> (aucBySource _),
     "nd_eval_pr_auc" -> (prAucBySource _),
+    "nd_eval_bootstrap_ci" -> ((s: SparkSession, d: String) => bootstrapCi(s, d)),
     "nd_eval_calibration" -> (calibration _),
     "nd_eval_kappa" -> (kappa _))
+
+  /** The DuckDB spelling of the md5-fold micro-uniform draw (q36 fold,
+    * 7 hex chars) and the Poisson ladder, shared by the bootstrap oracle. */
+  private def bootstrapOracleSql(reps: Int = 40): String = {
+    val ladder = PoissonMicroCdf.zipWithIndex
+      .map { case (t, k) => s"WHEN u < $t THEN $k" }.mkString(" ")
+    s"""WITH scored AS (
+          SELECT doc_id, source, $enScoreMicroSql AS score
+          FROM (SELECT doc_id, source, lang, text,
+                       ' ' || lower(text) || ' ' AS p FROM documents)),
+        pt AS (SELECT source, count(*) AS n_docs,
+                      CAST(sum(CAST(score AS HUGEINT)) // count(*) AS BIGINT)
+                        AS point_micro
+               FROM scored GROUP BY source),
+        drawn AS (
+          SELECT source, score, b,
+                 CASE $ladder ELSE ${PoissonMicroCdf.length} END AS w
+          FROM (
+            SELECT source, score, b,
+                   CAST(list_sum(list_transform(range(1,8), fi ->
+                     (strpos('0123456789abcdef',
+                       substr(md5(concat_ws('|', 'boot', doc_id, b)), fi, 1)) - 1)::BIGINT
+                     << (4*(7-fi)))) AS BIGINT) % 1000000 AS u
+            FROM scored CROSS JOIN (SELECT unnest(range(0, $reps)) AS b))),
+        reps AS (
+          SELECT source, b,
+                 CAST(sum(CAST(w AS HUGEINT) * score)
+                      // greatest(sum(w), 1) AS BIGINT) AS mean_micro
+          FROM drawn GROUP BY source, b),
+        ranked AS (
+          SELECT source, mean_micro,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY mean_micro, b) AS rn
+          FROM reps)
+        SELECT p.source, p.n_docs, p.point_micro,
+               min(CASE WHEN rn = 2 THEN mean_micro END) AS lo_micro,
+               min(CASE WHEN rn = ${reps - 1} THEN mean_micro END) AS hi_micro,
+               CAST($reps AS BIGINT) AS n_replicates
+        FROM pt p JOIN ranked r USING (source)
+        GROUP BY p.source, p.n_docs, p.point_micro
+        ORDER BY p.source"""
+  }
 
   val oracle: Map[String, String] = Map(
     "nd_eval_auc" ->
@@ -274,6 +378,7 @@ object Eval {
                  CASE WHEN n_pos > 0 THEN CAST(ap_num // n_pos AS BIGINT)
                  END AS pr_auc_micro
           FROM a ORDER BY source""",
+    "nd_eval_bootstrap_ci" -> bootstrapOracleSql(),
     "nd_eval_calibration" ->
       s"""WITH scored AS (
             SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,

@@ -103,6 +103,42 @@ class EvalSpec extends AnyFunSuite {
     assert(got("nopos") == -1L, "no-positive source must emit NULL")
   }
 
+  test("Poisson-bootstrap CI equals a driver-side replay; interval is sane") {
+    import java.security.MessageDigest
+    val cdf = Seq(367879L, 735758L, 919698L, 981011L, 996340L,
+      999405L, 999916L, 999989L, 999998L)
+    def md5hex(s: String): String =
+      MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    def weight(docId: Long, b: Int): Long = {
+      val u = java.lang.Long.parseLong(md5hex(s"boot|$docId|$b").take(7), 16) % 1000000L
+      cdf.indexWhere(u < _) match { case -1 => cdf.length.toLong; case k => k.toLong }
+    }
+    val scored = Eval.scoredDocs(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3))) // (source, score, doc_id)
+    val reps = 40
+    val expected = scored.groupBy(_._1).toSeq.sortBy(_._1).map { case (src, rows) =>
+      val point = (rows.map(r => BigInt(r._2)).sum / rows.length).toLong
+      val means = (0 until reps).map { b =>
+        val ws = rows.map { case (_, score, id) => (weight(id, b), score) }
+        val sw = ws.map(_._1).sum
+        ((ws.map { case (w, sc) => BigInt(w) * sc }.sum) / BigInt(sw.max(1L)), b)
+      }.sortBy(identity).map(_._1.toLong)
+      (src, rows.length.toLong, point, means(1), means(reps - 2), reps.toLong)
+    }
+    val got = Eval.bootstrapCi(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == expected,
+      s"bootstrap mismatch:\n got=${got.take(2)}\n exp=${expected.take(2)}")
+    got.foreach { case (src, _, point, lo, hi, _) =>
+      assert(lo <= hi, s"$src: lo > hi")
+      // a 95% CI from 40 replicates should bracket the point estimate on
+      // this corpus (sources have dozens-to-hundreds of docs)
+      assert(lo <= point && point <= hi, s"$src: point $point outside [$lo, $hi]")
+    }
+  }
+
   test("kappa matches a driver-side replay and po/pe are consistent") {
     val preds = graft.operators.TextAnalysis.langId(spark, sf).collect()
       .map(r => (r.getString(1), r.getString(2)))
