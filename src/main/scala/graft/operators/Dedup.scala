@@ -102,7 +102,7 @@ object Dedup {
   /** LSH candidate pairs + MinHash-estimated Jaccard from a prepared
     * `(doc_id, sig)` frame — shared by [[minhashPairs]] and
     * [[ngramJaccardPairs]] so the signature scan is built exactly once. */
-  private[operators] def minhashPairsFrom(docs: DataFrame, threshold: Double): DataFrame = {
+  private[graft] def minhashPairsFrom(docs: DataFrame, threshold: Double): DataFrame = {
     import docs.sparkSession.implicits._
     val banded = docs
       .select($"doc_id", $"sig", posexplode(bandKeys($"sig")).as(Seq("band", "key")))
