@@ -104,16 +104,26 @@ object Dedup {
     * [[ngramJaccardPairs]] so the signature scan is built exactly once. */
   private[graft] def minhashPairsFrom(docs: DataFrame, threshold: Double): DataFrame = {
     import docs.sparkSession.implicits._
+    // Candidate generation moves NO signature payload: the banded frame is
+    // (doc_id, band, key) — ~24 bytes/row — and the 32-slot signatures
+    // re-join only for the (candidate-sized) verification step. Carrying
+    // sig through both sides of the band join shuffled 2 × |docs| × bands
+    // × 256 B — ~48 GB at the 10M-doc DedupScale run (measured 252s);
+    // the payload-free join plus two id-keyed sig joins moves ~2 GB.
+    // Results are identical: same candidate set, same slot-equality
+    // estimate, same ordering.
     val banded = docs
-      .select($"doc_id", $"sig", posexplode(bandKeys($"sig")).as(Seq("band", "key")))
+      .select($"doc_id", posexplode(bandKeys($"sig")).as(Seq("band", "key")))
     val a = banded.as("a"); val b = banded.as("b")
     val cand = a.join(b,
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
         col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-              col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
+    val sigs = docs.select($"doc_id", $"sig")
     cand
+      .join(sigs.select($"doc_id".as("doc_a"), $"sig".as("sig_a")), "doc_a")
+      .join(sigs.select($"doc_id".as("doc_b"), $"sig".as("sig_b")), "doc_b")
       .withColumn("est_jaccard",
         round(size(filter(zip_with($"sig_a", $"sig_b", (x, y) => x === y), b => b))
           / lit(NumHashes.toDouble), 4))
