@@ -453,17 +453,28 @@ object Dedup {
   def embeddingBucket(vec: Column, dims: Int, planes: Int, table: Int = 0): Column =
     Expressions.lshBucket(vec, planes, table)
 
-  /** Near-duplicate embedding pairs (cosine ≥ threshold) via LSH buckets. */
+  /** Near-duplicate embedding pairs (cosine ≥ threshold) via LSH buckets.
+    * Same payload discipline as [[minhashPairsFrom]]: the bucket join
+    * moves (vec_id, bucket) only — the 64-double vectors re-join on the
+    * candidate-sized verification step, not through both sides of the
+    * candidate shuffle. */
   def embeddingPairs(s: SparkSession, d: String, threshold: Double = 0.3,
       planes: Int = 6): DataFrame = {
     import s.implicits._
     val vecs = embeddings(s, d)
       .select($"vec_id", transform($"embedding", _.cast("double")).as("v"))
       .withColumn("bucket", embeddingBucket($"v", 64, planes))
-    val a = vecs.as("a"); val b = vecs.as("b")
-    a.join(b, col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-              round(Expressions.cosineSim(col("a.v"), col("b.v")), 4).as("cos_sim"))
+    val ids = vecs.select($"vec_id", $"bucket")
+    val a = ids.as("a"); val b = ids.as("b")
+    val cand = a.join(b,
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+    val vv = vecs.select($"vec_id", $"v")
+    cand
+      .join(vv.select($"vec_id".as("vec_a"), $"v".as("va")), "vec_a")
+      .join(vv.select($"vec_id".as("vec_b"), $"v".as("vb")), "vec_b")
+      .select($"vec_a", $"vec_b",
+              round(Expressions.cosineSim($"va", $"vb"), 4).as("cos_sim"))
       .filter($"cos_sim" >= threshold)
       .orderBy($"vec_a", $"vec_b")
   }
