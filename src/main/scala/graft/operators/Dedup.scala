@@ -341,6 +341,38 @@ object Dedup {
     connectedComponents(minhashPairs(s, d, threshold).select($"doc_a", $"doc_b"))
   }
 
+  /** The curation DECISION after clustering: per near-dup cluster, keep
+    * the highest-QUALITY member (the `nd_lang_id` 'en' micro score — the
+    * same deterministic scorer the eval family grades), not the smallest
+    * id; report what keeping it costs. `nd_dedup_exact_kept` keeps
+    * min-id because exact duplicates are byte-identical — for NEAR
+    * duplicates the copies differ and production pipelines keep the best
+    * one (ties → smallest doc_id, exact on both engines).
+    *
+    * Scale shape: clusters live on the candidate graph (pair-sized, not
+    * corpus-sized); scores join on doc_id; the rank window partitions by
+    * cluster (bounded by cluster size, no funnel). Output: one row per
+    * cluster — members, kept doc + score, dropped count and the char
+    * mass dedup removes. */
+  def keepBestInCluster(s: SparkSession, d: String,
+      threshold: Double = 0.5): DataFrame = {
+    import s.implicits._
+    val clusters = nearDupClusters(s, d, threshold)
+    val scored = Eval.scoredDocs(s, d).select($"doc_id", $"score")
+    val chars = documents(s, d).select($"doc_id", $"n_chars")
+    val j = clusters.join(scored, "doc_id").join(chars, "doc_id")
+    val w = Window.partitionBy($"cluster_id").orderBy($"score".desc, $"doc_id")
+    j.withColumn("rn", row_number().over(w))
+      .groupBy($"cluster_id")
+      .agg(count(lit(1)).as("n_members"),
+           min(when($"rn" === 1, $"doc_id")).as("keep_doc_id"),
+           min(when($"rn" === 1, $"score")).as("keep_score_micro"),
+           (count(lit(1)) - 1).as("n_dropped"),
+           (sum($"n_chars") - min(when($"rn" === 1, $"n_chars")))
+             .as("chars_dropped"))
+      .orderBy($"cluster_id")
+  }
+
   /** Connected components of an undirected pair graph `(doc_a, doc_b)`;
     * returns `(doc_id, cluster_id = min doc_id of the component)`.
     *
@@ -684,6 +716,7 @@ object Dedup {
     "nd_dedup_incremental" -> exactIncrementalQuery _,
     "nd_dedup_substring" -> ((s: SparkSession, d: String) => substringSpans(s, d)),
     "nd_dedup_clusters" -> ((s: SparkSession, d: String) => nearDupClusters(s, d)),
+    "nd_dedup_keep_best" -> ((s: SparkSession, d: String) => keepBestInCluster(s, d)),
     "nd_dedup_exact" -> exact _,
     "nd_dedup_exact_kept" -> exactKept _,
     "nd_dedup_minhash" -> ((s: SparkSession, d: String) => minhashPairs(s, d)),
@@ -858,6 +891,34 @@ object Dedup {
                 CAST(sum(allset) AS BIGINT) AS n_hits,
                 CAST(sum(allset) AS BIGINT) >= 3 AS candidate
          FROM hs GROUP BY train_id ORDER BY train_id""",
+    "nd_dedup_keep_best" ->
+      s"""WITH RECURSIVE $shingleCtesSql, $candCtesSql,
+         pairs AS (SELECT doc_a, doc_b FROM est WHERE est_jaccard >= 0.5),
+         edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                   UNION SELECT doc_b, doc_a FROM pairs),
+         reach AS (
+           SELECT a, b FROM edges
+           UNION
+           SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+         , clusters AS (
+           SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+           FROM reach GROUP BY a),
+         scored AS (
+           SELECT doc_id, n_chars, ${Eval.enScoreMicroSql} AS score
+           FROM (SELECT doc_id, n_chars, text,
+                        ' ' || lower(text) || ' ' AS p FROM documents)),
+         ranked AS (
+           SELECT c.cluster_id, s.doc_id, s.score, s.n_chars,
+                  row_number() OVER (PARTITION BY c.cluster_id
+                                     ORDER BY s.score DESC, s.doc_id) AS rn
+           FROM clusters c JOIN scored s USING (doc_id))
+         SELECT cluster_id, count(*) AS n_members,
+                CAST(min(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT) AS keep_doc_id,
+                CAST(min(CASE WHEN rn = 1 THEN score END) AS BIGINT) AS keep_score_micro,
+                CAST(count(*) - 1 AS BIGINT) AS n_dropped,
+                CAST(sum(n_chars) - min(CASE WHEN rn = 1 THEN n_chars END) AS BIGINT)
+                  AS chars_dropped
+         FROM ranked GROUP BY cluster_id ORDER BY cluster_id""",
     "nd_dedup_clusters" ->
       s"""WITH RECURSIVE $shingleCtesSql, $candCtesSql,
          pairs AS (SELECT doc_a, doc_b FROM est WHERE est_jaccard >= 0.5),

@@ -53,7 +53,7 @@ object Eval {
 
   /** The DuckDB spelling of [[scoredDocs]]'s score (expects a padded
     * column `p` and the raw `text` in scope). */
-  private def enScoreMicroSql: String = {
+  private[operators] def enScoreMicroSql: String = {
     val hits = TextAnalysis.profileScoreSql(TextAnalysis.langProfiles("en"))
     s"""CAST(1000000 * CAST(($hits) AS HUGEINT) // greatest(length(text), 1) AS BIGINT)"""
   }

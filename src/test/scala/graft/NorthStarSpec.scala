@@ -72,6 +72,33 @@ class DedupSpec extends AnyFunSuite {
   import spark.implicits._
   private val sf = "/root/testdata/sf0.001"
 
+  test("keep-best representative: highest quality score wins its cluster") {
+    import graft.operators.Eval
+    val clusters = Dedup.nearDupClusters(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val score = Eval.scoredDocs(spark, sf).collect()
+      .map(r => r.getLong(3) -> r.getLong(2)).toMap
+    val chars = Tables.documents(spark, sf).select($"doc_id", $"n_chars")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = clusters.groupBy(_._2).toSeq.sortBy(_._1).map {
+      case (cid, members) =>
+        val ids = members.map(_._1)
+        val keep = ids.maxBy(id => (score(id), -id))
+        (cid, ids.length.toLong, keep, score(keep), ids.length.toLong - 1,
+         ids.map(chars).sum - chars(keep))
+    }
+    val got = Dedup.keepBestInCluster(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                 r.getLong(4), r.getLong(5))).toSeq
+    assert(got == expected,
+      s"keep-best mismatch:\n got=${got.take(3)}\n exp=${expected.take(3)}")
+    got.foreach { case (cid, n, keep, _, dropped, _) =>
+      assert(n >= 2 && dropped == n - 1, s"cluster $cid inconsistent")
+      assert(clusters.exists(m => m._1 == keep && m._2 == cid),
+        s"cluster $cid keeps non-member $keep")
+    }
+  }
+
   test("minhash LSH finds planted near-duplicates with high estimated jaccard") {
     // plant: doc 2000 = doc 8's text with one word changed
     val base = Tables.documents(spark, sf)
