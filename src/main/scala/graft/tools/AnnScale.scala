@@ -106,6 +106,37 @@ object AnnScale {
       println(f"| ivf nProbe=$nProbe | $t%.1fs | ${t / Queries}%.2fs | $recall%.3f |")
     }
     println(f"\n($n vectors x $Dim float, $nLists lists, IVF build $tBuild%.1fs, local[$cpus])")
+
+    // incremental-ingest path: a 10% batch appended against the FROZEN
+    // quantizer (no retrain), then the same queries against the extended
+    // index vs extended brute truth — the ivf_incr/append contract at 1M
+    val batchN = n / 10
+    val batch = spark.range(n, n + batchN).select(
+      $"id".as("vec_id"),
+      transform(sequence(lit(0), lit(Dim - 1)), j =>
+        sin(hash(pmod($"id", lit(Latent)), j)).cast("double") +
+        sin(hash($"id", j, lit(7))).cast("double") * lit(0.25)).as("v"))
+    val tAppend = timeSec { IvfIndex.append(spark, indexDir, batch) }
+    val extVecs = vecs.unionByName(batch)
+    var truth2: Array[(Long, Long)] = null
+    val tBrute2 = timeSec {
+      val cand = extVecs.crossJoin(broadcast(qLocal))
+        .filter($"vec_id" =!= $"query_id")
+        .select($"query_id", $"vec_id".as("neighbor_id"),
+                Expressions.cosineSim($"qv", $"v").as("sim"))
+      truth2 = Similarity.rankWithin(cand, K)
+        .select($"query_id", $"neighbor_id").as[(Long, Long)].collect()
+    }
+    val truth2Set = truth2.toSet
+    var got2: Array[(Long, Long)] = null
+    val tQ2 = timeSec {
+      got2 = IvfIndex.query(spark, indexDir, qLocal, k = K, nProbe = 8)
+        .select($"query_id", $"neighbor_id").as[(Long, Long)].collect()
+    }
+    val recall2 = got2.count(truth2Set.contains).toDouble / truth2.length
+    println(f"\n| append $batchN (frozen quantizer) | query after append (nProbe=8) | recall@$K vs extended brute ($tBrute2%.1fs) |")
+    println("|---|---|---|")
+    println(f"| ${tAppend}%.1fs | $tQ2%.1fs | $recall2%.3f |")
     spark.stop()
   }
 }
