@@ -69,4 +69,41 @@ class PlanAuditSpec extends AnyFunSuite {
     }
     assert(offenders.isEmpty, s"single-partition funnels:\n${offenders.mkString("\n")}")
   }
+
+  /** Round-8 payload discipline: LSH candidate-generation shuffles must
+    * move keys, not payloads — the band/bucket exchange carrying each
+    * side's signature or embedding was ~48 GB of shuffle at the 10M-doc
+    * DedupScale run. This pins it mechanically: every exchange whose
+    * partitioning keys include the candidate bucket must NOT output the
+    * wide column (sig / v). */
+  private def shuffles(plan: SparkPlan): Seq[ShuffleExchangeExec] = {
+    val unwrapped = plan match {
+      case a: AdaptiveSparkPlanExec => a.initialPlan
+      case p => p
+    }
+    unwrapped.collect { case e: ShuffleExchangeExec => e }
+  }
+
+  test("LSH candidate shuffles carry no signature/vector payload") {
+    import graft.operators.Dedup
+    // at oracle SF the band join broadcasts its (small) build side and no
+    // shuffle exists; disable broadcast to plan the shape a corpus-scale
+    // run takes — sort-merge with both sides exchanged on the bucket key
+    val big = spark.newSession()
+    big.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val cases: Seq[(String, org.apache.spark.sql.DataFrame, String, String)] = Seq(
+      ("minhashPairs", Dedup.minhashPairs(big, sf), "band", "sig"),
+      ("embeddingPairs", Dedup.embeddingPairs(big, sf), "bucket", "v"))
+    cases.foreach { case (name, df, keyCol, payloadCol) =>
+      val candidateShuffles = shuffles(df.queryExecution.executedPlan)
+        .filter(_.outputPartitioning.toString.contains(keyCol))
+      assert(candidateShuffles.nonEmpty,
+        s"$name: no $keyCol-keyed exchange found — detector looking at the wrong plan")
+      candidateShuffles.foreach { e =>
+        assert(!e.output.exists(_.name == payloadCol),
+          s"$name: the $keyCol-keyed candidate exchange carries '$payloadCol' — " +
+          s"payload through the candidate shuffle:\n$e")
+      }
+    }
+  }
 }
