@@ -478,7 +478,32 @@ object Events {
       .orderBy($"event_type")
   }
 
+  /** Exact moving LOWER-median of event value (integer cents) over each
+    * type's trailing `frame`-event window — an order-statistic window no
+    * Spark built-in covers (`percentile_approx` is a sketch and `median`
+    * is not a window function). The frame is BOUNDED (7 rows), so
+    * materializing it per row is constant work: `collect_list` over the
+    * ROWS frame → `sort_array` → middle element; nothing unbounded ever
+    * exists, and the window partitions by event_type (per-partition
+    * state = frame size, no funnel). Lower median = element (n+1) div 2
+    * of the sorted frame — exact and identical on both engines (no
+    * interpolation). */
+  def movingMedian(s: SparkSession, d: String, frame: Int = 7): DataFrame = {
+    import s.implicits._
+    val e = events(s, d).select($"event_id", $"event_type",
+      unix_millis($"ts").as("ms"), Money.cents($"value").as("cents"))
+    val w = Window.partitionBy($"event_type").orderBy($"ms", $"event_id")
+      .rowsBetween(-(frame - 1), Window.currentRow)
+    e.withColumn("arr", sort_array(collect_list($"cents").over(w)))
+      .select($"event_type", $"event_id", $"cents",
+        element_at($"arr", expr("CAST((size(arr) + 1) div 2 AS INT)"))
+          .as("med_cents"),
+        size($"arr").cast("long").as("n_frame"))
+      .orderBy($"event_type", $"event_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "nd_events_moving_median" -> ((s: SparkSession, d: String) => movingMedian(s, d)),
     "nd_events_funnel" -> funnel _,
     "nd_events_retention" -> retention _,
     "nd_events_rolling" -> rollingActive _,
@@ -492,6 +517,19 @@ object Events {
     "nd_events_anomaly" -> anomalies _)
 
   def oracle: Map[String, String] = Map(
+    "nd_events_moving_median" ->
+      """WITH e AS (SELECT event_id, event_type, epoch_ms(ts) AS ms,
+                           CAST(round(value * 100) AS BIGINT) AS cents
+                    FROM events),
+         w AS (SELECT event_type, event_id, cents,
+                      list_sort(list(cents) OVER (PARTITION BY event_type
+                        ORDER BY ms, event_id
+                        ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS arr
+               FROM e)
+         SELECT event_type, event_id, cents,
+                CAST(arr[(len(arr) + 1) // 2] AS BIGINT) AS med_cents,
+                CAST(len(arr) AS BIGINT) AS n_frame
+         FROM w ORDER BY event_type, event_id""",
     // the same distinct-activity fan-out formulation — never a windowed
     // distinct — with HUGEINT-widened stickiness
     "nd_events_rolling" ->

@@ -17,6 +17,29 @@ class EventsSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val sf = "/root/testdata/sf0.001"
 
+  test("moving median equals a driver-side sliding replay; frame saturates at 7") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rows = Tables.events(spark, sf)
+      .select($"event_id", $"event_type", unix_millis($"ts").as("ms"),
+        graft.operators.Money.cents($"value").as("cents"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val expected = rows.groupBy(_._2).toSeq.flatMap { case (tpe, es) =>
+      val ordered = es.sortBy(e => (e._3, e._1))
+      ordered.zipWithIndex.map { case ((id, _, _, cents), i) =>
+        val frame = ordered.slice(math.max(0, i - 6), i + 1).map(_._4).sorted
+        (tpe, id, cents, frame((frame.length + 1) / 2 - 1), frame.length.toLong)
+      }
+    }.sortBy(e => (e._1, e._2))
+    val got = Events.movingMedian(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                 r.getLong(4))).toSeq
+    assert(got == expected,
+      s"moving median mismatch:\n got=${got.take(3)}\n exp=${expected.take(3)}")
+    // warm-up frames grow 1..7 then saturate
+    assert(got.map(_._5).max == 7L && got.map(_._5).min == 1L)
+  }
+
   private def eventCount: Long =
     Tables.events(spark, sf).count()
 
