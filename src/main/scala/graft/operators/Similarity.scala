@@ -998,14 +998,23 @@ object Similarity {
     val pref2 = ordered.select($"p_partkey", $"ws",
       slice($"ws", lit(1), least(L, L - kSelf + 2)).as("p2"))
     // ordered 2-subsets of the prefix with y's 1-based position (jy);
-    // singleton sets emit the degenerate (x, x) at position 1
+    // singleton sets emit the degenerate (x, x) at position 1.
+    // The signature frame carries NO word-set payload — only the three
+    // small ints the join gates need (la, jy) plus the class key. The
+    // round-8 DedupScale run measured what dragging a per-row array
+    // through both sides of a candidate shuffle costs (~48 GB / 2.3×
+    // wall at 10M docs for MinHash); the same discipline applies here:
+    // candidates move keys, `ws` re-joins by class key only for the
+    // candidate-sized verification step. PlanAuditSpec's payload gate
+    // pins this mechanically (broadcast disabled).
     val sigs = pref2
-      .select($"p_partkey", $"ws", $"p2", posexplode($"p2").as(Seq("i", "x")))
-      .select($"p_partkey", size($"ws").as("la"), $"ws", $"x", $"i",
+      .select($"p_partkey", size($"ws").as("la"), $"p2",
+        posexplode($"p2").as(Seq("i", "x")))
+      .select($"p_partkey", $"la", $"x", $"i",
         posexplode(when(size($"p2") === 1, array($"x"))
           .otherwise(slice($"p2", $"i" + 2, size($"p2")))).as(Seq("dj", "y")))
-      .select($"p_partkey", $"la", $"ws", $"x", $"y",
-        when(size($"ws") === 1, lit(1))
+      .select($"p_partkey", $"la", $"x", $"y",
+        when($"la" === 1, lit(1))
           .otherwise($"i" + 2 + $"dj").as("jy"))
     // join gates, all integer-exact and loss-free for qualifying pairs:
     //  - length: Jaccard ≥ t ⇒ num·max(La,Lb) ≤ den·min(La,Lb);
@@ -1021,10 +1030,11 @@ object Similarity {
           lit(2) + least(col("a.la") - col("a.jy"), col("b.la") - col("b.jy")) >=
             floor(((col("a.la") + col("b.la")) * simNum + lit(simNum + simDen - 1))
               .cast("long") / lit(simNum + simDen)).cast("int"))
-      .select(col("a.p_partkey").as("pa"), col("b.p_partkey").as("pb"),
-              col("a.ws").as("wa"), col("b.ws").as("wb"))
+      .select(col("a.p_partkey").as("pa"), col("b.p_partkey").as("pb"))
       .dropDuplicates("pa", "pb")
     val verified = cand
+      .join(ordered.select($"p_partkey".as("pa"), $"ws".as("wa")), "pa")
+      .join(ordered.select($"p_partkey".as("pb"), $"ws".as("wb")), "pb")
       .withColumn("i", size(array_intersect($"wa", $"wb")).cast("long"))
       .withColumn("u", (size($"wa") + size($"wb")).cast("long") - $"i")
       .filter($"i" * lit(simDen.toLong) >= $"u" * lit(simNum.toLong))

@@ -84,8 +84,18 @@ class PlanAuditSpec extends AnyFunSuite {
     unwrapped.collect { case e: ShuffleExchangeExec => e }
   }
 
-  test("LSH candidate shuffles carry no signature/vector payload") {
-    import graft.operators.Dedup
+  /** True iff the exchange hash-partitions on an attribute named exactly
+    * `keyCol` (substring matching is unsafe for one-letter keys like the
+    * setsim signature's `x`/`y`). */
+  private def partitionsOn(e: ShuffleExchangeExec, keyCol: String): Boolean =
+    e.outputPartitioning match {
+      case h: org.apache.spark.sql.catalyst.plans.physical.HashPartitioning =>
+        h.expressions.exists(_.references.exists(_.name == keyCol))
+      case _ => false
+    }
+
+  test("candidate-generation shuffles carry no signature/vector/set payload") {
+    import graft.operators.{Dedup, Similarity}
     // at oracle SF the band join broadcasts its (small) build side and no
     // shuffle exists; disable broadcast to plan the shape a corpus-scale
     // run takes — sort-merge with both sides exchanged on the bucket key
@@ -93,10 +103,13 @@ class PlanAuditSpec extends AnyFunSuite {
     big.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     val cases: Seq[(String, org.apache.spark.sql.DataFrame, String, String)] = Seq(
       ("minhashPairs", Dedup.minhashPairs(big, sf), "band", "sig"),
-      ("embeddingPairs", Dedup.embeddingPairs(big, sf), "bucket", "v"))
+      ("embeddingPairs", Dedup.embeddingPairs(big, sf), "bucket", "v"),
+      // round-9: the AllPairs/PPJoin signature self-join joins on (x, y)
+      // and must not drag the full token array `ws` through the exchange
+      ("setSimJoin", Similarity.setSimJoin(big, sf), "x", "ws"))
     cases.foreach { case (name, df, keyCol, payloadCol) =>
       val candidateShuffles = shuffles(df.queryExecution.executedPlan)
-        .filter(_.outputPartitioning.toString.contains(keyCol))
+        .filter(partitionsOn(_, keyCol))
       assert(candidateShuffles.nonEmpty,
         s"$name: no $keyCol-keyed exchange found — detector looking at the wrong plan")
       candidateShuffles.foreach { e =>
