@@ -735,18 +735,24 @@ object EthQueries {
     * addresses with 1e10-transfer hubs, Σ i·cᵢ reaches ~1e28 — past long
     * range, within 38 digits.
     *
-    * Scale shape: one (token, addr) count shuffle, then a per-token
-    * window over the ALREADY-AGGREGATED node-scale frame (token count is
-    * bounded by the token universe, and rank state is per-token — no
-    * single-partition funnel; PlanAuditSpec's gate is unaffected), and a
-    * final per-token aggregate. */
+    * Scale shape: one (token, addr) count shuffle, then the ascending
+    * rank `i` via [[graft.plans.ScalableNtile.groupedRank]] — the
+    * round-8 review flagged the per-token `row_number` window here: its
+    * partition is a token's ENTIRE holder set, node-scale for a hub
+    * token even though the frame is already aggregated. groupedRank
+    * range-partitions the composite (token, c, addr) key instead, so a
+    * hub token's holders rank across many tasks (bit-identical — the
+    * key is a total order; EthAnalyticsSpec proves equality with the
+    * window form). The counts frame persists for groupedRank's
+    * boundary-sample + rank passes and detaches after materialization. */
   def q23Gini(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val c = eth(s, "erc20")
       .groupBy($"erc20_token".as("token"), $"erc20_from".as("addr"))
       .agg(count(lit(1)).as("c"))
-    val w = Window.partitionBy($"token").orderBy($"c", $"addr")
-    c.withColumn("i", row_number().over(w).cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = graft.plans.ScalableNtile.groupedRank(
+        c, Seq("token"), Seq($"c", $"addr"), "i")
       .groupBy($"token")
       .agg(count(lit(1)).as("n_senders"),
            sum($"c").as("s"),
@@ -759,6 +765,7 @@ object EthQueries {
         expr("CAST(ssq * 1000000 div (CAST(s AS DECIMAL(38,0)) * s) AS BIGINT)").as("hhi_micro"),
         expr("CAST(CAST(cmax AS DECIMAL(38,0)) * 1000000 div s AS BIGINT)").as("top_share_micro"))
       .orderBy($"token")
+    graft.plans.Caching.detach(out, () => { c.unpersist(blocking = false); () })
   }
 
   /** Q24: nonce-sequence audit over the transaction table — the

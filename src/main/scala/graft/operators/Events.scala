@@ -502,8 +502,64 @@ object Events {
       .orderBy($"event_type", $"event_id")
   }
 
+  /** [[movingMedian]]'s SCALE path — bit-identical output without the
+    * one-partition-per-type window. The literal form's partition is every
+    * event of a type: with a handful of types at 100× scale one task
+    * sorts billions of rows, a hot-partition funnel the ROWS-frame bound
+    * does nothing about (the frame bounds per-row STATE, not partition
+    * size). The cure is the [[graft.plans.ScalableNtile.runningTotal]]
+    * discipline applied to a trailing ROWS frame:
+    *
+    *  1. exact per-type rank `r` via [[graft.plans.ScalableNtile.groupedRank]]
+    *     (range-partitioned composite key, no per-type funnel);
+    *  2. chunk `c = (r−1) div C` — each (type, chunk) holds ≤ C rows;
+    *  3. rows in a chunk's last `frame−1` ranks REPLICATE into the next
+    *     chunk (`own = false`), so every owner row's full trailing frame
+    *     is present in its own (type, chunk) partition: for owner rank r
+    *     in chunk k>0, the needed ranks r−frame+1…r−1 ≥ kC−(frame−2) are
+    *     exactly the replicated tail (requires C ≥ frame);
+    *  4. the same sorted-frame read-off as the literal window, partitioned
+    *     by (type, chunk), replicas dropped after serving as context.
+    *
+    * Parallelism is types × ceil(rows/C) instead of |types|; replication
+    * overhead is (frame−1)/C per chunk — at the default C this is <0.1%.
+    * EventsSpec proves bit-equality with the literal window; the chunk
+    * size is deliberately small enough that the oracle corpus itself
+    * exercises multi-chunk stitching. */
+  def movingMedianChunked(s: SparkSession, d: String, frame: Int = 7,
+      chunkRows: Int = 2048): DataFrame = {
+    import s.implicits._
+    require(chunkRows >= frame, "chunk must cover a full frame")
+    val e = events(s, d).select($"event_id", $"event_type",
+      unix_millis($"ts").as("ms"), Money.cents($"value").as("cents"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ranked = graft.plans.ScalableNtile.groupedRank(
+      e, Seq("event_type"), Seq($"ms", $"event_id"), "r")
+    // integer `div`, never float division — exact at any rank magnitude
+    val owners = ranked
+      .withColumn("chunk", expr(s"(r - 1) div ${chunkRows}L"))
+      .withColumn("own", lit(true))
+    val replicas = ranked
+      .filter(expr(s"(r - 1) % ${chunkRows}L >= ${chunkRows - (frame - 1)}L"))
+      .withColumn("chunk", expr(s"((r - 1) div ${chunkRows}L) + 1L"))
+      .withColumn("own", lit(false))
+    val w = Window.partitionBy($"event_type", $"chunk").orderBy($"r")
+      .rowsBetween(-(frame - 1), Window.currentRow)
+    val out = owners.unionByName(replicas)
+      .withColumn("arr", sort_array(collect_list($"cents").over(w)))
+      .filter($"own")
+      .select($"event_type", $"event_id", $"cents",
+        element_at($"arr", expr("CAST((size(arr) + 1) div 2 AS INT)"))
+          .as("med_cents"),
+        size($"arr").cast("long").as("n_frame"))
+      .orderBy($"event_type", $"event_id")
+    graft.plans.Caching.detach(out, () => { e.unpersist(blocking = false); () })
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "nd_events_moving_median" -> ((s: SparkSession, d: String) => movingMedian(s, d)),
+    "nd_events_moving_median_scalable" ->
+      ((s: SparkSession, d: String) => movingMedianChunked(s, d)),
     "nd_events_funnel" -> funnel _,
     "nd_events_retention" -> retention _,
     "nd_events_rolling" -> rollingActive _,
@@ -518,6 +574,21 @@ object Events {
 
   def oracle: Map[String, String] = Map(
     "nd_events_moving_median" ->
+      """WITH e AS (SELECT event_id, event_type, epoch_ms(ts) AS ms,
+                           CAST(round(value * 100) AS BIGINT) AS cents
+                    FROM events),
+         w AS (SELECT event_type, event_id, cents,
+                      list_sort(list(cents) OVER (PARTITION BY event_type
+                        ORDER BY ms, event_id
+                        ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS arr
+               FROM e)
+         SELECT event_type, event_id, cents,
+                CAST(arr[(len(arr) + 1) // 2] AS BIGINT) AS med_cents,
+                CAST(len(arr) AS BIGINT) AS n_frame
+         FROM w ORDER BY event_type, event_id""",
+    // the chunked scale path answers the SAME question — one oracle text,
+    // two plans (the q05/q35 ntile pattern)
+    "nd_events_moving_median_scalable" ->
       """WITH e AS (SELECT event_id, event_type, epoch_ms(ts) AS ms,
                            CAST(round(value * 100) AS BIGINT) AS cents
                     FROM events),

@@ -607,24 +607,29 @@ object Pipeline {
     * proportionally. Exactness: the key is `floor(r·1e12 / w)` with the
     * product DECIMAL-widened (r alone can pass 9e6 docs per source,
     * where a long product wraps), ties broken (source, doc_id) — a pure
-    * integer definition both engines compute identically. Shape: one
-    * per-source rank window (hash-partitioned by source), a broadcast
-    * size join, and [[graft.plans.ScalableNtile.globalRank]] for the
-    * global position — no single-partition sort anywhere. */
+    * integer definition both engines compute identically. Shape: the
+    * per-source rank runs through
+    * [[graft.plans.ScalableNtile.groupedRank]] (the round-9 hot-key
+    * audit flagged the original PARTITION BY source window: source
+    * cardinality is a handful, so one task sorted an entire source), a
+    * broadcast size join, and [[graft.plans.ScalableNtile.globalRank]]
+    * for the global position — no single-partition sort and no
+    * one-task-per-source window anywhere. */
   def interleave(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val docs = documents(s, d).select($"doc_id", $"source")
     val sizes = docs.groupBy($"source").agg(count(lit(1)).as("w"))
-    val ranked = docs
-      .withColumn("r", row_number()
-        .over(Window.partitionBy($"source").orderBy($"doc_id")).cast("long"))
+    val ranked = graft.plans.ScalableNtile
+      .groupedRank(docs, Seq("source"), Seq($"doc_id"), "r")
       .join(broadcast(sizes), "source")
       .withColumn("vkey",
         expr("CAST(CAST(r AS DECIMAL(38,0)) * 1000000000000 div w AS BIGINT)"))
-    graft.plans.ScalableNtile
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = graft.plans.ScalableNtile
       .globalRank(ranked, Seq($"vkey", $"source", $"doc_id"), "pos", "n")
       .select($"pos", $"doc_id", $"source", $"vkey")
       .orderBy($"pos")
+    graft.plans.Caching.detach(out, () => { ranked.unpersist(blocking = false); () })
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -124,6 +124,46 @@ object ScalableNtile {
       .withColumnRenamed("__grank", rankCol)
       .withColumnRenamed("__total", totalCol)
 
+  /** PER-GROUP exact 1-based rank — `row_number() OVER (PARTITION BY
+    * group ORDER BY order)` without one-partition-per-group: a window
+    * partitioned by a bounded- or skewed-cardinality key sorts every row
+    * of a hub group in ONE task (a token with 1e9 holders, an event type
+    * with 1e10 rows), which no ROWS-frame bound fixes. Decomposition is
+    * [[globalRank]]'s, applied to the composite (group ++ order) key:
+    *
+    *  1. boundaries are sampled over the COMPOSITE key, so the range id
+    *     `__pid` is group-major — within a group, `pid` is monotone in
+    *     `order`, and one group spans as many ranges as its share of the
+    *     data (a hub group gets many ranges = many tasks);
+    *  2. per-(group, __pid) counts — at most groups + P rows (each group
+    *     adds its range-span count, spans overlap only at boundaries) —
+    *     turn into per-group exclusive prefix sums via a window over the
+    *     AGGREGATE (state-scale, the PlanAudit-sanctioned shape);
+    *  3. rank = per-(group, range) `row_number` + broadcast offset.
+    *
+    * Bit-identical to the window form when (order) is a total order
+    * within each group. `group` are column NAMES of `df` (they key the
+    * offset join-back); `order` are expressions. */
+  def groupedRank(df: DataFrame, group: Seq[String], order: Seq[Column],
+      rankCol: String, partitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val gCols = group.map(col)
+    val withPid = withRangeId(df, gCols ++ order, partitions)
+    val wMeta = Window.partitionBy(gCols: _*).orderBy($"__pid")
+    val offsets = withPid.groupBy(gCols :+ $"__pid": _*)
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("__offset",
+        coalesce(sum($"__cnt").over(wMeta.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(gCols :+ $"__pid" :+ $"__offset": _*)
+    val wRank = Window.partitionBy(gCols :+ $"__pid": _*).orderBy(order: _*)
+    withPid
+      .withColumn("__rn", row_number().over(wRank).cast("long"))
+      .join(broadcast(offsets), group :+ "__pid")
+      .withColumn(rankCol, $"__offset" + $"__rn")
+      .drop("__pid", "__rn", "__offset")
+  }
+
   /** The input with an extra long column = the INCLUSIVE global running
     * total of `value` in `order` — `sum(value) OVER (ORDER BY order ROWS
     * UNBOUNDED PRECEDING)` without the single-partition funnel that window

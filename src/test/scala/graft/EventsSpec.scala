@@ -40,6 +40,19 @@ class EventsSpec extends AnyFunSuite {
     assert(got.map(_._5).max == 7L && got.map(_._5).min == 1L)
   }
 
+  test("chunked moving median is bit-identical to the literal window across chunk boundaries") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    val literal = Events.movingMedian(spark, sf).collect().map(key).toSeq
+    // minimum legal chunk (= frame, every frame straddles boundaries),
+    // a mid chunk forcing multi-chunk stitching at this corpus, and a
+    // chunk larger than the corpus (single chunk, pure-overlap path off)
+    for (c <- Seq(7, 64, 1 << 20)) {
+      val got = Events.movingMedianChunked(spark, sf, 7, c).collect().map(key).toSeq
+      assert(got == literal, s"chunked (chunkRows=$c) diverges from literal window")
+    }
+  }
+
   private def eventCount: Long =
     Tables.events(spark, sf).count()
 

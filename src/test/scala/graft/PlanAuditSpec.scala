@@ -52,6 +52,61 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  /** Round-9 detector: a `Window` over RAW ROWS whose partition keys are
+    * all drawn from known bounded-cardinality columns caps parallelism at
+    * |key values| and sorts one key's entire timeline in one task — the
+    * hot-partition shape `Exchange SinglePartition` checks cannot see
+    * (the round-8 moving-median finding existed for a full round with the
+    * funnel gate green). An aggregate anywhere below the window shrinks
+    * the partition to state scale, so those pass; a high-cardinality
+    * column among the keys restores parallelism, so those pass too. */
+  private val boundedCardinalityCols =
+    Set("event_type", "source", "lang", "label", "token", "erc20_token")
+
+  private def hotKeyWindows(plan: SparkPlan): Seq[String] = {
+    val unwrapped = plan match {
+      case a: AdaptiveSparkPlanExec => a.initialPlan
+      case p => p
+    }
+    unwrapped.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.nonEmpty &&
+             w.partitionSpec.forall(_.references.forall(a =>
+               boundedCardinalityCols.contains(a.name))) &&
+             !w.children.exists(_.collectFirst {
+               case agg: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => agg
+             }.isDefined) =>
+        s"Window over raw rows keyed only by bounded-cardinality " +
+          s"columns: ${w.simpleStringWithNodeId()}"
+    }
+  }
+
+  /** Literal trailing-window form kept for oracle parity; scale twin:
+    * nd_events_moving_median_scalable (chunked, bit-identical). */
+  private val allowedHotKeyWindows = Set("nd_events_moving_median")
+
+  test("detector positive control: the literal moving-median window IS a hot-key window") {
+    val mm = SparkEntry.queries("nd_events_moving_median")(spark, sf)
+    assert(hotKeyWindows(mm.queryExecution.executedPlan).nonEmpty,
+      "the audit failed to flag the known per-event_type raw-row window — detector broken")
+    // and the chunked scale twin passes: its keys include the chunk id
+    val mmc = SparkEntry.queries("nd_events_moving_median_scalable")(spark, sf)
+    assert(hotKeyWindows(mmc.queryExecution.executedPlan).isEmpty,
+      "the chunked scale path must not trip the hot-key detector")
+  }
+
+  test("no raw-row Window keyed only by bounded-cardinality columns in any registry query") {
+    val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      if (!allowedHotKeyWindows.contains(name)) {
+        val df = fn(spark, sf)
+        val bad = hotKeyWindows(df.queryExecution.executedPlan)
+        if (bad.nonEmpty) offenders += s"$name -> ${bad.mkString("; ")}"
+      }
+    }
+    assert(offenders.isEmpty, s"hot-key windows over raw rows:\n${offenders.mkString("\n")}")
+  }
+
   test("detector positive control: the literal global-ntile window IS a funnel") {
     val q05 = SparkEntry.queries("q05_ntile_buckets")(spark, sf)
     assert(funnels(q05.queryExecution.executedPlan).nonEmpty,

@@ -114,6 +114,43 @@ class PlanSpec extends AnyFunSuite {
     assert((1L to 100L).forall(i => single(i) == i * (i + 1) / 2))
   }
 
+  test("grouped rank matches the per-group window form and never funnels a hub group") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{row_number, when}
+    // skewed groups: g=0 holds ~90% of rows — the hub-key shape that makes
+    // a PARTITION BY g window sort one group in one task
+    val orders = graft.Tables.orders(spark, sf)
+      .select($"o_orderkey", when($"o_custkey" % 10 < 9, 0L).otherwise($"o_custkey" % 10).as("g"),
+        $"o_totalprice")
+    val got = graft.plans.ScalableNtile.groupedRank(
+      orders, Seq("g"), Seq($"o_totalprice", $"o_orderkey"), "r")
+    // the data-scale row_number window must be keyed by (g, __pid), so a
+    // hub group spans as many tasks as its share of the ranges
+    val plan = executed(got)
+    val dataWindow = plan.linesIterator.find(_.contains("row_number()"))
+    assert(dataWindow.exists(l => l.contains("__pid") && l.contains("g#")),
+      s"row_number not per-(group, range):\n$plan")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"g").orderBy($"o_totalprice", $"o_orderkey")
+    val expected = orders.select($"o_orderkey",
+      row_number().over(w).cast("long").as("r"))
+    val a = got.select($"o_orderkey", $"r")
+    assert(a.except(expected).isEmpty && expected.except(a).isEmpty)
+    // edge cases: empty input; single row; forced single range
+    assert(graft.plans.ScalableNtile.groupedRank(
+      Seq.empty[(Long, Long)].toDF("g", "x"), Seq("g"), Seq($"x"), "r")
+      .collect().isEmpty)
+    val one = graft.plans.ScalableNtile.groupedRank(
+      Seq((1L, 7L)).toDF("g", "x"), Seq("g"), Seq($"x"), "r").collect()
+    assert(one.length == 1 && one(0).getAs[Long]("r") == 1L)
+    val tiny = Seq((0L, 3L), (0L, 1L), (1L, 5L), (1L, 2L), (1L, 9L)).toDF("g", "x")
+    val single = graft.plans.ScalableNtile.groupedRank(
+        tiny, Seq("g"), Seq($"x"), "r", partitions = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Long]("r")).toMap
+    assert(single == Map((0L, 1L) -> 1L, (0L, 3L) -> 2L,
+      (1L, 2L) -> 1L, (1L, 5L) -> 2L, (1L, 9L) -> 3L))
+  }
+
   test("q03 top-k plans TakeOrderedAndProject, not a global sort") {
     val plan = Relational.q03TopCustomers(spark, sf).queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), s"top-k missing:\n$plan")

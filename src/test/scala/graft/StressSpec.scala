@@ -464,6 +464,21 @@ class StressSpec extends AnyFunSuite {
            sum("first_touch_cents"), sum("last_touch_cents")).head
     assert(attr.getLong(0) == attr.getLong(1), "attribution purchase counts diverge")
     assert(attr.getLong(2) == attr.getLong(3), "attribution revenue diverges between models")
+
+    // chunked moving median: at 30x the per-type timelines are far larger
+    // than the chunk, so the trailing-window parallelism must exceed
+    // |types| — Σ_t ceil(n_t / C) chunk partitions vs a handful of types
+    // (the literal window's parallelism ceiling the scale path removes)
+    val chunkRows = 2048
+    val perType = Tables.events(spark, dir)
+      .groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nTypes = perType.size.toLong
+    val chunkTasks = perType.values.map(n => (n + chunkRows - 1) / chunkRows).sum
+    assert(chunkTasks > 10 * nTypes,
+      s"30x corpus too small to exercise chunking: $chunkTasks tasks for $nTypes types")
+    val mm = Events.movingMedianChunked(spark, dir, 7, chunkRows)
+    assert(mm.count() == nEvents, "chunked moving median drops/duplicates rows")
   }
 
   test("(k) source-overlap family keeps its scale shape at 30x") {
