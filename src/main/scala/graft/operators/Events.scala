@@ -334,7 +334,11 @@ object Events {
     val hist = hist0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val probeN = if (maxExactCells >= Int.MaxValue - 1) Int.MaxValue - 1
                  else maxExactCells.toInt + 1
-    val nCells = hist.take(probeN).length
+    // size probe WITHOUT driver materialization (round-8 review): the
+    // limit caps how much the probe touches, the count aggregates to one
+    // long — a take() here would land up to maxExactCells+1 histogram
+    // rows on the driver, exactly what detachSink exists to prevent
+    val nCells = hist.limit(probeN).count()
     val out = if (nCells <= maxExactCells) readoffDirect(hist)
               else readoffBucketed(hist, maxExactCells)
     graft.plans.Caching.detach(out, () => { hist.unpersist(blocking = false); () })

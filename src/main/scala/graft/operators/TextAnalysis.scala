@@ -293,6 +293,14 @@ object TextAnalysis {
     * partitions by doc_id. D is one collected scalar. Nothing data-scale
     * is collected or globally sorted. */
   def tfidfKeywords(s: SparkSession, d: String, k: Int = 3): DataFrame = {
+    val (out, free) = tfidfKeywordsLazy(s, d, k)
+    graft.plans.Caching.detach(out, free)
+  }
+
+  /** Pre-materialization pipeline + cache release — exposed for plan
+    * inspection and scale measurement; callers use [[tfidfKeywords]]. */
+  private[graft] def tfidfKeywordsLazy(s: SparkSession, d: String,
+      k: Int): (DataFrame, () => Unit) = {
     import s.implicits._
     // tf feeds BOTH the df derivation and the score join — persist it so
     // the corpus tokenizes once (the nbClassify discipline)
@@ -308,13 +316,17 @@ object TextAnalysis {
           .cast("long").as("idf_micro"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"doc_id").orderBy($"score".desc, $"token")
-    val out = tf.join(idf, "token")
+    // the idf table is vocabulary-bounded — broadcast EXPLICITLY: size
+    // estimates scale with the corpus, so at 200× the planner's initial
+    // plan flipped this to a sort-merge join (TextScale caught it), an
+    // extra data-scale exchange of the whole tf frame
+    val out = tf.join(broadcast(idf), "token")
       .select($"doc_id", $"token", $"tf", $"idf_micro",
               ($"tf" * $"idf_micro").as("score"))
       .withColumn("r", row_number().over(w))
       .filter($"r" <= k)
       .orderBy($"doc_id", $"r")
-    graft.plans.Caching.detach(out, () => { tf.unpersist(blocking = false); () })
+    (out, () => { tf.unpersist(blocking = false); () })
   }
 
   /** Full BPE merge-LEARNING loop — the tokenizer-training stage after the
@@ -394,6 +406,15 @@ object TextAnalysis {
     * the explode+join; the tokenizer itself never touches data-scale
     * rows. */
   def bpeApply(s: SparkSession, d: String, nMerges: Int = 8): DataFrame = {
+    val (out, free) = bpeApplyLazy(s, d, nMerges)
+    graft.plans.Caching.detach(out, free)
+  }
+
+  /** Pre-materialization pipeline + cache release (NOTE: construction
+    * itself runs the merge-learning loop — that cost belongs to the
+    * measurement); callers use [[bpeApply]]. */
+  private[graft] def bpeApplyLazy(s: SparkSession, d: String,
+      nMerges: Int): (DataFrame, () => Unit) = {
     import s.implicits._
     val (_, wf, finalToks, free) = bpeState(s, d, nMerges)
     val pieces = wf.select($"word",
@@ -405,7 +426,7 @@ object TextAnalysis {
       .groupBy($"lang")
       .agg(count(lit(1)).as("n_words"), sum($"n_pieces").as("n_tokens"))
       .orderBy($"lang")
-    graft.plans.Caching.detach(out, free)
+    (out, free)
   }
 
   /** Within-document REPETITION signals — the "repeated n-gram fraction"
@@ -755,8 +776,12 @@ object TextAnalysis {
     // the model must cover the FULL vocab x class grid: a token unseen in
     // a class contributes the smoothing floor ln(1/(N_c+V)) — dropping
     // those rows would silently skip the penalty and invert predictions
+    // cnt is model-scale (≤ vocab × classes), the same bounded frame the
+    // scoring join already broadcasts — hint it so the grid fill-in stays
+    // a broadcast join when corpus-scaled size ESTIMATES would flip the
+    // initial plan to a sort-merge join (TextScale caught this at 1M docs)
     val model = vocab.crossJoin(broadcast(nc))
-      .join(cnt, Seq("lang", "token"), "left")
+      .join(broadcast(cnt), Seq("lang", "token"), "left")
       .select($"lang".as("cls"), $"token",
         round(log(((coalesce($"n", lit(0L)) + lit(1L)).cast("double")) /
                   (($"n_c" + lit(vocabV)).cast("double"))) * lit(1000000.0))

@@ -31,7 +31,11 @@ import org.apache.spark.sql.SparkSession
 object MemoryPressure {
 
   /** The registry's heavy hitters: every family with a corpus-scale
-    * shuffle, sort, window, iterative loop, or build side. */
+    * shuffle, sort, window, iterative loop, or build side — plus (round
+    * 9) the stateful STREAMING drains, whose state stores and per-batch
+    * shuffles had no scarcity evidence before: the drained micro-batch
+    * engine must also spill-and-finish, not OOM, when execution memory
+    * is ~24 MB. */
   val heavyQueries: Seq[String] = Seq(
     "nd_dedup_minhash", "nd_dedup_simhash", "nd_dedup_ngram_jaccard",
     "nd_dedup_semantic", "nd_dedup_substring", "nd_dedup_clusters",
@@ -40,7 +44,27 @@ object MemoryPressure {
     "nd_text_pmi", "nd_pipeline_packing", "nd_pipeline_curation",
     "q41_salted_join", "q42_bucketed_join", "q38_kmv_distinct",
     "q21_approx_agg", "eth_q17_pagerank", "eth_q19_components",
-    "eth_q22_taint", "eth_q4_erc20_movement", "nd_events_percentiles")
+    "eth_q22_taint", "eth_q4_erc20_movement", "nd_events_percentiles",
+    "nd_stream_cms", "nd_stream_dedup", "nd_stream_join",
+    "nd_stream_ann", "nd_stream_session", "nd_stream_percentiles")
+
+  /** Drain the async listener bus so per-query spill deltas attribute
+    * deterministically (the round-8 review flagged the fixed sleep: a
+    * loaded bus can deliver a query's task-end events after the
+    * snapshot). `SparkContext.listenerBus` and `waitUntilEmpty` are
+    * `private[spark]` in Scala but public in bytecode (Spark's own test
+    * suites call them the same way); falls back to the old sleep if the
+    * reflective path ever breaks. */
+  private def drainListenerBus(spark: SparkSession): Unit =
+    try {
+      val bus = classOf[org.apache.spark.SparkContext]
+        .getMethod("listenerBus").invoke(spark.sparkContext)
+      bus.getClass.getMethod("waitUntilEmpty", classOf[Long])
+        .invoke(bus, java.lang.Long.valueOf(10000L))
+      ()
+    } catch {
+      case _: Throwable => Thread.sleep(300)
+    }
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse(
@@ -89,12 +113,12 @@ object MemoryPressure {
           failures += 1; false
       }
       val dt = (System.nanoTime() - t0) / 1e9
-      Thread.sleep(300) // let the listener bus drain before snapshotting
+      drainListenerBus(spark) // deterministic: task-end events attributed to THIS query
       val (dm, dd) = (memSpilled.get() - m0, diskSpilled.get() - d0)
       System.err.println(f"[mem] $name%-26s ${dt}%7.2fs  spill mem=${dm / 1048576}%5dMB disk=${dd / 1048576}%5dMB ${if (ok) "" else "FAILED"}")
       s"""{"query":"$name","sec":$dt,"mem_spilled_mb":${dm / 1048576},"disk_spilled_mb":${dd / 1048576},"ok":$ok}"""
     }
-    Thread.sleep(1000)
+    drainListenerBus(spark)
     val summary = s"""{"metric":"memory_pressure","queries":${rows.length},""" +
       s""""failures":$failures,"mem_spilled_mb":${memSpilled.get() / 1048576},""" +
       s""""disk_spilled_mb":${diskSpilled.get() / 1048576},"sf":"$sfDir"}"""

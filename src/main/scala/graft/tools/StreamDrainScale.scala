@@ -10,10 +10,15 @@ import org.apache.spark.sql.streaming.Trigger
   * starts from genesis (the reference connector has no streaming at all;
   * its answer to catch-up is a full batch re-read per query).
   *
-  * Row-count integrity is asserted from the query progress (sum of
-  * numInputRows must equal the chain length minus the lag window) — the
-  * same offsets-are-gap-free contract the StreamingSpec soak pins, here
-  * at 3 orders of magnitude more blocks.
+  * Row-count integrity is asserted from a `StreamingQueryListener` that
+  * accumulates `numInputRows` across EVERY progress event (the round-8
+  * review caught the first draft summing `recentProgress`, which retains
+  * only the last `numRecentProgressUpdates` (default 100) entries — a
+  * smaller batch size or longer chain silently undercounted). The total
+  * must equal the chain length — the same offsets-are-gap-free contract
+  * the StreamingSpec soak pins, here at 3 orders of magnitude more
+  * blocks — and a drain that times out is reported as a timeout, not as
+  * a row mismatch.
   *
   * One-off measurement main; results recorded in COVERAGE.md per round.
   */
@@ -35,6 +40,23 @@ object StreamDrainScale {
     graft.sources.eth.EthFixtures.ensureChainOnly(dir, blocks)
     val ckpt = java.nio.file.Files.createTempDirectory("graft-drain-ckpt").toString
 
+    // every progress event, not the bounded recentProgress ring buffer
+    val totalRows = new java.util.concurrent.atomic.AtomicLong(0)
+    val totalBatches = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      override def onQueryStarted(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = {
+        totalRows.addAndGet(e.progress.numInputRows)
+        if (e.progress.numInputRows > 0) totalBatches.incrementAndGet()
+        ()
+      }
+      override def onQueryTerminated(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    }
+    spark.streams.addListener(listener)
+
     val t0 = System.nanoTime()
     val q = spark.readStream.format("ethereum")
       .option("table", "block").option("chain", dir)
@@ -45,12 +67,18 @@ object StreamDrainScale {
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination(600000)
+    val finished = q.awaitTermination(600000)
+    assert(finished, s"drain TIMED OUT after 600s — not a row-integrity failure")
     val wall = (System.nanoTime() - t0) / 1e9
-    val progress = q.recentProgress
-    val rows = progress.map(_.numInputRows).sum
-    val batches = progress.count(_.numInputRows > 0)
     q.stop()
+    // progress events ride the async listener bus; wait (bounded) for the
+    // final batch's event before reading the totals
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    while (totalRows.get() != blocks && System.nanoTime() < deadline)
+      Thread.sleep(100)
+    spark.streams.removeListener(listener)
+    val rows = totalRows.get()
+    val batches = totalBatches.get()
 
     println(s"\n| chain | drained rows | batches (x$batchSize) | wall | blocks/s |")
     println("|---|---|---|---|---|")

@@ -7,12 +7,19 @@ import graft.functions.Web3Functions
 import graft.sources.eth._
 
 object TestSpark {
-  lazy val spark: SparkSession = {
+  /** The SHARED suite session runs local[32] with the default single task
+    * attempt, so any unexpected task failure fails its suite LOUDLY — a
+    * retry-capable shared master would silently paper over flaky or
+    * nondeterministic tasks in every suite (round-8 review). Only
+    * [[withRetryingScheduler]] (used by FaultInjectionSpec) swaps in a
+    * `local[32,4]` context, and restores single-attempt afterwards.
+    * Suites run sequentially in the one forked test JVM (sbt
+    * `testForkedParallel` default), so the swap never races a peer. */
+  @volatile private var current: SparkSession = _
+
+  private def build(master: String): SparkSession = {
     val s = SparkSession.builder()
-      // local[N, maxFailures]: task retries ON, like any real cluster —
-      // the fault-injection specs (FaultInjectionSpec) need a scheduler
-      // that retries a failed task instead of failing the job
-      .master("local[32,4]")
+      .master(master)
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")
@@ -21,6 +28,30 @@ object TestSpark {
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
+  }
+
+  def spark: SparkSession = synchronized {
+    if (current == null || current.sparkContext.isStopped)
+      current = build("local[32]")
+    current
+  }
+
+  /** Run `f` against a task-retry-capable context (`local[32,4]`), then
+    * tear it down so the next [[spark]] access rebuilds the strict
+    * single-attempt shared context. */
+  def withRetryingScheduler[T](f: SparkSession => T): T = synchronized {
+    if (current != null && !current.sparkContext.isStopped) current.stop()
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = build("local[32,4]")
+    current = s
+    try f(s)
+    finally {
+      s.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      current = null
+    }
   }
 }
 

@@ -35,10 +35,17 @@ object StreamFault {
   * nothing.
   */
 class FaultInjectionSpec extends AnyFunSuite {
-  private lazy val spark = TestSpark.spark
   private val sf = "/root/testdata/sf0.001"
 
-  private def withInjectedFaults(key: String)(body: => Unit): Unit = {
+  /** Each test runs in its OWN retry-capable context
+    * ([[TestSpark.withRetryingScheduler]]) — the shared suite session
+    * stays strict single-attempt so unexpected task failures elsewhere
+    * fail loudly instead of being silently retried (round-8 review). */
+  private def withRetries(body: org.apache.spark.sql.SparkSession => Unit): Unit =
+    TestSpark.withRetryingScheduler(body)
+
+  private def withInjectedFaults(spark: org.apache.spark.sql.SparkSession,
+      key: String)(body: => Unit): Unit = {
     val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
     spark.conf.set("spark.graft.checkpointDir", ckpt)
     spark.conf.set("spark.graft.test.failOnce", key)
@@ -49,10 +56,10 @@ class FaultInjectionSpec extends AnyFunSuite {
     }
   }
 
-  private def recoversIdentically(name: String): Unit = {
+  private def recoversIdentically(name: String): Unit = withRetries { spark =>
     val clean = EthQueries.queries(name)(spark, sf).collect().map(_.toSeq)
     assert(clean.nonEmpty)
-    withInjectedFaults(s"fault-$name") {
+    withInjectedFaults(spark, s"fault-$name") {
       val got = EthQueries.queries(name)(spark, sf).collect().map(_.toSeq)
       assert(FaultInjection.firedCount(s"fault-$name") >= 1,
         "injected fault never fired — the test proved nothing")
@@ -74,7 +81,7 @@ class FaultInjectionSpec extends AnyFunSuite {
     recoversIdentically("eth_q22_taint")
   }
 
-  test("a drained streaming aggregation recovers exactly from an injected task failure") {
+  test("a drained streaming aggregation recovers exactly from an injected task failure") ( withRetries { spark =>
     import spark.implicits._
     def drainWindow(events: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] = {
       val sink = "fault_stream_sink"
@@ -100,5 +107,5 @@ class FaultInjectionSpec extends AnyFunSuite {
       "injected streaming fault never fired — the test proved nothing")
     assert(got == clean,
       s"streaming aggregate diverged after task failure: ${got.take(2)} vs ${clean.take(2)}")
-  }
+  })
 }
