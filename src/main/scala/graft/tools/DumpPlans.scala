@@ -68,7 +68,23 @@ object DumpPlans {
       "eth_q17_pagerank (pre-materialization)" ->
         graft.operators.EthQueries.q17PageRankLazy(spark, sfDir)._1,
       "eth_q18_triangles (pre-materialization)" ->
-        graft.operators.EthQueries.q18TrianglesLazy(spark, sfDir)._1)
+        graft.operators.EthQueries.q18TrianglesLazy(spark, sfDir)._1,
+      // round-9: the grouped rank decomposition (hub groups rank across
+      // many tasks — see the row_number window keyed by (g, __pid)) and
+      // the chunked trailing-window moving median built on it
+      "groupedRank over a skewed hub group (round-9)" ->
+        graft.plans.ScalableNtile.groupedRank(
+          graft.Tables.orders(spark, sfDir)
+            .select($"o_orderkey", (pmod($"o_custkey", lit(10))).as("g"), $"o_totalprice"),
+          Seq("g"), Seq($"o_totalprice", $"o_orderkey"), "r"),
+      "nd_events_moving_median_scalable (pre-materialization shape)" -> {
+        val e = graft.Tables.events(spark, sfDir).select($"event_id", $"event_type",
+          unix_millis($"ts").as("ms"),
+          graft.operators.Money.cents($"value").as("cents"))
+        val ranked = graft.plans.ScalableNtile.groupedRank(
+          e, Seq("event_type"), Seq($"ms", $"event_id"), "r")
+        ranked.withColumn("chunk", expr("(r - 1) div 2048L"))
+      })
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of flagship queries\n\n")
     sb.append(s"Generated by `graft.tools.DumpPlans` on `$sfDir`. Things to see:\n")

@@ -111,6 +111,34 @@ class StressSpec extends AnyFunSuite {
       f"scale path $tScale%.2fs did not beat single-partition window $tWindow%.2fs at 30x")
   }
 
+  test("(a2) groupedRank crossover: beats the per-group window on a hub group at 60x") {
+    import spark.implicits._
+    // the hub-key shape the round-8 review flagged: one group holds ~90%
+    // of 9M rows, so PARTITION BY g sorts ~8.1M rows in ONE task while
+    // groupedRank spreads them across its ranges
+    val orders = Tables.orders(spark, dir)
+      .select($"o_orderkey",
+        when($"o_custkey" % 10 < 9, 0L).otherwise($"o_custkey" % 10).as("g"),
+        $"o_totalprice")
+    def viaWindow = orders.select($"o_orderkey",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy($"g").orderBy($"o_totalprice", $"o_orderkey"))
+        .cast("long").as("r"))
+    def viaScale = graft.plans.ScalableNtile.groupedRank(
+        orders, Seq("g"), Seq($"o_totalprice", $"o_orderkey"), "r")
+      .select($"o_orderkey", $"r")
+    // identical assignment first (aggregate equality — 9M rows never
+    // collect): same rank-weighted checksum and count per group
+    val sig = (df: org.apache.spark.sql.DataFrame) =>
+      df.agg(sum($"r".cast("decimal(38,0)") * $"o_orderkey"), // long would wrap at 9M×8M ranks
+             sum($"r".cast("decimal(38,0)")), count(lit(1))).head.toSeq
+    assert(sig(viaScale) == sig(viaWindow), "groupedRank diverges from the window form at 60x")
+    val tWindow = timeMin(2)(viaWindow.write.format("noop").mode("overwrite").save())
+    val tScale = timeMin(2)(viaScale.write.format("noop").mode("overwrite").save())
+    assert(tScale < tWindow,
+      f"groupedRank $tScale%.2fs did not beat the hub-group window $tWindow%.2fs at 60x")
+  }
+
   test("(b) dedup/ANN bucket occupancy stays a bounded corpus fraction at 30x") {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
