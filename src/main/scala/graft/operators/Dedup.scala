@@ -226,6 +226,78 @@ object Dedup {
     graft.plans.Caching.detach(verified, () => { base.unpersist(blocking = false); () })
   }
 
+  /** ASYMMETRIC shingle-CONTAINMENT near-dup pairs — the subsumption case
+    * every Jaccard-family detector misses by construction: a short doc
+    * quoted whole inside a much longer one has containment
+    * `|A∩B|/|A| = 1` but Jaccard `|A∩B|/|A∪B| ≈ |A|/|B|`, far below any
+    * sane threshold once sizes diverge (a 50-shingle doc inside a
+    * 5000-shingle doc scores J ≈ 0.01 — MinHash/LSH never surfaces it).
+    * Training corpora are full of exactly this: reposts with added
+    * boilerplate, quote-heavy threads, articles embedding press
+    * releases.
+    *
+    * Candidate generation is a DF-CAPPED inverted shingle index: explode
+    * the (already 60-bit-hashed, distinct, sorted) shingle sets, keep
+    * shingles whose document frequency is ≤ `maxDf`, and equi-join on
+    * the shingle hash — the shuffle carries ONLY `(h, doc_id)` keys (the
+    * round-8/9 payload discipline), and per-key fan-out is bounded by
+    * maxDf², so a boilerplate shingle shared by a million docs can never
+    * go quadratic. Verification re-joins the full sorted sets by doc id
+    * for the CANDIDATE pairs only and computes the exact intersection;
+    * the threshold is the pure cross-multiplied integer form
+    * `shared·den ≥ |side|·num` (no float, no floor subtleties — both
+    * engines agree bit-for-bit). Reported micro ratios are integer `div`.
+    *
+    * Documented recall bound: a pair whose EVERY shared shingle exceeds
+    * maxDf is not generated — but such a pair shares only
+    * corpus-boilerplate, which is precisely not evidence of containment
+    * (the same argument as the prefix filter's frequency ordering).
+    * NorthStarSpec plants a subset doc and proves the Jaccard detector
+    * misses it while this finds it with the right direction. */
+  def containmentPairsOf(docsFrame: DataFrame, contNum: Int = 4,
+      contDen: Int = 5, maxDf: Int = 64, minShingles: Int = 5): DataFrame = {
+    val (out, free) = containmentPairsLazy(docsFrame, contNum, contDen, maxDf, minShingles)
+    graft.plans.Caching.detach(out, free)
+  }
+
+  /** Pre-materialization pipeline + cache release — exposed for plan
+    * inspection (PlanAuditSpec's payload gate); callers use
+    * [[containmentPairsOf]]. */
+  private[graft] def containmentPairsLazy(docsFrame: DataFrame, contNum: Int = 4,
+      contDen: Int = 5, maxDf: Int = 64, minShingles: Int = 5): (DataFrame, () => Unit) = {
+    val s = docsFrame.sparkSession
+    import s.implicits._
+    val base = docsFrame
+      .select($"doc_id", shingleHashes($"text").as("sh"))
+      .withColumn("sz", size($"sh").cast("long"))
+      .filter($"sz" >= minShingles)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val inv = base.select($"doc_id", explode($"sh").as("h"))
+    val rare = inv.groupBy($"h").agg(count(lit(1)).as("df"))
+      .filter($"df" <= maxDf).select($"h")
+    val pruned = inv.join(rare, "h")
+    val cand = pruned.as("a").join(pruned.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    val sets = base.select($"doc_id", $"sh", $"sz")
+    val verified = cand
+      .join(sets.select($"doc_id".as("doc_a"), $"sh".as("sh_a"), $"sz".as("sz_a")), "doc_a")
+      .join(sets.select($"doc_id".as("doc_b"), $"sh".as("sh_b"), $"sz".as("sz_b")), "doc_b")
+      .withColumn("shared", size(array_intersect($"sh_a", $"sh_b")).cast("long"))
+      .filter($"shared" * contDen >= $"sz_a" * contNum ||
+              $"shared" * contDen >= $"sz_b" * contNum)
+      .select($"doc_a", $"doc_b", $"shared", $"sz_a", $"sz_b",
+        expr("shared * 1000000 div sz_a").as("cont_a_micro"),
+        expr("shared * 1000000 div sz_b").as("cont_b_micro"))
+      .orderBy($"doc_a", $"doc_b")
+    (verified, () => { base.unpersist(blocking = false); () })
+  }
+
+  /** [[containmentPairsOf]] over the documents table. */
+  def containmentPairs(s: SparkSession, d: String): DataFrame =
+    containmentPairsOf(documents(s, d))
+
   /** Benchmark DECONTAMINATION — the train/eval overlap check every
     * training-data pipeline runs before a corpus ships: find training
     * documents that share word shingles with a held-out evaluation set, so
@@ -722,6 +794,7 @@ object Dedup {
     "nd_dedup_minhash" -> ((s: SparkSession, d: String) => minhashPairs(s, d)),
     "nd_dedup_minhash_incr" -> ((s: SparkSession, d: String) => minhashIncrementalQuery(s, d)),
     "nd_dedup_ngram_jaccard" -> ((s: SparkSession, d: String) => ngramJaccardPairs(s, d)),
+    "nd_dedup_containment" -> containmentPairs _,
     "nd_dedup_simhash" -> ((s: SparkSession, d: String) => simhashPairs(s, d)),
     "nd_dedup_embedding" -> ((s: SparkSession, d: String) => embeddingPairs(s, d)),
     "nd_dedup_embedding_brute" -> embeddingPairsBrute _,
@@ -985,6 +1058,31 @@ object Dedup {
          LEFT JOIN bdup b ON s.doc_id = b.doc_id
          WHERE s.doc_id >= 250
          ORDER BY s.doc_id""",
+    // exact replay of the df-capped inverted-index containment join: same
+    // fold60 shingle hashes, same cap, same cross-multiplied integer
+    // threshold and micro divisions
+    "nd_dedup_containment" ->
+      s"""WITH $shingleCtesSql,
+         sh60 AS (SELECT doc_id, list_distinct(list_transform(shings, s -> ${Sketch.foldSql(15, "s")})) AS sh
+                  FROM shing),
+         szd AS (SELECT doc_id, sh, CAST(len(sh) AS BIGINT) AS sz
+                 FROM sh60 WHERE len(sh) >= 5),
+         inv AS (SELECT doc_id, unnest(sh) AS h FROM szd),
+         rare AS (SELECT h FROM inv GROUP BY h HAVING count(*) <= 64),
+         pr AS (SELECT i.doc_id, i.h FROM inv i JOIN rare USING (h)),
+         cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                  FROM pr a JOIN pr b ON a.h = b.h AND a.doc_id < b.doc_id),
+         v AS (SELECT doc_a, doc_b,
+                      CAST(len(list_intersect(x.sh, y.sh)) AS BIGINT) AS shared,
+                      x.sz AS sz_a, y.sz AS sz_b
+               FROM cand JOIN szd x ON cand.doc_a = x.doc_id
+                         JOIN szd y ON cand.doc_b = y.doc_id)
+         SELECT doc_a, doc_b, shared, sz_a, sz_b,
+                CAST(shared * 1000000 // sz_a AS BIGINT) AS cont_a_micro,
+                CAST(shared * 1000000 // sz_b AS BIGINT) AS cont_b_micro
+         FROM v
+         WHERE shared * 5 >= sz_a * 4 OR shared * 5 >= sz_b * 4
+         ORDER BY doc_a, doc_b""",
     "nd_dedup_ngram_jaccard" ->
       s"""WITH $shingleCtesSql, $candCtesSql,
          sh60 AS (SELECT doc_id, list_distinct(list_transform(shings, s -> ${Sketch.foldSql(15, "s")})) AS sh

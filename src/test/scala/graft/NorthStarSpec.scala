@@ -121,6 +121,34 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.contains((first, 99999L)), s"planted pair missing from ${pairs.take(20).toSeq}")
   }
 
+  test("containment finds a subset doc the Jaccard detector misses, with the right direction") {
+    // doc 1 = 200 words; doc 2 = its first 30 words verbatim (every
+    // shingle of doc 2 is a shingle of doc 1 → containment of 2-in-1 is
+    // 1.0) plus nothing else; doc 3 shares nothing. True Jaccard of
+    // (1,2) ≈ 26/196 ≈ 0.13 — far below the 0.3 ngram threshold.
+    val big = (1 to 200).map(i => s"w$i").mkString(" ")
+    val small = (1 to 30).map(i => s"w$i").mkString(" ")
+    val other = (1 to 40).map(i => s"z$i").mkString(" ")
+    val docs = Seq((1L, big), (2L, small), (3L, other)).toDF("doc_id", "text")
+    val got = Dedup.containmentPairsOf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("cont_a_micro"),
+                 r.getAs[Long]("cont_b_micro")))
+    assert(got.length == 1, s"expected exactly the planted pair, got ${got.toSeq}")
+    val (a, b, ca, cb) = got.head
+    assert((a, b) == (1L, 2L))
+    assert(cb == 1000000L, s"small-in-big containment should be exactly 1.0, got $cb")
+    assert(ca < 200000L, s"big-in-small containment should be small, got $ca")
+    // and the Jaccard the symmetric family thresholds on is indeed far
+    // below 0.3 for this pair (the asymmetry gap containment closes)
+    val j = docs.filter($"doc_id" <= 2)
+      .select(Dedup.shingleHashes($"text").as("sh"))
+      .agg(collect_list($"sh")).head.getSeq[Seq[Long]](0)
+    val jacc = spark.range(1)
+      .select(Expressions.jaccardSorted(typedLit(j(0)), typedLit(j(1))))
+      .head.getDouble(0)
+    assert(jacc < 0.3, s"plant too similar: jaccard $jacc")
+  }
+
   test("substring dedup finds a planted repeated span with exact extent") {
     // a 20-token span shared between docs 1 and 2 at different offsets;
     // doc 3 shares nothing 8 tokens long

@@ -161,7 +161,12 @@ class PlanAuditSpec extends AnyFunSuite {
       ("embeddingPairs", Dedup.embeddingPairs(big, sf), "bucket", "v"),
       // round-9: the AllPairs/PPJoin signature self-join joins on (x, y)
       // and must not drag the full token array `ws` through the exchange
-      ("setSimJoin", Similarity.setSimJoin(big, sf), "x", "ws"))
+      ("setSimJoin", Similarity.setSimJoin(big, sf), "x", "ws"),
+      // round-9: the containment inverted-index join on the shingle hash
+      // must not carry the shingle-set array (pre-materialization plan —
+      // the registry entry detaches)
+      ("containmentPairs",
+        Dedup.containmentPairsLazy(graft.Tables.documents(big, sf))._1, "h", "sh"))
     cases.foreach { case (name, df, keyCol, payloadCol) =>
       val candidateShuffles = shuffles(df.queryExecution.executedPlan)
         .filter(partitionsOn(_, keyCol))
