@@ -276,7 +276,55 @@ object Eval {
           .as("kappa_micro"))
   }
 
+  /** Per-class precision / recall / F1 over the langId prediction — the
+    * classification report that pairs with [[kappa]]'s single-number
+    * agreement. Exact integer micro-units throughout: with per-class
+    * tp / support (row total) / predicted_n (column total),
+    * `F1 = 2·tp / (support + predicted_n)` — the denominators are the
+    * marginals themselves, so no float precision/recall intermediate
+    * ever exists and the harmonic mean is ONE integer division.
+    * Undefined cells (a class never predicted / never labeled) are NULL,
+    * not 0 — the sklearn zero-division footgun made explicit.
+    *
+    * 100 TB: the per-doc prediction is the same map-side scoring scan as
+    * nd_lang_id; everything after is the ≤|langs|² confusion frame —
+    * bounded metadata, broadcast-scale joins. */
+  def f1ByClass(s: SparkSession, d: String): DataFrame =
+    f1Of(TextAnalysis.langId(s, d))
+
+  /** Classification report over any `(labeled_lang, predicted_lang)` frame. */
+  private[graft] def f1Of(pred: DataFrame): DataFrame = {
+    val s = pred.sparkSession
+    import s.implicits._
+    val cm = pred
+      .groupBy($"labeled_lang", $"predicted_lang")
+      .agg(count(lit(1)).as("n"))
+    val byLabel = cm.groupBy($"labeled_lang".as("class"))
+      .agg(sum($"n").as("support"),
+           sum(when($"labeled_lang" === $"predicted_lang", $"n").otherwise(0L))
+             .as("tp_l"))
+    val byPred = cm.groupBy($"predicted_lang".as("class"))
+      .agg(sum($"n").as("predicted_n"))
+    byLabel.join(byPred, Seq("class"), "full_outer")
+      .select($"class",
+        coalesce($"support", lit(0L)).as("support"),
+        coalesce($"predicted_n", lit(0L)).as("predicted_n"),
+        coalesce($"tp_l", lit(0L)).as("tp"))
+      .select($"class", $"support", $"predicted_n", $"tp",
+        when($"predicted_n" > 0,
+          expr("CAST(1000000 * CAST(tp AS DECIMAL(38,0)) div predicted_n AS BIGINT)"))
+          .as("precision_micro"),
+        when($"support" > 0,
+          expr("CAST(1000000 * CAST(tp AS DECIMAL(38,0)) div support AS BIGINT)"))
+          .as("recall_micro"),
+        when($"support" + $"predicted_n" > 0,
+          expr("CAST(2000000 * CAST(tp AS DECIMAL(38,0)) div (support + predicted_n) AS BIGINT)"))
+          .as("f1_micro"))
+      .orderBy($"class")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "nd_eval_f1" -> (f1ByClass _),
     "nd_eval_auc" -> (aucBySource _),
     "nd_eval_pr_auc" -> (prAucBySource _),
     "nd_eval_bootstrap_ci" -> ((s: SparkSession, d: String) => bootstrapCi(s, d)),
@@ -392,6 +440,35 @@ object Eval {
                  CAST(CAST(sum(score) AS HUGEINT) // count(*) AS BIGINT)
                    AS mean_score_micro
           FROM scored GROUP BY bucket ORDER BY bucket""",
+    "nd_eval_f1" ->
+      s"""WITH pred AS (${TextAnalysis.langIdOracleSql.replace("ORDER BY doc_id", "")}),
+          cm AS (SELECT labeled_lang, predicted_lang, count(*) AS n
+                 FROM pred GROUP BY labeled_lang, predicted_lang),
+          bl AS (SELECT labeled_lang AS class, sum(n) AS support,
+                        sum(CASE WHEN labeled_lang = predicted_lang
+                            THEN n ELSE 0 END) AS tp
+                 FROM cm GROUP BY 1),
+          bp AS (SELECT predicted_lang AS class, sum(n) AS predicted_n
+                 FROM cm GROUP BY 1),
+          j AS (SELECT coalesce(bl.class, bp.class) AS class,
+                       coalesce(support, 0) AS support,
+                       coalesce(predicted_n, 0) AS predicted_n,
+                       coalesce(tp, 0) AS tp
+                FROM bl FULL OUTER JOIN bp ON bl.class = bp.class)
+          SELECT class, CAST(support AS BIGINT) AS support,
+                 CAST(predicted_n AS BIGINT) AS predicted_n,
+                 CAST(tp AS BIGINT) AS tp,
+                 CASE WHEN predicted_n > 0 THEN
+                   CAST(1000000 * CAST(tp AS HUGEINT) // predicted_n AS BIGINT)
+                 END AS precision_micro,
+                 CASE WHEN support > 0 THEN
+                   CAST(1000000 * CAST(tp AS HUGEINT) // support AS BIGINT)
+                 END AS recall_micro,
+                 CASE WHEN support + predicted_n > 0 THEN
+                   CAST(2000000 * CAST(tp AS HUGEINT)
+                        // (support + predicted_n) AS BIGINT)
+                 END AS f1_micro
+          FROM j ORDER BY class""",
     "nd_eval_kappa" ->
       s"""WITH pred AS (${TextAnalysis.langIdOracleSql.replace("ORDER BY doc_id", "")}),
           cm AS (SELECT labeled_lang, predicted_lang, count(*) AS n

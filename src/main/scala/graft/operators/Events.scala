@@ -109,6 +109,37 @@ object Events {
       .orderBy($"day")
   }
 
+  /** CUMULATIVE-DISTINCT user curve — per day, the exact number of
+    * distinct users seen so far ("total audience to date") plus that
+    * day's DAU and new-user count, WITHOUT any windowed distinct: a
+    * cumulative `count(DISTINCT) OVER (ORDER BY day)` recounts an
+    * ever-growing set per row and keeps unbounded distinct state in one
+    * task. The scale-true decomposition is the first-seen trick —
+    * a user contributes to exactly ONE day's `new_users` (their
+    * `min(day)`, one partial-agg'd groupBy), so the cumulative distinct
+    * count is just the running SUM of `new_users`, which
+    * [[graft.plans.ScalableNtile.runningTotal]] computes without a
+    * single-partition window. State is |users| rows for the first-seen
+    * aggregate — the minimum any exact distinct curve needs — and the
+    * running sum runs over the |days|-row daily frame.
+    */
+  def cumulativeDistinct(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val days = ev(s, d).select($"user_id", expr("ms div 86400000").as("day"))
+    val daily = days.groupBy($"day").agg(countDistinct($"user_id").as("dau"))
+    val firstSeen = days.groupBy($"user_id").agg(min($"day").as("fday"))
+    val newUsers = firstSeen.groupBy($"fday".as("day"))
+      .agg(count(lit(1)).as("new_users"))
+    // every first-seen day has ≥1 event, so the left join from daily is
+    // complete; days with no NEW users coalesce to 0
+    val perDay = daily.join(newUsers, Seq("day"), "left")
+      .select($"day", $"dau", coalesce($"new_users", lit(0L)).as("new_users"))
+    graft.plans.ScalableNtile
+      .runningTotal(perDay, $"new_users", Seq($"day"), "cum_users")
+      .select($"day", $"dau", $"new_users", $"cum_users")
+      .orderBy($"day")
+  }
+
   /** Batch sessionization, 30-minute inactivity gap: the gaps-and-islands
     * decomposition (lag → break flag → running sum = session id) inside
     * each user partition, then per-session stats, then a global summary
@@ -567,6 +598,7 @@ object Events {
     "nd_events_funnel" -> funnel _,
     "nd_events_retention" -> retention _,
     "nd_events_rolling" -> rollingActive _,
+    "nd_events_cumulative_distinct" -> cumulativeDistinct _,
     "nd_events_sessions" -> sessions _,
     "nd_events_gapfill" -> gapfill _,
     "nd_events_paths" -> paths _,
@@ -619,6 +651,19 @@ object Events {
            CAST(CAST(count(DISTINCT CASE WHEN aday = day THEN user_id END) AS HUGEINT)
                 * 1000000 // count(DISTINCT user_id) AS BIGINT) AS stickiness_micro
          FROM j GROUP BY day ORDER BY day""",
+    // running SUM of per-day first-seen counts ≡ cumulative distinct —
+    // the oracle spells the equivalence the Spark side exploits
+    "nd_events_cumulative_distinct" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) // 86400000 AS day FROM events),
+         daily AS (SELECT day, count(DISTINCT user_id) AS dau FROM e GROUP BY day),
+         f AS (SELECT user_id, min(day) AS fday FROM e GROUP BY user_id),
+         nu AS (SELECT fday AS day, count(*) AS new_users FROM f GROUP BY fday)
+         SELECT daily.day AS day, CAST(dau AS BIGINT) AS dau,
+                CAST(coalesce(new_users, 0) AS BIGINT) AS new_users,
+                CAST(sum(coalesce(new_users, 0)) OVER (ORDER BY daily.day
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+         FROM daily LEFT JOIN nu ON daily.day = nu.day
+         ORDER BY day""",
     "nd_events_funnel" ->
       """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events),
          u AS (SELECT user_id,

@@ -67,6 +67,32 @@ object Similarity {
       .orderBy($"query_id", $"rank")
   }
 
+  /** RADIUS (range) search — every neighbor within a cosine-similarity
+    * threshold, the other half of the vector-search API surface (top-k
+    * asks "the best k however far"; range asks "everything this close",
+    * the primitive behind dedup-by-threshold and recall-oriented
+    * retrieval). Strictly BETTER scale shape than top-k: the broadcast
+    * query scan is the same, but there is no per-query window at all —
+    * the threshold is a map-side filter, so the operator is one
+    * codegen'd scan projecting only matches. The similarity is
+    * micro-quantized (`round(sim·1e6)` — the Money-cents rule) BEFORE
+    * the threshold compare so the boundary predicate is an integer
+    * compare on both engines, never a float `>=` at an epsilon edge. */
+  def knnRange(s: SparkSession, d: String, nQueries: Int = 5,
+      tauMicro: Long = 200000L): DataFrame = {
+    import s.implicits._
+    val vecs = embeddings(s, d)
+      .select($"vec_id", transform($"embedding", _.cast("double")).as("v"))
+    val q = vecs.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("query_id"), $"v".as("qv"))
+    vecs.join(broadcast(q), $"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id".as("neighbor_id"),
+        round(Expressions.cosineSim($"qv", $"v") * 1000000, 0).cast("long")
+          .as("sim_micro"))
+      .filter($"sim_micro" >= tauMicro)
+      .orderBy($"query_id", $"neighbor_id")
+  }
+
   /** LSH-bucketed ANN: L independent hash tables (different hyperplane
     * sets), each probed at the query's bucket plus all one-bit flips
     * (multi-probe). Candidates = collide in any table; rank by exact cosine
@@ -549,6 +575,7 @@ object Similarity {
     "nd_knn_filtered" -> ((s: SparkSession, d: String) => knnFiltered(s, d)),
     "nd_embed_quality" -> embedQuality _,
     "nd_knn_brute" -> ((s: SparkSession, d: String) => knnBrute(s, d)),
+    "nd_knn_range" -> ((s: SparkSession, d: String) => knnRange(s, d)),
     "nd_rag_retrieval" -> ((s: SparkSession, d: String) => ragRetrieve(s, d)),
     "nd_knn_lsh" -> ((s: SparkSession, d: String) => knnLsh(s, d)),
     "nd_knn_ivf" -> ((s: SparkSession, d: String) => knnIvf(s, d)),
@@ -558,7 +585,71 @@ object Similarity {
     "nd_rag_bm25" -> ((s: SparkSession, d: String) => bm25Retrieve(s, d)),
     "nd_rag_hybrid" -> ((s: SparkSession, d: String) => hybridRetrieve(s, d)),
     "nd_rag_ndcg" -> ((s: SparkSession, d: String) => retrievalNdcg(s, d)),
+    "nd_rag_mmr" -> ((s: SparkSession, d: String) => ragMmr(s, d)),
     "nd_join_setsim" -> ((s: SparkSession, d: String) => setSimJoin(s, d)))
+
+  /** DuckDB replay of [[ragMmr]]'s greedy — k CHAINED CTE steps (the
+    * greedy is sequential in k, so the oracle unrolls it the same way
+    * the Spark side unrolls its column expressions): p1 = pure-relevance
+    * argmax; step i joins the not-yet-selected candidates against the
+    * union of p1..p_{i-1} for max-sim-to-selected, then one
+    * row_number() argmax of `7·rel − 3·maxsim` with the same cand_id
+    * tie-break. */
+  private def mmrOracleSql(nQueries: Int = 3, nCand: Int = 10, k: Int = 5): String = {
+    val head =
+      s"""WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          q AS (SELECT vec_id AS query_id, v AS qv FROM vecs WHERE vec_id < $nQueries),
+          rel0 AS (SELECT query_id, vec_id AS cand_id,
+                          CAST(round(list_cosine_similarity(qv, v) * 1000000)
+                               AS BIGINT) AS rel_micro
+                   FROM vecs CROSS JOIN q WHERE vec_id <> query_id),
+          cand AS (SELECT query_id, cand_id, rel_micro FROM (
+                     SELECT query_id, cand_id, rel_micro,
+                            row_number() OVER (PARTITION BY query_id
+                              ORDER BY rel_micro DESC, cand_id) AS crank
+                     FROM rel0) WHERE crank <= $nCand),
+          ps AS (SELECT a.query_id, a.cand_id AS ia, b.cand_id AS ib,
+                        CAST(round(list_cosine_similarity(va.v, vb.v) * 1000000)
+                             AS BIGINT) AS s_micro
+                 FROM cand a JOIN cand b
+                   ON a.query_id = b.query_id AND a.cand_id <> b.cand_id
+                 JOIN vecs va ON va.vec_id = a.cand_id
+                 JOIN vecs vb ON vb.vec_id = b.cand_id),
+          p1 AS (SELECT query_id, cand_id, rel_micro, 0::BIGINT AS maxsim,
+                        7 * rel_micro AS score FROM (
+                   SELECT query_id, cand_id, rel_micro,
+                          row_number() OVER (PARTITION BY query_id
+                            ORDER BY 7 * rel_micro DESC, cand_id) AS rn
+                   FROM cand) WHERE rn = 1)"""
+    val steps = (2 to k).map { i =>
+      val selUnion = (1 until i)
+        .map(j => s"SELECT query_id, cand_id FROM p$j").mkString(" UNION ALL ")
+      s""",
+          sel$i AS ($selUnion),
+          m$i AS (SELECT c.query_id, c.cand_id, c.rel_micro,
+                         max(ps.s_micro) AS maxsim
+                  FROM cand c
+                  JOIN sel$i sl ON sl.query_id = c.query_id
+                  JOIN ps ON ps.query_id = c.query_id
+                         AND ps.ia = c.cand_id AND ps.ib = sl.cand_id
+                  LEFT JOIN sel$i x
+                    ON x.query_id = c.query_id AND x.cand_id = c.cand_id
+                  WHERE x.cand_id IS NULL
+                  GROUP BY c.query_id, c.cand_id, c.rel_micro),
+          p$i AS (SELECT query_id, cand_id, rel_micro, maxsim,
+                         7 * rel_micro - 3 * maxsim AS score FROM (
+                    SELECT query_id, cand_id, rel_micro, maxsim,
+                           row_number() OVER (PARTITION BY query_id
+                             ORDER BY 7 * rel_micro - 3 * maxsim DESC, cand_id) AS rn
+                    FROM m$i) WHERE rn = 1)"""
+    }.mkString
+    val out = (1 to k).map(i =>
+      s"""SELECT query_id, CAST($i AS BIGINT) AS rank, cand_id AS neighbor_id,
+             rel_micro, CAST(maxsim AS BIGINT) AS maxsim_micro,
+             CAST(score AS BIGINT) AS score_micro FROM p$i""")
+      .mkString(" UNION ALL ")
+    s"$head$steps $out ORDER BY query_id, rank"
+  }
 
   /** DuckDB replica of [[Dedup.embeddingBucket]] ([[graft.functions.Expressions.LshBucket]])
     * for hash table `t`: bit p of the bucket is the sign of the pseudo-
@@ -831,6 +922,112 @@ object Similarity {
       .orderBy($"query_id", $"rank")
   }
 
+  /** MMR (Maximal Marginal Relevance) diversified re-ranking — the
+    * anti-redundancy pass between retrieval and consumption: greedily
+    * pick k of the top-C candidates maximizing
+    * `λ·rel(q,c) − (1−λ)·max_{s∈selected} sim(c,s)`, so near-duplicate
+    * hits stop crowding out coverage. λ = 0.7 in exact integer micro
+    * arithmetic: `score = 7·rel_micro − 3·maxsim_micro` (the /10 is
+    * monotone and dropped), ties by smaller id — deterministic on both
+    * engines.
+    *
+    * Shape: the only corpus-scale stage is the relevance scan (broadcast
+    * queries, map-side cosine — [[knnRange]]'s shape); candidates are
+    * C per query by construction, so the pairwise-sim join and the
+    * greedy itself run on BOUNDED per-query state (≤ C² cells). The
+    * greedy is k UNROLLED column-expression steps over a per-query
+    * candidate array + sim map — argmax via `aggregate`, max-sim-to-
+    * selected via a nested `aggregate` over the selected array — never a
+    * driver loop, never a collect; 10³ queries or 10⁹ queries differ
+    * only in row count through the same per-row expression. */
+  def ragMmr(s: SparkSession, d: String, nQueries: Int = 3, nCand: Int = 10,
+      k: Int = 5): DataFrame = {
+    import s.implicits._
+    val vecs = embeddings(s, d)
+      .select($"vec_id", transform($"embedding", _.cast("double")).as("v"))
+    val q = vecs.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("query_id"), $"v".as("qv"))
+    val rel = vecs.join(broadcast(q), $"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id".as("cand_id"),
+        round(Expressions.cosineSim($"qv", $"v") * 1000000, 0).cast("long")
+          .as("rel_micro"))
+    val w = Window.partitionBy($"query_id").orderBy($"rel_micro".desc, $"cand_id")
+    val cand = rel.withColumn("crank", row_number().over(w)).filter($"crank" <= nCand)
+      .select($"query_id", $"cand_id", $"rel_micro")
+    // candidate-sized vector re-join (the containment-verification
+    // discipline: payloads only ever join against the bounded frame)
+    val cv = cand.join(vecs.withColumnRenamed("vec_id", "cand_id"), "cand_id")
+    val pairs = cv.as("a").join(cv.as("b"),
+        col("a.query_id") === col("b.query_id") &&
+        col("a.cand_id") =!= col("b.cand_id"))
+      .select(col("a.query_id").as("query_id"),
+        col("a.cand_id").as("ia"), col("b.cand_id").as("ib"),
+        round(Expressions.cosineSim(col("a.v"), col("b.v")) * 1000000, 0)
+          .cast("long").as("s_micro"))
+    mmrSelect(cand, pairs, k).orderBy($"query_id", $"rank")
+  }
+
+  /** The unrolled greedy over a bounded candidate frame
+    * `(query_id, cand_id, rel_micro)` and pairwise-sim frame
+    * `(query_id, ia, ib, s_micro)`. Exposed for the planted-diversity
+    * spec. */
+  private[graft] def mmrSelect(cand: DataFrame, pairs: DataFrame,
+      k: Int): DataFrame = {
+    val s = cand.sparkSession
+    import s.implicits._
+    val candsPerQ = cand.groupBy($"query_id")
+      .agg(collect_list(struct($"cand_id", $"rel_micro")).as("cands"))
+    val simsPerQ = pairs.groupBy($"query_id")
+      .agg(map_from_entries(collect_list(struct(
+        concat($"ia".cast("string"), lit("|"), $"ib".cast("string")),
+        $"s_micro"))).as("sims"))
+    // a query with a single candidate has no pairs — sims coalesces empty
+    val base = candsPerQ.join(simsPerQ, Seq("query_id"), "left")
+      .withColumn("sims", coalesce($"sims",
+        map_from_entries(array().cast("array<struct<c1:string,c2:bigint>>"))))
+      .withColumn("sel", array().cast("array<bigint>"))
+    // max sim of candidate c to the selected set; −2e6 init keeps the
+    // argmax ordering right even if every sim is negative, and the
+    // size-0 guard pins step 1's REPORTED maxsim to 0 (pure-relevance)
+    def maxSimTo(c: Column, sel: Column, sims: Column): Column =
+      when(size(sel) === 0, lit(0L)).otherwise(
+        aggregate(sel, lit(-2000000L), (m, sid) =>
+          greatest(m, coalesce(element_at(sims,
+            concat(c("cand_id").cast("string"), lit("|"), sid.cast("string"))),
+            lit(-2000000L)))))
+    def bestOf(cands: Column, sims: Column, sel: Column): Column =
+      aggregate(
+        filter(cands, c => !array_contains(sel, c("cand_id"))),
+        struct(lit(Long.MinValue).as("score"), lit(Long.MaxValue).as("cand_id"),
+               lit(0L).as("rel_micro"), lit(0L).as("maxsim")),
+        (acc, c) => {
+          val ms = maxSimTo(c, sel, sims)
+          val sc = lit(7L) * c("rel_micro") - lit(3L) * ms
+          when(sc > acc("score") ||
+               (sc === acc("score") && c("cand_id") < acc("cand_id")),
+            struct(sc.as("score"), c("cand_id").as("cand_id"),
+                   c("rel_micro").as("rel_micro"), ms.as("maxsim")))
+            .otherwise(acc)
+        })
+    var df = base
+    for (i <- 1 to k) {
+      df = df.withColumn(s"pick_$i", bestOf($"cands", $"sims", $"sel"))
+        .withColumn("sel", concat($"sel", array(col(s"pick_$i")("cand_id"))))
+    }
+    df.select($"query_id", explode(array((1 to k).map(i =>
+        struct(lit(i.toLong).as("rank"),
+               col(s"pick_$i")("cand_id").as("neighbor_id"),
+               col(s"pick_$i")("rel_micro").as("rel_micro"),
+               col(s"pick_$i")("maxsim").as("maxsim_micro"),
+               col(s"pick_$i")("score").as("score_micro"))): _*)).as("p"))
+      // a query with fewer than k candidates yields sentinel picks
+      // (aggregate over an empty filtered array returns the init struct)
+      .filter($"p.neighbor_id" =!= lit(Long.MaxValue))
+      .select($"query_id", $"p.rank".as("rank"), $"p.neighbor_id".as("neighbor_id"),
+              $"p.rel_micro".as("rel_micro"), $"p.maxsim_micro".as("maxsim_micro"),
+              $"p.score_micro".as("score_micro"))
+  }
+
   /** Lexical BM25 top-k retrieval — the sparse/keyword half of the
     * retrieval story (ANN is the dense half; [[hybridRetrieve]] fuses
     * them). Queries are the first `qTerms` distinct canonical tokens of
@@ -967,10 +1164,21 @@ object Similarity {
   def setSimJoin(s: SparkSession, d: String, simNum: Int = 3,
       simDen: Int = 5): DataFrame = {
     import s.implicits._
+    setSimJoinOn(
+      part(s, d).select($"p_partkey", array_distinct(split($"p_name", " ")).as("w")),
+      simNum, simDen)
+  }
+
+  /** [[setSimJoin]] over any `(p_partkey, w: array<string>)` frame —
+    * the SetSimScale entry point (the tool feeds a synthetic 1M-entity
+    * corpus through the identical pipeline). */
+  private[graft] def setSimJoinOn(partsFrame: DataFrame, simNum: Int = 3,
+      simDen: Int = 5): DataFrame = {
+    val s = partsFrame.sparkSession
+    import s.implicits._
     require(2 * simNum > simDen,
       "pair-signature prefix requires threshold > 1/2 (singleton-vs-larger pairs excluded)")
-    val parts = part(s, d)
-      .select($"p_partkey", array_distinct(split($"p_name", " ")).as("w"))
+    val parts = partsFrame
     val dfTok = parts.select(explode($"w").as("tok"))
       .groupBy($"tok").agg(count(lit(1)).as("n"))
     val orderedAll = parts.select($"p_partkey", explode($"w").as("tok"))
@@ -1401,5 +1609,16 @@ object Similarity {
       iterations = DefaultLloydIters),
     "nd_knn_ivf_incr" -> ivfIncrOracleSql(cut = 250, nLists = 16, nProbe = 4,
       nQueries = 5, k = 5, iterations = DefaultLloydIters),
-    "nd_knn_brute" -> bruteOracleSql)
+    "nd_knn_brute" -> bruteOracleSql,
+    "nd_rag_mmr" -> mmrOracleSql(),
+    "nd_knn_range" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                    FROM embeddings WHERE vec_id < 5),
+          s AS (SELECT query_id, e.vec_id AS neighbor_id,
+                       CAST(round(list_cosine_similarity(qv, e.embedding::DOUBLE[])
+                                  * 1000000) AS BIGINT) AS sim_micro
+                FROM embeddings e CROSS JOIN q WHERE e.vec_id <> query_id)
+         SELECT query_id, neighbor_id, sim_micro
+         FROM s WHERE sim_micro >= 200000
+         ORDER BY query_id, neighbor_id""")
 }

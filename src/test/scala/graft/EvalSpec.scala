@@ -168,6 +168,39 @@ class EvalSpec extends AnyFunSuite {
       s"inverted predictions must give kappa=-1, got ${r.getLong(4)}")
   }
 
+  test("per-class F1 report: planted confusion incl. undefined cells") {
+    import spark.implicits._
+    // labels a,a,a,b,b,c → preds a,a,b,b,b,d: class c never predicted,
+    // class d never labeled — the two zero-division cells
+    val pred = Seq(("a", "a"), ("a", "a"), ("a", "b"),
+                   ("b", "b"), ("b", "b"), ("c", "d"))
+      .toDF("labeled_lang", "predicted_lang")
+    val got = Eval.f1Of(pred).collect().map(r => (r.getString(0),
+      (r.getLong(1), r.getLong(2), r.getLong(3),
+       if (r.isNullAt(4)) -1L else r.getLong(4),
+       if (r.isNullAt(5)) -1L else r.getLong(5),
+       if (r.isNullAt(6)) -1L else r.getLong(6)))).toMap
+    // a: support 3, predicted 2, tp 2 → P=1, R=2/3, F1=2·2/(3+2)=4/5
+    assert(got("a") == ((3L, 2L, 2L, 1000000L, 666666L, 800000L)), got("a"))
+    // b: support 2, predicted 3, tp 2 → P=2/3, R=1, F1=4/5
+    assert(got("b") == ((2L, 3L, 2L, 666666L, 1000000L, 800000L)), got("b"))
+    // c: never predicted → precision NULL (not 0); recall 0; F1 0
+    assert(got("c") == ((1L, 0L, 0L, -1L, 0L, 0L)), got("c"))
+    // d: never labeled → recall NULL; precision 0; F1 0
+    assert(got("d") == ((0L, 1L, 0L, 0L, -1L, 0L)), got("d"))
+  }
+
+  test("F1 report marginals are consistent with the kappa frame") {
+    val f1 = Eval.f1ByClass(spark, sf).collect()
+    val k = Eval.kappa(spark, sf).collect().head
+    assert(f1.map(_.getLong(1)).sum == k.getLong(0),
+      "per-class supports must sum to n_docs")
+    assert(f1.map(_.getLong(2)).sum == k.getLong(0),
+      "per-class predicted counts must sum to n_docs")
+    assert(f1.map(_.getLong(3)).sum == k.getLong(1),
+      "per-class tp must sum to n_agree")
+  }
+
   test("calibration conserves mass and stays in range") {
     val docs = Tables.documents(spark, sf).count()
     val en = Tables.documents(spark, sf)

@@ -17,6 +17,22 @@ class EventsSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val sf = "/root/testdata/sf0.001"
 
+  test("cumulative-distinct curve: conservation, monotonicity, exact total") {
+    val rows = Events.cumulativeDistinct(spark, sf).collect()
+    val users = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(rows.map(_.getLong(2)).sum == users,
+      "new_users must partition the user set (each user exactly once)")
+    assert(rows.last.getLong(3) == users,
+      "final cumulative count must equal |distinct users|")
+    var run = 0L
+    rows.foreach { r =>
+      run += r.getLong(2)
+      assert(r.getLong(3) == run, s"day ${r.getLong(0)}: cum != prefix sum")
+      assert(r.getLong(1) >= r.getLong(2),
+        s"day ${r.getLong(0)}: dau < new_users is impossible")
+    }
+  }
+
   test("moving median equals a driver-side sliding replay; frame saturates at 7") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

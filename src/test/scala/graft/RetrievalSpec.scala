@@ -34,6 +34,48 @@ class RetrievalSpec extends AnyFunSuite {
       s"planted doc not rank-1 for query 0: ${rank1.mkString(",")}")
   }
 
+  test("MMR defers a redundant near-dup below a diverse lower-rel candidate") {
+    import spark.implicits._
+    // rel: 10 ≻ 11 ≻ 12, but 11 is a near-duplicate of 10 (sim .95);
+    // pure relevance would pick 10,11,12 — MMR(λ=.7) must pick 10,12,11:
+    // step 2: score(11) = 7·890000 − 3·950000 = 3 380 000
+    //         score(12) = 7·500000 − 3·0      = 3 500 000 → 12 wins
+    val cand = Seq((0L, 10L, 900000L), (0L, 11L, 890000L), (0L, 12L, 500000L))
+      .toDF("query_id", "cand_id", "rel_micro")
+    val pairs = Seq(
+      (0L, 10L, 11L, 950000L), (0L, 11L, 10L, 950000L),
+      (0L, 10L, 12L, 0L), (0L, 12L, 10L, 0L),
+      (0L, 11L, 12L, 0L), (0L, 12L, 11L, 0L))
+      .toDF("query_id", "ia", "ib", "s_micro")
+    val got = Similarity.mmrSelect(cand, pairs, 3).orderBy("rank").collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 10L), (2L, 12L), (3L, 11L)),
+      s"expected diversity-first order, got ${got.toSeq}")
+    // a query with fewer candidates than k yields exactly its candidates
+    val lone = Similarity.mmrSelect(
+      Seq((1L, 20L, 100000L)).toDF("query_id", "cand_id", "rel_micro"),
+      pairs.filter($"query_id" === 1L), 3).collect()
+    assert(lone.length == 1 && lone.head.getLong(2) == 20L,
+      s"single-candidate query must yield one pick: ${lone.mkString(",")}")
+  }
+
+  test("range search clears the threshold and agrees with brute top-1") {
+    val tau = 200000L
+    val rng = Similarity.knnRange(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(rng.nonEmpty, "radius search must return something at tau=0.2")
+    rng.values.foreach(s => assert(s >= tau, "below-threshold row leaked"))
+    // every brute rank-1 neighbor comfortably above tau must be present
+    Similarity.knnBrute(spark, sf).collect()
+      .filter(r => r.getLong(3) == 1L)
+      .foreach { r =>
+        val simMicro = math.round(r.getDouble(2) * 1000000)
+        if (simMicro >= tau + 100)
+          assert(rng.contains((r.getLong(0), r.getLong(1))),
+            s"brute top-1 (${r.getLong(0)},${r.getLong(1)}) sim=$simMicro missing")
+      }
+  }
+
   test("hybrid RRF equals the driver-computed fusion of the two rankings") {
     def contrib(rank: Long): Long = math.round(1000000.0 / (60L + rank))
     val lex = Similarity.bm25Retrieve(spark, sf).collect()
