@@ -153,6 +153,42 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** FLESCH reading-ease readability — the classic quality signal a
+    * curation pipeline bins on (alongside [[qualityScore]]'s surface
+    * ratios and [[lmScore]]'s model scores): low scores flag legalese /
+    * machine-generated run-ons, implausibly high ones flag fragment
+    * spam. Syllables use the standard vowel-group heuristic
+    * (`[aeiouy]+` runs per canonical word, min 1); sentences are
+    * `[.!?]+` runs over the RAW text (min 1).
+    *
+    * Exactness: the formula `206.835 − 1.015·W/S − 84.6·Syl/W` is
+    * kept integral — per-doc counts are exact longs, the two ratios
+    * quantize to micro-units with integer `div`, and the coefficient
+    * scaling divides AFTER the multiply (`(1015·wps_micro) div 1000`),
+    * so both engines compute bit-identical values; the only negative
+    * quantity (a very hard doc's final score) is never divided again.
+    * Shape: one map-side pass per document — no shuffle at all before
+    * the output sort. */
+  def readability(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val words = wsTokens(canonical($"text"))
+    documents(s, d)
+      .select($"doc_id",
+        size(words).cast("long").as("n_words"),
+        greatest(lit(1L),
+          regexp_count($"text", lit("[.!?]+")).cast("long")).as("n_sentences"),
+        aggregate(words, lit(0L), (acc, w) =>
+          acc + greatest(lit(1L), regexp_count(w, lit("[aeiouy]+")).cast("long")))
+          .as("n_syllables"))
+      .select($"doc_id", $"n_words", $"n_sentences", $"n_syllables",
+        expr("1000000 * n_words div n_sentences").as("wps_micro"),
+        expr("1000000 * n_syllables div n_words").as("spw_micro"))
+      .withColumn("flesch_micro",
+        lit(206835000L) - expr("(1015 * wps_micro) div 1000")
+          - expr("(846 * spw_micro) div 10"))
+      .orderBy($"doc_id")
+  }
+
   /** Corpus-level aggregate per (lang, source): the reporting tail. */
   def langStats(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -898,6 +934,7 @@ object TextAnalysis {
     "nd_text_gopher" -> gopherRules _,
     "nd_text_lm_score" -> ((s: SparkSession, d: String) => trigramLmScore(s, d)),
     "nd_text_stats" -> textStats _,
+    "nd_text_readability" -> readability _,
     "nd_text_quality" -> qualityScore _,
     "nd_lang_id" -> langId _,
     "nd_lang_confusion" -> langIdConfusion _,
@@ -1423,5 +1460,29 @@ object TextAnalysis {
          round(avg(length(text)), 4) AS avg_chars,
          round(avg(len(string_split_regex(text, ' +'))), 4) AS avg_tokens,
          count(DISTINCT source) AS n_sources
-         FROM documents GROUP BY lang ORDER BY lang""")
+         FROM documents GROUP BY lang ORDER BY lang""",
+    // Flesch replay: same canonical word split, vowel-group syllables
+    // (min 1 per word), [.!?]+ sentence runs (min 1), micro ratios and
+    // coefficient scaling in the identical integer order
+    "nd_text_readability" ->
+      """WITH w AS (
+           SELECT doc_id, text,
+                  string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS w
+           FROM documents),
+         b AS (
+           SELECT doc_id,
+                  CAST(len(w) AS BIGINT) AS n_words,
+                  CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS BIGINT) AS n_sentences,
+                  CAST(list_sum(list_transform(w, x ->
+                    greatest(1, len(regexp_extract_all(x, '[aeiouy]+'))))) AS BIGINT) AS n_syllables
+           FROM w),
+         r AS (
+           SELECT doc_id, n_words, n_sentences, n_syllables,
+                  CAST(1000000 * n_words // n_sentences AS BIGINT) AS wps_micro,
+                  CAST(1000000 * n_syllables // n_words AS BIGINT) AS spw_micro
+           FROM b)
+         SELECT doc_id, n_words, n_sentences, n_syllables, wps_micro, spw_micro,
+                CAST(206835000 - (1015 * wps_micro) // 1000
+                               - (846 * spw_micro) // 10 AS BIGINT) AS flesch_micro
+         FROM r ORDER BY doc_id""")
 }

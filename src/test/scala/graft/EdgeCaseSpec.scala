@@ -66,6 +66,28 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(repMap(1L) == 0.0)
   }
 
+  test("readability equals an exact driver replay incl. hostile documents") {
+    val got = TextAnalysis.readability(spark, dir).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(got.size == 8)
+    Tables.documents(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .foreach { case (id, text) =>
+        val canon = text.toLowerCase.replaceAll("[^a-z0-9]+", " ").trim
+        val words = canon.split(" +", -1)
+        val nw = words.length.toLong
+        val sent = math.max(1, "[.!?]+".r.findAllIn(text).length).toLong
+        val syll = words.map(w =>
+          math.max(1L, "[aeiouy]+".r.findAllIn(w).length.toLong)).sum
+        val wps = 1000000L * nw / sent
+        val spw = 1000000L * syll / nw
+        val flesch = 206835000L - (1015L * wps) / 1000 - (846L * spw) / 10
+        assert(got(id) == ((nw, sent, syll, wps, spw, flesch)),
+          s"doc $id: got=${got(id)} exp=${(nw, sent, syll, wps, spw, flesch)}")
+      }
+  }
+
   test("fingerprints, language id, vocab and profile survive hostile documents") {
     val fp = TextAnalysis.fingerprints(spark, dir).collect()
     assert(fp.length == 8 && fp.forall(!_.anyNull))
