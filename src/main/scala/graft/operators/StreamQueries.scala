@@ -204,6 +204,34 @@ object StreamQueries {
       .orderBy($"user_id", $"session_start")
   }
 
+  /** Drained streaming AUDIENCE-GROWTH curve — the streaming twin of
+    * the batch nd_events_cumulative_distinct: the ONLY stateful stage is
+    * a `groupBy(user_id).agg(min(day))` complete-mode aggregate, whose
+    * final state is each user's first-seen day regardless of micro-batch
+    * boundaries (min is merge-commutative — the input-set purity the
+    * oracle requires), and whose state volume is |users| × one long:
+    * the streaming-legal minimum for an EXACT distinct curve. A
+    * `dropDuplicates(user_id)` formulation would attribute each user to
+    * whichever batch their first event happened to land in — order-
+    * dependent and wrong under replay; the min-aggregate is not. The
+    * per-day roll-up and running total are a batch post-pass over the
+    * drained |users|-row state (ScalableNtile.runningTotal — no
+    * single-partition window). */
+  def streamNewUsers(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val firstSeen = EventStreams.readEvents(s, d)
+      .select($"user_id", expr("unix_millis(ts) div 86400000").as("day"))
+      .groupBy($"user_id").agg(min($"day").as("fday"))
+    val drained = drain(firstSeen, "nd_stream_newusers_sink", "complete",
+      statePartitions = Some(8))
+    val perDay = drained.groupBy($"fday".as("day"))
+      .agg(count(lit(1)).as("new_users"))
+    graft.plans.ScalableNtile
+      .runningTotal(perDay, $"new_users", Seq($"day"), "cum_users")
+      .select($"day", $"new_users", $"cum_users")
+      .orderBy($"day")
+  }
+
   /** Drained continuous ANN ([[StreamingAnn.knnStream]]): query vectors
     * arrive as a stream against the static IVF index (same parameters as
     * the batch [[Similarity.knnIvf]]), the per-query running top-k is the
@@ -357,6 +385,7 @@ object StreamQueries {
     "nd_stream_kmv" -> ((s: SparkSession, d: String) => streamKmv(s, d)),
     "nd_stream_dedup" -> ((s: SparkSession, d: String) => streamDedup(s, d)),
     "nd_stream_session" -> ((s: SparkSession, d: String) => streamSession(s, d)),
+    "nd_stream_new_users" -> ((s: SparkSession, d: String) => streamNewUsers(s, d)),
     "nd_stream_ann" -> ((s: SparkSession, d: String) => streamAnn(s, d)))
 
   val oracle: Map[String, String] = Map(
@@ -466,6 +495,16 @@ object StreamQueries {
           FROM sess s JOIN mx USING (user_id)
           WHERE s.session_start < last_start
           ORDER BY s.user_id, s.session_start""",
+    // the batch first-seen decomposition — the drained min-aggregate
+    // state IS the `f` CTE, whatever the micro-batch boundaries were
+    "nd_stream_new_users" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) // 86400000 AS day FROM events),
+          f AS (SELECT user_id, min(day) AS fday FROM e GROUP BY user_id),
+          nu AS (SELECT fday AS day, count(*) AS new_users FROM f GROUP BY fday)
+          SELECT day, CAST(new_users AS BIGINT) AS new_users,
+                 CAST(sum(new_users) OVER (ORDER BY day
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+          FROM nu ORDER BY day""",
     // identical pipeline parameters to nd_knn_ivf ⇒ identical oracle —
     // the stream drain must land on the batch index's exact ranking
     "nd_stream_ann" -> Similarity.ivfOracleSql(nLists = 16, nProbe = 4,

@@ -46,7 +46,11 @@ object MemoryPressure {
     "q21_approx_agg", "eth_q17_pagerank", "eth_q19_components",
     "eth_q22_taint", "eth_q4_erc20_movement", "nd_events_percentiles",
     "nd_stream_cms", "nd_stream_dedup", "nd_stream_join",
-    "nd_stream_ann", "nd_stream_session", "nd_stream_percentiles")
+    "nd_stream_ann", "nd_stream_session", "nd_stream_percentiles",
+    // round-9 batch 2: the containment candidate join, the payload-free
+    // setsim self-join, and the chunked trailing-window median
+    "nd_dedup_containment", "nd_join_setsim",
+    "nd_events_moving_median_scalable")
 
   /** Drain the async listener bus so per-query spill deltas attribute
     * deterministically (the round-8 review flagged the fixed sleep: a

@@ -353,6 +353,43 @@ class EventStreamSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("streaming first-seen aggregate: an earlier day arriving in a later batch wins") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("newusers").toString
+    // the adversarial split for any dropDuplicates-style formulation:
+    // user 1's EARLIEST day (2) arrives in the SECOND micro-batch, after
+    // day 5 was already seen — the min-aggregate state must update
+    Seq((1L, 5L), (2L, 3L)).toDF("user_id", "day")
+      .coalesce(1).write.parquet(s"$dir/f1.parquet")
+    Seq((1L, 2L), (3L, 4L)).toDF("user_id", "day")
+      .coalesce(1).write.parquet(s"$dir/f2.parquet")
+    val in = spark.readStream.schema("user_id LONG, day LONG")
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/f*.parquet")
+    val firstSeen = in.groupBy($"user_id").agg(min($"day").as("fday"))
+    val q = firstSeen.writeStream.format("memory").queryName("newusers_inv")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "drain did not finish")
+    val got = spark.table("newusers_inv").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 2L, 2L -> 3L, 3L -> 4L),
+      s"cross-batch min must win: $got")
+    q.stop()
+  }
+
+  test("drained audience-growth curve equals the batch first-seen curve") {
+    import spark.implicits._
+    val stream = graft.operators.StreamQueries.streamNewUsers(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // the batch curve also emits zero-new-user days; the stream's state
+    // only holds days some user first appeared on — equal where defined
+    val batch = graft.operators.Events.cumulativeDistinct(spark, sf)
+      .filter($"new_users" > 0)
+      .select($"day", $"new_users", $"cum_users")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(stream == batch,
+      s"stream=${stream.take(3)}… batch=${batch.take(3)}…")
+  }
+
   test("sessionization emits exactly the closed sessions of the batch fold") {
     val gapMs = 30 * 60 * 1000L
     val out = EventStreams.sessionize(EventStreams.readEvents(spark, sf), gapMs)
