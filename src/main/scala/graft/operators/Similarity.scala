@@ -952,8 +952,12 @@ object Similarity {
         round(Expressions.cosineSim($"qv", $"v") * 1000000, 0).cast("long")
           .as("rel_micro"))
     val w = Window.partitionBy($"query_id").orderBy($"rel_micro".desc, $"cand_id")
+    // the candidate frame is nQ×C rows; persisting it means the
+    // corpus-scale relevance scan runs ONCE (unpersisted, the pairwise
+    // self-join and the per-query collect each replay the whole scan)
     val cand = rel.withColumn("crank", row_number().over(w)).filter($"crank" <= nCand)
       .select($"query_id", $"cand_id", $"rel_micro")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // candidate-sized vector re-join (the containment-verification
     // discipline: payloads only ever join against the bounded frame)
     val cv = cand.join(vecs.withColumnRenamed("vec_id", "cand_id"), "cand_id")
@@ -964,7 +968,8 @@ object Similarity {
         col("a.cand_id").as("ia"), col("b.cand_id").as("ib"),
         round(Expressions.cosineSim(col("a.v"), col("b.v")) * 1000000, 0)
           .cast("long").as("s_micro"))
-    mmrSelect(cand, pairs, k).orderBy($"query_id", $"rank")
+    val out = mmrSelect(cand, pairs, k).orderBy($"query_id", $"rank")
+    graft.plans.Caching.detach(out, () => { cand.unpersist(blocking = false); () })
   }
 
   /** The unrolled greedy over a bounded candidate frame
