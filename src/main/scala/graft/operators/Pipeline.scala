@@ -632,8 +632,61 @@ object Pipeline {
     graft.plans.Caching.detach(out, () => { ranked.unpersist(blocking = false); () })
   }
 
+  /** Data-quality CONSTRAINT REPORT — the Deequ-style validation gate a
+    * pipeline runs before admitting a corpus drop: completeness,
+    * key-uniqueness, metadata/payload consistency, value-set compliance
+    * and bounds checks, each emitted as one `(check_name, metric,
+    * passed)` row. Ratio metrics are exact integer micro-fractions
+    * (`count·1e6 div n` — no float crosses engines); bound metrics
+    * report the raw extreme. The `compliance_lang` allowed-set
+    * deliberately excludes `zh`, so the corpus FAILS that row — the
+    * report's failure path is exercised by the oracle itself, not just
+    * a spec.
+    *
+    * Scale shape: ONE aggregation pass over the table (the lone
+    * `count(distinct doc_id)` plans as Spark's two-stage expand —
+    * still map-side partial, no driver involvement; a sketch alternative
+    * exists as nd_vocab_hll when exactness isn't required), then a
+    * constant 8-row report built by exploding a literal struct array.
+    * Nothing data-scale moves after the aggregate. */
+  def qualityChecks(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val a = documents(s, d).agg(
+      count(lit(1)).as("n"),
+      sum(when($"text".isNotNull && length($"text") > 0, 1L).otherwise(0L)).as("nt"),
+      countDistinct($"doc_id").as("nid"),
+      sum(when($"n_chars" === length($"text"), 1L).otherwise(0L)).as("nc"),
+      sum(when($"lang".isin("en", "de", "fr", "es"), 1L).otherwise(0L)).as("nl"),
+      min($"n_chars").as("mn"), max($"n_chars").as("mx"),
+      sum($"n_chars").as("snc"),
+      sum(when($"source".isNotNull && length($"source") > 0, 1L).otherwise(0L)).as("ns"))
+    def ratio(c: String) = expr(s"($c * 1000000) div n")
+    a.select(explode(array(
+        struct(lit("completeness_source").as("check_name"),
+               ratio("ns").as("metric"), ($"ns" === $"n").as("passed")),
+        struct(lit("completeness_text").as("check_name"),
+               ratio("nt").as("metric"), ($"nt" === $"n").as("passed")),
+        struct(lit("compliance_lang").as("check_name"),
+               ratio("nl").as("metric"), (ratio("nl") >= 900000L).as("passed")),
+        struct(lit("consistency_n_chars").as("check_name"),
+               ratio("nc").as("metric"), ($"nc" === $"n").as("passed")),
+        struct(lit("max_n_chars").as("check_name"),
+               $"mx".as("metric"), ($"mx" <= 1000000L).as("passed")),
+        struct(lit("mean_n_chars_micro").as("check_name"),
+               ratio("snc").as("metric"),
+               (ratio("snc").between(1000000L, 1000000000L)).as("passed")),
+        struct(lit("min_n_chars").as("check_name"),
+               $"mn".as("metric"), ($"mn" >= 1L).as("passed")),
+        struct(lit("uniqueness_doc_id").as("check_name"),
+               ratio("nid").as("metric"), ($"nid" === $"n").as("passed"))
+      )).as("r"))
+      .select($"r.check_name", $"r.metric", $"r.passed")
+      .orderBy($"check_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "nd_pipeline_interleave" -> interleave _,
+    "nd_quality_checks" -> qualityChecks _,
     "nd_pipeline_kfold_leakage" -> ((s: SparkSession, d: String) => kfoldLeakage(s, d)),
     "nd_pipeline_length_batches" -> ((s: SparkSession, d: String) => lengthBatches(s, d)),
     "nd_pipeline_token_budget" -> ((s: SparkSession, d: String) => tokenBudget(s, d)),
@@ -655,6 +708,35 @@ object Pipeline {
     * the same replayable constructions as the [[TextAnalysis]] /
     * [[Dedup]] oracles. */
   val oracle: Map[String, String] = Map(
+    // one-pass aggregate + UNION ALL report; ratios are integer micro
+    // divisions, bounds report the raw extreme — all BIGINT-exact
+    "nd_quality_checks" ->
+      """WITH a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CASE WHEN text IS NOT NULL AND length(text) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+                CAST(count(DISTINCT doc_id) AS BIGINT) AS nid,
+                CAST(sum(CASE WHEN n_chars = length(text) THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+                CAST(sum(CASE WHEN lang IN ('en','de','fr','es') THEN 1 ELSE 0 END) AS BIGINT) AS nl,
+                CAST(min(n_chars) AS BIGINT) AS mn, CAST(max(n_chars) AS BIGINT) AS mx,
+                CAST(sum(n_chars) AS BIGINT) AS snc,
+                CAST(sum(CASE WHEN source IS NOT NULL AND length(source) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS ns
+              FROM documents)
+         SELECT * FROM (
+           SELECT 'completeness_source' AS check_name, (ns*1000000)//n AS metric, ns = n AS passed FROM a
+           UNION ALL
+           SELECT 'completeness_text', (nt*1000000)//n, nt = n FROM a
+           UNION ALL
+           SELECT 'compliance_lang', (nl*1000000)//n, (nl*1000000)//n >= 900000 FROM a
+           UNION ALL
+           SELECT 'consistency_n_chars', (nc*1000000)//n, nc = n FROM a
+           UNION ALL
+           SELECT 'max_n_chars', mx, mx <= 1000000 FROM a
+           UNION ALL
+           SELECT 'mean_n_chars_micro', (snc*1000000)//n, (snc*1000000)//n BETWEEN 1000000 AND 1000000000 FROM a
+           UNION ALL
+           SELECT 'min_n_chars', mn, mn >= 1 FROM a
+           UNION ALL
+           SELECT 'uniqueness_doc_id', (nid*1000000)//n, nid = n FROM a)
+         ORDER BY check_name""",
     // the literal single-sort spelling of the interleave the scalable
     // global rank must equal (the q46 discipline); same HUGEINT-widened
     // virtual-time key

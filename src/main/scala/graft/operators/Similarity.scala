@@ -586,7 +586,8 @@ object Similarity {
     "nd_rag_hybrid" -> ((s: SparkSession, d: String) => hybridRetrieve(s, d)),
     "nd_rag_ndcg" -> ((s: SparkSession, d: String) => retrievalNdcg(s, d)),
     "nd_rag_mmr" -> ((s: SparkSession, d: String) => ragMmr(s, d)),
-    "nd_join_setsim" -> ((s: SparkSession, d: String) => setSimJoin(s, d)))
+    "nd_join_setsim" -> ((s: SparkSession, d: String) => setSimJoin(s, d)),
+    "nd_join_fuzzy" -> ((s: SparkSession, d: String) => fuzzyJoin(s, d)))
 
   /** DuckDB replay of [[ragMmr]]'s greedy — k CHAINED CTE steps (the
     * greedy is sequential in k, so the oracle unrolls it the same way
@@ -1280,6 +1281,67 @@ object Similarity {
       .orderBy($"p_partkey")
   }
 
+  /** BLOCKED FUZZY (edit-distance) self-join — the classic
+    * entity-resolution matcher for typo-class variation that token-set
+    * similarity ([[setSimJoin]]) is blind to: candidates pair only
+    * within a blocking key (brand × leading name token — the standard
+    * ER blocking discipline; the leading-token component scales with
+    * vocabulary, so block width doesn't grow with the corpus the way a
+    * category-only key would), then verify with Levenshtein under
+    * `maxDist`, emitting each record's best match (min distance, ties →
+    * lowest partner key).
+    *
+    * Identical-name classes collapse BEFORE the pairwise join (the
+    * [[setSimJoinOn]] discipline — duplicated content makes true pairs
+    * quadratic; every member of a class shares one answer), so the
+    * Levenshtein join runs over DISTINCT (brand, name) classes only —
+    * a vocabulary-bounded frame, not a data-scale one. Members rejoin
+    * by their (brand, name) class key at the end (payload-free: no
+    * member array rides the pair shuffle; the two smallest member keys
+    * — all the intra-class answer needs — come from two partial-agg'd
+    * passes, not a bounded-cardinality window). The Levenshtein itself
+    * runs the THRESHOLD overload (banded O(maxDist·len) with early
+    * exit, codegen'd), not the full DP matrix. */
+  def fuzzyJoin(s: SparkSession, d: String, maxDist: Int = 4): DataFrame = {
+    import s.implicits._
+    val p = part(s, d).select($"p_partkey", $"p_brand", $"p_name")
+    val c1 = p.groupBy($"p_brand", $"p_name")
+      .agg(min($"p_partkey").as("min1"), count(lit(1)).as("m"))
+    val c2 = p.join(broadcast(c1.select($"p_brand", $"p_name", $"min1")),
+        Seq("p_brand", "p_name"))
+      .filter($"p_partkey" > $"min1")
+      .groupBy($"p_brand", $"p_name").agg(min($"p_partkey").as("min2"))
+    val cls = c1.join(c2, Seq("p_brand", "p_name"), "left_outer")
+      .withColumn("tok0", split($"p_name", " ")(0))
+    val cand = cls.as("a").join(cls.as("b"),
+        col("a.p_brand") === col("b.p_brand") &&
+          col("a.tok0") === col("b.tok0") &&
+          col("a.p_name") =!= col("b.p_name"))
+      .select(col("a.p_brand").as("p_brand"), col("a.p_name").as("p_name"),
+        col("b.min1").as("q_rep"),
+        levenshtein(col("a.p_name"), col("b.p_name"), maxDist).cast("long").as("dist"))
+      .filter($"dist" =!= -1L)
+    // best partner class per class: min distance, ties → lowest partner
+    // rep (a partner class's lowest member IS its rep) — one struct-min
+    // hash aggregate, no window
+    val best = cand.groupBy($"p_brand", $"p_name")
+      .agg(min(struct($"dist", $"q_rep")).as("b"))
+      .select($"p_brand", $"p_name", $"b.dist".as("bdist"), $"b.q_rep".as("q_rep"))
+    val enriched = cls.join(best, Seq("p_brand", "p_name"), "left_outer")
+    // members rejoin by class key; an identical-name twin (dist 0,
+    // lowest other member) beats any inter-class candidate (names
+    // differ ⇒ dist ≥ 1); singleton classes take the inter-class best
+    // or drop out
+    p.join(broadcast(enriched), Seq("p_brand", "p_name"))
+      .withColumn("best_match",
+        when($"m" >= 2L, when($"p_partkey" === $"min1", $"min2").otherwise($"min1"))
+          .otherwise($"q_rep"))
+      .withColumn("dist", when($"m" >= 2L, lit(0L)).otherwise($"bdist"))
+      .filter($"best_match".isNotNull)
+      .select($"p_partkey", $"best_match", $"dist")
+      .orderBy($"p_partkey")
+  }
+
   /** BM25 replay CTEs (ending in `brank`): same canonical/tokenize scheme
     * as the dedup oracles, integer micro idf + exact-ratio tf
     * normalization mirroring [[bm25Retrieve]] operation-for-operation. */
@@ -1403,6 +1465,39 @@ object Similarity {
                 min(n2) AS min_n2, max(n2) AS max_n2,
                 CAST(CAST(sum(CAST(n2 AS HUGEINT)) AS HUGEINT) // count(*) AS BIGINT) AS avg_n2
          FROM q GROUP BY label ORDER BY label""",
+    // blocked-Levenshtein replay: identical-name class collapse, two-pass
+    // (min1, min2) member keys, (brand, tok0) blocked candidate join,
+    // min-(dist, rep) argmax, class-key member expansion
+    "nd_join_fuzzy" ->
+      """WITH p AS (SELECT p_partkey, p_brand, p_name FROM part),
+          fc1 AS (SELECT p_brand, p_name, CAST(min(p_partkey) AS BIGINT) AS min1,
+                         CAST(count(*) AS BIGINT) AS m
+                  FROM p GROUP BY 1, 2),
+          fc2 AS (SELECT p.p_brand, p.p_name, CAST(min(p_partkey) AS BIGINT) AS min2
+                  FROM p JOIN fc1 USING (p_brand, p_name)
+                  WHERE p_partkey > min1 GROUP BY 1, 2),
+          fcls AS (SELECT fc1.p_brand, fc1.p_name, split_part(fc1.p_name, ' ', 1) AS tok0,
+                          min1, m, min2
+                   FROM fc1 LEFT JOIN fc2 ON fc1.p_brand = fc2.p_brand
+                                         AND fc1.p_name = fc2.p_name),
+          fcand AS (SELECT a.p_brand, a.p_name, b.min1 AS q_rep,
+                           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+                    FROM fcls a JOIN fcls b
+                      ON a.p_brand = b.p_brand AND a.tok0 = b.tok0
+                     AND a.p_name <> b.p_name
+                    WHERE levenshtein(a.p_name, b.p_name) <= 4),
+          fbest AS (SELECT p_brand, p_name, dist AS bdist, q_rep
+                    FROM (SELECT *, row_number() OVER (PARTITION BY p_brand, p_name
+                                     ORDER BY dist, q_rep) AS r
+                          FROM fcand) WHERE r = 1)
+          SELECT p.p_partkey,
+                 CASE WHEN m >= 2 THEN (CASE WHEN p.p_partkey = min1 THEN min2 ELSE min1 END)
+                      ELSE q_rep END AS best_match,
+                 CASE WHEN m >= 2 THEN CAST(0 AS BIGINT) ELSE bdist END AS dist
+          FROM p JOIN fcls USING (p_brand, p_name)
+          LEFT JOIN fbest USING (p_brand, p_name)
+          WHERE m >= 2 OR bdist IS NOT NULL
+          ORDER BY p_partkey""",
     // AllPairs prefix-filter replay: rarity-ordered sets, integer-ceil
     // prefix, cross-multiplied Jaccard gate, per-part argmax
     "nd_join_setsim" ->

@@ -11,6 +11,39 @@ class PipelineSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val sf = "/root/testdata/sf0.001"
 
+  test("quality checks flag planted violations and clear a clean corpus") {
+    import spark.implicits._
+    // planted corpus: doc 1 null text, doc 2 duplicated key, doc 3 lying
+    // n_chars, doc 4 disallowed lang, doc 5 empty source — five distinct
+    // constraint families violated at once
+    val dir = java.nio.file.Files.createTempDirectory("qcheck").toString
+    Seq(
+      (1L, null.asInstanceOf[String], "en", "s0", 0L),
+      (2L, "hello world", "en", "s0", 11L),
+      (2L, "hello again", "en", "s0", 11L),
+      (3L, "abc", "en", "s0", 99L),
+      (4L, "bonjour", "xx", "s0", 7L),
+      (5L, "text five", "en", "", 9L),
+      (6L, "clean row here", "de", "s1", 14L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rep = Pipeline.qualityChecks(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(rep.size == 8)
+    assert(rep("completeness_text") == (6L * 1000000L / 7L, false))
+    assert(rep("uniqueness_doc_id") == (6L * 1000000L / 7L, false))
+    assert(rep("consistency_n_chars") == (5L * 1000000L / 7L, false))
+    assert(rep("compliance_lang") == (6L * 1000000L / 7L, false))
+    assert(rep("completeness_source") == (6L * 1000000L / 7L, false))
+    assert(rep("min_n_chars") == (0L, false))
+    assert(rep("max_n_chars")._2 && rep("mean_n_chars_micro")._2)
+    // the shipped corpus clears every gate except the deliberate
+    // zh-exclusion compliance row
+    val real = Pipeline.qualityChecks(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getBoolean(2)).toMap
+    assert(real.count(!_._2) == 1 && !real("compliance_lang"))
+  }
+
   test("kfold leakage audit equals a driver-side fold-hash replay; folds are balanced") {
     def fold(id: Long): Long = {
       val hex = java.security.MessageDigest.getInstance("MD5")

@@ -171,6 +171,45 @@ class RetrievalSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("fuzzy join matches blocked driver brute force") {
+    import spark.implicits._
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(b.length + 1)(identity)
+      for (i <- 1 to a.length) {
+        var prev = dp(0); dp(0) = i
+        for (j <- 1 to b.length) {
+          val cur = dp(j)
+          dp(j) = math.min(math.min(dp(j) + 1, dp(j - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = cur
+        }
+      }
+      dp(b.length)
+    }
+    val parts = Tables.part(spark, sf)
+      .select($"p_partkey", $"p_brand", $"p_name").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    // brute force within each (brand, leading-token) block: best = min
+    // (dist, partner key) over ALL other parts at dist ≤ 4 — identical
+    // twins included (dist 0), which is exactly the class-collapse answer
+    val best = parts.groupBy(p => (p._2, p._3.split(" ")(0))).values.flatMap { blk =>
+      blk.map { case (k, _, name) =>
+        val cands = blk.iterator.filter(_._1 != k)
+          .map { case (q, _, qn) => (lev(name, qn).toLong, q) }
+          .filter(_._1 <= 4L)
+        k -> (if (cands.isEmpty) None else Some(cands.min))
+      }
+    }.collect { case (k, Some((d, q))) => k -> (q, d) }.toMap
+    val got = graft.operators.Similarity.fuzzyJoin(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.keySet == best.keySet,
+      s"fuzzy join missed parts: ${(best.keySet -- got.keySet).take(5)}; extra: ${(got.keySet -- best.keySet).take(5)}")
+    got.foreach { case (p, v) =>
+      assert(v == best(p), s"part $p best fuzzy match diverged: got $v expected ${best(p)}")
+    }
+    assert(got.nonEmpty)
+  }
+
   test("BM25 scale shape: broadcast term filter, per-query rank partitions") {
     val (df, free) = Similarity.bm25RetrieveLazy(spark, sf, 5, 6, 10)
     val plan = df.queryExecution.executedPlan.toString
