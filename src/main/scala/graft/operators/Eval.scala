@@ -323,7 +323,57 @@ object Eval {
       .orderBy($"class")
   }
 
+  /** Population-Stability-Index DRIFT MONITOR — the distribution-shift
+    * gate an ML-ops pipeline runs between a baseline corpus snapshot and
+    * the current one before retraining on it: per categorical dimension
+    * (`lang`, `source`) and bucket, the PSI contribution
+    * `(p − q)·ln(p/q)` with add-one (Laplace) smoothing so a bucket
+    * present in only one snapshot contributes a finite, deterministic
+    * term instead of ±∞. Snapshots split on the ingest key
+    * (`doc_id < n/2` — ids are assigned in arrival order, so the halves
+    * ARE earlier-vs-later corpus states).
+    *
+    * Exactness: p/q are exact integer micro-fractions
+    * (`(cnt+1)·1e6 div (n+V)`); the single float op is the tfidf-style
+    * micro-nat quantization `round(ln(·)·1e6)` whose argument is one
+    * division of two exactly-representable DECIMAL-widened integer
+    * products — identical op order in both engines. Contributions are
+    * then exact integer products in pico units (micro × micro-nats).
+    *
+    * Scale shape: one corpus scan exploding each row into its bounded
+    * dimension set, ONE partial-agg'd (dim, bucket) hash aggregate;
+    * per-dim totals and bucket cardinality derive from that bounded
+    * frame (no second corpus pass) and broadcast back onto it. Nothing
+    * data-scale moves after the aggregate; the lone driver scalar is
+    * the snapshot-split count. */
+  def driftPsi(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = documents(s, d).select($"doc_id", $"lang", $"source")
+    val half = docs.count() / 2
+    val counts = docs.select($"doc_id", explode(array(
+        struct(lit("lang").as("dim"), $"lang".as("bucket")),
+        struct(lit("source").as("dim"), $"source".as("bucket")))).as("e"))
+      .groupBy($"e.dim".as("dim"), $"e.bucket".as("bucket"))
+      .agg(sum(when($"doc_id" < half, 1L).otherwise(0L)).as("b_cnt"),
+           sum(when($"doc_id" >= half, 1L).otherwise(0L)).as("c_cnt"))
+    val tot = counts.groupBy($"dim")
+      .agg(sum($"b_cnt").as("nb"), sum($"c_cnt").as("nc"),
+           count(lit(1)).as("v"))
+    counts.join(broadcast(tot), "dim")
+      .withColumn("p_micro", expr("((b_cnt + 1) * 1000000) div (nb + v)"))
+      .withColumn("q_micro", expr("((c_cnt + 1) * 1000000) div (nc + v)"))
+      .withColumn("ln_micro",
+        round(log(
+          (($"b_cnt" + 1).cast("decimal(38,0)") * ($"nc" + $"v")).cast("double") /
+          (($"c_cnt" + 1).cast("decimal(38,0)") * ($"nb" + $"v")).cast("double")
+        ) * 1000000).cast("long"))
+      .select($"dim", $"bucket", $"b_cnt", $"c_cnt", $"p_micro", $"q_micro",
+              (($"p_micro" - $"q_micro") * $"ln_micro").as("psi_pico"))
+      .orderBy($"dim", $"bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "nd_drift_psi" -> (driftPsi _),
     "nd_eval_f1" -> (f1ByClass _),
     "nd_eval_auc" -> (aucBySource _),
     "nd_eval_pr_auc" -> (prAucBySource _),
@@ -374,6 +424,32 @@ object Eval {
   }
 
   val oracle: Map[String, String] = Map(
+    // PSI replay: same halved-ingest split, add-one smoothing, integer
+    // micro fractions, HUGEINT-widened products under the one ln()
+    "nd_drift_psi" ->
+      """WITH dd AS (SELECT doc_id, lang, source FROM documents),
+          nn AS (SELECT count(*) // 2 AS half FROM dd),
+          dv AS (SELECT doc_id, 'lang' AS dim, lang AS bucket FROM dd
+                 UNION ALL
+                 SELECT doc_id, 'source', source FROM dd),
+          cts AS (SELECT dim, bucket,
+                    CAST(sum(CASE WHEN doc_id < half THEN 1 ELSE 0 END) AS BIGINT) AS b_cnt,
+                    CAST(sum(CASE WHEN doc_id >= half THEN 1 ELSE 0 END) AS BIGINT) AS c_cnt
+                  FROM dv CROSS JOIN nn GROUP BY 1, 2),
+          tt AS (SELECT dim, CAST(sum(b_cnt) AS BIGINT) AS nb,
+                        CAST(sum(c_cnt) AS BIGINT) AS nc,
+                        CAST(count(*) AS BIGINT) AS v
+                 FROM cts GROUP BY 1)
+          SELECT dim, bucket, b_cnt, c_cnt,
+                 ((b_cnt + 1) * 1000000) // (nb + v) AS p_micro,
+                 ((c_cnt + 1) * 1000000) // (nc + v) AS q_micro,
+                 (((b_cnt + 1) * 1000000) // (nb + v)
+                  - ((c_cnt + 1) * 1000000) // (nc + v))
+                 * CAST(round(ln(CAST(CAST(b_cnt + 1 AS HUGEINT) * (nc + v) AS DOUBLE)
+                               / CAST(CAST(c_cnt + 1 AS HUGEINT) * (nb + v) AS DOUBLE))
+                              * 1000000) AS BIGINT) AS psi_pico
+          FROM cts JOIN tt USING (dim)
+          ORDER BY dim, bucket""",
     "nd_eval_auc" ->
       s"""WITH scored AS (
             SELECT source,

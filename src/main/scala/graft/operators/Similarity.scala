@@ -1304,7 +1304,18 @@ object Similarity {
     * exit, codegen'd), not the full DP matrix. */
   def fuzzyJoin(s: SparkSession, d: String, maxDist: Int = 4): DataFrame = {
     import s.implicits._
-    val p = part(s, d).select($"p_partkey", $"p_brand", $"p_name")
+    fuzzyJoinOn(
+      part(s, d).select($"p_partkey", $"p_brand", $"p_name"), maxDist)
+  }
+
+  /** [[fuzzyJoin]] over any `(p_partkey, p_brand, p_name)` frame — the
+    * SetSimScale entry point (the tool feeds a synthetic 1M-record
+    * corpus with planted one-edit variants through the identical
+    * pipeline). */
+  private[graft] def fuzzyJoinOn(partsFrame: DataFrame, maxDist: Int = 4): DataFrame = {
+    val s = partsFrame.sparkSession
+    import s.implicits._
+    val p = partsFrame
     val c1 = p.groupBy($"p_brand", $"p_name")
       .agg(min($"p_partkey").as("min1"), count(lit(1)).as("m"))
     val c2 = p.join(broadcast(c1.select($"p_brand", $"p_name", $"min1")),

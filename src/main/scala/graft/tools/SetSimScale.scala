@@ -31,9 +31,16 @@ import graft.operators.{Dedup, Similarity}
   *    any pair threshold — precisely the asymmetric case the operator
   *    exists for.
   *
+  * A third block measures the blocked-Levenshtein fuzzy join
+  * (`Similarity.fuzzyJoinOn`) over planted one-edit variants — the
+  * class-collapse path is what's under test: the pairwise join runs
+  * over distinct (brand, name) classes, so duplicated names never go
+  * quadratic.
+  *
   * Run: `sbt "runMain graft.tools.SetSimScale"` (or the plain-java
   * helper); env `SPARK_GRAFT_SETSIM_ENTITIES` / `SPARK_GRAFT_CONT_DOCS`
-  * scale the corpora. Results recorded in COVERAGE.md per round.
+  * / `SPARK_GRAFT_FUZZY_PARTS` scale the corpora. Results recorded in
+  * COVERAGE.md per round.
   */
 object SetSimScale {
   private def timeSec(f: => Unit): Double = {
@@ -125,10 +132,56 @@ object SetSimScale {
       .count()
     pairs.unpersist(blocking = false)
 
+    // ---- blocked fuzzy (Levenshtein) join at nFuzzy parts ----
+    // corpus: names drawn from a ~2k-name vocabulary (class collapse is
+    // the load-bearing property — the pairwise join runs over distinct
+    // (brand, name) classes, not parts); every 20th record of the second
+    // half reuses a first-half record's brand+name with ONE char appended
+    // → a planted distance-1 variant in the same (brand, tok0) block.
+    // Recall reads off the output: every planted part must surface with
+    // dist ≤ 1 (its one-edit partner guarantees a qualifying match; a
+    // same-name twin at dist 0 may legitimately win).
+    val nFuzzy = sys.env.getOrElse("SPARK_GRAFT_FUZZY_PARTS", nEnt.toString).toLong
+    val fuzzyHalf = nFuzzy / 2
+    val fuzzyDir = s"$tmp/graft-fuzzy-scale-$nFuzzy"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(fuzzyDir, "_SUCCESS"))) {
+      val isVar = $"id" >= fuzzyHalf && ($"id" - fuzzyHalf) % 20 === 0
+      val seed = when(isVar, $"id" - fuzzyHalf).otherwise($"id")
+      val baseName = concat(
+        lit("w"), pmod(hash(seed, lit(0)), lit(100)),
+        lit(" w"), pmod(hash(seed, lit(1)), lit(20)))
+      val gen = timeSec {
+        spark.range(nFuzzy).select(
+          $"id".as("p_partkey"),
+          concat(lit("B"), pmod(hash(seed, lit(99)), lit(25))).as("p_brand"),
+          when(isVar, concat(baseName, lit("x"))).otherwise(baseName).as("p_name"))
+          .repartition(cpus.toInt)
+          .write.mode("overwrite").parquet(fuzzyDir)
+      }
+      System.err.println(f"[fuzzy-scale] generated $nFuzzy parts in $gen%.1fs -> $fuzzyDir")
+    }
+    val fuzzyParts = spark.read.parquet(fuzzyDir)
+    fuzzyParts.count()
+
+    var fuzzy: DataFrame = null
+    var nFuzzyRows = 0L
+    val tFuzzy = timeSec {
+      fuzzy = Similarity.fuzzyJoinOn(fuzzyParts, maxDist = 4)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      nFuzzyRows = fuzzy.count()
+    }
+    val plantedFuzzy = fuzzyHalf / 20
+    val foundFuzzy = fuzzy.filter(
+        $"p_partkey" >= fuzzyHalf && ($"p_partkey" - fuzzyHalf) % 20 === 0 &&
+        $"dist" <= 1L)
+      .count()
+    fuzzy.unpersist(blocking = false)
+
     println("\n| pipeline | corpus | wall | rows out | planted | recall | non-planted rows |")
     println("|---|---|---|---|---|---|---|")
     println(f"| setSimJoin (t=3/5) | $nEnt x 8-word sets | $tSim%.1fs | $nRows | $plantedSim pairs | ${foundSim.toDouble / plantedSim}%.4f | ${nRows - 2 * foundSim} |")
     println(f"| containmentPairs (c=4/5) | $nDoc x 60/20-word docs | $tCont%.1fs | $nPairs | $plantedCont pairs | ${foundCont.toDouble / plantedCont}%.4f | ${nPairs - foundCont} |")
+    println(f"| fuzzyJoin (d<=4) | $nFuzzy parts, ~2k-name vocab | $tFuzzy%.1fs | $nFuzzyRows | $plantedFuzzy variants | ${foundFuzzy.toDouble / plantedFuzzy}%.4f | ${nFuzzyRows - foundFuzzy} |")
     spark.stop()
   }
 }

@@ -14,6 +14,38 @@ class EvalSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val sf = "/root/testdata/sf0.001"
 
+  test("PSI drift monitor: planted source shift scores high, stable lang near zero") {
+    import spark.implicits._
+    // planted snapshots: lang mix identical across halves; source mix
+    // flips from 90/10 to 10/90 — a textbook drift the monitor must flag
+    val dir = java.nio.file.Files.createTempDirectory("psidrift").toString
+    val rows = (0L until 400L).map { i =>
+      val baseline = i < 200
+      val lang = if (i % 2 == 0) "en" else "de"
+      val src =
+        if (baseline) { if (i % 10 < 9) "web" else "books" }
+        else { if (i % 10 < 9) "books" else "web" }
+      (i, s"doc $i", lang, src, 6L)
+    }
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val psi = Eval.driftPsi(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(6)).toMap
+    val sourcePsi = psi(("source", "web")) + psi(("source", "books"))
+    val langPsi = psi(("lang", "en")) + psi(("lang", "de"))
+    // pico units: PSI ≥ 0.25 is the standard "significant shift" bar
+    assert(sourcePsi > 250L * 1000000000L,
+      s"planted 90/10→10/90 source flip must exceed PSI 0.25, got $sourcePsi pico")
+    assert(langPsi.abs < 1L * 1000000000L,
+      s"stable lang mix must stay near zero, got $langPsi pico")
+    // driver replay of one contribution (web: 180+1 of 200+2 vs 20+1 of
+    // 200+2) pins the exact arithmetic
+    val p = (181L * 1000000L) / 202L
+    val q = (21L * 1000000L) / 202L
+    val ln = math.round(math.log((181.0 * 202.0) / (21.0 * 202.0)) * 1000000.0)
+    assert(psi(("source", "web")) == (p - q) * ln)
+  }
+
   test("rank-sum AUC equals the brute-force pair count on the real corpus") {
     val scored = Eval.scoredDocs(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
