@@ -372,8 +372,51 @@ object Eval {
       .orderBy($"dim", $"bucket")
   }
 
+  /** Two-sample Kolmogorov–Smirnov drift statistic over a NUMERIC column
+    * (`n_chars`) between the same ingest-key snapshots as [[driftPsi]] —
+    * the numeric complement to PSI's categorical buckets: the maximum
+    * ECDF gap, its location, and the two sample sizes, all exact.
+    *
+    * Exactness: the ECDF gap at value v is |cb(v)·nc − cc(v)·nb| over
+    * the common denominator nb·nc — DECIMAL(38,0)-widened integer
+    * products compared exactly (no float ever), the argmax tying to the
+    * smallest value; `ks_micro` is one integral division at the end.
+    *
+    * Scale shape: one corpus scan → one partial-agg'd per-value count
+    * aggregate (the frame shrinks to |distinct values| — the AUC
+    * discipline); both cumulative counts run through
+    * [[graft.plans.ScalableNtile.runningTotal]] (range-partitioned
+    * two-phase cumsum — no single-partition window even if the value
+    * domain grows); one bounded-frame argmax aggregate ends it. */
+  def driftKs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = documents(s, d).select($"doc_id", $"n_chars")
+    val half = docs.count() / 2
+    // the per-value count frame feeds the boundary sample, both cumsums
+    // AND the totals — persist it so the corpus aggregates once (the
+    // tfidf discipline)
+    val cts = docs.groupBy($"n_chars".as("v"))
+      .agg(sum(when($"doc_id" < half, 1L).otherwise(0L)).as("b"),
+           sum(when($"doc_id" >= half, 1L).otherwise(0L)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cum = graft.plans.ScalableNtile.runningTotals(
+      cts, Seq($"b" -> "cb", $"c" -> "cc"), Seq($"v"))
+    val tot = cts.agg(sum($"b").as("nb"), sum($"c").as("nc"))
+    val out = cum.crossJoin(broadcast(tot))
+      .withColumn("diff",
+        abs($"cb".cast("decimal(38,0)") * $"nc" - $"cc".cast("decimal(38,0)") * $"nb"))
+      .agg(max(struct($"diff", (-$"v").as("nv"))).as("m"),
+           max($"nb").as("nb"), max($"nc").as("nc"))
+      .select(
+        expr("CAST((m.diff * 1000000) div (CAST(nb AS DECIMAL(38,0)) * nc) AS BIGINT)")
+          .as("ks_micro"),
+        (-$"m.nv").as("at_value"), $"nb", $"nc")
+    graft.plans.Caching.detach(out, () => { cts.unpersist(blocking = false); () })
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "nd_drift_psi" -> (driftPsi _),
+    "nd_drift_ks" -> (driftKs _),
     "nd_eval_f1" -> (f1ByClass _),
     "nd_eval_auc" -> (aucBySource _),
     "nd_eval_pr_auc" -> (prAucBySource _),
@@ -424,6 +467,27 @@ object Eval {
   }
 
   val oracle: Map[String, String] = Map(
+    // KS replay: per-value counts, window cumsums (the literal spelling
+    // of the range-decomposed runningTotal), HUGEINT cross products,
+    // smallest-value argmax, one integral division
+    "nd_drift_ks" ->
+      """WITH dd AS (SELECT doc_id, n_chars FROM documents),
+          nn AS (SELECT count(*) // 2 AS half FROM dd),
+          cts AS (SELECT n_chars AS v,
+                    CAST(sum(CASE WHEN doc_id < half THEN 1 ELSE 0 END) AS BIGINT) AS b,
+                    CAST(sum(CASE WHEN doc_id >= half THEN 1 ELSE 0 END) AS BIGINT) AS c
+                  FROM dd CROSS JOIN nn GROUP BY 1),
+          tot AS (SELECT CAST(sum(b) AS BIGINT) AS nb, CAST(sum(c) AS BIGINT) AS nc FROM cts),
+          cum AS (SELECT v, sum(b) OVER (ORDER BY v) AS cb,
+                         sum(c) OVER (ORDER BY v) AS cc FROM cts),
+          dfs AS (SELECT v, abs(CAST(cb AS HUGEINT) * nc - CAST(cc AS HUGEINT) * nb) AS diff
+                  FROM cum CROSS JOIN tot)
+          SELECT CAST(((SELECT max(diff) FROM dfs) * 1000000)
+                      // (CAST(nb AS HUGEINT) * nc) AS BIGINT) AS ks_micro,
+                 (SELECT min(v) FROM dfs
+                  WHERE diff = (SELECT max(diff) FROM dfs)) AS at_value,
+                 nb, nc
+          FROM tot""",
     // PSI replay: same halved-ingest split, add-one smoothing, integer
     // micro fractions, HUGEINT-widened products under the one ln()
     "nd_drift_psi" ->

@@ -172,22 +172,41 @@ object ScalableNtile {
     * global rank. `order` must be a total order and `value` must not be
     * NULL; boundary skew affects balance only, never the result. */
   def runningTotal(df: DataFrame, value: Column, order: Seq[Column],
-      totalCol: String, partitions: Int = 0): DataFrame = {
+      totalCol: String, partitions: Int = 0): DataFrame =
+    runningTotals(df, Seq(value -> totalCol), order, partitions)
+
+  /** [[runningTotal]] for SEVERAL value columns in one pass: the range
+    * bucketing (count + boundary sample + one shuffle) and the per-range
+    * prefix window are shared, so N cumulative sums over the same order
+    * cost one decomposition instead of N — the per-range window computes
+    * all N prefix sums in the same WindowExec, and the P-row offset frame
+    * carries one offset column per value. */
+  def runningTotals(df: DataFrame, values: Seq[(Column, String)],
+      order: Seq[Column], partitions: Int = 0): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val withPid = withRangeId(df, order, partitions).withColumn("__v", value)
+    val tagged = values.zipWithIndex.map { case ((v, out), i) => (s"__v$i", v, out) }
+    val withPid = tagged.foldLeft(withRangeId(df, order, partitions)) {
+      case (acc, (n, v, _)) => acc.withColumn(n, v)
+    }
     val wMeta = Window.orderBy($"__pid")
-    val offsets = withPid.groupBy($"__pid").agg(sum($"__v").as("__vsum"))
-      .withColumn("__voffset",
-        coalesce(sum($"__vsum").over(wMeta.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select($"__pid", $"__voffset")
+    val sums = tagged.map { case (n, _, _) => sum(col(n)).as(s"${n}sum") }
+    val offsets = tagged.foldLeft(
+        withPid.groupBy($"__pid").agg(sums.head, sums.tail: _*)) {
+        case (acc, (n, _, _)) => acc.withColumn(s"${n}off",
+          coalesce(sum(col(s"${n}sum")).over(
+            wMeta.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      }
+      .select(($"__pid" +: tagged.map(t => col(s"${t._1}off"))): _*)
     val wCum = Window.partitionBy($"__pid").orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, 0)
-    withPid
-      .withColumn("__pcum", sum($"__v").over(wCum))
-      .join(broadcast(offsets), "__pid")
-      .withColumn(totalCol, $"__voffset" + $"__pcum")
-      .drop("__pid", "__v", "__pcum", "__voffset")
+    val cum = tagged.foldLeft(withPid) { case (acc, (n, _, _)) =>
+      acc.withColumn(s"${n}cum", sum(col(n)).over(wCum))
+    }.join(broadcast(offsets), "__pid")
+    tagged.foldLeft(cum) { case (acc, (n, _, outCol)) =>
+        acc.withColumn(outCol, col(s"${n}off") + col(s"${n}cum"))
+      }
+      .drop("__pid" +: tagged.flatMap(t => Seq(t._1, s"${t._1}cum", s"${t._1}off")): _*)
   }
 
   /** The input with an extra long `bucketCol` = `ntile(n) OVER (ORDER BY

@@ -46,6 +46,39 @@ class EvalSpec extends AnyFunSuite {
     assert(psi(("source", "web")) == (p - q) * ln)
   }
 
+  test("KS drift: disjoint supports score 1.0; real corpus matches driver replay") {
+    import spark.implicits._
+    // planted: baseline lengths 100..109, current 200..209 — disjoint
+    // supports, so the max ECDF gap is exactly 1.0 at the last baseline
+    // value
+    val dir = java.nio.file.Files.createTempDirectory("ksdrift").toString
+    (0L until 400L).map { i =>
+      val nc = if (i < 200) 100L + i % 10 else 200L + i % 10
+      (i, "x", "en", "s0", nc)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val planted = Eval.driftKs(spark, dir).head
+    assert(planted.getAs[Long]("ks_micro") == 1000000L)
+    assert(planted.getAs[Long]("at_value") == 109L)
+    // driver replay on the real corpus
+    val docs = graft.Tables.documents(spark, sf)
+      .select($"doc_id", $"n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val half = docs.length / 2
+    val (b, c) = docs.partition(_._1 < half)
+    val vs = docs.map(_._2).distinct.sorted
+    val (nb, nc2) = (b.length.toLong, c.length.toLong)
+    val gaps = vs.map { v =>
+      (BigInt(b.count(_._2 <= v)) * nc2 - BigInt(c.count(_._2 <= v)) * nb).abs -> v
+    }
+    val maxGap = gaps.map(_._1).max
+    val atV = gaps.filter(_._1 == maxGap).map(_._2).min
+    val got = Eval.driftKs(spark, sf).head
+    assert(got.getAs[Long]("ks_micro") == (maxGap * 1000000 / (BigInt(nb) * nc2)).toLong)
+    assert(got.getAs[Long]("at_value") == atV)
+    assert(got.getAs[Long]("nb") == nb && got.getAs[Long]("nc") == nc2)
+  }
+
   test("rank-sum AUC equals the brute-force pair count on the real corpus") {
     val scored = Eval.scoredDocs(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
