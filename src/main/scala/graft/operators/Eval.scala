@@ -408,7 +408,11 @@ object Eval {
       .agg(max(struct($"diff", (-$"v").as("nv"))).as("m"),
            max($"nb").as("nb"), max($"nc").as("nc"))
       .select(
-        expr("CAST((m.diff * 1000000) div (CAST(nb AS DECIMAL(38,0)) * nc) AS BIGINT)")
+        // an empty snapshot makes KS undefined — surface a NULL statistic
+        // (never an ANSI divide-by-zero) so degenerate corpora pass through
+        when($"nb" === 0L || $"nc" === 0L, lit(null).cast("long"))
+          .otherwise(expr(
+            "CAST((m.diff * 1000000) div (CAST(nb AS DECIMAL(38,0)) * nc) AS BIGINT)"))
           .as("ks_micro"),
         (-$"m.nv").as("at_value"), $"nb", $"nc")
     graft.plans.Caching.detach(out, () => { cts.unpersist(blocking = false); () })

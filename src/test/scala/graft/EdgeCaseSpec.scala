@@ -38,6 +38,29 @@ class EdgeCaseSpec extends AnyFunSuite {
     out
   }
 
+  test("drift monitors and quality checks survive hostile and degenerate corpora") {
+    import spark.implicits._
+    // the shared hostile corpus (nulls absent but empty/unicode present)
+    val psi = graft.operators.Eval.driftPsi(spark, dir).collect()
+    assert(psi.nonEmpty && psi.forall(r => !r.isNullAt(6)))
+    val ks = graft.operators.Eval.driftKs(spark, dir).collect()
+    assert(ks.length == 1 && ks.head.getAs[Long]("ks_micro") >= 0L)
+    val qc = graft.operators.Pipeline.qualityChecks(spark, dir).collect()
+    assert(qc.length == 8)
+    // degenerate: a ONE-document corpus — the baseline snapshot is empty;
+    // PSI smoothing keeps every contribution finite, KS is undefined and
+    // must surface as a null statistic (div by an empty sample), never a
+    // throw
+    val one = java.nio.file.Files.createTempDirectory("graft-edge1").toString
+    Seq((0L, "only doc", "en", "s0", 8L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$one/documents.parquet")
+    val psi1 = graft.operators.Eval.driftPsi(spark, one).collect()
+    assert(psi1.length == 2 && psi1.forall(r => !r.isNullAt(6)))
+    val ks1 = graft.operators.Eval.driftKs(spark, one).collect()
+    assert(ks1.length == 1 && ks1.head.isNullAt(0))
+  }
+
   test("stats / quality / gopher / repetition survive hostile documents") {
     val stats = TextAnalysis.textStats(spark, dir).collect()
     assert(stats.length == 8)
