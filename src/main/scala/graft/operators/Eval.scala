@@ -350,12 +350,28 @@ object Eval {
     import s.implicits._
     val docs = documents(s, d).select($"doc_id", $"lang", $"source")
     val half = docs.count() / 2
-    val counts = docs.select($"doc_id", explode(array(
-        struct(lit("lang").as("dim"), $"lang".as("bucket")),
-        struct(lit("source").as("dim"), $"source".as("bucket")))).as("e"))
+    val counts = docs.select($"doc_id", explode(psiDims($"lang", $"source")).as("e"))
       .groupBy($"e.dim".as("dim"), $"e.bucket".as("bucket"))
       .agg(sum(when($"doc_id" < half, 1L).otherwise(0L)).as("b_cnt"),
            sum(when($"doc_id" >= half, 1L).otherwise(0L)).as("c_cnt"))
+    psiOf(counts)
+  }
+
+  /** The per-row (dim, bucket) struct array both the batch and the
+    * drained-stream PSI monitors explode — one definition so the two
+    * paths cannot diverge. */
+  private[graft] def psiDims(lang: Column, source: Column): Column = array(
+    struct(lit("lang").as("dim"), lang.as("bucket")),
+    struct(lit("source").as("dim"), source.as("bucket")))
+
+  /** The PSI arithmetic over any `(dim, bucket, b_cnt, c_cnt)` count
+    * frame — shared by [[driftPsi]] and the drained-stream twin
+    * (`nd_stream_drift`), whose only stateful stage produces exactly
+    * this frame. Totals and bucket cardinality derive from the bounded
+    * frame itself (no second corpus pass). */
+  private[graft] def psiOf(counts: DataFrame): DataFrame = {
+    val s = counts.sparkSession
+    import s.implicits._
     val tot = counts.groupBy($"dim")
       .agg(sum($"b_cnt").as("nb"), sum($"c_cnt").as("nc"),
            count(lit(1)).as("v"))

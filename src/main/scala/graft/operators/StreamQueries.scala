@@ -232,6 +232,35 @@ object StreamQueries {
       .orderBy($"day")
   }
 
+  /** Drained streaming DRIFT MONITOR — the streaming twin of the batch
+    * nd_drift_psi: documents stream in (two micro-batches, each holding
+    * members of BOTH snapshots, so the state store genuinely merges
+    * cross-batch), the ONLY stateful stage is the per-(dim, bucket)
+    * conditional-count aggregate — sums are merge-commutative, so the
+    * final count frame is a pure function of the input set — and the
+    * PSI arithmetic ([[Eval.psiOf]], the SAME code the batch monitor
+    * runs) is a bounded batch post-pass over the drained state. State
+    * volume is |dims × buckets| × two longs: the streaming-legal minimum
+    * for an exact drift statistic. The snapshot boundary is setup
+    * metadata (the ingest-key midpoint, like streamAnn's centroids);
+    * production swaps in a configured cutover timestamp. Pinned by the
+    * SAME oracle as nd_drift_psi. */
+  def streamDrift(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val half = Tables.documents(s, d).count() / 2
+    val counts = docStreamTwoBatches(s, d)
+      .select($"doc_id", explode(Eval.psiDims($"lang", $"source")).as("e"))
+      .groupBy($"e.dim".as("dim"), $"e.bucket".as("bucket"))
+      .agg(sum(when($"doc_id" < half, 1L).otherwise(0L)).as("b_cnt"),
+           sum(when($"doc_id" >= half, 1L).otherwise(0L)).as("c_cnt"))
+    val drained = drain(counts, "nd_stream_drift_sink", "complete",
+      statePartitions = Some(8))
+    // psiOf self-joins its input (counts ⋈ per-dim totals); two branches
+    // of one memory-sink table trip Spark's conflicting-reference check,
+    // so the sink re-roots first (bounded — the state is |dims × buckets|)
+    Eval.psiOf(graft.plans.Caching.detachSink(drained))
+  }
+
   /** Drained continuous ANN ([[StreamingAnn.knnStream]]): query vectors
     * arrive as a stream against the static IVF index (same parameters as
     * the batch [[Similarity.knnIvf]]), the per-query running top-k is the
@@ -386,9 +415,13 @@ object StreamQueries {
     "nd_stream_dedup" -> ((s: SparkSession, d: String) => streamDedup(s, d)),
     "nd_stream_session" -> ((s: SparkSession, d: String) => streamSession(s, d)),
     "nd_stream_new_users" -> ((s: SparkSession, d: String) => streamNewUsers(s, d)),
-    "nd_stream_ann" -> ((s: SparkSession, d: String) => streamAnn(s, d)))
+    "nd_stream_ann" -> ((s: SparkSession, d: String) => streamAnn(s, d)),
+    "nd_stream_drift" -> ((s: SparkSession, d: String) => streamDrift(s, d)))
 
   val oracle: Map[String, String] = Map(
+    // the drained count state is a pure function of the input set, so the
+    // streaming monitor is pinned by the SAME replay as the batch one
+    "nd_stream_drift" -> Eval.oracle("nd_drift_psi"),
     // drained KMV state = the batch k-smallest-distinct sketch per source
     // (micro-batch placement cannot matter); same list-slice replay as
     // nd_source_overlap_kmv, read off as the per-source estimate

@@ -43,6 +43,14 @@ class StreamQueriesSpec extends AnyFunSuite {
     assert(streamed.nonEmpty && streamed.forall(_._3 > 0))
   }
 
+  test("drained drift monitor equals the batch PSI row-for-row") {
+    val batch = graft.operators.Eval.driftPsi(spark, sf).collect().toSeq
+    val streamed = graft.operators.StreamQueries.streamDrift(spark, sf).collect().toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed == batch,
+      "two-micro-batch drained PSI diverged from the batch monitor")
+  }
+
   test("drained ANN manifest equals the batch IVF ranking row-for-row") {
     val streamed = StreamQueries.streamAnn(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
