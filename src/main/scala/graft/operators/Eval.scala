@@ -340,12 +340,14 @@ object Eval {
     * products — identical op order in both engines. Contributions are
     * then exact integer products in pico units (micro × micro-nats).
     *
-    * Scale shape: one corpus scan exploding each row into its bounded
-    * dimension set, ONE partial-agg'd (dim, bucket) hash aggregate;
-    * per-dim totals and bucket cardinality derive from that bounded
-    * frame (no second corpus pass) and broadcast back onto it. Nothing
-    * data-scale moves after the aggregate; the lone driver scalar is
-    * the snapshot-split count. */
+    * Scale shape: one data-decoding corpus scan exploding each row into
+    * its bounded dimension set, ONE partial-agg'd (dim, bucket) hash
+    * aggregate; per-dim totals and bucket cardinality derive from that
+    * bounded frame and broadcast back onto it. Nothing data-scale moves
+    * after the aggregate. The snapshot-split midpoint is a separate
+    * driver count action first — on parquet that is a count-star with an
+    * empty read schema (row-group metadata, no column pages), so the
+    * corpus's data pages are decoded once, not twice. */
   def driftPsi(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val docs = documents(s, d).select($"doc_id", $"lang", $"source")
@@ -398,9 +400,10 @@ object Eval {
     * products compared exactly (no float ever), the argmax tying to the
     * smallest value; `ks_micro` is one integral division at the end.
     *
-    * Scale shape: one corpus scan → one partial-agg'd per-value count
-    * aggregate (the frame shrinks to |distinct values| — the AUC
-    * discipline); both cumulative counts run through
+    * Scale shape: one data-decoding corpus scan (plus the same
+    * empty-schema split-count action as [[driftPsi]]) → one partial-agg'd
+    * per-value count aggregate (the frame shrinks to |distinct values| —
+    * the AUC discipline); both cumulative counts run through
     * [[graft.plans.ScalableNtile.runningTotal]] (range-partitioned
     * two-phase cumsum — no single-partition window even if the value
     * domain grows); one bounded-frame argmax aggregate ends it. */

@@ -660,7 +660,10 @@ object Pipeline {
       min($"n_chars").as("mn"), max($"n_chars").as("mx"),
       sum($"n_chars").as("snc"),
       sum(when($"source".isNotNull && length($"source") > 0, 1L).otherwise(0L)).as("ns"))
-    def ratio(c: String) = expr(s"($c * 1000000) div n")
+    // numerator widened to DECIMAL(38,0): snc (total corpus chars) * 1e6
+    // overflows BIGINT at ~9.2e12 chars — inside the 100 TB design target
+    def ratio(c: String) =
+      expr(s"CAST(CAST($c AS DECIMAL(38,0)) * 1000000 div n AS BIGINT)")
     a.select(explode(array(
         struct(lit("completeness_source").as("check_name"),
                ratio("ns").as("metric"), ($"ns" === $"n").as("passed")),
@@ -709,7 +712,8 @@ object Pipeline {
     * [[Dedup]] oracles. */
   val oracle: Map[String, String] = Map(
     // one-pass aggregate + UNION ALL report; ratios are integer micro
-    // divisions, bounds report the raw extreme — all BIGINT-exact
+    // divisions with HUGEINT-widened numerators (mirrors the Spark
+    // DECIMAL(38,0) widening), bounds report the raw extreme
     "nd_quality_checks" ->
       """WITH a AS (SELECT CAST(count(*) AS BIGINT) AS n,
                 CAST(sum(CASE WHEN text IS NOT NULL AND length(text) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS nt,
@@ -721,21 +725,21 @@ object Pipeline {
                 CAST(sum(CASE WHEN source IS NOT NULL AND length(source) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS ns
               FROM documents)
          SELECT * FROM (
-           SELECT 'completeness_source' AS check_name, (ns*1000000)//n AS metric, ns = n AS passed FROM a
+           SELECT 'completeness_source' AS check_name, CAST((CAST(ns AS HUGEINT)*1000000)//n AS BIGINT) AS metric, ns = n AS passed FROM a
            UNION ALL
-           SELECT 'completeness_text', (nt*1000000)//n, nt = n FROM a
+           SELECT 'completeness_text', CAST((CAST(nt AS HUGEINT)*1000000)//n AS BIGINT), nt = n FROM a
            UNION ALL
-           SELECT 'compliance_lang', (nl*1000000)//n, (nl*1000000)//n >= 900000 FROM a
+           SELECT 'compliance_lang', CAST((CAST(nl AS HUGEINT)*1000000)//n AS BIGINT), CAST((CAST(nl AS HUGEINT)*1000000)//n AS BIGINT) >= 900000 FROM a
            UNION ALL
-           SELECT 'consistency_n_chars', (nc*1000000)//n, nc = n FROM a
+           SELECT 'consistency_n_chars', CAST((CAST(nc AS HUGEINT)*1000000)//n AS BIGINT), nc = n FROM a
            UNION ALL
            SELECT 'max_n_chars', mx, mx <= 1000000 FROM a
            UNION ALL
-           SELECT 'mean_n_chars_micro', (snc*1000000)//n, (snc*1000000)//n BETWEEN 1000000 AND 1000000000 FROM a
+           SELECT 'mean_n_chars_micro', CAST((CAST(snc AS HUGEINT)*1000000)//n AS BIGINT), CAST((CAST(snc AS HUGEINT)*1000000)//n AS BIGINT) BETWEEN 1000000 AND 1000000000 FROM a
            UNION ALL
            SELECT 'min_n_chars', mn, mn >= 1 FROM a
            UNION ALL
-           SELECT 'uniqueness_doc_id', (nid*1000000)//n, nid = n FROM a)
+           SELECT 'uniqueness_doc_id', CAST((CAST(nid AS HUGEINT)*1000000)//n AS BIGINT), nid = n FROM a)
          ORDER BY check_name""",
     // the literal single-sort spelling of the interleave the scalable
     // global rank must equal (the q46 discipline); same HUGEINT-widened

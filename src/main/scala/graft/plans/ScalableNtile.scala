@@ -142,8 +142,10 @@ object ScalableNtile {
     *  3. rank = per-(group, range) `row_number` + broadcast offset.
     *
     * Bit-identical to the window form when (order) is a total order
-    * within each group. `group` are column NAMES of `df` (they key the
-    * offset join-back); `order` are expressions. */
+    * within each group — including NULL group keys, which form their own
+    * partition exactly as `PARTITION BY` treats them (the offset
+    * join-back is null-safe `<=>`). `group` are column NAMES of `df`
+    * (they key the offset join-back); `order` are expressions. */
   def groupedRank(df: DataFrame, group: Seq[String], order: Seq[Column],
       rankCol: String, partitions: Int = 0): DataFrame = {
     val spark = df.sparkSession
@@ -157,11 +159,20 @@ object ScalableNtile {
         coalesce(sum($"__cnt").over(wMeta.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(gCols :+ $"__pid" :+ $"__offset": _*)
     val wRank = Window.partitionBy(gCols :+ $"__pid": _*).orderBy(order: _*)
+    // NULL-safe (<=>) join-back: the `row_number() OVER (PARTITION BY
+    // group)` form this claims bit-identity with keeps NULL as its own
+    // partition, and an inner equi-join would silently drop those rows —
+    // so the offset frame is renamed and matched with EqualNullSafe.
+    val off2 = offsets.select(
+      group.map(g => col(g).as(s"__og_$g")) :+ $"__pid".as("__opid") :+ $"__offset": _*)
+    val cond = group.map(g => col(g) <=> col(s"__og_$g"))
+      .foldLeft($"__pid" === $"__opid")(_ && _)
     withPid
       .withColumn("__rn", row_number().over(wRank).cast("long"))
-      .join(broadcast(offsets), group :+ "__pid")
+      .join(broadcast(off2), cond)
       .withColumn(rankCol, $"__offset" + $"__rn")
-      .drop("__pid", "__rn", "__offset")
+      .drop(group.map(g => s"__og_$g"): _*)
+      .drop("__opid", "__pid", "__rn", "__offset")
   }
 
   /** The input with an extra long column = the INCLUSIVE global running

@@ -67,6 +67,19 @@ object PlanFingerprints {
     MessageDigest.getInstance("MD5").digest(s.getBytes(StandardCharsets.UTF_8))
       .map("%02x".format(_)).mkString
 
+  /** Minimal JSON string escape — a quote or backslash in an attribute
+    * name (refNames output) must not produce an invalid artifact. */
+  private def jstr(s: String): String = {
+    val b = new StringBuilder
+    s.foreach {
+      case '\\' => b.append("\\\\")
+      case '"'  => b.append("\\\"")
+      case c if c < 0x20 => b.append("\\u%04x".format(c.toInt))
+      case c    => b.append(c)
+    }
+    b.toString
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val out = if (args.length > 1) args(1)
@@ -85,7 +98,7 @@ object PlanFingerprints {
       val entry = try {
         val df = SparkEntry.queries(name)(spark, sfDir)
         val tree = canonical(df.queryExecution.executedPlan)
-        s"""  "$name": {"fp": "${md5(tree)}", "tree": "$tree"}"""
+        s"""  "${jstr(name)}": {"fp": "${md5(tree)}", "tree": "${jstr(tree)}"}"""
       } catch {
         case e: Throwable =>
           failed += 1
