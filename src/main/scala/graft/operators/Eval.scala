@@ -348,15 +348,21 @@ object Eval {
     * driver count action first — on parquet that is a count-star with an
     * empty read schema (row-group metadata, no column pages), so the
     * corpus's data pages are decoded once, not twice. */
-  def driftPsi(s: SparkSession, d: String): DataFrame = {
+  def driftPsi(s: SparkSession, d: String): DataFrame =
+    psiOf(snapshotCounts(s, d))
+
+  /** The halved-ingest `(dim, bucket, b_cnt, c_cnt)` snapshot count frame
+    * every CATEGORICAL drift monitor shares — [[driftPsi]] and
+    * [[driftChi2]] are pure bounded-frame arithmetic over this one
+    * corpus aggregate, so adding a statistic never adds a corpus scan. */
+  private[graft] def snapshotCounts(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val docs = documents(s, d).select($"doc_id", $"lang", $"source")
     val half = docs.count() / 2
-    val counts = docs.select($"doc_id", explode(psiDims($"lang", $"source")).as("e"))
+    docs.select($"doc_id", explode(psiDims($"lang", $"source")).as("e"))
       .groupBy($"e.dim".as("dim"), $"e.bucket".as("bucket"))
       .agg(sum(when($"doc_id" < half, 1L).otherwise(0L)).as("b_cnt"),
            sum(when($"doc_id" >= half, 1L).otherwise(0L)).as("c_cnt"))
-    psiOf(counts)
   }
 
   /** The per-row (dim, bucket) struct array both the batch and the
@@ -387,6 +393,56 @@ object Eval {
         ) * 1000000).cast("long"))
       .select($"dim", $"bucket", $"b_cnt", $"c_cnt", $"p_micro", $"q_micro",
               (($"p_micro" - $"q_micro") * $"ln_micro").as("psi_pico"))
+      .orderBy($"dim", $"bucket")
+  }
+
+  /** Pearson χ² TWO-SAMPLE homogeneity test over the same categorical
+    * snapshot frame as [[driftPsi]] — the classical-significance
+    * complement to PSI's heuristic thresholds, covering the categorical
+    * case PSI only approximates. Emitted per bucket as the N-normalized
+    * MEAN-SQUARE CONTINGENCY φ² = χ²/N contribution (raw χ² grows
+    * linearly with corpus size, so a fixed alert threshold on it is
+    * meaningless at varying N; φ² ∈ [0,1] is the scale-free quantity a
+    * monitor actually thresholds, and Cramér's V for a 2×K table is
+    * simply √φ²). Algebra: with D_i = b_i·nc − c_i·nb, the 2×K χ²
+    * collapses to Σ D_i²/(nb·nc·t_i), hence
+    * φ²_i = (b_i/nb − c_i/nc)² · (nb/N)(nc/N) / (t_i/N).
+    *
+    * Exactness: NO floats at all (PSI needs one ln; χ² is pure
+    * rational) — each factor is an integer micro-fraction with
+    * DECIMAL(38,0)/HUGEINT-widened numerators, combined in a fixed
+    * documented op order; every factor is ≤ 1e6, so no intermediate
+    * exceeds 1e18 at ANY corpus size. An empty snapshot (nb or nc = 0)
+    * yields NULL statistics, never a divide-by-zero — the KS discipline.
+    *
+    * Scale shape: identical to [[driftPsi]] — the one-scan bounded
+    * [[snapshotCounts]] aggregate, a per-dim totals broadcast back onto
+    * it, then row-local arithmetic. */
+  def driftChi2(s: SparkSession, d: String): DataFrame =
+    chi2Of(snapshotCounts(s, d))
+
+  /** The χ²/φ² arithmetic over any `(dim, bucket, b_cnt, c_cnt)` count
+    * frame — kept separate from the scan (like [[psiOf]]) so a streaming
+    * twin can reuse it on a stateful count frame verbatim. */
+  private[graft] def chi2Of(counts: DataFrame): DataFrame = {
+    val s = counts.sparkSession
+    import s.implicits._
+    val tot = counts.groupBy($"dim")
+      .agg(sum($"b_cnt").as("nb"), sum($"c_cnt").as("nc"))
+    val empty = $"nb" === 0L || $"nc" === 0L
+    counts.join(broadcast(tot), "dim")
+      .withColumn("dp_micro",
+        when(empty, lit(null).cast("long")).otherwise(expr(
+          "CAST((CAST(b_cnt AS DECIMAL(38,0)) * 1000000) div nb" +
+          " - (CAST(c_cnt AS DECIMAL(38,0)) * 1000000) div nc AS BIGINT)")))
+      .withColumn("phi2_pico",
+        when(empty, lit(null).cast("long")).otherwise(expr(
+          """CAST((((CAST(dp_micro AS DECIMAL(38,0)) * dp_micro
+                     * ((CAST(nb AS DECIMAL(38,0)) * 1000000) div (nb + nc))) div 1000000
+                     * ((CAST(nc AS DECIMAL(38,0)) * 1000000) div (nb + nc))) div 1000000)
+                   * 1000000 div greatest((CAST(b_cnt + c_cnt AS DECIMAL(38,0)) * 1000000) div (nb + nc), 1)
+                 AS BIGINT)""")))
+      .select($"dim", $"bucket", $"b_cnt", $"c_cnt", $"dp_micro", $"phi2_pico")
       .orderBy($"dim", $"bucket")
   }
 
@@ -439,6 +495,7 @@ object Eval {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "nd_drift_psi" -> (driftPsi _),
+    "nd_drift_chi2" -> (driftChi2 _),
     "nd_drift_ks" -> (driftKs _),
     "nd_eval_f1" -> (f1ByClass _),
     "nd_eval_auc" -> (aucBySource _),
@@ -511,6 +568,37 @@ object Eval {
                   WHERE diff = (SELECT max(diff) FROM dfs)) AS at_value,
                  nb, nc
           FROM tot""",
+    // chi-square replay: same snapshot counts as PSI, pure integer
+    // rational arithmetic (no floats), HUGEINT-widened micro fractions in
+    // the identical op order; empty snapshot => NULL (never a div0)
+    "nd_drift_chi2" ->
+      """WITH dd AS (SELECT doc_id, lang, source FROM documents),
+          nn AS (SELECT count(*) // 2 AS half FROM dd),
+          dv AS (SELECT doc_id, 'lang' AS dim, lang AS bucket FROM dd
+                 UNION ALL
+                 SELECT doc_id, 'source', source FROM dd),
+          cts AS (SELECT dim, bucket,
+                    CAST(sum(CASE WHEN doc_id < half THEN 1 ELSE 0 END) AS BIGINT) AS b_cnt,
+                    CAST(sum(CASE WHEN doc_id >= half THEN 1 ELSE 0 END) AS BIGINT) AS c_cnt
+                  FROM dv CROSS JOIN nn GROUP BY 1, 2),
+          tt AS (SELECT dim, CAST(sum(b_cnt) AS BIGINT) AS nb,
+                        CAST(sum(c_cnt) AS BIGINT) AS nc
+                 FROM cts GROUP BY 1),
+          j AS (SELECT dim, bucket, b_cnt, c_cnt, nb, nc,
+                  CASE WHEN nb = 0 OR nc = 0 THEN NULL
+                       ELSE CAST((CAST(b_cnt AS HUGEINT) * 1000000) // nb
+                               - (CAST(c_cnt AS HUGEINT) * 1000000) // nc AS BIGINT)
+                  END AS dp_micro
+                FROM cts JOIN tt USING (dim))
+          SELECT dim, bucket, b_cnt, c_cnt, dp_micro,
+                 CASE WHEN nb = 0 OR nc = 0 THEN NULL
+                      ELSE CAST((((CAST(dp_micro AS HUGEINT) * dp_micro
+                             * ((CAST(nb AS HUGEINT) * 1000000) // (nb + nc))) // 1000000
+                             * ((CAST(nc AS HUGEINT) * 1000000) // (nb + nc))) // 1000000)
+                           * 1000000 // greatest((CAST(b_cnt + c_cnt AS HUGEINT) * 1000000) // (nb + nc), 1)
+                           AS BIGINT)
+                 END AS phi2_pico
+          FROM j ORDER BY dim, bucket""",
     // PSI replay: same halved-ingest split, add-one smoothing, integer
     // micro fractions, HUGEINT-widened products under the one ln()
     "nd_drift_psi" ->

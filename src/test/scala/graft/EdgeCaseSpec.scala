@@ -45,6 +45,8 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(psi.nonEmpty && psi.forall(r => !r.isNullAt(6)))
     val ks = graft.operators.Eval.driftKs(spark, dir).collect()
     assert(ks.length == 1 && ks.head.getAs[Long]("ks_micro") >= 0L)
+    val chi = graft.operators.Eval.driftChi2(spark, dir).collect()
+    assert(chi.nonEmpty && chi.forall(r => !r.isNullAt(5) && r.getLong(5) >= 0L))
     val qc = graft.operators.Pipeline.qualityChecks(spark, dir).collect()
     assert(qc.length == 8)
     // degenerate: a ONE-document corpus — the baseline snapshot is empty;
@@ -59,6 +61,9 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(psi1.length == 2 && psi1.forall(r => !r.isNullAt(6)))
     val ks1 = graft.operators.Eval.driftKs(spark, one).collect()
     assert(ks1.length == 1 && ks1.head.isNullAt(0))
+    // chi2 on an empty baseline snapshot: NULL statistics, never a div0
+    val chi1 = graft.operators.Eval.driftChi2(spark, one).collect()
+    assert(chi1.length == 2 && chi1.forall(r => r.isNullAt(4) && r.isNullAt(5)))
   }
 
   test("stats / quality / gopher / repetition survive hostile documents") {

@@ -46,6 +46,31 @@ class EvalSpec extends AnyFunSuite {
     assert(psi(("source", "web")) == (p - q) * ln)
   }
 
+  test("chi-square drift: planted flip matches closed-form phi2, stable dim is zero") {
+    import spark.implicits._
+    // same planted corpus shape as the PSI test: source flips 90/10 →
+    // 10/90 (true 2×2 χ² = 256 on N=400, so φ² = 0.64 split evenly
+    // across the two buckets), lang mix identical across halves (φ² = 0)
+    val dir = java.nio.file.Files.createTempDirectory("chidrift").toString
+    (0L until 400L).map { i =>
+      val baseline = i < 200
+      val lang = if (i % 2 == 0) "en" else "de"
+      val src =
+        if (baseline) { if (i % 10 < 9) "web" else "books" }
+        else { if (i % 10 < 9) "books" else "web" }
+      (i, s"doc $i", lang, src, 6L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val chi = Eval.driftChi2(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(5)).toMap
+    // closed form per bucket: dp = 0.9−0.1 = 0.8, fb = fc = 0.5,
+    // tf = 0.5 → 0.64·0.5·0.5/0.5 = 0.32 = 320e9 pico; both source
+    // buckets contribute it, so Σ = φ² = 0.64 ⇒ χ² = N·φ² = 256 exactly
+    assert(chi(("source", "web")) == 320000000000L)
+    assert(chi(("source", "books")) == 320000000000L)
+    assert(chi(("lang", "en")) == 0L && chi(("lang", "de")) == 0L)
+  }
+
   test("KS drift: disjoint supports score 1.0; real corpus matches driver replay") {
     import spark.implicits._
     // planted: baseline lengths 100..109, current 200..209 — disjoint
