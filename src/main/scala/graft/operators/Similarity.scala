@@ -1283,13 +1283,26 @@ object Similarity {
 
   /** BLOCKED FUZZY (edit-distance) self-join — the classic
     * entity-resolution matcher for typo-class variation that token-set
-    * similarity ([[setSimJoin]]) is blind to: candidates pair only
-    * within a blocking key (brand × leading name token — the standard
-    * ER blocking discipline; the leading-token component scales with
+    * similarity ([[setSimJoin]]) is blind to: candidates pair within a
+    * blocking key, then verify with Levenshtein under `maxDist`,
+    * emitting each record's best match (min distance, ties → lowest
+    * partner key).
+    *
+    * Blocking is MULTI-PASS OR-blocking (the round-9 review finding): a
+    * single `(brand, first-token)` key conditions recall on that token
+    * surviving the edit — an edit in the first token silently escapes
+    * the block, the classic single-pass blocked-ER recall hole. Two
+    * complementary passes — `(brand, first name token)` and `(brand,
+    * last name token)` — are unioned and deduped on the class PAIR
+    * before the Levenshtein verify (so overlap pairs are verified
+    * once). **Recall contract**: a true pair within `maxDist` is
+    * guaranteed to be found iff the two records share `p_brand` and at
+    * least ONE of the two anchor tokens (first or last) is untouched by
+    * the edits; edits that span both anchors (or cross brands) can
+    * still escape — that residual mode needs q-gram/length-band keys,
+    * which trade block width for it. Both token components scale with
     * vocabulary, so block width doesn't grow with the corpus the way a
-    * category-only key would), then verify with Levenshtein under
-    * `maxDist`, emitting each record's best match (min distance, ties →
-    * lowest partner key).
+    * category-only key would.
     *
     * Identical-name classes collapse BEFORE the pairwise join (the
     * [[setSimJoinOn]] discipline — duplicated content makes true pairs
@@ -1324,13 +1337,20 @@ object Similarity {
       .groupBy($"p_brand", $"p_name").agg(min($"p_partkey").as("min2"))
     val cls = c1.join(c2, Seq("p_brand", "p_name"), "left_outer")
       .withColumn("tok0", split($"p_name", " ")(0))
-    val cand = cls.as("a").join(cls.as("b"),
+      .withColumn("tokl", element_at(split($"p_name", " "), -1))
+    // one candidate pass per anchor key; pairs dedup on the CLASS PAIR
+    // before the verify, so a pair blocked by both anchors costs one
+    // Levenshtein, not two
+    def candPass(key: String) = cls.as("a").join(cls.as("b"),
         col("a.p_brand") === col("b.p_brand") &&
-          col("a.tok0") === col("b.tok0") &&
+          col(s"a.$key") === col(s"b.$key") &&
           col("a.p_name") =!= col("b.p_name"))
       .select(col("a.p_brand").as("p_brand"), col("a.p_name").as("p_name"),
-        col("b.min1").as("q_rep"),
-        levenshtein(col("a.p_name"), col("b.p_name"), maxDist).cast("long").as("dist"))
+        col("b.p_name").as("q_name"), col("b.min1").as("q_rep"))
+    val cand = candPass("tok0").unionByName(candPass("tokl"))
+      .dropDuplicates("p_brand", "p_name", "q_name")
+      .select($"p_brand", $"p_name", $"q_rep",
+        levenshtein($"p_name", $"q_name", maxDist).cast("long").as("dist"))
       .filter($"dist" =!= -1L)
     // best partner class per class: min distance, ties → lowest partner
     // rep (a partner class's lowest member IS its rep) — one struct-min
@@ -1488,15 +1508,19 @@ object Similarity {
                   FROM p JOIN fc1 USING (p_brand, p_name)
                   WHERE p_partkey > min1 GROUP BY 1, 2),
           fcls AS (SELECT fc1.p_brand, fc1.p_name, split_part(fc1.p_name, ' ', 1) AS tok0,
+                          (string_split(fc1.p_name, ' '))[-1] AS tokl,
                           min1, m, min2
                    FROM fc1 LEFT JOIN fc2 ON fc1.p_brand = fc2.p_brand
                                          AND fc1.p_name = fc2.p_name),
-          fcand AS (SELECT a.p_brand, a.p_name, b.min1 AS q_rep,
-                           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+          fpair AS (SELECT DISTINCT a.p_brand, a.p_name,
+                           b.p_name AS q_name, b.min1 AS q_rep
                     FROM fcls a JOIN fcls b
-                      ON a.p_brand = b.p_brand AND a.tok0 = b.tok0
-                     AND a.p_name <> b.p_name
-                    WHERE levenshtein(a.p_name, b.p_name) <= 4),
+                      ON a.p_brand = b.p_brand AND a.p_name <> b.p_name
+                     AND (a.tok0 = b.tok0 OR a.tokl = b.tokl)),
+          fcand AS (SELECT p_brand, p_name, q_rep,
+                           CAST(levenshtein(p_name, q_name) AS BIGINT) AS dist
+                    FROM fpair
+                    WHERE levenshtein(p_name, q_name) <= 4),
           fbest AS (SELECT p_brand, p_name, dist AS bdist, q_rep
                     FROM (SELECT *, row_number() OVER (PARTITION BY p_brand, p_name
                                      ORDER BY dist, q_rep) AS r

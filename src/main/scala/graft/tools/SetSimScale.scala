@@ -136,9 +136,13 @@ object SetSimScale {
     // corpus: names drawn from a ~2k-name vocabulary (class collapse is
     // the load-bearing property — the pairwise join runs over distinct
     // (brand, name) classes, not parts); every 20th record of the second
-    // half reuses a first-half record's brand+name with ONE char appended
-    // → a planted distance-1 variant in the same (brand, tok0) block.
-    // Recall reads off the output: every planted part must surface with
+    // half reuses a first-half record's brand+name with ONE char edit,
+    // ALTERNATING between an append (last-token edit — escapes the
+    // (brand, last-token) block, caught by the first-token pass) and a
+    // PREPEND (first-token edit — the round-9 judge's single-pass
+    // escape mode, caught only by the (brand, last-token) pass). Recall
+    // 1.0 therefore requires BOTH OR-blocking passes to work. Recall
+    // reads off the output: every planted part must surface with
     // dist ≤ 1 (its one-edit partner guarantees a qualifying match; a
     // same-name twin at dist 0 may legitimately win).
     val nFuzzy = sys.env.getOrElse("SPARK_GRAFT_FUZZY_PARTS", nEnt.toString).toLong
@@ -151,10 +155,13 @@ object SetSimScale {
         lit("w"), pmod(hash(seed, lit(0)), lit(100)),
         lit(" w"), pmod(hash(seed, lit(1)), lit(20)))
       val gen = timeSec {
+        val isPre = isVar && (($"id" - fuzzyHalf) / 20).cast("long") % 2 === 1
         spark.range(nFuzzy).select(
           $"id".as("p_partkey"),
           concat(lit("B"), pmod(hash(seed, lit(99)), lit(25))).as("p_brand"),
-          when(isVar, concat(baseName, lit("x"))).otherwise(baseName).as("p_name"))
+          when(isPre, concat(lit("x"), baseName))
+            .when(isVar, concat(baseName, lit("x")))
+            .otherwise(baseName).as("p_name"))
           .repartition(cpus.toInt)
           .write.mode("overwrite").parquet(fuzzyDir)
       }

@@ -189,16 +189,22 @@ class RetrievalSpec extends AnyFunSuite {
     val parts = Tables.part(spark, sf)
       .select($"p_partkey", $"p_brand", $"p_name").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
-    // brute force within each (brand, leading-token) block: best = min
-    // (dist, partner key) over ALL other parts at dist ≤ 4 — identical
-    // twins included (dist 0), which is exactly the class-collapse answer
-    val best = parts.groupBy(p => (p._2, p._3.split(" ")(0))).values.flatMap { blk =>
-      blk.map { case (k, _, name) =>
-        val cands = blk.iterator.filter(_._1 != k)
-          .map { case (q, _, qn) => (lev(name, qn).toLong, q) }
-          .filter(_._1 <= 4L)
-        k -> (if (cands.isEmpty) None else Some(cands.min))
-      }
+    // brute force under OR-blocking: a candidate shares the brand and
+    // the first OR last name token; best = min (dist, partner key) over
+    // all such parts at dist ≤ 4 — identical twins included (dist 0,
+    // they share both anchors), which is exactly the class-collapse
+    // answer
+    def anchors(n: String) = { val t = n.split(" ", -1); (t.head, t.last) }
+    val best = parts.map { case (k, br, name) =>
+      val (t0, tl) = anchors(name)
+      val cands = parts.iterator.filter { case (q, qbr, qn) =>
+          q != k && qbr == br && {
+            val (q0, ql) = anchors(qn); q0 == t0 || ql == tl
+          }
+        }
+        .map { case (q, _, qn) => (lev(name, qn).toLong, q) }
+        .filter(_._1 <= 4L)
+      k -> (if (cands.isEmpty) None else Some(cands.min))
     }.collect { case (k, Some((d, q))) => k -> (q, d) }.toMap
     val got = graft.operators.Similarity.fuzzyJoin(spark, sf).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
@@ -208,6 +214,25 @@ class RetrievalSpec extends AnyFunSuite {
       assert(v == best(p), s"part $p best fuzzy match diverged: got $v expected ${best(p)}")
     }
     assert(got.nonEmpty)
+  }
+
+  test("fuzzy join OR-blocking catches first-token edits (single-pass escape mode)") {
+    import spark.implicits._
+    // part 2 edits the FIRST token of part 1's name — under the old
+    // single (brand, tok0) blocking the pair silently escaped; the
+    // (brand, last-token) pass must catch it. Parts 3/4 cover the
+    // mirror mode (last-token edit, caught by the tok0 pass).
+    val df = Seq(
+      (1L, "B1", "alpha beta gamma"),
+      (2L, "B1", "xalpha beta gamma"),
+      (3L, "B1", "zeta eta theta"),
+      (4L, "B1", "zeta eta xtheta")
+    ).toDF("p_partkey", "p_brand", "p_name")
+    val got = graft.operators.Similarity.fuzzyJoinOn(df, 4).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(1L) == ((2L, 1L)) && got(2L) == ((1L, 1L)),
+      s"first-token edit pair escaped the OR-blocking: $got")
+    assert(got(3L) == ((4L, 1L)) && got(4L) == ((3L, 1L)), s"$got")
   }
 
   test("BM25 scale shape: broadcast term filter, per-query rank partitions") {
