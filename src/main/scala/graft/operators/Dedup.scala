@@ -236,13 +236,15 @@ object Dedup {
     * boilerplate, quote-heavy threads, articles embedding press
     * releases.
     *
-    * Candidate generation is a DF-CAPPED inverted shingle index: explode
+    * Candidate generation is a DF-BANDED inverted shingle index: explode
     * the (already 60-bit-hashed, distinct, sorted) shingle sets, keep
-    * shingles whose document frequency is ≤ `maxDf`, and equi-join on
-    * the shingle hash — the shuffle carries ONLY `(h, doc_id)` keys (the
-    * round-8/9 payload discipline), and per-key fan-out is bounded by
-    * maxDf², so a boilerplate shingle shared by a million docs can never
-    * go quadratic. Verification re-joins the full sorted sets by doc id
+    * shingles whose document frequency is in `[2, maxDf]`, and equi-join
+    * on the shingle hash — the shuffle carries ONLY `(h, doc_id)` keys
+    * (the round-8/9 payload discipline), and per-key fan-out is bounded
+    * by maxDf², so a boilerplate shingle shared by a million docs can
+    * never go quadratic. The lower bound drops the df-1 majority (a
+    * shingle seen once can't witness a pair), shrinking the candidate
+    * index to the genuinely-shared vocabulary. Verification re-joins the full sorted sets by doc id
     * for the CANDIDATE pairs only and computes the exact intersection;
     * the threshold is the pure cross-multiplied integer form
     * `shared·den ≥ |side|·num` (no float, no floor subtleties — both
@@ -273,8 +275,22 @@ object Dedup {
       .filter($"sz" >= minShingles)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val inv = base.select($"doc_id", explode($"sh").as("h"))
+    // df ∈ [2, maxDf]: the upper cap bounds fan-out (boilerplate can't
+    // go quadratic); the LOWER bound is the round-9 cost fix — a
+    // df-1 shingle can never generate a pair (sharing needs two docs),
+    // yet it dominated the index (most shingles are unique), so keeping
+    // it made the index↔rare join and the candidate self-join shuffle
+    // the whole corpus's shingle volume for nothing. Output-identical.
     val rare = inv.groupBy($"h").agg(count(lit(1)).as("df"))
-      .filter($"df" <= maxDf).select($"h")
+      .filter($"df" >= 2 && $"df" <= maxDf).select($"h")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialize the df-banded shingle directory BEFORE planning the
+    // pruning joins: as an InMemoryRelation with known (tiny) stats it
+    // broadcasts, so the corpus-scale inverted index is pruned map-side
+    // and NEVER shuffles on h — without this the planner assumes the
+    // aggregate is huge and sort-merges, shuffling |corpus shingles|
+    // rows twice (the round-9 93.7s → this round's dominant cost)
+    rare.count()
     val pruned = inv.join(rare, "h")
     val cand = pruned.as("a").join(pruned.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
@@ -291,7 +307,11 @@ object Dedup {
         expr("shared * 1000000 div sz_a").as("cont_a_micro"),
         expr("shared * 1000000 div sz_b").as("cont_b_micro"))
       .orderBy($"doc_a", $"doc_b")
-    (verified, () => { base.unpersist(blocking = false); () })
+    (verified, () => {
+      base.unpersist(blocking = false)
+      rare.unpersist(blocking = false)
+      ()
+    })
   }
 
   /** [[containmentPairsOf]] over the documents table. */

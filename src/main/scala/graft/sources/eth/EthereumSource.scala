@@ -422,7 +422,8 @@ class EthereumScan(kind: EthSchemas.TableKind, chainDir: String,
       }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new EthereumReaderFactory(kind, chainDir, requiredSchema, rowLimit = limit)
+    new EthereumReaderFactory(kind, chainDir, requiredSchema, rowLimit = limit,
+      columnar = options.getBoolean("columnar", true))
 
   override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
     Array(new EthMetrics.BlocksFetched, new EthMetrics.RowsEmitted)
@@ -444,7 +445,8 @@ class EthereumScan(kind: EthSchemas.TableKind, chainDir: String,
 }
 
 class EthereumReaderFactory(kind: EthSchemas.TableKind, chainDir: String,
-    schema: StructType, rowLimit: Option[Int] = None) extends PartitionReaderFactory {
+    schema: StructType, rowLimit: Option[Int] = None,
+    columnar: Boolean = true) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     partition match {
       case EthereumAggPartition(values) => new PartitionReader[InternalRow] {
@@ -463,9 +465,11 @@ class EthereumReaderFactory(kind: EthSchemas.TableKind, chainDir: String,
     * vectors like a parquet scan instead of one `GenericInternalRow` per
     * row (the same reason Spark's own file sources are columnar). The
     * fan-out tables flatten block→transactions / block→transfers into the
-    * batch stream. */
+    * batch stream. The `columnar=false` read option drops to the
+    * row-at-a-time reader — a debug/measurement knob (TxScanBench uses it
+    * for before/after evidence), not a production path. */
   override def supportColumnarReads(partition: InputPartition): Boolean =
-    !partition.isInstanceOf[EthereumAggPartition]
+    columnar && !partition.isInstanceOf[EthereumAggPartition]
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val p = partition.asInstanceOf[EthereumInputPartition]
