@@ -58,11 +58,20 @@ object TxScanBench {
           "count(erc20_txHash)")
         .collect()(0).getLong(2)
 
+    // pruned numeric aggregate — the common analytical shape (3 of 11
+    // columns, all fixed-width): here the vectors pay off, where the
+    // full-width case is dominated by string materialization both ways
+    def txPruned(columnar: Boolean): Long =
+      tbl("transaction", columnar)
+        .selectExpr("sum(tx_gas)", "sum(tx_gasPrice)", "count(tx_nonce)")
+        .collect()(0).getLong(2)
+
     txAgg(columnar = true) // warmup: page cache + codegen
     println(s"| scan (${blocks / 1000}k blocks) | rows | columnar wall (min of $runs) | row-reader wall | speedup |")
     println("|---|---|---|---|---|")
     for ((name, f) <- Seq(
         "transaction full-decode agg" -> ((c: Boolean) => txAgg(c)),
+        "transaction pruned numeric agg" -> ((c: Boolean) => txPruned(c)),
         "erc20 full-decode agg" -> ((c: Boolean) => ercAgg(c)))) {
       var rows = 0L
       val tCol = timeMin(runs) { rows = f(true) }
