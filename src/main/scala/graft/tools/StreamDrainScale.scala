@@ -85,6 +85,49 @@ object StreamDrainScale {
     println(f"| $blocks blocks | $rows | $batches | $wall%.1fs | ${rows / wall}%.0f |")
     assert(rows == blocks,
       s"drain integrity: $rows rows != $blocks chain blocks")
+
+    // ---- streaming drift monitor at the 1M-doc corpus (round-9 review
+    // item 8: the one stateful stream without an order-of-magnitude
+    // number). Runs the REGISTRY pipeline (StreamQueries.streamDrift)
+    // verbatim over the TextScale corpus; state must stay |dims×buckets|
+    // rows no matter the corpus size — that bound, not the wall, is the
+    // scale claim, so both are printed from the state-operator metrics.
+    val docsDir = sys.env.getOrElse("SPARK_GRAFT_DRIFT_DOCS",
+      s"${System.getProperty("java.io.tmpdir")}/graft-text-scale-1000000")
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(docsDir, "_SUCCESS_DOCS"))) {
+      val nDocs = spark.read.parquet(s"$docsDir/documents.parquet").count()
+      val stateRows = new java.util.concurrent.atomic.AtomicLong(0)
+      val stateBytes = new java.util.concurrent.atomic.AtomicLong(0)
+      val dl = new org.apache.spark.sql.streaming.StreamingQueryListener {
+        override def onQueryStarted(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+        override def onQueryProgress(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = {
+          val ops = e.progress.stateOperators
+          if (ops.nonEmpty) {
+            stateRows.set(ops.map(_.numRowsTotal).sum)
+            stateBytes.set(ops.map(_.memoryUsedBytes).sum)
+          }
+        }
+        override def onQueryTerminated(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+      }
+      spark.streams.addListener(dl)
+      // first call pays the one-off parity-split write (harness plumbing,
+      // cached per (app, dir)); the second call is the honest drain wall
+      graft.operators.StreamQueries.streamDrift(spark, docsDir).collect()
+      val tD = System.nanoTime()
+      val psi = graft.operators.StreamQueries.streamDrift(spark, docsDir).collect()
+      val wallD = (System.nanoTime() - tD) / 1e9
+      Thread.sleep(2000) // let the final progress event land
+      spark.streams.removeListener(dl)
+      println(s"\n| drift corpus | psi rows | state rows | state bytes | drain wall |")
+      println("|---|---|---|---|---|")
+      println(f"| $nDocs docs | ${psi.length} | ${stateRows.get} | ${stateBytes.get} | $wallD%.1fs |")
+      assert(psi.nonEmpty && stateRows.get <= 64L,
+        s"drift state must stay dims x buckets-bounded, got ${stateRows.get} rows")
+    } else System.err.println(
+      s"[drain-scale] $docsDir missing — run graft.tools.TextScale first; drift block skipped")
     spark.stop()
   }
 }
