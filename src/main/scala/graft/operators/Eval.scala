@@ -446,6 +446,41 @@ object Eval {
       .orderBy($"dim", $"bucket")
   }
 
+  /** McNEMAR paired-classifier test — the statistically-correct way to
+    * compare two classifiers evaluated on the SAME documents (a bare
+    * accuracy delta ignores that the errors are paired): over the docs
+    * both the n-gram heuristic ([[TextAnalysis.langId]]) and the naive-
+    * Bayes model ([[TextAnalysis.nbClassify]]) scored (the NB test
+    * half), count the concordant/discordant cells and report McNemar's
+    * χ² = (b−c)²/(b+c) over the discordant pair — pure rational, so the
+    * statistic is one exact DECIMAL-widened integral division in micro
+    * units (NULL when no discordant pairs exist: the test is undefined,
+    * not zero).
+    *
+    * Scale shape: both classifier pipelines keep their own audited
+    * shapes; the pairing is one doc-keyed equi-join and a single
+    * partial-agg'd scalar aggregate — nothing new moves at data scale. */
+  def mcnemar(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val a = TextAnalysis.langId(s, d)
+      .select($"doc_id", ($"predicted_lang" === $"labeled_lang").as("ca"))
+    val b = TextAnalysis.nbClassify(s, d)
+      .select($"doc_id", $"correct".as("cb"))
+    a.join(b, "doc_id")
+      .agg(count(lit(1)).as("n"),
+           sum(when($"ca" && $"cb", 1L).otherwise(0L)).as("both_correct"),
+           sum(when($"ca" && !$"cb", 1L).otherwise(0L)).as("only_heuristic"),
+           sum(when(!$"ca" && $"cb", 1L).otherwise(0L)).as("only_nb"),
+           sum(when(!$"ca" && !$"cb", 1L).otherwise(0L)).as("both_wrong"))
+      .select($"n", $"both_correct", $"only_heuristic", $"only_nb", $"both_wrong",
+        when($"only_heuristic" + $"only_nb" === 0L, lit(null).cast("long"))
+          .otherwise(expr(
+            "CAST(CAST(only_heuristic - only_nb AS DECIMAL(38,0))" +
+            " * (only_heuristic - only_nb) * 1000000" +
+            " div (only_heuristic + only_nb) AS BIGINT)"))
+          .as("mcnemar_micro"))
+  }
+
   /** Two-sample Kolmogorov–Smirnov drift statistic over a NUMERIC column
     * (`n_chars`) between the same ingest-key snapshots as [[driftPsi]] —
     * the numeric complement to PSI's categorical buckets: the maximum
@@ -497,6 +532,7 @@ object Eval {
     "nd_drift_psi" -> (driftPsi _),
     "nd_drift_chi2" -> (driftChi2 _),
     "nd_drift_ks" -> (driftKs _),
+    "nd_eval_mcnemar" -> (mcnemar _),
     "nd_eval_f1" -> (f1ByClass _),
     "nd_eval_auc" -> (aucBySource _),
     "nd_eval_pr_auc" -> (prAucBySource _),
@@ -568,6 +604,29 @@ object Eval {
                   WHERE diff = (SELECT max(diff) FROM dfs)) AS at_value,
                  nb, nc
           FROM tot""",
+    // McNemar replay: composes the two classifier oracles verbatim as
+    // CTEs (DuckDB allows nested WITH), pairs on doc_id, then the exact
+    // HUGEINT-widened discordant-cell statistic in the Spark op order
+    "nd_eval_mcnemar" ->
+      s"""WITH ha AS (${TextAnalysis.oracle("nd_lang_id")}),
+          nbc AS (${TextAnalysis.oracle("nd_text_nb_classifier")}),
+          p AS (SELECT ha.doc_id,
+                       ha.predicted_lang = ha.labeled_lang AS ca,
+                       nbc.correct AS cb
+                FROM ha JOIN nbc ON ha.doc_id = nbc.doc_id),
+          g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(CASE WHEN ca AND cb THEN 1 ELSE 0 END) AS BIGINT) AS both_correct,
+                       CAST(sum(CASE WHEN ca AND NOT cb THEN 1 ELSE 0 END) AS BIGINT) AS only_heuristic,
+                       CAST(sum(CASE WHEN NOT ca AND cb THEN 1 ELSE 0 END) AS BIGINT) AS only_nb,
+                       CAST(sum(CASE WHEN NOT ca AND NOT cb THEN 1 ELSE 0 END) AS BIGINT) AS both_wrong
+                FROM p)
+          SELECT n, both_correct, only_heuristic, only_nb, both_wrong,
+                 CASE WHEN only_heuristic + only_nb = 0 THEN NULL
+                      ELSE CAST(CAST(only_heuristic - only_nb AS HUGEINT)
+                                * (only_heuristic - only_nb) * 1000000
+                                // (only_heuristic + only_nb) AS BIGINT)
+                 END AS mcnemar_micro
+          FROM g""",
     // chi-square replay: same snapshot counts as PSI, pure integer
     // rational arithmetic (no floats), HUGEINT-widened micro fractions in
     // the identical op order; empty snapshot => NULL (never a div0)

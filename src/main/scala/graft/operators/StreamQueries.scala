@@ -247,18 +247,38 @@ object StreamQueries {
     * SAME oracle as nd_drift_psi. */
   def streamDrift(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    val drained = drainedSnapshotCounts(s, d, "nd_stream_drift_sink")
+    // psiOf self-joins its input (counts ⋈ per-dim totals); two branches
+    // of one memory-sink table trip Spark's conflicting-reference check,
+    // so the sink re-roots first (bounded — the state is |dims × buckets|)
+    Eval.psiOf(graft.plans.Caching.detachSink(drained))
+  }
+
+  /** Drained streaming χ² DRIFT — the chi-square twin of [[streamDrift]]
+    * (same stateful snapshot-count stage, [[Eval.chi2Of]] post-pass),
+    * covering the categorical-significance case PSI approximates with a
+    * pure-rational statistic. Pinned by the SAME oracle as
+    * nd_drift_chi2. */
+  def streamChi2(s: SparkSession, d: String): DataFrame =
+    Eval.chi2Of(graft.plans.Caching.detachSink(
+      drainedSnapshotCounts(s, d, "nd_stream_chi2_sink")))
+
+  /** The shared stateful stage of the categorical drift twins: stream
+    * the corpus in two micro-batches, merge per-(dim, bucket)
+    * conditional counts in the state store (sums are merge-commutative,
+    * so the drained frame is a pure function of the input set — exactly
+    * [[Eval.snapshotCounts]]'s aggregate). State volume: |dims×buckets|
+    * × two longs (16 rows / ~9 KB at the 1M-doc StreamDrainScale run). */
+  private def drainedSnapshotCounts(s: SparkSession, d: String,
+      sink: String): DataFrame = {
+    import s.implicits._
     val half = Tables.documents(s, d).count() / 2
     val counts = docStreamTwoBatches(s, d)
       .select($"doc_id", explode(Eval.psiDims($"lang", $"source")).as("e"))
       .groupBy($"e.dim".as("dim"), $"e.bucket".as("bucket"))
       .agg(sum(when($"doc_id" < half, 1L).otherwise(0L)).as("b_cnt"),
            sum(when($"doc_id" >= half, 1L).otherwise(0L)).as("c_cnt"))
-    val drained = drain(counts, "nd_stream_drift_sink", "complete",
-      statePartitions = Some(8))
-    // psiOf self-joins its input (counts ⋈ per-dim totals); two branches
-    // of one memory-sink table trip Spark's conflicting-reference check,
-    // so the sink re-roots first (bounded — the state is |dims × buckets|)
-    Eval.psiOf(graft.plans.Caching.detachSink(drained))
+    drain(counts, sink, "complete", statePartitions = Some(8))
   }
 
   /** Drained continuous ANN ([[StreamingAnn.knnStream]]): query vectors
@@ -416,12 +436,14 @@ object StreamQueries {
     "nd_stream_session" -> ((s: SparkSession, d: String) => streamSession(s, d)),
     "nd_stream_new_users" -> ((s: SparkSession, d: String) => streamNewUsers(s, d)),
     "nd_stream_ann" -> ((s: SparkSession, d: String) => streamAnn(s, d)),
-    "nd_stream_drift" -> ((s: SparkSession, d: String) => streamDrift(s, d)))
+    "nd_stream_drift" -> ((s: SparkSession, d: String) => streamDrift(s, d)),
+    "nd_stream_chi2" -> ((s: SparkSession, d: String) => streamChi2(s, d)))
 
   val oracle: Map[String, String] = Map(
     // the drained count state is a pure function of the input set, so the
     // streaming monitor is pinned by the SAME replay as the batch one
     "nd_stream_drift" -> Eval.oracle("nd_drift_psi"),
+    "nd_stream_chi2" -> Eval.oracle("nd_drift_chi2"),
     // drained KMV state = the batch k-smallest-distinct sketch per source
     // (micro-batch placement cannot matter); same list-slice replay as
     // nd_source_overlap_kmv, read off as the per-source estimate

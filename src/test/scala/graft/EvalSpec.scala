@@ -71,6 +71,24 @@ class EvalSpec extends AnyFunSuite {
     assert(chi(("lang", "en")) == 0L && chi(("lang", "de")) == 0L)
   }
 
+  test("mcnemar matches a driver replay of the paired classifier outcomes") {
+    val ha = graft.operators.TextAnalysis.langId(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getString(2) == r.getString(1))).toMap
+    val nb = graft.operators.TextAnalysis.nbClassify(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    val paired = nb.keys.toSeq.filter(ha.contains).map(k => (ha(k), nb(k)))
+    val b = paired.count { case (a, c) => a && !c }.toLong
+    val c = paired.count { case (a, cc) => !a && cc }.toLong
+    val row = Eval.mcnemar(spark, sf).head
+    assert(row.getAs[Long]("n") == paired.size.toLong)
+    assert(row.getAs[Long]("only_heuristic") == b)
+    assert(row.getAs[Long]("only_nb") == c)
+    val expected =
+      if (b + c == 0) None
+      else Some((BigInt(b - c) * (b - c) * 1000000 / (b + c)).toLong)
+    assert((if (row.isNullAt(5)) None else Some(row.getLong(5))) == expected)
+  }
+
   test("KS drift: disjoint supports score 1.0; real corpus matches driver replay") {
     import spark.implicits._
     // planted: baseline lengths 100..109, current 200..209 — disjoint
