@@ -50,7 +50,11 @@ object MemoryPressure {
     // round-9 batch 2: the containment candidate join, the payload-free
     // setsim self-join, and the chunked trailing-window median
     "nd_dedup_containment", "nd_join_setsim",
-    "nd_events_moving_median_scalable")
+    "nd_events_moving_median_scalable",
+    // round 10: the OR-blocked fuzzy join (two candidate self-joins +
+    // pair dedup), the new drained stateful chi2 stream, and McNemar's
+    // paired classifier join (lang-id scan ⋈ NB train/score pipeline)
+    "nd_join_fuzzy", "nd_stream_chi2", "nd_eval_mcnemar")
 
   /** Drain the async listener bus so per-query spill deltas attribute
     * deterministically (the round-8 review flagged the fixed sleep: a
