@@ -31,7 +31,9 @@ object DumpPlans {
       "eth_q20_balances", "eth_q25_gas_market", "eth_q26_cohorts",
       "eth_q28_eth_flow", "eth_q29_bounce", "nd_source_overlap",
       "q50_lateral_topk", "nd_source_overlap_kmv", "nd_pipeline_kfold_leakage",
-      "nd_embed_quality", "nd_multimodal_dedup")
+      "nd_embed_quality", "nd_multimodal_dedup",
+      // round 10: the new drift/eval rows and the restructured fuzzy join
+      "nd_drift_chi2", "nd_eval_mcnemar", "nd_join_fuzzy")
     // detach-materialized queries return a LocalRelation; dump the
     // pre-materialization pipelines those queries execute
     import org.apache.spark.sql.functions._
