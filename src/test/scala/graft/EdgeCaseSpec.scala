@@ -64,6 +64,16 @@ class EdgeCaseSpec extends AnyFunSuite {
     // chi2 on an empty baseline snapshot: NULL statistics, never a div0
     val chi1 = graft.operators.Eval.driftChi2(spark, one).collect()
     assert(chi1.length == 2 && chi1.forall(r => r.isNullAt(4) && r.isNullAt(5)))
+    // mcnemar with an EMPTY test half (the one doc is train-side):
+    // zero paired rows, all counts zero/NULL, statistic NULL — no throw
+    val mc1 = graft.operators.Eval.mcnemar(spark, one).collect()
+    assert(mc1.length == 1 && mc1.head.getAs[Long]("n") == 0L
+      && mc1.head.isNullAt(5))
+    // the drained streaming chi2 twin on the hostile corpus equals the
+    // batch monitor row-for-row (same arithmetic, same input set)
+    val chiB = graft.operators.Eval.driftChi2(spark, dir).collect().toSeq
+    val chiS = graft.operators.StreamQueries.streamChi2(spark, dir).collect().toSeq
+    assert(chiS == chiB, s"stream chi2 diverged from batch:\n$chiS\nvs\n$chiB")
   }
 
   test("stats / quality / gopher / repetition survive hostile documents") {
