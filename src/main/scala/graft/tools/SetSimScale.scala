@@ -31,11 +31,14 @@ import graft.operators.{Dedup, Similarity}
   *    any pair threshold — precisely the asymmetric case the operator
   *    exists for.
   *
-  * A third block measures the blocked-Levenshtein fuzzy join
-  * (`Similarity.fuzzyJoinOn`) over planted one-edit variants — the
-  * class-collapse path is what's under test: the pairwise join runs
-  * over distinct (brand, name) classes, so duplicated names never go
-  * quadratic.
+  * A third block measures the length-band-blocked Levenshtein fuzzy
+  * join (`Similarity.fuzzyJoinOn`) over planted variants rotating
+  * through all three historical escape modes (last-token edit,
+  * first-token edit, and a spanning edit touching BOTH anchors) — the
+  * class-collapse path and the complete banding are what's under test:
+  * the pairwise join runs over distinct (brand, name) classes, so
+  * duplicated names never go quadratic, and recall must be 1.0 with no
+  * anchor-survival condition.
   *
   * Run: `sbt "runMain graft.tools.SetSimScale"` (or the plain-java
   * helper); env `SPARK_GRAFT_SETSIM_ENTITIES` / `SPARK_GRAFT_CONT_DOCS`
@@ -136,18 +139,20 @@ object SetSimScale {
     // corpus: names drawn from a ~2k-name vocabulary (class collapse is
     // the load-bearing property — the pairwise join runs over distinct
     // (brand, name) classes, not parts); every 20th record of the second
-    // half reuses a first-half record's brand+name with ONE char edit,
-    // ALTERNATING between an append (last-token edit — escapes the
-    // (brand, last-token) block, caught by the first-token pass) and a
-    // PREPEND (first-token edit — the round-9 judge's single-pass
-    // escape mode, caught only by the (brand, last-token) pass). Recall
-    // 1.0 therefore requires BOTH OR-blocking passes to work. Recall
-    // reads off the output: every planted part must surface with
-    // dist ≤ 1 (its one-edit partner guarantees a qualifying match; a
-    // same-name twin at dist 0 may legitimately win).
+    // half reuses a first-half record's brand+name with a small edit,
+    // ROTATING through three modes: an APPEND (last-token edit — escapes
+    // a (brand, last-token) block), a PREPEND (first-token edit — the
+    // round-9 judge's single-pass escape mode), and a SPANNING edit
+    // touching BOTH anchor tokens at once (prepend AND append, dist 2 —
+    // the round-10 two-pass OR-blocking's documented residual escape,
+    // closed by the round-11 complete length-band blocking). Recall 1.0
+    // therefore requires the blocking to be COMPLETE, not anchor-
+    // conditioned. Recall reads off the output: every planted part must
+    // surface with dist ≤ 2 (its planted partner guarantees a qualifying
+    // match; a same-name twin at dist 0 may legitimately win).
     val nFuzzy = sys.env.getOrElse("SPARK_GRAFT_FUZZY_PARTS", nEnt.toString).toLong
     val fuzzyHalf = nFuzzy / 2
-    val fuzzyDir = s"$tmp/graft-fuzzy-scale-$nFuzzy"
+    val fuzzyDir = s"$tmp/graft-fuzzy-scale-v2-$nFuzzy"
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(fuzzyDir, "_SUCCESS"))) {
       val isVar = $"id" >= fuzzyHalf && ($"id" - fuzzyHalf) % 20 === 0
       val seed = when(isVar, $"id" - fuzzyHalf).otherwise($"id")
@@ -155,11 +160,14 @@ object SetSimScale {
         lit("w"), pmod(hash(seed, lit(0)), lit(100)),
         lit(" w"), pmod(hash(seed, lit(1)), lit(20)))
       val gen = timeSec {
-        val isPre = isVar && (($"id" - fuzzyHalf) / 20).cast("long") % 2 === 1
+        val mode = (($"id" - fuzzyHalf) / 20).cast("long") % 3
+        val isPre = isVar && mode === 1
+        val isSpan = isVar && mode === 2
         spark.range(nFuzzy).select(
           $"id".as("p_partkey"),
           concat(lit("B"), pmod(hash(seed, lit(99)), lit(25))).as("p_brand"),
-          when(isPre, concat(lit("x"), baseName))
+          when(isSpan, concat(lit("x"), baseName, lit("x")))
+            .when(isPre, concat(lit("x"), baseName))
             .when(isVar, concat(baseName, lit("x")))
             .otherwise(baseName).as("p_name"))
           .repartition(cpus.toInt)
@@ -180,7 +188,7 @@ object SetSimScale {
     val plantedFuzzy = fuzzyHalf / 20
     val foundFuzzy = fuzzy.filter(
         $"p_partkey" >= fuzzyHalf && ($"p_partkey" - fuzzyHalf) % 20 === 0 &&
-        $"dist" <= 1L)
+        $"dist" <= 2L)
       .count()
     fuzzy.unpersist(blocking = false)
 

@@ -119,7 +119,22 @@ object StreamDrainScale {
       val tD = System.nanoTime()
       val psi = graft.operators.StreamQueries.streamDrift(spark, docsDir).collect()
       val wallD = (System.nanoTime() - tD) / 1e9
-      Thread.sleep(2000) // let the final progress event land
+      // the round-10 advice: a fixed sleep races the async listener bus
+      // (the same class of flake the round-8 review found in
+      // MemoryPressure) — drain the bus instead (streaming progress
+      // events ride the SparkContext listener bus; `listenerBus` /
+      // `waitUntilEmpty` are private[spark] in Scala but public in
+      // bytecode), then poll briefly until a stateful progress event has
+      // actually been DELIVERED, with the old sleep as the fallback
+      try {
+        val bus = classOf[org.apache.spark.SparkContext]
+          .getMethod("listenerBus").invoke(spark.sparkContext)
+        bus.getClass.getMethod("waitUntilEmpty", classOf[Long])
+          .invoke(bus, java.lang.Long.valueOf(10000L))
+        val deadline = System.nanoTime() + 10000000000L
+        while (stateRows.get == 0L && System.nanoTime() < deadline)
+          Thread.sleep(50)
+      } catch { case _: Throwable => Thread.sleep(2000) }
       spark.streams.removeListener(dl)
       println(s"\n| drift corpus | psi rows | state rows | state bytes | drain wall |")
       println("|---|---|---|---|---|")

@@ -179,25 +179,52 @@ class GraphSpec extends AnyFunSuite {
       "label propagation disagrees with union-find — not converged or wrong")
   }
 
-  test("label propagation converges on a >8-hop chain where a fixed 8-round budget fails") {
+  test("star contraction merges a deep path in LOG rounds, not diameter rounds") {
     import spark.implicits._
-    // 20-node path a01–a02–…–a20: diameter 19, so min-label needs 19
-    // propagation rounds — the round-6 fixed-8 budget provably under-merges
-    val addrs = (1 to 20).map(i => f"a$i%02d")
+    // 4096-node path p0001–…–p4096: diameter 4095. The replaced min-label
+    // loop needed 4095 changing rounds here; alternating large-star/
+    // small-star must close it within 2·log₂(n) = 24 — the round-11
+    // log-round contract (GraphScale re-proves it at 1M nodes).
+    val n = 4096
+    val addrs = (1 to n).map(i => f"p$i%04d")
     val edges = addrs.sliding(2).map { case Seq(a, b) => ("t", a, b) }.toSeq
     val sym = edges.toDF("token", "u", "v")
       .union(edges.map { case (t, a, b) => (t, b, a) }.toDF("token", "u", "v"))
     val nodes = addrs.map(a => ("t", a)).toDF("token", "addr")
-    // the old fixed budget: 8 rounds leave the far end of the chain unmerged
-    val (lbl8, _) = EthQueries.labelPropagate(sym, nodes, maxRounds = 8)
-    val distinct8 = lbl8.select("lbl").distinct().count()
-    assert(distinct8 > 1,
-      s"8 rounds should NOT merge a 19-hop chain (got $distinct8 labels)")
-    // the guarded loop runs until no label changes: one component, 19 rounds
-    val (lblFull, rounds) = EthQueries.labelPropagate(sym, nodes)
+    val (lblFull, rounds) = EthQueries.starComponents(sym, nodes)
     val labels = lblFull.select("lbl").distinct().collect().map(_.getString(0))
-    assert(labels.toSeq == Seq("a01"), s"expected single component a01, got ${labels.toSeq}")
-    assert(rounds == 19, s"19-diameter path must take 19 changing rounds, took $rounds")
+    assert(labels.toSeq == Seq("p0001"),
+      s"expected single component p0001, got ${labels.take(5).toSeq}…")
+    assert(lblFull.count() == n.toLong, "every node must carry a label")
+    val bound = 2 * (math.log(n.toDouble) / math.log(2.0)).ceil.toInt
+    assert(rounds <= bound,
+      s"star contraction took $rounds rounds on a $n-node path; log-round bound is $bound")
+    // fail-loud cap contract: an unconverged exit THROWS, never returns
+    // partial labels (the round-10 verdict's silent-cap failure mode)
+    intercept[IllegalStateException] {
+      EthQueries.starComponents(sym, nodes, maxRounds = 0)
+    }
+  }
+
+  test("star contraction handles multi-component graphs, isolated nodes, self-loop-free input") {
+    import spark.implicits._
+    // two components per token + an isolated node; labels must be the
+    // component minimum, isolated nodes label themselves
+    val edges = Seq(
+      ("t", "a", "b"), ("t", "b", "c"),          // {a,b,c} → a
+      ("t", "x", "y"),                           // {x,y}   → x
+      ("u", "b", "q"))                           // token-partitioned: u's graph separate
+    val sym = edges.toDF("token", "u", "v")
+      .union(edges.map { case (t, a, b) => (t, b, a) }.toDF("token", "u", "v"))
+    val nodes = (edges.flatMap { case (t, a, b) => Seq((t, a), (t, b)) } :+ (("t", "zz")))
+      .distinct.toDF("token", "addr")
+    val (lbl, _) = EthQueries.starComponents(sym, nodes)
+    val got = lbl.collect().map(r => (r.getString(0), r.getString(1)) -> r.getString(2)).toMap
+    assert(got(("t", "a")) == "a" && got(("t", "b")) == "a" && got(("t", "c")) == "a")
+    assert(got(("t", "x")) == "x" && got(("t", "y")) == "x")
+    assert(got(("t", "zz")) == "zz", "isolated node must label itself")
+    assert(got(("u", "b")) == "b" && got(("u", "q")) == "b",
+      "token u's component must not leak token t's labels")
   }
 
   test("reliable-checkpoint mode (spark.graft.checkpointDir) yields identical results") {
@@ -207,11 +234,11 @@ class GraphSpec extends AnyFunSuite {
     val sym = edges.toDF("token", "u", "v")
       .union(edges.map { case (t, a, b) => (t, b, a) }.toDF("token", "u", "v"))
     val nodes = addrs.map(a => ("t", a)).toDF("token", "addr")
-    val (defaultLbl, defaultRounds) = EthQueries.labelPropagate(sym, nodes)
+    val (defaultLbl, defaultRounds) = EthQueries.starComponents(sym, nodes)
     val ckDir = java.nio.file.Files.createTempDirectory("graft-ck").toString
     spark.conf.set("spark.graft.checkpointDir", ckDir)
     try {
-      val (reliableLbl, reliableRounds) = EthQueries.labelPropagate(sym, nodes)
+      val (reliableLbl, reliableRounds) = EthQueries.starComponents(sym, nodes)
       assert(reliableRounds == defaultRounds)
       val a = defaultLbl.orderBy("token", "addr").collect().toSeq
       val b = reliableLbl.orderBy("token", "addr").collect().toSeq

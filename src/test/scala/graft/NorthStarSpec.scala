@@ -809,6 +809,41 @@ class MultimodalSpec extends AnyFunSuite {
       assert(got == expect, s"media ${m.media_id}: $got != $expect")
     }
   }
+
+  test("png payloads are REAL PNGs and ImageIO decode round-trips every planted pixel") {
+    val pngs = Multimodal.pngTable(spark, sf).collect()
+    assert(pngs.nonEmpty)
+    // genuine PNG container: magic bytes, not a fake
+    pngs.take(20).foreach { p =>
+      assert((p.payload(0) & 0xff) == 0x89 && p.payload(1) == 'P' &&
+             p.payload(2) == 'N' && p.payload(3) == 'G',
+        s"media ${p.media_id} payload is not a PNG")
+    }
+    // driver-side ImageIO decode of a sample must reproduce the planted
+    // formula pixel-for-pixel (the distributed kernel runs the same code;
+    // the oracle row proves it corpus-wide via the channel sums)
+    pngs.take(5).foreach { p =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p.payload))
+      val (w, h) = Multimodal.plantedDims(p.media_id)
+      assert(img.getWidth == w && img.getHeight == h)
+      for (y <- 0 until h; x <- 0 until w) {
+        val (r, g, b) = Multimodal.plantedRgb(p.media_id, x, y)
+        val px = img.getRGB(x, y)
+        assert(((px >> 16) & 0xff) == r && ((px >> 8) & 0xff) == g && (px & 0xff) == b,
+          s"media ${p.media_id} pixel ($x,$y) corrupted by the codec round-trip")
+      }
+    }
+  }
+
+  test("decode kernel survives an undecodable payload as a decode_ok=0 row") {
+    import spark.implicits._
+    val junk = Seq(
+      Multimodal.PngRow(1L, Array[Byte](1, 2, 3, 4, 5)),
+      Multimodal.PngRow(2L, Array.emptyByteArray))
+    val out = Multimodal.decodePng(junk.toDS()).collect().sortBy(_.media_id)
+    assert(out.forall(f => f.decode_ok == 0L && f.width == -1L && f.n_pixels == 0L),
+      s"corrupt payloads must surface as decode_ok=0, got ${out.toSeq}")
+  }
 }
 
 class TextAnalysisSpec extends AnyFunSuite {

@@ -189,19 +189,12 @@ class RetrievalSpec extends AnyFunSuite {
     val parts = Tables.part(spark, sf)
       .select($"p_partkey", $"p_brand", $"p_name").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
-    // brute force under OR-blocking: a candidate shares the brand and
-    // the first OR last name token; best = min (dist, partner key) over
-    // all such parts at dist ≤ 4 — identical twins included (dist 0,
-    // they share both anchors), which is exactly the class-collapse
-    // answer
-    def anchors(n: String) = { val t = n.split(" ", -1); (t.head, t.last) }
+    // UNBLOCKED brute force: best = min (dist, partner key) over ALL
+    // other same-brand parts at dist ≤ 4 — the round-11 total-recall
+    // contract (the length-band blocking must lose nothing); identical
+    // twins included (dist 0), which is exactly the class-collapse answer
     val best = parts.map { case (k, br, name) =>
-      val (t0, tl) = anchors(name)
-      val cands = parts.iterator.filter { case (q, qbr, qn) =>
-          q != k && qbr == br && {
-            val (q0, ql) = anchors(qn); q0 == t0 || ql == tl
-          }
-        }
+      val cands = parts.iterator.filter { case (q, qbr, _) => q != k && qbr == br }
         .map { case (q, _, qn) => (lev(name, qn).toLong, q) }
         .filter(_._1 <= 4L)
       k -> (if (cands.isEmpty) None else Some(cands.min))
@@ -216,23 +209,37 @@ class RetrievalSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
-  test("fuzzy join OR-blocking catches first-token edits (single-pass escape mode)") {
+  test("fuzzy join length-band blocking catches every historical escape mode") {
     import spark.implicits._
-    // part 2 edits the FIRST token of part 1's name — under the old
-    // single (brand, tok0) blocking the pair silently escaped; the
-    // (brand, last-token) pass must catch it. Parts 3/4 cover the
-    // mirror mode (last-token edit, caught by the tok0 pass).
+    // parts 1/2: first-token edit (the round-9 single-pass escape);
+    // parts 3/4: last-token edit (the mirror mode); parts 5/6: edits on
+    // BOTH anchor tokens at once — the round-10 two-pass OR-blocking's
+    // documented residual escape, closed by the round-11 complete
+    // length-band blocking (dist 2: prepend on tok0 + append on tokl);
+    // parts 7/8: different brand at dist 1 must NOT match (blocking is
+    // within-brand by contract). Part 9 has no within-dist partner and
+    // must drop out.
     val df = Seq(
       (1L, "B1", "alpha beta gamma"),
       (2L, "B1", "xalpha beta gamma"),
       (3L, "B1", "zeta eta theta"),
-      (4L, "B1", "zeta eta xtheta")
+      (4L, "B1", "zeta eta xtheta"),
+      (5L, "B1", "kappa mu sigma"),
+      (6L, "B1", "xkappa mu sigmax"),
+      (7L, "B2", "omega psi chi"),
+      (8L, "B3", "omega psi chix"),
+      (9L, "B2", "totally unrelated name")
     ).toDF("p_partkey", "p_brand", "p_name")
     val got = graft.operators.Similarity.fuzzyJoinOn(df, 4).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(got(1L) == ((2L, 1L)) && got(2L) == ((1L, 1L)),
-      s"first-token edit pair escaped the OR-blocking: $got")
+      s"first-token edit pair escaped the blocking: $got")
     assert(got(3L) == ((4L, 1L)) && got(4L) == ((3L, 1L)), s"$got")
+    assert(got(5L) == ((6L, 2L)) && got(6L) == ((5L, 2L)),
+      s"spanning edit (both anchors) escaped the length-band blocking: $got")
+    assert(!got.contains(7L) && !got.contains(8L),
+      s"cross-brand pair must not match: $got")
+    assert(!got.contains(9L), s"partnerless part must drop out: $got")
   }
 
   test("BM25 scale shape: broadcast term filter, per-query rank partitions") {
