@@ -166,6 +166,24 @@ object EthQueries {
       .orderBy($"tx_hash")
   }
 
+  /** Q36: the BATCHED table-valued account-state path
+    * ([[Web3Functions.accountStates]]) over the distinct senders of the
+    * first 50 blocks — the live-mode-viable replacement for issuing the
+    * A16/A17 scalar UDFs row by row. Against the fixture chain the
+    * balances/nonces are the sha256-seeded account state the eth_udfs
+    * oracle already replays; JsonRpcSpec separately proves the batched
+    * JSON-RPC transport returns identical values with
+    * ceil(N/batchSize) HTTP exchanges. */
+  def q36AccountBatch(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dir = EthFixtures.ensure(s)
+    val addrs = eth(s, "transaction")
+      .filter($"tx_blockNumber" <= 50 && $"tx_from".isNotNull)
+      .select($"tx_from".as("addr")).distinct()
+    Web3Functions.accountStates(addrs, dir, None, batchSize = 64)
+      .orderBy($"addr")
+  }
+
   /** Q2's gas bucketing via the scale path ([[graft.plans.ScalableNtile]]):
     * same output as eth_q2, no single-partition sort. */
   def q10NtileScalable(s: SparkSession, d: String): DataFrame = {
@@ -1195,7 +1213,8 @@ object EthQueries {
     "eth_q31_chain_integrity" -> q31ChainIntegrity _,
     "eth_q32_adoption" -> q32Adoption _,
     "eth_q33_selectors" -> q33Selectors _,
-    "eth_q34_value_histogram" -> q34ValueHistogram _)
+    "eth_q34_value_histogram" -> q34ValueHistogram _,
+    "eth_q36_account_batch" -> q36AccountBatch _)
 
   /** Unrolled 5-iteration integer PageRank replay (see [[q17PageRank]] for
     * the exact recurrence); starts with "," to extend [[withEthTables]]'s
@@ -1675,6 +1694,17 @@ object EthQueries {
          CAST(len(block_uncles) AS BIGINT) AS n_uncles,
          block_transactions[1] AS first_tx
          FROM block WHERE block_number <= 500 ORDER BY block_number"""),
+    // fixture account state (sha256-seeded) replayed for the BATCHED
+    // table-valued path: balance at the chain tip + nonce, per distinct
+    // early-block sender — same seed arithmetic as the eth_udfs row
+    "eth_q36_account_batch" -> withEthTables(
+      s"""SELECT addr,
+          (hf % 1000000) * 1e15 + ${EthFixtures.Blocks} * 1e9 AS balance_wei,
+          CAST(hf % 497 + ${EthFixtures.Blocks / 1024} AS BIGINT) AS tx_count
+          FROM (SELECT addr, ${addrSeedSql("addr")} AS hf
+                FROM (SELECT DISTINCT tx_from AS addr FROM transaction
+                      WHERE tx_blockNumber <= 50 AND tx_from IS NOT NULL))
+          ORDER BY addr"""),
     "eth_udfs" -> withEthTables(
       s"""SELECT tx_hash, tx_from, tx_to,
           (hf % 1000000) * 1e15 + ${EthFixtures.Blocks} * 1e9 AS from_balance,

@@ -474,6 +474,126 @@ object TextAnalysis {
     (out, free)
   }
 
+  /** Unigram-LM piece length cap: substrings up to this length are vocab
+    * candidates; also the Viterbi lookback. Shared with the oracle SQL. */
+  private val UniMaxPiece = 6
+
+  /** Exact Viterbi segmentation of one word under integer micro-nat piece
+    * costs, with the (total cost, piece count) pair ENCODED as
+    * `cost·1024 + n_pieces` so the lexicographic min is one Long compare —
+    * the oracle's recursive CTE carries the identical encoding, so even
+    * tie-breaks agree bit-for-bit. Single-character pieces are always in
+    * the vocab (they come from the same substring explode that built it),
+    * so every position is reachable. */
+  private[graft] def uniViterbi(w: String,
+      vocab: java.util.HashMap[String, java.lang.Long]): Long = {
+    val n = w.length
+    val enc = new Array[Long](n + 1)
+    var i = 1
+    while (i <= n) {
+      var best = Long.MaxValue
+      var k = 1
+      val kMax = math.min(UniMaxPiece, i)
+      while (k <= kMax) {
+        // boxed java.lang.Long on purpose: a scala.Long-valued map would
+        // silently unbox a missing key's null to COST ZERO, making every
+        // out-of-vocab piece free (the round-11 first-draft bug)
+        val c = vocab.get(w.substring(i - k, i))
+        if (c ne null) {
+          val cand = enc(i - k) + c.longValue() * 1024L + 1L
+          if (cand < best) best = cand
+        }
+        k += 1
+      }
+      enc(i) = best
+      i += 1
+    }
+    enc(n)
+  }
+
+  /** SentencePiece-style UNIGRAM-LM tokenizer — the Viterbi-segmentation
+    * complement to [[bpeLearn]]/[[bpeApply]] that completes the tokenizer
+    * family (round-11 verdict item 7): segment every word into the
+    * maximum-likelihood piece sequence under a frequency-derived piece
+    * vocabulary, and report per-language compression plus the exact total
+    * segmentation cost.
+    *
+    * Vocabulary: all substrings of corpus words up to [[UniMaxPiece]]
+    * chars are counted with multiplicity, weighted by word frequency; a
+    * multi-char piece enters the vocab iff it holds at least 0.05% of the
+    * total substring mass (`freq·2000 ≥ M`), single chars always enter
+    * (so segmentation is total). The mass threshold BOUNDS the vocab by
+    * construction — at most 2000 multi-char pieces (pigeonhole) plus the
+    * alphabet — which is what justifies collecting it as model metadata
+    * (the IVF-centroid / BPE-merge-table discipline) and broadcasting the
+    * cost map into the segmentation kernel. Piece cost is the quantized
+    * unigram surprisal `round(ln(M/freq)·1e6)` micro-nats — the
+    * trigramLmScore/NB discipline, same SQL text in both engines.
+    *
+    * Viterbi is exact and integer once the costs are fixed:
+    * `dp[i] = min over pieces ending at i of dp[i−k] + cost`, the
+    * (cost, n_pieces) pair encoded into one Long (see [[uniViterbi]]);
+    * the oracle replays it with a recursive CTE carrying the dp vector as
+    * a LIST, candidate pieces pre-joined per (word, end-position) — a
+    * deliberately different formulation of the same recurrence.
+    *
+    * Scale shape: one corpus scan into the persisted (word, freq) vocab
+    * (bounded); the substring explode, vocab filter, and cost quantization
+    * are vocab-sized; segmentation runs once per DISTINCT word in a
+    * `mapPartitions` kernel against the broadcast cost map; documents then
+    * join their words against the per-word piece counts (the bpeApply
+    * shape) — at 100 TB the corpus pass is the explode+join, the
+    * tokenizer itself never touches data-scale rows. */
+  def unigramTokenize(s: SparkSession, d: String): DataFrame = {
+    val (out, free) = unigramTokenizeLazy(s, d)
+    graft.plans.Caching.detach(out, free)
+  }
+
+  private[graft] def unigramTokenizeLazy(s: SparkSession, d: String)
+      : (DataFrame, () => Unit) = {
+    import s.implicits._
+    val wf = documents(s, d)
+      .select(explode(wsTokens(canonical($"text"))).as("word"))
+      .filter($"word" =!= "")
+      .groupBy($"word").agg(count(lit(1)).as("freq"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // substring explode with multiplicity, weighted by word freq
+    val px = wf.select($"freq", explode(expr(
+        s"""flatten(transform(sequence(1, length(word)), s ->
+            transform(sequence(s, least(length(word), s + ${UniMaxPiece - 1})), e ->
+              substring(word, s, e - s + 1))))""")).as("piece"))
+    val pf = px.groupBy($"piece").agg(sum($"freq").as("pfreq"))
+    val tot = pf.agg(sum($"pfreq").as("m"))
+    val vocab = pf.crossJoin(broadcast(tot))
+      .filter(length($"piece") === 1 || $"pfreq" * 2000L >= $"m")
+      .select($"piece",
+        expr("CAST(round(ln(CAST(m AS DOUBLE) / pfreq) * 1000000.0) AS BIGINT)")
+          .as("cost"))
+    // model metadata: ≤ 2000 multi-char pieces + alphabet, by construction
+    val vmap = new java.util.HashMap[String, java.lang.Long]()
+    vocab.collect().foreach(r =>
+      vmap.put(r.getString(0), java.lang.Long.valueOf(r.getLong(1))))
+    val bc = s.sparkContext.broadcast(vmap)
+    val seg = wf.select($"word").as[String]
+      .mapPartitions { words =>
+        val v = bc.value
+        words.map { w => (w, uniViterbi(w, v)) }
+      }
+      .toDF("word", "enc")
+      .select($"word", ($"enc" % 1024L).as("n_pieces"),
+              expr("enc div 1024").as("cost_micro"))
+    val out = documents(s, d)
+      .select($"lang", explode(wsTokens(canonical($"text"))).as("word"))
+      .filter($"word" =!= "")
+      .join(broadcast(seg), "word")
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_words"),
+           sum($"n_pieces").as("n_tokens"),
+           sum($"cost_micro").as("cost_micro_total"))
+      .orderBy($"lang")
+    (out, () => { wf.unpersist(blocking = false); () })
+  }
+
   /** Within-document REPETITION signals — the "repeated n-gram fraction"
     * family of junk-text filters (boilerplate loops, keyword stuffing,
     * degenerate generations repeat themselves): per document, the
@@ -959,6 +1079,7 @@ object TextAnalysis {
     "nd_text_tfidf" -> ((s: SparkSession, d: String) => tfidfKeywords(s, d)),
     "nd_bpe_learn" -> ((s: SparkSession, d: String) => bpeLearn(s, d)),
     "nd_bpe_apply" -> ((s: SparkSession, d: String) => bpeApply(s, d)),
+    "nd_tok_unigram" -> (unigramTokenize _),
     "nd_text_repetition" -> ((s: SparkSession, d: String) => repetition(s, d)),
     "nd_profile" -> profile _)
 
@@ -1171,6 +1292,59 @@ object TextAnalysis {
          ORDER BY f.doc_id""",
     "nd_bpe_learn" -> bpeOracleSql(),
     "nd_bpe_apply" -> bpeApplyOracleSql(),
+    // unigram-LM Viterbi replay, deliberately re-formulated: candidate
+    // pieces pre-joined per (word, end-position), then a recursive CTE
+    // advances one position per iteration carrying the dp vector as a
+    // LIST with the same cost*1024+n encoding as the Scala kernel.
+    // NO `MATERIALIZED` hints and no LATERAL in the pre-CTEs: DuckDB
+    // 1.0's recursive term silently reads an upstream MATERIALIZED (or
+    // lateral-built) CTE as EMPTY — the recursion just stops at pos=0
+    "nd_tok_unigram" ->
+      """WITH RECURSIVE
+          uw AS (SELECT unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS word
+                 FROM documents),
+          uwf AS (SELECT word, CAST(count(*) AS BIGINT) AS freq
+                  FROM uw WHERE word <> '' GROUP BY word),
+          upos AS (SELECT word, freq, unnest(range(1, len(word) + 1)) AS s FROM uwf),
+          upx AS (SELECT freq,
+                         unnest(list_transform(range(1, least(6, len(word) - s + 1) + 1),
+                                l -> substr(word, CAST(s AS INTEGER), CAST(l AS INTEGER)))) AS piece
+                  FROM upos),
+          upf AS (SELECT piece, CAST(sum(freq) AS BIGINT) AS pfreq
+                  FROM upx GROUP BY piece),
+          utot AS (SELECT CAST(sum(pfreq) AS BIGINT) AS m FROM upf),
+          uvocab AS (
+            SELECT piece, CAST(len(piece) AS BIGINT) AS pl,
+                   CAST(round(ln(CAST(m AS DOUBLE) / pfreq) * 1000000.0) AS BIGINT) AS cost
+            FROM upf, utot WHERE len(piece) = 1 OR pfreq * 2000 >= m),
+          ucand AS (
+            SELECT p.word, p.s + v.pl - 1 AS e, v.pl, v.cost
+            FROM upos p JOIN uvocab v
+              ON v.pl <= len(p.word) - p.s + 1
+             AND v.piece = substr(p.word, CAST(p.s AS INTEGER), CAST(v.pl AS INTEGER))),
+          udp AS (
+            SELECT word, CAST(0 AS BIGINT) AS pos, [CAST(0 AS BIGINT)] AS encs
+            FROM uwf
+            UNION ALL
+            SELECT udp.word, udp.pos + 1,
+                   list_append(udp.encs, b.best)
+            FROM udp,
+                 LATERAL (SELECT min(udp.encs[CAST(udp.pos + 2 - c.pl AS INTEGER)]
+                                     + c.cost * 1024 + 1) AS best
+                          FROM ucand c
+                          WHERE c.word = udp.word AND c.e = udp.pos + 1) b
+            WHERE udp.pos < len(udp.word)),
+          useg AS (SELECT word, encs[CAST(len(word) + 1 AS INTEGER)] AS enc
+                   FROM udp WHERE pos = len(word)),
+          udw AS (SELECT lang,
+                         unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS word
+                  FROM documents)
+          SELECT lang, CAST(count(*) AS BIGINT) AS n_words,
+                 CAST(sum(enc % 1024) AS BIGINT) AS n_tokens,
+                 CAST(sum(enc // 1024) AS BIGINT) AS cost_micro_total
+          FROM udw JOIN useg USING (word)
+          WHERE word <> ''
+          GROUP BY lang ORDER BY lang""",
     // PMI replay: identical bigram construction to nd_token_pairs, the
     // single ln runs over the SAME left-associated double expression as
     // Spark, rounded to micro-nats

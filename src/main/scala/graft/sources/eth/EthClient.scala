@@ -41,6 +41,16 @@ trait EthClient extends Serializable {
   def getTransactionCount(addr: String, atBlock: Option[Long]): Long
   /** Deployed bytecode, `"0x"` when not a contract (drives `isContract`). */
   def getCode(addr: String): String
+  /** Batched account-state lookup: one (balance, nonce) pair per input
+    * address, in input order. Default implementation is the per-address
+    * scalar pair — correct for the in-process fixture backend where a
+    * "round trip" is a map lookup; the JSON-RPC backend overrides it with
+    * ONE batched request per call (2·N entries, the batchCall redelivery
+    * contract), which is what makes the table-valued account UDF path
+    * live-mode viable ([[graft.functions.Web3Functions.accountStates]]). */
+  def accountStates(addrs: Seq[String],
+      atBlock: Option[Long]): Seq[(Double, Long)] =
+    addrs.map(a => (getBalance(a, atBlock), getTransactionCount(a, atBlock)))
 }
 
 object EthClient {

@@ -135,6 +135,7 @@ object RpcStubServer {
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
     server.createContext("/", (ex: HttpExchange) => {
       try {
+        if (counts != null) counts.merge("__http_exchanges__", 1L, (a, b) => a + b)
         val body = mapper.readTree(ex.getRequestBody)
         val bytes = mapper.writeValueAsBytes(handleBody(answer, body))
         ex.getResponseHeaders.add("Content-Type", "application/json")
@@ -499,6 +500,43 @@ class JsonRpcSpec extends AnyFunSuite {
         .filter(org.apache.spark.sql.functions.col("erc20_blockNumber") <= 8)
         .collect()
       assert(counts.getOrDefault("eth_getTransactionReceipt", 0L) > 0L, counts.toString)
+    } finally server.stop(0)
+  }
+
+  test("batched account table equals the scalar RPCs with one exchange per batch") {
+    import org.apache.spark.sql.functions.col
+    val counts = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+    val server = RpcStubServer.start(dir, 60, counts)
+    try {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}/"
+      // addresses come from the LOCAL fixture scan (no HTTP), one
+      // partition so the exchange count is exactly ceil(N / batchSize)
+      val addrs = spark.read.format("ethereum")
+        .option("table", "transaction").option("chain", dir).load()
+        .filter(col("tx_blockNumber") <= 50 && col("tx_from").isNotNull)
+        .select(col("tx_from").as("addr")).distinct()
+        .repartition(1)
+      val n = addrs.count()
+      assert(n > 16, s"need more than one batch, got $n addresses")
+      counts.clear()
+      val got = graft.functions.Web3Functions
+        .accountStates(addrs, url, None, batchSize = 16)
+        .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+      val exchanges = counts.getOrDefault("__http_exchanges__", 0L)
+      val expectedBatches = (n + 15) / 16
+      assert(exchanges == expectedBatches,
+        s"expected $expectedBatches batched exchanges for $n addresses, got $exchanges")
+      assert(counts.getOrDefault("eth_getBalance", 0L) == n &&
+             counts.getOrDefault("eth_getTransactionCount", 0L) == n,
+        s"each address must be asked exactly once per method: $counts")
+      // value-identical to the scalar per-address RPC path
+      val scalar = graft.sources.eth.EthClient.forChain(url)
+      got.foreach { case (a, (bal, nonce)) =>
+        assert(bal == scalar.getBalance(a, None) &&
+               nonce == scalar.getTransactionCount(a, None),
+          s"batched state for $a diverges from the scalar RPCs")
+      }
+      assert(got.size.toLong == n)
     } finally server.stop(0)
   }
 

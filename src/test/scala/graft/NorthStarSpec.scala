@@ -846,6 +846,57 @@ class MultimodalSpec extends AnyFunSuite {
   }
 }
 
+class UnigramTokenizerSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("Viterbi kernel equals exhaustive enumeration over all segmentations") {
+    // deterministic pseudo-random vocab over a 4-letter alphabet: every
+    // single char plus a scattering of multi-char pieces with varied costs
+    val alphabet = "abcd"
+    val rng = new scala.util.Random(42)
+    val vocab = new java.util.HashMap[String, java.lang.Long]()
+    alphabet.foreach(c => vocab.put(c.toString, java.lang.Long.valueOf(900000L + rng.nextInt(200000))))
+    val words = (1 to 60).map(_ => (1 to (1 + rng.nextInt(9))).map(_ => alphabet(rng.nextInt(4))).mkString)
+    words.flatMap(w => (0 until w.length).flatMap(s =>
+        (2 to math.min(6, w.length - s)).map(l => w.substring(s, s + l))))
+      .distinct.foreach { p =>
+        if (rng.nextBoolean()) vocab.put(p, java.lang.Long.valueOf(300000L + rng.nextInt(1500000)))
+      }
+    // exhaustive: enumerate every split into vocab pieces (<=6 chars),
+    // min by (cost, n_pieces) — the spec-level truth uniViterbi must match
+    def brute(w: String): Long = {
+      if (w.isEmpty) return 0L
+      var best = Long.MaxValue
+      for (k <- 1 to math.min(6, w.length)) {
+        val c = vocab.get(w.substring(0, k))
+        if (c ne null) {
+          val rest = brute(w.substring(k))
+          if (rest != Long.MaxValue) {
+            val cand = c.longValue() * 1024L + 1L + rest
+            if (cand < best) best = cand
+          }
+        }
+      }
+      best
+    }
+    words.foreach { w =>
+      val got = graft.operators.TextAnalysis.uniViterbi(w, vocab)
+      assert(got == brute(w), s"word '$w': viterbi $got != exhaustive ${brute(w)}")
+    }
+  }
+
+  test("unigram tokenization is consistent: n_words <= n_tokens <= corpus chars") {
+    val rows = graft.operators.TextAnalysis.unigramTokenize(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, t, c) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(t >= n, s"${r.getString(0)}: fewer pieces than words")
+      assert(c > 0L, s"${r.getString(0)}: non-positive total cost")
+    }
+  }
+}
+
 class TextAnalysisSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
