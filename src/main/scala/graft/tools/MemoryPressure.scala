@@ -54,7 +54,12 @@ object MemoryPressure {
     // round 10: the OR-blocked fuzzy join (two candidate self-joins +
     // pair dedup), the new drained stateful chi2 stream, and McNemar's
     // paired classifier join (lang-id scan ⋈ NB train/score pipeline)
-    "nd_join_fuzzy", "nd_stream_chi2", "nd_eval_mcnemar")
+    "nd_join_fuzzy", "nd_stream_chi2", "nd_eval_mcnemar",
+    // round 11: the unigram-LM tokenizer (per-distinct-word Viterbi
+    // against a broadcast cost map — the distinct-word shuffle and the
+    // corpus join-back are the pressure points) and the real-PNG decode
+    // (mapPartitions kernel holding decoded rasters)
+    "nd_tok_unigram", "nd_multimodal_decode")
 
   /** Drain the async listener bus so per-query spill deltas attribute
     * deterministically (the round-8 review flagged the fixed sleep: a

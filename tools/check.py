@@ -23,6 +23,47 @@ def canon(df):
     df = df[cols]
     return cols, [tuple(str(v) for v in row) for row in df.itertuples(index=False)]
 
+# Above ~2M rows the pandas/python-tuple canonicalization dominates the
+# gate wall (a 100x pair-dedup row emits ~25M rows). The fast path keeps
+# the comparison INSIDE DuckDB as an exact multiset equality: same
+# sorted-column canonicalization, VARCHAR-cast values (both sides cast
+# identically, so equality is preserved; DuckDB prints shortest-roundtrip
+# doubles, so distinct doubles never collide), GROUP BY all columns with
+# counts, FULL JOIN, any count mismatch -> fail. Strictly as discriminating
+# as the tuple compare, minus the ORDER BY (multiset, not sequence — every
+# gated query ends in a deterministic ORDER BY, so multisets matching
+# implies sequences matching).
+BIG_ROWS = 2_000_000
+
+def multiset_compare(con, sql, spark_glob):
+    # materialize the oracle ONCE — a view would re-execute a
+    # many-minute pair pipeline for each of the 3 references below
+    con.execute("DROP TABLE IF EXISTS __o")
+    con.execute(f"CREATE TEMP TABLE __o AS {sql}")
+    con.execute(
+        "CREATE OR REPLACE TEMP VIEW __s AS "
+        f"SELECT * FROM read_parquet('{spark_glob}')")
+    ocols = sorted(r[0] for r in con.sql("DESCRIBE __o").fetchall())
+    scols = sorted(r[0] for r in con.sql("DESCRIBE __s").fetchall())
+    if ocols != scols:
+        return "schema", ocols, scols, None
+    def keyed(view):
+        casts = ", ".join(
+            f'CAST("{c}" AS VARCHAR) AS "{c}"' for c in ocols)
+        cols = ", ".join(f'"{c}"' for c in ocols)
+        return (f"SELECT {cols}, count(*) AS __n FROM "
+                f"(SELECT {casts} FROM {view}) GROUP BY ALL")
+    eq = ") IS NOT DISTINCT FROM (".join(
+        (", ".join(f'a."{c}"' for c in ocols),
+         ", ".join(f'b."{c}"' for c in ocols)))
+    bad = con.sql(
+        f"SELECT count(*) FROM ({keyed('__o')}) a "
+        f"FULL JOIN ({keyed('__s')}) b ON ({eq}) "
+        "WHERE a.__n IS DISTINCT FROM b.__n").fetchone()[0]
+    n_o = con.sql("SELECT count(*) FROM __o").fetchone()[0]
+    n_s = con.sql("SELECT count(*) FROM __s").fetchone()[0]
+    return ("rows" if bad else "ok"), n_o, n_s, bad
+
 def main():
     args = [a for a in sys.argv[1:]]
     json_out = only = None
@@ -52,6 +93,30 @@ def main():
                            "hash_match": False, "err": "no_spark_output"}
             continue
         try:
+            n_spark = con.sql(
+                f"SELECT count(*) FROM read_parquet('{spark_dir}/*.parquet')"
+            ).fetchone()[0]
+            if n_spark >= BIG_ROWS:
+                verdict, a, b, bad = multiset_compare(
+                    con, sql, f"{spark_dir}/*.parquet")
+                if verdict == "schema":
+                    results[name] = f"SCHEMA_MISMATCH spark={b} oracle={a}"
+                    n_fail += 1
+                    jrows[name] = {"rows_match": False, "schema_match": False,
+                                   "hash_match": False}
+                elif verdict == "rows":
+                    results[name] = (f"ROWS_MISMATCH n_spark={b} n_oracle={a} "
+                                     f"multiset_diff_groups={bad}")
+                    n_fail += 1
+                    jrows[name] = {"rows_match": a == b, "schema_match": True,
+                                   "hash_match": False}
+                else:
+                    results[name] = f"PASS ({b} rows, multiset)"
+                    n_pass += 1
+                    jrows[name] = {"rows_match": True, "schema_match": True,
+                                   "hash_match": True, "n_rows": b,
+                                   "compare": "duckdb_multiset"}
+                continue
             odf = con.sql(sql).df()
         except Exception as e:
             results[name] = f"ORACLE_ERROR: {e}"; n_fail += 1
