@@ -507,10 +507,12 @@ object EthQueries {
     Graph.starComponents(sym, nodes, maxRounds)
 
   /** Weakly-connected components of each token's transfer subgraph —
-    * "which addresses form one trading community per token" — via
-    * [[starComponents]] run to convergence. The oracle computes TRUE
+    * "which addresses form one trading community per token" — via the
+    * hybrid [[Graph.componentsLazy]]: driver union-find below the edge
+    * threshold (the fixture/transfer case), [[starComponents]]-style
+    * log-round contraction beyond it. The oracle computes TRUE
     * components independently (DuckDB recursive transitive closure), so
-    * a hash match proves the contraction actually converged —
+    * a hash match proves the chosen path actually converged —
     * deliberately asymmetric implementations. Output is the per-token community
     * summary: node/component counts + largest and smallest community
     * sizes. */
@@ -526,8 +528,15 @@ object EthQueries {
       .union(und.select($"token", $"b".as("u"), $"a".as("v")))
       .persist(lvl)
     val nodes = sym.select($"token", $"u".as("addr")).distinct().persist(lvl)
-    val (lbl, rounds, freeStar) = Graph.starComponentsLazy(sym, nodes)
-    System.err.println(s"[graft] eth_q19 star contraction converged after $rounds changing rounds")
+    // hybrid: driver union-find when the deduped edge list is metadata-
+    // scale (one job, no per-round convergence actions — the star loop's
+    // fixed ~3 actions/round constant dominated the fixture wall), star
+    // contraction beyond the threshold; identical labels either way
+    // (GraphSpec path-equality test)
+    val (lbl, rounds, freeStar) = Graph.componentsLazy(sym, nodes)
+    System.err.println(s"[graft] eth_q19 components: " +
+      (if (rounds == 0) "driver union-find path"
+       else s"star contraction converged after $rounds changing rounds"))
     val comp = lbl.groupBy($"token", $"lbl").agg(count(lit(1)).as("sz"))
     val out = comp.groupBy($"token")
       .agg(sum($"sz").as("n_nodes"),
@@ -674,7 +683,7 @@ object EthQueries {
         val sym = edges0.select($"token", $"src".as("u"), $"dst".as("v"))
           .union(edges0.select($"token", $"dst".as("u"), $"src".as("v")))
         val nodes = sym.select($"token", $"u".as("addr")).distinct()
-        val (lbl, _, freeStar) = Graph.starComponentsLazy(sym, nodes)
+        val (lbl, _, freeStar) = Graph.componentsLazy(sym, nodes)
         val seedLbls = lbl.join(seeds.select($"token", $"addr"),
             Seq("token", "addr"), "left_semi")
           .select($"token", $"lbl").distinct()

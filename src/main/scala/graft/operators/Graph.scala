@@ -138,4 +138,87 @@ object Graph {
       .agg(min(coalesce($"star", $"addr")).as("lbl"))
     (lbl, rounds, () => graft.plans.Caching.freeCheckpoint(star))
   }
+
+  /** Runtime-typed "smaller" matching Spark's own ordering for the node
+    * column types the graph callers use (hex-address strings compare
+    * bytewise like UTF8String; ids are integral). */
+  private def lt(a: Any, b: Any): Boolean = (a, b) match {
+    case (x: Long, y: Long)     => x < y
+    case (x: Int, y: Int)       => x < y
+    case (x: String, y: String) => x.compareTo(y) < 0
+    case (x, y)                 => x.toString.compareTo(y.toString) < 0
+  }
+
+  /** HYBRID connected components — the same driver-localization
+    * threshold idiom as [[graft.operators.Dedup.connectedComponents]] and
+    * AQE's broadcast decision, generalized to the token-partitioned /
+    * arbitrary-label-type graph shape: a real transfer or candidate graph
+    * is usually orders of magnitude smaller than the corpus it came from,
+    * so below `driverThreshold` edges (AND ≤ 2·threshold nodes) the
+    * deduped edge list collects and union-find labels it in milliseconds
+    * — one job, no per-round convergence actions; above it, the log-round
+    * [[starComponentsLazy]] contraction. Both paths emit the identical
+    * component-MINIMUM label (GraphSpec asserts row equality), so oracle
+    * hashes do not depend on the path taken.
+    *
+    * The limited edge frame is persisted BEFORE count/collect — the
+    * lesson of the 100×-gate driver abort in Dedup: a bare
+    * limit(N+1).collect() runs through executeTake, which returns each
+    * scanned partition's up-to-N+1 LocalLimit rows and can ship ~GiBs to
+    * the driver on a huge graph even though the global limit is N+1.
+    * Returns (labels, changingRounds — 0 on the driver path, free). */
+  def componentsLazy(sym: DataFrame, nodes: DataFrame,
+      driverThreshold: Long = 1000000L,
+      maxRounds: Int = 1000): (DataFrame, Int, () => Unit) = {
+    val s = sym.sparkSession
+    import s.implicits._
+    // runtime override (DEPLOY.md): raise for big drivers, 0 forces the
+    // distributed star path (FaultInjectionSpec uses this to aim task
+    // faults at the iterative loop the driver path would skip)
+    val thr = s.conf.get("spark.graft.ccDriverEdges",
+      driverThreshold.toString).toLong
+    if (thr <= 0) return starComponentsLazy(sym, nodes, maxRounds)
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val capE = math.min(thr + 1, Int.MaxValue.toLong).toInt
+    val limE = sym.filter($"u" < $"v").select($"token", $"u", $"v")
+      .distinct().limit(capE).persist(lvl)
+    val capN = math.min(2 * thr + 1, Int.MaxValue.toLong).toInt
+    val limN = nodes.select($"token", $"addr").limit(capN).persist(lvl)
+    val (nE, nN) = (limE.count(), limN.count())
+    if (nE <= thr && nN < capN) {
+      val edges = limE.collect()
+      val nodeRows = limN.collect()
+      limE.unpersist(false); limN.unpersist(false)
+      val parent = scala.collection.mutable.HashMap.empty[(Any, Any), (Any, Any)]
+      def find(x: (Any, Any)): (Any, Any) = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      edges.foreach { row =>
+        val (a, b) = ((row.get(0), row.get(1)), (row.get(0), row.get(2)))
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) {
+          if (lt(ra._2, rb._2)) parent(rb) = ra else parent(ra) = rb
+        }
+      }
+      val schema = org.apache.spark.sql.types.StructType(
+        limN.schema.fields :+ limN.schema.fields(1).copy(name = "lbl"))
+      val out = nodeRows.map { row =>
+        val k = (row.get(0), row.get(1))
+        val lbl = if (parent.contains(k)) find(k)._2 else row.get(1)
+        org.apache.spark.sql.Row(row.get(0), row.get(1), lbl)
+      }
+      val df = s.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          java.util.Arrays.asList(out: _*)), schema)
+      (df, 0, () => ())
+    } else {
+      limE.unpersist(false); limN.unpersist(false)
+      starComponentsLazy(sym, nodes, maxRounds)
+    }
+  }
 }

@@ -33,7 +33,10 @@ object DumpPlans {
       "q50_lateral_topk", "nd_source_overlap_kmv", "nd_pipeline_kfold_leakage",
       "nd_embed_quality", "nd_multimodal_dedup",
       // round 10: the new drift/eval rows and the restructured fuzzy join
-      "nd_drift_chi2", "nd_eval_mcnemar", "nd_join_fuzzy")
+      "nd_drift_chi2", "nd_eval_mcnemar", "nd_join_fuzzy",
+      // round 11: unigram-LM tokenizer (broadcast cost map + distinct-word
+      // Viterbi kernel), batched account-state lookups, real PNG decode
+      "nd_tok_unigram", "eth_q36_account_batch", "nd_multimodal_decode")
     // detach-materialized queries return a LocalRelation; dump the
     // pre-materialization pipelines those queries execute
     import org.apache.spark.sql.functions._

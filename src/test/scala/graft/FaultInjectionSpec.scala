@@ -49,8 +49,13 @@ class FaultInjectionSpec extends AnyFunSuite {
     val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
     spark.conf.set("spark.graft.checkpointDir", ckpt)
     spark.conf.set("spark.graft.test.failOnce", key)
+    // force the DISTRIBUTED star path: the round-11 componentsLazy hybrid
+    // union-finds metadata-scale graphs on the driver (one job, no
+    // iterCheckpoint), which would skip the loop this spec aims faults at
+    spark.conf.set("spark.graft.ccDriverEdges", "0")
     try body
     finally {
+      spark.conf.unset("spark.graft.ccDriverEdges")
       spark.conf.unset("spark.graft.test.failOnce")
       spark.conf.unset("spark.graft.checkpointDir")
     }

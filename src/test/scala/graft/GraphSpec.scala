@@ -227,6 +227,29 @@ class GraphSpec extends AnyFunSuite {
       "token u's component must not leak token t's labels")
   }
 
+  test("hybrid componentsLazy: driver union-find and star contraction emit identical labels") {
+    import spark.implicits._
+    // random-ish multi-component graph over string addresses (the eth
+    // shape) — seeded arithmetic, no RNG object
+    val edges = (0 until 400).map { i =>
+      val a = f"n${(i * 131) % 97}%03d"; val b = f"n${(i * 17 + 5) % 97}%03d"
+      ("t", if (a < b) a else b, if (a < b) b else a)
+    }.filter(e => e._2 != e._3).distinct
+    val sym = edges.toDF("token", "u", "v")
+      .union(edges.map { case (t, a, b) => (t, b, a) }.toDF("token", "u", "v"))
+    val nodes = (edges.flatMap { case (t, a, b) => Seq((t, a), (t, b)) } :+ (("t", "zzz")))
+      .distinct.toDF("token", "addr")
+    val (drv, drvRounds, freeD) = graft.operators.Graph.componentsLazy(sym, nodes)
+    assert(drvRounds == 0, "metadata-scale graph must take the driver path")
+    val (star, starRounds, freeS) =
+      graft.operators.Graph.componentsLazy(sym, nodes, driverThreshold = 0L)
+    assert(starRounds > 0, "threshold 0 must force the distributed star path")
+    val a = drv.orderBy("token", "addr").collect().toSeq
+    val b = star.orderBy("token", "addr").collect().toSeq
+    assert(a == b, "hybrid paths disagree on component labels")
+    freeD(); freeS()
+  }
+
   test("reliable-checkpoint mode (spark.graft.checkpointDir) yields identical results") {
     import spark.implicits._
     val addrs = (1 to 12).map(i => f"b$i%02d")
