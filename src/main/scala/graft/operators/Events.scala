@@ -591,7 +591,46 @@ object Events {
     graft.plans.Caching.detach(out, () => { e.unpersist(blocking = false); () })
   }
 
+  /** SCD-TYPE-2 HISTORY — collapse each user's event-type stream into
+    * validity intervals (the slowly-changing-dimension shape every
+    * warehouse keeps for "what was this entity's attribute at time t"):
+    * consecutive equal `event_type` runs become one version row with
+    * `[valid_from, valid_to)` millis, the latest version open-ended
+    * (`valid_to` NULL, `is_current` true).
+    *
+    * Classic gaps-and-islands: change flag = `lag(event_type) ≠ current`
+    * over (user, ts, event_id), version id = running sum of flags, one
+    * group-by to the interval row, `valid_to` = lead of the next
+    * version's `valid_from`.
+    *
+    * Scale shape: both windows and the aggregate share ONE hash
+    * partitioning on `user_id` (Spark reuses the exchange — the windows
+    * sort within partitions only, no global sort), so the whole history
+    * build is a single shuffle of `(user, type, ms)` triples; output is
+    * version-count-sized. Per-user history is assumed memory-bounded
+    * (human-scale event streams); a single pathological user is a skew
+    * problem, not a window-correctness one. */
+  def scd2History(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ms", $"event_id")
+    val versions = ev(s, d)
+      .withColumn("brk", when(lag($"event_type", 1).over(w).isNull ||
+        lag($"event_type", 1).over(w) =!= $"event_type", 1L).otherwise(0L))
+      .withColumn("ver", sum($"brk").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"user_id", $"ver", $"event_type")
+      .agg(min($"ms").as("valid_from"), count(lit(1)).as("n_events"))
+    val wv = Window.partitionBy($"user_id").orderBy($"valid_from")
+    versions
+      .withColumn("valid_to", lead($"valid_from", 1).over(wv))
+      .withColumn("is_current", $"valid_to".isNull)
+      .select($"user_id", $"ver", $"event_type".as("attr"),
+              $"valid_from", $"valid_to", $"n_events", $"is_current")
+      .orderBy($"user_id", $"ver")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "nd_events_scd2" -> scd2History _,
     "nd_events_moving_median" -> ((s: SparkSession, d: String) => movingMedian(s, d)),
     "nd_events_moving_median_scalable" ->
       ((s: SparkSession, d: String) => movingMedianChunked(s, d)),
@@ -609,6 +648,33 @@ object Events {
     "nd_events_anomaly" -> anomalies _)
 
   def oracle: Map[String, String] = Map(
+    // SCD2 replay: same lag-flag islands, running-sum version ids, and
+    // lead(valid_from) interval close
+    "nd_events_scd2" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms
+                    FROM events),
+         g AS (SELECT user_id, event_id, event_type, ms,
+                      CASE WHEN lag(event_type) OVER w IS NULL
+                             OR lag(event_type) OVER w <> event_type
+                           THEN 1 ELSE 0 END AS brk
+               FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)),
+         v AS (SELECT user_id, event_type, ms,
+                      sum(brk) OVER (PARTITION BY user_id ORDER BY ms, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS ver
+               FROM g),
+         h AS (SELECT user_id, ver, event_type,
+                      CAST(min(ms) AS BIGINT) AS valid_from,
+                      CAST(count(*) AS BIGINT) AS n_events
+               FROM v GROUP BY user_id, ver, event_type)
+         SELECT user_id, CAST(ver AS BIGINT) AS ver, event_type AS attr,
+                valid_from,
+                CAST(lead(valid_from) OVER (PARTITION BY user_id
+                                            ORDER BY valid_from) AS BIGINT)
+                  AS valid_to,
+                n_events,
+                lead(valid_from) OVER (PARTITION BY user_id
+                                       ORDER BY valid_from) IS NULL AS is_current
+         FROM h ORDER BY user_id, ver""",
     "nd_events_moving_median" ->
       """WITH e AS (SELECT event_id, event_type, epoch_ms(ts) AS ms,
                            CAST(round(value * 100) AS BIGINT) AS cents

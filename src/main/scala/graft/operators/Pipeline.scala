@@ -687,7 +687,86 @@ object Pipeline {
       .orderBy($"check_name")
   }
 
+  /** SNAPSHOT DIFF — the table-diff audit every incremental corpus
+    * refresh needs before it replaces production data: given two corpus
+    * snapshots keyed by `doc_id`, classify every key as added / removed /
+    * changed / unchanged (content identity = md5 of the text) and roll
+    * the verdicts up per (status, lang) with an id-sum checksum, so a
+    * one-row drift anywhere in 100 TB moves an output cell.
+    *
+    * The snapshots are derived deterministically from `documents` (the
+    * driver corpus has no real second snapshot): OLD drops `doc_id ≡ 4
+    * (mod 5)`, NEW drops `doc_id ≡ 0 (mod 5)` and rewrites the text of
+    * `doc_id ≡ 3 (mod 7)` — so all four verdicts occur and the oracle
+    * derives the identical pair.
+    *
+    * Scale shape: each side reduces to a ~16-byte `(doc_id, lang,
+    * digest)` sketch AT THE SCAN (the text column never crosses a
+    * shuffle — the [[Dedup.exact]] discipline), one full-outer equi-join
+    * on `doc_id`, then a status-sized aggregate. At 100 TB the join
+    * shuffles only digests; with both snapshots bucketed by `doc_id`
+    * ([[graft.plans.Layout]]) it co-locates and the shuffle disappears. */
+  def snapshotDiff(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = documents(s, d)
+    val old = docs.filter(pmod($"doc_id", lit(5)) =!= 4)
+      .select($"doc_id", $"lang".as("lang_o"), md5($"text").as("dg_o"))
+    val nw = docs.filter(pmod($"doc_id", lit(5)) =!= 0)
+      .select($"doc_id", $"lang".as("lang_n"),
+        md5(when(pmod($"doc_id", lit(7)) === 3, concat($"text", lit(" v2")))
+          .otherwise($"text")).as("dg_n"))
+    old.join(nw, Seq("doc_id"), "full_outer")
+      .select($"doc_id", coalesce($"lang_o", $"lang_n").as("lang"),
+        when($"dg_o".isNull, "added")
+          .when($"dg_n".isNull, "removed")
+          .when($"dg_o" =!= $"dg_n", "changed")
+          .otherwise("unchanged").as("status"))
+      .groupBy($"status", $"lang")
+      .agg(count(lit(1)).as("n"), sum($"doc_id").as("id_sum"))
+      .orderBy($"status", $"lang")
+  }
+
+  /** COMPACTION PLANNER — the small-file maintenance pass every
+    * long-running parquet corpus needs (streaming ingest and per-partition
+    * writes leave thousands of undersized files; scan throughput dies on
+    * open/seek overhead): bin files into target-sized compaction groups
+    * and report each group's size, so the rewrite job is a per-bin
+    * `coalesce(1)` read→write.
+    *
+    * Policy: sequential fill in size-descending order — files sorted by
+    * (bytes desc, file_id), exclusive prefix sum, `bin = prefix div
+    * target` with `target = total div 8`. Deterministic, one window pass,
+    * and every bin lands within one file of the target (the classic
+    * sorted first-fit bound) — exactly replayable in SQL, unlike true
+    * first-fit-decreasing whose bin state is sequential.
+    *
+    * The manifest is simulated from `documents` (`file_id = doc_id mod
+    * 199`, bytes = Σ n_chars) — at 100 TB it would come from the real
+    * file listing. Scale shape: the manifest aggregate is the only
+    * data-scale pass (map-side partial on ~1-word rows); the planning
+    * window runs over the MANIFEST (file-count-sized — metadata, ≤ a few
+    * million rows even at 100 TB, explicitly not the corpus), which is
+    * why a single ordered window is acceptable here and nowhere else. */
+  def compactionPlan(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val files = documents(s, d)
+      .groupBy(pmod($"doc_id", lit(199)).as("file_id"))
+      .agg(sum($"n_chars").as("bytes"), count(lit(1)).as("n_docs"))
+    val tot = files.agg(sum($"bytes").as("tb"))
+    val w = Window.orderBy($"bytes".desc, $"file_id")
+    files.crossJoin(broadcast(tot))
+      .withColumn("prefix", coalesce(
+        sum($"bytes").over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("bin", expr("prefix div greatest(tb div 8, 1)"))
+      .groupBy($"bin")
+      .agg(count(lit(1)).as("n_files"), sum($"bytes").as("bin_bytes"),
+           sum($"n_docs").as("bin_docs"), min($"file_id").as("first_file"))
+      .orderBy($"bin")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "nd_pipeline_diff" -> snapshotDiff _,
+    "nd_pipeline_compaction" -> compactionPlan _,
     "nd_pipeline_interleave" -> interleave _,
     "nd_quality_checks" -> qualityChecks _,
     "nd_pipeline_kfold_leakage" -> ((s: SparkSession, d: String) => kfoldLeakage(s, d)),
@@ -711,6 +790,44 @@ object Pipeline {
     * the same replayable constructions as the [[TextAnalysis]] /
     * [[Dedup]] oracles. */
   val oracle: Map[String, String] = Map(
+    // snapshot diff replay: identical derived snapshots, FULL JOIN on the
+    // key, md5 content identity, per-(status, lang) rollup
+    "nd_pipeline_diff" ->
+      """WITH o AS (SELECT doc_id, lang, md5(text) AS dg
+                    FROM documents WHERE doc_id % 5 <> 4),
+         n AS (SELECT doc_id, lang,
+                      md5(CASE WHEN doc_id % 7 = 3 THEN text || ' v2'
+                               ELSE text END) AS dg
+               FROM documents WHERE doc_id % 5 <> 0),
+         j AS (SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+                      coalesce(o.lang, n.lang) AS lang,
+                      CASE WHEN o.dg IS NULL THEN 'added'
+                           WHEN n.dg IS NULL THEN 'removed'
+                           WHEN o.dg <> n.dg THEN 'changed'
+                           ELSE 'unchanged' END AS status
+               FROM o FULL JOIN n ON o.doc_id = n.doc_id)
+         SELECT status, lang, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(doc_id) AS BIGINT) AS id_sum
+         FROM j GROUP BY status, lang ORDER BY status, lang""",
+    // compaction replay: same simulated manifest, same size-descending
+    // exclusive prefix sum and integral-division bin assignment
+    "nd_pipeline_compaction" ->
+      """WITH f AS (SELECT doc_id % 199 AS file_id,
+                           CAST(sum(n_chars) AS BIGINT) AS bytes,
+                           CAST(count(*) AS BIGINT) AS n_docs
+                    FROM documents GROUP BY doc_id % 199),
+         t AS (SELECT CAST(sum(bytes) AS BIGINT) AS tb FROM f),
+         p AS (SELECT f.*, tb,
+                      coalesce(sum(bytes) OVER (ORDER BY bytes DESC, file_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                               0) AS prefix
+               FROM f CROSS JOIN t)
+         SELECT CAST(prefix // greatest(tb // 8, 1) AS BIGINT) AS bin,
+                CAST(count(*) AS BIGINT) AS n_files,
+                CAST(sum(bytes) AS BIGINT) AS bin_bytes,
+                CAST(sum(n_docs) AS BIGINT) AS bin_docs,
+                CAST(min(file_id) AS BIGINT) AS first_file
+         FROM p GROUP BY 1 ORDER BY bin""",
     // one-pass aggregate + UNION ALL report; ratios are integer micro
     // divisions with HUGEINT-widened numerators (mirrors the Spark
     // DECIMAL(38,0) widening), bounds report the raw extreme
