@@ -567,7 +567,59 @@ object Similarity {
       .orderBy($"query_id")
   }
 
+  /** POSITIONAL PHRASE SEARCH — exact contiguous-phrase lookup over a
+    * positional inverted index: for each probe phrase (here: the first
+    * [[PhraseLen]] canonical tokens of every 50th document — in
+    * production, an eval-set quote list), find every document containing
+    * the phrase as a CONSECUTIVE token run. This is the memorization /
+    * verbatim-quote detector that shingle-overlap decontamination
+    * ([[Dedup.decontaminate]]) can't express: shingle overlap scores bag
+    * similarity, this demands position-verified adjacency.
+    *
+    * Mechanics: the corpus explodes once into `(token, doc_id, pos)`;
+    * probes explode into `(token, phrase_id, off)`. One broadcast join on
+    * `token` maps every index hit to a candidate alignment `start =
+    * pos − off`; a phrase matches at an alignment iff ALL [[PhraseLen]]
+    * offsets hit — `count(*) = k` over `(phrase_id, doc_id, start)`,
+    * since a probe row can match a given index row at exactly one offset.
+    *
+    * Scale shape: the probe side is eval-set-bounded and broadcasts, so
+    * the corpus-scale positional index is filtered MAP-SIDE to probe
+    * tokens before anything shuffles (the BM25 term-filter discipline);
+    * the only shuffle is the candidate-alignment group-by, bounded by
+    * index hits on probe tokens. Output is phrase-count-sized with
+    * id-sum checksums. */
+  def phraseSearch(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val k = PhraseLen
+    val docs = documents(s, d)
+      .select($"doc_id",
+        TextAnalysis.wsTokens(TextAnalysis.canonical($"text")).as("w"))
+    val probes = docs
+      .filter(pmod($"doc_id", lit(50)) === 1 && size($"w") >= k)
+      .select($"doc_id".as("phrase_id"), posexplode(slice($"w", 1, k)))
+      .withColumnRenamed("pos", "off").withColumnRenamed("col", "token")
+    val index = docs
+      .select($"doc_id", posexplode($"w"))
+      .withColumnRenamed("col", "token")
+      .filter($"token" =!= "")
+    index.join(broadcast(probes), "token")
+      .select($"phrase_id", $"doc_id", ($"pos" - $"off").as("start"))
+      .groupBy($"phrase_id", $"doc_id", $"start")
+      .agg(count(lit(1)).as("m"))
+      .filter($"m" === k)
+      .groupBy($"phrase_id")
+      .agg(count(lit(1)).as("n_sites"),
+           countDistinct($"doc_id").as("n_docs"),
+           sum_distinct($"doc_id").as("id_sum"))
+      .orderBy($"phrase_id")
+  }
+
+  /** Probe-phrase length for [[phraseSearch]] — shared with the oracle. */
+  private val PhraseLen = 4
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "nd_search_phrase" -> phraseSearch _,
     "nd_knn_pq" -> ((s: SparkSession, d: String) => knnPq(s, d)),
     "nd_knn_ivfpq" -> ((s: SparkSession, d: String) => knnIvfPq(s, d)),
     "nd_knn_mrl" -> ((s: SparkSession, d: String) => knnMrl(s, d)),
@@ -1508,6 +1560,28 @@ object Similarity {
                   FROM bsc)"""
 
   val oracle: Map[String, String] = Map(
+    // phrase-search replay: same canonical tokenization, 1-based positions
+    // (alignment keys shift by a constant — grouping is unaffected), same
+    // all-offsets-hit test and per-phrase rollup
+    "nd_search_phrase" ->
+      """WITH dw AS (SELECT doc_id,
+                            string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS w
+                     FROM documents),
+         ip AS (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS pos FROM dw),
+         idx AS (SELECT doc_id, pos, w[CAST(pos AS INTEGER)] AS token
+                 FROM ip WHERE w[CAST(pos AS INTEGER)] <> ''),
+         pr AS (SELECT doc_id AS phrase_id, w, unnest(range(1, 5)) AS o
+                FROM dw WHERE doc_id % 50 = 1 AND len(w) >= 4),
+         probes AS (SELECT phrase_id, o - 1 AS off, w[CAST(o AS INTEGER)] AS token FROM pr),
+         hits AS (SELECT phrase_id, doc_id, idx.pos - probes.off AS start
+                  FROM idx JOIN probes USING (token)),
+         m AS (SELECT phrase_id, doc_id, start
+               FROM hits GROUP BY phrase_id, doc_id, start
+               HAVING count(*) = 4)
+         SELECT phrase_id, CAST(count(*) AS BIGINT) AS n_sites,
+                CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                CAST(sum(DISTINCT doc_id) AS BIGINT) AS id_sum
+         FROM m GROUP BY phrase_id ORDER BY phrase_id""",
     // per-component micro-quantization BEFORE any arithmetic: squared
     // norms are exact integer sums, the mean is an integral division of
     // the HUGEINT-widened total

@@ -549,26 +549,45 @@ object TextAnalysis {
     graft.plans.Caching.detach(out, free)
   }
 
-  private[graft] def unigramTokenizeLazy(s: SparkSession, d: String)
-      : (DataFrame, () => Unit) = {
+  /** Persisted corpus word-frequency frame — the shared input of both
+    * subword tokenizers. Caller unpersists. */
+  private def wordFreq(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val wf = documents(s, d)
+    documents(s, d)
       .select(explode(wsTokens(canonical($"text"))).as("word"))
       .filter($"word" =!= "")
       .groupBy($"word").agg(count(lit(1)).as("freq"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // substring explode with multiplicity, weighted by word freq
+  }
+
+  /** Frequency-derived piece vocabulary `(piece, cost)` shared by the
+    * unigram-LM ([[unigramTokenize]]) and WordPiece ([[wordpieceTokenize]])
+    * tokenizers: all word substrings up to [[UniMaxPiece]] chars weighted
+    * by word frequency; multi-char pieces kept iff they hold ≥ 0.05% of
+    * total substring mass (≤ 2000 such pieces by pigeonhole — model
+    * metadata), single chars always kept so segmentation is total; cost =
+    * quantized unigram surprisal in micro-nats. */
+  private def pieceVocab(wf: DataFrame): DataFrame = {
+    val s = wf.sparkSession
+    import s.implicits._
     val px = wf.select($"freq", explode(expr(
         s"""flatten(transform(sequence(1, length(word)), s ->
             transform(sequence(s, least(length(word), s + ${UniMaxPiece - 1})), e ->
               substring(word, s, e - s + 1))))""")).as("piece"))
     val pf = px.groupBy($"piece").agg(sum($"freq").as("pfreq"))
     val tot = pf.agg(sum($"pfreq").as("m"))
-    val vocab = pf.crossJoin(broadcast(tot))
+    pf.crossJoin(broadcast(tot))
       .filter(length($"piece") === 1 || $"pfreq" * 2000L >= $"m")
       .select($"piece",
         expr("CAST(round(ln(CAST(m AS DOUBLE) / pfreq) * 1000000.0) AS BIGINT)")
           .as("cost"))
+  }
+
+  private[graft] def unigramTokenizeLazy(s: SparkSession, d: String)
+      : (DataFrame, () => Unit) = {
+    import s.implicits._
+    val wf = wordFreq(s, d)
+    val vocab = pieceVocab(wf)
     // model metadata: ≤ 2000 multi-char pieces + alphabet, by construction
     val vmap = new java.util.HashMap[String, java.lang.Long]()
     vocab.collect().foreach(r =>
@@ -592,6 +611,69 @@ object TextAnalysis {
            sum($"cost_micro").as("cost_micro_total"))
       .orderBy($"lang")
     (out, () => { wf.unpersist(blocking = false); () })
+  }
+
+  /** Greedy longest-match-first segmentation of one word: at each
+    * position consume the LONGEST vocab piece (≤ [[UniMaxPiece]] chars;
+    * single chars are always in the vocab, so the scan is total and
+    * always advances). Returns the piece count. */
+  private[graft] def wpGreedy(w: String,
+      vocab: java.util.HashSet[String]): Long = {
+    var i = 0
+    var n = 0L
+    while (i < w.length) {
+      var k = math.min(UniMaxPiece, w.length - i)
+      while (k > 1 && !vocab.contains(w.substring(i, i + k))) k -= 1
+      i += k
+      n += 1L
+    }
+    n
+  }
+
+  /** WORDPIECE-style GREEDY tokenizer — longest-match-first segmentation
+    * under the SAME frequency-derived piece vocabulary as
+    * [[unigramTokenize]] (the BERT-tokenizer decode rule vs
+    * SentencePiece's Viterbi), completing the tokenizer family: BPE
+    * (learned merges), unigram-LM (optimal segmentation), WordPiece
+    * (greedy segmentation). Reporting both greedy and Viterbi over one
+    * vocab also yields the classic tokenizer-QA diagnostic: the two piece
+    * counts bracket the segmentation space (greedy is bounded below by
+    * the fewest-pieces DP — [[UnigramTokenizerSpec]] asserts that bound;
+    * note the COST-optimal Viterbi may legitimately use more pieces than
+    * greedy, so the counts are comparable but not ordered).
+    *
+    * Oracle replay: per (word, start-position) the longest vocab piece is
+    * pre-aggregated (`max(len)` over the same candidate join the unigram
+    * oracle uses), then a recursive CTE hops `pos → pos + maxlen` — the
+    * greedy scan as a path walk, no LATERAL needed.
+    *
+    * Scale shape: identical to [[unigramTokenize]] — the vocab is
+    * metadata-sized and broadcast, segmentation runs once per DISTINCT
+    * word, documents join per-word piece counts; the corpus pass is the
+    * explode+join. */
+  def wordpieceTokenize(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val wf = wordFreq(s, d)
+    val vset = new java.util.HashSet[String]()
+    pieceVocab(wf).select($"piece").collect()
+      .foreach(r => vset.add(r.getString(0)))
+    val bc = s.sparkContext.broadcast(vset)
+    val seg = wf.select($"word").as[String]
+      .mapPartitions { words =>
+        val v = bc.value
+        words.map { w => (w, wpGreedy(w, v)) }
+      }
+      .toDF("word", "n_pieces")
+    val out = documents(s, d)
+      .select($"lang", explode(wsTokens(canonical($"text"))).as("word"))
+      .filter($"word" =!= "")
+      .join(broadcast(seg), "word")
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_words"),
+           sum($"n_pieces").as("n_tokens"),
+           sum(length($"word")).cast("long").as("n_chars"))
+      .orderBy($"lang")
+    graft.plans.Caching.detach(out, () => { wf.unpersist(blocking = false); () })
   }
 
   /** Within-document REPETITION signals — the "repeated n-gram fraction"
@@ -1080,6 +1162,7 @@ object TextAnalysis {
     "nd_bpe_learn" -> ((s: SparkSession, d: String) => bpeLearn(s, d)),
     "nd_bpe_apply" -> ((s: SparkSession, d: String) => bpeApply(s, d)),
     "nd_tok_unigram" -> (unigramTokenize _),
+    "nd_tok_wordpiece" -> (wordpieceTokenize _),
     "nd_text_repetition" -> ((s: SparkSession, d: String) => repetition(s, d)),
     "nd_profile" -> profile _)
 
@@ -1343,6 +1426,49 @@ object TextAnalysis {
                  CAST(sum(enc % 1024) AS BIGINT) AS n_tokens,
                  CAST(sum(enc // 1024) AS BIGINT) AS cost_micro_total
           FROM udw JOIN useg USING (word)
+          WHERE word <> ''
+          GROUP BY lang ORDER BY lang""",
+    // WordPiece greedy replay: the unigram oracle's vocab CTEs verbatim,
+    // then the longest piece per (word, start) pre-aggregated and a
+    // recursive CTE walking pos → pos + maxlen (greedy as a path walk)
+    "nd_tok_wordpiece" ->
+      """WITH RECURSIVE
+          uw AS (SELECT unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS word
+                 FROM documents),
+          uwf AS (SELECT word, CAST(count(*) AS BIGINT) AS freq
+                  FROM uw WHERE word <> '' GROUP BY word),
+          upos AS (SELECT word, freq, unnest(range(1, len(word) + 1)) AS s FROM uwf),
+          upx AS (SELECT freq,
+                         unnest(list_transform(range(1, least(6, len(word) - s + 1) + 1),
+                                l -> substr(word, CAST(s AS INTEGER), CAST(l AS INTEGER)))) AS piece
+                  FROM upos),
+          upf AS (SELECT piece, CAST(sum(freq) AS BIGINT) AS pfreq
+                  FROM upx GROUP BY piece),
+          utot AS (SELECT CAST(sum(pfreq) AS BIGINT) AS m FROM upf),
+          uvocab AS (
+            SELECT piece, CAST(len(piece) AS BIGINT) AS pl
+            FROM upf, utot WHERE len(piece) = 1 OR pfreq * 2000 >= m),
+          wcand AS (
+            SELECT p.word, p.s, max(v.pl) AS maxl
+            FROM upos p JOIN uvocab v
+              ON v.pl <= len(p.word) - p.s + 1
+             AND v.piece = substr(p.word, CAST(p.s AS INTEGER), CAST(v.pl AS INTEGER))
+            GROUP BY p.word, p.s),
+          wdp AS (
+            SELECT word, CAST(0 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS n
+            FROM uwf
+            UNION ALL
+            SELECT wdp.word, wdp.pos + c.maxl, wdp.n + 1
+            FROM wdp JOIN wcand c ON c.word = wdp.word AND c.s = wdp.pos + 1
+            WHERE wdp.pos < len(wdp.word)),
+          wseg AS (SELECT word, n FROM wdp WHERE pos = len(word)),
+          wdw AS (SELECT lang,
+                         unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS word
+                  FROM documents)
+          SELECT lang, CAST(count(*) AS BIGINT) AS n_words,
+                 CAST(sum(n) AS BIGINT) AS n_tokens,
+                 CAST(sum(len(word)) AS BIGINT) AS n_chars
+          FROM wdw JOIN wseg USING (word)
           WHERE word <> ''
           GROUP BY lang ORDER BY lang""",
     // PMI replay: identical bigram construction to nd_token_pairs, the

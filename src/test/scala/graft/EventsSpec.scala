@@ -349,4 +349,30 @@ class EventsSpec extends AnyFunSuite {
         s"user $u max_gap mismatch")
     }
   }
+
+  test("SCD2 history: contiguous version intervals partition each user's timeline") {
+    import spark.implicits._
+    val rows = Events.scd2History(spark, sf).collect()
+    val evCounts = Tables.events(spark, sf).groupBy("user_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byUser = rows.groupBy(_.getAs[Long]("user_id"))
+    assert(byUser.keySet == evCounts.keySet, "every user with events needs history")
+    byUser.foreach { case (u, vs0) =>
+      val vs = vs0.sortBy(_.getAs[Long]("ver"))
+      assert(vs.map(_.getAs[Long]("ver")).toSeq == (1L to vs.length),
+        s"user $u: version ids must be dense from 1")
+      assert(vs.map(_.getAs[Long]("n_events")).sum == evCounts(u),
+        s"user $u: version rows must conserve the event count")
+      vs.init.foreach(r => assert(!r.getAs[Boolean]("is_current")))
+      assert(vs.last.getAs[Boolean]("is_current") &&
+             vs.last.isNullAt(vs.last.fieldIndex("valid_to")),
+        s"user $u: exactly the last version is open-ended")
+      vs.sliding(2).filter(_.length == 2).foreach { p =>
+        assert(p(0).getAs[Long]("valid_to") == p(1).getAs[Long]("valid_from"),
+          s"user $u: intervals must be contiguous")
+        assert(p(0).getAs[String]("attr") != p(1).getAs[String]("attr"),
+          s"user $u: consecutive versions must change the attribute")
+      }
+    }
+  }
 }

@@ -895,6 +895,63 @@ class UnigramTokenizerSpec extends AnyFunSuite {
       assert(c > 0L, s"${r.getString(0)}: non-positive total cost")
     }
   }
+
+  test("WordPiece greedy kernel: longest-match reference + fewest-pieces lower bound") {
+    val alphabet = "abcd"
+    val rng = new scala.util.Random(7)
+    val pieces = new java.util.HashSet[String]()
+    alphabet.foreach(c => pieces.add(c.toString))
+    val words = (1 to 80).map(_ =>
+      (1 to (1 + rng.nextInt(9))).map(_ => alphabet(rng.nextInt(4))).mkString)
+    words.flatMap(w => (0 until w.length).flatMap(s =>
+        (2 to math.min(6, w.length - s)).map(l => w.substring(s, s + l))))
+      .distinct.foreach { p =>
+        if (rng.nextBoolean()) pieces.add(p)
+      }
+    // straight-line reference: repeatedly take the longest vocab prefix
+    def ref(w: String): Long = {
+      var rest = w; var n = 0L
+      while (rest.nonEmpty) {
+        val k = (math.min(6, rest.length) to 1 by -1)
+          .find(l => pieces.contains(rest.substring(0, l))).get
+        rest = rest.substring(k); n += 1L
+      }
+      n
+    }
+    // fewest-pieces DP over the same piece set — the true lower bound for
+    // ANY segmentation (the cost-optimal Viterbi is NOT: minimizing cost
+    // can legitimately use more pieces than greedy)
+    def minPieces(w: String): Long = {
+      val dp = Array.fill(w.length + 1)(Long.MaxValue / 2)
+      dp(0) = 0L
+      for (i <- 1 to w.length; k <- 1 to math.min(6, i))
+        if (pieces.contains(w.substring(i - k, i)))
+          dp(i) = math.min(dp(i), dp(i - k) + 1L)
+      dp(w.length)
+    }
+    words.foreach { w =>
+      val greedy = graft.operators.TextAnalysis.wpGreedy(w, pieces)
+      assert(greedy == ref(w), s"word '$w': greedy $greedy != reference ${ref(w)}")
+      assert(greedy >= minPieces(w),
+        s"word '$w': greedy $greedy pieces beat the fewest-pieces DP ${minPieces(w)}")
+      assert(greedy <= w.length.toLong, s"word '$w': more pieces than chars")
+    }
+  }
+
+  test("wordpiece corpus rollup: same word base as unigram, bounded piece counts") {
+    val sf = "/root/testdata/sf0.001"
+    val wp = graft.operators.TextAnalysis.wordpieceTokenize(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val uni = graft.operators.TextAnalysis.unigramTokenize(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(wp.keySet == uni.keySet)
+    wp.foreach { case (lang, (nw, nt, nc)) =>
+      val (unw, _) = uni(lang)
+      assert(nw == unw, s"$lang: word counts diverge between tokenizers")
+      assert(nt >= nw && nt <= nc,
+        s"$lang: piece count outside [n_words, n_chars] = [$nw, $nc]: $nt")
+    }
+  }
 }
 
 class TextAnalysisSpec extends AnyFunSuite {

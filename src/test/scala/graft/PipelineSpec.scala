@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.functions.{size, upper}
+import org.apache.spark.sql.functions.{lit, pmod, size, sum, upper}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.{Dedup, Pipeline, TextAnalysis}
@@ -415,5 +415,47 @@ class PipelineSpec extends AnyFunSuite {
       s"target docs not upweighted: mean/token $inT vs $outT micro-nats")
     val leaked = spark.sparkContext.getPersistentRDDs.keySet -- pinnedBefore
     assert(leaked.isEmpty, s"dsirWeights left pinned RDD ids: $leaked")
+  }
+
+  test("snapshot diff: a driver recount of every key's verdict agrees") {
+    val rows = Pipeline.snapshotDiff(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    val docs = Tables.documents(spark, sf).select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val exp = scala.collection.mutable.Map[(String, String), (Long, Long)]()
+    docs.foreach { case (id, lang) =>
+      val (inOld, inNew) = (id % 5 != 4, id % 5 != 0)
+      val status =
+        if (inOld && inNew) { if (id % 7 == 3) "changed" else "unchanged" }
+        else if (inNew) "added"
+        else if (inOld) "removed"
+        else null
+      if (status != null) {
+        val (n, s) = exp.getOrElse((status, lang), (0L, 0L))
+        exp((status, lang)) = (n + 1L, s + id)
+      }
+    }
+    assert(rows == exp.toMap, s"diff rollup mismatch:\n got $rows\nwant $exp")
+    // all four verdicts must actually occur on the derived snapshots
+    assert(rows.keys.map(_._1).toSet == Set("added", "removed", "changed", "unchanged"))
+  }
+
+  test("compaction plan: bins cover the manifest within the sorted-fill bound") {
+    import spark.implicits._
+    val bins = Pipeline.compactionPlan(spark, sf).collect()
+    val files = Tables.documents(spark, sf)
+      .groupBy(pmod($"doc_id", lit(199)).as("f")).agg(sum($"n_chars").as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val total = files.values.sum
+    val target = math.max(total / 8, 1L)
+    assert(bins.map(_.getAs[Long]("n_files")).sum == files.size.toLong,
+      "every file must land in exactly one bin")
+    assert(bins.map(_.getAs[Long]("bin_bytes")).sum == total,
+      "bin bytes must conserve the manifest total")
+    val maxFile = files.values.max
+    bins.foreach { r =>
+      assert(r.getAs[Long]("bin_bytes") <= target + maxFile,
+        s"bin ${r.getAs[Long]("bin")} exceeds the sorted-fill bound")
+    }
   }
 }

@@ -251,4 +251,35 @@ class RetrievalSpec extends AnyFunSuite {
     assert(plan.contains("hashpartitioning(query_id"),
       s"rank window not partitioned per query:\n$plan")
   }
+
+  test("phrase search: position-verified matches agree with a driver window scan") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val rows = Similarity.phraseSearch(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val toks = Tables.documents(spark, sf)
+      .select($"doc_id", TextAnalysis.wsTokens(TextAnalysis.canonical($"text")).as("w"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toVector).toMap
+    val probes = toks.collect {
+      case (id, w) if id % 50 == 1 && w.length >= 4 => id -> w.take(4)
+    }
+    assert(probes.nonEmpty && rows.keySet == probes.keySet,
+      s"phrase universe mismatch: got ${rows.keySet}, want ${probes.keySet}")
+    probes.foreach { case (pid, ph) =>
+      val sites = toks.view.mapValues(w =>
+        if (w.length < 4) 0 else w.sliding(4).count(_ == ph)).toMap
+      val docs = sites.collect { case (id, n) if n > 0 => id }.toSet
+      val (nSites, nDocs, idSum) = rows(pid)
+      assert(nSites == sites.values.sum.toLong, s"phrase $pid: site count")
+      assert(nDocs == docs.size.toLong, s"phrase $pid: doc count")
+      assert(idSum == docs.sum, s"phrase $pid: id checksum")
+    }
+  }
+
+  test("phrase search scale shape: probes broadcast before the index shuffles") {
+    val plan = Similarity.phraseSearch(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"probe join lost its broadcast — the corpus index would shuffle on token:\n$plan")
+  }
 }
