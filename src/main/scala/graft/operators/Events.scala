@@ -610,16 +610,24 @@ object Events {
     * version-count-sized. Per-user history is assumed memory-bounded
     * (human-scale event streams); a single pathological user is a skew
     * problem, not a window-correctness one. */
-  def scd2History(s: SparkSession, d: String): DataFrame = {
+  /** Version frame shared by [[scd2History]] and [[asofAttribute]]:
+    * gaps-and-islands collapse of `(user_id, event_id, event_type, ms)`
+    * rows into `(user_id, ver, event_type, valid_from, n_events)`. */
+  private def versionIslands(e: DataFrame): DataFrame = {
+    val s = e.sparkSession
     import s.implicits._
     val w = Window.partitionBy($"user_id").orderBy($"ms", $"event_id")
-    val versions = ev(s, d)
-      .withColumn("brk", when(lag($"event_type", 1).over(w).isNull ||
+    e.withColumn("brk", when(lag($"event_type", 1).over(w).isNull ||
         lag($"event_type", 1).over(w) =!= $"event_type", 1L).otherwise(0L))
       .withColumn("ver", sum($"brk").over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy($"user_id", $"ver", $"event_type")
       .agg(min($"ms").as("valid_from"), count(lit(1)).as("n_events"))
+  }
+
+  def scd2History(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val versions = versionIslands(ev(s, d))
     val wv = Window.partitionBy($"user_id").orderBy($"valid_from")
     versions
       .withColumn("valid_to", lead($"valid_from", 1).over(wv))
@@ -629,8 +637,47 @@ object Events {
       .orderBy($"user_id", $"ver")
   }
 
+  /** POINT-IN-TIME ATTRIBUTE LOOKUP — the consumer side of an SCD2
+    * dimension: for every purchase, resolve the user's activity state
+    * AS OF the purchase instant (the last non-purchase event-type
+    * version whose `valid_from ≤ purchase ms`) and roll revenue up per
+    * state. This is the "join facts to the dimension version that was
+    * current at fact time" query every warehouse with history runs —
+    * [[scd2History]] builds the history, this consumes it.
+    *
+    * The dimension is deduplicated to one version per `(user,
+    * valid_from)` (max `ver` wins — [[Relational.q26AsofJoin]]'s
+    * same-instant discipline) so the as-of carry is deterministic even
+    * if two islands collapse onto one millisecond.
+    *
+    * Scale shape: [[graft.plans.TemporalJoins.asofJoin]] — union both
+    * sides, ONE window pass per `user_id` partition carrying the latest
+    * version payload forward; no range cross product, one shuffle. The
+    * island build shares the same `user_id` partitioning. */
+  def asofAttribute(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = events(s, d).select($"user_id", $"event_id", $"event_type",
+      unix_millis($"ts").as("ms"), Money.cents($"value").as("cents"))
+    val dim = versionIslands(
+        base.filter($"event_type" =!= "purchase")
+          .select($"user_id", $"event_id", $"event_type", $"ms"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"user_id", $"valid_from").orderBy($"ver".desc)))
+      .filter($"rn" === 1)
+      .select($"user_id", $"valid_from".as("ms"), $"event_type".as("attr"))
+    val facts = base.filter($"event_type" === "purchase")
+      .select($"user_id", $"ms", $"cents")
+    graft.plans.TemporalJoins.asofJoin(facts, dim, "user_id", "ms", Seq("attr"))
+      .groupBy(coalesce($"asof_attr", lit("none")).as("attr"))
+      .agg(count(lit(1)).as("n_purchases"),
+           countDistinct($"user_id").as("n_users"),
+           sum($"cents").as("revenue_cents"))
+      .orderBy($"attr")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "nd_events_scd2" -> scd2History _,
+    "nd_events_asof_attr" -> asofAttribute _,
     "nd_events_moving_median" -> ((s: SparkSession, d: String) => movingMedian(s, d)),
     "nd_events_moving_median_scalable" ->
       ((s: SparkSession, d: String) => movingMedianChunked(s, d)),
@@ -648,6 +695,41 @@ object Events {
     "nd_events_anomaly" -> anomalies _)
 
   def oracle: Map[String, String] = Map(
+    // point-in-time replay: same non-purchase islands, same
+    // one-version-per-(user, instant) dedup, DuckDB's native ASOF LEFT
+    // JOIN as the independent formulation of the as-of carry
+    "nd_events_asof_attr" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms,
+                           CAST(round("value" * 100) AS BIGINT) AS cents
+                    FROM events),
+         d AS (SELECT user_id, event_id, event_type, ms
+               FROM e WHERE event_type <> 'purchase'),
+         g AS (SELECT user_id, event_id, event_type, ms,
+                      CASE WHEN lag(event_type) OVER w IS NULL
+                             OR lag(event_type) OVER w <> event_type
+                           THEN 1 ELSE 0 END AS brk
+               FROM d WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)),
+         v AS (SELECT user_id, event_type, ms,
+                      sum(brk) OVER (PARTITION BY user_id ORDER BY ms, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS ver
+               FROM g),
+         h AS (SELECT user_id, ver, event_type AS attr,
+                      CAST(min(ms) AS BIGINT) AS valid_from
+               FROM v GROUP BY user_id, ver, event_type),
+         -- MATERIALIZED: DuckDB rewrites ASOF into a lateral and refuses
+         -- window functions inlined into the lateral branch; arg_max (not
+         -- row_number) for the same reason
+         hv AS MATERIALIZED (SELECT user_id, valid_from, arg_max(attr, ver) AS attr
+                             FROM h GROUP BY user_id, valid_from),
+         f AS (SELECT user_id, ms, cents FROM e WHERE event_type = 'purchase'),
+         j AS (SELECT f.user_id, f.cents, hv.attr
+               FROM f ASOF LEFT JOIN hv
+                 ON f.user_id = hv.user_id AND f.ms >= hv.valid_from)
+         SELECT coalesce(attr, 'none') AS attr,
+                CAST(count(*) AS BIGINT) AS n_purchases,
+                CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+                CAST(sum(cents) AS BIGINT) AS revenue_cents
+         FROM j GROUP BY 1 ORDER BY attr""",
     // SCD2 replay: same lag-flag islands, running-sum version ids, and
     // lead(valid_from) interval close
     "nd_events_scd2" ->

@@ -375,4 +375,31 @@ class EventsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("as-of attribute lookup matches a driver latest-event replay and conserves revenue") {
+    import spark.implicits._
+    val rows = Events.asofAttribute(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(3))).toMap
+    val evs = Tables.events(spark, sf)
+      .selectExpr("user_id", "event_id", "event_type",
+        "unix_millis(ts) AS ms",
+        "CAST(round(value * 100, 0) AS BIGINT) AS cents")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4)))
+    val byUser = evs.groupBy(_._1)
+    val exp = scala.collection.mutable.Map[String, (Long, Long)]()
+    evs.filter(_._3 == "purchase").foreach { case (u, _, _, ms, cents) =>
+      // attribute = event_type of the latest non-purchase event at or
+      // before the purchase instant ((ms, event_id) order) — equivalent
+      // to the island/version formulation because attr is constant
+      // within an island and versions are keyed by island start
+      val prior = byUser(u).filter(e => e._3 != "purchase" && e._4 <= ms)
+      val attr = if (prior.isEmpty) "none"
+                 else prior.maxBy(e => (e._4, e._2))._3
+      val (n, s) = exp.getOrElse(attr, (0L, 0L))
+      exp(attr) = (n + 1L, s + cents)
+    }
+    assert(rows == exp.toMap,
+      s"as-of rollup mismatch:\n got $rows\nwant ${exp.toMap}")
+  }
 }
