@@ -545,7 +545,43 @@ object Eval {
     graft.plans.Caching.detach(out, () => { cts.unpersist(blocking = false); () })
   }
 
+  /** REGRESSION EVAL — the numeric-prediction complement to the
+    * classification metrics (F1/AUC/kappa grade label models; nothing
+    * graded a VALUE model): train a per-event-type mean-value predictor
+    * on the even-id half in exact micro-cents (`Σcents·10⁶ div n` — the
+    * same integral-division discipline as BM25/NB), score the odd-id
+    * half, and report per type the exact error moments — MAE, the raw
+    * signed error sum (NOT divided: Spark `div` truncates toward zero
+    * while DuckDB `//` floors, so a signed quotient would diverge across
+    * engines; consumers divide), and the squared-error sum widened to
+    * DECIMAL(38,0) BEFORE squaring (err_micro² ≈ 4·10¹⁸ per row already
+    * brushes BIGINT).
+    *
+    * Scale shape: the model is |event types|-sized and broadcast back
+    * onto the test scan (one aggregate each way, no window, no sort);
+    * nothing row-scale moves after the per-type partial aggregates. */
+  def regressionEval(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = events(s, d).select($"event_id", $"event_type",
+      expr("CAST(round(value * 100, 0) AS BIGINT)").as("cents"))
+    val model = e.filter(pmod($"event_id", lit(2)) === 0)
+      .groupBy($"event_type")
+      .agg(expr("CAST(CAST(sum(cents) AS DECIMAL(38,0)) * 1000000 div count(1) AS BIGINT)")
+        .as("pred_micro"))
+    e.filter(pmod($"event_id", lit(2)) === 1)
+      .join(broadcast(model), "event_type")
+      .withColumn("err", $"cents" * 1000000L - $"pred_micro")
+      .groupBy($"event_type", $"pred_micro")
+      .agg(count(lit(1)).as("n_test"),
+           expr("sum(abs(err)) div count(1)").as("mae_micro"),
+           sum($"err").as("err_sum_micro"),
+           expr("CAST(sum(CAST(err AS DECIMAL(38,0)) * err) AS DECIMAL(38,0))")
+             .as("sse_micro2"))
+      .orderBy($"event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "nd_eval_regression" -> (regressionEval _),
     "nd_drift_psi" -> (driftPsi _),
     "nd_drift_chi2" -> (driftChi2 _),
     "nd_drift_ks" -> (driftKs _),
@@ -600,6 +636,26 @@ object Eval {
   }
 
   val oracle: Map[String, String] = Map(
+    // regression-eval replay: same half split, same micro-cent integral
+    // divisions, HUGEINT-widened squared errors (mirrors DECIMAL(38,0))
+    "nd_eval_regression" ->
+      """WITH e AS (SELECT event_id, event_type,
+                           CAST(round("value" * 100) AS BIGINT) AS cents
+                    FROM events),
+         m AS (SELECT event_type,
+                      CAST((CAST(sum(cents) AS HUGEINT) * 1000000) // count(*) AS BIGINT)
+                        AS pred_micro
+               FROM e WHERE event_id % 2 = 0 GROUP BY event_type),
+         t AS (SELECT e.event_type, m.pred_micro,
+                      e.cents * 1000000 - m.pred_micro AS err
+               FROM e JOIN m USING (event_type)
+               WHERE event_id % 2 = 1)
+         SELECT event_type, pred_micro,
+                CAST(count(*) AS BIGINT) AS n_test,
+                CAST(sum(abs(err)) // count(*) AS BIGINT) AS mae_micro,
+                CAST(sum(err) AS BIGINT) AS err_sum_micro,
+                CAST(sum(CAST(err AS HUGEINT) * err) AS DECIMAL(38,0)) AS sse_micro2
+         FROM t GROUP BY event_type, pred_micro ORDER BY event_type""",
     // KS replay: per-value counts, window cumsums (the literal spelling
     // of the range-decomposed runningTotal), HUGEINT cross products,
     // smallest-value argmax, one integral division

@@ -324,4 +324,29 @@ class EvalSpec extends AnyFunSuite {
       assert(mean >= bucket * 10000 && mean < (bucket + 1) * 10000)
     }
   }
+
+  test("regression eval matches a driver replay of the mean predictor") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = Eval.regressionEval(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+         BigInt(r.getDecimal(5).toBigInteger))).toMap
+    val evs = Tables.events(spark, sf)
+      .selectExpr("event_id", "event_type",
+        "CAST(round(value * 100, 0) AS BIGINT) AS cents")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val types = evs.map(_._2).distinct
+    types.foreach { t =>
+      val train = evs.filter(e => e._2 == t && e._1 % 2 == 0).map(_._3)
+      val test = evs.filter(e => e._2 == t && e._1 % 2 == 1).map(_._3)
+      val pred = BigInt(train.sum) * 1000000 / train.size
+      val errs = test.map(c => BigInt(c) * 1000000 - pred)
+      val (p, n, mae, esum, sse) = rows(t)
+      assert(p == pred.toLong, s"$t: predictor")
+      assert(n == test.size.toLong, s"$t: test count")
+      assert(mae == (errs.map(_.abs).sum / errs.size).toLong, s"$t: MAE")
+      assert(esum == errs.sum.toLong, s"$t: signed error sum")
+      assert(sse == errs.map(e => e * e).sum, s"$t: squared error sum")
+    }
+  }
 }
