@@ -576,19 +576,25 @@ object Similarity {
     * ([[Dedup.decontaminate]]) can't express: shingle overlap scores bag
     * similarity, this demands position-verified adjacency.
     *
-    * Mechanics: the corpus explodes once into `(token, doc_id, pos)`;
-    * probes explode into `(token, phrase_id, off)`. One broadcast join on
-    * `token` maps every index hit to a candidate alignment `start =
-    * pos − off`; a phrase matches at an alignment iff ALL [[PhraseLen]]
-    * offsets hit — `count(*) = k` over `(phrase_id, doc_id, start)`,
-    * since a probe row can match a given index row at exactly one offset.
+    * Mechanics: a fixed-length contiguous match IS equality of the
+    * k-token gram at that position, so the corpus explodes once into
+    * `(gram, doc_id)` sliding windows and probes reduce to their single
+    * phrase gram — one broadcast join on the gram and every joined row
+    * is a TRUE match site; nothing needs verification. A first draft
+    * anchored on single tokens and counted per-offset hits
+    * (`count(*) = k` over alignments) — correct, but its candidate
+    * volume is Σ probe-token df, which detonates on low-entropy
+    * vocabularies (the driver corpus: ~40 distinct tokens, 98% of all
+    * positions match SOME probe token → ~360M candidate rows at 10×,
+    * one 15-minute shuffle). Gram equality is the [[Dedup.substring]]
+    * 8-gram-anchor discipline applied to retrieval: the blocking key
+    * carries the full match condition, so candidate count = answer
+    * count regardless of token entropy.
     *
     * Scale shape: the probe side is eval-set-bounded and broadcasts, so
-    * the corpus-scale positional index is filtered MAP-SIDE to probe
-    * tokens before anything shuffles (the BM25 term-filter discipline);
-    * the only shuffle is the candidate-alignment group-by, bounded by
-    * index hits on probe tokens. Output is phrase-count-sized with
-    * id-sum checksums. */
+    * the corpus-scale gram stream is filtered MAP-SIDE before anything
+    * shuffles; only true match sites reach the per-phrase aggregate.
+    * Output is phrase-count-sized with id-sum checksums. */
   def phraseSearch(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val k = PhraseLen
@@ -597,17 +603,14 @@ object Similarity {
         TextAnalysis.wsTokens(TextAnalysis.canonical($"text")).as("w"))
     val probes = docs
       .filter(pmod($"doc_id", lit(50)) === 1 && size($"w") >= k)
-      .select($"doc_id".as("phrase_id"), posexplode(slice($"w", 1, k)))
-      .withColumnRenamed("pos", "off").withColumnRenamed("col", "token")
-    val index = docs
-      .select($"doc_id", posexplode($"w"))
-      .withColumnRenamed("col", "token")
-      .filter($"token" =!= "")
-    index.join(broadcast(probes), "token")
-      .select($"phrase_id", $"doc_id", ($"pos" - $"off").as("start"))
-      .groupBy($"phrase_id", $"doc_id", $"start")
-      .agg(count(lit(1)).as("m"))
-      .filter($"m" === k)
+      .select($"doc_id".as("phrase_id"),
+        concat_ws(" ", slice($"w", 1, k)).as("gram"))
+    val grams = docs
+      .filter(size($"w") >= k)
+      .select($"doc_id", explode(expr(
+        s"transform(sequence(1, size(w) - ${k - 1}), i -> concat_ws(' ', slice(w, i, $k)))"))
+        .as("gram"))
+    grams.join(broadcast(probes), "gram")
       .groupBy($"phrase_id")
       .agg(count(lit(1)).as("n_sites"),
            countDistinct($"doc_id").as("n_docs"),
@@ -1560,28 +1563,26 @@ object Similarity {
                   FROM bsc)"""
 
   val oracle: Map[String, String] = Map(
-    // phrase-search replay: same canonical tokenization, 1-based positions
-    // (alignment keys shift by a constant — grouping is unaffected), same
-    // all-offsets-hit test and per-phrase rollup
+    // phrase-search replay: same canonical tokenization, sliding 4-gram
+    // window strings (list slices vs Spark's transform+slice), one join
+    // on the gram — every joined row is a match site by construction
     "nd_search_phrase" ->
       """WITH dw AS (SELECT doc_id,
                             string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS w
                      FROM documents),
-         ip AS (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS pos FROM dw),
-         idx AS (SELECT doc_id, pos, w[CAST(pos AS INTEGER)] AS token
-                 FROM ip WHERE w[CAST(pos AS INTEGER)] <> ''),
-         pr AS (SELECT doc_id AS phrase_id, w, unnest(range(1, 5)) AS o
-                FROM dw WHERE doc_id % 50 = 1 AND len(w) >= 4),
-         probes AS (SELECT phrase_id, o - 1 AS off, w[CAST(o AS INTEGER)] AS token FROM pr),
-         hits AS (SELECT phrase_id, doc_id, idx.pos - probes.off AS start
-                  FROM idx JOIN probes USING (token)),
-         m AS (SELECT phrase_id, doc_id, start
-               FROM hits GROUP BY phrase_id, doc_id, start
-               HAVING count(*) = 4)
+         gp AS (SELECT doc_id, w, unnest(range(1, len(w) - 2)) AS i
+                FROM dw WHERE len(w) >= 4),
+         grams AS (SELECT doc_id,
+                          array_to_string(w[CAST(i AS INTEGER):CAST(i + 3 AS INTEGER)], ' ') AS gram
+                   FROM gp),
+         probes AS (SELECT doc_id AS phrase_id,
+                           array_to_string(w[1:4], ' ') AS gram
+                    FROM dw WHERE doc_id % 50 = 1 AND len(w) >= 4)
          SELECT phrase_id, CAST(count(*) AS BIGINT) AS n_sites,
                 CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
                 CAST(sum(DISTINCT doc_id) AS BIGINT) AS id_sum
-         FROM m GROUP BY phrase_id ORDER BY phrase_id""",
+         FROM grams JOIN probes USING (gram)
+         GROUP BY phrase_id ORDER BY phrase_id""",
     // per-component micro-quantization BEFORE any arithmetic: squared
     // norms are exact integer sums, the mean is an integral division of
     // the HUGEINT-widened total

@@ -204,6 +204,18 @@ object StreamQueries {
       .orderBy($"user_id", $"session_start")
   }
 
+  /** Drained streaming SCD2 dimension maintenance
+    * ([[EventStreams.scd2Stream]], append mode): exactly the CLOSED
+    * attribute versions — the batch [[Events.scd2History]] rows with
+    * `valid_to IS NOT NULL`, version ids included (the still-open last
+    * version per user lives in state, the [[streamSession]] discipline). */
+  def streamScd2(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val out = EventStreams.scd2Stream(EventStreams.readEvents(s, d)).toDF()
+    drain(out, "nd_stream_scd2_sink", "append")
+      .orderBy($"user_id", $"ver")
+  }
+
   /** Drained streaming AUDIENCE-GROWTH curve — the streaming twin of
     * the batch nd_events_cumulative_distinct: the ONLY stateful stage is
     * a `groupBy(user_id).agg(min(day))` complete-mode aggregate, whose
@@ -424,6 +436,7 @@ object StreamQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "nd_stream_scd2" -> ((s: SparkSession, d: String) => streamScd2(s, d)),
     "nd_stream_upsert" -> ((s: SparkSession, d: String) => streamUpsert(s, d)),
     "nd_stream_join" -> ((s: SparkSession, d: String) => streamJoin(s, d)),
     "eth_stream_blocks" -> ((s: SparkSession, d: String) => ethStreamBlocks(s, d)),
@@ -528,6 +541,34 @@ object StreamQueries {
     // gaps-and-islands replay of the sessionizer: a session breaks on a
     // >30min silence; each user's last session is still open and thus
     // never emitted by the append-mode stream
+    // the batch SCD2 oracle restricted to CLOSED versions (valid_to NOT
+    // NULL) — micro-batch boundaries cannot perturb a closed version
+    "nd_stream_scd2" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms
+                    FROM events),
+         g AS (SELECT user_id, event_id, event_type, ms,
+                      CASE WHEN lag(event_type) OVER w IS NULL
+                             OR lag(event_type) OVER w <> event_type
+                           THEN 1 ELSE 0 END AS brk
+               FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)),
+         v AS (SELECT user_id, event_type, ms,
+                      sum(brk) OVER (PARTITION BY user_id ORDER BY ms, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS ver
+               FROM g),
+         h AS (SELECT user_id, ver, event_type,
+                      CAST(min(ms) AS BIGINT) AS valid_from,
+                      CAST(count(*) AS BIGINT) AS n_events
+               FROM v GROUP BY user_id, ver, event_type),
+         x AS (SELECT user_id, CAST(ver AS BIGINT) AS ver, event_type AS attr,
+                      valid_from,
+                      CAST(lead(valid_from) OVER (PARTITION BY user_id
+                                                  ORDER BY valid_from) AS BIGINT)
+                        AS valid_to,
+                      n_events
+               FROM h)
+         SELECT user_id, ver, attr, valid_from, valid_to, n_events
+         FROM x WHERE valid_to IS NOT NULL
+         ORDER BY user_id, ver""",
     "nd_stream_session" ->
       """WITH e AS (SELECT user_id, epoch_ms(ts) AS ms, "value" AS v FROM events),
           m AS (SELECT user_id, ms, v,

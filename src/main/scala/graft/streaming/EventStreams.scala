@@ -62,6 +62,55 @@ object EventStreams {
       .withWatermark(tsCol, horizon)
       .dropDuplicatesWithinWatermark("text_key")
 
+  case class Scd2Input(user_id: Long, event_id: Long, event_type: String,
+      tsMs: Long)
+  case class Scd2State(attr: String, validFrom: Long, ver: Long, n: Long)
+  case class Scd2Out(user_id: Long, ver: Long, attr: String,
+      valid_from: Long, valid_to: Long, n_events: Long)
+
+  /** STREAMING SCD2 dimension maintenance — the continuous form of
+    * [[graft.operators.Events.scd2History]]: one open version per user in
+    * state (O(|users|) rows, each a 4-field struct — bounded forever);
+    * an attribute change CLOSES the open version (emitted, Append mode)
+    * and opens the next. The drained output is exactly the batch
+    * history's closed rows (`valid_to IS NOT NULL`), version ids and all
+    * — [[graft.StreamQueriesSpec]] asserts row-for-row equality and the
+    * shared oracle pins it cross-engine.
+    *
+    * Rows within a micro-batch may arrive unsorted ([[sessionize]]'s
+    * contract): sort per group by `(tsMs, event_id)`, then fold; across
+    * batches the parquet micro-batch order preserves event order, the
+    * same assumption every stateful row here documents. */
+  def scd2Stream(events: DataFrame): Dataset[Scd2Out] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+              unix_millis(col("ts")).as("tsMs"))
+      .as[Scd2Input]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Scd2State, Scd2Out](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[Scd2Input], state: GroupState[Scd2State]) =>
+          val sorted = rows.toVector.sortBy(e => (e.tsMs, e.event_id))
+          var cur = state.getOption.orNull
+          val closed = Vector.newBuilder[Scd2Out]
+          sorted.foreach { e =>
+            if (cur == null) {
+              cur = Scd2State(e.event_type, e.tsMs, 1L, 1L)
+            } else if (cur.attr == e.event_type) {
+              cur = cur.copy(n = cur.n + 1L)
+            } else {
+              closed += Scd2Out(user, cur.ver, cur.attr, cur.validFrom,
+                e.tsMs, cur.n)
+              cur = Scd2State(e.event_type, e.tsMs, cur.ver + 1L, 1L)
+            }
+          }
+          if (cur != null) state.update(cur)
+          closed.result().iterator
+      }
+  }
+
   case class SessionInput(user_id: Long, tsMs: Long, value: Double)
   case class SessionState(start: Long, last: Long, n: Int, total: Double)
   case class SessionOut(user_id: Long, session_start: Long, session_end: Long,

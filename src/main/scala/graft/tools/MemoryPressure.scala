@@ -59,7 +59,13 @@ object MemoryPressure {
     // against a broadcast cost map — the distinct-word shuffle and the
     // corpus join-back are the pressure points) and the real-PNG decode
     // (mapPartitions kernel holding decoded rasters)
-    "nd_tok_unigram", "nd_multimodal_decode")
+    "nd_tok_unigram", "nd_multimodal_decode",
+    // round 11 batch 2: the positional phrase index (corpus-token explode
+    // + alignment group-by), the WordPiece twin of the unigram shuffle,
+    // the SCD2 user windows + version aggregate and its stateful
+    // streaming drain, and the full-outer snapshot-digest diff join
+    "nd_search_phrase", "nd_tok_wordpiece", "nd_events_scd2",
+    "nd_stream_scd2", "nd_pipeline_diff")
 
   /** Drain the async listener bus so per-query spill deltas attribute
     * deterministically (the round-8 review flagged the fixed sleep: a

@@ -104,4 +104,18 @@ class StreamQueriesSpec extends AnyFunSuite {
     assert(streamed.sameElements(batch),
       "two sequential key-disjoint streaming merges must compose to the batch upsert")
   }
+
+  test("drained streaming SCD2 equals the batch history's closed versions") {
+    import org.apache.spark.sql.functions.col
+    val streamed = StreamQueries.streamScd2(spark, sf)
+      .collect().map(_.toSeq)
+    val batch = operators.Events.scd2History(spark, sf)
+      .filter(!col("is_current"))
+      .select("user_id", "ver", "attr", "valid_from", "valid_to", "n_events")
+      .collect().map(_.toSeq)
+    assert(streamed.nonEmpty && streamed.length == batch.length,
+      s"closed-version counts diverge: ${streamed.length} vs ${batch.length}")
+    assert(streamed.sameElements(batch),
+      "streaming SCD2 must emit exactly the batch history's closed versions")
+  }
 }
