@@ -36,7 +36,12 @@ object DumpPlans {
       "nd_drift_chi2", "nd_eval_mcnemar", "nd_join_fuzzy",
       // round 11: unigram-LM tokenizer (broadcast cost map + distinct-word
       // Viterbi kernel), batched account-state lookups, real PNG decode
-      "nd_tok_unigram", "eth_q36_account_batch", "nd_multimodal_decode")
+      "nd_tok_unigram", "eth_q36_account_batch", "nd_multimodal_decode",
+      // round 11 session 2: gram-blocked phrase search (broadcast probe
+      // grams), the SCD2 pair (shared user_id exchange; asof union+carry),
+      // and the digest-only snapshot diff
+      "nd_search_phrase", "nd_events_scd2", "nd_events_asof_attr",
+      "nd_pipeline_diff")
     // detach-materialized queries return a LocalRelation; dump the
     // pre-materialization pipelines those queries execute
     import org.apache.spark.sql.functions._

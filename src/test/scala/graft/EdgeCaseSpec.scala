@@ -197,4 +197,84 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(nb.map(_.getLong(0)).toSet == Set(1L, 3L, 5L, 7L))
     assert(nb.forall(r => r.getString(1) != null && r.getString(1).nonEmpty))
   }
+
+  test("diff / compaction / phrase / wordpiece survive hostile and tiny corpora") {
+    import spark.implicits._
+    // hostile corpus: the only doc_id ≡ 1 (mod 50) is "hello" (1 token
+    // < phrase length) — zero probes must mean an EMPTY result, no throw
+    assert(graft.operators.Similarity.phraseSearch(spark, dir).collect().isEmpty)
+    val wp = TextAnalysis.wordpieceTokenize(spark, dir).collect()
+    assert(wp.nonEmpty && wp.forall { r =>
+      r.getLong(2) >= r.getLong(1) && r.getLong(2) <= r.getLong(3) })
+    val diff = graft.operators.Pipeline.snapshotDiff(spark, dir).collect()
+    assert(diff.map(_.getLong(2)).sum >= 8L - 2L, "diff must cover the key universe")
+    assert(diff.forall(r =>
+      Set("added", "removed", "changed", "unchanged")(r.getString(0))))
+    // one-document corpus: one file, one bin, totals conserve
+    val one = java.nio.file.Files.createTempDirectory("graft-edge2").toString
+    Seq((0L, "only doc", "en", "s0", 8L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$one/documents.parquet")
+    val bins = graft.operators.Pipeline.compactionPlan(spark, one).collect()
+    assert(bins.length == 1 && bins.head.getAs[Long]("n_files") == 1L
+      && bins.head.getAs[Long]("bin_bytes") == 8L)
+  }
+
+  private lazy val evDir: String = {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-edge-ev").toString
+    // single-event user (42), all-same-type user (43), same-instant
+    // attribute flip (44: view→click at one ms), purchase-before-any-
+    // profile-event user (45) — every SCD2/as-of boundary case
+    Seq(
+      (0L, 1000L, 42L, "view", 1.0, "{}"),
+      (10L, 1000L, 43L, "click", 2.0, "{}"),
+      (11L, 2000L, 43L, "click", 3.0, "{}"),
+      (12L, 3000L, 43L, "click", 4.0, "{}"),
+      (20L, 1000L, 44L, "view", 5.0, "{}"),
+      (21L, 1000L, 44L, "click", 6.0, "{}"),
+      (22L, 1000L, 44L, "purchase", 7.5, "{}"),
+      (30L, 500L, 45L, "purchase", 9.25, "{}"))
+      .toDF("event_id", "ms", "user_id", "event_type", "value", "props")
+      .select($"event_id", timestamp_millis($"ms").as("ts"), $"user_id",
+              $"event_type", $"value", $"props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$out/events.parquet")
+    out
+  }
+
+  test("SCD2 family survives single-event, constant-attr and same-instant streams") {
+    import graft.operators.Events
+    val hist = Events.scd2History(spark, evDir).collect()
+      .groupBy(_.getAs[Long]("user_id"))
+    // single event: one open version
+    assert(hist(42L).length == 1 && hist(42L).head.getAs[Boolean]("is_current"))
+    // constant attribute: ONE version spanning all three events
+    assert(hist(43L).length == 1 && hist(43L).head.getAs[Long]("n_events") == 3L)
+    // same-instant flips (view/click/purchase all @1000): three versions,
+    // event_id breaks the ties deterministically, intervals contiguous
+    val u44 = hist(44L).sortBy(_.getAs[Long]("ver"))
+    assert(u44.map(_.getAs[String]("attr")).toSeq ==
+      Seq("view", "click", "purchase"))
+    u44.sliding(2).foreach(p => assert(
+      p(0).getAs[Long]("valid_to") == p(1).getAs[Long]("valid_from")))
+    // as-of: user 45's purchase precedes any profile event → 'none'
+    // bucket carries exactly that one purchase (925 cents)
+    val asof = Events.asofAttribute(spark, evDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(3))).toMap
+    assert(asof("none") == ((1L, 925L)), s"got $asof")
+    // user 44's same-instant purchase resolves against the same-ms click
+    // version (inclusive as-of, max-ver dedup) in both engines' semantics
+    assert(asof("click") == ((1L, 750L)), s"got $asof")
+    // streaming twin emits exactly the batch closed versions (u44's
+    // view and click; every other user's single version stays open)
+    val streamed = graft.operators.StreamQueries.streamScd2(spark, evDir).collect()
+    assert(streamed.length == 2 &&
+      streamed.forall(_.getAs[Long]("user_id") == 44L) &&
+      streamed.map(_.getAs[String]("attr")).toSeq == Seq("view", "click"))
+    // regression eval: test half (odd ids) covers only user 43's clicks —
+    // model trained on evens must score them without a throw
+    val reg = graft.operators.Eval.regressionEval(spark, evDir).collect()
+    assert(reg.length == 1 && reg.head.getString(0) == "click" &&
+      reg.head.getAs[Long]("n_test") == 2L)
+  }
 }
