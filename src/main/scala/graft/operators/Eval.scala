@@ -551,11 +551,14 @@ object Eval {
     * on the even-id half in exact micro-cents (`Σcents·10⁶ div n` — the
     * same integral-division discipline as BM25/NB), score the odd-id
     * half, and report per type the exact error moments — MAE, the raw
-    * signed error sum (NOT divided: Spark `div` truncates toward zero
-    * while DuckDB `//` floors, so a signed quotient would diverge across
-    * engines; consumers divide), and the squared-error sum widened to
-    * DECIMAL(38,0) BEFORE squaring (err_micro² ≈ 4·10¹⁸ per row already
-    * brushes BIGINT).
+    * signed error sum (kept UNDIVIDED: signed integral division is a
+    * classic cross-engine hazard class, and the raw sum is the more
+    * composable statistic — consumers divide at whatever precision they
+    * want; for the record, Spark `div`, Scala `Long./` and DuckDB `//`
+    * all truncate toward zero, measured in [[Events.holtForecast]]'s
+    * round-trip), and the squared-error sum widened to DECIMAL(38,0)
+    * BEFORE squaring (err_micro² ≈ 4·10¹⁸ per row already brushes
+    * BIGINT).
     *
     * Scale shape: the model is |event types|-sized and broadcast back
     * onto the test scan (one aggregate each way, no window, no sort);

@@ -675,7 +675,53 @@ object Events {
       .orderBy($"attr")
   }
 
+  /** HOLT FORECAST — exact double-exponential smoothing of daily revenue
+    * per event type (the capacity-planning curve every events pipeline
+    * projects): with α = β = ½ both smoothing updates are integral
+    * halvings, so the whole recurrence is integer-exact and
+    * engine-portable — Scala's `/` on Long and DuckDB's `//` BOTH
+    * truncate toward zero (measured: `-7 // 2 = -3` in DuckDB 1.0; a
+    * floor division like `Math.floorDiv` would diverge on negative
+    * trends — the first draft's bug). Emits the final level/trend, the
+    * 1/2/3-step-ahead forecasts, and the summed absolute one-step
+    * in-sample error.
+    *
+    * The recurrence is inherently sequential in time, so it runs in
+    * `mapGroups` — but over the DAY-AGGREGATED frame, never raw events:
+    * the one data-scale pass is the (type, day) partial-agg'd revenue
+    * roll-up; the per-group series is |days|-sized metadata. The oracle
+    * replays the fold with a recursive CTE walking `i → i+1` over
+    * row-numbered days. */
+  def holtForecast(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val daily = events(s, d)
+      .groupBy($"event_type", expr("unix_millis(ts) div 86400000").as("day"))
+      .agg(sum(Money.cents($"value")).as("cents"))
+    daily.select($"event_type", $"day", $"cents").as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (t, it) =>
+        val ys = it.toArray.sortBy(_._2).map(_._3)
+        var l = ys(0)
+        var b = if (ys.length > 1) ys(1) - ys(0) else 0L
+        var sae = 0L
+        var i = 1
+        while (i < ys.length) {
+          val pred = l + b
+          sae += math.abs(ys(i) - pred)
+          val l1 = (ys(i) + l + b) / 2L
+          b = (l1 - l + b) / 2L
+          l = l1
+          i += 1
+        }
+        (t, ys.length.toLong, l, b, l + b, l + 2 * b, l + 3 * b, sae)
+      }
+      .toDF("event_type", "n_days", "level", "trend", "f1", "f2", "f3",
+            "sae_cents")
+      .orderBy($"event_type")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "nd_events_forecast" -> holtForecast _,
     "nd_events_scd2" -> scd2History _,
     "nd_events_asof_attr" -> asofAttribute _,
     "nd_events_moving_median" -> ((s: SparkSession, d: String) => movingMedian(s, d)),
@@ -695,6 +741,41 @@ object Events {
     "nd_events_anomaly" -> anomalies _)
 
   def oracle: Map[String, String] = Map(
+    // Holt replay: row-numbered day series, recursive CTE carrying
+    // (level, trend, sae) one day per step; // truncates toward zero
+    // exactly like the Scala kernel's Long division
+    "nd_events_forecast" ->
+      """WITH RECURSIVE
+         e AS (SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+                      CAST(sum(CAST(round("value" * 100) AS BIGINT)) AS BIGINT) AS cents
+               FROM events GROUP BY 1, 2),
+         o AS (SELECT event_type, day, cents,
+                      row_number() OVER (PARTITION BY event_type ORDER BY day) AS i
+               FROM e),
+         nn AS (SELECT event_type, CAST(max(i) AS BIGINT) AS n_days
+                FROM o GROUP BY event_type),
+         init AS (SELECT o1.event_type, o1.cents AS l,
+                         CAST(coalesce(o2.cents - o1.cents, 0) AS BIGINT) AS b
+                  FROM o o1 LEFT JOIN o o2
+                    ON o1.event_type = o2.event_type AND o2.i = 2
+                  WHERE o1.i = 1),
+         r AS (SELECT event_type, CAST(1 AS BIGINT) AS i, l, b,
+                      CAST(0 AS BIGINT) AS sae
+               FROM init
+               UNION ALL
+               SELECT r.event_type, r.i + 1,
+                      CAST((o.cents + r.l + r.b) // 2 AS BIGINT),
+                      CAST((((o.cents + r.l + r.b) // 2) - r.l + r.b) // 2 AS BIGINT),
+                      CAST(r.sae + abs(o.cents - (r.l + r.b)) AS BIGINT)
+               FROM r JOIN o ON o.event_type = r.event_type AND o.i = r.i + 1)
+         SELECT r.event_type, nn.n_days,
+                CAST(r.l AS BIGINT) AS level, CAST(r.b AS BIGINT) AS trend,
+                CAST(r.l + r.b AS BIGINT) AS f1,
+                CAST(r.l + 2 * r.b AS BIGINT) AS f2,
+                CAST(r.l + 3 * r.b AS BIGINT) AS f3,
+                r.sae AS sae_cents
+         FROM r JOIN nn USING (event_type)
+         WHERE r.i = nn.n_days ORDER BY r.event_type""",
     // point-in-time replay: same non-purchase islands, same
     // one-version-per-(user, instant) dedup, DuckDB's native ASOF LEFT
     // JOIN as the independent formulation of the as-of carry

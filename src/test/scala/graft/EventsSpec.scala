@@ -402,4 +402,28 @@ class EventsSpec extends AnyFunSuite {
     assert(rows == exp.toMap,
       s"as-of rollup mismatch:\n got $rows\nwant ${exp.toMap}")
   }
+
+  test("Holt forecast matches a driver fold over the daily series") {
+    import spark.implicits._
+    val rows = Events.holtForecast(spark, sf).collect()
+      .map(r => r.getString(0) -> r.toSeq.drop(1).map(_.asInstanceOf[Long])).toMap
+    val daily = Tables.events(spark, sf)
+      .selectExpr("event_type", "unix_millis(ts) div 86400000 AS day",
+        "CAST(round(value * 100, 0) AS BIGINT) AS cents")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    assert(rows.keySet == daily.keySet)
+    daily.foreach { case (t, evs) =>
+      val ys = evs.groupBy(_._2).toArray.sortBy(_._1)
+        .map(_._2.map(_._3).sum)
+      var l = ys(0); var b = if (ys.length > 1) ys(1) - ys(0) else 0L
+      var sae = 0L
+      ys.drop(1).foreach { y =>
+        sae += math.abs(y - (l + b))
+        val l1 = (y + l + b) / 2L; b = (l1 - l + b) / 2L; l = l1
+      }
+      assert(rows(t) == Seq(ys.length.toLong, l, b, l + b, l + 2 * b,
+        l + 3 * b, sae), s"$t: fold mismatch, got ${rows(t)}")
+    }
+  }
 }
