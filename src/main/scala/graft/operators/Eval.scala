@@ -576,9 +576,18 @@ object Eval {
       .withColumn("err", $"cents" * 1000000L - $"pred_micro")
       .groupBy($"event_type", $"pred_micro")
       .agg(count(lit(1)).as("n_test"),
-           expr("sum(abs(err)) div count(1)").as("mae_micro"),
-           sum($"err").as("err_sum_micro"),
-           expr("CAST(sum(CAST(err AS DECIMAL(38,0)) * err) AS DECIMAL(38,0))")
+           // sums widened to DECIMAL(38,0) BEFORE accumulating: per-row
+           // |err| ≈ 2e9 micro-cents × a 600M-event heavy type brushes
+           // 2^63, and non-ANSI BIGINT sum wraps silently while the
+           // DuckDB oracle sums in HUGEINT
+           expr("CAST(sum(CAST(abs(err) AS DECIMAL(38,0))) div count(1) AS BIGINT)")
+             .as("mae_micro"),
+           expr("CAST(sum(CAST(err AS DECIMAL(38,0))) AS BIGINT)")
+             .as("err_sum_micro"),
+           // sse_micro2 exceeds 2^63 (≈2.4e22 at sf0.01) — pinned as
+           // STRING on both engines so no reader downcasts it to float64
+           // (the eth_q12_wei_decimal representation discipline)
+           expr("CAST(CAST(sum(CAST(err AS DECIMAL(38,0)) * err) AS DECIMAL(38,0)) AS STRING)")
              .as("sse_micro2"))
       .orderBy($"event_type")
   }
@@ -655,9 +664,10 @@ object Eval {
                WHERE event_id % 2 = 1)
          SELECT event_type, pred_micro,
                 CAST(count(*) AS BIGINT) AS n_test,
-                CAST(sum(abs(err)) // count(*) AS BIGINT) AS mae_micro,
-                CAST(sum(err) AS BIGINT) AS err_sum_micro,
-                CAST(sum(CAST(err AS HUGEINT) * err) AS DECIMAL(38,0)) AS sse_micro2
+                CAST(sum(CAST(abs(err) AS HUGEINT)) // count(*) AS BIGINT) AS mae_micro,
+                CAST(sum(CAST(err AS HUGEINT)) AS BIGINT) AS err_sum_micro,
+                CAST(CAST(sum(CAST(err AS HUGEINT) * err) AS DECIMAL(38,0)) AS VARCHAR)
+                  AS sse_micro2
          FROM t GROUP BY event_type, pred_micro ORDER BY event_type""",
     // KS replay: per-value counts, window cumsums (the literal spelling
     // of the range-decomposed runningTotal), HUGEINT cross products,

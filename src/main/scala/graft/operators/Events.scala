@@ -628,7 +628,10 @@ object Events {
   def scd2History(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val versions = versionIslands(ev(s, d))
-    val wv = Window.partitionBy($"user_id").orderBy($"valid_from")
+    // `ver` tiebreak: two islands can collapse onto the same millisecond
+    // (same-instant attribute flips — EdgeCaseSpec user 44); without it,
+    // which version closes and which stays current is nondeterministic.
+    val wv = Window.partitionBy($"user_id").orderBy($"valid_from", $"ver")
     versions
       .withColumn("valid_to", lead($"valid_from", 1).over(wv))
       .withColumn("is_current", $"valid_to".isNull)
@@ -832,11 +835,11 @@ object Events {
          SELECT user_id, CAST(ver AS BIGINT) AS ver, event_type AS attr,
                 valid_from,
                 CAST(lead(valid_from) OVER (PARTITION BY user_id
-                                            ORDER BY valid_from) AS BIGINT)
+                                            ORDER BY valid_from, ver) AS BIGINT)
                   AS valid_to,
                 n_events,
                 lead(valid_from) OVER (PARTITION BY user_id
-                                       ORDER BY valid_from) IS NULL AS is_current
+                                       ORDER BY valid_from, ver) IS NULL AS is_current
          FROM h ORDER BY user_id, ver""",
     "nd_events_moving_median" ->
       """WITH e AS (SELECT event_id, event_type, epoch_ms(ts) AS ms,

@@ -538,9 +538,6 @@ object StreamQueries {
           FROM sigs s LEFT JOIN best USING (doc_id)
           WHERE s.doc_id >= 250
           ORDER BY s.doc_id""",
-    // gaps-and-islands replay of the sessionizer: a session breaks on a
-    // >30min silence; each user's last session is still open and thus
-    // never emitted by the append-mode stream
     // the batch SCD2 oracle restricted to CLOSED versions (valid_to NOT
     // NULL) — micro-batch boundaries cannot perturb a closed version
     "nd_stream_scd2" ->
@@ -562,13 +559,16 @@ object StreamQueries {
          x AS (SELECT user_id, CAST(ver AS BIGINT) AS ver, event_type AS attr,
                       valid_from,
                       CAST(lead(valid_from) OVER (PARTITION BY user_id
-                                                  ORDER BY valid_from) AS BIGINT)
+                                                  ORDER BY valid_from, ver) AS BIGINT)
                         AS valid_to,
                       n_events
                FROM h)
          SELECT user_id, ver, attr, valid_from, valid_to, n_events
          FROM x WHERE valid_to IS NOT NULL
          ORDER BY user_id, ver""",
+    // gaps-and-islands replay of the sessionizer: a session breaks on a
+    // >30min silence; each user's last session is still open and thus
+    // never emitted by the append-mode stream
     "nd_stream_session" ->
       """WITH e AS (SELECT user_id, epoch_ms(ts) AS ms, "value" AS v FROM events),
           m AS (SELECT user_id, ms, v,

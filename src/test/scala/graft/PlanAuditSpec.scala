@@ -179,4 +179,28 @@ class PlanAuditSpec extends AnyFunSuite {
       }
     }
   }
+
+  /** Round-12 representation guard: the driver's comparator reads Spark
+    * parquet with one reader and DuckDB output with another; a DECIMAL
+    * whose values can exceed 2^63 renders as exact Decimal on one side
+    * and float64 `2.45e+22` on the other (the nd_eval_regression r11
+    * hash-red). Rule: no registry OUTPUT schema may carry a DecimalType
+    * with more than 18 integer digits — pin such values as STRING (the
+    * eth_q12_wei_decimal precedent) or split into BIGINT halves. */
+  test("no registry output schema carries a DECIMAL that can exceed 2^63") {
+    import org.apache.spark.sql.types._
+    def wide(dt: DataType): Boolean = dt match {
+      case d: DecimalType => d.precision - d.scale > 18
+      case ArrayType(e, _) => wide(e)
+      case MapType(k, v, _) => wide(k) || wide(v)
+      case StructType(fs) => fs.exists(f => wide(f.dataType))
+      case _ => false
+    }
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      fn(spark, sf).schema.fields.filter(f => wide(f.dataType))
+        .map(f => s"$name.${f.name}: ${f.dataType.sql}")
+    }
+    assert(offenders.isEmpty,
+      s"DECIMAL outputs that can exceed 2^63 (pin as STRING):\n${offenders.mkString("\n")}")
+  }
 }
