@@ -764,7 +764,41 @@ object Pipeline {
       .orderBy($"bin")
   }
 
+  /** DOCUMENTS Z-ORDER MANIFEST — the layout pass a 100-TB text corpus
+    * actually wants ([[graft.plans.Layout.zorderedWrite]] applied to the
+    * `(source, quality)` plane): training-mixture readers filter by
+    * SOURCE, curation passes filter by QUALITY BAND, and a single-column
+    * sort clusters only one of the two. Morton-interleaving the source
+    * ordinal with the exact [[Eval.scoredDocs]] micro quality score makes
+    * contiguous Z ranges bounded boxes in BOTH dimensions, so either
+    * filter prunes file footers (files-touched measured layout-vs-layout
+    * in ScaleSpec; this query is the oracle-paired manifest of the
+    * bucket→box mapping, the [[TpchShapes.q39ZorderLocality]] shape).
+    *
+    * Scale: one corpus map pass (score is codegen'd gram counting), the
+    * bounds are a broadcast 1-row aggregate, the manifest is ≤ 64 rows. */
+  def docZorderManifest(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val scored = Eval.scoredDocs(s, d)
+      .select(expr("CAST(substr(source, 4) AS BIGINT)").as("src_num"), $"score")
+    val bounds = scored.agg(
+      min($"src_num").as("xmin"), max($"src_num").as("xmax"),
+      min($"score").as("ymin"), max($"score").as("ymax"))
+    scored.crossJoin(broadcast(bounds))
+      .withColumn("xn",
+        expr("CAST(((src_num - xmin) * 65535) DIV greatest(xmax - xmin, 1) AS BIGINT)"))
+      .withColumn("yn",
+        expr("CAST(((score - ymin) * 65535) DIV greatest(ymax - ymin, 1) AS BIGINT)"))
+      .withColumn("zbucket", shiftright(graft.plans.Layout.zValue($"xn", $"yn"), 26))
+      .groupBy($"zbucket")
+      .agg(count(lit(1)).as("n_docs"),
+           min($"src_num").as("src_min"), max($"src_num").as("src_max"),
+           min($"score").as("score_min"), max($"score").as("score_max"))
+      .orderBy($"zbucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "nd_doc_zorder" -> docZorderManifest _,
     "nd_pipeline_diff" -> snapshotDiff _,
     "nd_pipeline_compaction" -> compactionPlan _,
     "nd_pipeline_interleave" -> interleave _,
@@ -790,6 +824,28 @@ object Pipeline {
     * the same replayable constructions as the [[TextAnalysis]] /
     * [[Dedup]] oracles. */
   val oracle: Map[String, String] = Map(
+    // Z-order manifest replay: same en-score micro, same min/max 16-bit
+    // normalization, same Morton mask/shift spreading as q39's oracle
+    "nd_doc_zorder" ->
+      s"""WITH scored AS (
+            SELECT CAST(substr(source, 4) AS BIGINT) AS src_num,
+                   ${Eval.enScoreMicroSql} AS score
+            FROM (SELECT doc_id, source, text,
+                         ' ' || lower(text) || ' ' AS p FROM documents)),
+          m AS (SELECT min(src_num) AS xmin, max(src_num) AS xmax,
+                       min(score) AS ymin, max(score) AS ymax FROM scored),
+          n AS (SELECT src_num, score,
+                       ((src_num - xmin) * 65535) // greatest(xmax - xmin, 1) AS xn,
+                       ((score - ymin) * 65535) // greatest(ymax - ymin, 1) AS yn
+                FROM scored CROSS JOIN m),
+          b AS (SELECT src_num, score,
+                       (${TpchShapes.spreadSql("xn")} |
+                        (${TpchShapes.spreadSql("yn")} << 1)) >> 26 AS zbucket
+                FROM n)
+          SELECT zbucket, count(*) AS n_docs,
+                 min(src_num) AS src_min, max(src_num) AS src_max,
+                 min(score) AS score_min, max(score) AS score_max
+          FROM b GROUP BY zbucket ORDER BY zbucket""",
     // snapshot diff replay: identical derived snapshots, FULL JOIN on the
     // key, md5 content identity, per-(status, lang) rollup
     "nd_pipeline_diff" ->

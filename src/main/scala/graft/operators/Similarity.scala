@@ -309,6 +309,81 @@ object Similarity {
     rankWithin(cand, k)
   }
 
+  /** Drift threshold for [[ivfHealth]]: the appended batch's mean
+    * assignment similarity falling more than 0.02 (20 000 micro) below
+    * the training corpus's means the frozen quantizer no longer fits the
+    * ingest distribution. */
+  val IvfDriftMicro = 20000L
+
+  /** IVF INDEX HEALTH — the maintenance view that completes the ANN
+    * lifecycle (build → [[IvfIndex.append]] → monitor → retrain): under
+    * the FROZEN quantizer (trained on `vec_id < cut` only, exactly
+    * [[knnIvfIncremental]]'s split), report per inverted list the
+    * base/appended row counts, each slice's mean assignment similarity in
+    * exact micro units, and the list's share of the corpus — plus the two
+    * global alarms a vector store actually schedules retraining on:
+    *
+    *  - `skew_alarm`: the largest list holds > 2× the uniform share
+    *    (probe cost ∝ largest probed list, so skew is a latency alarm);
+    *  - `drift_alarm`: the appended batch's mean assignment similarity
+    *    sits ≥ [[IvfDriftMicro]] below the training corpus's (new data no
+    *    longer resembles what the centroids were trained on — recall
+    *    decays even though every query "works").
+    *
+    * `retrain` = either alarm. All statistics are integral (per-row sims
+    * rounded to micro BEFORE summing, means by integral division), so the
+    * manifest is engine-exact and oracle-replayable.
+    *
+    * Scale shape: one corpus map pass (literal-centroid argmax, the
+    * [[coarseAssignLit]] shape) emitting only `(vec_id, list_id,
+    * sim_micro)` — the vectors themselves never shuffle — then one
+    * nLists-group aggregate; the alarm frame is a crossJoin of a one-row
+    * aggregate OVER the already-aggregated list frame (metadata, never a
+    * second corpus scan — the [[Pii.kAnonymity]] discipline). */
+  def ivfHealth(s: SparkSession, d: String, cut: Long = 250,
+      nLists: Int = 16, lloydIters: Int = DefaultLloydIters): DataFrame = {
+    import s.implicits._
+    val vecs = embeddings(s, d)
+      .select($"vec_id", transform($"embedding", _.cast("double")).as("v"))
+    val centroids = lloydCentroids(vecs.filter($"vec_id" < cut), nLists, lloydIters)
+    val local = centroids.collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+    // the argmax of coarseAssignLit, keeping the winning similarity and
+    // DROPPING the vector — the health scan's shuffle carries 3 scalars
+    val centArr = array(local.sortBy(_._1).map { case (id, cv) =>
+      struct(lit(id).as("list_id"), typedLit(cv).as("cv")) }: _*)
+    val best = array_max(transform(centArr, c =>
+      struct(Expressions.cosineSim($"v", c("cv")).as("sim"),
+             (-c("list_id")).as("nl"))))
+    val perList = vecs
+      .select($"vec_id", (-best("nl")).as("list_id"), best("sim").as("sim"))
+      .select($"vec_id", $"list_id",
+        expr("CAST(round(sim * 1000000) AS BIGINT)").as("sim_micro"))
+      .groupBy($"list_id")
+      .agg(sum(when($"vec_id" < cut, 1L).otherwise(0L)).as("n_base"),
+           sum(when($"vec_id" >= cut, 1L).otherwise(0L)).as("n_new"),
+           sum(when($"vec_id" < cut, $"sim_micro")).as("base_sum"),
+           sum(when($"vec_id" >= cut, $"sim_micro")).as("new_sum"))
+    val tot = perList.agg(
+      sum($"n_base" + $"n_new").as("n_total"),
+      max($"n_base" + $"n_new").as("max_list"),
+      sum($"base_sum").as("tb"), sum($"n_base").as("nb"),
+      sum($"new_sum").as("tn"), sum($"n_new").as("nn"))
+    perList.crossJoin(tot).select(
+        $"list_id", $"n_base", $"n_new",
+        expr("CASE WHEN n_base > 0 THEN base_sum div n_base END")
+          .as("base_sim_micro"),
+        expr("CASE WHEN n_new > 0 THEN new_sum div n_new END")
+          .as("new_sim_micro"),
+        expr("CAST(1000000 * (n_base + n_new) div n_total AS BIGINT)")
+          .as("share_micro"),
+        expr(s"max_list * $nLists > 2 * n_total").as("skew_alarm"),
+        expr(s"CASE WHEN nb > 0 AND nn > 0 THEN tb div nb - tn div nn >= $IvfDriftMicro ELSE false END")
+          .as("drift_alarm"))
+      .withColumn("retrain", $"skew_alarm" || $"drift_alarm")
+      .orderBy($"list_id")
+  }
+
   /** Metadata-filtered ANN — the retrieval-pipeline shape "top-k among
     * vectors satisfying a predicate". The filter lands on the corpus scan
     * (PushedFilters on `label`), so candidates shrink BEFORE any distance
@@ -635,6 +710,7 @@ object Similarity {
     "nd_knn_lsh" -> ((s: SparkSession, d: String) => knnLsh(s, d)),
     "nd_knn_ivf" -> ((s: SparkSession, d: String) => knnIvf(s, d)),
     "nd_knn_ivf_incr" -> ((s: SparkSession, d: String) => knnIvfIncremental(s, d)),
+    "nd_knn_ivf_health" -> ((s: SparkSession, d: String) => ivfHealth(s, d)),
     "nd_knn_recall" -> ((s: SparkSession, d: String) => knnRecall(s, d)),
     "nd_knn_sq8" -> ((s: SparkSession, d: String) => knnSq8(s, d)),
     "nd_rag_bm25" -> ((s: SparkSession, d: String) => bm25Retrieve(s, d)),
@@ -805,6 +881,51 @@ object Similarity {
             FROM cand)
           SELECT query_id, neighbor_id, round(sim, 6) AS cos_sim, CAST(rk AS BIGINT) AS rank
           FROM r WHERE rk <= $k ORDER BY query_id, rank"""
+
+  /** DuckDB replay of [[ivfHealth]]: the [[lloydChainSql]] quantizer
+    * trained on the `vec_id < cut` slice, the full corpus assigned under
+    * the frozen centroids KEEPING the winning similarity, micro-rounded
+    * per row before any sum, then the same two-level integral aggregate
+    * (per-list stats, one-row alarm frame cross-joined back). */
+  private[operators] def ivfHealthOracleSql(cut: Long, nLists: Int,
+      iterations: Int, dims: Int = 64): String =
+    s"""WITH ${lloydChainSql(nLists, iterations, dims,
+          src = s"(SELECT * FROM embeddings WHERE vec_id < $cut)")},
+          allv AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          ai AS (
+            SELECT vec_id, list_id,
+                   CAST(round(list_cosine_similarity(v, cv) * 1000000) AS BIGINT)
+                     AS sim_micro,
+                   row_number() OVER (PARTITION BY vec_id
+                     ORDER BY list_cosine_similarity(v, cv) DESC, list_id) AS rn
+            FROM allv CROSS JOIN cvecs$iterations),
+          scored AS (SELECT vec_id, list_id, sim_micro FROM ai WHERE rn = 1),
+          pl AS (SELECT list_id,
+                        CAST(sum(CASE WHEN vec_id < $cut THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+                        CAST(sum(CASE WHEN vec_id >= $cut THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+                        sum(CASE WHEN vec_id < $cut THEN CAST(sim_micro AS HUGEINT) END) AS base_sum,
+                        sum(CASE WHEN vec_id >= $cut THEN CAST(sim_micro AS HUGEINT) END) AS new_sum
+                 FROM scored GROUP BY list_id),
+          tot AS (SELECT sum(n_base + n_new) AS n_total,
+                         max(n_base + n_new) AS max_list,
+                         sum(base_sum) AS tb, sum(n_base) AS nb,
+                         sum(new_sum) AS tn, sum(n_new) AS nn
+                  FROM pl)
+          SELECT list_id, n_base, n_new,
+                 CAST(CASE WHEN n_base > 0 THEN base_sum // n_base END AS BIGINT)
+                   AS base_sim_micro,
+                 CAST(CASE WHEN n_new > 0 THEN new_sum // n_new END AS BIGINT)
+                   AS new_sim_micro,
+                 CAST(1000000 * (n_base + n_new) // n_total AS BIGINT) AS share_micro,
+                 max_list * $nLists > 2 * n_total AS skew_alarm,
+                 CASE WHEN nb > 0 AND nn > 0
+                      THEN tb // nb - tn // nn >= $IvfDriftMicro
+                      ELSE false END AS drift_alarm,
+                 (max_list * $nLists > 2 * n_total) OR
+                 (CASE WHEN nb > 0 AND nn > 0
+                       THEN tb // nb - tn // nn >= $IvfDriftMicro
+                       ELSE false END) AS retrain
+          FROM pl CROSS JOIN tot ORDER BY list_id"""
 
   /** DuckDB replay of the full PQ pipeline: per subspace, the seed+Lloyd
     * codebook chain (the [[ivfOracleSql]] step shape on subvector slices),
@@ -1845,6 +1966,8 @@ object Similarity {
       iterations = DefaultLloydIters),
     "nd_knn_ivf_incr" -> ivfIncrOracleSql(cut = 250, nLists = 16, nProbe = 4,
       nQueries = 5, k = 5, iterations = DefaultLloydIters),
+    "nd_knn_ivf_health" -> ivfHealthOracleSql(cut = 250, nLists = 16,
+      iterations = DefaultLloydIters),
     "nd_knn_brute" -> bruteOracleSql,
     "nd_rag_mmr" -> mmrOracleSql(),
     "nd_knn_range" ->

@@ -1138,7 +1138,69 @@ object TextAnalysis {
       .orderBy($"stage")
   }
 
+  /** HTML→TEXT EXTRACTION — the one pre-processing step every
+    * CCNet/RefinedWeb-style pipeline runs BEFORE any of the text operators
+    * above: strip markup, decode entities, and drop boilerplate lines
+    * (navigation, ads, footers), keeping only the prose.
+    *
+    * The corpus is plain text, so each document is first wrapped into a
+    * deterministic HTML page derived from driver columns (title + nav +
+    * h1 + the text split into two `<p>` paragraphs + an ad `<div>` for
+    * even docs + footer — the [[Pii]] augmentation discipline: both
+    * engines build the identical page, so the extractor sees real markup
+    * and the oracle checks the full strip→decode→filter chain
+    * value-for-value).
+    *
+    * Extraction = three codegen'd passes over the page string:
+    *  1. tag strip: `<[^>]*>` → '' (block-closing tags first rewritten to
+    *     newlines so line structure survives), entity decode via plain
+    *     `replace`;
+    *  2. line split + trim (higher-order `transform`, no explode — the
+    *     lines never become rows, so there is NO shuffle);
+    *  3. boilerplate filter: keep lines with ≥ 10 whitespace tokens — the
+    *     length heuristic of jusText/CCNet (nav/ads/footers are short;
+    *     prose is not), purely structural, no marker strings.
+    *
+    * Scale shape: map-side only — every step is a per-row expression
+    * inside whole-stage codegen; the only exchange in the plan is the
+    * final presentation sort's range partitioning (plan-asserted in
+    * TextExtractSpec). At 100 TB this runs at scan speed. */
+  def htmlExtract(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val half = expr("length(text) div 2")
+    val page = concat(
+      lit("<html><head><title>"), $"source", lit(" &amp; co</title></head>\n"),
+      lit("<body>\n<nav>Home | About | Sign in</nav>\n"),
+      lit("<h1>Document "), $"doc_id".cast("string"), lit("</h1>\n"),
+      lit("<p>"), expr("substr(text, 1, length(text) div 2)"), lit("</p>\n"),
+      lit("<p>"), expr("substr(text, length(text) div 2 + 1)"), lit("</p>\n"),
+      when($"doc_id" % 2 === 0,
+        lit("<div class=\"ad\">Sponsored: best deals here</div>\n"))
+        .otherwise(lit("")),
+      lit("<footer>(c) "), $"source", lit(" all rights reserved</footer>\n"),
+      lit("</body></html>"))
+    documents(s, d)
+      .select($"doc_id", $"source", page.as("html"))
+      .select($"doc_id", $"source",
+        size(regexp_extract_all($"html", lit("<[^>]*>"), lit(0))).cast("long")
+          .as("n_tags"),
+        expr("replace(regexp_replace(html, '<[^>]*>', ''), '&amp;', '&')")
+          .as("stripped"))
+      .select($"doc_id", $"source", $"n_tags",
+        expr("filter(transform(split(stripped, '\n'), l -> trim(l)), l -> l != '')")
+          .as("lines"))
+      .select($"doc_id", $"source", $"n_tags",
+        size($"lines").cast("long").as("n_lines_raw"),
+        expr("filter(lines, l -> size(split(l, ' +')) >= 10)").as("kept"))
+      .select($"doc_id", $"source", $"n_tags", $"n_lines_raw",
+        size($"kept").cast("long").as("n_lines_kept"),
+        array_join($"kept", "\n").as("extracted"))
+      .withColumn("extracted_chars", length($"extracted").cast("long"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "nd_text_extract" -> htmlExtract _,
     "nd_filter_funnel" -> filterFunnel _,
     "nd_text_outliers" -> lengthOutliers _,
     "nd_text_nb_classifier" -> nbClassify _,
@@ -1264,6 +1326,43 @@ object TextAnalysis {
         FROM r WHERE rn = 1 ORDER BY doc_id"""
 
   val oracle: Map[String, String] = Map(
+    // HTML-extraction replay: identical page build (chr(10) = the Spark
+    // side's '\n'), same strip→decode→line-filter chain via list lambdas
+    "nd_text_extract" ->
+      """WITH pg AS (
+           SELECT doc_id, source,
+                  '<html><head><title>' || source || ' &amp; co</title></head>' || chr(10)
+                  || '<body>' || chr(10) || '<nav>Home | About | Sign in</nav>' || chr(10)
+                  || '<h1>Document ' || CAST(doc_id AS VARCHAR) || '</h1>' || chr(10)
+                  || '<p>' || substr(text, 1, length(text) // 2) || '</p>' || chr(10)
+                  || '<p>' || substr(text, length(text) // 2 + 1) || '</p>' || chr(10)
+                  || CASE WHEN doc_id % 2 = 0
+                          THEN '<div class="ad">Sponsored: best deals here</div>' || chr(10)
+                          ELSE '' END
+                  || '<footer>(c) ' || source || ' all rights reserved</footer>' || chr(10)
+                  || '</body></html>' AS html
+           FROM documents),
+         st AS (
+           SELECT doc_id, source,
+                  CAST(len(regexp_extract_all(html, '<[^>]*>')) AS BIGINT) AS n_tags,
+                  replace(regexp_replace(html, '<[^>]*>', '', 'g'), '&amp;', '&') AS stripped
+           FROM pg),
+         ln AS (
+           SELECT doc_id, source, n_tags,
+                  list_filter(list_transform(string_split(stripped, chr(10)),
+                                             l -> trim(l)), l -> l <> '') AS lines
+           FROM st),
+         kp AS (
+           SELECT doc_id, source, n_tags,
+                  CAST(len(lines) AS BIGINT) AS n_lines_raw,
+                  list_filter(lines, l -> len(string_split_regex(l, ' +')) >= 10) AS kept
+           FROM ln)
+         SELECT doc_id, source, n_tags, n_lines_raw,
+                CAST(len(kept) AS BIGINT) AS n_lines_kept,
+                coalesce(array_to_string(kept, chr(10)), '') AS extracted,
+                CAST(length(coalesce(array_to_string(kept, chr(10)), ''))
+                     AS BIGINT) AS extracted_chars
+         FROM kp ORDER BY doc_id""",
     // integer cross-multiplied z-test replay; HUGEINT mirrors the Spark
     // side's DECIMAL(38,0) widening
     "nd_text_outliers" ->

@@ -201,8 +201,9 @@ object TpchShapes {
     "q33_idle_customers" -> q33IdleCustomers _,
     "q34_supplier_breadth" -> q34SupplierBreadth _)
 
-  /** The 4-step Morton mask/shift spreading as a SQL expression. */
-  private def spreadSql(e: String): String = {
+  /** The 4-step Morton mask/shift spreading as a SQL expression (shared
+    * with the documents-side Z-order manifest in [[Pipeline]]). */
+  private[operators] def spreadSql(e: String): String = {
     val a = s"($e & 65535)"
     val b = s"(($a | ($a << 8)) & 16711935)"
     val d = s"(($b | ($b << 4)) & 252645135)"

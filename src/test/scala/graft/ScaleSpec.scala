@@ -118,4 +118,48 @@ class ScaleSpec extends AnyFunSuite {
     assert(filesWithMatches(dirZ, pband) < nFiles,
       "z layout lost partkey locality entirely")
   }
+
+  /** Round-12 (round-11 review item 7): the documents-side layout pass —
+    * z-order the corpus on (source ordinal, quality micro score) and
+    * measure files-touched for a QUALITY-BAND scan against the
+    * source-sorted layout a mixture-reader write naturally produces.
+    * The quality band is the filter every curation pass runs; on the
+    * source-sorted layout it scatters across ~every file. */
+  test("documents z-ordered on (source, quality) prune a quality-band scan") {
+    import spark.implicits._
+    import graft.operators.Eval
+    val scored = Eval.scoredDocs(spark, "/root/testdata/sf0.1")
+      .select(expr("CAST(substr(source, 4) AS BIGINT)").as("src_num"),
+              $"score", $"doc_id")
+    val nFiles = 64
+    val dirS = java.nio.file.Files.createTempDirectory("doclayout-s").toString
+    val dirZ = java.nio.file.Files.createTempDirectory("doclayout-z").toString
+    // the mixture-reader's natural layout: source-major (doc_id breaks
+    // ties so all 64 files fill — there are only ~20 sources)
+    scored.repartitionByRange(nFiles, $"src_num", $"doc_id")
+      .sortWithinPartitions("src_num", "doc_id")
+      .write.mode("overwrite").parquet(dirS)
+    Layout.zorderedWrite(scored, "src_num", "score", dirZ, nFiles)
+    def filesWithMatches(dir: String, cond: org.apache.spark.sql.Column): Long =
+      spark.read.parquet(dir).filter(cond)
+        .select(input_file_name()).distinct().count()
+    // a quality band around the corpus median score
+    val med = scored.stat.approxQuantile("score", Array(0.48, 0.52), 0.005)
+    val band = $"score" >= med(0) && $"score" <= med(1)
+    val hitS = filesWithMatches(dirS, band)
+    val hitZ = filesWithMatches(dirZ, band)
+    assert(hitS >= nFiles - 4,
+      s"source-sorted layout unexpectedly clustered quality: $hitS")
+    assert(hitZ * 2 <= hitS, s"z-order did not cluster quality: $hitZ vs $hitS files")
+    // layout never changes answers
+    val a = spark.read.parquet(dirS).filter(band)
+      .agg(count(lit(1)), sum($"doc_id"), sum($"src_num")).collect()(0)
+    val b = spark.read.parquet(dirZ).filter(band)
+      .agg(count(lit(1)), sum($"doc_id"), sum($"src_num")).collect()(0)
+    assert(a == b, s"layouts disagree: $a vs $b")
+    // and the source dimension still prunes (bounded boxes both ways)
+    val srcband = $"src_num" >= 3 && $"src_num" <= 5
+    assert(filesWithMatches(dirZ, srcband) < nFiles,
+      "z layout lost source locality entirely")
+  }
 }

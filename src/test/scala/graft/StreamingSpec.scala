@@ -267,6 +267,117 @@ class EthStreamSpec extends AnyFunSuite {
     } finally { q.stop(); server.stop(0) }
   }
 
+  /** Round-12 (round-11 review item 4): the live soak above proves the
+    * SOURCE's reorg/lag contract; this drives a STATEFUL consumer — SCD2
+    * dimension maintenance ([[EventStreams.scd2Stream]]) — end-to-end over
+    * the same mutating chain + flaky transport, and asserts the drained
+    * closed-version history equals the batch SCD2 fold of the WINNING
+    * branch (reference tip semantics `EthereumSplitManager.java:51-57`).
+    * The dimension: per-miner attribute = `block_extraData`, which both
+    * flips every 4 heights AND carries the branch marker — so a single
+    * orphaned branch-A block leaking past the lag window would open a
+    * phantom version and corrupt the history. */
+  test("live SCD2 over a mutating chain equals the batch history of the winning branch") {
+    import com.fasterxml.jackson.databind.JsonNode
+    import com.sun.net.httpserver.{HttpExchange, HttpServer}
+    import java.net.InetSocketAddress
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def dimBlock(n: Long, ver: String): graft.sources.eth.EthBlockData =
+      mkBlock(n, ver).copy(miner = s"0xm${n % 3}",
+        extraData = s"$ver-${(n / 4) % 2}")
+    @volatile var chain: Map[Long, graft.sources.eth.EthBlockData] =
+      (1L to 30L).map(n => n -> dimBlock(n, "a")).toMap
+    @volatile var tip = 30L
+    val exchanges = new java.util.concurrent.atomic.AtomicLong(0)
+    val injected = new java.util.concurrent.atomic.AtomicLong(0)
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", (ex: HttpExchange) => {
+      try {
+        val body = mapper.readTree(ex.getRequestBody)
+        if (exchanges.incrementAndGet() % 6 == 0) {
+          injected.incrementAndGet()
+          ex.sendResponseHeaders(503, -1)
+        } else {
+          def answer(req: JsonNode): JsonNode = {
+            val result: JsonNode = req.get("method").asText() match {
+              case "eth_blockNumber" =>
+                mapper.getNodeFactory.textNode(RpcStubServer.hex(tip))
+              case "eth_getBlockByNumber" =>
+                val n = java.lang.Long.parseLong(
+                  req.get("params").get(0).asText().drop(2), 16)
+                chain.get(n)
+                  .map(RpcStubServer.renderBlock(_, req.get("params").get(1).asBoolean()))
+                  .getOrElse(mapper.nullNode()): JsonNode
+              case m => throw new IllegalArgumentException(s"unexpected in scd2 soak: $m")
+            }
+            val resp = mapper.createObjectNode()
+            resp.put("jsonrpc", "2.0")
+            resp.set[JsonNode]("id", req.get("id"))
+            resp.set[JsonNode]("result", result)
+            resp
+          }
+          val out: JsonNode =
+            if (body.isArray) {
+              val a = mapper.createArrayNode(); body.forEach(r => a.add(answer(r))); a
+            } else answer(body)
+          val bytes = mapper.writeValueAsBytes(out)
+          ex.getResponseHeaders.add("Content-Type", "application/json")
+          ex.sendResponseHeaders(200, bytes.length)
+          ex.getResponseBody.write(bytes)
+        }
+      } finally ex.close()
+    })
+    server.start()
+    val blocks = spark.readStream.format("ethereum")
+      .option("table", "block")
+      .option("chain", s"http://127.0.0.1:${server.getAddress.getPort}/")
+      .option("maxBlocksPerBatch", 7).option("lagBlocks", 5)
+      .load()
+    val scd = EventStreams.scd2Stream(blocks.select(
+      expr("CAST(substr(block_miner, 4) AS LONG)").as("user_id"),
+      col("block_number").as("event_id"),
+      col("block_extraData").as("event_type"),
+      timestamp_seconds(col("block_timestamp")).as("ts")))
+    val q = scd.toDF().writeStream.format("memory").queryName("scd2_soak")
+      .outputMode("append").trigger(Trigger.ProcessingTime(50)).start()
+    try {
+      q.processAllAvailable()                     // phase 1: A 1..30 -> 1..25
+      chain = chain ++ (31L to 40L).map(n => n -> dimBlock(n, "a"))
+      tip = 40L
+      q.processAllAvailable()                     // phase 2: tip advance -> 1..35
+      chain = chain.filter(_._1 <= 35L) ++ (36L to 48L).map(n => n -> dimBlock(n, "b"))
+      tip = 48L
+      q.processAllAvailable()                     // phase 3: in-lag reorg -> 1..43
+      val streamed = spark.table("scd2_soak")
+        .select($"user_id", $"ver", $"attr", $"valid_from", $"valid_to", $"n_events")
+      // batch twin over the winning branch's emitted range (heights 1..43):
+      // the scd2History fold, inlined, restricted to CLOSED versions
+      val input = chain.filter(_._1 <= 43L).values.toSeq.sortBy(_.number)
+        .map(b => (b.miner.drop(3).toLong, b.number, b.extraData, b.timestamp * 1000L))
+        .toDF("user_id", "event_id", "attr", "ms")
+      val w = Window.partitionBy($"user_id").orderBy($"ms", $"event_id")
+      val wv = Window.partitionBy($"user_id").orderBy($"valid_from", $"ver")
+      val batch = input
+        .withColumn("brk", when(lag($"attr", 1).over(w).isNull ||
+          lag($"attr", 1).over(w) =!= $"attr", 1L).otherwise(0L))
+        .withColumn("ver", sum($"brk").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy($"user_id", $"ver", $"attr")
+        .agg(min($"ms").as("valid_from"), count(lit(1)).as("n_events"))
+        .withColumn("valid_to", lead($"valid_from", 1).over(wv))
+        .filter($"valid_to".isNotNull)
+        .select($"user_id", $"ver", $"attr", $"valid_from", $"valid_to", $"n_events")
+      assert(batch.count() > 5, "dimension degenerate — no attribute flips")
+      assert(streamed.count() == batch.count(),
+        s"closed versions: streamed ${streamed.count()} vs batch ${batch.count()}")
+      assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty,
+        "streamed SCD2 history diverges from the winning branch's batch fold")
+      assert(injected.get() >= 3, s"only ${injected.get()} failures injected")
+    } finally { q.stop(); server.stop(0) }
+  }
+
 }
 
 class EventStreamSpec extends AnyFunSuite {

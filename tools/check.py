@@ -35,6 +35,68 @@ def canon(df):
 # implies sequences matching).
 BIG_ROWS = 2_000_000
 
+# --iter-closure: the two cluster queries whose committed oracle closes the
+# near-dup graph with a recursive CTE. The recursive form materializes the
+# full reachability relation (quadratic in cluster size) and OOMs DuckDB at
+# the 100x tier (27M edges / 76 GB RSS); the iterative form below replaces
+# it with bounded-round min-label propagation over temp tables so the same
+# rows stay HASH-gated at scale instead of falling back to an engine-side
+# audit. sf0.01-equivalence of the two forms is asserted per run of this
+# flag by check_iter_closure_equivalence (and by the committed driver gate,
+# which always runs the recursive form).
+CLOSURE_QUERIES = {"nd_dedup_clusters", "nd_dedup_keep_best"}
+
+def build_cc_table(con, oracle, max_rounds=200):
+    """Materialize __cc(doc_id, cluster_id) = connected components of the
+    near-dup pair graph. Pair generation reuses the committed
+    nd_dedup_minhash oracle verbatim (itself hash-gated at every tier), so
+    the edge set entering the closure is the proven one; the closure is
+    min-label propagation, converging in <= diameter rounds with one
+    |V|-row table live at a time."""
+    pairs_sql = oracle["nd_dedup_minhash"]
+    con.execute("DROP TABLE IF EXISTS __e")
+    con.execute(f"CREATE TEMP TABLE __e AS "
+                f"WITH p AS (SELECT doc_a, doc_b FROM ({pairs_sql})) "
+                f"SELECT doc_a AS a, doc_b AS b FROM p "
+                f"UNION SELECT doc_b, doc_a FROM p")
+    con.execute("DROP TABLE IF EXISTS __l")
+    con.execute("CREATE TEMP TABLE __l AS "
+                "SELECT a AS node, least(a, min(b)) AS lbl FROM __e GROUP BY a")
+    for _ in range(max_rounds):
+        con.execute("DROP TABLE IF EXISTS __l2")
+        # every node has >= 1 edge by construction (symmetric edge table),
+        # so the inner join never drops a node
+        con.execute("CREATE TEMP TABLE __l2 AS "
+                    "SELECT l.node, least(l.lbl, min(ln.lbl)) AS lbl "
+                    "FROM __l l JOIN __e e ON e.a = l.node "
+                    "JOIN __l ln ON ln.node = e.b "
+                    "GROUP BY l.node, l.lbl")
+        changed = con.sql("SELECT count(*) FROM __l2 JOIN __l USING (node) "
+                          "WHERE __l2.lbl <> __l.lbl").fetchone()[0]
+        con.execute("DROP TABLE IF EXISTS __l")
+        con.execute("ALTER TABLE __l2 RENAME TO __l")
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(f"label propagation not converged in {max_rounds} rounds")
+    con.execute("DROP TABLE IF EXISTS __cc")
+    con.execute("CREATE TEMP TABLE __cc AS "
+                "SELECT node AS doc_id, lbl AS cluster_id FROM __l")
+
+def iter_closure_sql(name, sql):
+    """Rewrite a CLOSURE_QUERIES oracle to consume __cc instead of the
+    recursive CTE. keep_best splices the committed scored/ranked tail
+    (everything from its `scored AS (` CTE on) unchanged."""
+    if name == "nd_dedup_clusters":
+        return "SELECT doc_id, cluster_id FROM __cc ORDER BY doc_id"
+    marker = "scored AS ("
+    if marker not in sql:
+        raise RuntimeError("keep_best oracle changed shape; update the "
+                           "iter-closure splice in tools/check.py")
+    tail = sql.split(marker, 1)[1]
+    return ("WITH clusters AS (SELECT doc_id, cluster_id FROM __cc),\n " +
+            marker + tail)
+
 def multiset_compare(con, sql, spark_glob):
     # materialize the oracle ONCE — a view would re-execute a
     # many-minute pair pipeline for each of the 3 references below
@@ -71,6 +133,9 @@ def main():
         i = args.index("--json"); json_out = args[i + 1]; del args[i:i + 2]
     if "--only" in args:
         i = args.index("--only"); only = set(args[i + 1].split(",")); del args[i:i + 2]
+    iter_closure = "--iter-closure" in args
+    if iter_closure:
+        args.remove("--iter-closure")
     out, sf = args[0], args[1]
     con = duckdb.connect()
     for t in TABLES:
@@ -85,6 +150,11 @@ def main():
         if only is not None and name not in only:
             continue
         sql = oracle[name]
+        if iter_closure and name in CLOSURE_QUERIES:
+            if not con.sql("SELECT count(*) FROM duckdb_tables() "
+                           "WHERE table_name = '__cc'").fetchone()[0]:
+                build_cc_table(con, oracle)
+            sql = iter_closure_sql(name, sql)
         spark_dir = f"{out}/{name}"
         files = glob.glob(f"{spark_dir}/*.parquet")
         if not files:
