@@ -49,6 +49,49 @@ object IvfIndex {
       .parquet(s"$indexDir/lists")
   }
 
+  /** Health manifest of a PERSISTED index (the operational twin of
+    * [[Similarity.ivfHealth]], which derives it from the raw corpus):
+    * reads the frozen centroids + the physical `list_id=` directories,
+    * re-scores each stored vector against its own centroid, and emits
+    * the same per-list stats / skew / drift / retrain columns, with
+    * "base vs appended" split on `vec_id < cut` (the ingest convention
+    * of [[append]]). IvfHealthSpec asserts it row-equals the inline
+    * derivation when the index was built with the same cut. */
+  def health(s: SparkSession, indexDir: String, cut: Long,
+      nLists: Int = 16): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    import graft.functions.Expressions
+    // stored assignment is authoritative (list_id partition column); the
+    // sim is re-derived against that list's centroid via a broadcast of
+    // the nLists-row quantizer table
+    val lists = s.read.parquet(s"$indexDir/lists")
+      .join(broadcast(s.read.parquet(s"$indexDir/centroids")), "list_id")
+      .select($"vec_id", $"list_id",
+        Expressions.cosineSim($"v", $"cv").as("sim"))
+      .select($"vec_id", $"list_id",
+        expr("CAST(round(sim * 1000000) AS BIGINT)").as("sim_micro"))
+    val perList = lists.groupBy($"list_id")
+      .agg(sum(when($"vec_id" < cut, 1L).otherwise(0L)).as("n_base"),
+           sum(when($"vec_id" >= cut, 1L).otherwise(0L)).as("n_new"),
+           sum(when($"vec_id" < cut, $"sim_micro")).as("base_sum"),
+           sum(when($"vec_id" >= cut, $"sim_micro")).as("new_sum"))
+    val tot = perList.agg(
+      sum($"n_base" + $"n_new").as("n_total"),
+      max($"n_base" + $"n_new").as("max_list"),
+      sum($"base_sum").as("tb"), sum($"n_base").as("nb"),
+      sum($"new_sum").as("tn"), sum($"n_new").as("nn"))
+    perList.crossJoin(broadcast(tot)).select(
+        $"list_id", $"n_base", $"n_new",
+        expr("CASE WHEN n_base > 0 THEN base_sum div n_base END").as("base_sim_micro"),
+        expr("CASE WHEN n_new > 0 THEN new_sum div n_new END").as("new_sim_micro"),
+        expr("CAST(1000000 * (n_base + n_new) div n_total AS BIGINT)").as("share_micro"),
+        expr(s"max_list * $nLists > 2 * n_total").as("skew_alarm"),
+        expr(s"CASE WHEN nb > 0 AND nn > 0 THEN tb div nb - tn div nn >= ${Similarity.IvfDriftMicro} ELSE false END")
+          .as("drift_alarm"))
+      .withColumn("retrain", $"skew_alarm" || $"drift_alarm")
+      .orderBy($"list_id")
+  }
+
   /** Top-k per query vector against a built index. `queries` must have
     * columns `(query_id, qv: array<double>)`. */
   def query(s: SparkSession, indexDir: String, queries: DataFrame,

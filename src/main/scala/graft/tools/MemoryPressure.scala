@@ -65,7 +65,12 @@ object MemoryPressure {
     // the SCD2 user windows + version aggregate and its stateful
     // streaming drain, and the full-outer snapshot-digest diff join
     "nd_search_phrase", "nd_tok_wordpiece", "nd_events_scd2",
-    "nd_stream_scd2", "nd_pipeline_diff")
+    "nd_stream_scd2", "nd_pipeline_diff",
+    // round 12: the frozen-quantizer health scan (per-row argmax over the
+    // centroid literal + the two-level integral aggregate), the HTML
+    // extraction map pass (page build + strip + line lambdas per row),
+    // and the documents Z-manifest (en-score scan + bounds crossJoin)
+    "nd_knn_ivf_health", "nd_text_extract", "nd_doc_zorder")
 
   /** Drain the async listener bus so per-query spill deltas attribute
     * deterministically (the round-8 review flagged the fixed sleep: a

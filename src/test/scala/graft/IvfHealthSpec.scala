@@ -62,4 +62,23 @@ class IvfHealthSpec extends AnyFunSuite {
     assert(rows.forall(_.getBoolean(7)), "negated batch must trip the drift alarm")
     assert(rows.forall(_.getBoolean(8)), "retrain must follow the drift alarm")
   }
+
+  test("persisted-index health equals the inline derivation") {
+    import spark.implicits._
+    // the physical twin of ivfHealth's cut convention: build (train) on
+    // vec_id < 250 only, then append >= 250 under the frozen centroids
+    val all = Tables.embeddings(spark, sf)
+      .select($"vec_id", transform($"embedding", _.cast("double")).as("v"))
+    val idx2 = java.nio.file.Files.createTempDirectory("ivfhealth-idx2").toString
+    val baseDir = java.nio.file.Files.createTempDirectory("ivfhealth-base").toString
+    Tables.embeddings(spark, sf).filter($"vec_id" < 250)
+      .coalesce(1).write.mode("overwrite").parquet(s"$baseDir/embeddings.parquet")
+    graft.operators.IvfIndex.build(spark, baseDir, idx2, nLists = 16,
+      lloydIters = Similarity.DefaultLloydIters)
+    graft.operators.IvfIndex.append(spark, idx2, all.filter($"vec_id" >= 250))
+    val physical = graft.operators.IvfIndex.health(spark, idx2, cut = 250)
+    val inline = Similarity.ivfHealth(spark, sf)
+    assert(physical.collect().toSeq == inline.collect().toSeq,
+      "persisted-index health diverges from the inline derivation")
+  }
 }
