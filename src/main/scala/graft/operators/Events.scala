@@ -723,7 +723,112 @@ object Events {
       .orderBy($"event_type")
   }
 
+  /** Per-user sessions kept at SESSION grain with their closed
+    * `[s_ms, e_ms]` millisecond intervals — the gaps-and-islands pass of
+    * [[sessions]] before its global roll-up, shared by the interval-join
+    * ([[sessionOverlap]]) and sweep-line ([[concurrency]]) operators so
+    * all three agree on what a session is. */
+  private[graft] def sessionIntervals(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ms", $"event_id")
+    ev(s, d)
+      .withColumn("brk", when(lag($"ms", 1).over(w).isNull ||
+        $"ms" - lag($"ms", 1).over(w) > SessionGapMs, 1L).otherwise(0L))
+      .withColumn("sid", sum($"brk").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"user_id", $"sid")
+      .agg(min($"ms").as("s_ms"), max($"ms").as("e_ms"))
+  }
+
+  /** Grid cell width for [[sessionOverlap]]'s bucketized interval join —
+    * sized to the session-duration distribution (sessions are gap-bounded
+    * minutes-scale; an hour cell keeps per-session fan-out ≤2 cells while
+    * keeping per-cell population far below all-pairs density). Shared with
+    * nothing: the oracle replays the JOIN SEMANTICS (a plain non-equi
+    * join), not the grid — the grid is pure plan, invisible in the result. */
+  private val OverlapCellMs = 3600000L
+
+  /** INTERVAL OVERLAP JOIN — "which sessions of DIFFERENT users ran
+    * concurrently", the canonical large×large interval-join problem
+    * (conflict detection, co-presence, contention analysis). A naive
+    * formulation is a non-equi θ-join (`a.s ≤ b.e AND b.s ≤ a.e`), which
+    * Spark can only execute as a broadcast nested loop or cartesian — both
+    * detonate at scale. The scale plan is GRID BUCKETIZATION: each session
+    * explodes onto the fixed time cells it touches ([[OverlapCellMs]]),
+    * candidates equi-join ON THE CELL, and the overlap predicate filters
+    * survivors. Two sessions overlap ⇒ they share the cell containing the
+    * later start, so requiring `cell = greatest(s_a,s_b) div G` counts
+    * every true pair EXACTLY ONCE — the owner-cell trick that removes the
+    * pair-dedup `distinct` (and its full-candidate shuffle) entirely.
+    *
+    * 100 TB: fan-out is duration/G (+1) cells per session — bounded by the
+    * session gap discipline; candidate volume is Σ_cell n_cell², governed
+    * by REAL temporal density rather than corpus size, and a hot cell
+    * (thundering-herd hour) is a standard AQE-skew/salting target. Same-
+    * user pairs can't overlap (a user's sessions are gap-disjoint by
+    * construction) and are excluded with the orientation pin `ua < ub`.
+    * Output is day-bounded: pairs, overlap mass, peak single overlap, the
+    * uid checksum, and distinct users participating. */
+  def sessionOverlap(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val g = OverlapCellMs
+    val cells = sessionIntervals(s, d)
+      .select($"user_id", $"s_ms", $"e_ms",
+        explode(sequence(expr(s"s_ms div $g"), expr(s"e_ms div $g"))).as("cell"))
+    val a = cells.select($"cell", $"user_id".as("ua"), $"s_ms".as("sa"),
+      $"e_ms".as("ea"))
+    val b = cells.select($"cell", $"user_id".as("ub"), $"s_ms".as("sb"),
+      $"e_ms".as("eb"))
+    val pairs = a.join(b, Seq("cell"))
+      .filter($"ua" < $"ub" && $"sa" <= $"eb" && $"sb" <= $"ea" &&
+        $"cell" === expr(s"greatest(sa, sb) div $g"))
+      .select(expr("greatest(sa, sb) div 86400000").as("day"),
+        (least($"ea", $"eb") - greatest($"sa", $"sb")).as("ov_ms"),
+        $"ua", $"ub")
+    val perDay = pairs.groupBy($"day")
+      .agg(count(lit(1)).as("n_pairs"), sum($"ov_ms").as("overlap_ms_sum"),
+           max($"ov_ms").as("overlap_ms_max"), sum($"ua" + $"ub").as("uid_sum"))
+    val users = pairs.select($"day", $"ua".as("uid"))
+      .unionByName(pairs.select($"day", $"ub".as("uid")))
+      .groupBy($"day").agg(countDistinct($"uid").as("n_users"))
+    perDay.join(users, Seq("day")).orderBy($"day")
+  }
+
+  /** SWEEP-LINE CONCURRENCY — peak simultaneous sessions per day, the
+    * aggregate twin of [[sessionOverlap]] (that one enumerates WHO
+    * overlapped; this one tracks HOW MANY were open). Classic boundary
+    * decomposition: each closed session `[s,e]` emits `+1@s` and
+    * `-1@(e+1)`, deltas collapse per distinct millisecond (so the level is
+    * well-defined regardless of within-ms processing order), and the open-
+    * session level is the INCLUSIVE running sum of the net deltas — which
+    * [[graft.plans.ScalableNtile.runningTotal]] computes by range
+    * decomposition, NOT a single-partition global window: the sweep line,
+    * usually the textbook example of inherently-sequential, distributes.
+    *
+    * 100 TB: boundaries are 2 rows/session (session-scale, already far
+    * below event-scale), the delta collapse is a partial-agg'd groupBy,
+    * and the prefix sum is the P-range decomposition with a P-row offset
+    * frame. Level between boundaries is constant, so per-day max over
+    * boundary rows IS the day's true peak (days with zero boundaries are
+    * absent on both engines identically). */
+  def concurrency(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val iv = sessionIntervals(s, d)
+    val deltas = iv.select($"s_ms".as("ms"), lit(1L).as("delta"))
+      .unionByName(iv.select(($"e_ms" + 1L).as("ms"), lit(-1L).as("delta")))
+      .groupBy($"ms").agg(sum($"delta").as("net"))
+    graft.plans.ScalableNtile
+      .runningTotal(deltas, $"net", Seq($"ms"), "level")
+      .groupBy(expr("ms div 86400000").as("day"))
+      .agg(max($"level").as("max_concurrent"),
+           count(lit(1)).as("n_boundary_ms"),
+           sum($"net").as("net_day"))
+      .orderBy($"day")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "nd_join_interval" -> sessionOverlap _,
+    "nd_events_concurrency" -> concurrency _,
     "nd_events_forecast" -> holtForecast _,
     "nd_events_scd2" -> scd2History _,
     "nd_events_asof_attr" -> asofAttribute _,
@@ -744,6 +849,65 @@ object Events {
     "nd_events_anomaly" -> anomalies _)
 
   def oracle: Map[String, String] = Map(
+    // Interval-join replay: the oracle states the SEMANTICS as the naive
+    // non-equi self-join over the shared gaps-and-islands session CTE —
+    // the Spark side's grid bucketing + owner-cell counting must be
+    // result-invisible, which is exactly what this asymmetry proves.
+    "nd_join_interval" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events),
+         g AS (SELECT user_id, event_id, ms,
+                      CASE WHEN lag(ms) OVER w IS NULL
+                             OR ms - lag(ms) OVER w > 1800000
+                           THEN 1 ELSE 0 END AS brk
+               FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)),
+         sid AS (SELECT user_id, ms,
+                        sum(brk) OVER (PARTITION BY user_id ORDER BY ms, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS sid
+                 FROM g),
+         sess AS (SELECT user_id, sid, min(ms) AS s, max(ms) AS e
+                  FROM sid GROUP BY user_id, sid),
+         p AS (SELECT greatest(a.s, b.s) // 86400000 AS day,
+                      least(a.e, b.e) - greatest(a.s, b.s) AS ov_ms,
+                      a.user_id AS ua, b.user_id AS ub
+               FROM sess a JOIN sess b
+                 ON a.user_id < b.user_id AND a.s <= b.e AND b.s <= a.e),
+         d AS (SELECT day, CAST(count(*) AS BIGINT) AS n_pairs,
+                      CAST(sum(ov_ms) AS BIGINT) AS overlap_ms_sum,
+                      max(ov_ms) AS overlap_ms_max,
+                      CAST(sum(ua + ub) AS BIGINT) AS uid_sum
+               FROM p GROUP BY day),
+         u AS (SELECT day, count(DISTINCT uid) AS n_users FROM (
+                 SELECT day, ua AS uid FROM p
+                 UNION ALL SELECT day, ub FROM p) GROUP BY day)
+         SELECT d.day, n_pairs, overlap_ms_sum, overlap_ms_max, uid_sum, n_users
+         FROM d JOIN u ON d.day = u.day ORDER BY d.day""",
+    // Sweep-line replay: same session CTE, ±1 boundary deltas collapsed
+    // per distinct ms, one running-sum window (tractable at oracle SF;
+    // the Spark side range-decomposes the same prefix sum).
+    "nd_events_concurrency" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events),
+         g AS (SELECT user_id, event_id, ms,
+                      CASE WHEN lag(ms) OVER w IS NULL
+                             OR ms - lag(ms) OVER w > 1800000
+                           THEN 1 ELSE 0 END AS brk
+               FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)),
+         sid AS (SELECT user_id, ms,
+                        sum(brk) OVER (PARTITION BY user_id ORDER BY ms, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS sid
+                 FROM g),
+         sess AS (SELECT user_id, sid, min(ms) AS s, max(ms) AS e
+                  FROM sid GROUP BY user_id, sid),
+         b AS (SELECT s AS ms, 1 AS delta FROM sess
+               UNION ALL SELECT e + 1, -1 FROM sess),
+         n AS (SELECT ms, CAST(sum(delta) AS BIGINT) AS net FROM b GROUP BY ms),
+         l AS (SELECT ms, net,
+                      CAST(sum(net) OVER (ORDER BY ms ROWS UNBOUNDED PRECEDING)
+                           AS BIGINT) AS level
+               FROM n)
+         SELECT ms // 86400000 AS day, max(level) AS max_concurrent,
+                CAST(count(*) AS BIGINT) AS n_boundary_ms,
+                CAST(sum(net) AS BIGINT) AS net_day
+         FROM l GROUP BY 1 ORDER BY 1""",
     // Holt replay: row-numbered day series, recursive CTE carrying
     // (level, trend, sae) one day per step; // truncates toward zero
     // exactly like the Scala kernel's Long division

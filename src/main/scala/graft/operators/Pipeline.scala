@@ -764,6 +764,53 @@ object Pipeline {
       .orderBy($"bin")
   }
 
+  /** VACUUM / RETENTION PLANNER — the other half of table maintenance
+    * ([[compactionPlan]] merges small files; this expires unreferenced
+    * ones): given the physical file listing and the snapshot lineage of a
+    * versioned table, classify every file as `live` (referenced by the
+    * current snapshot), `retained` (dropped from current but still
+    * referenced by a snapshot inside the time-travel watermark — NOT
+    * safe to delete), or `expired` (referenced by no retained snapshot —
+    * the vacuum delete list). Deleting by "not in current snapshot" alone
+    * corrupts time travel; the watermark check is the whole point.
+    *
+    * Simulated lineage (deterministic, both engines derive the identical
+    * one): 199 base files (`file_id = doc_id mod 199`) created at version
+    * `file_id mod 5`; files with `file_id mod 7 = 1` created before v2
+    * were DELETED at v2 (no successor); files with `file_id mod 3 = 0`
+    * created before v4 (and not deleted) were REWRITTEN at v4 into
+    * replacement files `file_id + 1000`. Watermark retains snapshots
+    * {3, 4}: rewritten-away originals are `retained` (v3 still reads
+    * them), the v2-deleted files are `expired`.
+    *
+    * Scale shape: the ONLY corpus-scale pass is the per-file byte/doc
+    * aggregate (map-side partial on 2-word rows); listing, lineage flags,
+    * and the status CASE are file-count-sized metadata (≤ a few million
+    * rows at 100 TB), exactly like [[compactionPlan]]'s planning frame. */
+  def vacuumPlan(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = documents(s, d)
+      .groupBy(pmod($"doc_id", lit(199)).as("file_id"))
+      .agg(sum($"n_chars").as("bytes"), count(lit(1)).as("n_docs"))
+      .withColumn("created_ver", pmod($"file_id", lit(5)))
+      .withColumn("deleted", pmod($"file_id", lit(7)) === 1 && $"created_ver" < 2)
+      .withColumn("rewritten",
+        !$"deleted" && pmod($"file_id", lit(3)) === 0 && $"created_ver" < 4)
+    val replacements = base.filter($"rewritten")
+      .select(($"file_id" + 1000L).as("file_id"), $"bytes", $"n_docs",
+        lit(4L).as("created_ver"), lit(false).as("deleted"),
+        lit(false).as("rewritten"))
+    base.unionByName(replacements)
+      .withColumn("status",
+        when(!$"deleted" && !$"rewritten", "live")
+          .when($"rewritten", "retained")
+          .otherwise("expired"))
+      .groupBy($"status", $"created_ver")
+      .agg(count(lit(1)).as("n_files"), sum($"n_docs").as("n_docs"),
+           sum($"bytes").as("total_bytes"), sum($"file_id").as("file_id_sum"))
+      .orderBy($"status", $"created_ver")
+  }
+
   /** DOCUMENTS Z-ORDER MANIFEST — the layout pass a 100-TB text corpus
     * actually wants ([[graft.plans.Layout.zorderedWrite]] applied to the
     * `(source, quality)` plane): training-mixture readers filter by
@@ -801,6 +848,7 @@ object Pipeline {
     "nd_doc_zorder" -> docZorderManifest _,
     "nd_pipeline_diff" -> snapshotDiff _,
     "nd_pipeline_compaction" -> compactionPlan _,
+    "nd_pipeline_vacuum" -> vacuumPlan _,
     "nd_pipeline_interleave" -> interleave _,
     "nd_quality_checks" -> qualityChecks _,
     "nd_pipeline_kfold_leakage" -> ((s: SparkSession, d: String) => kfoldLeakage(s, d)),
@@ -884,6 +932,33 @@ object Pipeline {
                 CAST(sum(n_docs) AS BIGINT) AS bin_docs,
                 CAST(min(file_id) AS BIGINT) AS first_file
          FROM p GROUP BY 1 ORDER BY bin""",
+    // vacuum replay: identical simulated lineage (mod-arithmetic flags),
+    // replacement rows unioned, same status CASE
+    "nd_pipeline_vacuum" ->
+      """WITH f AS (SELECT doc_id % 199 AS file_id,
+                           CAST(sum(n_chars) AS BIGINT) AS bytes,
+                           CAST(count(*) AS BIGINT) AS n_docs
+                    FROM documents GROUP BY doc_id % 199),
+         base AS (SELECT file_id, bytes, n_docs,
+                         file_id % 5 AS created_ver,
+                         (file_id % 7 = 1 AND file_id % 5 < 2) AS deleted,
+                         (NOT (file_id % 7 = 1 AND file_id % 5 < 2))
+                           AND file_id % 3 = 0 AND file_id % 5 < 4 AS rewritten
+                  FROM f),
+         l AS (SELECT file_id, bytes, n_docs, created_ver, deleted, rewritten
+               FROM base
+               UNION ALL
+               SELECT file_id + 1000, bytes, n_docs, 4, false, false
+               FROM base WHERE rewritten)
+         SELECT CASE WHEN NOT deleted AND NOT rewritten THEN 'live'
+                     WHEN rewritten THEN 'retained'
+                     ELSE 'expired' END AS status,
+                CAST(created_ver AS BIGINT) AS created_ver,
+                CAST(count(*) AS BIGINT) AS n_files,
+                CAST(sum(n_docs) AS BIGINT) AS n_docs,
+                CAST(sum(bytes) AS BIGINT) AS total_bytes,
+                CAST(sum(file_id) AS BIGINT) AS file_id_sum
+         FROM l GROUP BY 1, 2 ORDER BY status, created_ver""",
     // one-pass aggregate + UNION ALL report; ratios are integer micro
     // divisions with HUGEINT-widened numerators (mirrors the Spark
     // DECIMAL(38,0) widening), bounds report the raw extreme

@@ -419,10 +419,14 @@ object Similarity {
     * value-for-value. Scoring dequantizes on the fly (`min + code·scale`)
     * so the stored corpus is 1 byte/dim; ranking quality is checked
     * against the full-precision baseline in SimilaritySpec. */
-  def knnSq8(s: SparkSession, d: String, nQueries: Int = 5, k: Int = 5): DataFrame = {
-    import s.implicits._
-    val vecs = embeddings(s, d)
-      .select($"vec_id", transform($"embedding", _.cast("double")).as("v"))
+  /** The SQ8 dequantized corpus `(vec_id, dv)` shared by [[knnSq8]] and
+    * [[ragRerank]]: per-dimension min/scale are ONE collected metadata row
+    * (the same contract as [[lloydCentroids]]), inlined as literals so the
+    * dequantize+score pass is a single map-only scan — at 100 TB the int8
+    * codes are what the store actually persists (4× smaller scans) and
+    * this expression is the read path. */
+  private def sq8Dequantized(vecs: DataFrame): DataFrame = {
+    import vecs.sparkSession.implicits._
     val mm = vecs.select(udaf(new graft.functions.VectorMinMax,
         org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]())($"v").as("mm"))
       .head().getStruct(0)
@@ -430,19 +434,74 @@ object Similarity {
     val minsL = array(mins.map(lit): _*)
     val scaleL = array(mins.indices.map(i => lit((maxs(i) - mins(i)) / 255.0)): _*)
     // dequantized corpus: x' = min + clamp(floor((x-min)/scale + 0.5)) * scale
-    val dq = vecs.select($"vec_id",
+    vecs.select($"vec_id",
       zip_with($"v", sequence(lit(1), lit(mins.length)), (x, i) => {
         val mn = element_at(minsL, i.cast("int"))
         val sc = element_at(scaleL, i.cast("int"))
         when(sc === 0.0, mn)
           .otherwise(mn + least(lit(255.0), floor((x - mn) / sc + 0.5)) * sc)
       }).as("dv"))
+  }
+
+  def knnSq8(s: SparkSession, d: String, nQueries: Int = 5, k: Int = 5): DataFrame = {
+    import s.implicits._
+    val vecs = embeddings(s, d)
+      .select($"vec_id", transform($"embedding", _.cast("double")).as("v"))
+    val dq = sq8Dequantized(vecs)
     val q = vecs.filter($"vec_id" < nQueries)
       .select($"vec_id".as("query_id"), $"v".as("qv"))
     val cand = dq.join(broadcast(q), $"vec_id" =!= $"query_id")
       .select($"query_id", $"vec_id".as("neighbor_id"),
               Expressions.cosineSim($"qv", $"dv").as("sim"))
     rankWithin(cand, k)
+  }
+
+  /** TWO-STAGE RETRIEVAL (coarse scan → exact rerank) — the architecture
+    * every production vector store runs at scale: stage 1 scans the
+    * COMPRESSED representation ([[sq8Dequantized]] int8 codes — the scan
+    * that fits the IO budget at 100 TB) for a generous top-`nCand`
+    * candidate set; stage 2 fetches ONLY those candidates' full-precision
+    * vectors and re-scores them exactly, so float fidelity is paid on
+    * `nQueries·nCand` rows instead of the corpus. Both ranks order by the
+    * MICRO-ROUNDED similarity (exact BIGINT, `neighbor_id` tiebreak) so
+    * stage membership and final order replay value-for-value in the
+    * oracle — float ranking ties can't flip membership cross-engine.
+    *
+    * Output carries `coarse_rank` next to the exact rank: the delta is the
+    * compression-induced reorder this stage exists to repair (rows where
+    * `rank ≠ coarse_rank` are the quantization casualties).
+    *
+    * Scale shape: stage 1 is the map-only [[knnSq8]] scan (queries
+    * broadcast, corpus never shuffles) + a per-query top-`nCand`; stage 2
+    * is a candidate-bounded semi-join back to the full vectors — the only
+    * shuffle in the operator moves `nQueries·nCand` rows. */
+  def ragRerank(s: SparkSession, d: String, nQueries: Int = 5, k: Int = 5,
+      nCand: Int = 20): DataFrame = {
+    import s.implicits._
+    val vecs = embeddings(s, d)
+      .select($"vec_id", transform($"embedding", _.cast("double")).as("v"))
+    val q = vecs.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("query_id"), $"v".as("qv"))
+    val coarse = sq8Dequantized(vecs).join(broadcast(q), $"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id".as("neighbor_id"),
+        round(Expressions.cosineSim($"qv", $"dv") * 1000000).cast("long")
+          .as("csim_micro"))
+    val wc = Window.partitionBy($"query_id")
+      .orderBy($"csim_micro".desc, $"neighbor_id")
+    val cands = coarse.withColumn("coarse_rank", row_number().over(wc).cast("long"))
+      .filter($"coarse_rank" <= nCand)
+      .select($"query_id", $"neighbor_id", $"coarse_rank")
+    val exact = cands
+      .join(vecs.withColumnRenamed("vec_id", "neighbor_id"), Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select($"query_id", $"neighbor_id", $"coarse_rank",
+        round(Expressions.cosineSim($"qv", $"v") * 1000000).cast("long")
+          .as("sim_micro"))
+    val wr = Window.partitionBy($"query_id").orderBy($"sim_micro".desc, $"neighbor_id")
+    exact.withColumn("rank", row_number().over(wr).cast("long"))
+      .filter($"rank" <= k)
+      .select($"query_id", $"neighbor_id", $"sim_micro", $"rank", $"coarse_rank")
+      .orderBy($"query_id", $"rank")
   }
 
   /** Product-quantized ANN (PQ) — the codebook-compression half of the
@@ -713,6 +772,7 @@ object Similarity {
     "nd_knn_ivf_health" -> ((s: SparkSession, d: String) => ivfHealth(s, d)),
     "nd_knn_recall" -> ((s: SparkSession, d: String) => knnRecall(s, d)),
     "nd_knn_sq8" -> ((s: SparkSession, d: String) => knnSq8(s, d)),
+    "nd_rag_rerank" -> ((s: SparkSession, d: String) => ragRerank(s, d)),
     "nd_rag_bm25" -> ((s: SparkSession, d: String) => bm25Retrieve(s, d)),
     "nd_rag_hybrid" -> ((s: SparkSession, d: String) => hybridRetrieve(s, d)),
     "nd_rag_ndcg" -> ((s: SparkSession, d: String) => retrievalNdcg(s, d)),
@@ -1919,6 +1979,48 @@ object Similarity {
     // scalar quantization replayed exactly: per-dim min/max (exact aggs),
     // floor-based codes (floor on the binary value is engine-stable,
     // round is not), dequantize, asymmetric cosine top-k
+    // Two-stage replay: the sq8 dequantize CTE feeds a micro-rounded
+    // coarse top-20, whose candidates alone are re-scored exactly —
+    // stage membership and both ranks are integer-keyed on both engines.
+    "nd_rag_rerank" ->
+      """WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          stats AS (
+            SELECT t.i AS i, min(v[t.i]) AS mn, max(v[t.i]) AS mx
+            FROM vecs CROSS JOIN range(1, 65) t(i) GROUP BY t.i),
+          sc AS (SELECT i, mn, (mx - mn) / 255.0::DOUBLE AS s FROM stats),
+          dqe AS (
+            SELECT vec_id, t.i AS i,
+                   CASE WHEN s = 0 THEN mn
+                        ELSE mn + least(255.0::DOUBLE, floor((v[t.i] - mn) / s + 0.5::DOUBLE)) * s
+                   END AS x
+            FROM vecs CROSS JOIN range(1, 65) t(i) JOIN sc ON sc.i = t.i),
+          dq AS (SELECT vec_id, list(x ORDER BY i) AS dv FROM dqe GROUP BY vec_id),
+          q AS (SELECT vec_id AS query_id, v AS qv FROM vecs WHERE vec_id < 5),
+          coarse AS (
+            SELECT query_id, dq.vec_id AS neighbor_id,
+                   CAST(round(list_cosine_similarity(qv, dv) * 1000000) AS BIGINT)
+                     AS csim_micro
+            FROM dq CROSS JOIN q WHERE dq.vec_id <> query_id),
+          cand AS (
+            SELECT query_id, neighbor_id, CAST(coarse_rank AS BIGINT) AS coarse_rank
+            FROM (SELECT query_id, neighbor_id,
+                         row_number() OVER (PARTITION BY query_id
+                           ORDER BY csim_micro DESC, neighbor_id) AS coarse_rank
+                  FROM coarse)
+            WHERE coarse_rank <= 20),
+          ex AS (
+            SELECT c.query_id, c.neighbor_id, c.coarse_rank,
+                   CAST(round(list_cosine_similarity(q.qv, vv.v) * 1000000) AS BIGINT)
+                     AS sim_micro
+            FROM cand c JOIN vecs vv ON vv.vec_id = c.neighbor_id
+            JOIN q ON q.query_id = c.query_id),
+          r AS (SELECT query_id, neighbor_id, coarse_rank, sim_micro,
+                       row_number() OVER (PARTITION BY query_id
+                         ORDER BY sim_micro DESC, neighbor_id) AS rk
+                FROM ex)
+          SELECT query_id, neighbor_id, sim_micro, CAST(rk AS BIGINT) AS rank,
+                 coarse_rank
+          FROM r WHERE rk <= 5 ORDER BY query_id, rank""",
     "nd_knn_sq8" ->
       """WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
           stats AS (

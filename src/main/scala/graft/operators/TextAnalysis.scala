@@ -735,6 +735,51 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Retained-vocabulary size for [[vocabCoverage]] — deliberately small
+    * relative to the corpus vocabulary so the OOV branch is exercised at
+    * every SF (the driver corpus has ~31 types; 16 keeps roughly half the
+    * token MASS in-vocab and the rest measurably out). */
+  private val CoverageVocab = 16
+
+  /** VOCABULARY COVERAGE / OOV-RATE AUDIT — the go/no-go check before
+    * committing a tokenizer vocabulary: freeze the top-[[CoverageVocab]]
+    * words by corpus frequency (ties broken by token — the [[vocabTopK]]
+    * discipline) and report, PER SOURCE, how much of the token stream that
+    * vocabulary covers: occurrence coverage in exact micro units, distinct
+    * OOV types, and the OOV character mass (the text a word-level model
+    * would map to UNK, i.e. the damage). A source whose coverage sits far
+    * below the corpus mean is flagged by inspection — it speaks a
+    * different register and needs vocab budget or its own tokenizer.
+    *
+    * Scale shape: the frequency pass is one partial-agg'd token-count
+    * shuffle (vocabulary-bounded output); the retained vocab is ≤V rows
+    * via TakeOrderedAndProject and broadcasts into the coverage join, so
+    * the corpus-scale token stream is annotated MAP-SIDE and the per-
+    * source aggregate partial-aggs — two corpus scans, zero corpus-scale
+    * shuffles, exactly the [[tfidf]] broadcast discipline. */
+  def vocabCoverage(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tok = documents(s, d)
+      .select($"source", explode(wsTokens(canonical($"text"))).as("token"))
+      .filter($"token" =!= "")
+    val vocab = tok.groupBy($"token").agg(count(lit(1)).as("freq"))
+      .orderBy($"freq".desc, $"token").limit(CoverageVocab)
+      .select($"token", lit(1L).as("inv"))
+    tok.join(broadcast(vocab), Seq("token"), "left")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_tokens"),
+           sum(coalesce($"inv", lit(0L))).as("n_in_vocab"),
+           (count(lit(1)) - sum(coalesce($"inv", lit(0L)))).as("n_oov"),
+           // widen BEFORE the ×1e6: a 100-TB source's token count ~1e13
+           // puts the product past long range (the wau-ratio discipline)
+           expr("CAST(CAST(sum(coalesce(inv, 0)) AS DECIMAL(38,0)) * 1000000" +
+             " div count(1) AS BIGINT)").as("coverage_micro"),
+           countDistinct(when($"inv".isNull, $"token")).as("n_oov_types"),
+           coalesce(sum(when($"inv".isNull, length($"token").cast("long"))),
+             lit(0L)).as("oov_chars"))
+      .orderBy($"source")
+  }
+
   /** SHANNON ENTROPY of the token distribution per language — the
     * diversity diagnostic (a collapsed or templated corpus shows low
     * unigram entropy; dedup/curation pipelines track it before/after):
@@ -1213,6 +1258,7 @@ object TextAnalysis {
     "nd_lang_confusion" -> langIdConfusion _,
     "nd_fingerprints" -> fingerprints _,
     "nd_lang_stats" -> langStats _,
+    "nd_tok_coverage" -> vocabCoverage _,
     "nd_vocab_topk" -> ((s: SparkSession, d: String) => vocabTopK(s, d)),
     "nd_vocab_cms" -> ((s: SparkSession, d: String) => vocabCms(s, d)),
     "nd_vocab_hll" -> vocabHll _,
@@ -1326,6 +1372,27 @@ object TextAnalysis {
         FROM r WHERE rn = 1 ORDER BY doc_id"""
 
   val oracle: Map[String, String] = Map(
+    // Coverage replay: same top-16 freeze (freq desc, token tiebreak),
+    // same left-join annotate, integral micro coverage
+    "nd_tok_coverage" ->
+      """WITH tok AS (SELECT source,
+                unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS token
+              FROM documents),
+         t AS (SELECT source, token FROM tok WHERE token <> ''),
+         v AS (SELECT token, 1 AS inv FROM (
+                 SELECT token, count(*) AS freq FROM t GROUP BY token
+                 ORDER BY freq DESC, token LIMIT 16)),
+         j AS (SELECT source, t.token, coalesce(v.inv, 0) AS inv
+               FROM t LEFT JOIN v ON t.token = v.token)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+                CAST(sum(inv) AS BIGINT) AS n_in_vocab,
+                CAST(count(*) - sum(inv) AS BIGINT) AS n_oov,
+                CAST(sum(inv) * 1000000 // count(*) AS BIGINT) AS coverage_micro,
+                CAST(count(DISTINCT CASE WHEN inv = 0 THEN token END) AS BIGINT)
+                  AS n_oov_types,
+                CAST(coalesce(sum(CASE WHEN inv = 0 THEN length(token) END), 0)
+                     AS BIGINT) AS oov_chars
+         FROM j GROUP BY source ORDER BY source""",
     // HTML-extraction replay: identical page build (chr(10) = the Spark
     // side's '\n'), same strip→decode→line-filter chain via list lambdas
     "nd_text_extract" ->
