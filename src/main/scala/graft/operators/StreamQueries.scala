@@ -204,6 +204,33 @@ object StreamQueries {
       .orderBy($"user_id", $"session_start")
   }
 
+  /** Drained streaming CONCURRENCY GAUGE — the streaming twin of the
+    * batch [[Events.concurrency]] sweep line, over exactly the CLOSED
+    * sessions ([[EventStreams.sessionize]] emits a session only when its
+    * inactivity gap closes; each user's still-open last session lives in
+    * state — the [[streamSession]] discipline, which the oracle mirrors
+    * by dropping each user's final session). The ±1 boundary decomposition
+    * and range-decomposed prefix sum are a BATCH post-pass over the
+    * drained session-grain rows: the stream maintains session state, the
+    * sweep line runs on session-scale data — the state/analytics split a
+    * production gauge pipeline actually uses. */
+  def streamConcurrency(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val out = EventStreams.sessionize(EventStreams.readEvents(s, d)).toDF()
+    val sess = drain(out, "nd_stream_concurrency_sink", "append")
+      .select($"session_start".as("s_ms"), $"session_end".as("e_ms"))
+    val deltas = sess.select($"s_ms".as("ms"), lit(1L).as("delta"))
+      .unionByName(sess.select(($"e_ms" + 1L).as("ms"), lit(-1L).as("delta")))
+      .groupBy($"ms").agg(sum($"delta").as("net"))
+    graft.plans.ScalableNtile
+      .runningTotal(deltas, $"net", Seq($"ms"), "level")
+      .groupBy(expr("ms div 86400000").as("day"))
+      .agg(max($"level").as("max_concurrent"),
+           count(lit(1)).as("n_boundary_ms"),
+           sum($"net").as("net_day"))
+      .orderBy($"day")
+  }
+
   /** Drained streaming SCD2 dimension maintenance
     * ([[EventStreams.scd2Stream]], append mode): exactly the CLOSED
     * attribute versions — the batch [[Events.scd2History]] rows with
@@ -436,6 +463,7 @@ object StreamQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "nd_stream_concurrency" -> ((s: SparkSession, d: String) => streamConcurrency(s, d)),
     "nd_stream_scd2" -> ((s: SparkSession, d: String) => streamScd2(s, d)),
     "nd_stream_upsert" -> ((s: SparkSession, d: String) => streamUpsert(s, d)),
     "nd_stream_join" -> ((s: SparkSession, d: String) => streamJoin(s, d)),
@@ -566,6 +594,37 @@ object StreamQueries {
          SELECT user_id, ver, attr, valid_from, valid_to, n_events
          FROM x WHERE valid_to IS NOT NULL
          ORDER BY user_id, ver""",
+    // sweep-line over the CLOSED sessions only: same gaps-and-islands
+    // CTE as nd_stream_session (each user's open last session stays in
+    // state), then the nd_events_concurrency boundary/prefix replay
+    "nd_stream_concurrency" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS ms FROM events),
+          m AS (SELECT user_id, ms,
+                  CASE WHEN lag(ms) OVER (PARTITION BY user_id ORDER BY ms) IS NULL
+                         OR ms - lag(ms) OVER (PARTITION BY user_id ORDER BY ms) > 1800000
+                       THEN 1 ELSE 0 END AS brk
+                FROM e),
+          g AS (SELECT user_id, ms,
+                  sum(brk) OVER (PARTITION BY user_id ORDER BY ms
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+                FROM m),
+          sess AS (SELECT user_id, sid, min(ms) AS s, max(ms) AS e
+                   FROM g GROUP BY user_id, sid),
+          cl AS (SELECT user_id, sid, s, e FROM (
+                   SELECT user_id, sid, s, e,
+                          max(sid) OVER (PARTITION BY user_id) AS mx
+                   FROM sess) WHERE sid < mx),
+          b AS (SELECT s AS ms, 1 AS delta FROM cl
+                UNION ALL SELECT e + 1, -1 FROM cl),
+          n AS (SELECT ms, CAST(sum(delta) AS BIGINT) AS net FROM b GROUP BY ms),
+          l AS (SELECT ms, net,
+                       CAST(sum(net) OVER (ORDER BY ms ROWS UNBOUNDED PRECEDING)
+                            AS BIGINT) AS level
+                FROM n)
+          SELECT ms // 86400000 AS day, max(level) AS max_concurrent,
+                 CAST(count(*) AS BIGINT) AS n_boundary_ms,
+                 CAST(sum(net) AS BIGINT) AS net_day
+          FROM l GROUP BY 1 ORDER BY 1""",
     // gaps-and-islands replay of the sessionizer: a session breaks on a
     // >30min silence; each user's last session is still open and thus
     // never emitted by the append-mode stream

@@ -118,4 +118,28 @@ class StreamQueriesSpec extends AnyFunSuite {
     assert(streamed.sameElements(batch),
       "streaming SCD2 must emit exactly the batch history's closed versions")
   }
+
+  test("drained streaming concurrency equals the batch sweep over closed sessions") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val streamed = StreamQueries.streamConcurrency(spark, sf)
+      .collect().map(_.toSeq)
+    // batch twin: the same sweep line over sessionIntervals minus each
+    // user's LAST session (the one the append-mode stream keeps in state)
+    val iv = operators.Events.sessionIntervals(spark, sf)
+      .withColumn("mx", max($"sid").over(Window.partitionBy($"user_id")))
+      .filter($"sid" < $"mx")
+    val deltas = iv.select($"s_ms".as("ms"), lit(1L).as("delta"))
+      .unionByName(iv.select(($"e_ms" + 1L).as("ms"), lit(-1L).as("delta")))
+      .groupBy($"ms").agg(sum($"delta").as("net"))
+    val batch = graft.plans.ScalableNtile
+      .runningTotal(deltas, $"net", Seq($"ms"), "level")
+      .groupBy(expr("ms div 86400000").as("day"))
+      .agg(max($"level").as("max_concurrent"),
+           count(lit(1)).as("n_boundary_ms"), sum($"net").as("net_day"))
+      .orderBy($"day").collect().map(_.toSeq)
+    assert(streamed.nonEmpty && streamed.sameElements(batch),
+      "stream gauge diverges from the closed-session batch sweep")
+  }
 }
