@@ -507,6 +507,82 @@ object EthQueries {
     graft.plans.Caching.detach(out, free)
   }
 
+  /** K-core peel rounds both engines execute for [[q37KCore]]. The
+    * operator's SEMANTICS are "peel at most this many rounds": the Spark
+    * side early-exits at the fixpoint (peeling is monotone — once no edge
+    * drops, further rounds are identity), the oracle unrolls exactly this
+    * many CTE rounds, and because extra rounds past the fixpoint are
+    * no-ops the two agree at every scale whether or not the graph
+    * converges within the cap. Convergence is logged, not asserted
+    * (GraphSpec pins that the fixture converges well inside the cap). */
+  private[graft] val KCoreRounds = 12
+  private[graft] val KCoreK = 3
+
+  /** Q37: k-core decomposition (k=3) of each token's transfer subgraph —
+    * the community-density screen token analytics run after [[q19Components]]
+    * ("who is in the densely-trading core, not just connected"): iteratively
+    * peel nodes of degree < k until fixpoint; report per-token core size,
+    * edge count and degree extremes.
+    *
+    * Scale shape: each round is ONE degree aggregate over the surviving
+    * directed edge list plus two left-semi joins back to it — all
+    * key-partitioned on (token, addr), no payload wider than two words in
+    * any shuffle, no collect. Rounds are data-dependent but bounded by
+    * [[KCoreRounds]]; per-round frames persist MEMORY_AND_DISK and the
+    * previous round unpersists as soon as the next materializes, so peak
+    * footprint is two edge frames however many rounds run (the q17/q19
+    * iterative-state discipline). At 100 TB the peel is the standard
+    * distributed k-core: round count in practice is small (degeneracy
+    * ordering collapses quickly), and a capped round budget is exactly how
+    * production graph engines bound the tail. */
+  def q37KCoreLazy(s: SparkSession, d: String): (DataFrame, () => Unit) = {
+    import s.implicits._
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val und = eth(s, "erc20")
+      .select($"erc20_token".as("token"),
+              least($"erc20_from", $"erc20_to").as("a"),
+              greatest($"erc20_from", $"erc20_to").as("b"))
+      .filter($"a" =!= $"b").distinct()
+    var cur = und.select($"token", $"a".as("u"), $"b".as("v"))
+      .union(und.select($"token", $"b".as("u"), $"a".as("v")))
+      .persist(lvl)
+    var curCnt = cur.count()
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < KCoreRounds) {
+      val keep = cur.groupBy($"token", $"u")
+        .agg(count(lit(1)).as("deg"))
+        .filter($"deg" >= KCoreK)
+        .select($"token", $"u")
+      val next = cur
+        .join(keep, Seq("token", "u"), "left_semi")
+        .join(keep.withColumnRenamed("u", "v"), Seq("token", "v"), "left_semi")
+        .select($"token", $"u", $"v")
+        .persist(lvl)
+      val nextCnt = next.count()
+      cur.unpersist(blocking = false)
+      converged = nextCnt == curCnt
+      cur = next; curCnt = nextCnt; rounds += 1
+    }
+    System.err.println(s"[graft] eth_q37 k-core: " +
+      (if (converged) s"fixpoint after $rounds rounds" else s"round cap $KCoreRounds hit"))
+    val fin = cur
+    val fdeg = fin.groupBy($"token", $"u").agg(count(lit(1)).as("deg"))
+    val out = fin.join(fdeg, Seq("token", "u"))
+      .groupBy($"token")
+      .agg(countDistinct($"u").as("core_nodes"),
+           expr("count(1) div 2").as("core_edges"),
+           max($"deg").as("max_core_deg"),
+           min($"deg").as("min_core_deg"))
+      .orderBy($"token")
+    (out, () => { fin.unpersist(blocking = false); () })
+  }
+
+  def q37KCore(s: SparkSession, d: String): DataFrame = {
+    val (out, free) = q37KCoreLazy(s, d)
+    graft.plans.Caching.detach(out, free)
+  }
+
   /** Connected components of the token-partitioned transfer graph via
     * the shared alternating large-star/small-star contraction —
     * see [[Graph.starComponents]] for the algorithm, the log-round bound,
@@ -1235,7 +1311,47 @@ object EthQueries {
     "eth_q32_adoption" -> q32Adoption _,
     "eth_q33_selectors" -> q33Selectors _,
     "eth_q34_value_histogram" -> q34ValueHistogram _,
-    "eth_q36_account_batch" -> q36AccountBatch _)
+    "eth_q36_account_batch" -> q36AccountBatch _,
+    "eth_q37_kcore" -> q37KCore _)
+
+  /** Unrolled [[KCoreRounds]]-round k-core peel replay (see [[q37KCoreLazy]]
+    * for why a fixed unroll equals the Spark side's early-exit loop at any
+    * scale): each round keeps the directed edges whose BOTH endpoints still
+    * have degree ≥ k in the previous round's edge set. Purely integer,
+    * bit-exact. Every round CTE is `AS MATERIALIZED`: DuckDB 1.0 inlines
+    * plain CTEs per reference, and each round references its predecessor
+    * three times, so the un-materialized unroll expands 3^rounds re-reads
+    * of the erc20 parquet (measured: rounds past 6 never return and the
+    * reader eventually reports a spurious no-files-found under fd
+    * pressure). Materialization makes the replay linear in rounds. */
+  private val kcoreOracle: String = {
+    val k = KCoreK
+    val head =
+      """, e0 AS MATERIALIZED (
+           SELECT erc20_token AS token, erc20_from AS u, erc20_to AS v
+           FROM erc20 WHERE erc20_from <> erc20_to
+           UNION
+           SELECT erc20_token, erc20_to, erc20_from
+           FROM erc20 WHERE erc20_from <> erc20_to)"""
+    val steps = (1 to KCoreRounds).map { i =>
+      s""", d${i - 1} AS MATERIALIZED (SELECT token, u FROM e${i - 1}
+               GROUP BY token, u HAVING count(*) >= $k),
+          e$i AS MATERIALIZED (SELECT e.token, e.u, e.v FROM e${i - 1} e
+               JOIN d${i - 1} x ON e.token = x.token AND e.u = x.u
+               JOIN d${i - 1} y ON e.token = y.token AND e.v = y.u)"""
+    }.mkString
+    val tail =
+      s""", fd AS (SELECT token, u, count(*) AS deg
+                   FROM e$KCoreRounds GROUP BY token, u)
+         SELECT e.token,
+                CAST(count(DISTINCT e.u) AS BIGINT) AS core_nodes,
+                CAST(count(*) // 2 AS BIGINT) AS core_edges,
+                CAST(max(fd.deg) AS BIGINT) AS max_core_deg,
+                CAST(min(fd.deg) AS BIGINT) AS min_core_deg
+         FROM e$KCoreRounds e JOIN fd ON e.token = fd.token AND e.u = fd.u
+         GROUP BY e.token ORDER BY e.token"""
+    head + steps + tail
+  }
 
   /** Unrolled 5-iteration integer PageRank replay (see [[q17PageRank]] for
     * the exact recurrence); starts with "," to extend [[withEthTables]]'s
@@ -1411,6 +1527,7 @@ object EthQueries {
          count(DISTINCT concat_ws('>', erc20_from, erc20_to)) AS n_edges
          FROM erc20 GROUP BY erc20_token ORDER BY erc20_token"""),
     "eth_q17_pagerank" -> withEthTables(pageRankOracle),
+    "eth_q37_kcore" -> withEthTables(kcoreOracle),
     "eth_q19_components" -> withEthTables(componentsOracle, recursive = true),
     // the engine answers this from pushed metadata aggregates (zero block
     // fetches); the oracle recomputes it the honest way over the expected

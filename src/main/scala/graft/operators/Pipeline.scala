@@ -811,6 +811,78 @@ object Pipeline {
       .orderBy($"status", $"created_ver")
   }
 
+  /** INCREMENTAL AGGREGATE-VIEW MAINTENANCE — the nightly-MV pattern every
+    * 100-TB warehouse runs: a stored per-key aggregate STATE (count / sum /
+    * min / max per event_type, simulated here as the `event_id mod 10 <> 7`
+    * slice) is merged with a DELTA batch's partial aggregates (the mod-7
+    * slice) by pure algebraic combination — counts and sums add, extremes
+    * take greatest/least — instead of re-scanning history. The oracle
+    * recomputes the aggregate from the FULL table, so a hash match is the
+    * theorem that matters: merge(state, agg(delta)) == agg(full).
+    *
+    * Scale shape: the delta pass scans only the delta; the state frame is
+    * |keys| rows (metadata-scale); the merge is a full-outer join of two
+    * key-sized frames. At 100 TB this replaces a daily full-history scan
+    * with one incremental pass — the same algebra Structured Streaming's
+    * partial aggregation relies on, proven here value-for-value. Cents
+    * stay integral (round-half-up at source, the [[Events]] discipline),
+    * so merged sums are exact in any association order. */
+  def incrementalAgg(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = events(s, d)
+      .select($"event_id", $"event_type",
+              expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    def agg(df: DataFrame) = df.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"cents").as("sum_cents"),
+           max($"cents").as("max_cents"), min($"cents").as("min_cents"))
+    val state = agg(ev.filter(pmod($"event_id", lit(10)) =!= 7))
+    val delta = agg(ev.filter(pmod($"event_id", lit(10)) === 7))
+      .select($"event_type", $"n".as("d_n"), $"sum_cents".as("d_sum"),
+              $"max_cents".as("d_max"), $"min_cents".as("d_min"))
+    state.join(delta, Seq("event_type"), "full_outer")
+      .select($"event_type",
+        (coalesce($"n", lit(0L)) + coalesce($"d_n", lit(0L))).as("n"),
+        (coalesce($"sum_cents", lit(0L)) + coalesce($"d_sum", lit(0L))).as("sum_cents"),
+        greatest($"max_cents", $"d_max").as("max_cents"),
+        least($"min_cents", $"d_min").as("min_cents"))
+      .orderBy($"event_type")
+  }
+
+  /** JOIN-SKEW SALTING PLANNER — the pre-flight audit a 1000-executor
+    * fact-fact join runs before committing to a plan: per-join-key row
+    * counts, a target rows-per-task derived from the table size (total
+    * div 256 tasks, floor 1), and a per-key salt factor
+    * `min(ceil(cnt / target), 32)` — keys that fit one task hash-join
+    * plainly (`plan = 'hash'`), hot keys get their salt replication count
+    * (`plan = 'salt'`, the [[TpchShapes]] q41 mechanism this planner
+    * feeds). The key here is the simulated-skew join key used across the
+    * events corpus: 90% of rows keep their user_id, 10% collapse onto ten
+    * hot ids (`user_id mod 10`) — the long-tail-plus-hotspot shape real
+    * event streams have.
+    *
+    * Scale shape: ONE partial-agg'd count shuffle of 2-word rows over the
+    * fact table; the tier classification and manifest are key-count-sized.
+    * The manifest (≤ 33 distinct salt tiers) is what the driver would
+    * broadcast to rewrite the join — this query IS that planning artifact. */
+  def joinSkewPlan(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val keyed = events(s, d).select(
+      when(pmod($"event_id", lit(10)) < 9, $"user_id")
+        .otherwise(pmod($"user_id", lit(10))).as("k"))
+    val perKey = keyed.groupBy($"k").agg(count(lit(1)).as("cnt"))
+    val tot = perKey.agg(sum($"cnt").as("tot"))
+    perKey.crossJoin(broadcast(tot))
+      .withColumn("target", greatest(expr("tot div 256"), lit(1L)))
+      .withColumn("salt_factor",
+        least(expr("(cnt + target - 1) div target"), lit(32L)))
+      .withColumn("plan", when($"salt_factor" > 1, "salt").otherwise("hash"))
+      .groupBy($"plan", $"salt_factor")
+      .agg(count(lit(1)).as("n_keys"), sum($"cnt").as("n_rows"),
+           max($"cnt").as("max_key_rows"),
+           min($"k").as("min_key"), max($"k").as("max_key"))
+      .orderBy($"plan", $"salt_factor")
+  }
+
   /** DOCUMENTS Z-ORDER MANIFEST — the layout pass a 100-TB text corpus
     * actually wants ([[graft.plans.Layout.zorderedWrite]] applied to the
     * `(source, quality)` plane): training-mixture readers filter by
@@ -845,6 +917,8 @@ object Pipeline {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "nd_pipeline_incr_agg" -> incrementalAgg _,
+    "nd_join_skew_plan" -> joinSkewPlan _,
     "nd_doc_zorder" -> docZorderManifest _,
     "nd_pipeline_diff" -> snapshotDiff _,
     "nd_pipeline_compaction" -> compactionPlan _,
@@ -872,6 +946,35 @@ object Pipeline {
     * the same replayable constructions as the [[TextAnalysis]] /
     * [[Dedup]] oracles. */
   val oracle: Map[String, String] = Map(
+    // the MV-maintenance theorem stated directly: the oracle aggregates the
+    // FULL table in one pass; the Spark side must reproduce it from
+    // state + delta partials
+    "nd_pipeline_incr_agg" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CAST(round("value" * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+                CAST(max(CAST(round("value" * 100) AS BIGINT)) AS BIGINT) AS max_cents,
+                CAST(min(CAST(round("value" * 100) AS BIGINT)) AS BIGINT) AS min_cents
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    // same simulated hot-key collapse, same integral target/salt arithmetic
+    // (all operands positive, so Spark div == DuckDB //)
+    "nd_join_skew_plan" ->
+      """WITH k AS (SELECT CASE WHEN event_id % 10 < 9 THEN user_id
+                                ELSE user_id % 10 END AS k
+                    FROM events),
+         pk AS (SELECT k, CAST(count(*) AS BIGINT) AS cnt FROM k GROUP BY k),
+         t AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot FROM pk),
+         p AS (SELECT k, cnt,
+                      least((cnt + greatest(tot // 256, 1) - 1)
+                              // greatest(tot // 256, 1), 32) AS salt_factor
+               FROM pk CROSS JOIN t)
+         SELECT CASE WHEN salt_factor > 1 THEN 'salt' ELSE 'hash' END AS plan,
+                CAST(salt_factor AS BIGINT) AS salt_factor,
+                CAST(count(*) AS BIGINT) AS n_keys,
+                CAST(sum(cnt) AS BIGINT) AS n_rows,
+                CAST(max(cnt) AS BIGINT) AS max_key_rows,
+                CAST(min(k) AS BIGINT) AS min_key,
+                CAST(max(k) AS BIGINT) AS max_key
+         FROM p GROUP BY 1, 2 ORDER BY plan, salt_factor""",
     // Z-order manifest replay: same en-score micro, same min/max 16-bit
     // normalization, same Morton mask/shift spreading as q39's oracle
     "nd_doc_zorder" ->

@@ -135,6 +135,103 @@ object StreamQueries {
     Events.percentileReadoff(graft.plans.Caching.detachSink(drained))
   }
 
+  /** `events` as a THREE-micro-batch STRAGGLER-ARRIVAL stream: batch 0 is
+    * the on-time history before T1=2024-01-15T00:00Z (minus a 5% straggler
+    * sample), batch 1 the on-time middle [T1, T2=2024-01-25T00:00Z), batch
+    * 2 the fresh tail PLUS the old stragglers. Three batches because the
+    * engine only DROPS a late row once its window's state has been evicted
+    * — a straggler arriving while its window is still live is aggregated
+    * (measured: a two-batch split yields zero drops, the state was never
+    * evicted before the stragglers landed). Here batch 1's end evicts the
+    * history windows, so batch 2's stragglers hit evicted state and take
+    * the drop path. The split is a pure function of (ts, event_id), so the
+    * arrival schedule — and every watermark value — is deterministic and
+    * oracle-replayable. */
+  private val LateT1Ms = 1705276800000L // 2024-01-15T00:00:00Z
+  private val LateT2Ms = 1706140800000L // 2024-01-25T00:00:00Z
+  private def eventsStragglerSplit(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tmp = paritySplits.getOrElseUpdate(s"late|${s.sparkContext.applicationId}|$d", {
+      val dir = java.nio.file.Files.createTempDirectory("graft-stream-late").toString
+      val ev = Tables.events(s, d)
+      val ms = unix_millis($"ts")
+      val straggler = ms < LateT1Ms && pmod($"event_id", lit(20)) === 7
+      val b0 = ms < LateT1Ms && !straggler
+      val b1 = ms >= LateT1Ms && ms < LateT2Ms
+      ev.filter(b0).coalesce(1).write.mode("overwrite").parquet(s"$dir/b0.parquet")
+      ev.filter(b1).coalesce(1).write.mode("overwrite").parquet(s"$dir/b1.parquet")
+      ev.filter(!b0 && !b1).coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/b2.parquet")
+      dir
+    })
+    s.readStream
+      .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$tmp/b*.parquet")
+  }
+
+  /** Drained WATERMARK LATE-DATA AUDIT — the accounting row a production
+    * event pipeline alarms on: how many rows arrived too late for their
+    * window and were DROPPED by the watermark, vs aggregated on time.
+    * The stream is the straggler-arrival split above run through a
+    * watermarked (2h) tumbling-window (6h) count in append mode; the
+    * audit reads the engine's own `numRowsDroppedByWatermark` state-store
+    * metric plus the drained closed-window sink, and cross-foots them
+    * against the batch input count (`n_open_rows` = input − on-time −
+    * dropped = rows still in open windows at drain).
+    *
+    * The oracle replays Spark's MEASURED watermark mechanics exactly
+    * (4.1.2, and the SPARK-40925 split between filter and eviction
+    * watermarks): the late filter in batch N uses the PREVIOUS batch's
+    * watermark — equivalently, a row is dropped iff its window was
+    * already evicted — so batch 2's stragglers are dropped iff their 6h
+    * window END ≤ max(batch-0 ts, ms-floored) − 2h (the watermark that
+    * ran batch 1's eviction); a window is CLOSED (emitted by append mode)
+    * iff its end ≤ max(all ts) − 2h, the final no-data-batch flush. A
+    * hash match is a value-level proof of the engine's late-row and
+    * window-eviction predicates — not just of our own arithmetic.
+    *
+    * Grain: `numRowsDroppedByWatermark` counts rows at the STATE grain —
+    * the late filter sits past the partial aggregation, so what is
+    * dropped (and counted) is one (window) partial row per batch, not
+    * each late input row (measured: 230 straggler rows in 55 windows
+    * report 55). The audit column is therefore `late_windows_dropped`,
+    * and the oracle counts DISTINCT dropped windows. This grain is
+    * partition-stable as long as a micro-batch's file is one row group
+    * (row groups are ~128 MB — every tier this row is gated at); the
+    * input-ROW drop mass is recoverable downstream as
+    * n_input − on_time_rows − (rows still in open windows). State is one
+    * count per open window; the metric is per-batch engine telemetry:
+    * both bounded however long the stream runs. */
+  def streamLate(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val agg = eventsStragglerSplit(s, d)
+      .withWatermark("ts", "2 hours")
+      .groupBy(window($"ts", "6 hours"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_millis($"window.start").as("win_ms"), $"n")
+    val sink = "nd_stream_late_sink"
+    s.catalog.dropTempView(sink)
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val dropped = try {
+      val q = agg.writeStream.format("memory").queryName(sink)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      require(q.awaitTermination(300000), s"stream drain of $sink did not finish within 300s")
+      q.stop()
+      q.recentProgress.toSeq.flatMap(_.stateOperators.toSeq)
+        .map(_.numRowsDroppedByWatermark).sum
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    val input = Tables.events(s, d).agg(count(lit(1)).as("n_input"))
+    s.table(sink)
+      .agg(count(lit(1)).as("n_closed_windows"),
+           coalesce(sum($"n"), lit(0L)).as("on_time_rows"))
+      .crossJoin(input)
+      .withColumn("late_windows_dropped", lit(dropped))
+      .select($"n_closed_windows", $"on_time_rows",
+              $"late_windows_dropped", $"n_input")
+  }
+
   /** Drained streaming count-min sketch ([[StreamingCms.cmsStream]]): the
     * final depth×width cells of the heavy-hitter sketch, which a complete
     * drain makes EXACTLY the batch audit's cells (same md5-fold hash
@@ -470,6 +567,7 @@ object StreamQueries {
     "eth_stream_blocks" -> ((s: SparkSession, d: String) => ethStreamBlocks(s, d)),
     "eth_stream_transfers" -> ((s: SparkSession, d: String) => ethStreamTransfers(s, d)),
     "nd_stream_window" -> ((s: SparkSession, d: String) => streamWindow(s, d)),
+    "nd_stream_late" -> ((s: SparkSession, d: String) => streamLate(s, d)),
     "nd_stream_percentiles" -> ((s: SparkSession, d: String) => streamPercentiles(s, d)),
     "nd_stream_cms" -> ((s: SparkSession, d: String) => streamCms(s, d)),
     "nd_stream_kmv" -> ((s: SparkSession, d: String) => streamKmv(s, d)),
@@ -535,6 +633,40 @@ object StreamQueries {
       """SELECT (epoch_ms(ts) // 300000) * 300000 AS win_ms, event_type,
                 count(*) AS n, round(sum("value"), 2) AS total_value
          FROM events GROUP BY 1, 2 ORDER BY win_ms, event_type""",
+    // replay of Spark's MEASURED watermark mechanics over the
+    // deterministic 3-batch straggler-arrival schedule (see streamLate):
+    // the late filter for batch 2 uses the watermark that ran batch 1
+    // (= max(batch-0 ms) - 2h) — a row is dropped iff its 6h-window END
+    // <= that (iff its window was already evicted); a window is closed
+    // iff end <= max(all ms) - 2h (the final flush watermark). epoch_ms
+    // floors micros like Spark's watermark tracker.
+    "nd_stream_late" ->
+      """WITH e AS (SELECT event_id, epoch_ms(ts) AS ms FROM events),
+         b0 AS (SELECT ms FROM e
+                WHERE ms < 1705276800000 AND event_id % 20 <> 7),
+         b2 AS (SELECT ms FROM e
+                WHERE ms >= 1706140800000
+                   OR (ms < 1705276800000 AND event_id % 20 = 7)),
+         w1 AS (SELECT max(ms) - 7200000 AS wm FROM b0),
+         wf AS (SELECT max(ms) - 7200000 AS wm FROM e),
+         drp AS (SELECT CAST(count(DISTINCT ms - ms % 21600000) AS BIGINT)
+                          AS late_windows_dropped
+                 FROM b2, w1 WHERE (ms - ms % 21600000) + 21600000 <= w1.wm),
+         surv AS (SELECT ms FROM e
+                  WHERE NOT (ms >= 1706140800000
+                             OR (ms < 1705276800000 AND event_id % 20 = 7))
+                  UNION ALL
+                  SELECT ms FROM b2, w1
+                  WHERE NOT ((ms - ms % 21600000) + 21600000 <= w1.wm)),
+         closed AS (SELECT ms - ms % 21600000 AS win, count(*) AS n
+                    FROM surv, wf
+                    WHERE (ms - ms % 21600000) + 21600000 <= wf.wm
+                    GROUP BY 1),
+         tot AS (SELECT CAST(count(*) AS BIGINT) AS n_input FROM e)
+         SELECT (SELECT CAST(count(*) AS BIGINT) FROM closed) AS n_closed_windows,
+                (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) FROM closed) AS on_time_rows,
+                late_windows_dropped, n_input
+         FROM drp, tot""",
     // a complete drain reproduces the batch histogram cell-for-cell, so
     // the stream row shares the batch percentile oracle verbatim
     "nd_stream_percentiles" -> Events.oracle("nd_events_percentiles"),

@@ -70,7 +70,16 @@ object MemoryPressure {
     // centroid literal + the two-level integral aggregate), the HTML
     // extraction map pass (page build + strip + line lambdas per row),
     // and the documents Z-manifest (en-score scan + bounds crossJoin)
-    "nd_knn_ivf_health", "nd_text_extract", "nd_doc_zorder")
+    "nd_knn_ivf_health", "nd_text_extract", "nd_doc_zorder",
+    // round 12 batch 2: the grid-bucketized interval-overlap join, the
+    // two-stage SQ8→exact rerank, the sweep-line boundary prefix sum and
+    // its stateful streaming drain, the frozen-vocab coverage annotate
+    // join, the k-core peel (round-iterated degree agg + two semi-joins),
+    // the watermark late-data drain, and the two events-table planning
+    // aggregates (per-key skew counts; state+delta MV merge)
+    "nd_join_interval", "nd_rag_rerank", "nd_events_concurrency",
+    "nd_stream_concurrency", "nd_tok_coverage", "eth_q37_kcore",
+    "nd_stream_late", "nd_join_skew_plan", "nd_pipeline_incr_agg")
 
   /** Drain the async listener bus so per-query spill deltas attribute
     * deterministically (the round-8 review flagged the fixed sleep: a

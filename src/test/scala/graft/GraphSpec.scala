@@ -449,6 +449,52 @@ class GraphSpec extends AnyFunSuite {
     assert(got.exists { case (sk, h, _) => sk == seed && h == 0L })
   }
 
+  test("eth_q37 k-core equals a driver-side peel replay; core property holds") {
+    import spark.implicits._
+    val dir = graft.sources.eth.EthFixtures.ensure(spark)
+    val und = spark.read.format("ethereum")
+      .option("table", "erc20").option("chain", dir).load()
+      .select($"erc20_token",
+              least($"erc20_from", $"erc20_to").as("a"),
+              greatest($"erc20_from", $"erc20_to").as("b"))
+      .filter($"a" =!= $"b").distinct().collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    // independent driver-side peel: adjacency sets per token, remove
+    // degree-<k nodes until fixpoint (unbounded rounds — if the query's
+    // 12-round cap were ever too small, this comparison would catch it)
+    val k = 3
+    val expected = und.groupBy(_._1).flatMap { case (tok, es) =>
+      var edges = es.map(e => (e._2, e._3)).toSet
+      var changed = true
+      var roundsUsed = 0
+      while (changed) {
+        val deg = (edges.toSeq.map(_._1) ++ edges.toSeq.map(_._2))
+          .groupBy(identity).view.mapValues(_.size).toMap
+        val keep = deg.filter(_._2 >= k).keySet
+        val next = edges.filter(e => keep(e._1) && keep(e._2))
+        changed = next.size != edges.size
+        edges = next
+        roundsUsed += 1
+      }
+      assert(roundsUsed <= EthQueries.KCoreRounds,
+        s"fixture peel needs $roundsUsed rounds > cap ${EthQueries.KCoreRounds}")
+      if (edges.isEmpty) None
+      else {
+        val deg = (edges.toSeq.map(_._1) ++ edges.toSeq.map(_._2))
+          .groupBy(identity).view.mapValues(_.size.toLong).toMap
+        // core property: every surviving node has degree >= k
+        assert(deg.values.forall(_ >= k), s"$tok core violates degree >= $k")
+        Some((tok, deg.size.toLong, edges.size.toLong,
+              deg.values.max, deg.values.min))
+      }
+    }.toSeq.sortBy(_._1)
+    val got = EthQueries.q37KCore(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+                 r.getLong(3), r.getLong(4))).toSeq
+    assert(got == expected,
+      s"k-core mismatch: got=${got.take(3)} exp=${expected.take(3)}")
+  }
+
   test("q49 unpivot emits 4 metric rows per nation matching the wide aggregate") {
     import spark.implicits._
     val long = Relational.q49Unpivot(spark, sf).collect()

@@ -142,4 +142,33 @@ class StreamQueriesSpec extends AnyFunSuite {
     assert(streamed.nonEmpty && streamed.sameElements(batch),
       "stream gauge diverges from the closed-session batch sweep")
   }
+
+  test("late-data audit: drops happen, accounting cross-foots, grain is windows") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val r = StreamQueries.streamLate(spark, sf).collect()
+    assert(r.length == 1)
+    val (nWin, onTime, lateWins, nInput) =
+      (r(0).getLong(0), r(0).getLong(1), r(0).getLong(2), r(0).getLong(3))
+    assert(nInput == Tables.events(spark, sf).count())
+    // the straggler schedule genuinely exercises the drop path
+    assert(lateWins > 0, "no windows were dropped — the schedule is not late")
+    assert(nWin > 0 && onTime > 0 && onTime < nInput)
+    // batch replay of the measured mechanics (same arithmetic as the
+    // oracle, independent code): dropped windows + on-time rows
+    val e = Tables.events(spark, sf)
+      .select($"event_id", unix_millis($"ts").as("ms"))
+    val isB2 = $"ms" >= 1706140800000L ||
+      ($"ms" < 1705276800000L && pmod($"event_id", lit(20)) === 7)
+    val w1 = e.filter($"ms" < 1705276800000L && pmod($"event_id", lit(20)) =!= 7)
+      .agg(max($"ms")).head().getLong(0) - 7200000L
+    val wf = e.agg(max($"ms")).head().getLong(0) - 7200000L
+    val winEnd = ($"ms" - pmod($"ms", lit(21600000L))) + 21600000L
+    val expLate = e.filter(isB2 && winEnd <= w1)
+      .select(($"ms" - pmod($"ms", lit(21600000L))).as("w")).distinct().count()
+    assert(lateWins == expLate, s"dropped-window grain: $lateWins vs $expLate")
+    val surv = e.filter(!isB2 || winEnd > w1).filter(winEnd <= wf)
+    assert(onTime == surv.count(), "on-time rows = surviving rows in closed windows")
+    assert(nWin == surv.select(($"ms" - pmod($"ms", lit(21600000L)))).distinct().count())
+  }
 }
