@@ -811,6 +811,58 @@ object Pipeline {
       .orderBy($"status", $"created_ver")
   }
 
+  /** REFERENTIAL-INTEGRITY AUDIT over the star schema — the constraint
+    * sweep a warehouse runs after every load: for each FK edge, the child
+    * row count, the ORPHAN count (child keys with no parent — a left-anti
+    * join), the null-key count, and the parent's duplicate-PK count. The
+    * clean TPC-H edges audit to zero; one edge
+    * (`lineitem_corrupt->orders`) audits a SIMULATED corruption — child
+    * keys with `l_orderkey mod 997 = 13` displaced out of the parent
+    * domain (the [[vacuumPlan]] mod-arithmetic-lineage discipline) — so
+    * the orphan path is exercised with a deterministic nonzero answer.
+    *
+    * Scale shape: each edge is one anti-join on its key — broadcast for
+    * the metadata-sized dims (nation/region), shuffle-on-key for the
+    * fact edges — plus a count-only aggregate; no payload columns travel
+    * (keys are projected before the join). PK-dup checks are one partial
+    * agg per parent. The audit output is one row per edge. */
+  def fkAudit(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    def edge(name: String, child: DataFrame, key: String,
+             parent: DataFrame, pk: String, bcast: Boolean): DataFrame = {
+      val ck = child.select(col(key).as("k"))
+      val pkeys0 = parent.select(col(pk).as("k"))
+      val pkeys = if (bcast) broadcast(pkeys0) else pkeys0
+      val orphans = ck.filter($"k".isNotNull)
+        .join(pkeys, Seq("k"), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+      val stats = ck.agg(count(lit(1)).as("n_child"),
+        sum(when($"k".isNull, 1L).otherwise(0L)).as("n_null_keys"))
+      val dups = parent.groupBy(col(pk)).agg(count(lit(1)).as("c"))
+        .agg(sum(when($"c" > 1, $"c" - 1).otherwise(0L)).as("n_parent_dups"))
+      stats.crossJoin(orphans).crossJoin(dups)
+        .select(lit(name).as("fk_edge"), $"n_child", $"n_orphans",
+                $"n_null_keys", coalesce($"n_parent_dups", lit(0L)).as("n_parent_dups"))
+    }
+    val li = lineitem(s, d); val o = orders(s, d); val c = customer(s, d)
+    val su = supplier(s, d); val p = part(s, d)
+    val na = nation(s, d); val re = region(s, d)
+    val corrupted = li.select(
+      when(pmod($"l_orderkey", lit(997)) === 13, $"l_orderkey" + 1000000000L)
+        .otherwise($"l_orderkey").as("l_orderkey"))
+    Seq(
+      edge("customer->nation", c, "c_nationkey", na, "n_nationkey", bcast = true),
+      edge("lineitem->orders", li, "l_orderkey", o, "o_orderkey", bcast = false),
+      edge("lineitem->part", li, "l_partkey", p, "p_partkey", bcast = false),
+      edge("lineitem->supplier", li, "l_suppkey", su, "s_suppkey", bcast = false),
+      edge("lineitem_corrupt->orders", corrupted, "l_orderkey", o, "o_orderkey",
+           bcast = false),
+      edge("nation->region", na, "n_regionkey", re, "r_regionkey", bcast = true),
+      edge("orders->customer", o, "o_custkey", c, "c_custkey", bcast = false),
+      edge("supplier->nation", su, "s_nationkey", na, "n_nationkey", bcast = true)
+    ).reduce(_.unionByName(_)).orderBy($"fk_edge")
+  }
+
   /** INCREMENTAL AGGREGATE-VIEW MAINTENANCE — the nightly-MV pattern every
     * 100-TB warehouse runs: a stored per-key aggregate STATE (count / sum /
     * min / max per event_type, simulated here as the `event_id mod 10 <> 7`
@@ -917,6 +969,7 @@ object Pipeline {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "nd_fk_audit" -> fkAudit _,
     "nd_pipeline_incr_agg" -> incrementalAgg _,
     "nd_join_skew_plan" -> joinSkewPlan _,
     "nd_doc_zorder" -> docZorderManifest _,
@@ -946,6 +999,43 @@ object Pipeline {
     * the same replayable constructions as the [[TextAnalysis]] /
     * [[Dedup]] oracles. */
   val oracle: Map[String, String] = Map(
+    // per-edge anti-join replay with the same mod-997 displaced-key
+    // corruption on the one simulated edge
+    "nd_fk_audit" -> {
+      def e(name: String, childSql: String, key: String,
+            parent: String, pk: String) =
+        s"""SELECT '$name' AS fk_edge,
+              (SELECT CAST(count(*) AS BIGINT) FROM ($childSql)) AS n_child,
+              (SELECT CAST(count(*) AS BIGINT) FROM ($childSql) c
+               WHERE c.$key IS NOT NULL
+                 AND NOT EXISTS (SELECT 1 FROM $parent p WHERE p.$pk = c.$key))
+                AS n_orphans,
+              (SELECT CAST(coalesce(sum(CASE WHEN $key IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT)
+               FROM ($childSql)) AS n_null_keys,
+              (SELECT CAST(coalesce(sum(c - 1), 0) AS BIGINT)
+               FROM (SELECT count(*) AS c FROM $parent GROUP BY $pk) WHERE c > 1)
+                AS n_parent_dups"""
+      val corrupt =
+        """SELECT CASE WHEN l_orderkey % 997 = 13 THEN l_orderkey + 1000000000
+                       ELSE l_orderkey END AS l_orderkey FROM lineitem"""
+      Seq(
+        e("customer->nation", "SELECT c_nationkey FROM customer",
+          "c_nationkey", "nation", "n_nationkey"),
+        e("lineitem->orders", "SELECT l_orderkey FROM lineitem",
+          "l_orderkey", "orders", "o_orderkey"),
+        e("lineitem->part", "SELECT l_partkey FROM lineitem",
+          "l_partkey", "part", "p_partkey"),
+        e("lineitem->supplier", "SELECT l_suppkey FROM lineitem",
+          "l_suppkey", "supplier", "s_suppkey"),
+        e("lineitem_corrupt->orders", corrupt, "l_orderkey", "orders", "o_orderkey"),
+        e("nation->region", "SELECT n_regionkey FROM nation",
+          "n_regionkey", "region", "r_regionkey"),
+        e("orders->customer", "SELECT o_custkey FROM orders",
+          "o_custkey", "customer", "c_custkey"),
+        e("supplier->nation", "SELECT s_nationkey FROM supplier",
+          "s_nationkey", "nation", "n_nationkey")
+      ).mkString("", " UNION ALL ", " ORDER BY fk_edge")
+    },
     // the MV-maintenance theorem stated directly: the oracle aggregates the
     // FULL table in one pass; the Spark side must reproduce it from
     // state + delta partials

@@ -123,6 +123,28 @@ class CurationOpsSpec extends AnyFunSuite {
       "replacement byte mass must equal the retained originals' byte mass")
   }
 
+  test("fk audit: clean edges are zero, the corrupted edge counts its displaced keys") {
+    import spark.implicits._
+    val rows = Pipeline.fkAudit(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+                                   r.getLong(4))).toMap
+    assert(rows.size == 8)
+    // every REAL edge of the generated star is referentially clean
+    rows.filterNot(_._1 == "lineitem_corrupt->orders").foreach {
+      case (edge, (_, orphans, nulls, dups)) =>
+        assert(orphans == 0L, s"$edge has orphans")
+        assert(nulls == 0L && dups == 0L, s"$edge nulls/dups")
+    }
+    // the simulated corruption displaces keys out of the parent domain,
+    // so orphan count == displaced-row count exactly
+    val displaced = Tables.lineitem(spark, sf)
+      .filter(pmod($"l_orderkey", lit(997)) === 13).count()
+    assert(displaced > 0, "the mod-997 lane must be non-empty at sf0.001")
+    assert(rows("lineitem_corrupt->orders")._2 == displaced)
+    assert(rows("lineitem_corrupt->orders")._1 ==
+      Tables.lineitem(spark, sf).count())
+  }
+
   test("incremental aggregate merge equals the full recompute (the MV theorem)") {
     import spark.implicits._
     val merged = Pipeline.incrementalAgg(spark, sf).collect()
