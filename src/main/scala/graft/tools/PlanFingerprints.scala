@@ -36,8 +36,15 @@ import graft.SparkEntry
   */
 object PlanFingerprints {
 
+  /** Attribute NAMES can themselves embed expr ids: grouping by an
+    * unaliased expression makes the partial agg's output attribute named
+    * after the pretty SQL string — ids of REFERENCED attributes included
+    * as literal text (`CASE WHEN isnull(inv#61208L) ...`), which made one
+    * fingerprint JVM-dependent (r12). Strip `#<digits>[L]` textually so
+    * the canonical form really is id-free. */
   private def refNames(es: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): String =
-    es.flatMap(_.references.map(_.name)).sorted.distinct.mkString(",")
+    es.flatMap(_.references.map(_.name.replaceAll("#[0-9]+L?", "")))
+      .sorted.distinct.mkString(",")
 
   /** Canonical operator-tree string: class name + load-bearing keys. */
   def canonical(p: SparkPlan): String = {

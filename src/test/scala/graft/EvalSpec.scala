@@ -327,10 +327,13 @@ class EvalSpec extends AnyFunSuite {
 
   test("regression eval matches a driver replay of the mean predictor") {
     val sf = "/root/testdata/sf0.001"
+    // sse_micro2 is STRING-pinned (the r12 representation fix: its values
+    // exceed 2^63, and a DECIMAL output tripped the driver comparator's
+    // reader asymmetry) — parse the digits back to BigInt for the replay
     val rows = Eval.regressionEval(spark, sf).collect()
       .map(r => r.getString(0) ->
         (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
-         BigInt(r.getDecimal(5).toBigInteger))).toMap
+         BigInt(r.getString(5)))).toMap
     val evs = Tables.events(spark, sf)
       .selectExpr("event_id", "event_type",
         "CAST(round(value * 100, 0) AS BIGINT) AS cents")
