@@ -847,8 +847,12 @@ object Pipeline {
     val li = lineitem(s, d); val o = orders(s, d); val c = customer(s, d)
     val su = supplier(s, d); val p = part(s, d)
     val na = nation(s, d); val re = region(s, d)
+    // displaced keys are NEGATED (not offset by a constant): orderkeys are
+    // strictly positive at every SF, so -k-1 is out of the parent domain
+    // unconditionally, where +1e9 would start colliding with real orders
+    // once max(o_orderkey) passes 1e9 (TPC-H SF~170) — ADVICE round 12
     val corrupted = li.select(
-      when(pmod($"l_orderkey", lit(997)) === 13, $"l_orderkey" + 1000000000L)
+      when(pmod($"l_orderkey", lit(997)) === 13, -$"l_orderkey" - 1L)
         .otherwise($"l_orderkey").as("l_orderkey"))
     Seq(
       edge("customer->nation", c, "c_nationkey", na, "n_nationkey", bcast = true),
@@ -1016,7 +1020,7 @@ object Pipeline {
                FROM (SELECT count(*) AS c FROM $parent GROUP BY $pk) WHERE c > 1)
                 AS n_parent_dups"""
       val corrupt =
-        """SELECT CASE WHEN l_orderkey % 997 = 13 THEN l_orderkey + 1000000000
+        """SELECT CASE WHEN l_orderkey % 997 = 13 THEN -l_orderkey - 1
                        ELSE l_orderkey END AS l_orderkey FROM lineitem"""
       Seq(
         e("customer->nation", "SELECT c_nationkey FROM customer",

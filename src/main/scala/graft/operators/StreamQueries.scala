@@ -87,15 +87,50 @@ object StreamQueries {
     * dedup bench time was this harness plumbing, not the operator). */
   private val paritySplits = scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** Session-temp corpus dir, deleted on JVM exit: the paritySplits cache
+    * is per (appId, sfDir), so without the hook repeated sessions on a
+    * long-lived host accumulate full table copies under /tmp (ADVICE
+    * round 12). The hook fires after Spark's own shutdown (streams are
+    * stopped by then — every drain here is AvailableNow-bounded). */
+  private def tempSplitDir(prefix: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir.toFile)
+    }))
+    dir.toString
+  }
+
+  /** Pin micro-batch arrival order EXPLICITLY. FileStreamSource under
+    * maxFilesPerTrigger=1 orders unseen files by modification time with
+    * listing order only as the tie-break; three tiny files written
+    * back-to-back can land in one mtime granule, at which point batch
+    * order silently depends on the filesystem's listing order (ADVICE
+    * round 12). Widely spaced, strictly increasing mtimes per batch dir
+    * make the schedule a property of the code, not the host. */
+  private def pinBatchOrder(dir: String, batches: Seq[String]): Unit = {
+    val base = System.currentTimeMillis()
+    batches.zipWithIndex.foreach { case (b, i) =>
+      def walk(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(walk))
+        f.setLastModified(base + i * 60000L); ()
+      }
+      walk(new java.io.File(s"$dir/$b"))
+    }
+  }
+
   private def docStreamTwoBatches(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val tmp = paritySplits.getOrElseUpdate(s"${s.sparkContext.applicationId}|$d", {
-      val dir = java.nio.file.Files.createTempDirectory("graft-stream-batches").toString
+      val dir = tempSplitDir("graft-stream-batches")
       val docs = Tables.documents(s, d)
       docs.filter(pmod($"doc_id", lit(2)) === 0).coalesce(1)
         .write.mode("overwrite").parquet(s"$dir/b0.parquet")
       docs.filter(pmod($"doc_id", lit(2)) === 1).coalesce(1)
         .write.mode("overwrite").parquet(s"$dir/b1.parquet")
+      pinBatchOrder(dir, Seq("b0.parquet", "b1.parquet"))
       dir
     })
     s.readStream
@@ -159,7 +194,7 @@ object StreamQueries {
   private def eventsStragglerSplit(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val tmp = paritySplits.getOrElseUpdate(s"late|${s.sparkContext.applicationId}|$d", {
-      val dir = java.nio.file.Files.createTempDirectory("graft-stream-late").toString
+      val dir = tempSplitDir("graft-stream-late")
       val ev = Tables.events(s, d)
       val ms = unix_millis($"ts")
       val straggler = ms < LateT1Ms && pmod($"event_id", lit(20)) === 7
@@ -169,6 +204,7 @@ object StreamQueries {
       ev.filter(b1).coalesce(1).write.mode("overwrite").parquet(s"$dir/b1.parquet")
       ev.filter(!b0 && !b1).coalesce(1)
         .write.mode("overwrite").parquet(s"$dir/b2.parquet")
+      pinBatchOrder(dir, Seq("b0.parquet", "b1.parquet", "b2.parquet"))
       dir
     })
     s.readStream
@@ -210,9 +246,34 @@ object StreamQueries {
     * n_input − on_time_rows − (rows still in open windows). State is one
     * count per open window; the metric is per-batch engine telemetry:
     * both bounded however long the stream runs. */
+  /** Grain guard for [[streamLate]] (ADVICE round 12): the dropped-window
+    * metric counts one state partial per (micro-batch, window) only while
+    * each straggler batch arrives as ONE parquet row group — a multi-row-
+    * group (or multi-file) batch splits into several tasks, each dropping
+    * its own window partial, and the metric over-counts with no
+    * diagnostic. Parquet task assignment is by row-group start offset, so
+    * one row group ⇒ one task regardless of how FilePartitions slice the
+    * byte range; asserting the footer enforces the invariant the doc
+    * comment previously only assumed. */
+  private def assertOneRowGroup(s: SparkSession, dir: String): Unit = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val parts = path.getFileSystem(conf).listStatus(path)
+      .filter(_.getPath.getName.startsWith("part-"))
+    require(parts.length == 1,
+      s"straggler batch $dir must be one data file, found ${parts.length}")
+    val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(parts.head, conf))
+    val n = try rd.getFooter.getBlocks.size finally rd.close()
+    require(n == 1,
+      s"straggler batch $dir must be one row group (drop-metric grain), found $n")
+  }
+
   def streamLate(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val agg = eventsStragglerSplit(s, d)
+    val split = eventsStragglerSplit(s, d)
+    assertOneRowGroup(s, s"${paritySplits(s"late|${s.sparkContext.applicationId}|$d")}/b2.parquet")
+    val agg = split
       .withWatermark("ts", "2 hours")
       .groupBy(window($"ts", "6 hours"))
       .agg(count(lit(1)).as("n"))
@@ -532,7 +593,7 @@ object StreamQueries {
   def streamUpsert(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val work = paritySplits.getOrElseUpdate(s"${s.sparkContext.applicationId}|upsert|$d", {
-      val dir = java.nio.file.Files.createTempDirectory("graft-stream-upsert").toString
+      val dir = tempSplitDir("graft-stream-upsert")
       val base = Tables.documents(s, d).select($"doc_id", $"source", $"text")
       val edits = base.filter($"doc_id" % 7 === 0)
         .select($"doc_id", $"source", upper($"text").as("text"))
@@ -543,6 +604,7 @@ object StreamQueries {
         .write.mode("overwrite").parquet(s"$dir/cdc/b0.parquet")
       cdc.filter(pmod($"doc_id", lit(2)) === 1).coalesce(1)
         .write.mode("overwrite").parquet(s"$dir/cdc/b1.parquet")
+      pinBatchOrder(s"$dir/cdc", Seq("b0.parquet", "b1.parquet"))
       base.write.mode("overwrite").parquet(s"$dir/target/v0")
       dir
     })

@@ -28,8 +28,8 @@ object DocLayoutScale {
     val scored = graft.operators.Eval.scoredDocs(spark, sfDir)
       .select(expr("CAST(substr(source, 4) AS BIGINT)").as("src_num"),
               $"score", $"doc_id")
-    val dirS = java.nio.file.Files.createTempDirectory("docscale-s").toString
-    val dirZ = java.nio.file.Files.createTempDirectory("docscale-z").toString
+    val dirS = TmpDirs.tmpDirCleaned("docscale-s")
+    val dirZ = TmpDirs.tmpDirCleaned("docscale-z")
     scored.repartitionByRange(nFiles, $"src_num", $"doc_id")
       .sortWithinPartitions("src_num", "doc_id")
       .write.mode("overwrite").parquet(dirS)

@@ -38,7 +38,7 @@ object StreamDrainScale {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SCALE_CHAIN",
       s"${System.getProperty("java.io.tmpdir")}/graft-eth-scale")
     graft.sources.eth.EthFixtures.ensureChainOnly(dir, blocks)
-    val ckpt = java.nio.file.Files.createTempDirectory("graft-drain-ckpt").toString
+    val ckpt = TmpDirs.tmpDirCleaned("graft-drain-ckpt")
 
     // every progress event, not the bounded recentProgress ring buffer
     val totalRows = new java.util.concurrent.atomic.AtomicLong(0)
