@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables._
 import graft.functions.Expressions
+import graft.plans.Caching
 
 /** Approximate-nearest-neighbor search over the `embeddings` table.
   *
@@ -170,6 +171,36 @@ object Similarity {
       struct(Expressions.cosineSim($"v", c("cv")).as("sim"),
              (-c("list_id")).as("nl"))))
     vecs.select($"vec_id", $"v", (-best("nl")).as("list_id"))
+  }
+
+  /** Top-`n` nearest lists PER CORPUS VECTOR under a materialized
+    * quantizer — [[coarseAssignLit]]'s argmax generalized to a literal
+    * top-n, still one codegen'd projection per row (array_sort over the
+    * nLists-struct literal; no join, no corpus-scale window — the same
+    * reason the argmax form replaced the broadcast-join + max_by one).
+    * Ordering matches the argmax exactly: (sim DESC, list_id ASC).
+    * Used by [[knnGraph]]'s index build for MULTI-ASSIGNMENT candidate
+    * generation — a vector near a list boundary contributes pairs to
+    * both sides, which is where a single-assignment kNN graph loses its
+    * cross-list edges (and with them, descent recall). */
+  private[graft] def coarseAssignTopN(vecs: DataFrame, cent: DataFrame,
+      n: Int): DataFrame = {
+    import vecs.sparkSession.implicits._
+    val MaxCentroids = 65536
+    val local = cent.limit(MaxCentroids + 1).collect()
+    require(local.length <= MaxCentroids,
+      s"coarseAssignTopN: centroid table exceeds $MaxCentroids rows — not a quantizer table")
+    val centArr = array(local.map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1).map { case (id, cv) =>
+        struct(lit(id).as("list_id"), typedLit(cv).as("cv")) }: _*)
+    val scored = transform(centArr, c =>
+      struct(Expressions.cosineSim($"v", c("cv")).as("sim"),
+             (-c("list_id")).as("nl")))
+    // array_sort ascending by (sim, nl); reversed = (sim DESC, nl DESC)
+    // = (sim DESC, list_id ASC) — the argmax tie order
+    val top = slice(reverse(array_sort(scored)), 1, n)
+    vecs.select($"vec_id", $"v",
+      explode(transform(top, t => -t("nl"))).as("list_id"))
   }
 
   /** The join-formulated assignment — kept ONLY for the un-materialized
@@ -701,6 +732,130 @@ object Similarity {
       .orderBy($"query_id")
   }
 
+  /** GRAPH-BASED ANN (NSW/HNSW-class) — the neighbor-graph architecture
+    * real 100-TB vector stores deploy alongside IVF quantization
+    * (Malkov & Yashunin, "Efficient and robust approximate nearest
+    * neighbor search using Hierarchical Navigable Small World graphs",
+    * TPAMI 2018): a bounded-degree proximity graph built offline, then a
+    * beam (best-first) traversal at query time that touches only the
+    * graph neighborhood of the descent path instead of whole inverted
+    * lists.
+    *
+    * INDEX BUILD (all set-at-a-time, nothing all-pairs):
+    *  1. Coarse-quantize the corpus under the shared Lloyd kit
+    *     ([[lloydCentroids]] → [[coarseAssign]]) — candidate generation
+    *     is IVF-bucketed, so the per-vector kNN below is a LIST-bounded
+    *     quadratic (the SemDeDup cluster discipline), never |V|².
+    *  2. Per vector, keep its `m` nearest in-list neighbors (exact
+    *     cosine, micro-quantized before ranking so both engines cut the
+    *     same ties) — the directed kNN graph.
+    *  3. Symmetrize (NSW reverse links — what makes greedy descent able
+    *     to ENTER a cluster from outside) and re-cap at `degCap` per
+    *     node, so storage and per-hop fan-out stay bounded however the
+    *     corpus is distributed. Cosine is exactly symmetric in IEEE
+    *     arithmetic (products commute; the sum order is identical), so
+    *     the reversed edge carries the identical sim_micro.
+    *  The adjacency is stored WITH destination vectors (the serving
+    *  layout every graph index uses: one fetch per expanded edge, no
+    *  side join at query time) and is |V|·degCap rows.
+    *
+    * SEARCH (beam width `beam`, `hops` rounds):
+    *  - entry points = the medoid (max sim-to-centroid, vec_id
+    *    tie-break) of each of the query's `entryProbes` nearest lists —
+    *    the graph-native analogue of IVF probing, giving the descent a
+    *    start INSIDE each plausible region;
+    *  - each round expands the current beam's out-edges, scores them
+    *    against the query (same micro-exact cosine), merges into the
+    *    visited set, and re-cuts the beam — one broadcast-hash join per
+    *    round (the beam frame is queries×beam rows and BROADCASTS; the
+    *    corpus-scale adjacency never shuffles), so a round costs one
+    *    scan of the edge table and the whole search is `hops` scans
+    *    regardless of query count.
+    *  - result = exact top-k of everything visited.
+    *
+    * The whole pipeline is deterministic integer/cosine arithmetic from
+    * the existing kit, so the DuckDB oracle replays build AND search
+    * value-for-value ([[graphOracleSql]], hops unrolled as materialized
+    * CTEs). GraphAnnSpec additionally gates recall@k ≥ the IVF row's at
+    * an equal scored-candidate budget — the claim that makes a graph
+    * index worth its build cost. */
+  def knnGraph(s: SparkSession, d: String, nQueries: Int = 5, k: Int = 5,
+      nLists: Int = 16, m: Int = 6, degCap: Int = 8, entryProbes: Int = 2,
+      beam: Int = 8, hops: Int = 3, buildProbes: Int = 2,
+      lloydIters: Int = DefaultLloydIters): DataFrame = {
+    import s.implicits._
+    val micro = (c: Column) => round(c * 1000000, 0).cast("long")
+    val vecs = embeddings(s, d)
+      .select($"vec_id", transform($"embedding", _.cast("double")).as("v"))
+    val centroids = lloydCentroids(vecs, nLists, lloydIters)
+    val lists = coarseAssign(vecs, centroids)
+    // 1–2: bucket-bounded exact kNN under MULTI-ASSIGNMENT (each vector
+    // contributes candidates to its `buildProbes` nearest lists, so
+    // boundary vectors get cross-list edges); a pair found via two shared
+    // lists dedups to one edge before the degree ranking
+    val multi = coarseAssignTopN(vecs, centroids, buildProbes)
+    val a = multi.select($"list_id", $"vec_id", $"v")
+    val b = multi.select($"list_id", $"vec_id".as("dst"), $"v".as("bv"))
+    val wDeg = Window.partitionBy($"src").orderBy($"sim_micro".desc, $"dst")
+    val knn = a.join(b, Seq("list_id"))
+      .filter($"vec_id" =!= $"dst")
+      .select($"vec_id".as("src"), $"dst",
+              micro(Expressions.cosineSim($"v", $"bv")).as("sim_micro"))
+      .dropDuplicates("src", "dst")
+      .withColumn("rn", row_number().over(wDeg)).filter($"rn" <= m)
+      .select($"src", $"dst", $"sim_micro")
+    // 3: symmetrize + degree cap; attach destination vectors (serving layout)
+    val capped = knn
+      .unionByName(knn.select($"dst".as("src"), $"src".as("dst"), $"sim_micro"))
+      .dropDuplicates("src", "dst")
+      .withColumn("rn", row_number().over(wDeg)).filter($"rn" <= degCap)
+      .select($"src", $"dst")
+    val edges = Caching.iterCheckpoint(
+      capped.join(vecs.select($"vec_id".as("dst"), $"v".as("dv")), Seq("dst")))
+    // entry medoids: per list, the vector most central under the trained
+    // quantizer (micro-exact, vec_id tie-break) — 16 rows of metadata
+    val medoids = lists.join(broadcast(centroids), Seq("list_id"))
+      .select($"list_id", $"vec_id",
+              micro(Expressions.cosineSim($"v", $"cv")).as("cs"))
+      .groupBy($"list_id")
+      .agg(max_by($"vec_id", struct($"cs", (-$"vec_id").as("nv"))).as("entry_id"))
+    val medoidV = vecs.join(broadcast(medoids), $"vec_id" === $"entry_id")
+      .select($"list_id", $"entry_id", $"v".as("ev"))
+    val queries = vecs.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("query_id"), $"v".as("qv"))
+    val probes = probeLists(queries, centroids, entryProbes)
+    var visited = Caching.iterCheckpoint(
+      probes.join(broadcast(medoidV), Seq("list_id"))
+        .select($"query_id", $"qv", $"entry_id".as("node"),
+                micro(Expressions.cosineSim($"qv", $"ev")).as("sim_micro"))
+        .dropDuplicates("query_id", "node"))
+    val wBeam = Window.partitionBy($"query_id").orderBy($"sim_micro".desc, $"node")
+    for (_ <- 1 to hops) {
+      val beamF = visited
+        .withColumn("rn", row_number().over(wBeam)).filter($"rn" <= beam)
+        .select($"query_id", $"qv", $"node")
+      val expand = edges.join(broadcast(beamF), $"src" === $"node")
+        .select($"query_id", $"qv", $"dst".as("node"),
+                micro(Expressions.cosineSim($"qv", $"dv")).as("sim_micro"))
+      // (query_id, node) duplicates carry IDENTICAL payloads — qv and
+      // sim_micro are pure functions of the pair — so dropDuplicates is
+      // order-insensitive here
+      val next = Caching.iterCheckpoint(
+        visited.unionByName(expand).dropDuplicates("query_id", "node"))
+      Caching.freeCheckpoint(visited)
+      visited = next
+    }
+    val result = visited.filter($"node" =!= $"query_id")
+      .withColumn("rank", row_number().over(wBeam).cast("long"))
+      .filter($"rank" <= k)
+      .select($"query_id", $"node".as("neighbor_id"), $"sim_micro", $"rank")
+      .orderBy($"query_id", $"rank")
+    val frozen = visited
+    Caching.detach(result, () => {
+      Caching.freeCheckpoint(edges); Caching.freeCheckpoint(frozen)
+    })
+  }
+
   /** POSITIONAL PHRASE SEARCH — exact contiguous-phrase lookup over a
     * positional inverted index: for each probe phrase (here: the first
     * [[PhraseLen]] canonical tokens of every 50th document — in
@@ -768,6 +923,7 @@ object Similarity {
     "nd_rag_retrieval" -> ((s: SparkSession, d: String) => ragRetrieve(s, d)),
     "nd_knn_lsh" -> ((s: SparkSession, d: String) => knnLsh(s, d)),
     "nd_knn_ivf" -> ((s: SparkSession, d: String) => knnIvf(s, d)),
+    "nd_knn_graph" -> ((s: SparkSession, d: String) => knnGraph(s, d)),
     "nd_knn_ivf_incr" -> ((s: SparkSession, d: String) => knnIvfIncremental(s, d)),
     "nd_knn_ivf_health" -> ((s: SparkSession, d: String) => ivfHealth(s, d)),
     "nd_knn_recall" -> ((s: SparkSession, d: String) => knnRecall(s, d)),
@@ -885,6 +1041,89 @@ object Similarity {
                      ORDER BY list_cosine_similarity(v, cv) DESC, list_id) AS rn
             FROM vecs CROSS JOIN cvecs$iterations),
           lists AS (SELECT vec_id, v, list_id FROM aF WHERE rn = 1)"""
+  }
+
+  /** DuckDB replay of [[knnGraph]] — index build (list-bounded kNN →
+    * symmetrize → degree cap) plus the beam search with its `hops`
+    * rounds UNROLLED as MATERIALIZED CTEs (the k-core oracle lesson:
+    * DuckDB inlines plain CTEs per reference, and a round referencing
+    * its predecessor twice would expand 2^hops scans). Every ordering
+    * cut uses the same (sim_micro DESC, id) key as the Spark side, so
+    * the traversal — entry medoids, per-round beams, visited set — is
+    * replayed node-for-node. */
+  private[operators] def graphOracleSql(nQueries: Int = 5, k: Int = 5,
+      nLists: Int = 16, m: Int = 6, degCap: Int = 8, entryProbes: Int = 2,
+      beam: Int = 8, hops: Int = 3, buildProbes: Int = 2,
+      iterations: Int = DefaultLloydIters): String = {
+    val rounds = (1 to hops).map { h =>
+      s"""b$h AS (SELECT query_id, qv, node FROM (
+            SELECT query_id, qv, node, sim_micro,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY sim_micro DESC, node) AS rn FROM v${h - 1})
+          WHERE rn <= $beam),
+          x$h AS (SELECT t.query_id, t.qv, e.dst AS node,
+                   CAST(round(list_cosine_similarity(t.qv, e.dv) * 1000000)
+                        AS BIGINT) AS sim_micro
+                  FROM b$h t JOIN gedges e ON e.src = t.node),
+          v$h AS MATERIALIZED (
+            SELECT DISTINCT query_id, qv, node, sim_micro FROM
+              (SELECT * FROM v${h - 1} UNION ALL SELECT * FROM x$h))"""
+    }.mkString(",\n          ")
+    s"""WITH ${lloydChainSql(nLists, iterations)},
+          multi AS (SELECT vec_id, v, list_id FROM aF
+                    WHERE rn <= $buildProbes),
+          pair AS MATERIALIZED (
+            SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst,
+                   CAST(round(list_cosine_similarity(a.v, b.v) * 1000000)
+                        AS BIGINT) AS sim_micro
+            FROM multi a JOIN multi b
+              ON a.list_id = b.list_id AND a.vec_id <> b.vec_id),
+          knn AS (SELECT src, dst, sim_micro FROM (
+              SELECT src, dst, sim_micro,
+                     row_number() OVER (PARTITION BY src
+                       ORDER BY sim_micro DESC, dst) AS rn FROM pair)
+            WHERE rn <= $m),
+          sym AS (SELECT DISTINCT src, dst, sim_micro FROM
+            (SELECT src, dst, sim_micro FROM knn
+             UNION ALL SELECT dst, src, sim_micro FROM knn)),
+          gedges AS MATERIALIZED (
+            SELECT c.src, c.dst, w.v AS dv FROM (
+              SELECT src, dst FROM (
+                SELECT src, dst,
+                       row_number() OVER (PARTITION BY src
+                         ORDER BY sim_micro DESC, dst) AS rn FROM sym)
+              WHERE rn <= $degCap) c
+            JOIN vecs w ON w.vec_id = c.dst),
+          cs AS (SELECT l.list_id, l.vec_id,
+                   CAST(round(list_cosine_similarity(l.v, c.cv) * 1000000)
+                        AS BIGINT) AS cs
+                 FROM lists l JOIN cvecs$iterations c USING (list_id)),
+          medoid AS (SELECT list_id, vec_id AS entry_id FROM (
+              SELECT list_id, vec_id,
+                     row_number() OVER (PARTITION BY list_id
+                       ORDER BY cs DESC, vec_id) AS rn FROM cs)
+            WHERE rn = 1),
+          qp AS (SELECT q.vec_id AS query_id, q.v AS qv, c.list_id,
+                   row_number() OVER (PARTITION BY q.vec_id
+                     ORDER BY list_cosine_similarity(q.v, c.cv) DESC,
+                              c.list_id) AS rn
+                 FROM vecs q CROSS JOIN cvecs$iterations c
+                 WHERE q.vec_id < $nQueries),
+          probes AS (SELECT query_id, qv, list_id FROM qp
+                     WHERE rn <= $entryProbes),
+          v0 AS MATERIALIZED (
+            SELECT DISTINCT p.query_id, p.qv, md.entry_id AS node,
+                   CAST(round(list_cosine_similarity(p.qv, w.v) * 1000000)
+                        AS BIGINT) AS sim_micro
+            FROM probes p JOIN medoid md USING (list_id)
+            JOIN vecs w ON w.vec_id = md.entry_id),
+          $rounds,
+          r AS (SELECT query_id, node AS neighbor_id, sim_micro,
+                       row_number() OVER (PARTITION BY query_id
+                         ORDER BY sim_micro DESC, node) AS rk
+                FROM v$hops WHERE node <> query_id)
+         SELECT query_id, neighbor_id, sim_micro, CAST(rk AS BIGINT) AS rank
+         FROM r WHERE rk <= $k ORDER BY query_id, rank"""
   }
 
   /** DuckDB replay of the full IVF pipeline for `iterations` Lloyd steps
@@ -2066,6 +2305,7 @@ object Similarity {
     "nd_knn_lsh" -> lshOracleSql,
     "nd_knn_ivf" -> ivfOracleSql(nLists = 16, nProbe = 4, nQueries = 5, k = 5,
       iterations = DefaultLloydIters),
+    "nd_knn_graph" -> graphOracleSql(),
     "nd_knn_ivf_incr" -> ivfIncrOracleSql(cut = 250, nLists = 16, nProbe = 4,
       nQueries = 5, k = 5, iterations = DefaultLloydIters),
     "nd_knn_ivf_health" -> ivfHealthOracleSql(cut = 250, nLists = 16,
