@@ -394,32 +394,48 @@ object Dedup {
     * explode, no shuffle before the per-doc aggregate. */
   /** Pre-materialization pipeline + cache release — exposed for plan
     * inspection; callers use [[decontaminateBloom]]. */
+  /** Collect the Bloom bitmask of an eval-set shingle frame `(doc_id,
+    * sh)` — bounded by mBits/64 longs regardless of corpus size. */
+  private[operators] def bloomMask(evalSh: DataFrame, mBits: Int,
+      kHashes: Int): Array[Long] = {
+    import evalSh.sparkSession.implicits._
+    def bitPos(h: Column, j: Int): Column =
+      (shiftright(h, 30) + lit(j.toLong) * h.bitwiseAND(lit(1073741823L))) % mBits
+    val bits = evalSh
+      .select(explode($"sh").as("h"))
+      .select(explode(array((0 until kHashes).map(j => bitPos($"h", j)): _*)).as("bit"))
+      .distinct().collect().map(_.getLong(0))
+    val mask = new Array[Long](mBits / 64)
+    bits.foreach(b => mask(b.toInt >> 6) |= 1L << (b.toInt & 63))
+    mask
+  }
+
+  /** Per-train-doc Bloom hit counts under a collected `mask` — the
+    * all-k-bits-set test per shingle, inlined as SQL so the lambda can
+    * reference the broadcast literal `mask` column. */
+  private[operators] def bloomHits(trainSh: DataFrame, mask: Array[Long],
+      mBits: Int, kHashes: Int): DataFrame = {
+    import trainSh.sparkSession.implicits._
+    val hit = (0 until kHashes).map { j =>
+      val bit = s"((shiftright(h, 30) + $j * (h & 1073741823)) % $mBits)"
+      s"((shiftright(element_at(mask, CAST($bit DIV 64 AS INT) + 1), " +
+        s"CAST($bit % 64 AS INT)) & 1) = 1)"
+    }.mkString(" AND ")
+    trainSh
+      .withColumn("mask", lit(mask))
+      .select($"doc_id".as("train_id"),
+        size($"sh").cast("long").as("n_shingles"),
+        expr(s"CAST(size(filter(sh, h -> $hit)) AS BIGINT)").as("n_hits"))
+  }
+
   private[graft] def decontaminateBloomLazy(s: SparkSession, d: String,
       evalMod: Int, minShared: Int, mBits: Int, kHashes: Int): (DataFrame, () => Unit) = {
     import s.implicits._
     val sh = documents(s, d)
       .select($"doc_id", shingleHashes($"text").as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    def bitPos(h: Column, j: Int): Column =
-      (shiftright(h, 30) + lit(j.toLong) * h.bitwiseAND(lit(1073741823L))) % mBits
-    val bits = sh.filter($"doc_id" % evalMod === 0)
-      .select(explode($"sh").as("h"))
-      .select(explode(array((0 until kHashes).map(j => bitPos($"h", j)): _*)).as("bit"))
-      .distinct().collect().map(_.getLong(0))
-    val mask = new Array[Long](mBits / 64)
-    bits.foreach(b => mask(b.toInt >> 6) |= 1L << (b.toInt & 63))
-    // all-k-bits-set test per shingle, inlined as SQL so the lambda can
-    // reference the broadcast literal `mask` column
-    val hit = (0 until kHashes).map { j =>
-      val bit = s"((shiftright(h, 30) + $j * (h & 1073741823)) % $mBits)"
-      s"((shiftright(element_at(mask, CAST($bit DIV 64 AS INT) + 1), " +
-        s"CAST($bit % 64 AS INT)) & 1) = 1)"
-    }.mkString(" AND ")
-    val out = sh.filter($"doc_id" % evalMod =!= 0)
-      .withColumn("mask", lit(mask))
-      .select($"doc_id".as("train_id"),
-        size($"sh").cast("long").as("n_shingles"),
-        expr(s"CAST(size(filter(sh, h -> $hit)) AS BIGINT)").as("n_hits"))
+    val mask = bloomMask(sh.filter($"doc_id" % evalMod === 0), mBits, kHashes)
+    val out = bloomHits(sh.filter($"doc_id" % evalMod =!= 0), mask, mBits, kHashes)
       .withColumn("candidate", $"n_hits" >= minShared)
       .orderBy($"train_id")
     (out, () => { sh.unpersist(blocking = false); () })
@@ -841,18 +857,23 @@ object Dedup {
     * [[TextAnalysis.canonical]]/[[TextAnalysis.wsTokens]] and the
     * one-truncated-window rule of [[Expressions.MinHashSigFromWords]] for
     * docs shorter than the shingle size. */
-  private[operators] val shingleCtesSql: String =
-    s"""docs AS (
+  /** The canonical→words→shingles CTE pair, parameterized by source table
+    * and CTE-name suffix so the end-to-end curation oracle can run the
+    * identical chain over a mid-pipeline survivor CTE. */
+  private[operators] def shingleCtes(src: String, sfx: String): String =
+    s"""docs$sfx AS (
           SELECT doc_id,
                  string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS words
-          FROM documents),
-        shing AS (
+          FROM $src),
+        shing$sfx AS (
           SELECT doc_id,
                  CASE WHEN len(words) >= $ShingleSize
                       THEN list_transform(range(1, len(words) - ${ShingleSize - 2}),
                                           i -> array_to_string(words[i:i+${ShingleSize - 1}], ' '))
                       ELSE [array_to_string(words, ' ')] END AS shings
-          FROM docs) """
+          FROM docs$sfx) """
+
+  private[operators] val shingleCtesSql: String = shingleCtes("documents", "")
 
   /** `[sig_0, ..., sig_31]` — the affine MinHash family over the 28-bit
     * md5 folds in column `hs`, constants interpolated from [[Sketch]]. */
@@ -867,20 +888,22 @@ object Dedup {
     * signature, band explode, slice-equality self-join. The Spark side
     * joins on xxhash64 of the slice — equal slices collide identically,
     * unequal slices collide with prob 2^-64, so the outputs agree. */
-  private[operators] val candCtesSql: String =
-    s"""mb AS (SELECT doc_id, list_transform(shings, s -> ${Sketch.foldSql(7, "s")}) AS hs FROM shing),
-        sigs AS (SELECT doc_id, $sigSql AS sig FROM mb),
-        banded AS (
+  private[operators] def candCtes(sfx: String): String =
+    s"""mb$sfx AS (SELECT doc_id, list_transform(shings, s -> ${Sketch.foldSql(7, "s")}) AS hs FROM shing$sfx),
+        sigs$sfx AS (SELECT doc_id, $sigSql AS sig FROM mb$sfx),
+        banded$sfx AS (
           SELECT doc_id, sig, t.b AS band, sig[$rowsPerBand*t.b+1 : $rowsPerBand*t.b+$rowsPerBand] AS slice
-          FROM sigs CROSS JOIN range(0, $Bands) t(b)),
-        cand AS (
+          FROM sigs$sfx CROSS JOIN range(0, $Bands) t(b)),
+        cand$sfx AS (
           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sig AS sa, b.sig AS sb
-          FROM banded a JOIN banded b
+          FROM banded$sfx a JOIN banded$sfx b
             ON a.band = b.band AND a.slice = b.slice AND a.doc_id < b.doc_id),
-        est AS (
+        est$sfx AS (
           SELECT doc_a, doc_b,
                  round(CAST(len(list_filter(range(1, ${NumHashes + 1}), i -> sa[i] = sb[i])) AS DOUBLE) / $NumHashes, 4) AS est_jaccard
-          FROM cand)"""
+          FROM cand$sfx)"""
+
+  private[operators] val candCtesSql: String = candCtes("")
 
   val oracle: Map[String, String] = Map(
     // cross-source overlap replay: same canonical/shingle/60-bit-fold

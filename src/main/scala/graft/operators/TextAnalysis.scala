@@ -996,9 +996,16 @@ object TextAnalysis {
     *
     * All signals are array expressions over the one tokenized pass — pure
     * map-side work; the only shuffle is the presentation sort. */
-  def gopherRules(s: SparkSession, d: String): DataFrame = {
+  def gopherRules(s: SparkSession, d: String): DataFrame =
+    gopherFrom(documents(s, d))
+
+  /** The Gopher rule battery over any (doc_id, text) frame — factored for
+    * the end-to-end curation chain, which applies the rules to EXTRACTED
+    * text instead of the raw corpus. */
+  private[operators] def gopherFrom(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
-    documents(s, d)
+    docs
       .select($"doc_id", wsTokens(canonical($"text")).as("w"),
               split($"text", " +").as("raw"))
       .select($"doc_id",
@@ -1210,9 +1217,13 @@ object TextAnalysis {
     * inside whole-stage codegen; the only exchange in the plan is the
     * final presentation sort's range partitioning (plan-asserted in
     * TextExtractSpec). At 100 TB this runs at scan speed. */
-  def htmlExtract(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val half = expr("length(text) div 2")
+  /** The extraction chain as pass-through columns over any frame carrying
+    * (doc_id, source, text) — factored so [[graft.operators.Pipeline]]'s
+    * end-to-end curation chain computes the IDENTICAL expression trees as
+    * the gated nd_text_extract row (the withQualitySignals discipline).
+    * Extra input columns (lang, ...) survive untouched. */
+  private[operators] def extractionBase(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
     val page = concat(
       lit("<html><head><title>"), $"source", lit(" &amp; co</title></head>\n"),
       lit("<body>\n<nav>Home | About | Sign in</nav>\n"),
@@ -1224,23 +1235,26 @@ object TextAnalysis {
         .otherwise(lit("")),
       lit("<footer>(c) "), $"source", lit(" all rights reserved</footer>\n"),
       lit("</body></html>"))
-    documents(s, d)
-      .select($"doc_id", $"source", page.as("html"))
-      .select($"doc_id", $"source",
-        size(regexp_extract_all($"html", lit("<[^>]*>"), lit(0))).cast("long")
-          .as("n_tags"),
-        expr("replace(regexp_replace(html, '<[^>]*>', ''), '&amp;', '&')")
-          .as("stripped"))
-      .select($"doc_id", $"source", $"n_tags",
-        expr("filter(transform(split(stripped, '\n'), l -> trim(l)), l -> l != '')")
-          .as("lines"))
-      .select($"doc_id", $"source", $"n_tags",
-        size($"lines").cast("long").as("n_lines_raw"),
-        expr("filter(lines, l -> size(split(l, ' +')) >= 10)").as("kept"))
-      .select($"doc_id", $"source", $"n_tags", $"n_lines_raw",
-        size($"kept").cast("long").as("n_lines_kept"),
-        array_join($"kept", "\n").as("extracted"))
+    docs
+      .withColumn("html", page)
+      .withColumn("n_tags",
+        size(regexp_extract_all($"html", lit("<[^>]*>"), lit(0))).cast("long"))
+      .withColumn("stripped",
+        expr("replace(regexp_replace(html, '<[^>]*>', ''), '&amp;', '&')"))
+      .withColumn("lines",
+        expr("filter(transform(split(stripped, '\n'), l -> trim(l)), l -> l != '')"))
+      .withColumn("n_lines_raw", size($"lines").cast("long"))
+      .withColumn("kept", expr("filter(lines, l -> size(split(l, ' +')) >= 10)"))
+      .withColumn("n_lines_kept", size($"kept").cast("long"))
+      .withColumn("extracted", array_join($"kept", "\n"))
       .withColumn("extracted_chars", length($"extracted").cast("long"))
+  }
+
+  def htmlExtract(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    extractionBase(documents(s, d))
+      .select($"doc_id", $"source", $"n_tags", $"n_lines_raw",
+              $"n_lines_kept", $"extracted", $"extracted_chars")
       .orderBy($"doc_id")
   }
 

@@ -120,6 +120,35 @@ class PipelineSpec extends AnyFunSuite {
       "expected the matrix to expose label/content mismatch on synthetic data")
   }
 
+  test("e2e curation chain: monotone survivor hand-off, zero residual cache") {
+    import spark.implicits._
+    val pinnedBefore = spark.sparkContext.getPersistentRDDs.keySet
+    val rows = Pipeline.curationE2E(spark, sf).collect()
+    assert(rows.length == 10, s"expected 10 stage rows, got ${rows.length}")
+    // filter stages (1-8) must hand off exactly: stage k's n_in == stage
+    // k-1's n_out, and survival never grows
+    val byStage = rows.map(r => r.getLong(0) ->
+      (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    (2 to 8).foreach { k =>
+      assert(byStage(k.toLong)._2 == byStage(k - 1L)._3,
+        s"stage $k n_in != stage ${k - 1} n_out")
+    }
+    (1 to 8).foreach { k =>
+      assert(byStage(k.toLong)._3 <= byStage(k.toLong)._2,
+        s"filter stage $k grew the corpus")
+    }
+    // pack and shard both consume stage 8's survivors
+    assert(byStage(9L)._2 == byStage(8L)._3 && byStage(10L)._2 == byStage(8L)._3)
+    // a degenerate chain (a stage wiping the corpus) is a composition bug
+    // even when both engines agree on it
+    assert(byStage(8L)._3 > 0, "curated corpus is empty — degenerate chain")
+    // cache/detach discipline across stage boundaries: nothing the run
+    // pinned (persists OR localCheckpoint RDD storage) may outlive it
+    val pinnedAfter = spark.sparkContext.getPersistentRDDs.keySet -- pinnedBefore
+    assert(pinnedAfter.isEmpty,
+      s"e2e run left ${pinnedAfter.size} cached RDDs pinned: $pinnedAfter")
+  }
+
   test("curated corpus = quality ∩ keepers ∖ near-dup losers") {
     import spark.implicits._
     val total = Tables.documents(spark, sf).count()
