@@ -196,6 +196,188 @@ object Multimodal {
     decodePng(pngTable(s, d)).toDF().orderBy($"media_id")
   }
 
+  // ---- JPEG (round-13 verdict item 6): lossy codec, honest gate ----
+
+  case class JpegFeatures(media_id: Long, decode_ok: Long, width: Long,
+      height: Long, n_pixels: Long, err_bounded: Boolean)
+
+  /** Max per-channel absolute error tolerated from the JPEG quantizer on
+    * the planted smooth gradient. MultimodalSpec measures the REAL error
+    * (single digits at ImageIO's default quality) — the bound is a loud
+    * alarm threshold, not a tuning knob. */
+  val JpegErrBound = 32L
+
+  /** Planted gray level — a SMOOTH plane (constant slope per image, id
+    * phase offset), i.e. exactly what JPEG's DCT compresses with minimal
+    * quantization error; r=g=b so chroma subsampling has nothing to
+    * destroy. */
+  private[graft] def plantedLuma(id: Long, x: Int, y: Int): Int =
+    math.min(255L, 64L + 2L * x + 3L * y + id % 32).toInt
+
+  /** Synthesize REAL JPEG payloads (in-JDK `javax.imageio`, default
+    * quality) for the `doc_id % 3 = 1` slice — same geometry formula as
+    * the PNG table, planted gray plane per [[plantedLuma]]. */
+  def jpegTable(s: SparkSession, d: String): Dataset[PngRow] = {
+    import s.implicits._
+    documents(s, d).filter(pmod($"doc_id", lit(3)) === 1)
+      .select($"doc_id").as[Long]
+      .mapPartitions { ids =>
+        javax.imageio.ImageIO.setUseCache(false)
+        ids.map { id =>
+          val (w, h) = plantedDims(id)
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val v = plantedLuma(id, x, y)
+              img.setRGB(x, y, (v << 16) | (v << 8) | v)
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "jpg", bos)
+          PngRow(id, bos.toByteArray)
+        }
+      }
+  }
+
+  /** REAL JPEG decode kernel. JPEG is LOSSY, so unlike [[decodePng]] the
+    * oracle cannot re-derive pixel sums — what IS exact (and gated) is
+    * the geometry (lossless in JPEG), decode_ok, and the claim that every
+    * decoded channel sits within [[JpegErrBound]] of the planted value
+    * (the quantizer's error envelope on a smooth plane). A corrupt
+    * payload or a broken codec path surfaces as decode_ok=0 /
+    * err_bounded=false and hash-mismatches the oracle's literal
+    * expectations. */
+  def decodeJpeg(media: Dataset[PngRow]): Dataset[JpegFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { m =>
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.payload))
+          catch { case _: Exception => null }
+        if (img == null) JpegFeatures(m.media_id, 0L, -1L, -1L, 0L, err_bounded = false)
+        else {
+          val w = img.getWidth; val h = img.getHeight
+          var maxErr = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val p = img.getRGB(x, y)
+              val want = plantedLuma(m.media_id, x, y).toLong
+              val er = math.abs(((p >> 16) & 0xff) - want)
+              val eg = math.abs(((p >> 8) & 0xff) - want)
+              val eb = math.abs((p & 0xff) - want)
+              maxErr = math.max(maxErr, math.max(er, math.max(eg, eb)))
+              x += 1
+            }
+            y += 1
+          }
+          JpegFeatures(m.media_id, 1L, w.toLong, h.toLong, w.toLong * h,
+            maxErr <= JpegErrBound)
+        }
+      }
+    }
+  }
+
+  /** JPEG decode query — geometry-exact, error-enveloped (see
+    * [[decodeJpeg]]). */
+  def jpegStats(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    decodeJpeg(jpegTable(s, d)).toDF().orderBy($"media_id")
+  }
+
+  // ---- WAV/PCM audio (round-13 verdict item 6): lossless round-trip ----
+
+  case class WavRow(media_id: Long, payload: Array[Byte])
+
+  case class WavFeatures(media_id: Long, decode_ok: Long, sample_rate: Long,
+      n_samples: Long, sum_samples: Long, min_sample: Long, max_sample: Long)
+
+  val WavSampleRate = 16000f
+
+  private[graft] def plantedSampleCount(id: Long): Int = (id % 400 + 100).toInt
+  private[graft] def plantedSample(id: Long, i: Int): Int =
+    ((id * 31 + i.toLong * 17) % 65536 - 32768).toInt
+
+  /** Synthesize REAL RIFF/WAVE payloads (in-JDK `javax.sound.sampled`,
+    * 16-bit signed little-endian mono PCM) for the `doc_id % 3 = 2`
+    * slice, samples planted by integer formula. PCM is LOSSLESS, so this
+    * modality gets the full PNG-style exact round-trip oracle. */
+  def wavTable(s: SparkSession, d: String): Dataset[WavRow] = {
+    import s.implicits._
+    documents(s, d).filter(pmod($"doc_id", lit(3)) === 2)
+      .select($"doc_id").as[Long]
+      .mapPartitions { ids =>
+        val fmt = new javax.sound.sampled.AudioFormat(
+          WavSampleRate, 16, 1, true, false)
+        ids.map { id =>
+          val n = plantedSampleCount(id)
+          val pcm = new Array[Byte](n * 2)
+          var i = 0
+          while (i < n) {
+            val v = plantedSample(id, i)
+            pcm(2 * i) = (v & 0xff).toByte
+            pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+            i += 1
+          }
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(ais,
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+          WavRow(id, bos.toByteArray)
+        }
+      }
+  }
+
+  /** REAL WAV decode kernel: `AudioSystem.getAudioInputStream` over the
+    * opaque payload, 16-bit LE sample parse, exact integral stats —
+    * undecodable payloads surface as decode_ok=0 (fail visible, the
+    * [[decodePng]] discipline). The oracle recomputes every statistic
+    * from the planting formula, so a hash match proves the WAV
+    * encode∘decode round-trip preserved every sample. */
+  def decodeWav(media: Dataset[WavRow]): Dataset[WavFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { m =>
+        val parsed =
+          try {
+            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(m.payload))
+            val fmt = ais.getFormat
+            require(fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian &&
+              fmt.getChannels == 1)
+            Some((fmt.getSampleRate.toLong, ais.readAllBytes()))
+          } catch { case _: Exception => None }
+        parsed match {
+          case None => WavFeatures(m.media_id, 0L, -1L, 0L, 0L, 0L, 0L)
+          case Some((rate, bytes)) =>
+            val n = bytes.length / 2
+            var s = 0L; var mn = Long.MaxValue; var mx = Long.MinValue
+            var i = 0
+            while (i < n) {
+              val v = ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8)).toShort.toLong
+              s += v; if (v < mn) mn = v; if (v > mx) mx = v
+              i += 1
+            }
+            WavFeatures(m.media_id, 1L, rate, n.toLong, s, mn, mx)
+        }
+      }
+    }
+  }
+
+  /** WAV decode query — exact round-trip, oracle-paired on every stat. */
+  def wavStats(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    decodeWav(wavTable(s, d)).toDF().orderBy($"media_id")
+  }
+
   /** Frame/sample extraction: every k-th 64-byte window of the payload —
     * the video-frame-sampling stage with a fake frame splitter. */
   def frameSample(media: Dataset[MediaRow], every: Int = 4): DataFrame = {
@@ -310,7 +492,9 @@ object Multimodal {
     "nd_multimodal_frames" -> frameStatsOracle _,
     "nd_multimodal_frames_full" -> frameStats _,
     "nd_multimodal_resize" -> resizeStats _,
-    "nd_multimodal_decode" -> decodeStats _)
+    "nd_multimodal_decode" -> decodeStats _,
+    "nd_multimodal_jpeg" -> jpegStats _,
+    "nd_multimodal_audio" -> wavStats _)
 
   /** All three queries are oracle-checkable from documents: the payload is
     * the utf-8 text bytes (ASCII in the fixture corpus, so byte == char),
@@ -384,6 +568,29 @@ object Multimodal {
                 CAST(sum((id*17 + x*5 + y*3) % 256) AS BIGINT) AS sum_g,
                 CAST(sum((id*29 + x*11 + y*19) % 256) AS BIGINT) AS sum_b
          FROM px GROUP BY id, w, h ORDER BY media_id""",
+    // JPEG: geometry + decode_ok + the error-envelope claim are the
+    // oracle-expressible half of a LOSSY round-trip (see decodeJpeg);
+    // pixel exactness is the PNG/WAV rows' job
+    "nd_multimodal_jpeg" ->
+      """SELECT doc_id AS media_id, CAST(1 AS BIGINT) AS decode_ok,
+                CAST(doc_id % 13 + 4 AS BIGINT) AS width,
+                CAST(doc_id % 11 + 4 AS BIGINT) AS height,
+                CAST((doc_id % 13 + 4) * (doc_id % 11 + 4) AS BIGINT) AS n_pixels,
+                true AS err_bounded
+         FROM documents WHERE doc_id % 3 = 1 ORDER BY media_id""",
+    // WAV/PCM: full exact round-trip — every stat re-derived from the
+    // planting formula
+    "nd_multimodal_audio" ->
+      """WITH a AS (SELECT doc_id AS id, CAST(doc_id % 400 + 100 AS BIGINT) AS n
+                    FROM documents WHERE doc_id % 3 = 2),
+         sm AS (SELECT id, n, ((id*31 + t.i*17) % 65536 - 32768) AS v
+                FROM a, LATERAL (SELECT unnest(range(n)) AS i) t)
+         SELECT id AS media_id, CAST(1 AS BIGINT) AS decode_ok,
+                CAST(16000 AS BIGINT) AS sample_rate, n AS n_samples,
+                CAST(sum(v) AS BIGINT) AS sum_samples,
+                CAST(min(v) AS BIGINT) AS min_sample,
+                CAST(max(v) AS BIGINT) AS max_sample
+         FROM sm GROUP BY id, n ORDER BY media_id""",
     "nd_multimodal_features" ->
       """WITH media AS (
            SELECT doc_id AS media_id,

@@ -844,6 +844,62 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out.forall(f => f.decode_ok == 0L && f.width == -1L && f.n_pixels == 0L),
       s"corrupt payloads must surface as decode_ok=0, got ${out.toSeq}")
   }
+
+  test("jpeg payloads are REAL JPEGs; quantizer error is deep inside the gated bound") {
+    val jpegs = Multimodal.jpegTable(spark, sf).collect()
+    assert(jpegs.nonEmpty)
+    jpegs.take(20).foreach { p =>
+      assert((p.payload(0) & 0xff) == 0xff && (p.payload(1) & 0xff) == 0xd8,
+        s"media ${p.media_id} payload is not a JPEG (no SOI marker)")
+    }
+    // measure the REAL max per-channel error on a sample: the err_bounded
+    // gate uses JpegErrBound=32; the observed error on the planted smooth
+    // plane must sit well under it, or the bound is doing no work
+    val maxErr = jpegs.take(10).map { p =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p.payload))
+      val (w, h) = Multimodal.plantedDims(p.media_id)
+      assert(img.getWidth == w && img.getHeight == h, "JPEG geometry not preserved")
+      (for (y <- 0 until h; x <- 0 until w) yield {
+        val want = Multimodal.plantedLuma(p.media_id, x, y)
+        val px = img.getRGB(x, y)
+        Seq((px >> 16) & 0xff, (px >> 8) & 0xff, px & 0xff)
+          .map(c => math.abs(c - want)).max
+      }).max
+    }.max
+    assert(maxErr <= Multimodal.JpegErrBound / 2,
+      s"observed JPEG error $maxErr too close to the gated bound ${Multimodal.JpegErrBound}")
+  }
+
+  test("jpeg/wav kernels fail visible on corrupt payloads") {
+    import spark.implicits._
+    val junkImg = Seq(Multimodal.PngRow(1L, Array[Byte](9, 9, 9))).toDS()
+    val j = Multimodal.decodeJpeg(junkImg).collect()
+    assert(j.head.decode_ok == 0L && !j.head.err_bounded)
+    val junkWav = Seq(Multimodal.WavRow(1L, Array[Byte](0, 1, 2, 3))).toDS()
+    val a = Multimodal.decodeWav(junkWav).collect()
+    assert(a.head.decode_ok == 0L && a.head.sample_rate == -1L)
+  }
+
+  test("wav payloads are REAL RIFF/WAVE files and round-trip every planted sample") {
+    val wavs = Multimodal.wavTable(spark, sf).collect()
+    assert(wavs.nonEmpty)
+    wavs.take(20).foreach { p =>
+      val hdr = new String(p.payload.take(4)) + new String(p.payload.slice(8, 12))
+      assert(hdr == "RIFFWAVE", s"media ${p.media_id} is not a RIFF/WAVE file")
+    }
+    wavs.take(5).foreach { p =>
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(p.payload))
+      val bytes = ais.readAllBytes()
+      val n = Multimodal.plantedSampleCount(p.media_id)
+      assert(bytes.length == n * 2, s"media ${p.media_id}: sample count changed")
+      (0 until n).foreach { i =>
+        val v = ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8)).toShort.toInt
+        assert(v == Multimodal.plantedSample(p.media_id, i),
+          s"media ${p.media_id} sample $i corrupted by the codec round-trip")
+      }
+    }
+  }
 }
 
 class UnigramTokenizerSpec extends AnyFunSuite {
