@@ -628,7 +628,101 @@ object StreamQueries {
     Pipeline.upsertSummary(s.read.parquet(current.get))
   }
 
+  /** Scripted mirror-chain block — every field a pure integer/string
+    * formula of (height, branch), so the DuckDB oracle re-derives the
+    * winning branch's final mirror without touching the fixture files.
+    * `ver` versions the hash AND the extraData, making a stale branch-A
+    * row distinguishable at every height. */
+  private def mirrorBlock(n: Long, ver: String): graft.sources.eth.EthBlockData =
+    graft.sources.eth.EthBlockData(
+      number = n, hash = s"0x$ver-$n", parentHash = s"0x$ver-${n - 1}",
+      nonce = "0x0", sha3Uncles = "0x0", logsBloom = "0x0",
+      transactionsRoot = "0x0", stateRoot = "0x0", miner = s"0xm${n % 3}",
+      difficulty = 1L, totalDifficulty = n, size = 500,
+      extraData = s"$ver-${(n / 4) % 2}", gasLimit = 8.0e6, gasUsed = 0.0,
+      timestamp = 1438269988L + n * 13, uncles = Vector.empty,
+      transactions = Vector.empty)
+
+  /** REORG-CORRECTING INCREMENTAL CHAIN MIRROR (eth_stream_mirror) — the
+    * production shape of the reference's "cache fetched ranges" gap
+    * (SURVEY §4; `EthereumSplitManager.java:51-57` tip semantics): an
+    * exported chain table kept current by (1) the tip-following stream
+    * appending via [[Pipeline.upsert]] in a foreachBatch MERGE loop, and
+    * (2) a bounded-depth RECONCILE pass that batch-reads the chain tail
+    * (range-pushdown scan), anti-joins mirror hashes, and upserts any
+    * height whose winning-branch hash changed.
+    *
+    * Both legs are necessary: the stream's lag bound guarantees emitted
+    * blocks are final against reorgs up to `lagBlocks` deep, so appends
+    * alone leave the mirror stale exactly when a DEEPER reorg lands —
+    * which the replayed schedule forces (lag 5, reorg depth 16 replacing
+    * three already-mirrored heights 33-35). The reconcile window is the
+    * mirror's reorg-tolerance knob: scan cost is `depth` blocks per run
+    * regardless of chain length.
+    *
+    * The chain mutates through three scripted phases (advance, advance,
+    * deep reorg) between AvailableNow drains sharing ONE checkpoint —
+    * exactly a production catch-up schedule. Every block field is a
+    * formula of (height, branch), so the oracle states the winning
+    * branch's final mirror in closed form: a hash match proves stream
+    * offsets resumed correctly across runs AND the reconcile repaired
+    * precisely the overwritten heights. */
+  def ethStreamMirror(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val work = tempSplitDir("graft-eth-mirror")
+    val chainDir = s"$work/chain"
+    val cols = Seq("block_number", "block_hash", "block_miner",
+      "block_extraData", "block_timestamp")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "block_number LONG, block_hash STRING, block_miner STRING, " +
+        "block_extraData STRING, block_timestamp LONG")
+    var cur = s"$work/v0"
+    var vn = 0
+    s.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+      .write.mode("overwrite").parquet(cur)
+    val phases = Seq(
+      ((1L to 30L).map(mirrorBlock(_, "a")), 30L),
+      ((1L to 40L).map(mirrorBlock(_, "a")), 40L),
+      ((1L to 32L).map(mirrorBlock(_, "a")) ++ (33L to 48L).map(mirrorBlock(_, "b")), 48L))
+    phases.foreach { case (blocks, tip) =>
+      graft.sources.eth.EthFixtures.writeRawChain(chainDir, blocks, tip)
+      val st = s.readStream.format("ethereum").option("table", "block")
+        .option("chain", chainDir)
+        .option("maxBlocksPerBatch", "7").option("lagBlocks", "5")
+        .load().selectExpr(cols: _*)
+      val merge: (DataFrame, Long) => Unit = (batch, _) => {
+        vn += 1
+        val next = s"$work/v$vn"
+        Pipeline.upsert(s.read.parquet(cur), batch.selectExpr(cols: _*),
+          "block_number").write.mode("overwrite").parquet(next)
+        cur = next
+      }
+      val q = st.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", s"$work/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      require(q.awaitTermination(drainMs),
+        s"mirror drain did not finish within ${drainMs / 1000}s")
+      q.stop()
+    }
+    // reconcile: winning-branch tail vs mirror hashes, bounded depth
+    val depth = 16L
+    val mirror = s.read.parquet(cur)
+    val mmax = mirror.agg(max($"block_number")).head().getLong(0)
+    val tail = s.read.format("ethereum").option("table", "block")
+      .option("chain", chainDir).load()
+      .filter($"block_number".between(math.max(1L, mmax - depth + 1), mmax))
+      .selectExpr(cols: _*)
+    val stale = tail.join(mirror.select($"block_number", $"block_hash"),
+      Seq("block_number", "block_hash"), "left_anti")
+    vn += 1
+    val fixed = s"$work/v$vn"
+    Pipeline.upsert(mirror, stale, "block_number")
+      .write.mode("overwrite").parquet(fixed)
+    s.read.parquet(fixed).orderBy($"block_number")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "eth_stream_mirror" -> ((s: SparkSession, d: String) => ethStreamMirror(s, d)),
     "nd_stream_concurrency" -> ((s: SparkSession, d: String) => streamConcurrency(s, d)),
     "nd_stream_scd2" -> ((s: SparkSession, d: String) => streamScd2(s, d)),
     "nd_stream_upsert" -> ((s: SparkSession, d: String) => streamUpsert(s, d)),
@@ -648,6 +742,19 @@ object StreamQueries {
     "nd_stream_chi2" -> ((s: SparkSession, d: String) => streamChi2(s, d)))
 
   val oracle: Map[String, String] = Map(
+    // the mirror's final state is the winning branch in closed form: the
+    // scripted chain is formula-generated, branch B wins from height 33,
+    // and the visible (lag-5) tip of the final phase is 43 — see
+    // ethStreamMirror; a hash match proves checkpointed offset resume AND
+    // the bounded-depth reconcile repaired exactly heights 33-35
+    "eth_stream_mirror" ->
+      """SELECT n AS block_number,
+                CASE WHEN n <= 32 THEN '0xa-' || n ELSE '0xb-' || n END AS block_hash,
+                '0xm' || (n % 3) AS block_miner,
+                (CASE WHEN n <= 32 THEN 'a-' ELSE 'b-' END) || ((n // 4) % 2)
+                  AS block_extraData,
+                CAST(1438269988 + n * 13 AS BIGINT) AS block_timestamp
+         FROM range(1, 44) t(n) ORDER BY block_number""",
     // the drained count state is a pure function of the input set, so the
     // streaming monitor is pinned by the SAME replay as the batch one
     "nd_stream_drift" -> Eval.oracle("nd_drift_psi"),
