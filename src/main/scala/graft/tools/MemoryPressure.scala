@@ -79,7 +79,15 @@ object MemoryPressure {
     // aggregates (per-key skew counts; state+delta MV merge)
     "nd_join_interval", "nd_rag_rerank", "nd_events_concurrency",
     "nd_stream_concurrency", "nd_tok_coverage", "eth_q37_kcore",
-    "nd_stream_late", "nd_join_skew_plan", "nd_pipeline_incr_agg")
+    "nd_stream_late", "nd_join_skew_plan", "nd_pipeline_incr_agg",
+    // round 13: the graph-ANN build (multi-assign candidate join + degree
+    // windows + per-hop broadcast expansions), the ten-stage curation
+    // chain (every survivor checkpoint + the mid-chain DSIR/minhash
+    // shuffles under scarcity), the codec kernels (decoded rasters /
+    // PCM buffers held per task), and the reorg-correcting mirror's
+    // stream + reconcile loop
+    "nd_knn_graph", "nd_pipeline_e2e", "nd_multimodal_jpeg",
+    "nd_multimodal_audio", "eth_stream_mirror")
 
   /** Drain the async listener bus so per-query spill deltas attribute
     * deterministically (the round-8 review flagged the fixed sleep: a
