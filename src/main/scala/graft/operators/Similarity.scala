@@ -340,6 +340,84 @@ object Similarity {
     rankWithin(cand, k)
   }
 
+  /** GRAPH-INDEX HEALTH (nd_knn_graph_health) — the maintenance view
+    * that completes the graph-ANN lifecycle the way [[ivfHealth]]
+    * completes IVF's: a neighbor graph degrades silently (every query
+    * still "works") when it fragments or under-connects, so a vector
+    * store audits, per index build:
+    *
+    *  - degree profile: out-degree min/max, nodes saturated at the cap,
+    *    WEAK nodes (out-degree < m/2, under-connected → poor expansion),
+    *    isolated nodes (no out-edges at all — unreachable as waypoints);
+    *  - reciprocity: directed edges whose reverse survived the degree
+    *    cap — descent ENTERS a region through reverse links, so low
+    *    reciprocity predicts one-way funnels;
+    *  - REACHABILITY: how many nodes a `hops`-bounded BFS from the
+    *    entry-medoid set can reach at all — the hard ceiling on recall
+    *    (a node outside this set can never be returned by any query);
+    *  - two retrain/re-link alarms, integer-exact: `frag_alarm` when
+    *    reachable@hops < 95% of nodes, `weak_alarm` when weak+isolated
+    *    nodes exceed 5%.
+    *
+    * Scale shape: the build is [[graphBuild]] (bucket-bounded); the BFS
+    * is `hops` equi-joins of the edge table against a node-id frontier
+    * frame (both shuffle on the id key — the star-contraction
+    * discipline; nothing broadcasts a |V|-row set), frontier state
+    * crossing rounds through iterCheckpoint. Degree/reciprocity are one
+    * aggregate and one self-equi-join over edges. Output: one row. */
+  def knnGraphHealth(s: SparkSession, d: String, nLists: Int = 16,
+      m: Int = 6, degCap: Int = 8, buildProbes: Int = 2, hops: Int = 4,
+      lloydIters: Int = DefaultLloydIters): DataFrame = {
+    import s.implicits._
+    val vecs = embeddings(s, d)
+      .select($"vec_id", transform($"embedding", _.cast("double")).as("v"))
+    val centroids = lloydCentroids(vecs, nLists, lloydIters)
+    val lists = coarseAssign(vecs, centroids)
+    val edges = Caching.iterCheckpoint(
+      graphBuild(vecs, centroids, m, degCap, buildProbes))
+    val nNodes = vecs.count()
+    // BFS from the entry set, one equi-join per hop
+    var reach = Caching.iterCheckpoint(
+      graphMedoids(lists, centroids).select($"entry_id".as("node")).distinct())
+    for (_ <- 1 to hops) {
+      val next = Caching.iterCheckpoint(
+        reach.unionByName(
+            edges.join(reach, $"src" === $"node").select($"dst".as("node")))
+          .distinct())
+      Caching.freeCheckpoint(reach)
+      reach = next
+    }
+    val nEntry = graphMedoids(lists, centroids)
+      .select($"entry_id").distinct().count()
+    val deg = edges.groupBy($"src").agg(count(lit(1)).as("d"))
+    val degStats = deg.agg(
+      min($"d").as("min_deg"), max($"d").as("max_deg"),
+      sum(when($"d" === degCap, 1L).otherwise(0L)).as("n_at_cap"),
+      sum(when($"d" < m / 2, 1L).otherwise(0L)).as("n_weak_deg"),
+      count(lit(1)).as("n_with_edges"))
+    val nRecip = edges.as("x").join(edges.as("y"),
+      col("x.src") === col("y.dst") && col("x.dst") === col("y.src")).count()
+    val nReach = reach.count()
+    val nEdges = edges.count()
+    val row = degStats
+      .withColumn("n_nodes", lit(nNodes))
+      .withColumn("n_edges", lit(nEdges))
+      .withColumn("n_isolated", lit(nNodes) - $"n_with_edges")
+      .withColumn("n_weak", $"n_weak_deg" + $"n_isolated")
+      .withColumn("n_recip", lit(nRecip))
+      .withColumn("n_entry", lit(nEntry))
+      .withColumn("n_reachable", lit(nReach))
+      .withColumn("frag_alarm", lit(nReach) * 20 < lit(nNodes) * 19)
+      .withColumn("weak_alarm", $"n_weak" * 20 > lit(nNodes))
+      .select($"n_nodes", $"n_edges", $"min_deg", $"max_deg", $"n_at_cap",
+        $"n_weak", $"n_isolated", $"n_recip", $"n_entry", $"n_reachable",
+        $"frag_alarm", $"weak_alarm")
+    val frozen = reach
+    Caching.detach(row, () => {
+      Caching.freeCheckpoint(edges); Caching.freeCheckpoint(frozen)
+    })
+  }
+
   /** Drift threshold for [[ivfHealth]]: the appended batch's mean
     * assignment similarity falling more than 0.02 (20 000 micro) below
     * the training corpus's means the frozen quantizer no longer fits the
@@ -779,20 +857,17 @@ object Similarity {
     * CTEs). GraphAnnSpec additionally gates recall@k ≥ the IVF row's at
     * an equal scored-candidate budget — the claim that makes a graph
     * index worth its build cost. */
-  def knnGraph(s: SparkSession, d: String, nQueries: Int = 5, k: Int = 5,
-      nLists: Int = 16, m: Int = 6, degCap: Int = 8, entryProbes: Int = 2,
-      beam: Int = 8, hops: Int = 3, buildProbes: Int = 2,
-      lloydIters: Int = DefaultLloydIters): DataFrame = {
-    import s.implicits._
+  /** The bounded-degree proximity graph [[knnGraph]] searches and
+    * [[knnGraphHealth]] audits: bucket-bounded exact kNN under top-
+    * `buildProbes` MULTI-ASSIGNMENT (each vector contributes candidates
+    * to its nearest lists, so boundary vectors get cross-list edges; a
+    * pair found via two shared lists dedups to one edge before the
+    * degree ranking), symmetrized NSW reverse links, re-capped at
+    * `degCap` per source. Returns the directed `(src, dst)` adjacency. */
+  private[graft] def graphBuild(vecs: DataFrame, centroids: DataFrame,
+      m: Int, degCap: Int, buildProbes: Int): DataFrame = {
+    import vecs.sparkSession.implicits._
     val micro = (c: Column) => round(c * 1000000, 0).cast("long")
-    val vecs = embeddings(s, d)
-      .select($"vec_id", transform($"embedding", _.cast("double")).as("v"))
-    val centroids = lloydCentroids(vecs, nLists, lloydIters)
-    val lists = coarseAssign(vecs, centroids)
-    // 1–2: bucket-bounded exact kNN under MULTI-ASSIGNMENT (each vector
-    // contributes candidates to its `buildProbes` nearest lists, so
-    // boundary vectors get cross-list edges); a pair found via two shared
-    // lists dedups to one edge before the degree ranking
     val multi = coarseAssignTopN(vecs, centroids, buildProbes)
     val a = multi.select($"list_id", $"vec_id", $"v")
     val b = multi.select($"list_id", $"vec_id".as("dst"), $"v".as("bv"))
@@ -804,21 +879,41 @@ object Similarity {
       .dropDuplicates("src", "dst")
       .withColumn("rn", row_number().over(wDeg)).filter($"rn" <= m)
       .select($"src", $"dst", $"sim_micro")
-    // 3: symmetrize + degree cap; attach destination vectors (serving layout)
-    val capped = knn
+    knn
       .unionByName(knn.select($"dst".as("src"), $"src".as("dst"), $"sim_micro"))
       .dropDuplicates("src", "dst")
       .withColumn("rn", row_number().over(wDeg)).filter($"rn" <= degCap)
       .select($"src", $"dst")
-    val edges = Caching.iterCheckpoint(
-      capped.join(vecs.select($"vec_id".as("dst"), $"v".as("dv")), Seq("dst")))
-    // entry medoids: per list, the vector most central under the trained
-    // quantizer (micro-exact, vec_id tie-break) — 16 rows of metadata
-    val medoids = lists.join(broadcast(centroids), Seq("list_id"))
+  }
+
+  /** Entry medoids: per list, the vector most central under the trained
+    * quantizer (micro-exact, vec_id tie-break) — nLists rows of
+    * metadata. */
+  private[graft] def graphMedoids(lists: DataFrame,
+      centroids: DataFrame): DataFrame = {
+    import lists.sparkSession.implicits._
+    val micro = (c: Column) => round(c * 1000000, 0).cast("long")
+    lists.join(broadcast(centroids), Seq("list_id"))
       .select($"list_id", $"vec_id",
               micro(Expressions.cosineSim($"v", $"cv")).as("cs"))
       .groupBy($"list_id")
       .agg(max_by($"vec_id", struct($"cs", (-$"vec_id").as("nv"))).as("entry_id"))
+  }
+
+  def knnGraph(s: SparkSession, d: String, nQueries: Int = 5, k: Int = 5,
+      nLists: Int = 16, m: Int = 6, degCap: Int = 8, entryProbes: Int = 2,
+      beam: Int = 8, hops: Int = 3, buildProbes: Int = 2,
+      lloydIters: Int = DefaultLloydIters): DataFrame = {
+    import s.implicits._
+    val micro = (c: Column) => round(c * 1000000, 0).cast("long")
+    val vecs = embeddings(s, d)
+      .select($"vec_id", transform($"embedding", _.cast("double")).as("v"))
+    val centroids = lloydCentroids(vecs, nLists, lloydIters)
+    val lists = coarseAssign(vecs, centroids)
+    val capped = graphBuild(vecs, centroids, m, degCap, buildProbes)
+    val edges = Caching.iterCheckpoint(
+      capped.join(vecs.select($"vec_id".as("dst"), $"v".as("dv")), Seq("dst")))
+    val medoids = graphMedoids(lists, centroids)
     val medoidV = vecs.join(broadcast(medoids), $"vec_id" === $"entry_id")
       .select($"list_id", $"entry_id", $"v".as("ev"))
     val queries = vecs.filter($"vec_id" < nQueries)
@@ -924,6 +1019,7 @@ object Similarity {
     "nd_knn_lsh" -> ((s: SparkSession, d: String) => knnLsh(s, d)),
     "nd_knn_ivf" -> ((s: SparkSession, d: String) => knnIvf(s, d)),
     "nd_knn_graph" -> ((s: SparkSession, d: String) => knnGraph(s, d)),
+    "nd_knn_graph_health" -> ((s: SparkSession, d: String) => knnGraphHealth(s, d)),
     "nd_knn_ivf_incr" -> ((s: SparkSession, d: String) => knnIvfIncremental(s, d)),
     "nd_knn_ivf_health" -> ((s: SparkSession, d: String) => ivfHealth(s, d)),
     "nd_knn_recall" -> ((s: SparkSession, d: String) => knnRecall(s, d)),
@@ -1051,25 +1147,13 @@ object Similarity {
     * cut uses the same (sim_micro DESC, id) key as the Spark side, so
     * the traversal — entry medoids, per-round beams, visited set — is
     * replayed node-for-node. */
-  private[operators] def graphOracleSql(nQueries: Int = 5, k: Int = 5,
-      nLists: Int = 16, m: Int = 6, degCap: Int = 8, entryProbes: Int = 2,
-      beam: Int = 8, hops: Int = 3, buildProbes: Int = 2,
-      iterations: Int = DefaultLloydIters): String = {
-    val rounds = (1 to hops).map { h =>
-      s"""b$h AS (SELECT query_id, qv, node FROM (
-            SELECT query_id, qv, node, sim_micro,
-                   row_number() OVER (PARTITION BY query_id
-                     ORDER BY sim_micro DESC, node) AS rn FROM v${h - 1})
-          WHERE rn <= $beam),
-          x$h AS (SELECT t.query_id, t.qv, e.dst AS node,
-                   CAST(round(list_cosine_similarity(t.qv, e.dv) * 1000000)
-                        AS BIGINT) AS sim_micro
-                  FROM b$h t JOIN gedges e ON e.src = t.node),
-          v$h AS MATERIALIZED (
-            SELECT DISTINCT query_id, qv, node, sim_micro FROM
-              (SELECT * FROM v${h - 1} UNION ALL SELECT * FROM x$h))"""
-    }.mkString(",\n          ")
-    s"""WITH ${lloydChainSql(nLists, iterations)},
+  /** The graph-index build + entry-medoid CTE chain shared by the search
+    * oracle and the health oracle: lloyd chain → multi-assignment →
+    * bounded-degree symmetrized adjacency `gedges(src, dst, dv)` →
+    * `medoid(list_id, entry_id)`. */
+  private def graphBuildSql(nLists: Int, m: Int, degCap: Int,
+      buildProbes: Int, iterations: Int): String =
+    s"""${lloydChainSql(nLists, iterations)},
           multi AS (SELECT vec_id, v, list_id FROM aF
                     WHERE rn <= $buildProbes),
           pair AS MATERIALIZED (
@@ -1102,7 +1186,71 @@ object Similarity {
               SELECT list_id, vec_id,
                      row_number() OVER (PARTITION BY list_id
                        ORDER BY cs DESC, vec_id) AS rn FROM cs)
-            WHERE rn = 1),
+            WHERE rn = 1)"""
+
+  /** DuckDB replay of [[knnGraphHealth]]: the shared build chain, the
+    * BFS unrolled as MATERIALIZED rounds, degree/reciprocity aggregates,
+    * the same integer alarm arithmetic. */
+  private[operators] def graphHealthOracleSql(nLists: Int = 16, m: Int = 6,
+      degCap: Int = 8, buildProbes: Int = 2, hops: Int = 4,
+      iterations: Int = DefaultLloydIters): String = {
+    val rounds = (1 to hops).map { h =>
+      s"""r$h AS MATERIALIZED (
+            SELECT node FROM r${h - 1}
+            UNION
+            SELECT e.dst AS node FROM gedges e
+            JOIN r${h - 1} f ON e.src = f.node)"""
+    }.mkString(",\n          ")
+    s"""WITH ${graphBuildSql(nLists, m, degCap, buildProbes, iterations)},
+          r0 AS (SELECT DISTINCT entry_id AS node FROM medoid),
+          $rounds,
+          deg AS (SELECT src, count(*) AS d FROM gedges GROUP BY src),
+          stats AS (
+            SELECT CAST(min(d) AS BIGINT) AS min_deg,
+                   CAST(max(d) AS BIGINT) AS max_deg,
+                   CAST(sum(CASE WHEN d = $degCap THEN 1 ELSE 0 END) AS BIGINT) AS n_at_cap,
+                   CAST(sum(CASE WHEN d < ${m / 2} THEN 1 ELSE 0 END) AS BIGINT) AS n_weak_deg,
+                   CAST(count(*) AS BIGINT) AS n_with_edges
+            FROM deg),
+          tot AS (
+            SELECT (SELECT count(*) FROM vecs) AS n_nodes,
+                   (SELECT count(*) FROM gedges) AS n_edges,
+                   (SELECT count(*) FROM gedges a JOIN gedges b
+                      ON a.src = b.dst AND a.dst = b.src) AS n_recip,
+                   (SELECT count(*) FROM r0) AS n_entry,
+                   (SELECT count(*) FROM r$hops) AS n_reachable)
+          SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+                 CAST(n_edges AS BIGINT) AS n_edges,
+                 min_deg, max_deg, n_at_cap,
+                 CAST(n_weak_deg + (n_nodes - n_with_edges) AS BIGINT) AS n_weak,
+                 CAST(n_nodes - n_with_edges AS BIGINT) AS n_isolated,
+                 CAST(n_recip AS BIGINT) AS n_recip,
+                 CAST(n_entry AS BIGINT) AS n_entry,
+                 CAST(n_reachable AS BIGINT) AS n_reachable,
+                 (n_reachable * 20 < n_nodes * 19) AS frag_alarm,
+                 ((n_weak_deg + (n_nodes - n_with_edges)) * 20 > n_nodes) AS weak_alarm
+          FROM stats CROSS JOIN tot"""
+  }
+
+  private[operators] def graphOracleSql(nQueries: Int = 5, k: Int = 5,
+      nLists: Int = 16, m: Int = 6, degCap: Int = 8, entryProbes: Int = 2,
+      beam: Int = 8, hops: Int = 3, buildProbes: Int = 2,
+      iterations: Int = DefaultLloydIters): String = {
+    val rounds = (1 to hops).map { h =>
+      s"""b$h AS (SELECT query_id, qv, node FROM (
+            SELECT query_id, qv, node, sim_micro,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY sim_micro DESC, node) AS rn FROM v${h - 1})
+          WHERE rn <= $beam),
+          x$h AS (SELECT t.query_id, t.qv, e.dst AS node,
+                   CAST(round(list_cosine_similarity(t.qv, e.dv) * 1000000)
+                        AS BIGINT) AS sim_micro
+                  FROM b$h t JOIN gedges e ON e.src = t.node),
+          v$h AS MATERIALIZED (
+            SELECT DISTINCT query_id, qv, node, sim_micro FROM
+              (SELECT * FROM v${h - 1} UNION ALL SELECT * FROM x$h))"""
+    }.mkString(",\n          ")
+    s"""WITH ${graphBuildSql(nLists, m, degCap, buildProbes, iterations)},
           qp AS (SELECT q.vec_id AS query_id, q.v AS qv, c.list_id,
                    row_number() OVER (PARTITION BY q.vec_id
                      ORDER BY list_cosine_similarity(q.v, c.cv) DESC,
@@ -2306,6 +2454,7 @@ object Similarity {
     "nd_knn_ivf" -> ivfOracleSql(nLists = 16, nProbe = 4, nQueries = 5, k = 5,
       iterations = DefaultLloydIters),
     "nd_knn_graph" -> graphOracleSql(),
+    "nd_knn_graph_health" -> graphHealthOracleSql(),
     "nd_knn_ivf_incr" -> ivfIncrOracleSql(cut = 250, nLists = 16, nProbe = 4,
       nQueries = 5, k = 5, iterations = DefaultLloydIters),
     "nd_knn_ivf_health" -> ivfHealthOracleSql(cut = 250, nLists = 16,

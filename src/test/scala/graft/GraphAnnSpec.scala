@@ -67,6 +67,23 @@ class GraphAnnSpec extends AnyFunSuite {
     assert(n > 0)
   }
 
+  test("graph health: internals reconcile and the fragmentation alarm fires when reach shrinks") {
+    import spark.implicits._
+    val h = Similarity.knnGraphHealth(spark, sf).head()
+    val n = h.getAs[Long]("n_nodes"); val e = h.getAs[Long]("n_edges")
+    assert(h.getAs[Long]("max_deg") <= 8, "degree cap violated")
+    assert(h.getAs[Long]("n_recip") <= e, "reciprocal edges exceed edges")
+    assert(h.getAs[Long]("n_reachable") <= n)
+    assert(!h.getAs[Boolean]("frag_alarm"),
+      "a freshly built graph over the corpus must not be fragmented")
+    // hops=0 collapses reach to the entry set alone — the alarm
+    // arithmetic must fire on any corpus bigger than ~17 nodes
+    val h0 = Similarity.knnGraphHealth(spark, sf, hops = 0).head()
+    assert(h0.getAs[Long]("n_reachable") == h0.getAs[Long]("n_entry"))
+    assert(h0.getAs[Boolean]("frag_alarm"),
+      "entry-set-only reach must trip the fragmentation alarm")
+  }
+
   test("beam traversal visits no more than the budgeted candidate count") {
     import spark.implicits._
     // the scored-candidate budget claimed in the scaladoc: entries +
