@@ -200,10 +200,18 @@ object StreamQueries {
       val straggler = ms < LateT1Ms && pmod($"event_id", lit(20)) === 7
       val b0 = ms < LateT1Ms && !straggler
       val b1 = ms >= LateT1Ms && ms < LateT2Ms
-      ev.filter(b0).coalesce(1).write.mode("overwrite").parquet(s"$dir/b0.parquet")
-      ev.filter(b1).coalesce(1).write.mode("overwrite").parquet(s"$dir/b1.parquet")
-      ev.filter(!b0 && !b1).coalesce(1)
-        .write.mode("overwrite").parquet(s"$dir/b2.parquet")
+      // one ROW GROUP per batch file, by construction: the drop-metric
+      // grain (one state partial per (batch, window)) holds only while a
+      // batch is one row group (assertOneRowGroup), and the default
+      // 128 MB block size splits the straggler tail around the 1000x
+      // tier (~20M events ≈ 250 MB) — raise the writer's block size so
+      // the invariant is enforced at write time, not discovered at read
+      val oneGroup = (df: org.apache.spark.sql.DataFrame, p: String) =>
+        df.coalesce(1).write.mode("overwrite")
+          .option("parquet.block.size", (2L << 30).toString).parquet(p)
+      oneGroup(ev.filter(b0), s"$dir/b0.parquet")
+      oneGroup(ev.filter(b1), s"$dir/b1.parquet")
+      oneGroup(ev.filter(!b0 && !b1), s"$dir/b2.parquet")
       pinBatchOrder(dir, Seq("b0.parquet", "b1.parquet", "b2.parquet"))
       dir
     })
