@@ -87,7 +87,7 @@ object MemoryPressure {
     // PCM buffers held per task), and the reorg-correcting mirror's
     // stream + reconcile loop
     "nd_knn_graph", "nd_pipeline_e2e", "nd_multimodal_jpeg",
-    "nd_multimodal_audio", "eth_stream_mirror")
+    "nd_multimodal_audio", "eth_stream_mirror", "nd_knn_graph_health")
 
   /** Drain the async listener bus so per-query spill deltas attribute
     * deterministically (the round-8 review flagged the fixed sleep: a
