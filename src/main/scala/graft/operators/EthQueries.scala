@@ -537,15 +537,19 @@ object EthQueries {
     * production graph engines bound the tail. */
   def q37KCoreLazy(s: SparkSession, d: String): (DataFrame, () => Unit) = {
     import s.implicits._
-    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val und = eth(s, "erc20")
       .select($"erc20_token".as("token"),
               least($"erc20_from", $"erc20_to").as("a"),
               greatest($"erc20_from", $"erc20_to").as("b"))
       .filter($"a" =!= $"b").distinct()
-    var cur = und.select($"token", $"a".as("u"), $"b".as("v"))
-      .union(und.select($"token", $"b".as("u"), $"a".as("v")))
-      .persist(lvl)
+    // per-round state crosses rounds through iterCheckpoint, NOT a plain
+    // persist: a persisted frame still nests every prior round's logical
+    // plan, so analysis/optimization work grows per round and dominated
+    // the wall clock (measured 40.7s quiet; the lineage cut took the same
+    // peel to 2.1s — the q17/q19 iterative-state lesson, relearned)
+    var cur = graft.plans.Caching.iterCheckpoint(
+      und.select($"token", $"a".as("u"), $"b".as("v"))
+        .union(und.select($"token", $"b".as("u"), $"a".as("v"))))
     var curCnt = cur.count()
     var rounds = 0
     var converged = false
@@ -554,13 +558,12 @@ object EthQueries {
         .agg(count(lit(1)).as("deg"))
         .filter($"deg" >= KCoreK)
         .select($"token", $"u")
-      val next = cur
+      val next = graft.plans.Caching.iterCheckpoint(cur
         .join(keep, Seq("token", "u"), "left_semi")
         .join(keep.withColumnRenamed("u", "v"), Seq("token", "v"), "left_semi")
-        .select($"token", $"u", $"v")
-        .persist(lvl)
+        .select($"token", $"u", $"v"))
       val nextCnt = next.count()
-      cur.unpersist(blocking = false)
+      graft.plans.Caching.freeCheckpoint(cur)
       converged = nextCnt == curCnt
       cur = next; curCnt = nextCnt; rounds += 1
     }
@@ -575,7 +578,7 @@ object EthQueries {
            max($"deg").as("max_core_deg"),
            min($"deg").as("min_core_deg"))
       .orderBy($"token")
-    (out, () => { fin.unpersist(blocking = false); () })
+    (out, () => { graft.plans.Caching.freeCheckpoint(fin) })
   }
 
   def q37KCore(s: SparkSession, d: String): DataFrame = {
