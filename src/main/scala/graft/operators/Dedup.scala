@@ -162,8 +162,8 @@ object Dedup {
   def minhashIncremental(newDocs: DataFrame, store: DataFrame,
       threshold: Double = 0.5): DataFrame = {
     import newDocs.sparkSession.implicits._
-    val sigs = newDocs.select($"doc_id", minhashSignature($"text").as("sig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigs = graft.plans.Caching.iterCheckpoint(
+      newDocs.select($"doc_id", minhashSignature($"text").as("sig")))
     val banded = sigs
       .select($"doc_id", $"sig", posexplode(bandKeys($"sig")).as(Seq("band", "key")))
     val corpusDup = banded.as("n").join(store.as("o"),
@@ -183,7 +183,7 @@ object Dedup {
               coalesce($"db", lit(false)).as("dup_batch"))
       .withColumn("keep", !$"dup_corpus" && !$"dup_batch")
       .orderBy($"doc_id")
-    graft.plans.Caching.detach(out, () => { sigs.unpersist(blocking = false); () })
+    graft.plans.Caching.detach(out, () => graft.plans.Caching.freeCheckpoint(sigs))
   }
 
   /** [[minhashIncremental]] over the standard id-ordered split: documents
@@ -209,9 +209,8 @@ object Dedup {
   def ngramJaccardPairs(s: SparkSession, d: String, candThreshold: Double = 0.3,
       finalThreshold: Double = 0.3): DataFrame = {
     import s.implicits._
-    val base = documents(s, d)
-      .select($"doc_id", minhashSignature($"text").as("sig"), shingleHashes($"text").as("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val base = graft.plans.Caching.iterCheckpoint(documents(s, d)
+      .select($"doc_id", minhashSignature($"text").as("sig"), shingleHashes($"text").as("sh")))
     val sh = base.select($"doc_id", $"sh")
     val cand = minhashPairsFrom(base.select($"doc_id", $"sig"), candThreshold)
     val verified = cand
@@ -223,7 +222,7 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
     // materialize the (small, thresholded) pair list, then free the
     // corpus-scale sketch cache — nothing corpus-sized stays pinned
-    graft.plans.Caching.detach(verified, () => { base.unpersist(blocking = false); () })
+    graft.plans.Caching.detach(verified, () => graft.plans.Caching.freeCheckpoint(base))
   }
 
   /** ASYMMETRIC shingle-CONTAINMENT near-dup pairs — the subsumption case
@@ -353,9 +352,8 @@ object Dedup {
   def decontaminate(s: SparkSession, d: String, evalMod: Int = 10,
       minShared: Int = 3): DataFrame = {
     import s.implicits._
-    val sh = documents(s, d)
-      .select($"doc_id", shingleHashes($"text").as("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = graft.plans.Caching.iterCheckpoint(documents(s, d)
+      .select($"doc_id", shingleHashes($"text").as("sh")))
     val ev = sh.filter($"doc_id" % evalMod === 0)
     val evShingles = ev.select($"doc_id".as("eval_id"), explode($"sh").as("h"))
     val evSizes = ev.select($"doc_id".as("eval_id"), size($"sh").cast("long").as("n_eval"))
@@ -369,7 +367,7 @@ object Dedup {
       .select($"train_id", $"eval_id", $"n_shared",
               ($"n_shared".cast("double") / $"n_eval".cast("double")).as("overlap_frac"))
       .orderBy($"train_id", $"eval_id")
-    graft.plans.Caching.detach(out, () => { sh.unpersist(blocking = false); () })
+    graft.plans.Caching.detach(out, () => graft.plans.Caching.freeCheckpoint(sh))
   }
 
   /** BLOOM-FILTER decontamination pre-pass — the shape that makes
@@ -431,14 +429,13 @@ object Dedup {
   private[graft] def decontaminateBloomLazy(s: SparkSession, d: String,
       evalMod: Int, minShared: Int, mBits: Int, kHashes: Int): (DataFrame, () => Unit) = {
     import s.implicits._
-    val sh = documents(s, d)
-      .select($"doc_id", shingleHashes($"text").as("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = graft.plans.Caching.iterCheckpoint(documents(s, d)
+      .select($"doc_id", shingleHashes($"text").as("sh")))
     val mask = bloomMask(sh.filter($"doc_id" % evalMod === 0), mBits, kHashes)
     val out = bloomHits(sh.filter($"doc_id" % evalMod =!= 0), mask, mBits, kHashes)
       .withColumn("candidate", $"n_hits" >= minShared)
       .orderBy($"train_id")
-    (out, () => { sh.unpersist(blocking = false); () })
+    (out, () => graft.plans.Caching.freeCheckpoint(sh))
   }
 
   def decontaminateBloom(s: SparkSession, d: String, evalMod: Int = 10,
@@ -555,8 +552,7 @@ object Dedup {
     // replaced the round-10 min-label loop whose driver-action-per-round ×
     // diameter cost was the verdict's one `weak`)
     lim.unpersist(false)
-    val pairs = pairsIn
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = graft.plans.Caching.iterCheckpoint(pairsIn)
     val sym = pairs.select(lit(0).as("token"), $"doc_a".as("u"), $"doc_b".as("v"))
       .union(pairs.select(lit(0).as("token"), $"doc_b".as("u"), $"doc_a".as("v")))
     val nodes = sym.select($"token", $"u".as("addr")).distinct()
@@ -565,8 +561,7 @@ object Dedup {
       .orderBy($"doc_id")
     graft.plans.Caching.detach(out, () => {
       freeStar()
-      pairs.unpersist(blocking = false)
-      ()
+      graft.plans.Caching.freeCheckpoint(pairs)
     })
   }
 
@@ -672,18 +667,28 @@ object Dedup {
       minSpanTokens: Int = MinSpanTokens): DataFrame =
     substringSpansOf(documents(s, d).toDF(), k, minSpanTokens)
 
-  /** [[substringSpans]] over any `(doc_id, text)`-shaped frame. */
+  /** [[substringSpans]] over any `(doc_id, text)`-shaped frame. `cut =
+    * false` composes the identical expressions WITHOUT the gram
+    * checkpoint/detach (so plan-shape specs can inspect the full pipeline
+    * in one tree — StressSpec (h)); production callers keep the default. */
   def substringSpansOf(docs: DataFrame, k: Int = AnchorK,
-      minSpanTokens: Int = MinSpanTokens): DataFrame = {
+      minSpanTokens: Int = MinSpanTokens, cut: Boolean = true): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    val grams = docs
+    // the per-position k-gram md5 pass is the expensive stage and BOTH
+    // the repeated-anchor aggregate and the run-assembly probe consume it
+    // — lineage-cut so the corpus is tokenized + md5'd once, not twice
+    // (eager localCheckpoint, the r14 probe-measured winner over both
+    // recompute and a lazy persist); freed once the span rows materialize
+    val gramsLazy = docs
       .select($"doc_id", wsTokens(canonical($"text")).as("w"))
       .filter(size($"w") >= k)
       .select($"doc_id", posexplode(
         transform(sequence(lit(0), size($"w") - k),
           i => md5(concat_ws(" ", slice($"w", i + 1, lit(k)))))).as(Seq("p0", "gh")))
       .select($"doc_id", ($"p0" + 1).cast("long").as("pos"), $"gh")
+    val grams = if (cut) graft.plans.Caching.iterCheckpoint(gramsLazy)
+                else gramsLazy
     // anchors repeated anywhere (other doc OR another position of the same
     // doc); aggregate-then-semi-join rather than a count window so a
     // boilerplate heavy-hitter gram partial-aggregates map-side instead of
@@ -691,7 +696,7 @@ object Dedup {
     val dupAnchors = grams.groupBy($"gh")
       .agg(count(lit(1)).as("n_occ")).filter($"n_occ" > 1).select($"gh")
     val byDoc = Window.partitionBy($"doc_id").orderBy($"pos")
-    grams.join(dupAnchors, Seq("gh"), "left_semi")
+    val out = grams.join(dupAnchors, Seq("gh"), "left_semi")
       .withColumn("grp", $"pos" - row_number().over(byDoc))
       .groupBy($"doc_id", $"grp")
       .agg(min($"pos").as("span_start"),
@@ -699,6 +704,9 @@ object Dedup {
       .filter($"span_len" >= minSpanTokens)
       .select($"doc_id", $"span_start", $"span_len")
       .orderBy($"doc_id", $"span_start")
+    if (cut)
+      graft.plans.Caching.detach(out, () => graft.plans.Caching.freeCheckpoint(grams))
+    else out
   }
 
   /** Cross-SOURCE shingle-overlap matrix — the corpus-composition audit a
@@ -725,12 +733,12 @@ object Dedup {
       : (DataFrame, () => Unit) = {
     import s.implicits._
     // the (source, shingle) base feeds three consumers (both join sides +
-    // sizes) — persist it sketch-sized so the corpus text is scanned and
-    // shingled ONCE, then free it once the bounded S² matrix materializes
-    val sh = documents(s, d)
+    // sizes) — lineage-cut (eager localCheckpoint, the probe-measured
+    // winner over a lazy persist) so the corpus text is scanned and
+    // shingled ONCE, then freed once the bounded S² matrix materializes
+    val sh = graft.plans.Caching.iterCheckpoint(documents(s, d)
       .select($"source", explode(shingleHashes($"text")).as("h"))
-      .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .distinct())
     val sizes = sh.groupBy($"source").agg(count(lit(1)).as("n"))
     val pairs = sh.as("a").join(sh.as("b"),
         col("a.h") === col("b.h") && col("a.source") < col("b.source"))
@@ -746,7 +754,7 @@ object Dedup {
                       div CAST(n_a + n_b - n_shared AS DECIMAL(38,0)) AS BIGINT)""")
                 .as("jaccard_micro"))
       .orderBy($"source_a", $"source_b")
-    (out, () => { sh.unpersist(blocking = false); () })
+    (out, () => graft.plans.Caching.freeCheckpoint(sh))
   }
 
   /** SKETCH-scale path for [[sourceOverlap]] — the same cross-source
@@ -804,9 +812,8 @@ object Dedup {
     * micro-units. */
   def noveltyCurve(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val sh = documents(s, d)
-      .select($"doc_id", explode(shingleHashes($"text")).as("h"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = graft.plans.Caching.iterCheckpoint(documents(s, d)
+      .select($"doc_id", explode(shingleHashes($"text")).as("h")))
     val firstSeen = sh.groupBy($"h").agg(min($"doc_id").as("first_doc"))
     val out = sh.join(firstSeen, "h")
       .groupBy($"doc_id")
@@ -816,7 +823,7 @@ object Dedup {
         expr("CAST(CAST(n_novel AS DECIMAL(38,0)) * 1000000 div n_shingles AS BIGINT)")
           .as("novelty_micro"))
       .orderBy($"doc_id")
-    graft.plans.Caching.detach(out, () => { sh.unpersist(blocking = false); () })
+    graft.plans.Caching.detach(out, () => graft.plans.Caching.freeCheckpoint(sh))
   }
 
   /** Oracle-paired incremental run: batch = doc_id ≥ 250 deduped against

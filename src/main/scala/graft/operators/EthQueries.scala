@@ -331,15 +331,20 @@ object EthQueries {
     * bound, and `div` returns a long on both engines. */
   def q17PageRankLazy(s: SparkSession, d: String): (DataFrame, () => Unit) = {
     import s.implicits._
-    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val edges = eth(s, "erc20")
-      .groupBy($"erc20_from".as("src"), $"erc20_to".as("dst"))
-      .agg(count(lit(1)).as("w"))
-      .persist(lvl)
+    // iteration state AND the loop-invariant edge/node frames all cross
+    // the rounds through eager localCheckpoint (Caching.iterCheckpoint):
+    // the r14 probe measured the lazy-persist columnar cache costing more
+    // per read-back than the LogicalRDD cut, and the cut also stops the
+    // five per-iteration jobs from re-analyzing the scan lineage
+    val edges = graft.plans.Caching.iterCheckpoint(
+      eth(s, "erc20")
+        .groupBy($"erc20_from".as("src"), $"erc20_to".as("dst"))
+        .agg(count(lit(1)).as("w")))
     val outw = edges.groupBy($"src").agg(sum($"w").as("tw"))
-    val wEdges = edges.join(outw, "src").persist(lvl)
-    val nodes = edges.select($"src".as("addr"))
-      .union(edges.select($"dst".as("addr"))).distinct().persist(lvl)
+    val wEdges = graft.plans.Caching.iterCheckpoint(edges.join(outw, "src"))
+    val nodes = graft.plans.Caching.iterCheckpoint(
+      edges.select($"src".as("addr"))
+        .union(edges.select($"dst".as("addr"))).distinct())
     // eager lineage truncation each round (see Caching.iterCheckpoint for
     // the measured cost of not doing this + the reliable-checkpoint mode)
     var rank = graft.plans.Caching.iterCheckpoint(nodes.withColumn("r", lit(1000000L)))
@@ -355,10 +360,9 @@ object EthQueries {
     val out = rank.orderBy($"r".desc, $"addr").limit(15)
       .select($"addr", $"r".as("rank_micro"))
     (out, () => {
-      edges.unpersist(blocking = false)
-      wEdges.unpersist(blocking = false)
-      nodes.unpersist(blocking = false)
-      ()
+      graft.plans.Caching.freeCheckpoint(edges)
+      graft.plans.Caching.freeCheckpoint(wEdges)
+      graft.plans.Caching.freeCheckpoint(nodes)
     })
   }
 
@@ -389,25 +393,25 @@ object EthQueries {
       .select(least($"erc20_from", $"erc20_to").as("a"),
               greatest($"erc20_from", $"erc20_to").as("b"))
       .filter($"a" =!= $"b").distinct()
-    val und = t.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val und = graft.plans.Caching.iterCheckpoint(t)
     // deg is consumed repeatedly (both orientation joins + downstream
-    // aggregates); persisted so the union+aggregate runs once and the
-    // planner sees real |V|-frame stats for the join strategy (r12 quiet
-    // profile: the recomputes were roughly half the query's wall time)
-    val deg = und.select($"a".as("n")).union(und.select($"b".as("n")))
-      .groupBy($"n").agg(count(lit(1)).as("deg"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // aggregates); lineage-cut so the union+aggregate runs once (r12
+    // quiet profile: the recomputes were roughly half the query's wall
+    // time; the r14 probe then measured the eager localCheckpoint beating
+    // the lazy persist's columnar cache on every read-back)
+    val deg = graft.plans.Caching.iterCheckpoint(
+      und.select($"a".as("n")).union(und.select($"b".as("n")))
+        .groupBy($"n").agg(count(lit(1)).as("deg")))
     // orient each edge toward the higher (deg, addr) endpoint
     val withDeg = und
       .join(deg.withColumnRenamed("n", "a").withColumnRenamed("deg", "da"), "a")
       .join(deg.withColumnRenamed("n", "b").withColumnRenamed("deg", "db"), "b")
-    val oriented = withDeg.select(
+    val oriented = graft.plans.Caching.iterCheckpoint(withDeg.select(
         when($"da" < $"db" || ($"da" === $"db" && $"a" < $"b"),
              struct($"a".as("src"), $"b".as("dst"), $"db".as("dd")))
           .otherwise(struct($"b".as("src"), $"a".as("dst"), $"da".as("dd")))
           .as("e"))
-      .select($"e.src", $"e.dst", $"e.dd")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .select($"e.src", $"e.dst", $"e.dd"))
     // wedges: ordered pairs of out-neighbors of one source, v before w in
     // the SAME (deg, addr) orientation order, closed by an oriented edge
     val e1 = oriented.select($"src", $"dst".as("v"), $"dd".as("dv"))
@@ -422,10 +426,9 @@ object EthQueries {
       .crossJoin(wedgeStats)
       .select($"n_nodes", $"n_edges", $"n_wedges", $"n_triangles")
     (out, () => {
-      und.unpersist(blocking = false)
-      deg.unpersist(blocking = false)
-      oriented.unpersist(blocking = false)
-      ()
+      graft.plans.Caching.freeCheckpoint(und)
+      graft.plans.Caching.freeCheckpoint(deg)
+      graft.plans.Caching.freeCheckpoint(oriented)
     })
   }
 
@@ -454,24 +457,24 @@ object EthQueries {
       .select(least($"erc20_from", $"erc20_to").as("a"),
               greatest($"erc20_from", $"erc20_to").as("b"))
       .filter($"a" =!= $"b").distinct()
-    val und = t.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val und = graft.plans.Caching.iterCheckpoint(t)
     // deg is consumed repeatedly (both orientation joins + downstream
-    // aggregates); persisted so the union+aggregate runs once and the
-    // planner sees real |V|-frame stats for the join strategy (r12 quiet
-    // profile: the recomputes were roughly half the query's wall time)
-    val deg = und.select($"a".as("n")).union(und.select($"b".as("n")))
-      .groupBy($"n").agg(count(lit(1)).as("deg"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // aggregates); lineage-cut so the union+aggregate runs once (r12
+    // quiet profile: the recomputes were roughly half the query's wall
+    // time; the r14 probe then measured the eager localCheckpoint beating
+    // the lazy persist's columnar cache on every read-back)
+    val deg = graft.plans.Caching.iterCheckpoint(
+      und.select($"a".as("n")).union(und.select($"b".as("n")))
+        .groupBy($"n").agg(count(lit(1)).as("deg")))
     val withDeg = und
       .join(deg.withColumnRenamed("n", "a").withColumnRenamed("deg", "da"), "a")
       .join(deg.withColumnRenamed("n", "b").withColumnRenamed("deg", "db"), "b")
-    val oriented = withDeg.select(
+    val oriented = graft.plans.Caching.iterCheckpoint(withDeg.select(
         when($"da" < $"db" || ($"da" === $"db" && $"a" < $"b"),
              struct($"a".as("src"), $"b".as("dst"), $"db".as("dd")))
           .otherwise(struct($"b".as("src"), $"a".as("dst"), $"da".as("dd")))
           .as("e"))
-      .select($"e.src", $"e.dst", $"e.dd")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .select($"e.src", $"e.dst", $"e.dd"))
     val e1 = oriented.select($"src", $"dst".as("v"), $"dd".as("dv"))
     val e2 = oriented.select($"src", $"dst".as("w"), $"dd".as("dw"))
     val tri = e1.join(e2, Seq("src"))
@@ -495,10 +498,9 @@ object EthQueries {
            max($"jacc_micro").as("max_jacc_micro"))
       .orderBy($"bucket")
     (out, () => {
-      und.unpersist(blocking = false)
-      deg.unpersist(blocking = false)
-      oriented.unpersist(blocking = false)
-      ()
+      graft.plans.Caching.freeCheckpoint(und)
+      graft.plans.Caching.freeCheckpoint(deg)
+      graft.plans.Caching.freeCheckpoint(oriented)
     })
   }
 
@@ -609,16 +611,16 @@ object EthQueries {
     * sizes. */
   def q19ComponentsLazy(s: SparkSession, d: String): (DataFrame, () => Unit) = {
     import s.implicits._
-    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val und = eth(s, "erc20")
       .select($"erc20_token".as("token"),
               least($"erc20_from", $"erc20_to").as("a"),
               greatest($"erc20_from", $"erc20_to").as("b"))
       .filter($"a" =!= $"b").distinct()
-    val sym = und.select($"token", $"a".as("u"), $"b".as("v"))
-      .union(und.select($"token", $"b".as("u"), $"a".as("v")))
-      .persist(lvl)
-    val nodes = sym.select($"token", $"u".as("addr")).distinct().persist(lvl)
+    val sym = graft.plans.Caching.iterCheckpoint(
+      und.select($"token", $"a".as("u"), $"b".as("v"))
+        .union(und.select($"token", $"b".as("u"), $"a".as("v"))))
+    val nodes = graft.plans.Caching.iterCheckpoint(
+      sym.select($"token", $"u".as("addr")).distinct())
     // hybrid: driver union-find when the deduped edge list is metadata-
     // scale (one job, no per-round convergence actions — the star loop's
     // fixed ~3 actions/round constant dominated the fixture wall), star
@@ -637,9 +639,8 @@ object EthQueries {
       .orderBy($"token")
     (out, () => {
       freeStar()
-      sym.unpersist(blocking = false)
-      nodes.unpersist(blocking = false)
-      ()
+      graft.plans.Caching.freeCheckpoint(sym)
+      graft.plans.Caching.freeCheckpoint(nodes)
     })
   }
 
@@ -838,15 +839,14 @@ object EthQueries {
     * against the bounded tainted set. Nothing driver-side. */
   def q22TaintLazy(s: SparkSession, d: String): (DataFrame, () => Unit) = {
     import s.implicits._
-    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val dir = EthFixtures.ensure(s)
     val x = s.read.format("ethereum").option("table", "erc20")
       .option("chain", dir).option("weiDecimal", "true").load()
       .select($"erc20_token".as("token"), $"erc20_from".as("f"),
               $"erc20_to".as("t"), $"erc20_value".as("wei"),
               $"erc20_blockNumber".as("bn"))
-    val edges = x.filter($"f" =!= $"t")
-      .select($"token", $"f".as("src"), $"t".as("dst")).distinct().persist(lvl)
+    val edges = graft.plans.Caching.iterCheckpoint(x.filter($"f" =!= $"t")
+      .select($"token", $"f".as("src"), $"t".as("dst")).distinct())
     val seeds = x.filter($"bn" <= 300 && $"f" =!= $"t")
       .select($"token", $"f".as("addr")).distinct()
     val reached = reachFrom(edges, seeds)
@@ -865,7 +865,7 @@ object EthQueries {
       .select($"token", $"n_addrs", $"n_tainted", $"n_tainted_transfers",
               $"tainted_value_wei")
       .orderBy($"token")
-    (out, () => { edges.unpersist(blocking = false); () })
+    (out, () => graft.plans.Caching.freeCheckpoint(edges))
   }
 
   def q22Taint(s: SparkSession, d: String): DataFrame = {
@@ -901,10 +901,9 @@ object EthQueries {
     * boundary-sample + rank passes and detaches after materialization. */
   def q23Gini(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val c = eth(s, "erc20")
+    val c = graft.plans.Caching.iterCheckpoint(eth(s, "erc20")
       .groupBy($"erc20_token".as("token"), $"erc20_from".as("addr"))
-      .agg(count(lit(1)).as("c"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .agg(count(lit(1)).as("c")))
     val out = graft.plans.ScalableNtile.groupedRank(
         c, Seq("token"), Seq($"c", $"addr"), "i")
       .groupBy($"token")
@@ -919,7 +918,7 @@ object EthQueries {
         expr("CAST(ssq * 1000000 div (CAST(s AS DECIMAL(38,0)) * s) AS BIGINT)").as("hhi_micro"),
         expr("CAST(CAST(cmax AS DECIMAL(38,0)) * 1000000 div s AS BIGINT)").as("top_share_micro"))
       .orderBy($"token")
-    graft.plans.Caching.detach(out, () => { c.unpersist(blocking = false); () })
+    graft.plans.Caching.detach(out, () => graft.plans.Caching.freeCheckpoint(c))
   }
 
   /** Q24: nonce-sequence audit over the transaction table — the

@@ -522,10 +522,9 @@ object Eval {
     // the per-value count frame feeds the boundary sample, both cumsums
     // AND the totals — persist it so the corpus aggregates once (the
     // tfidf discipline)
-    val cts = docs.groupBy($"n_chars".as("v"))
+    val cts = graft.plans.Caching.iterCheckpoint(docs.groupBy($"n_chars".as("v"))
       .agg(sum(when($"doc_id" < half, 1L).otherwise(0L)).as("b"),
-           sum(when($"doc_id" >= half, 1L).otherwise(0L)).as("c"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+           sum(when($"doc_id" >= half, 1L).otherwise(0L)).as("c")))
     val cum = graft.plans.ScalableNtile.runningTotals(
       cts, Seq($"b" -> "cb", $"c" -> "cc"), Seq($"v"))
     val tot = cts.agg(sum($"b").as("nb"), sum($"c").as("nc"))
@@ -542,7 +541,7 @@ object Eval {
             "CAST((m.diff * 1000000) div (CAST(nb AS DECIMAL(38,0)) * nc) AS BIGINT)"))
           .as("ks_micro"),
         (-$"m.nv").as("at_value"), $"nb", $"nc")
-    graft.plans.Caching.detach(out, () => { cts.unpersist(blocking = false); () })
+    graft.plans.Caching.detach(out, () => graft.plans.Caching.freeCheckpoint(cts))
   }
 
   /** REGRESSION EVAL — the numeric-prediction complement to the

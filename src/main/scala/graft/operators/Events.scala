@@ -132,12 +132,19 @@ object Events {
       .agg(count(lit(1)).as("new_users"))
     // every first-seen day has ≥1 event, so the left join from daily is
     // complete; days with no NEW users coalesce to 0
-    val perDay = daily.join(newUsers, Seq("day"), "left")
-      .select($"day", $"dau", coalesce($"new_users", lit(0L)).as("new_users"))
-    graft.plans.ScalableNtile
+    // the day-grain frame is |days| rows but its lineage is two corpus
+    // aggregates + a join, which the running total's range decomposition
+    // would re-execute four times — cut the lineage at the bounded frame
+    // (eager localCheckpoint: probe-measured faster than both the lazy
+    // recompute and a lazy persist's columnar cache)
+    val perDay = graft.plans.Caching.iterCheckpoint(
+      daily.join(newUsers, Seq("day"), "left")
+        .select($"day", $"dau", coalesce($"new_users", lit(0L)).as("new_users")))
+    val out = graft.plans.ScalableNtile
       .runningTotal(perDay, $"new_users", Seq($"day"), "cum_users")
       .select($"day", $"dau", $"new_users", $"cum_users")
       .orderBy($"day")
+    graft.plans.Caching.detach(out, () => graft.plans.Caching.freeCheckpoint(perDay))
   }
 
   /** Batch sessionization, 30-minute inactivity gap: the gaps-and-islands
@@ -359,10 +366,11 @@ object Events {
     */
   private[graft] def percentileReadoff(hist0: DataFrame,
       maxExactCells: Long = 262144L): DataFrame = {
-    // one persisted pass feeds the size probe AND whichever read-off path
-    // wins; the per-type result is materialized through detach so nothing
-    // stays pinned afterwards
-    val hist = hist0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // one lineage-cut pass feeds the size probe AND whichever read-off
+    // path wins; the per-type result is materialized through detach so
+    // nothing stays pinned afterwards (eager localCheckpoint — the r14
+    // probe measured it beating the lazy columnar persist)
+    val hist = graft.plans.Caching.iterCheckpoint(hist0)
     val probeN = if (maxExactCells >= Int.MaxValue - 1) Int.MaxValue - 1
                  else maxExactCells.toInt + 1
     // size probe WITHOUT driver materialization (round-8 review): the
@@ -372,7 +380,7 @@ object Events {
     val nCells = hist.limit(probeN).count()
     val out = if (nCells <= maxExactCells) readoffDirect(hist)
               else readoffBucketed(hist, maxExactCells)
-    graft.plans.Caching.detach(out, () => { hist.unpersist(blocking = false); () })
+    graft.plans.Caching.detach(out, () => graft.plans.Caching.freeCheckpoint(hist))
   }
 
   private def readoffDirect(hist: DataFrame): DataFrame = {
@@ -565,9 +573,9 @@ object Events {
       chunkRows: Int = 2048): DataFrame = {
     import s.implicits._
     require(chunkRows >= frame, "chunk must cover a full frame")
-    val e = events(s, d).select($"event_id", $"event_type",
-      unix_millis($"ts").as("ms"), Money.cents($"value").as("cents"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val e = graft.plans.Caching.iterCheckpoint(
+      events(s, d).select($"event_id", $"event_type",
+        unix_millis($"ts").as("ms"), Money.cents($"value").as("cents")))
     val ranked = graft.plans.ScalableNtile.groupedRank(
       e, Seq("event_type"), Seq($"ms", $"event_id"), "r")
     // integer `div`, never float division — exact at any rank magnitude
@@ -588,7 +596,7 @@ object Events {
           .as("med_cents"),
         size($"arr").cast("long").as("n_frame"))
       .orderBy($"event_type", $"event_id")
-    graft.plans.Caching.detach(out, () => { e.unpersist(blocking = false); () })
+    graft.plans.Caching.detach(out, () => graft.plans.Caching.freeCheckpoint(e))
   }
 
   /** SCD-TYPE-2 HISTORY — collapse each user's event-type stream into
@@ -769,29 +777,51 @@ object Events {
     * construction) and are excluded with the orientation pin `ua < ub`.
     * Output is day-bounded: pairs, overlap mass, peak single overlap, the
     * uid checksum, and distinct users participating. */
-  def sessionOverlap(s: SparkSession, d: String): DataFrame = {
+  /** The grid-bucketized overlap pair frame over an interval frame — the
+    * subplan [[sessionOverlap]] materializes through its pair checkpoint;
+    * factored so IntervalJoinSpec can assert the join shape (equi-join on
+    * the cell, owner-cell filter) on the exact expressions production
+    * executes. */
+  private[graft] def overlapPairs(iv: DataFrame): DataFrame = {
+    val s = iv.sparkSession
     import s.implicits._
     val g = OverlapCellMs
-    val cells = sessionIntervals(s, d)
+    val cells = iv
       .select($"user_id", $"s_ms", $"e_ms",
         explode(sequence(expr(s"s_ms div $g"), expr(s"e_ms div $g"))).as("cell"))
     val a = cells.select($"cell", $"user_id".as("ua"), $"s_ms".as("sa"),
       $"e_ms".as("ea"))
     val b = cells.select($"cell", $"user_id".as("ub"), $"s_ms".as("sb"),
       $"e_ms".as("eb"))
-    val pairs = a.join(b, Seq("cell"))
+    a.join(b, Seq("cell"))
       .filter($"ua" < $"ub" && $"sa" <= $"eb" && $"sb" <= $"ea" &&
         $"cell" === expr(s"greatest(sa, sb) div $g"))
       .select(expr("greatest(sa, sb) div 86400000").as("day"),
         (least($"ea", $"eb") - greatest($"sa", $"sb")).as("ov_ms"),
         $"ua", $"ub")
-    val perDay = pairs.groupBy($"day")
+  }
+
+  def sessionOverlap(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    // the interval frame feeds both join sides and the pair frame feeds
+    // both the per-day aggregate and the distinct-user roll-up — cut the
+    // lineage at each so the gaps-and-islands windows run once and the
+    // grid join runs once, not 2×/3× (eager localCheckpoint — probe-
+    // measured faster than both lazy recompute and a lazy persist); both
+    // frames are session-/pair-grain, far below event grain
+    val iv = graft.plans.Caching.iterCheckpoint(sessionIntervals(s, d))
+    val pairsCk = graft.plans.Caching.iterCheckpoint(overlapPairs(iv))
+    val perDay = pairsCk.groupBy($"day")
       .agg(count(lit(1)).as("n_pairs"), sum($"ov_ms").as("overlap_ms_sum"),
            max($"ov_ms").as("overlap_ms_max"), sum($"ua" + $"ub").as("uid_sum"))
-    val users = pairs.select($"day", $"ua".as("uid"))
-      .unionByName(pairs.select($"day", $"ub".as("uid")))
+    val users = pairsCk.select($"day", $"ua".as("uid"))
+      .unionByName(pairsCk.select($"day", $"ub".as("uid")))
       .groupBy($"day").agg(countDistinct($"uid").as("n_users"))
-    perDay.join(users, Seq("day")).orderBy($"day")
+    val out = perDay.join(users, Seq("day")).orderBy($"day")
+    graft.plans.Caching.detach(out, () => {
+      graft.plans.Caching.freeCheckpoint(iv)
+      graft.plans.Caching.freeCheckpoint(pairsCk)
+    })
   }
 
   /** SWEEP-LINE CONCURRENCY — peak simultaneous sessions per day, the
@@ -813,17 +843,27 @@ object Events {
     * absent on both engines identically). */
   def concurrency(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val iv = sessionIntervals(s, d)
+    // The session-interval frame is consumed by BOTH union branches, and
+    // the running total's range decomposition makes four more passes over
+    // its input (count, boundary sample, offsets, rank) — without a
+    // lineage cut the gaps-and-islands window pipeline re-executes up to
+    // 8× (probe-measured r14 at sf0.1: lazy 4.6s, lazy persist 5.3s —
+    // the columnar InMemoryRelation costs MORE than recompute here —
+    // eager localCheckpoint 2.3s). Session grain is already far below
+    // event grain, so the checkpointed footprint is interval rows only;
+    // detach frees it once the day-level result materializes.
+    val iv = graft.plans.Caching.iterCheckpoint(sessionIntervals(s, d))
     val deltas = iv.select($"s_ms".as("ms"), lit(1L).as("delta"))
       .unionByName(iv.select(($"e_ms" + 1L).as("ms"), lit(-1L).as("delta")))
       .groupBy($"ms").agg(sum($"delta").as("net"))
-    graft.plans.ScalableNtile
+    val out = graft.plans.ScalableNtile
       .runningTotal(deltas, $"net", Seq($"ms"), "level")
       .groupBy(expr("ms div 86400000").as("day"))
       .agg(max($"level").as("max_concurrent"),
            count(lit(1)).as("n_boundary_ms"),
            sum($"net").as("net_day"))
       .orderBy($"day")
+    graft.plans.Caching.detach(out, () => graft.plans.Caching.freeCheckpoint(iv))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

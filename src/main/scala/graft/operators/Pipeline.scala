@@ -39,8 +39,7 @@ object Pipeline {
   private def survivors(s: SparkSession, d: String, minQuality: Double,
       nearDupThreshold: Double): (DataFrame, () => Unit) = {
     import s.implicits._
-    val base = curationBase(s, d)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val base = graft.plans.Caching.iterCheckpoint(curationBase(s, d))
     val keepers = base.groupBy($"text_key").agg(min($"doc_id").as("doc_id"))
       .select($"doc_id")
     val losers = Dedup.minhashPairsFrom(base.select($"doc_id", $"sig"), nearDupThreshold)
@@ -49,7 +48,7 @@ object Pipeline {
       .select($"doc_id", $"lang", $"text_len")
       .join(keepers, "doc_id")
       .join(losers, Seq("doc_id"), "left_anti")
-    (out, () => { base.unpersist(blocking = false); () })
+    (out, () => graft.plans.Caching.freeCheckpoint(base))
   }
 
   /** The surviving, curated corpus (before writing). Keeps the lowest
@@ -151,37 +150,54 @@ object Pipeline {
       val p = graft.plans.Caching.iterCheckpoint(df)
       pinned += p; p
     }
+    // per-stage wall-clock to stderr (the k-core round-print discipline):
+    // a ten-stage chain that regresses should say WHICH stage did
+    var lapT = System.nanoTime()
+    def lap(stage: String): Unit = {
+      val now = System.nanoTime()
+      System.err.println(f"[graft] e2e $stage%-14s ${(now - lapT) / 1e9}%6.2fs")
+      lapT = now
+    }
     try {
       val raw = documents(s, d).select($"doc_id", $"lang", $"source", $"text")
-      val n0 = raw.count()
       // 1: extract (ext keeps ALL docs — the eval slice of stage 6 needs
       // extracted text for docs regardless of survivorship)
       val ext = pin(TextAnalysis.extractionBase(raw)
         .select($"doc_id", $"lang", $"source",
                 $"extracted".as("text"), $"n_lines_kept"))
+      // extraction is a per-row map (extractionBase keeps every doc), so
+      // the raw-corpus count IS the extracted frame's count — read it off
+      // the checkpoint instead of a separate full scan of the raw table
+      val n0 = ext.count()
+      lap("extract")
       val s1 = pin(ext.filter($"n_lines_kept" >= 1L)
         .select($"doc_id", $"lang", $"source", $"text"))
       val n1 = s1.count()
+      lap("filter")
       // 2: gopher over extracted text
       val s2 = pin(s1.join(
         TextAnalysis.gopherFrom(s1).filter($"keep").select($"doc_id"), "doc_id"))
       val n2 = s2.count()
+      lap("gopher")
       // 3: exact dedup
       val keepers = s2.groupBy(md5(TextAnalysis.canonical($"text")).as("k"))
         .agg(min($"doc_id").as("doc_id")).select($"doc_id")
       val s3 = pin(s2.join(keepers, "doc_id"))
       val n3 = s3.count()
+      lap("exact_dedup")
       // 4: minhash near-dup removal among survivors
       val losers = Dedup.minhashPairsFrom(
           s3.select($"doc_id", Dedup.minhashSignature($"text").as("sig")), 0.5)
         .select($"doc_b".as("doc_id")).distinct()
       val s4 = pin(s3.join(losers, Seq("doc_id"), "left_anti"))
       val n4 = s4.count()
+      lap("minhash")
       // 5: semantic dedup — embedding-keyed; docs without a vector pass
       val semDrop = Semantic.semanticDedup(s, d)
         .filter(!$"keep").select($"vec_id".as("doc_id"))
       val s5 = pin(s4.join(semDrop, Seq("doc_id"), "left_anti"))
       val n5 = s5.count()
+      lap("semdedup")
       // 6: decontaminate — Bloom of the eval slice's extracted shingles
       val mBits = 131072; val kHashes = 4
       val mask = Dedup.bloomMask(
@@ -196,6 +212,7 @@ object Pipeline {
       val s6 = pin(s5.filter($"doc_id" % 10 =!= 0)
         .join(contaminated, Seq("doc_id"), "left_anti"))
       val n6 = s6.count()
+      lap("decontaminate")
       // 7: DSIR trained on the surviving distribution. Target = the
       // quality>=0.8 slice (~top 30% at this stage — the raw corpus's 0.5
       // threshold is degenerate HERE because gopher already removed
@@ -213,13 +230,17 @@ object Pipeline {
       val s7 = pin(s6.join(sel, "doc_id"))
       val n7 = s7.count()
       freeDsir(); freeNtile()
+      lap("dsir")
       // 8: temperature mixture over survivors
       val s8 = pin(mixtureKept(s7, mixtureRates(s7, 0.5))
         .select($"doc_id", $"lang", $"source", $"text"))
       val n8 = s8.count()
+      lap("mixture")
       // 9/10: pack + shard the curated corpus (manifest sizes)
       val n9 = packFrom(s8, 2048L).count()
+      lap("pack")
       val n10 = shardFrom(s8, 8).count()
+      lap("shard")
       Seq(
         (1L, "extract", n0, n1), (2L, "gopher", n1, n2),
         (3L, "exact_dedup", n2, n3), (4L, "minhash_dedup", n3, n4),
@@ -275,6 +296,11 @@ object Pipeline {
   private[operators] def packFrom(docs: DataFrame, budget: Long): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
+    // deliberately NOT lineage-cut: the token projection is a map over
+    // the scan, and the r14 probe measured the checkpoint+detach overhead
+    // costing MORE than the running total's four cheap recomputes of it
+    // (0.57s → 0.84s at sf0.1) — the cut only pays when the input lineage
+    // is expensive (windows, joins, quality pipelines)
     val toks = docs
       .select($"doc_id", size(TextAnalysis.wsTokens($"text")).cast("long").as("n_tokens"))
     graft.plans.ScalableNtile.runningTotal(toks, $"n_tokens", Seq($"doc_id"), "cum_tokens")
@@ -505,10 +531,9 @@ object Pipeline {
   private[graft] def chunkBoilerplateLazy(s: SparkSession, d: String,
       size: Int, minDocs: Int): (DataFrame, () => Unit) = {
     import s.implicits._
-    val chunks = chunkedCore(s, d, size, 0)
+    val chunks = graft.plans.Caching.iterCheckpoint(chunkedCore(s, d, size, 0)
       .join(documents(s, d).select($"doc_id", $"source"), "doc_id")
-      .select($"doc_id", $"source", $"chunk_tokens", $"chunk_key")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .select($"doc_id", $"source", $"chunk_tokens", $"chunk_key"))
     val boiler = chunks.groupBy($"source", $"chunk_key")
       .agg(countDistinct($"doc_id").as("n_docs_with"))
       .filter($"n_docs_with" >= minDocs)
@@ -522,7 +547,7 @@ object Pipeline {
       // engines without the (unsafe, see qualityScore) round(x, 4)
       .withColumn("boiler_frac", $"n_boiler" / $"n_chunks")
       .orderBy($"doc_id")
-    (out, () => { chunks.unpersist(blocking = false); () })
+    (out, () => graft.plans.Caching.freeCheckpoint(chunks))
   }
 
   def chunkBoilerplate(s: SparkSession, d: String, size: Int = 8,
@@ -565,13 +590,12 @@ object Pipeline {
       qualityThreshold: Double): (DataFrame, () => Unit) = {
     val s = docs.sparkSession
     import s.implicits._
-    val toks = TextAnalysis.withQualitySignals(docs)
+    val toks = graft.plans.Caching.iterCheckpoint(TextAnalysis.withQualitySignals(docs)
       .select($"doc_id", ($"quality" >= qualityThreshold).as("is_target"),
         explode(TextAnalysis.wsTokens(TextAnalysis.canonical($"text"))).as("tok"))
       .select($"doc_id", $"is_target",
         (conv(substring(md5(concat_ws("|", lit("dsir"), $"tok")), 1, 7), 16, 10)
-          .cast("long") % buckets).as("b"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .cast("long") % buckets).as("b")))
     val counts = toks.groupBy($"b")
       .agg(count(lit(1)).as("c_raw"),
            sum(when($"is_target", 1L).otherwise(0L)).as("c_tgt"))
@@ -588,7 +612,7 @@ object Pipeline {
       .agg(count(lit(1)).as("n_tokens"), sum($"lrq").as("dsir_logw_micro"))
       .withColumn("selected", $"dsir_logw_micro" > 0L)
       .orderBy($"doc_id")
-    (scored, () => { toks.unpersist(blocking = false); () })
+    (scored, () => graft.plans.Caching.freeCheckpoint(toks))
   }
 
   def dsirWeights(s: SparkSession, d: String, buckets: Int = 1024,
@@ -694,10 +718,15 @@ object Pipeline {
     * via range decomposition instead of a single-task sort. */
   def lengthBatches(s: SparkSession, d: String, batchSize: Int = 8): DataFrame = {
     import s.implicits._
-    val dnt = documents(s, d).select($"doc_id",
+    // (doc_id, n_tokens, bucket) is three longs per doc; the global rank
+    // makes four passes over it and the bucket-offset aggregate a fifth —
+    // cut the lineage so the canonical/tokenize pipeline runs once, not
+    // five times (eager localCheckpoint, the probe-measured winner)
+    val dnt = graft.plans.Caching.iterCheckpoint(
+      documents(s, d).select($"doc_id",
         size(TextAnalysis.wsTokens(TextAnalysis.canonical($"text")))
           .cast("long").as("n_tokens"))
-      .withColumn("bucket", length(bin(greatest($"n_tokens", lit(1L)))).cast("long"))
+      .withColumn("bucket", length(bin(greatest($"n_tokens", lit(1L)))).cast("long")))
     val ranked = graft.plans.ScalableNtile.globalRank(dnt,
       Seq($"bucket", $"n_tokens", $"doc_id"), "grank", "total")
     val w = Window.orderBy($"bucket")
@@ -705,7 +734,7 @@ object Pipeline {
       .withColumn("boff",
         coalesce(sum($"bc").over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select($"bucket", $"boff")
-    ranked.join(broadcast(offsets), "bucket")
+    val out = ranked.join(broadcast(offsets), "bucket")
       .withColumn("batch", expr(s"(grank - boff - 1) div $batchSize"))
       .groupBy($"bucket", $"batch")
       .agg(count(lit(1)).as("nd"), max($"n_tokens").as("mx"),
@@ -715,6 +744,7 @@ object Pipeline {
            sum($"sm").as("total_tokens"),
            sum($"mx" * $"nd" - $"sm").as("padded_tokens"))
       .orderBy($"bucket")
+    graft.plans.Caching.detach(out, () => graft.plans.Caching.freeCheckpoint(dnt))
   }
 
   /** Budget-capped curation — "take the best documents until the token
@@ -733,13 +763,19 @@ object Pipeline {
     * decomposition requires. */
   def tokenBudget(s: SparkSession, d: String, budget: Long = 10000L): DataFrame = {
     import s.implicits._
-    val q = TextAnalysis.withQualitySignals(documents(s, d))
-      .select($"doc_id", $"n_tokens_ws", $"quality")
-    graft.plans.ScalableNtile.runningTotal(q, $"n_tokens_ws",
+    // the quality-signal pipeline is the expensive part and the running
+    // total's range decomposition would re-execute it four times — cut
+    // the lineage at the three-column projection (metadata grain); freed
+    // once the selected manifest materializes
+    val q = graft.plans.Caching.iterCheckpoint(
+      TextAnalysis.withQualitySignals(documents(s, d))
+        .select($"doc_id", $"n_tokens_ws", $"quality"))
+    val out = graft.plans.ScalableNtile.runningTotal(q, $"n_tokens_ws",
         Seq(-$"quality", $"doc_id"), "cum_tokens")
       .filter($"cum_tokens" <= budget)
       .select($"doc_id", $"n_tokens_ws", $"cum_tokens")
       .orderBy($"doc_id")
+    graft.plans.Caching.detach(out, () => graft.plans.Caching.freeCheckpoint(q))
   }
 
   /** Deterministic K-FOLD assignment + cross-fold near-dup LEAKAGE audit —
@@ -792,12 +828,12 @@ object Pipeline {
       .join(broadcast(sizes), "source")
       .withColumn("vkey",
         expr("CAST(CAST(r AS DECIMAL(38,0)) * 1000000000000 div w AS BIGINT)"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rankedCk = graft.plans.Caching.iterCheckpoint(ranked)
     val out = graft.plans.ScalableNtile
-      .globalRank(ranked, Seq($"vkey", $"source", $"doc_id"), "pos", "n")
+      .globalRank(rankedCk, Seq($"vkey", $"source", $"doc_id"), "pos", "n")
       .select($"pos", $"doc_id", $"source", $"vkey")
       .orderBy($"pos")
-    graft.plans.Caching.detach(out, () => { ranked.unpersist(blocking = false); () })
+    graft.plans.Caching.detach(out, () => graft.plans.Caching.freeCheckpoint(rankedCk))
   }
 
   /** Data-quality CONSTRAINT REPORT — the Deequ-style validation gate a
@@ -999,16 +1035,23 @@ object Pipeline {
     def edge(name: String, child: DataFrame, key: String,
              parent: DataFrame, pk: String, bcast: Boolean): DataFrame = {
       val ck = child.select(col(key).as("k"))
-      val pkeys0 = parent.select(col(pk).as("k"))
+      // ONE pass over the child per edge: the earlier form scanned it
+      // twice (an anti-join for orphans plus a separate null/total
+      // aggregate — 8 corpus scans across the audit); a left-outer probe
+      // against the DISTINCT parent keys (distinct so a duplicated parent
+      // key cannot multiply child rows) yields totals, null keys and
+      // orphans from a single aggregate. Identical counts by definition.
+      val pkeys0 = parent.select(col(pk).as("k")).filter($"k".isNotNull)
+        .distinct().withColumn("hit", lit(1))
       val pkeys = if (bcast) broadcast(pkeys0) else pkeys0
-      val orphans = ck.filter($"k".isNotNull)
-        .join(pkeys, Seq("k"), "left_anti")
-        .agg(count(lit(1)).as("n_orphans"))
-      val stats = ck.agg(count(lit(1)).as("n_child"),
-        sum(when($"k".isNull, 1L).otherwise(0L)).as("n_null_keys"))
+      val probe = ck.join(pkeys, Seq("k"), "left_outer")
+        .agg(count(lit(1)).as("n_child"),
+             sum(when($"k".isNull, 1L).otherwise(0L)).as("n_null_keys"),
+             sum(when($"k".isNotNull && $"hit".isNull, 1L).otherwise(0L))
+               .as("n_orphans"))
       val dups = parent.groupBy(col(pk)).agg(count(lit(1)).as("c"))
         .agg(sum(when($"c" > 1, $"c" - 1).otherwise(0L)).as("n_parent_dups"))
-      stats.crossJoin(orphans).crossJoin(dups)
+      probe.crossJoin(dups)
         .select(lit(name).as("fk_edge"), $"n_child", $"n_orphans",
                 $"n_null_keys", coalesce($"n_parent_dups", lit(0L)).as("n_parent_dups"))
     }

@@ -67,9 +67,8 @@ object Semantic {
     val vecs = embeddings(s, d)
       .select($"vec_id", transform($"embedding", _.cast("double")).as("v"))
     val centroids = Similarity.lloydCentroids(vecs, nLists, lloydIters)
-    val lists = Similarity.coarseAssign(vecs, centroids)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    (lists, centroids, () => { lists.unpersist(blocking = false); () })
+    val lists = Caching.iterCheckpoint(Similarity.coarseAssign(vecs, centroids))
+    (lists, centroids, () => Caching.freeCheckpoint(lists))
   }
 
   /** SemDeDup: `(vec_id, list_id, keep)` for every corpus vector — `keep`

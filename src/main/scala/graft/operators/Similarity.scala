@@ -372,13 +372,17 @@ object Similarity {
     val vecs = embeddings(s, d)
       .select($"vec_id", transform($"embedding", _.cast("double")).as("v"))
     val centroids = lloydCentroids(vecs, nLists, lloydIters)
-    val lists = coarseAssign(vecs, centroids)
     val edges = Caching.iterCheckpoint(
       graphBuild(vecs, centroids, m, degCap, buildProbes))
     val nNodes = vecs.count()
-    // BFS from the entry set, one equi-join per hop
+    // BFS from the entry set, one equi-join per hop. The initial frontier
+    // IS the distinct entry set — count it off the checkpointed frame
+    // before the loop mutates `reach`, instead of re-running the
+    // corpus-wide medoid assignment a second time just for nEntry
+    // (round-13 ADVICE: graphMedoids was evaluated twice).
     var reach = Caching.iterCheckpoint(
-      graphMedoids(lists, centroids).select($"entry_id".as("node")).distinct())
+      graphMedoids(vecs, centroids).select($"entry_id".as("node")).distinct())
+    val nEntry = reach.count()
     for (_ <- 1 to hops) {
       val next = Caching.iterCheckpoint(
         reach.unionByName(
@@ -387,21 +391,21 @@ object Similarity {
       Caching.freeCheckpoint(reach)
       reach = next
     }
-    val nEntry = graphMedoids(lists, centroids)
-      .select($"entry_id").distinct().count()
     val deg = edges.groupBy($"src").agg(count(lit(1)).as("d"))
+    // n_edges = Σ per-source out-degree — read off the same aggregate
+    // instead of a separate count() pass over the edge table
     val degStats = deg.agg(
       min($"d").as("min_deg"), max($"d").as("max_deg"),
       sum(when($"d" === degCap, 1L).otherwise(0L)).as("n_at_cap"),
       sum(when($"d" < m / 2, 1L).otherwise(0L)).as("n_weak_deg"),
-      count(lit(1)).as("n_with_edges"))
+      count(lit(1)).as("n_with_edges"),
+      sum($"d").as("n_edges_sum"))
     val nRecip = edges.as("x").join(edges.as("y"),
       col("x.src") === col("y.dst") && col("x.dst") === col("y.src")).count()
     val nReach = reach.count()
-    val nEdges = edges.count()
     val row = degStats
       .withColumn("n_nodes", lit(nNodes))
-      .withColumn("n_edges", lit(nEdges))
+      .withColumn("n_edges", $"n_edges_sum")
       .withColumn("n_isolated", lit(nNodes) - $"n_with_edges")
       .withColumn("n_weak", $"n_weak_deg" + $"n_isolated")
       .withColumn("n_recip", lit(nRecip))
@@ -888,14 +892,30 @@ object Similarity {
 
   /** Entry medoids: per list, the vector most central under the trained
     * quantizer (micro-exact, vec_id tie-break) — nLists rows of
-    * metadata. */
-  private[graft] def graphMedoids(lists: DataFrame,
+    * metadata. Assignment and centrality come from ONE literal-argmax
+    * projection over the corpus (the [[coarseAssignLit]] shape): the
+    * argmax struct already carries the winning list's cosine, so the
+    * earlier two-pass form (coarseAssign, then a broadcast join back to
+    * the centroid table to re-score the assigned list) collapses to a
+    * single map pass + the nLists-group aggregate. Values are identical:
+    * same cosineSim expression over the same inputs, same (sim, −list)
+    * ordering, same micro rounding. */
+  private[graft] def graphMedoids(vecs: DataFrame,
       centroids: DataFrame): DataFrame = {
-    import lists.sparkSession.implicits._
-    val micro = (c: Column) => round(c * 1000000, 0).cast("long")
-    lists.join(broadcast(centroids), Seq("list_id"))
-      .select($"list_id", $"vec_id",
-              micro(Expressions.cosineSim($"v", $"cv")).as("cs"))
+    import vecs.sparkSession.implicits._
+    val MaxCentroids = 65536
+    val local = centroids.limit(MaxCentroids + 1).collect()
+    require(local.length <= MaxCentroids,
+      s"graphMedoids: centroid table exceeds $MaxCentroids rows — not a quantizer table")
+    val centArr = array(local.map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1).map { case (id, cv) =>
+        struct(lit(id).as("list_id"), typedLit(cv).as("cv")) }: _*)
+    val best = array_max(transform(centArr, c =>
+      struct(Expressions.cosineSim($"v", c("cv")).as("sim"),
+             (-c("list_id")).as("nl"))))
+    vecs
+      .select((-best("nl")).as("list_id"), $"vec_id",
+              round(best("sim") * 1000000, 0).cast("long").as("cs"))
       .groupBy($"list_id")
       .agg(max_by($"vec_id", struct($"cs", (-$"vec_id").as("nv"))).as("entry_id"))
   }
@@ -909,11 +929,10 @@ object Similarity {
     val vecs = embeddings(s, d)
       .select($"vec_id", transform($"embedding", _.cast("double")).as("v"))
     val centroids = lloydCentroids(vecs, nLists, lloydIters)
-    val lists = coarseAssign(vecs, centroids)
     val capped = graphBuild(vecs, centroids, m, degCap, buildProbes)
     val edges = Caching.iterCheckpoint(
       capped.join(vecs.select($"vec_id".as("dst"), $"v".as("dv")), Seq("dst")))
-    val medoids = graphMedoids(lists, centroids)
+    val medoids = graphMedoids(vecs, centroids)
     val medoidV = vecs.join(broadcast(medoids), $"vec_id" === $"entry_id")
       .select($"list_id", $"entry_id", $"v".as("ev"))
     val queries = vecs.filter($"vec_id" < nQueries)
@@ -1579,9 +1598,9 @@ object Similarity {
     // the candidate frame is nQ×C rows; persisting it means the
     // corpus-scale relevance scan runs ONCE (unpersisted, the pairwise
     // self-join and the per-query collect each replay the whole scan)
-    val cand = rel.withColumn("crank", row_number().over(w)).filter($"crank" <= nCand)
-      .select($"query_id", $"cand_id", $"rel_micro")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = Caching.iterCheckpoint(
+      rel.withColumn("crank", row_number().over(w)).filter($"crank" <= nCand)
+        .select($"query_id", $"cand_id", $"rel_micro"))
     // candidate-sized vector re-join (the containment-verification
     // discipline: payloads only ever join against the bounded frame)
     val cv = cand.join(vecs.withColumnRenamed("vec_id", "cand_id"), "cand_id")
@@ -1593,7 +1612,7 @@ object Similarity {
         round(Expressions.cosineSim(col("a.v"), col("b.v")) * 1000000, 0)
           .cast("long").as("s_micro"))
     val out = mmrSelect(cand, pairs, k).orderBy($"query_id", $"rank")
-    graft.plans.Caching.detach(out, () => { cand.unpersist(blocking = false); () })
+    graft.plans.Caching.detach(out, () => Caching.freeCheckpoint(cand))
   }
 
   /** The unrolled greedy over a bounded candidate frame
@@ -1690,11 +1709,10 @@ object Similarity {
   private[graft] def bm25RetrieveLazy(s: SparkSession, d: String,
       nQueries: Int, qTerms: Int, k: Int): (DataFrame, () => Unit) = {
     import s.implicits._
-    val base = documents(s, d)
+    val base = Caching.iterCheckpoint(documents(s, d)
       .select($"doc_id",
         TextAnalysis.wsTokens(TextAnalysis.canonical($"text")).as("toks"))
-      .withColumn("dl", size($"toks").cast("long"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .withColumn("dl", size($"toks").cast("long")))
     val stats = base.agg(count(lit(1)), sum($"dl")).head
     val (nDocs, tToks) = (stats.getLong(0), stats.getLong(1))
     val qt = base.filter($"doc_id" < nQueries)
@@ -1729,7 +1747,7 @@ object Similarity {
     val out = scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter($"rank" <= k)
       .orderBy($"query_id", $"rank")
-    (out, () => { base.unpersist(blocking = false); () })
+    (out, () => Caching.freeCheckpoint(base))
   }
 
   /** Hybrid retrieval: reciprocal-rank fusion (RRF) of the lexical

@@ -145,7 +145,7 @@ object StreamQueries {
   def streamWindow(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val agg = EventStreams.windowedStats(EventStreams.readEvents(s, d))
-    drain(agg, "nd_stream_window_sink", "complete")
+    drain(agg, "nd_stream_window_sink", "complete", statePartitions = Some(8))
       .select(unix_millis($"win_start").as("win_ms"), $"event_type", $"n",
               $"total_value")
       .orderBy($"win_ms", $"event_type")
@@ -315,7 +315,7 @@ object StreamQueries {
   def streamCms(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     drain(StreamingCms.cmsStream(docStreamTwoBatches(s, d)),
-        "nd_stream_cms_sink", "complete")
+        "nd_stream_cms_sink", "complete", statePartitions = Some(8))
       .select($"j".cast("long").as("j"), $"b", $"c")
       .orderBy($"j", $"b")
   }
@@ -341,7 +341,7 @@ object StreamQueries {
       .select($"source", explode(Dedup.shingleHashes($"text")).as("h"))
       .groupBy($"source").agg(sketch($"h").as("sk"))
     val norm = lit((k - 1).toDouble * 1152921504606846976L.toDouble) // (k-1)·2^60
-    drain(stream, "nd_stream_kmv_sink", "complete")
+    drain(stream, "nd_stream_kmv_sink", "complete", statePartitions = Some(8))
       .select($"source", size($"sk").cast("long").as("k_used"),
         round(when(size($"sk") < k, size($"sk").cast("double"))
           .otherwise(norm / element_at($"sk", k).cast("double")), 4).as("est_distinct"))
@@ -359,7 +359,8 @@ object StreamQueries {
       Tables.documents(s, d).filter($"doc_id" < split))
     val out = StreamingDedup.dedupStream(
       docStreamTwoBatches(s, d).filter($"doc_id" >= split), store)
-    drain(out, "nd_stream_dedup_sink", "complete").orderBy($"doc_id")
+    drain(out, "nd_stream_dedup_sink", "complete", statePartitions = Some(8))
+      .orderBy($"doc_id")
   }
 
   /** Drained gap-based sessionization ([[EventStreams.sessionize]],
@@ -370,7 +371,7 @@ object StreamQueries {
   def streamSession(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val out = EventStreams.sessionize(EventStreams.readEvents(s, d)).toDF()
-    drain(out, "nd_stream_session_sink", "append")
+    drain(out, "nd_stream_session_sink", "append", statePartitions = Some(8))
       .select($"user_id", $"session_start", $"session_end",
               $"n_events".cast("long").as("n_events"),
               round($"total_value", 2).as("total_value"))
@@ -390,18 +391,24 @@ object StreamQueries {
   def streamConcurrency(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val out = EventStreams.sessionize(EventStreams.readEvents(s, d)).toDF()
-    val sess = drain(out, "nd_stream_concurrency_sink", "append")
+    val sess = drain(out, "nd_stream_concurrency_sink", "append", statePartitions = Some(8))
       .select($"session_start".as("s_ms"), $"session_end".as("e_ms"))
-    val deltas = sess.select($"s_ms".as("ms"), lit(1L).as("delta"))
-      .unionByName(sess.select(($"e_ms" + 1L).as("ms"), lit(-1L).as("delta")))
-      .groupBy($"ms").agg(sum($"delta").as("net"))
-    graft.plans.ScalableNtile
+    // the memory-sink table feeds both union branches and then the
+    // running total's four decomposition passes — cut the lineage at the
+    // collapsed delta frame so the sink is scanned twice, not six times
+    // (the batch concurrency discipline, r14)
+    val deltas = graft.plans.Caching.iterCheckpoint(
+      sess.select($"s_ms".as("ms"), lit(1L).as("delta"))
+        .unionByName(sess.select(($"e_ms" + 1L).as("ms"), lit(-1L).as("delta")))
+        .groupBy($"ms").agg(sum($"delta").as("net")))
+    val res = graft.plans.ScalableNtile
       .runningTotal(deltas, $"net", Seq($"ms"), "level")
       .groupBy(expr("ms div 86400000").as("day"))
       .agg(max($"level").as("max_concurrent"),
            count(lit(1)).as("n_boundary_ms"),
            sum($"net").as("net_day"))
       .orderBy($"day")
+    graft.plans.Caching.detach(res, () => graft.plans.Caching.freeCheckpoint(deltas))
   }
 
   /** Drained streaming SCD2 dimension maintenance
@@ -412,7 +419,7 @@ object StreamQueries {
   def streamScd2(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val out = EventStreams.scd2Stream(EventStreams.readEvents(s, d)).toDF()
-    drain(out, "nd_stream_scd2_sink", "append")
+    drain(out, "nd_stream_scd2_sink", "append", statePartitions = Some(8))
       .orderBy($"user_id", $"ver")
   }
 
@@ -436,12 +443,16 @@ object StreamQueries {
       .groupBy($"user_id").agg(min($"day").as("fday"))
     val drained = drain(firstSeen, "nd_stream_newusers_sink", "complete",
       statePartitions = Some(8))
-    val perDay = drained.groupBy($"fday".as("day"))
-      .agg(count(lit(1)).as("new_users"))
-    graft.plans.ScalableNtile
+    // day-grain cut so the running total's four passes re-read |days|
+    // rows instead of re-aggregating the |users|-row sink each time
+    val perDay = graft.plans.Caching.iterCheckpoint(
+      drained.groupBy($"fday".as("day"))
+        .agg(count(lit(1)).as("new_users")))
+    val res = graft.plans.ScalableNtile
       .runningTotal(perDay, $"new_users", Seq($"day"), "cum_users")
       .select($"day", $"new_users", $"cum_users")
       .orderBy($"day")
+    graft.plans.Caching.detach(res, () => graft.plans.Caching.freeCheckpoint(perDay))
   }
 
   /** Drained streaming DRIFT MONITOR — the streaming twin of the batch
@@ -514,7 +525,7 @@ object StreamQueries {
       .select($"vec_id".as("query_id"),
               transform($"embedding", _.cast("double")).as("qv"))
     drain(StreamingAnn.knnStream(qs, lists, centroids, k, nProbe),
-        "nd_stream_ann_sink", "complete")
+        "nd_stream_ann_sink", "complete", statePartitions = Some(8))
       .select($"query_id", posexplode($"topk"))
       .select($"query_id", $"col._1".as("neighbor_id"),
               round($"col._2", 6).as("cos_sim"),
@@ -626,13 +637,21 @@ object StreamQueries {
     }
     val st = s.readStream.schema("doc_id LONG, source STRING, text STRING")
       .option("maxFilesPerTrigger", "1").parquet(s"$work/cdc/b*.parquet")
-    val q = st.writeStream.foreachBatch(merge)
-      .option("checkpointLocation", s"$work/ckpt-$run")
-      .trigger(Trigger.AvailableNow()).start()
-    // a timed-out drain would leave `current` at an intermediate version
-    // and the manifest would SILENTLY miss merges — fail loudly instead
-    require(q.awaitTermination(drainMs), s"streaming MERGE did not drain within ${drainMs / 1000}s")
-    q.stop()
+    // the per-batch MERGE anti-joins a version-scale table — size its
+    // shuffle like the stateful drains size their state partitions (the
+    // drain helper's measured fixed-cost-per-partition rationale); the
+    // conf is captured and restored so batch queries are untouched
+    val prevSp = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = st.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", s"$work/ckpt-$run")
+        .trigger(Trigger.AvailableNow()).start()
+      // a timed-out drain would leave `current` at an intermediate version
+      // and the manifest would SILENTLY miss merges — fail loudly instead
+      require(q.awaitTermination(drainMs), s"streaming MERGE did not drain within ${drainMs / 1000}s")
+      q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevSp)
     Pipeline.upsertSummary(s.read.parquet(current.get))
   }
 
@@ -692,7 +711,13 @@ object StreamQueries {
       ((1L to 30L).map(mirrorBlock(_, "a")), 30L),
       ((1L to 40L).map(mirrorBlock(_, "a")), 40L),
       ((1L to 32L).map(mirrorBlock(_, "a")) ++ (33L to 48L).map(mirrorBlock(_, "b")), 48L))
-    phases.foreach { case (blocks, tip) =>
+    // ~9 micro-batch MERGEs of a mirror-scale table: size their shuffles
+    // like the stateful drains size state partitions (fixed cost per
+    // partition per batch); captured/restored so batch queries see the
+    // session default
+    val prevSp = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try phases.foreach { case (blocks, tip) =>
       graft.sources.eth.EthFixtures.writeRawChain(chainDir, blocks, tip)
       val st = s.readStream.format("ethereum").option("table", "block")
         .option("chain", chainDir)
@@ -711,7 +736,7 @@ object StreamQueries {
       require(q.awaitTermination(drainMs),
         s"mirror drain did not finish within ${drainMs / 1000}s")
       q.stop()
-    }
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevSp)
     // reconcile: winning-branch tail vs mirror hashes, bounded depth
     val depth = 16L
     val mirror = s.read.parquet(cur)

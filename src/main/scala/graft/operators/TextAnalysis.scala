@@ -230,11 +230,17 @@ object TextAnalysis {
       vocab: Int): (DataFrame, () => Unit) = {
     import s.implicits._
     import graft.functions.Expressions
-    // train and score both consume the exploded grams; persist so the
-    // corpus streams through CharNgrams once, not twice
+    // train and score both consume the exploded grams. Deliberately NOT
+    // persisted: the exploded frame is ~|text| rows of (long, 3-char
+    // string) — an order of magnitude more cache bytes than the parquet
+    // it came from (measured r14: materializing it cost more wall time
+    // than the second scan it saved) — and at corpus scale it could never
+    // stay in memory anyway. Both consumers stream through the columnar
+    // scan + codegen'd CharNgrams at scan speed; the train side partially
+    // aggregates map-side before its only shuffle (guide §5: cache only
+    // when recomputing beats the memory pressure; here it does not).
     val grams = documents(s, d)
       .select($"doc_id", explode(Expressions.charNgrams($"text", 3)).as("g"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val model = grams.groupBy($"g").agg(count(lit(1)).as("c"))
       .orderBy($"c".desc, $"g").limit(vocab)
       .select($"g", log($"c".cast("double")).as("lf"))
@@ -243,7 +249,7 @@ object TextAnalysis {
       .agg(round(avg(coalesce($"lf", lit(0.0))), 4).as("lm_score"),
            count(lit(1)).as("n_grams"))
       .orderBy($"doc_id")
-    (scored, () => { grams.unpersist(blocking = false); () })
+    (scored, () => ())
   }
 
   def trigramLmScore(s: SparkSession, d: String, vocab: Int = 5000): DataFrame = {
@@ -290,21 +296,23 @@ object TextAnalysis {
     * TakeOrderedAndProject, never a global sort. */
   def pmiCollocations(s: SparkSession, d: String, minCount: Int = 5, k: Int = 50): DataFrame = {
     import s.implicits._
-    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val docs = documents(s, d).select(wsTokens(canonical($"text")).as("w"))
-    // the count tables are VOCAB-sized — persisting them caps the
+    // the count tables are VOCAB-sized — lineage-cutting them caps the
     // corpus at exactly two scans (one per n-gram order); without the
-    // persist each scalar aggregate and join re-derives them from raw
-    // text (six corpus scans at 100 TB)
-    val uni = docs.select(explode($"w").as("x"))
-      .groupBy($"x").agg(count(lit(1)).as("c_x")).persist(lvl)
+    // cut each scalar aggregate and join re-derives them from raw text
+    // (six corpus scans at 100 TB). Eager localCheckpoint per the r14
+    // probe (the lazy columnar persist cost more than it saved).
+    val uni = graft.plans.Caching.iterCheckpoint(
+      docs.select(explode($"w").as("x"))
+        .groupBy($"x").agg(count(lit(1)).as("c_x")))
     val big = docs.select(explode(zip_with(
         slice($"w", lit(1), size($"w") - 1),
         slice($"w", lit(2), size($"w") - 1),
         (a, b) => concat(a, lit(" "), b))).as("pr"))
-    val cxy = big.groupBy($"pr").agg(count(lit(1)).as("c_xy"))
-      .select(split($"pr", " ", 2).getItem(0).as("x"),
-              split($"pr", " ", 2).getItem(1).as("y"), $"c_xy").persist(lvl)
+    val cxy = graft.plans.Caching.iterCheckpoint(
+      big.groupBy($"pr").agg(count(lit(1)).as("c_xy"))
+        .select(split($"pr", " ", 2).getItem(0).as("x"),
+                split($"pr", " ", 2).getItem(1).as("y"), $"c_xy"))
     val nTot = uni.agg(sum($"c_x")).head.getLong(0)
     val bTot = cxy.agg(sum($"c_xy")).head.getLong(0)
     val cy = uni.select($"x".as("y"), $"c_x".as("c_y"))
@@ -317,9 +325,8 @@ object TextAnalysis {
       .orderBy($"pmi_micro".desc, $"x", $"y")
       .limit(k)
     graft.plans.Caching.detach(out, () => {
-      uni.unpersist(blocking = false)
-      cxy.unpersist(blocking = false)
-      ()
+      graft.plans.Caching.freeCheckpoint(uni)
+      graft.plans.Caching.freeCheckpoint(cxy)
     })
   }
 
@@ -349,11 +356,10 @@ object TextAnalysis {
     import s.implicits._
     // tf feeds BOTH the df derivation and the score join — persist it so
     // the corpus tokenizes once (the nbClassify discipline)
-    val tf = documents(s, d)
+    val tf = graft.plans.Caching.iterCheckpoint(documents(s, d)
       .select($"doc_id", explode(wsTokens(canonical($"text"))).as("token"))
       .filter($"token" =!= "")
-      .groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf")))
     val dTot = documents(s, d).count()
     val idf = tf.groupBy($"token").agg(count(lit(1)).as("df"))
       .select($"token",
@@ -371,7 +377,7 @@ object TextAnalysis {
       .withColumn("r", row_number().over(w))
       .filter($"r" <= k)
       .orderBy($"doc_id", $"r")
-    (out, () => { tf.unpersist(blocking = false); () })
+    (out, () => graft.plans.Caching.freeCheckpoint(tf))
   }
 
   /** Full BPE merge-LEARNING loop — the tokenizer-training stage after the
@@ -401,14 +407,16 @@ object TextAnalysis {
   private def bpeState(s: SparkSession, d: String, nMerges: Int)
       : (Seq[(Long, String, String, Long)], DataFrame, Column, () => Unit) = {
     import s.implicits._
-    val wf = documents(s, d)
+    // each of the nMerges rounds runs a driver action over the vocab —
+    // cut the lineage so the corpus tokenizes once, not once per merge
+    // (eager localCheckpoint, the r14 probe-measured winner over persist)
+    val wf = graft.plans.Caching.iterCheckpoint(documents(s, d)
       .select(explode(wsTokens(canonical($"text"))).as("word"))
       .filter($"word" =!= "")
       .groupBy($"word").agg(count(lit(1)).as("freq"))
       .select($"word",
               concat(lit(" "), trim(regexp_replace($"word", "(.)", "$1 ")), lit(" ")).as("toks"),
-              $"freq")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+              $"freq"))
     var toks: Column = $"toks"
     val merges = Seq.newBuilder[(Long, String, String, Long)]
     for (i <- 1 to nMerges) {
@@ -427,7 +435,7 @@ object TextAnalysis {
       merges += ((i.toLong, pair, merged, top.getLong(1)))
       toks = replace(toks, lit(s" $pair "), lit(s" $merged "))
     }
-    (merges.result(), wf, toks, () => { wf.unpersist(blocking = false); () })
+    (merges.result(), wf, toks, () => graft.plans.Caching.freeCheckpoint(wf))
   }
 
   def bpeLearn(s: SparkSession, d: String, nMerges: Int = 8): DataFrame = {
@@ -553,11 +561,10 @@ object TextAnalysis {
     * subword tokenizers. Caller unpersists. */
   private def wordFreq(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    documents(s, d)
+    graft.plans.Caching.iterCheckpoint(documents(s, d)
       .select(explode(wsTokens(canonical($"text"))).as("word"))
       .filter($"word" =!= "")
-      .groupBy($"word").agg(count(lit(1)).as("freq"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .groupBy($"word").agg(count(lit(1)).as("freq")))
   }
 
   /** Frequency-derived piece vocabulary `(piece, cost)` shared by the
@@ -610,7 +617,7 @@ object TextAnalysis {
            sum($"n_pieces").as("n_tokens"),
            sum($"cost_micro").as("cost_micro_total"))
       .orderBy($"lang")
-    (out, () => { wf.unpersist(blocking = false); () })
+    (out, () => graft.plans.Caching.freeCheckpoint(wf))
   }
 
   /** Greedy longest-match-first segmentation of one word: at each
@@ -673,7 +680,7 @@ object TextAnalysis {
            sum($"n_pieces").as("n_tokens"),
            sum(length($"word")).cast("long").as("n_chars"))
       .orderBy($"lang")
-    graft.plans.Caching.detach(out, () => { wf.unpersist(blocking = false); () })
+    graft.plans.Caching.detach(out, () => graft.plans.Caching.freeCheckpoint(wf))
   }
 
   /** Within-document REPETITION signals — the "repeated n-gram fraction"
@@ -954,10 +961,9 @@ object TextAnalysis {
   private[graft] def vocabCmsLazy(s: SparkSession, d: String, k: Int,
       width: Int, depth: Int): (DataFrame, () => Unit) = {
     import s.implicits._
-    val toks = documents(s, d)
+    val toks = graft.plans.Caching.iterCheckpoint(documents(s, d)
       .select(explode(wsTokens(canonical($"text"))).as("token"))
-      .filter($"token" =!= "")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .filter($"token" =!= ""))
     def bucket(j: Int): Column = cmsBucket(j, $"token", width)
     val cells = toks
       .select(posexplode(array((0 until depth).map(bucket): _*)).as(Seq("j", "b")))
@@ -976,7 +982,7 @@ object TextAnalysis {
         ($"cms_est" - $"exact_n").as("cms_over"),
         (($"cms_est" - $"exact_n") * width <= $"n_total" * 2L).as("within_bound"))
       .orderBy($"exact_n".desc, $"token")
-    (out, () => { toks.unpersist(blocking = false); () })
+    (out, () => graft.plans.Caching.freeCheckpoint(toks))
   }
 
   def vocabCms(s: SparkSession, d: String, k: Int = 30, width: Int = 1024,
@@ -1066,10 +1072,17 @@ object TextAnalysis {
       .select($"doc_id", $"lang",
               explode(wsTokens(canonical($"text"))).as("token"))
       .filter($"token" =!= "")
-    val train = toks.filter(pmod($"doc_id", lit(2)) === 0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cnt = train.groupBy($"lang", $"token").agg(count(lit(1)).as("n"))
-    val nc = train.groupBy($"lang").agg(count(lit(1)).as("n_c"))
+    // ONE corpus pass for the whole model: the earlier form persisted the
+    // corpus-scale exploded token frame (≫ corpus bytes) and aggregated
+    // it twice (token counts + per-class totals) — but the per-class
+    // token total IS the sum of the per-(class, token) counts, so
+    // everything derives from the model-scale count frame. Lineage-cut
+    // (eager localCheckpoint) because vocab, class totals and the grid
+    // fill-in all fork over it.
+    val cnt = graft.plans.Caching.iterCheckpoint(
+      toks.filter(pmod($"doc_id", lit(2)) === 0)
+        .groupBy($"lang", $"token").agg(count(lit(1)).as("n")))
+    val nc = cnt.groupBy($"lang").agg(sum($"n").as("n_c"))
     val vocab = cnt.select($"token").distinct()
     val vocabV = vocab.count()
     // the model must cover the FULL vocab x class grid: a token unseen in
@@ -1108,7 +1121,7 @@ object TextAnalysis {
       .select($"doc_id", $"cls".as("predicted"), $"actual",
               ($"cls" === $"actual").as("correct"))
       .orderBy($"doc_id")
-    (out, () => { train.unpersist(blocking = false); () })
+    (out, () => graft.plans.Caching.freeCheckpoint(cnt))
   }
 
   /** Robust length-outlier filter — the |z| > 3 screen a curation

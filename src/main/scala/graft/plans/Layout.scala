@@ -29,7 +29,16 @@ object Layout {
       }
       rm(dir)
     }
-    df.write
+    df
+      // cluster rows by the bucket key BEFORE the bucketed write: without
+      // this every input task writes its own file per bucket it sees (up
+      // to tasks × buckets small files per table — guide §6), and the
+      // downstream exchange-free join pays per-file open cost on every
+      // one. Repartitioning on the key bounds the layout at one file per
+      // bucket per owning task; bucket membership is unchanged (the
+      // writer re-hashes the key), so the join result is identical.
+      .repartition(buckets, col(key))
+      .write
       .bucketBy(buckets, key)
       .sortBy(key)
       .format("parquet")

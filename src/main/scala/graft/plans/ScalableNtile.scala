@@ -249,8 +249,13 @@ object ScalableNtile {
     * use [[ntile]] directly and skip the cache. */
   def ntileDetachable(df: DataFrame, n: Int, order: Seq[Column],
       bucketCol: String = "bucket", partitions: Int = 0): (DataFrame, () => Unit) = {
-    val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // eager localCheckpoint (the Caching.iterCheckpoint mode contract),
+    // not a lazy persist: the r14 probe measured the columnar
+    // InMemoryRelation path costing more than recomputing the input,
+    // while the LogicalRDD cut also frees the four passes from
+    // re-analyzing the input's full logical plan
+    val cached = Caching.iterCheckpoint(df)
     (ntile(cached, n, order, bucketCol, partitions),
-      () => { cached.unpersist(blocking = false); () })
+      () => Caching.freeCheckpoint(cached))
   }
 }

@@ -48,7 +48,11 @@ class IntervalJoinSpec extends AnyFunSuite {
   }
 
   test("the overlap join executes as an equi-join on the cell, not a loop join") {
-    val plan = executed(Events.sessionOverlap(spark, sf))
+    // sessionOverlap now detach-materializes (r14: the interval and pair
+    // frames are lineage-cut), so the registry entry's plan is a
+    // LocalRelation — assert on the factored pair subplan, the exact
+    // expressions the production path materializes through its checkpoint
+    val plan = executed(Events.overlapPairs(Events.sessionIntervals(spark, sf)))
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
       s"interval join fell back to a loop join:\n$plan")
     assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||

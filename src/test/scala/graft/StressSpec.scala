@@ -400,7 +400,10 @@ class StressSpec extends AnyFunSuite {
     import spark.implicits._
     import graft.operators.Dedup
     val spans = Dedup.substringSpans(spark, dir)
-    val p = spans.queryExecution.executedPlan.toString
+    // the production entry detach-materializes behind the r14 gram
+    // checkpoint — inspect the identical expressions composed in one tree
+    val p = Dedup.substringSpansOf(Tables.documents(spark, dir).toDF(), cut = false)
+      .queryExecution.executedPlan.toString
     // anchor counting is a hash aggregate bucketed by gram hash, the
     // duplicated-anchor filter joins back as an equi-semi-join, and the
     // run window partitions by doc_id — no funnel, no all-pairs
