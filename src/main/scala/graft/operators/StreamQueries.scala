@@ -90,18 +90,14 @@ object StreamQueries {
   /** Session-temp corpus dir, deleted on JVM exit: the paritySplits cache
     * is per (appId, sfDir), so without the hook repeated sessions on a
     * long-lived host accumulate full table copies under /tmp (ADVICE
-    * round 12). The hook fires after Spark's own shutdown (streams are
-    * stopped by then — every drain here is AvailableNow-bounded). */
-  private def tempSplitDir(prefix: String): String = {
-    val dir = java.nio.file.Files.createTempDirectory(prefix)
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-      }
-      rm(dir.toFile)
-    }))
-    dir.toString
-  }
+    * round 12). NOTE the hook runs CONCURRENTLY with (not after) Spark's
+    * own ShutdownHookManager hooks — JVM shutdown-hook threads start
+    * unordered — which is benign here because every drain is
+    * AvailableNow-bounded and stopped long before exit (ADVICE round 13
+    * corrected the earlier "fires after Spark's shutdown" claim).
+    * Delegates to the shared [[graft.tools.TmpDirs.tmpDirCleaned]]. */
+  private def tempSplitDir(prefix: String): String =
+    graft.tools.TmpDirs.tmpDirCleaned(prefix)
 
   /** Pin micro-batch arrival order EXPLICITLY. FileStreamSource under
     * maxFilesPerTrigger=1 orders unseen files by modification time with
@@ -443,16 +439,16 @@ object StreamQueries {
       .groupBy($"user_id").agg(min($"day").as("fday"))
     val drained = drain(firstSeen, "nd_stream_newusers_sink", "complete",
       statePartitions = Some(8))
-    // day-grain cut so the running total's four passes re-read |days|
-    // rows instead of re-aggregating the |users|-row sink each time
-    val perDay = graft.plans.Caching.iterCheckpoint(
-      drained.groupBy($"fday".as("day"))
-        .agg(count(lit(1)).as("new_users")))
-    val res = graft.plans.ScalableNtile
+    // deliberately NOT lineage-cut: the post-pass input is a |users|-row
+    // memory-sink aggregate — cheap enough that the checkpoint+detach
+    // overhead measurably LOST (1.15s → 1.49s full-bench, r14), the same
+    // cheap-input boundary packFrom hit
+    val perDay = drained.groupBy($"fday".as("day"))
+      .agg(count(lit(1)).as("new_users"))
+    graft.plans.ScalableNtile
       .runningTotal(perDay, $"new_users", Seq($"day"), "cum_users")
       .select($"day", $"new_users", $"cum_users")
       .orderBy($"day")
-    graft.plans.Caching.detach(res, () => graft.plans.Caching.freeCheckpoint(perDay))
   }
 
   /** Drained streaming DRIFT MONITOR — the streaming twin of the batch
