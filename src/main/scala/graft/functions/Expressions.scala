@@ -31,6 +31,31 @@ object SketchKernels {
     if (na == 0.0 || nb == 0.0) Double.NaN else dot / math.sqrt(na * nb)
   }
 
+  /** Dot product over the first min(|a|,|b|) elements — the pair-scale
+    * two-thirds of [[cosineSim]]'s fused loop. A pair join that scores
+    * |bucket|² candidates recomputes each vector's own squared norm per
+    * PAIR inside cosineSim; precomputing [[normSq]] once per vector and
+    * composing `dot / sqrt(na * nb)` runs the identical IEEE operations
+    * in the identical order (same ascending-i accumulation, same single
+    * sqrt of the product), so the composed value is bit-identical while
+    * the per-pair loop does a third of the flops. */
+  def dotProduct(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0
+    var i = 0
+    while (i < n) { dot += a.getDouble(i) * b.getDouble(i); i += 1 }
+    dot
+  }
+
+  /** Σ x² with [[cosineSim]]'s accumulation order (ascending i). */
+  def normSq(a: ArrayData): Double = {
+    val n = a.numElements()
+    var na = 0.0
+    var i = 0
+    while (i < n) { val x = a.getDouble(i); na += x * x; i += 1 }
+    na
+  }
+
   def minhashSig(words: ArrayData, shingleSize: Int, numHashes: Int): ArrayData = {
     import Expressions.Sketch
     val mins = new Array[Long](numHashes)
@@ -307,6 +332,29 @@ object Expressions {
     override def prettyName: String = "cosine_sim"
   }
 
+  /** Dot product of two double arrays — see [[SketchKernels.dotProduct]]
+    * for the bit-identity contract with [[CosineSim]]. */
+  case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(l: Any, r: Any): Any =
+      SketchKernels.dotProduct(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $K.dotProduct($a, $b);")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+    override def prettyName: String = "dot_product"
+  }
+
+  /** Squared L2 norm of a double array ([[SketchKernels.normSq]]). */
+  case class NormSq(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(input: Any): Any =
+      SketchKernels.normSq(input.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $K.normSq($c);")
+    override protected def withNewChildInternal(newChild: Expression): NormSq = copy(newChild)
+    override def prettyName: String = "norm_sq"
+  }
+
   /** MinHash signature computed straight from the word array: each shingle
     * window is md5-digested in place (no shingle strings, slices or
     * distinct pass ever materialize — see [[Sketch.windowDigest]]) and the
@@ -434,6 +482,8 @@ object Expressions {
     column(CharNgrams(expression(text), n))
   def hamming64(a: Column, b: Column): Column = column(HammingDist64(expression(a), expression(b)))
   def cosineSim(a: Column, b: Column): Column = column(CosineSim(expression(a), expression(b)))
+  def dotProduct(a: Column, b: Column): Column = column(DotProduct(expression(a), expression(b)))
+  def normSq(a: Column): Column = column(NormSq(expression(a)))
 
   /** SQL registration: `simhash60(tokens)`, `hamming64(a,b)`, `cosine_sim(a,b)`. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

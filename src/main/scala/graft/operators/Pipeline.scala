@@ -192,9 +192,12 @@ object Pipeline {
       val s4 = pin(s3.join(losers, Seq("doc_id"), "left_anti"))
       val n4 = s4.count()
       lap("minhash")
-      // 5: semantic dedup — embedding-keyed; docs without a vector pass
-      val semDrop = Semantic.semanticDedup(s, d)
-        .filter(!$"keep").select($"vec_id".as("doc_id"))
+      // 5: semantic dedup — embedding-keyed; docs without a vector pass.
+      // Only the DROP SET is consumed here, so the lean factored entry
+      // skips the full manifest's keep-flag join + corpus sort + detach
+      // (identical id set by construction — Semantic.semanticDupIdsFrom)
+      val semDrop = Semantic.semanticDropIds(s, d)
+        .select($"vec_id".as("doc_id"))
       val s5 = pin(s4.join(semDrop, Seq("doc_id"), "left_anti"))
       val n5 = s5.count()
       lap("semdedup")

@@ -116,17 +116,40 @@ object Semantic {
       maxClusterSize: Int = DefaultMaxClusterSize): DataFrame = {
     val s = lists.sparkSession
     import s.implicits._
+    val dup = semanticDupIdsFrom(lists, tau, maxClusterSize)
+    lists
+      .join(dup.withColumn("is_dup", lit(true)), Seq("vec_id"), "left")
+      .select($"vec_id", $"list_id", $"is_dup".isNull.as("keep"))
+      .orderBy($"vec_id")
+  }
+
+  /** The DISTINCT dropped vec_ids of [[semanticDedupFrom]] — factored so
+    * a consumer that only needs the DROP SET (the e2e curation chain's
+    * stage 5) skips the corpus-wide keep-flag join, the output sort and
+    * the corpus-sized detach of the full manifest. Same clustered frame,
+    * same pair predicate ⇒ the id set is identical to
+    * `semanticDedupFrom(lists).filter(!keep)` by construction. */
+  private[graft] def semanticDupIdsFrom(lists: DataFrame,
+      tau: Double = DefaultTau,
+      maxClusterSize: Int = DefaultMaxClusterSize): DataFrame = {
     val capped = capClusters(lists, maxClusterSize)
-    val dup = capped.as("a").join(capped.as("b"),
+    capped.as("a").join(capped.as("b"),
         col("a.list_id") === col("b.list_id") &&
           col("a.sub_id") === col("b.sub_id") &&
           col("a.vec_id") < col("b.vec_id"))
       .filter(round(Expressions.cosineSim(col("a.v"), col("b.v")), 4) >= tau)
       .select(col("b.vec_id").as("vec_id")).distinct()
-    lists
-      .join(dup.withColumn("is_dup", lit(true)), Seq("vec_id"), "left")
-      .select($"vec_id", $"list_id", $"is_dup".isNull.as("keep"))
-      .orderBy($"vec_id")
+  }
+
+  /** [[semanticDupIdsFrom]] from the raw tables, detached (the drop set
+    * is pair-threshold-bounded, so the local-relation path applies). */
+  private[operators] def semanticDropIds(s: SparkSession, d: String,
+      nLists: Int = DefaultLists,
+      lloydIters: Int = Similarity.DefaultLloydIters,
+      tau: Double = DefaultTau,
+      maxClusterSize: Int = DefaultMaxClusterSize): DataFrame = {
+    val (lists, _, free) = clusteredVecs(s, d, nLists, lloydIters)
+    Caching.detach(semanticDupIdsFrom(lists, tau, maxClusterSize), free)
   }
 
   /** Per-cluster prototypes: the `m` members most similar to their

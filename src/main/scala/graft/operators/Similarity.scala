@@ -150,15 +150,22 @@ object Similarity {
     * Semantics are bit-identical: same cosineSim expression, and
     * `array_max` over `struct(sim, -list_id)` is the same (NaN-greatest,
     * lexicographic) ordering `max_by(struct(sim, nl))` used. */
+  /** Centroid-table size above which the inlined-literal argmax falls
+    * back to the broadcast-join form: the literal embeds nLists × dims
+    * doubles into ONE expression tree, and well before the old 65536
+    * guard codegen/Janino would die on the multi-hundred-MB tree (r14
+    * verdict) — 2048 × 64 doubles ≈ 1 MB of literals stays comfortably
+    * inside codegen limits while covering every real quantizer here. */
+  private[graft] val MaxLiteralCentroids = 2048
+
   private[graft] def coarseAssign(vecs: DataFrame, cent: DataFrame): DataFrame = {
     // localization is bounded: a centroid table is nLists rows by
-    // construction; fail loudly (rather than OOM the driver) if a caller
-    // ever passes a corpus-scale frame here
-    val MaxCentroids = 65536
-    val local = cent.limit(MaxCentroids + 1).collect()
-    require(local.length <= MaxCentroids,
-      s"coarseAssign: centroid table exceeds $MaxCentroids rows — not a quantizer table")
-    coarseAssignLit(vecs, local.map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq)
+    // construction; a larger table switches to the broadcast-join
+    // assignment (same values — GraphAnnSpec pins the equivalence)
+    val local = cent.limit(MaxLiteralCentroids + 1).collect()
+    if (local.length <= MaxLiteralCentroids)
+      coarseAssignLit(vecs, local.map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq)
+    else coarseAssignJoin(vecs, cent)
   }
 
   private[graft] def coarseAssignLit(vecs: DataFrame,
@@ -186,10 +193,9 @@ object Similarity {
   private[graft] def coarseAssignTopN(vecs: DataFrame, cent: DataFrame,
       n: Int): DataFrame = {
     import vecs.sparkSession.implicits._
-    val MaxCentroids = 65536
-    val local = cent.limit(MaxCentroids + 1).collect()
-    require(local.length <= MaxCentroids,
-      s"coarseAssignTopN: centroid table exceeds $MaxCentroids rows — not a quantizer table")
+    val local = cent.limit(MaxLiteralCentroids + 1).collect()
+    if (local.length > MaxLiteralCentroids)
+      return coarseAssignTopNJoin(vecs, cent, n)
     val centArr = array(local.map(r => (r.getLong(0), r.getSeq[Double](1)))
       .sortBy(_._1).map { case (id, cv) =>
         struct(lit(id).as("list_id"), typedLit(cv).as("cv")) }: _*)
@@ -203,11 +209,25 @@ object Similarity {
       explode(transform(top, t => -t("nl"))).as("list_id"))
   }
 
-  /** The join-formulated assignment — kept ONLY for the un-materialized
-    * Lloyd chain ([[lloydCentroidsLazy]]), where the centroid side is a
-    * lazy frame that cannot be inlined without forcing it. All
-    * materialized-centroid callers go through [[coarseAssign]]. */
-  private def coarseAssignJoin(vecs: DataFrame, cent: DataFrame): DataFrame = {
+  /** Broadcast-join + window fallback of [[coarseAssignTopN]] for
+    * centroid tables past [[MaxLiteralCentroids]] — same (sim DESC,
+    * list_id ASC) top-n set per vector, row-for-row. */
+  private[graft] def coarseAssignTopNJoin(vecs: DataFrame, cent: DataFrame,
+      n: Int): DataFrame = {
+    import vecs.sparkSession.implicits._
+    val w = Window.partitionBy($"vec_id").orderBy($"sim".desc, $"list_id")
+    vecs.join(broadcast(cent))
+      .select($"vec_id", $"v", $"list_id",
+              Expressions.cosineSim($"v", $"cv").as("sim"))
+      .withColumn("rn", row_number().over(w)).filter($"rn" <= n)
+      .select($"vec_id", $"v", $"list_id")
+  }
+
+  /** The join-formulated assignment — the un-materialized Lloyd chain
+    * ([[lloydCentroidsLazy]], where the centroid side is a lazy frame
+    * that cannot be inlined without forcing it) and the
+    * past-[[MaxLiteralCentroids]] fallback of [[coarseAssign]]. */
+  private[graft] def coarseAssignJoin(vecs: DataFrame, cent: DataFrame): DataFrame = {
     import vecs.sparkSession.implicits._
     vecs.join(broadcast(cent))
       .select($"vec_id", $"v", $"list_id",
@@ -380,26 +400,35 @@ object Similarity {
     // before the loop mutates `reach`, instead of re-running the
     // corpus-wide medoid assignment a second time just for nEntry
     // (round-13 ADVICE: graphMedoids was evaluated twice).
-    var reach = Caching.iterCheckpoint(
+    // Frontier state crosses hops through detachSink: unlike knnGraph's
+    // budget-bounded visited set this frontier IS |V|-scale in the limit,
+    // which is exactly detachSink's contract — local relation while it
+    // fits maxLocalRows, automatic iterCheckpoint past it (the round-7
+    // high-cardinality-sink guard), so the discipline stays scale-safe
+    // while skipping the per-hop checkpoint job at bench scale.
+    var reach = Caching.detachSink(
       graphMedoids(vecs, centroids).select($"entry_id".as("node")).distinct())
     val nEntry = reach.count()
     for (_ <- 1 to hops) {
-      val next = Caching.iterCheckpoint(
+      val next = Caching.detachSink(
         reach.unionByName(
             edges.join(reach, $"src" === $"node").select($"dst".as("node")))
           .distinct())
-      Caching.freeCheckpoint(reach)
+      Caching.freeCheckpoint(reach) // no-op on the local-relation path
       reach = next
     }
     val deg = edges.groupBy($"src").agg(count(lit(1)).as("d"))
     // n_edges = Σ per-source out-degree — read off the same aggregate
     // instead of a separate count() pass over the edge table
+    // sums coalesce to 0 so a degenerate EMPTY edge table reports
+    // n_edges = 0 (matching the count() form this replaced) instead of
+    // propagating NULL into the n_weak arithmetic (r14 ADVICE)
     val degStats = deg.agg(
       min($"d").as("min_deg"), max($"d").as("max_deg"),
-      sum(when($"d" === degCap, 1L).otherwise(0L)).as("n_at_cap"),
-      sum(when($"d" < m / 2, 1L).otherwise(0L)).as("n_weak_deg"),
+      coalesce(sum(when($"d" === degCap, 1L).otherwise(0L)), lit(0L)).as("n_at_cap"),
+      coalesce(sum(when($"d" < m / 2, 1L).otherwise(0L)), lit(0L)).as("n_weak_deg"),
       count(lit(1)).as("n_with_edges"),
-      sum($"d").as("n_edges_sum"))
+      coalesce(sum($"d"), lit(0L)).as("n_edges_sum"))
     val nRecip = edges.as("x").join(edges.as("y"),
       col("x.src") === col("y.dst") && col("x.dst") === col("y.src")).count()
     val nReach = reach.count()
@@ -875,18 +904,41 @@ object Similarity {
     val multi = coarseAssignTopN(vecs, centroids, buildProbes)
     val a = multi.select($"list_id", $"vec_id", $"v")
     val b = multi.select($"list_id", $"vec_id".as("dst"), $"v".as("bv"))
-    val wDeg = Window.partitionBy($"src").orderBy($"sim_micro".desc, $"dst")
-    val knn = a.join(b, Seq("list_id"))
+    // Degree capping as TWO-LEVEL top-k partial aggregates instead of the
+    // earlier dropDuplicates + corpus-pair-scale rank windows (which
+    // sorted every scored pair twice, r14's two most expensive registry
+    // rows). Level 1 ranks within (list, src): every pair of that group
+    // is emitted by ONE build-side row of the list join, so the partial
+    // aggregate completes map-side and only ~|assignments| pre-reduced
+    // rows ever shuffle — never the |list|² pair stream. Exactness of the
+    // two-level cut: within a list the pairs of a src are DISTINCT (one
+    // row per (list, vec) assignment), and any pair in the top-k of the
+    // deduped union ranks at least as high inside each list containing it
+    // (rank within a subset can only improve), so the union of per-list
+    // top-k is a superset of the global top-k. Ordering matches the old
+    // window's (sim_micro DESC, dst ASC) via ascending array_sort over
+    // struct(-sim_micro, dst); a pair found via BOTH shared lists carries
+    // an identical struct (sim is a pure pair function — and symmetric,
+    // which covers the reverse-edge union below too), so array_distinct
+    // at level 2 is the old dropDuplicates("src", "dst").
+    def topK(df: DataFrame, k: Int): DataFrame = df
+      .groupBy($"src")
+      .agg(slice(array_sort(array_distinct(
+        collect_list(struct((-$"sim_micro").as("ns"), $"dst")))), 1, k).as("cand"))
+      .select($"src", explode($"cand").as("c"))
+      .select($"src", $"c.dst".as("dst"), (-$"c.ns").as("sim_micro"))
+    val perList = a.join(b, Seq("list_id"))
       .filter($"vec_id" =!= $"dst")
-      .select($"vec_id".as("src"), $"dst",
+      .select($"list_id", $"vec_id".as("src"), $"dst",
               micro(Expressions.cosineSim($"v", $"bv")).as("sim_micro"))
-      .dropDuplicates("src", "dst")
-      .withColumn("rn", row_number().over(wDeg)).filter($"rn" <= m)
-      .select($"src", $"dst", $"sim_micro")
-    knn
-      .unionByName(knn.select($"dst".as("src"), $"src".as("dst"), $"sim_micro"))
-      .dropDuplicates("src", "dst")
-      .withColumn("rn", row_number().over(wDeg)).filter($"rn" <= degCap)
+      .groupBy($"list_id", $"src")
+      .agg(slice(array_sort(
+        collect_list(struct((-$"sim_micro").as("ns"), $"dst"))), 1, m).as("cand"))
+      .select($"src", explode($"cand").as("c"))
+      .select($"src", $"c.dst".as("dst"), (-$"c.ns").as("sim_micro"))
+    val knn = topK(perList, m)
+    topK(knn.unionByName(
+        knn.select($"dst".as("src"), $"src".as("dst"), $"sim_micro")), degCap)
       .select($"src", $"dst")
   }
 
@@ -903,10 +955,9 @@ object Similarity {
   private[graft] def graphMedoids(vecs: DataFrame,
       centroids: DataFrame): DataFrame = {
     import vecs.sparkSession.implicits._
-    val MaxCentroids = 65536
-    val local = centroids.limit(MaxCentroids + 1).collect()
-    require(local.length <= MaxCentroids,
-      s"graphMedoids: centroid table exceeds $MaxCentroids rows — not a quantizer table")
+    val local = centroids.limit(MaxLiteralCentroids + 1).collect()
+    if (local.length > MaxLiteralCentroids)
+      return graphMedoidsJoin(vecs, centroids)
     val centArr = array(local.map(r => (r.getLong(0), r.getSeq[Double](1)))
       .sortBy(_._1).map { case (id, cv) =>
         struct(lit(id).as("list_id"), typedLit(cv).as("cv")) }: _*)
@@ -916,6 +967,25 @@ object Similarity {
     vecs
       .select((-best("nl")).as("list_id"), $"vec_id",
               round(best("sim") * 1000000, 0).cast("long").as("cs"))
+      .groupBy($"list_id")
+      .agg(max_by($"vec_id", struct($"cs", (-$"vec_id").as("nv"))).as("entry_id"))
+  }
+
+  /** Broadcast-join fallback of [[graphMedoids]] for centroid tables past
+    * [[MaxLiteralCentroids]]: the same (sim DESC, list_id ASC) winning
+    * assignment via max_by, the same micro rounding of the winning
+    * cosine, the same per-list (cs DESC, vec_id ASC) medoid pick. */
+  private[graft] def graphMedoidsJoin(vecs: DataFrame,
+      centroids: DataFrame): DataFrame = {
+    import vecs.sparkSession.implicits._
+    vecs.join(broadcast(centroids))
+      .select($"vec_id", $"list_id",
+              Expressions.cosineSim($"v", $"cv").as("sim"))
+      .groupBy($"vec_id")
+      .agg(max_by(struct($"list_id", $"sim"),
+                  struct($"sim", (-$"list_id").as("nl"))).as("m"))
+      .select($"m.list_id".as("list_id"), $"vec_id",
+              round($"m.sim" * 1000000, 0).cast("long").as("cs"))
       .groupBy($"list_id")
       .agg(max_by($"vec_id", struct($"cs", (-$"vec_id").as("nv"))).as("entry_id"))
   }
@@ -938,7 +1008,15 @@ object Similarity {
     val queries = vecs.filter($"vec_id" < nQueries)
       .select($"vec_id".as("query_id"), $"v".as("qv"))
     val probes = probeLists(queries, centroids, entryProbes)
-    var visited = Caching.iterCheckpoint(
+    // Per-hop state crosses rounds through detachSink, not iterCheckpoint:
+    // the visited set is BUDGET-bounded by construction (≤ entryProbes +
+    // hops·beam·degCap rows per query — the GraphAnnSpec-gated claim), so
+    // at any corpus size it is metadata, and the local-relation cut makes
+    // each hop's beam broadcast driver-local (probe r15: 4.90 s → 4.63 s
+    // over the checkpoint form at sf0.1). Past maxLocalRows detachSink
+    // falls back to iterCheckpoint on its own, so nothing about the
+    // discipline is local-mode-only.
+    var visited = Caching.detachSink(
       probes.join(broadcast(medoidV), Seq("list_id"))
         .select($"query_id", $"qv", $"entry_id".as("node"),
                 micro(Expressions.cosineSim($"qv", $"ev")).as("sim_micro"))
@@ -954,9 +1032,9 @@ object Similarity {
       // (query_id, node) duplicates carry IDENTICAL payloads — qv and
       // sim_micro are pure functions of the pair — so dropDuplicates is
       // order-insensitive here
-      val next = Caching.iterCheckpoint(
+      val next = Caching.detachSink(
         visited.unionByName(expand).dropDuplicates("query_id", "node"))
-      Caching.freeCheckpoint(visited)
+      Caching.freeCheckpoint(visited) // no-op on the local-relation path
       visited = next
     }
     val result = visited.filter($"node" =!= $"query_id")
@@ -2087,12 +2165,16 @@ object Similarity {
       .groupBy($"query_id")
       .agg(sum($"rel" * $"disc_micro").as("dcg_scaled"),
            min(when($"rel" > 0, $"rank")).as("first_rel_rank"))
-    val bySl = meta.groupBy($"source", $"lang").agg(count(lit(1)).as("n_sl"))
-      .select($"source".as("q_source"), $"lang".as("q_lang"), $"n_sl")
-    val byS = meta.groupBy($"source").agg(count(lit(1)).as("n_s"))
-      .select($"source".as("q_source"), $"n_s")
-    val qc = qmeta.join(broadcast(bySl), Seq("q_source", "q_lang"))
-      .join(broadcast(byS), Seq("q_source"))
+    // ONE corpus count aggregate: the per-source total is the sum of the
+    // per-(source, lang) counts, folded in with a window over the
+    // |sources|×|langs|-bounded aggregate output — the earlier separate
+    // groupBy(source) pass re-scanned the corpus for values this frame
+    // already determines (exact long sums, so n_s is value-identical)
+    val wS = Window.partitionBy($"source")
+    val srcStats = meta.groupBy($"source", $"lang").agg(count(lit(1)).as("n_sl"))
+      .withColumn("n_s", sum($"n_sl").over(wS))
+      .select($"source".as("q_source"), $"lang".as("q_lang"), $"n_sl", $"n_s")
+    val qc = qmeta.join(broadcast(srcStats), Seq("q_source", "q_lang"))
       .select($"query_id", ($"n_sl" - 1).as("n_rel2"),
               ($"n_s" - $"n_sl").as("n_rel1"))
     val idcg = qc.crossJoin(broadcast(disc))

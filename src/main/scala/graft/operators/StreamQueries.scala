@@ -46,6 +46,16 @@ object StreamQueries {
   private lazy val drainMs: Long =
     sys.env.getOrElse("SPARK_GRAFT_DRAIN_MS", "300000").toLong
 
+  /** Shuffle sizing for the foreachBatch MERGE loops and the inline
+    * drains that cannot go through [[drain]] — the same volume rationale
+    * as `statePartitions` (fixed per-partition state/commit cost every
+    * micro-batch), parameterised so production raises it with throughput
+    * instead of editing a literal (`spark.graft.mergePartitions`,
+    * default 8 = the measured demo-volume optimum). */
+  private def mergePartitions(s: SparkSession): String =
+    s.conf.getOption("spark.graft.mergePartitions").filter(_.nonEmpty)
+      .getOrElse("8")
+
   private def drain(df: DataFrame, sink: String, mode: String,
       statePartitions: Option[Int] = None): DataFrame = {
     val s = df.sparkSession
@@ -285,7 +295,7 @@ object StreamQueries {
     val sink = "nd_stream_late_sink"
     s.catalog.dropTempView(sink)
     val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.shuffle.partitions", mergePartitions(s))
     val dropped = try {
       val q = agg.writeStream.format("memory").queryName(sink)
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
@@ -638,7 +648,7 @@ object StreamQueries {
     // drain helper's measured fixed-cost-per-partition rationale); the
     // conf is captured and restored so batch queries are untouched
     val prevSp = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.shuffle.partitions", mergePartitions(s))
     try {
       val q = st.writeStream.foreachBatch(merge)
         .option("checkpointLocation", s"$work/ckpt-$run")
@@ -712,7 +722,7 @@ object StreamQueries {
     // partition per batch); captured/restored so batch queries see the
     // session default
     val prevSp = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.shuffle.partitions", mergePartitions(s))
     try phases.foreach { case (blocks, tip) =>
       graft.sources.eth.EthFixtures.writeRawChain(chainDir, blocks, tip)
       val st = s.readStream.format("ethereum").option("table", "block")

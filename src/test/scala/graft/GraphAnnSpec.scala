@@ -84,6 +84,41 @@ class GraphAnnSpec extends AnyFunSuite {
       "entry-set-only reach must trip the fragmentation alarm")
   }
 
+  test("literal-centroid fallback: join forms match the literal forms, and " +
+      "a past-the-bound centroid table dispatches without a codegen blowup") {
+    import spark.implicits._
+    val dims = 4
+    def mk(id: Long, salt: Long): Seq[Double] =
+      (0 until dims).map(j => math.sin((id * 31 + salt * 17 + j * 7).toDouble))
+    val vecsLocal = (0L until 60L).map(i => (i, mk(i, 1)))
+    val vecs = vecsLocal.toDF("vec_id", "v")
+    // value equivalence of the two forms at a size BOTH can run (100)
+    val centSmallLocal = (0L until 100L).map(i => (i, mk(i, 2)))
+    val centSmall = centSmallLocal.toDF("list_id", "cv")
+    def rows(df: org.apache.spark.sql.DataFrame, cols: String*) =
+      df.select(cols.head, cols.tail: _*).orderBy(cols.map(col): _*)
+        .collect().map(_.toSeq).toSeq
+    assert(rows(Similarity.coarseAssignLit(vecs, centSmallLocal), "vec_id", "list_id")
+        == rows(Similarity.coarseAssignJoin(vecs, centSmall), "vec_id", "list_id"),
+      "coarseAssign join fallback diverges from the literal argmax")
+    assert(rows(Similarity.coarseAssignTopN(vecs, centSmall, 3), "vec_id", "list_id")
+        == rows(Similarity.coarseAssignTopNJoin(vecs, centSmall, 3), "vec_id", "list_id"),
+      "coarseAssignTopN join fallback diverges from the literal top-n")
+    assert(rows(Similarity.graphMedoids(vecs, centSmall), "list_id", "entry_id")
+        == rows(Similarity.graphMedoidsJoin(vecs, centSmall), "list_id", "entry_id"),
+      "graphMedoids join fallback diverges from the literal form")
+    // dispatch past MaxLiteralCentroids: must run (the literal form would
+    // build a giant expression tree) and equal the join form it routes to
+    val nBig = Similarity.MaxLiteralCentroids + 52
+    val centBig = (0L until nBig.toLong).map(i => (i, mk(i, 2))).toDF("list_id", "cv")
+    assert(rows(Similarity.coarseAssign(vecs, centBig), "vec_id", "list_id")
+        == rows(Similarity.coarseAssignJoin(vecs, centBig), "vec_id", "list_id"))
+    assert(rows(Similarity.coarseAssignTopN(vecs, centBig, 2), "vec_id", "list_id")
+        == rows(Similarity.coarseAssignTopNJoin(vecs, centBig, 2), "vec_id", "list_id"))
+    assert(rows(Similarity.graphMedoids(vecs, centBig), "list_id", "entry_id")
+        == rows(Similarity.graphMedoidsJoin(vecs, centBig), "list_id", "entry_id"))
+  }
+
   test("beam traversal visits no more than the budgeted candidate count") {
     import spark.implicits._
     // the scored-candidate budget claimed in the scaladoc: entries +
