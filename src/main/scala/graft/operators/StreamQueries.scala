@@ -361,12 +361,21 @@ object StreamQueries {
     * split convention as nd_dedup_minhash_incr. */
   def streamDedup(s: SparkSession, d: String, split: Long = 250L): DataFrame = {
     import s.implicits._
-    val store = Dedup.minhashBandStore(
-      Tables.documents(s, d).filter($"doc_id" < split))
+    // the store is SPLIT-BOUNDED here (only docs below the id split), so
+    // two per-micro-batch costs go away: the checkpoint stops each batch
+    // re-running the store's signature/banding pipeline from parquet, and
+    // the broadcast hint stops each batch shuffling its own rows for the
+    // candidate join (r14 VERDICT item 5; guide §3.1). At full corpus
+    // scale the store is NOT bounded — dedupStream's default (partitioned
+    // equi-join, no broadcast) remains the scale path.
+    val store = graft.plans.Caching.iterCheckpoint(Dedup.minhashBandStore(
+      Tables.documents(s, d).filter($"doc_id" < split)))
     val out = StreamingDedup.dedupStream(
-      docStreamTwoBatches(s, d).filter($"doc_id" >= split), store)
-    drain(out, "nd_stream_dedup_sink", "complete", statePartitions = Some(8))
+      docStreamTwoBatches(s, d).filter($"doc_id" >= split), store,
+      broadcastStore = true)
+    try drain(out, "nd_stream_dedup_sink", "complete", statePartitions = Some(8))
       .orderBy($"doc_id")
+    finally graft.plans.Caching.freeCheckpoint(store)
   }
 
   /** Drained gap-based sessionization ([[EventStreams.sessionize]],

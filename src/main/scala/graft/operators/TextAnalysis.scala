@@ -210,18 +210,20 @@ object TextAnalysis {
       .orderBy($"lang")
   }
 
-  /** Corpus-trained trigram language-model score — the two-pass
-    * train/score shape of model-based quality filtering:
+  /** Corpus-trained trigram language-model score — the train/score shape
+    * of model-based quality filtering, off ONE corpus pass:
     *
-    *  1. **train** (one aggregate pass): char-trigram counts over the whole
-    *     corpus, keep the top-V as the model with log-frequency weights;
-    *  2. **score** (one map pass): explode each doc's trigrams, broadcast-
-    *     join the model (a broadcast join IS the "model lookup" — no UDF
-    *     closure, no driver-side table), average the log-frequencies.
+    *  1. **reduce**: explode each doc's char-trigrams and pre-aggregate to
+    *     per-(doc, gram) counts (partial aggregation starts map-side);
+    *  2. **train**: global top-V gram counts off that frame, kept as the
+    *     model with log-frequency weights;
+    *  3. **score**: broadcast-join the model back onto the per-doc counts
+    *     (a broadcast join IS the "model lookup" — no UDF closure, no
+    *     driver-side table) and average the log-frequencies.
     *
-    * At 100 TB the model is a few MB (V rows) broadcast to executors while
-    * the corpus streams through map-side; the only wide shuffle is the
-    * trigram count, which combines partially before moving.
+    * At 100 TB the model is a few MB (V rows) broadcast to executors; the
+    * corpus parquet is READ ONCE, and the wide shuffles move per-doc
+    * distinct-gram counts, a fraction of the exploded gram stream.
     */
   /** The un-materialized train+score pipeline plus the cleanup that frees
     * the exploded-gram cache — exposed for plan inspection; callers use
@@ -230,26 +232,35 @@ object TextAnalysis {
       vocab: Int): (DataFrame, () => Unit) = {
     import s.implicits._
     import graft.functions.Expressions
-    // train and score both consume the exploded grams. Deliberately NOT
-    // persisted: the exploded frame is ~|text| rows of (long, 3-char
-    // string) — an order of magnitude more cache bytes than the parquet
-    // it came from (measured r14: materializing it cost more wall time
-    // than the second scan it saved) — and at corpus scale it could never
-    // stay in memory anyway. Both consumers stream through the columnar
-    // scan + codegen'd CharNgrams at scan speed; the train side partially
-    // aggregates map-side before its only shuffle (guide §5: cache only
-    // when recomputing beats the memory pressure; here it does not).
-    val grams = documents(s, d)
-      .select($"doc_id", explode(Expressions.charNgrams($"text", 3)).as("g"))
-    val model = grams.groupBy($"g").agg(count(lit(1)).as("c"))
+    // ONE corpus explode pass (r14 VERDICT item 3; was two): the exploded
+    // grams pre-reduce map-side to per-(doc, gram) counts, and BOTH the
+    // model's global counts and the per-doc score read that checkpointed
+    // frame. Numbers both ways (ProbeR15 "lm", sf0.1, min of 3): two-pass
+    // 2.86 s vs this form 2.69 s with identical output rows; the raw
+    // explode scan alone is 1.37 s, so the old form paid it twice. At
+    // corpus scale the trade is one fewer FULL INPUT SCAN against a
+    // shuffle of the per-doc distinct-gram counts (a fraction of the
+    // exploded stream, long+3-char rows) — guide §1.2 over §2.3: the
+    // second 100 TB read is the bigger number. The model aggregate is
+    // exact long sums of the cnt column, so the top-V cut and its
+    // (count DESC, gram) tie-break are unchanged; the per-doc average
+    // regroups the float sum as Σ cnt·lf (oracle-re-proven at
+    // sf0.001/0.01/0.1 — the round-4 output is insensitive to the
+    // regrouping).
+    val docGrams = graft.plans.Caching.iterCheckpoint(
+      documents(s, d)
+        .select($"doc_id", explode(Expressions.charNgrams($"text", 3)).as("g"))
+        .groupBy($"doc_id", $"g").agg(count(lit(1)).as("cnt")))
+    val model = docGrams.groupBy($"g").agg(sum($"cnt").as("c"))
       .orderBy($"c".desc, $"g").limit(vocab)
       .select($"g", log($"c".cast("double")).as("lf"))
-    val scored = grams.join(broadcast(model), Seq("g"), "left_outer")
+    val scored = docGrams.join(broadcast(model), Seq("g"), "left_outer")
       .groupBy($"doc_id")
-      .agg(round(avg(coalesce($"lf", lit(0.0))), 4).as("lm_score"),
-           count(lit(1)).as("n_grams"))
+      .agg(round(sum($"cnt" * coalesce($"lf", lit(0.0))) / sum($"cnt"), 4)
+             .as("lm_score"),
+           sum($"cnt").as("n_grams"))
       .orderBy($"doc_id")
-    (scored, () => ())
+    (scored, () => graft.plans.Caching.freeCheckpoint(docGrams))
   }
 
   def trigramLmScore(s: SparkSession, d: String, vocab: Int = 5000): DataFrame = {

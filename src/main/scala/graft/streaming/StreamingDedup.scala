@@ -29,17 +29,26 @@ object StreamingDedup {
   /** `docStream` (streaming, columns `doc_id`, `text`) → one row per doc
     * `(doc_id, max_est, dup_corpus)` against the static `store`
     * ([[graft.operators.Dedup.minhashBandStore]] layout: `doc_id`, `sig`,
-    * `band`, `key`). Run with update/complete output mode. */
+    * `band`, `key`). Run with update/complete output mode.
+    *
+    * `broadcastStore` hints the stream-static candidate join to broadcast
+    * the store side, so each micro-batch's rows never shuffle for the
+    * join — the right call ONLY when the caller knows the store is
+    * bounded (e.g. a split-bounded demo corpus, or a per-tenant shard).
+    * The default keeps the scale-safe partitioned `(band, key)` equi-join:
+    * at full corpus scale the store is the whole kept archive and must
+    * stay distributed. */
   def dedupStream(docStream: DataFrame, store: DataFrame,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5, broadcastStore: Boolean = false): DataFrame = {
     val s = docStream.sparkSession
     import s.implicits._
     val banded = docStream
       .select($"doc_id", Dedup.minhashSignature($"text").as("sig"))
       .select($"doc_id", $"sig",
               posexplode(Dedup.bandKeys($"sig")).as(Seq("band", "key")))
-    val old = store.select($"band", $"key",
+    val old0 = store.select($"band", $"key",
       $"doc_id".as("old_id"), $"sig".as("old_sig"))
+    val old = if (broadcastStore) broadcast(old0) else old0
     banded.join(old, Seq("band", "key"), "left")
       .select($"doc_id",
         when($"old_id".isNotNull, Dedup.estJaccard($"sig", $"old_sig"))

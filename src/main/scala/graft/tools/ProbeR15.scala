@@ -173,6 +173,68 @@ object ProbeR15 {
       time("knnGraph search: per-hop detachSink") { noop(search("local")) }
     }
 
+    if (which("sdedup")) {
+      // streamDedup variants in one JVM: store recompute-per-batch vs
+      // checkpointed store, shuffled vs broadcast candidate join.
+      import org.apache.spark.sql.streaming.Trigger
+      import graft.operators.Dedup
+      val docs = graft.Tables.documents(spark, sfDir)
+      val split = 250L
+      // two-batch parity split, same as docStreamTwoBatches
+      val dir = graft.tools.TmpDirs.tmpDirCleaned("probe-sdedup")
+      docs.filter(pmod($"doc_id", lit(2)) === 0).coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/b0.parquet")
+      docs.filter(pmod($"doc_id", lit(2)) === 1).coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/b1.parquet")
+      def stream = spark.readStream
+        .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+        .option("maxFilesPerTrigger", "1").parquet(s"$dir/b*.parquet")
+        .filter($"doc_id" >= split)
+      def run(ckpt: Boolean, bcast: Boolean): Unit = {
+        val raw = Dedup.minhashBandStore(docs.filter($"doc_id" < split))
+        val store = if (ckpt) graft.plans.Caching.iterCheckpoint(raw) else raw
+        val out = graft.streaming.StreamingDedup.dedupStream(
+          stream, store, broadcastStore = bcast)
+        val prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try {
+          spark.catalog.dropTempView("probe_sdedup_sink")
+          val q = out.writeStream.format("memory").queryName("probe_sdedup_sink")
+            .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+          require(q.awaitTermination(300000)); q.stop()
+        } finally {
+          spark.conf.set("spark.sql.shuffle.partitions", prev)
+          if (ckpt) graft.plans.Caching.freeCheckpoint(store)
+        }
+        spark.table("probe_sdedup_sink").orderBy($"doc_id")
+          .write.format("noop").mode("overwrite").save()
+      }
+      run(ckpt = false, bcast = false) // warmup
+      time("sdedup: plain store, shuffled join (old)") { run(false, false) }
+      time("sdedup: ckpt store, broadcast join (new)") { run(true, true) }
+      time("sdedup: ckpt store, shuffled join") { run(true, false) }
+      time("sdedup: plain store, broadcast join") { run(false, true) }
+    }
+
+    if (which("rocks")) {
+      // state-store provider A/B over the heaviest stateful drains
+      // (VERDICT r14 item 5): HDFS-backed default vs RocksDB, same
+      // registry entries, min of 3 each, interleaved warmup first.
+      val qs = Seq("nd_stream_dedup", "nd_stream_late", "nd_stream_percentiles",
+        "nd_stream_cms", "nd_stream_kmv")
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val rocks = "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+      qs.foreach { q => noop(graft.SparkEntry.queries(q)(spark, sfDir)) } // warmup
+      qs.foreach { q =>
+        time(s"$q: hdfs-backed (default)") {
+          noop(graft.SparkEntry.queries(q)(spark, sfDir)) }
+        spark.conf.set(key, rocks)
+        try time(s"$q: rocksdb") {
+          noop(graft.SparkEntry.queries(q)(spark, sfDir)) }
+        finally spark.conf.unset(key)
+      }
+    }
+
     if (which("lm")) {
       // trigramLmScore: current two-explode-pass form vs the (doc, gram,
       // count) single-pass form (VERDICT r14 item 3)

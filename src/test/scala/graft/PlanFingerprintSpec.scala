@@ -22,7 +22,7 @@ class PlanFingerprintSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val sf = "/root/testdata/sf0.01"
 
-  private val artifact = "plans_r14.json"
+  private val artifact = "plans_r15.json"
 
   test(s"live plan fingerprints match the committed $artifact") {
     val text = new String(
